@@ -1,0 +1,47 @@
+"""Engine-portable deterministic hashing.
+
+Spark's builtin ``hash()``/``xxhash64()`` are Spark-specific Murmur3/
+XXH64 seeds; DuckDB's ``hash()`` differs too. For oracle-checkable
+dedup / fingerprint / LSH operators we need a hash whose value is
+bit-identical across engines, built only from ANSI-ish primitives:
+
+    hash32(s) = int(md5(s)[0:8], 16)        # 32-bit, non-negative
+
+Both engines evaluate md5 as lowercase hex; the hex→int conversion is
+8 digit-lookups. ``hash32`` builds the Spark Column; ``sql_hash32``
+emits the equivalent SQL string for the DuckDB oracle. Salted
+variants give independent hash families for MinHash/LSH.
+
+Cost note (100 TB): md5 per row/shingle is JVM-side
+(whole-stage-codegen), no shuffle, embarrassingly parallel. For a
+production-only path you'd swap in xxhash64 (faster, same shape);
+the md5 form exists so correctness can be oracle-verified.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+_HEX = "0123456789abcdef"
+# 16^7 .. 16^0
+_POW16 = [268435456, 16777216, 1048576, 65536, 4096, 256, 16, 1]
+
+
+def hash32(col: Column | str, salt: str | None = None) -> Column:
+    """Spark Column: first 32 bits of md5(salt || ':' || s) as a long."""
+    c = F.col(col) if isinstance(col, str) else col
+    if salt is not None:
+        c = F.concat(F.lit(f"{salt}:"), c)
+    return F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long")
+
+
+def sql_hash32(expr: str, salt: str | None = None) -> str:
+    """DuckDB SQL string computing the identical value to hash32()."""
+    if salt is not None:
+        expr = f"concat('{salt}:', {expr})"
+    digits = " + ".join(
+        f"(strpos('{_HEX}', substr(md5({expr}), {i + 1}, 1)) - 1) * {p}"
+        for i, p in enumerate(_POW16)
+    )
+    return f"({digits})"

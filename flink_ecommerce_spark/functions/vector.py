@@ -1,0 +1,59 @@
+"""Embedding/vector math as built-in Spark higher-order functions.
+
+All of these stay JVM-side (TransformExpression inside whole-stage
+codegen) — no Python UDF, no Arrow round-trip — so a brute-force
+cosine scan is a pure map over the big side and scales linearly with
+executors. Arrays are cast element-wise to double first so results
+match a double-precision oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _as_double(v: Column) -> Column:
+    return F.transform(v, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sum of element-wise products, accumulated left-to-right in double."""
+    return F.aggregate(
+        F.zip_with(_as_double(a), _as_double(b), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(_as_double(a), lambda x: x * x),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine_sim(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def sql_dot(a: str, b: str, dim: int) -> str:
+    """DuckDB SQL computing dot() identically (same accumulation order)."""
+    return (
+        f"list_reduce(list_transform(generate_series(1, {dim}), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), (x, y) -> x + y)"
+    )
+
+
+def sql_l2_norm(a: str, dim: int) -> str:
+    return (
+        f"sqrt(list_reduce(list_transform(generate_series(1, {dim}), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({a}[i] AS DOUBLE)), (x, y) -> x + y))"
+    )
+
+
+def sql_cosine(a: str, b: str, dim: int) -> str:
+    return f"({sql_dot(a, b, dim)} / ({sql_l2_norm(a, dim)} * {sql_l2_norm(b, dim)}))"

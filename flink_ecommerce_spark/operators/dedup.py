@@ -1,0 +1,224 @@
+"""Deduplication operators over the `documents` table.
+
+Four families, all declarative DataFrame plans:
+
+- exact:          md5-of-text groupBy (one shuffle on the hash)
+- n-gram Jaccard: shingle-explode → pair join on shared shingles
+- MinHash + LSH:  shingle→minhash signature→band buckets→bucket join
+- SimHash:        token-hash bit-vote → banded hamming pair search
+
+All hashes are the engine-portable md5-based ``hash32`` so every
+operator has an exact DuckDB oracle (registry.py generates the twin
+SQL from the same constants).
+
+Scale notes (100 TB):
+- exact dedup shuffles only (hash, doc_id) pairs, not text.
+- MinHash/LSH is THE scale path: signatures are tiny (NUM_HASHES
+  longs/doc), candidate generation joins on band buckets only —
+  never all-pairs. The Jaccard verify join touches only candidates.
+- the plain n-gram Jaccard all-shared-shingle join is the exact
+  baseline; at 100 TB you'd only run it on LSH candidates (which is
+  exactly what lsh_candidate_pairs does).
+- SimHash pairs join on 8-bit bands (4 buckets/doc), hamming filter
+  after — again never all-pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.portable import hash32
+from .textprep import word_shingles
+
+NUM_HASHES = 16  # MinHash signature length
+NUM_BANDS = 4  # LSH bands (rows per band = NUM_HASHES // NUM_BANDS)
+SIMHASH_BITS = 32
+SIMHASH_BANDS = 4  # 8-bit bands
+JACCARD_THRESHOLD = 0.2
+HAMMING_MAX = 6
+
+
+def dedup_exact(documents: DataFrame, normalized: bool = False) -> DataFrame:
+    """Exact duplicate groups by content hash. ``normalized`` lowers
+    and collapses whitespace first (catches trivial reformatting)."""
+    text = F.col("text")
+    if normalized:
+        text = F.regexp_replace(F.trim(F.lower(text)), r"\s+", " ")
+    return (
+        documents.select(F.md5(text).alias("text_hash"), "doc_id")
+        .groupBy("text_hash")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def _doc_shingles(documents: DataFrame) -> DataFrame:
+    """(doc_id, shingle) distinct pairs."""
+    return (
+        documents.select(
+            "doc_id", F.explode(word_shingles("text")).alias("shingle")
+        )
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    documents: DataFrame, threshold: float = JACCARD_THRESHOLD
+) -> DataFrame:
+    """Exact Jaccard similarity over word-shingle sets for every pair
+    sharing at least one shingle. Output: (doc_a, doc_b, jaccard)."""
+    sh = _doc_shingles(documents)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("sa"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("sb"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter") / (F.col("sa") + F.col("sb") - F.col("n_inter")), 6
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def minhash_signatures(documents: DataFrame, num_hashes: int = NUM_HASHES) -> DataFrame:
+    """MinHash signature per document: mh_i = min over shingles of
+    hash32(shingle, salt=i). Entirely per-row array math — no shuffle,
+    no explode. Empty-shingle docs get NULL signatures."""
+    sh = word_shingles("text")
+
+    def min_hash(i: int):
+        # NB: the inner lambda must take exactly one arg — a two-arg
+        # lambda would make F.transform pass (element, index).
+        return F.array_min(
+            F.transform(sh, lambda s: hash32(s, salt=f"mh{i}"))
+        ).alias(f"mh{i}")
+
+    return documents.select("doc_id", *[min_hash(i) for i in range(num_hashes)])
+
+
+def _band_buckets(signatures: DataFrame) -> DataFrame:
+    """(doc_id, band, bucket) — bucket = md5 of the band's signature
+    slice. Banding: NUM_BANDS bands × (NUM_HASHES/NUM_BANDS) rows."""
+    rows = NUM_HASHES // NUM_BANDS
+    bands = []
+    for b in range(NUM_BANDS):
+        parts = [F.col(f"mh{b * rows + r}").cast("string") for r in range(rows)]
+        bands.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws("_", *parts)).alias("bucket"),
+            )
+        )
+    return signatures.select(
+        "doc_id", F.explode(F.array(*bands)).alias("bb")
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+
+def lsh_candidate_pairs(
+    documents: DataFrame, threshold: float = JACCARD_THRESHOLD
+) -> DataFrame:
+    """MinHash-LSH near-duplicate pairs: band-bucket join proposes
+    candidates, exact shingle Jaccard verifies. Output matches
+    ngram_jaccard_pairs' schema restricted to LSH-surfaced pairs."""
+    sigs = minhash_signatures(documents)
+    bb = _band_buckets(sigs)
+    a = bb.alias("a")
+    b = bb.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    exact = ngram_jaccard_pairs(documents, threshold=0.0)
+    return (
+        cands.join(exact, ["doc_a", "doc_b"])
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def simhash(documents: DataFrame) -> DataFrame:
+    """32-bit SimHash per document: per-token hash32, ±1 vote per bit
+    position weighted by term frequency, bit set where the vote sum is
+    positive. Two narrow shuffles on doc_id-derived keys."""
+    toks = documents.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("tok"),
+    ).withColumn("h", hash32(F.col("tok"), salt="simhash"))
+    bits = toks.select(
+        "doc_id",
+        "h",
+        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("b"),
+    ).withColumn(
+        "vote",
+        F.when(F.expr("(h >> b) & 1") == 1, F.lit(1)).otherwise(F.lit(-1)),
+    )
+    votes = bits.groupBy("doc_id", "b").agg(F.sum("vote").alias("s"))
+    return votes.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("s") > 0, F.expr("CAST(1 AS BIGINT) << b")).otherwise(
+                F.lit(0)
+            )
+        ).alias("simhash")
+    )
+
+
+def simhash_near_pairs(documents: DataFrame, max_hamming: int = HAMMING_MAX) -> DataFrame:
+    """Near-duplicate pairs by SimHash hamming distance ≤ max_hamming.
+    Candidates come from matching any 8-bit band (pigeonhole: distance
+    ≤ 6 over 4 bands guarantees ≥ 1 identical band when ≤ 3 bands are
+    touched; it is the standard recall/cost tradeoff), then the exact
+    popcount filter."""
+    sh = simhash(documents)
+    bands = sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("k"),
+                        F.expr(f"(simhash >> {8 * k}) & 255").alias("bandval"),
+                    )
+                    for k in range(SIMHASH_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "simhash", F.col("bb.k").alias("k"), F.col("bb.bandval").alias("bandval"))
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.k") == F.col("b.k"))
+            & (F.col("a.bandval") == F.col("b.bandval"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.expr("bit_count(a.simhash ^ b.simhash)").alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

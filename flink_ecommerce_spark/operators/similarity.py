@@ -1,0 +1,162 @@
+"""Embedding similarity search over the `embeddings` table.
+
+- brute-force cosine top-k: the exact baseline. The query set is
+  broadcast; scanning the corpus is a pure map (codegen'd array
+  math), then a per-query top-k window. At 100 TB this is one pass
+  over the corpus with no corpus-side shuffle — the window shuffles
+  only (query_id, neighbor, score) tuples.
+- LSH (random hyperplane) bucketed ANN: signatures from sign-of-
+  projection onto deterministic ±1 hyperplanes (derived from the
+  portable hash so the oracle can reproduce them), candidates =
+  same-bucket rows, exact cosine re-rank inside the bucket. The
+  scale path: corpus is bucketed once (one narrow shuffle), each
+  query touches ~1/2^P of the data.
+- label centroids: per-dimension mean via posexplode — the shuffle
+  carries (label, dim, partial-sum), not vectors.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.vector import cosine_sim
+
+EMB_DIM = 64
+N_PLANES = 8  # LSH hyperplanes → 2^8 buckets
+DEFAULT_K = 5
+DEFAULT_N_QUERIES = 10
+
+
+def plane_weight(p: int, d: int) -> float:
+    """Deterministic ±1 hyperplane weights, reproducible in SQL:
+    +1 when hash32(f"plane{p}:dim{d}") is even. (Matches
+    functions.portable.hash32 / sql_hash32 exactly.)"""
+    h = int(hashlib.md5(f"plane{p}:dim{d}".encode()).hexdigest()[:8], 16)
+    return 1.0 if h % 2 == 0 else -1.0
+
+
+def knn_bruteforce(
+    embeddings: DataFrame,
+    k: int = DEFAULT_K,
+    n_queries: int = DEFAULT_N_QUERIES,
+) -> DataFrame:
+    """Exact cosine top-k neighbors for the query set (vec_id <
+    n_queries), excluding self. Deterministic tie-break on rounded
+    score then neighbor id."""
+    q = embeddings.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    scored = (
+        embeddings.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cosine_sim(F.col("q_emb"), F.col("embedding")), 6).alias(
+                "cos_sim"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rk")
+    )
+
+
+def _lsh_bucket(emb_col: str) -> F.Column:
+    """LSH bucket id: sum over planes of 2^p * (projection_p >= 0),
+    with projection accumulated in array order (oracle-matched)."""
+    bucket = F.lit(0)
+    for p in range(N_PLANES):
+        proj = F.aggregate(
+            F.expr(
+                f"zip_with({emb_col}, array({', '.join(str(plane_weight(p, d)) for d in range(EMB_DIM))}), "
+                f"(x, w) -> CAST(x AS DOUBLE) * w)"
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bucket = bucket + F.when(proj >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+    return bucket
+
+
+def ann_lsh_topk(
+    embeddings: DataFrame,
+    k: int = DEFAULT_K,
+    n_queries: int = DEFAULT_N_QUERIES,
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's LSH
+    bucket, exact cosine re-rank within. Recall < 1 by construction;
+    results are still fully deterministic (portable-hash planes), so
+    the oracle reproduces them exactly."""
+    bucketed = embeddings.withColumn("bucket", _lsh_bucket("embedding"))
+    q = bucketed.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("bucket").alias("q_bucket"),
+    )
+    scored = (
+        bucketed.join(
+            F.broadcast(q),
+            (F.col("bucket") == F.col("q_bucket"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cosine_sim(F.col("q_emb"), F.col("embedding")), 6).alias(
+                "cos_sim"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rk")
+    )
+
+
+def label_centroids(embeddings: DataFrame) -> DataFrame:
+    """Per-label per-dimension centroid (1-based dim index)."""
+    return (
+        embeddings.select(
+            "label", F.posexplode("embedding").alias("pos", "v")
+        )
+        .groupBy("label", (F.col("pos") + 1).alias("dim"))
+        .agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("centroid"))
+    )
+
+
+def embedding_near_dup_pairs(
+    embeddings: DataFrame, threshold: float = 0.95
+) -> DataFrame:
+    """Embedding-cosine near-duplicate detection restricted to LSH
+    buckets (same-bucket pairs only — the scalable candidate set),
+    exact cosine filter. Output: (vec_a, vec_b, cos_sim)."""
+    bucketed = embeddings.withColumn("bucket", _lsh_bucket("embedding"))
+    a = bucketed.alias("a")
+    b = bucketed.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(
+                cosine_sim(F.col("a.embedding"), F.col("b.embedding")), 6
+            ).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )

@@ -1,0 +1,158 @@
+"""Window functions, grouping sets, set operations, sessionization —
+the analytic operators the reference lacks entirely (SURVEY.md §2.6)
+exposed as Spark builtins.
+
+Scale notes: every window here partitions by a real key (never a
+global ORDER BY over everything), so state stays per-partition.
+ROLLUP/CUBE expand grouping sets BEFORE the shuffle (Expand operator)
+and still do partial aggregation map-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def top_users_per_event_type(events: DataFrame, k: int = 5) -> DataFrame:
+    """Top-k users by total value within each event_type:
+    agg → ranked window → filter. Classic two-shuffle top-k; the
+    window partitions on event_type so no global sort."""
+    per_user = events.groupBy("event_type", "user_id").agg(
+        F.round(F.sum("value"), 2).alias("user_value")
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.desc("user_value"), F.asc("user_id")
+    )
+    return (
+        per_user.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("event_type", "user_id", "user_value", "rk")
+    )
+
+
+def daily_running_revenue(events: DataFrame) -> DataFrame:
+    """Cumulative revenue per event_type over days (running total
+    window frame — unbounded preceding to current row)."""
+    daily = events.groupBy(
+        F.col("event_type"), F.to_date("ts").alias("d")
+    ).agg(F.round(F.sum("value"), 2).alias("day_value"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return daily.withColumn(
+        "running_value", F.round(F.sum("day_value").over(w), 2)
+    )
+
+
+def user_sessions(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Sessionization via lag + gap-cumsum (the batch equivalent of a
+    session window): new session when the gap to the previous event of
+    the same user exceeds `gap_minutes`. Output: per-user session
+    count and average session length (events per session)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    micros = F.expr("unix_micros(ts)")
+    gap = micros - F.lag(micros).over(w)
+    sess = events.withColumn(
+        "new_sess",
+        F.when(gap.isNull() | (gap > gap_minutes * 60 * 1_000_000), F.lit(1)).otherwise(
+            F.lit(0)
+        ),
+    ).withColumn(
+        "sess_id",
+        F.sum("new_sess").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    per_session = sess.groupBy("user_id", "sess_id").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    return per_session.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.round(F.avg("n_events"), 6).alias("avg_events_per_session"),
+    )
+
+
+def sales_rollup(events: DataFrame) -> DataFrame:
+    """ROLLUP (year, month): totals at month, year, and grand-total
+    levels in one pass (Expand → single shuffle)."""
+    return (
+        events.select(
+            F.year("ts").alias("year"), F.month("ts").alias("month"), "value"
+        )
+        .rollup("year", "month")
+        .agg(
+            F.round(F.sum("value"), 2).alias("total_sales"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+def event_type_cube(events: DataFrame) -> DataFrame:
+    """CUBE (event_type, day-of-week): all 4 grouping sets at once."""
+    return (
+        events.select(
+            "event_type", F.dayofweek("ts").alias("dow"), "value"
+        )
+        .cube("event_type", "dow")
+        .agg(F.round(F.sum("value"), 2).alias("total_sales"))
+    )
+
+
+def distinct_users_per_day(events: DataFrame) -> DataFrame:
+    """Exact COUNT(DISTINCT) per day (expands to two-phase distinct
+    aggregation under the hood)."""
+    return events.groupBy(F.to_date("ts").alias("d")).agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+def approx_distinct_users(events: DataFrame, rsd: float = 0.02) -> DataFrame:
+    """HyperLogLog++ approximate distinct per event_type — the scale
+    path for 100 TB cardinality estimation (no exact-distinct
+    shuffle). Not oracle-comparable (different sketch than DuckDB's);
+    driver records a rows-only check."""
+    return events.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd).alias("approx_users")
+    )
+
+
+def value_stats_per_type(events: DataFrame) -> DataFrame:
+    """Exact median/min/max per event_type (median = exact percentile;
+    at 100 TB you'd switch to percentile_approx — kept exact here for
+    oracle parity)."""
+    return events.groupBy("event_type").agg(
+        F.round(F.expr("median(value)"), 6).alias("median_value"),
+        F.round(F.min("value"), 2).alias("min_value"),
+        F.round(F.max("value"), 2).alias("max_value"),
+    )
+
+
+def event_value_pivot(events: DataFrame) -> DataFrame:
+    """Manual pivot (CASE-WHEN aggregation) of value by event_type per
+    day — expressed as conditional aggregation so the oracle SQL is
+    identical ANSI."""
+    agg = [
+        F.round(
+            F.sum(F.when(F.col("event_type") == t, F.col("value"))), 2
+        ).alias(f"{t}_value")
+        for t in ("click", "view", "purchase", "signup", "error")
+    ]
+    return events.groupBy(F.to_date("ts").alias("d")).agg(*agg)
+
+
+def purchasers_also_errored(events: DataFrame) -> DataFrame:
+    """INTERSECT of user sets (set op coverage)."""
+    a = events.filter(F.col("event_type") == "purchase").select("user_id")
+    b = events.filter(F.col("event_type") == "error").select("user_id")
+    return a.intersect(b)
+
+
+def viewers_never_purchased(events: DataFrame) -> DataFrame:
+    """EXCEPT (distinct semantics, matching SQL EXCEPT) of user sets."""
+    a = events.filter(F.col("event_type") == "view").select("user_id")
+    b = events.filter(F.col("event_type") == "purchase").select("user_id")
+    return a.subtract(b)

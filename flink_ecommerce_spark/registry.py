@@ -1,0 +1,784 @@
+"""Query registry: every implemented operator exposed as a
+(spark, sf_dir) -> DataFrame callable plus — where SQL-expressible —
+an exactly-equivalent DuckDB oracle SQL string.
+
+The oracle strings are GENERATED from the same constants the Spark
+plans use (hash salts, shingle width, LSH planes, rounding digits),
+so Spark and DuckDB compute bit-identical values; the driver's
+row-count + schema + value-hash comparison then passes on exact
+equality, not approximate luck.
+
+Conventions (driver contract, __spark_entry__.py):
+- every aggregate/computed column is aliased identically both sides;
+- DuckDB integer results are cast so arrow dtypes match Spark's
+  (SUM(int)->HUGEINT => CAST AS BIGINT, len()->BIGINT => INT where
+  Spark returns int, ROW_NUMBER/bit_count => INT);
+- double aggregates are rounded (2dp for money sums, 6dp for
+  ratios/averages/cosines) on BOTH sides, removing float-order
+  nondeterminism;
+- Spark session timezone is UTC so DATE/`year()` match DuckDB's
+  naive timestamps.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+from . import catalog
+from .functions.portable import sql_hash32
+from .functions.vector import sql_cosine
+from .operators import dedup, multimodal, similarity, text
+from .operators.textprep import sql_word_shingles, sql_char_shingles, sql_words
+from .plans import analytics, sales, tpch
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # None => driver runs rows-only check
+    bench: bool = False  # include in bench.py headline set
+
+
+def _t(name: str):
+    """Loader shorthand: returns a fn(spark, sf_dir) -> DataFrame."""
+
+    def load(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return catalog.table(spark, sf_dir, name)
+
+    return load
+
+
+# ---------------------------------------------------------------- parity
+
+_EVENT_COLS = dict(
+    id_col="event_id",
+    ts_col="ts",
+    user_col="user_id",
+    category_col="event_type",
+    amount_col="value",
+)
+
+
+def _q_raw_transactions(spark, sf):
+    return sales.raw_transactions(_t("events")(spark, sf), **_EVENT_COLS)
+
+
+def _q_sales_per_day(spark, sf):
+    return sales.sales_per_day(_t("events")(spark, sf), "ts", "value")
+
+
+def _q_sales_per_category(spark, sf):
+    return sales.sales_per_category(_t("events")(spark, sf), "ts", "event_type", "value")
+
+
+def _q_sales_per_month(spark, sf):
+    return sales.sales_per_month(_t("events")(spark, sf), "ts", "value")
+
+
+def _q_sales_per_day_purchases(spark, sf):
+    return sales.sales_per_day_filtered(
+        _t("events")(spark, sf), "purchase", "ts", "event_type", "value"
+    )
+
+
+def _q_category_stats(spark, sf):
+    return sales.category_stats(_t("events")(spark, sf), "event_type", "value")
+
+
+def _q_props_extract(spark, sf):
+    return sales.props_extract(_t("events")(spark, sf))
+
+
+# ---------------------------------------------------------------- star schema
+
+
+def _q_q1(spark, sf):
+    return tpch.q1_pricing_summary(_t("lineitem")(spark, sf))
+
+
+def _q_q3(spark, sf):
+    return tpch.q3_shipping_priority(
+        _t("customer")(spark, sf), _t("orders")(spark, sf), _t("lineitem")(spark, sf)
+    )
+
+
+def _q_q5(spark, sf):
+    return tpch.q5_regional_revenue(
+        _t("region")(spark, sf),
+        _t("nation")(spark, sf),
+        _t("customer")(spark, sf),
+        _t("orders")(spark, sf),
+        _t("lineitem")(spark, sf),
+        _t("supplier")(spark, sf),
+    )
+
+
+def _q_customer_order_totals(spark, sf):
+    return tpch.customer_order_totals(_t("customer")(spark, sf), _t("orders")(spark, sf))
+
+
+def _q_top10_orders(spark, sf):
+    return tpch.top10_orders(_t("orders")(spark, sf))
+
+
+def _q_customers_without_orders(spark, sf):
+    return tpch.customers_without_orders(_t("customer")(spark, sf), _t("orders")(spark, sf))
+
+
+def _q_orders_with_big_lineitem(spark, sf):
+    return tpch.orders_with_big_lineitem(_t("orders")(spark, sf), _t("lineitem")(spark, sf))
+
+
+def _q_parts_by_brand_type(spark, sf):
+    return tpch.parts_by_brand_type(_t("part")(spark, sf))
+
+
+# ---------------------------------------------------------------- analytics
+
+
+def _q_top_users(spark, sf):
+    return analytics.top_users_per_event_type(_t("events")(spark, sf))
+
+
+def _q_running_revenue(spark, sf):
+    return analytics.daily_running_revenue(_t("events")(spark, sf))
+
+
+def _q_user_sessions(spark, sf):
+    return analytics.user_sessions(_t("events")(spark, sf))
+
+
+def _q_sales_rollup(spark, sf):
+    return analytics.sales_rollup(_t("events")(spark, sf))
+
+
+def _q_event_type_cube(spark, sf):
+    return analytics.event_type_cube(_t("events")(spark, sf))
+
+
+def _q_distinct_users_per_day(spark, sf):
+    return analytics.distinct_users_per_day(_t("events")(spark, sf))
+
+
+def _q_approx_distinct_users(spark, sf):
+    return analytics.approx_distinct_users(_t("events")(spark, sf))
+
+
+def _q_value_stats(spark, sf):
+    return analytics.value_stats_per_type(_t("events")(spark, sf))
+
+
+def _q_event_value_pivot(spark, sf):
+    return analytics.event_value_pivot(_t("events")(spark, sf))
+
+
+def _q_purchasers_also_errored(spark, sf):
+    return analytics.purchasers_also_errored(_t("events")(spark, sf))
+
+
+def _q_viewers_never_purchased(spark, sf):
+    return analytics.viewers_never_purchased(_t("events")(spark, sf))
+
+
+# ---------------------------------------------------------------- dedup/text
+
+
+def _q_dedup_exact(spark, sf):
+    return dedup.dedup_exact(_t("documents")(spark, sf))
+
+
+def _q_dedup_exact_normalized(spark, sf):
+    return dedup.dedup_exact(_t("documents")(spark, sf), normalized=True)
+
+
+def _q_minhash_signatures(spark, sf):
+    return dedup.minhash_signatures(_t("documents")(spark, sf))
+
+
+def _q_lsh_candidate_pairs(spark, sf):
+    return dedup.lsh_candidate_pairs(_t("documents")(spark, sf))
+
+
+def _q_ngram_jaccard_pairs(spark, sf):
+    return dedup.ngram_jaccard_pairs(_t("documents")(spark, sf))
+
+
+def _q_simhash(spark, sf):
+    return dedup.simhash(_t("documents")(spark, sf))
+
+
+def _q_simhash_near_pairs(spark, sf):
+    return dedup.simhash_near_pairs(_t("documents")(spark, sf))
+
+
+def _q_token_counts(spark, sf):
+    return text.token_counts(_t("documents")(spark, sf))
+
+
+def _q_lang_id(spark, sf):
+    return text.lang_id(_t("documents")(spark, sf))
+
+
+def _q_quality_scores(spark, sf):
+    return text.quality_scores(_t("documents")(spark, sf))
+
+
+def _q_doc_fingerprints(spark, sf):
+    return text.doc_fingerprints(_t("documents")(spark, sf))
+
+
+def _q_multimodal_features(spark, sf):
+    return multimodal.multimodal_features(_t("documents")(spark, sf))
+
+
+# ---------------------------------------------------------------- similarity
+
+
+def _q_knn_bruteforce(spark, sf):
+    return similarity.knn_bruteforce(_t("embeddings")(spark, sf))
+
+
+def _q_ann_lsh_topk(spark, sf):
+    return similarity.ann_lsh_topk(_t("embeddings")(spark, sf))
+
+
+def _q_label_centroids(spark, sf):
+    return similarity.label_centroids(_t("embeddings")(spark, sf))
+
+
+def _q_embedding_near_dup(spark, sf):
+    return similarity.embedding_near_dup_pairs(_t("embeddings")(spark, sf))
+
+
+# ================================================================ oracle SQL
+# Shared fragments — generated from the same constants as the Spark plans.
+
+_SHINGLES = sql_word_shingles("text")  # word 3-grams
+_WORDS = sql_words("text")
+
+_SIG_COLS = ",\n  ".join(
+    f"list_min(list_transform(shingles, s -> {sql_hash32('s', salt=f'mh{i}')})) AS mh{i}"
+    for i in range(dedup.NUM_HASHES)
+)
+_SIG_CTE = f"""
+sh AS (SELECT doc_id, {_SHINGLES} AS shingles FROM documents),
+sig AS (SELECT doc_id,
+  {_SIG_COLS}
+FROM sh)
+"""
+
+_ROWS_PER_BAND = dedup.NUM_HASHES // dedup.NUM_BANDS
+_BANDS_SELECTS = "\nUNION ALL\n".join(
+    "SELECT doc_id, {b} AS band, md5(concat_ws('_', {cols})) AS bucket FROM sig".format(
+        b=b,
+        cols=", ".join(
+            f"CAST(mh{b * _ROWS_PER_BAND + r} AS VARCHAR)"
+            for r in range(_ROWS_PER_BAND)
+        ),
+    )
+    for b in range(dedup.NUM_BANDS)
+)
+
+_JACCARD_CTES = f"""
+ds AS (SELECT DISTINCT doc_id, s AS shingle
+       FROM (SELECT doc_id, unnest(shingles) AS s FROM sh)),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM ds GROUP BY 1),
+inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+          FROM ds a JOIN ds b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+jac AS (SELECT i.doc_a, i.doc_b,
+               ROUND(i.n_inter / (sa.n_sh + sb.n_sh - i.n_inter), 6) AS jaccard
+        FROM inter i
+        JOIN sizes sa ON sa.doc_id = i.doc_a
+        JOIN sizes sb ON sb.doc_id = i.doc_b)
+"""
+
+_SIMHASH_CTE = f"""
+toks AS (SELECT doc_id, unnest({_WORDS}) AS tok FROM documents),
+th AS (SELECT doc_id, {sql_hash32('tok', salt='simhash')} AS h FROM toks),
+bits AS (SELECT doc_id, b,
+                SUM(CASE WHEN ((h >> b) & 1) = 1 THEN 1 ELSE -1 END) AS s
+         FROM th CROSS JOIN (SELECT unnest(generate_series(0, {dedup.SIMHASH_BITS - 1})) AS b)
+         GROUP BY 1, 2),
+sim AS (SELECT doc_id,
+               CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
+        FROM bits GROUP BY 1)
+"""
+
+_SIMHASH_BAND_SELECTS = "\nUNION ALL\n".join(
+    f"SELECT doc_id, simhash, {k} AS k, (simhash >> {8 * k}) & 255 AS bandval FROM sim"
+    for k in range(dedup.SIMHASH_BANDS)
+)
+
+
+def _lsh_weights_sql(p: int) -> str:
+    vals = ", ".join(
+        str(similarity.plane_weight(p, d)) for d in range(similarity.EMB_DIM)
+    )
+    return f"[{vals}]"
+
+
+def _bucket_sql(emb: str) -> str:
+    terms = []
+    for p in range(similarity.N_PLANES):
+        proj = (
+            f"list_reduce(list_transform(generate_series(1, {similarity.EMB_DIM}), "
+            f"d -> CAST({emb}[d] AS DOUBLE) * ({_lsh_weights_sql(p)})[d]), (x, y) -> x + y)"
+        )
+        terms.append(f"(CASE WHEN {proj} >= 0 THEN {1 << p} ELSE 0 END)")
+    return "(" + " + ".join(terms) + ")"
+
+
+_EN_SW = ", ".join(f"'{w}'" for w in text.EN_STOPWORDS)
+
+_LANG_SCORES = ",\n  ".join(
+    "CAST(len(list_filter({w}, x -> x IN ({m}))) AS INT) AS score_{lang}".format(
+        w=_WORDS, m=", ".join(f"'{s}'" for s in markers), lang=lang
+    )
+    for lang, markers in text.LANG_PROFILES.items()
+)
+_LANG_BEST = "greatest(" + ", ".join(f"score_{lg}" for lg in text.LANG_PROFILES) + ")"
+_LANG_PRED = (
+    "CASE WHEN " + _LANG_BEST + " = 0 THEN 'und' "
+    + " ".join(
+        f"WHEN score_{lg} = {_LANG_BEST} THEN '{lg}'" for lg in text.LANG_PROFILES
+    )
+    + " END"
+)
+
+_PIVOT_COLS = ",\n  ".join(
+    f"ROUND(SUM(CASE WHEN event_type = '{t}' THEN value END), 2) AS {t}_value"
+    for t in ("click", "view", "purchase", "signup", "error")
+)
+
+ORACLES: dict[str, str] = {
+    "raw_transactions": """
+SELECT event_id AS transaction_id, ts AS transaction_ts, user_id AS customer_id,
+       event_type AS category, value AS total_amount
+FROM events
+""",
+    "sales_per_day": """
+SELECT CAST(ts AS DATE) AS transaction_date, ROUND(SUM(value), 2) AS total_sales
+FROM events GROUP BY 1
+""",
+    "sales_per_category": """
+SELECT CAST(ts AS DATE) AS transaction_date, event_type AS category,
+       ROUND(SUM(value), 2) AS total_sales
+FROM events GROUP BY 1, 2
+""",
+    "sales_per_month": """
+SELECT CAST(year(ts) AS INT) AS year, CAST(month(ts) AS INT) AS month,
+       ROUND(SUM(value), 2) AS total_sales
+FROM events GROUP BY 1, 2
+""",
+    "sales_per_day_purchases": """
+SELECT CAST(ts AS DATE) AS transaction_date, ROUND(SUM(value), 2) AS total_sales
+FROM events WHERE event_type = 'purchase' GROUP BY 1
+""",
+    "category_stats": """
+SELECT event_type AS category, COUNT(*) AS n_events,
+       ROUND(SUM(value), 2) AS total_sales, ROUND(AVG(value), 6) AS avg_sale,
+       ROUND(MIN(value), 2) AS min_sale, ROUND(MAX(value), 2) AS max_sale
+FROM events GROUP BY 1
+""",
+    "props_extract": """
+SELECT event_type,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+       COUNT(*) AS n_rows
+FROM events GROUP BY 1
+""",
+    "q1_pricing_summary": """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 2) AS sum_qty,
+       ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       ROUND(AVG(l_quantity), 6) AS avg_qty,
+       ROUND(AVG(l_extendedprice), 6) AS avg_price,
+       ROUND(AVG(l_discount), 6) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY 1, 2
+""",
+    "q3_shipping_priority": """
+SELECT l_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer
+JOIN orders ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+  AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+GROUP BY 1, 2
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+""",
+    "q5_regional_revenue": """
+SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM region
+JOIN nation ON n_regionkey = r_regionkey
+JOIN customer ON c_nationkey = n_nationkey
+JOIN orders ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON s_suppkey = l_suppkey
+WHERE s_nationkey = c_nationkey
+GROUP BY 1
+""",
+    "customer_order_totals": """
+SELECT c_custkey, c_name, c_mktsegment, n_orders, total_spent
+FROM (SELECT o_custkey, COUNT(*) AS n_orders,
+             ROUND(SUM(o_totalprice), 2) AS total_spent
+      FROM orders GROUP BY 1) j
+JOIN customer ON j.o_custkey = c_custkey
+""",
+    "top10_orders": """
+SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 2) AS o_totalprice
+FROM orders
+ORDER BY ROUND(o_totalprice, 2) DESC, o_orderkey ASC
+LIMIT 10
+""",
+    "customers_without_orders": """
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+""",
+    "orders_with_big_lineitem": """
+SELECT o_orderkey, ROUND(o_totalprice, 2) AS o_totalprice FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_extendedprice > 90000.0)
+""",
+    "parts_by_brand_type": """
+SELECT p_brand, p_type, COUNT(*) AS n_parts,
+       COUNT(DISTINCT p_size) AS n_sizes,
+       ROUND(AVG(p_retailprice), 6) AS avg_price
+FROM part GROUP BY 1, 2
+""",
+    "top_users_per_event_type": """
+WITH per_user AS (
+  SELECT event_type, user_id, ROUND(SUM(value), 2) AS user_value
+  FROM events GROUP BY 1, 2)
+SELECT event_type, user_id, user_value, CAST(rk AS INT) AS rk
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                                   ORDER BY user_value DESC, user_id ASC) AS rk
+      FROM per_user)
+WHERE rk <= 5
+""",
+    "daily_running_revenue": """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS d, ROUND(SUM(value), 2) AS day_value
+  FROM events GROUP BY 1, 2)
+SELECT event_type, d, day_value,
+       ROUND(SUM(day_value) OVER (PARTITION BY event_type ORDER BY d
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_value
+FROM daily
+""",
+    "user_sessions": """
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN (epoch_us(ts) - LAG(epoch_us(ts)) OVER w) IS NULL
+                OR (epoch_us(ts) - LAG(epoch_us(ts)) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+with_sess AS (
+  SELECT user_id,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+  FROM flagged),
+per_session AS (
+  SELECT user_id, sess_id, COUNT(*) AS n_events FROM with_sess GROUP BY 1, 2)
+SELECT user_id, COUNT(*) AS n_sessions,
+       ROUND(AVG(n_events), 6) AS avg_events_per_session
+FROM per_session GROUP BY 1
+""",
+    "sales_rollup": """
+SELECT y AS year, m AS month, ROUND(SUM(value), 2) AS total_sales,
+       COUNT(*) AS n_events
+FROM (SELECT CAST(year(ts) AS INT) AS y, CAST(month(ts) AS INT) AS m, value
+      FROM events)
+GROUP BY ROLLUP (y, m)
+""",
+    "event_type_cube": """
+SELECT event_type, dow, ROUND(SUM(value), 2) AS total_sales
+FROM (SELECT event_type, CAST(dayofweek(ts) + 1 AS INT) AS dow, value FROM events)
+GROUP BY CUBE (event_type, dow)
+""",
+    "distinct_users_per_day": """
+SELECT CAST(ts AS DATE) AS d, COUNT(DISTINCT user_id) AS n_users,
+       COUNT(*) AS n_events
+FROM events GROUP BY 1
+""",
+    "value_stats_per_type": """
+SELECT event_type, ROUND(median(value), 6) AS median_value,
+       ROUND(MIN(value), 2) AS min_value, ROUND(MAX(value), 2) AS max_value
+FROM events GROUP BY 1
+""",
+    "event_value_pivot": f"""
+SELECT CAST(ts AS DATE) AS d,
+  {_PIVOT_COLS}
+FROM events GROUP BY 1
+""",
+    "purchasers_also_errored": """
+SELECT user_id FROM events WHERE event_type = 'purchase'
+INTERSECT
+SELECT user_id FROM events WHERE event_type = 'error'
+""",
+    "viewers_never_purchased": """
+SELECT user_id FROM events WHERE event_type = 'view'
+EXCEPT
+SELECT user_id FROM events WHERE event_type = 'purchase'
+""",
+    "dedup_exact": """
+SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_copies
+FROM documents GROUP BY 1
+""",
+    "dedup_exact_normalized": """
+SELECT md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS text_hash,
+       MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_copies
+FROM documents GROUP BY 1
+""",
+    "minhash_signatures": f"""
+WITH {_SIG_CTE}
+SELECT * FROM sig
+""",
+    "lsh_candidate_pairs": f"""
+WITH {_SIG_CTE},
+bands AS ({_BANDS_SELECTS}),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM bands a JOIN bands b
+           ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+{_JACCARD_CTES}
+SELECT c.doc_a, c.doc_b, j.jaccard
+FROM cand c JOIN jac j ON j.doc_a = c.doc_a AND j.doc_b = c.doc_b
+WHERE j.jaccard >= {dedup.JACCARD_THRESHOLD}
+""",
+    "ngram_jaccard_pairs": f"""
+WITH sh AS (SELECT doc_id, {_SHINGLES} AS shingles FROM documents),
+{_JACCARD_CTES}
+SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= {dedup.JACCARD_THRESHOLD}
+""",
+    "simhash": f"""
+WITH {_SIMHASH_CTE}
+SELECT doc_id, simhash FROM sim
+""",
+    "simhash_near_pairs": f"""
+WITH {_SIMHASH_CTE},
+bands AS ({_SIMHASH_BAND_SELECTS})
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM bands a JOIN bands b
+  ON a.k = b.k AND a.bandval = b.bandval AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {dedup.HAMMING_MAX}
+""",
+    "token_counts": """
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '\\S+')) AS INT) AS n_tokens,
+       CAST(len(regexp_extract_all(lower(text), '[aeiou]+|[^aeiou\\s]+')) AS INT)
+         AS n_subword_pieces,
+       CAST(length(text) AS INT) AS n_chars_measured
+FROM documents
+""",
+    "lang_id": f"""
+WITH scored AS (
+  SELECT doc_id,
+  {_LANG_SCORES},
+  lang
+  FROM documents)
+SELECT doc_id, score_en, score_es, score_de, score_fr,
+       {_LANG_PRED} AS predicted_lang, lang,
+       CAST(({_LANG_PRED}) = lang AS INT) AS agrees_with_label
+FROM scored
+""",
+    "quality_scores": f"""
+WITH m AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '\\S+')) AS DOUBLE) AS n_tok,
+         CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS DOUBLE) AS n_punct,
+         CAST(len(list_filter({_WORDS}, w -> w IN ({_EN_SW}))) AS DOUBLE) AS n_stop,
+         CAST(length(text) AS DOUBLE) AS n_chars
+  FROM documents)
+SELECT doc_id,
+       CAST(n_tok AS BIGINT) AS n_tokens,
+       ROUND((n_chars - (n_tok - 1)) / n_tok, 6) AS mean_token_len,
+       ROUND(n_punct / n_chars, 6) AS punct_ratio,
+       ROUND(n_stop / n_tok, 6) AS stopword_ratio,
+       ROUND(1.0 / (1.0 + exp(-(-2.0 + 0.02 * n_tok + 4.0 * (n_stop / n_tok)
+             - 8.0 * (n_punct / n_chars)
+             - 0.1 * abs((n_chars - (n_tok - 1)) / n_tok - 5.0)))), 6) AS quality
+FROM m
+""",
+    "doc_fingerprints": """
+SELECT doc_id,
+       {content_fp} AS content_fp,
+       list_min(list_transform({shingles},
+                s -> {sh_hash})) AS winnow_fp
+FROM documents
+""".format(
+        content_fp=sql_hash32(
+            "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')", salt="doc"
+        ),
+        shingles=sql_char_shingles("text", 8),
+        sh_hash=sql_hash32("s", salt="fp"),
+    ),
+    "knn_bruteforce": f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb
+           FROM embeddings WHERE vec_id < {similarity.DEFAULT_N_QUERIES}),
+scored AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+                  ROUND({sql_cosine('q.q_emb', 'e.embedding', similarity.EMB_DIM)}, 6) AS cos_sim
+           FROM embeddings e CROSS JOIN q
+           WHERE e.vec_id != q.query_id)
+SELECT query_id, neighbor_id, cos_sim, CAST(rk AS INT) AS rk
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, neighbor_id ASC) AS rk
+      FROM scored)
+WHERE rk <= {similarity.DEFAULT_K}
+""",
+    "ann_lsh_topk": f"""
+WITH bucketed AS (SELECT vec_id, embedding, {_bucket_sql('embedding')} AS bucket
+                  FROM embeddings),
+q AS (SELECT vec_id AS query_id, embedding AS q_emb, bucket AS q_bucket
+      FROM bucketed WHERE vec_id < {similarity.DEFAULT_N_QUERIES}),
+scored AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+                  ROUND({sql_cosine('q.q_emb', 'e.embedding', similarity.EMB_DIM)}, 6) AS cos_sim
+           FROM bucketed e JOIN q
+             ON e.bucket = q.q_bucket AND e.vec_id != q.query_id)
+SELECT query_id, neighbor_id, cos_sim, CAST(rk AS INT) AS rk
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, neighbor_id ASC) AS rk
+      FROM scored)
+WHERE rk <= {similarity.DEFAULT_K}
+""",
+    "label_centroids": """
+SELECT label, CAST(dim AS INT) AS dim,
+       ROUND(AVG(CAST(v AS DOUBLE)), 6) AS centroid
+FROM (SELECT label, unnest(embedding) AS v,
+             generate_subscripts(embedding, 1) AS dim
+      FROM embeddings)
+GROUP BY 1, 2
+""",
+    "embedding_near_dup_pairs": f"""
+WITH bucketed AS (SELECT vec_id, embedding, {_bucket_sql('embedding')} AS bucket
+                  FROM embeddings)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       ROUND({sql_cosine('a.embedding', 'b.embedding', similarity.EMB_DIM)}, 6) AS cos_sim
+FROM bucketed a JOIN bucketed b
+  ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE ROUND({sql_cosine('a.embedding', 'b.embedding', similarity.EMB_DIM)}, 6) >= 0.95
+""",
+    "multimodal_features": """
+SELECT doc_id,
+       CAST(strlen(text) AS INT) AS n_bytes,
+       CAST(16 + (strlen(text) * 7) % 624 AS INT) AS width,
+       CAST(16 + (strlen(text) * 13) % 464 AS INT) AS height,
+       CAST(1 + strlen(text) % 16 AS INT) AS n_frames
+FROM documents
+""",
+}
+
+SPECS: dict[str, QuerySpec] = {
+    # parity (reference surface, SURVEY.md §2)
+    "raw_transactions": QuerySpec(_q_raw_transactions, ORACLES["raw_transactions"]),
+    "sales_per_day": QuerySpec(_q_sales_per_day, ORACLES["sales_per_day"], bench=True),
+    "sales_per_category": QuerySpec(
+        _q_sales_per_category, ORACLES["sales_per_category"], bench=True
+    ),
+    "sales_per_month": QuerySpec(_q_sales_per_month, ORACLES["sales_per_month"]),
+    "sales_per_day_purchases": QuerySpec(
+        _q_sales_per_day_purchases, ORACLES["sales_per_day_purchases"]
+    ),
+    "category_stats": QuerySpec(_q_category_stats, ORACLES["category_stats"]),
+    "props_extract": QuerySpec(_q_props_extract, ORACLES["props_extract"]),
+    # star-schema joins
+    "q1_pricing_summary": QuerySpec(_q_q1, ORACLES["q1_pricing_summary"], bench=True),
+    "q3_shipping_priority": QuerySpec(_q_q3, ORACLES["q3_shipping_priority"], bench=True),
+    "q5_regional_revenue": QuerySpec(_q_q5, ORACLES["q5_regional_revenue"], bench=True),
+    "customer_order_totals": QuerySpec(
+        _q_customer_order_totals, ORACLES["customer_order_totals"]
+    ),
+    "top10_orders": QuerySpec(_q_top10_orders, ORACLES["top10_orders"]),
+    "customers_without_orders": QuerySpec(
+        _q_customers_without_orders, ORACLES["customers_without_orders"]
+    ),
+    "orders_with_big_lineitem": QuerySpec(
+        _q_orders_with_big_lineitem, ORACLES["orders_with_big_lineitem"]
+    ),
+    "parts_by_brand_type": QuerySpec(
+        _q_parts_by_brand_type, ORACLES["parts_by_brand_type"]
+    ),
+    # analytics
+    "top_users_per_event_type": QuerySpec(
+        _q_top_users, ORACLES["top_users_per_event_type"], bench=True
+    ),
+    "daily_running_revenue": QuerySpec(
+        _q_running_revenue, ORACLES["daily_running_revenue"]
+    ),
+    "user_sessions": QuerySpec(_q_user_sessions, ORACLES["user_sessions"]),
+    "sales_rollup": QuerySpec(_q_sales_rollup, ORACLES["sales_rollup"]),
+    "event_type_cube": QuerySpec(_q_event_type_cube, ORACLES["event_type_cube"]),
+    "distinct_users_per_day": QuerySpec(
+        _q_distinct_users_per_day, ORACLES["distinct_users_per_day"]
+    ),
+    "approx_distinct_users": QuerySpec(_q_approx_distinct_users, None),
+    "value_stats_per_type": QuerySpec(
+        _q_value_stats, ORACLES["value_stats_per_type"]
+    ),
+    "event_value_pivot": QuerySpec(_q_event_value_pivot, ORACLES["event_value_pivot"]),
+    "purchasers_also_errored": QuerySpec(
+        _q_purchasers_also_errored, ORACLES["purchasers_also_errored"]
+    ),
+    "viewers_never_purchased": QuerySpec(
+        _q_viewers_never_purchased, ORACLES["viewers_never_purchased"]
+    ),
+    # dedup
+    "dedup_exact": QuerySpec(_q_dedup_exact, ORACLES["dedup_exact"]),
+    "dedup_exact_normalized": QuerySpec(
+        _q_dedup_exact_normalized, ORACLES["dedup_exact_normalized"]
+    ),
+    "minhash_signatures": QuerySpec(
+        _q_minhash_signatures, ORACLES["minhash_signatures"], bench=True
+    ),
+    "lsh_candidate_pairs": QuerySpec(
+        _q_lsh_candidate_pairs, ORACLES["lsh_candidate_pairs"]
+    ),
+    "ngram_jaccard_pairs": QuerySpec(
+        _q_ngram_jaccard_pairs, ORACLES["ngram_jaccard_pairs"]
+    ),
+    "simhash": QuerySpec(_q_simhash, ORACLES["simhash"]),
+    "simhash_near_pairs": QuerySpec(
+        _q_simhash_near_pairs, ORACLES["simhash_near_pairs"]
+    ),
+    # text analysis
+    "token_counts": QuerySpec(_q_token_counts, ORACLES["token_counts"]),
+    "lang_id": QuerySpec(_q_lang_id, ORACLES["lang_id"]),
+    "quality_scores": QuerySpec(_q_quality_scores, ORACLES["quality_scores"]),
+    "doc_fingerprints": QuerySpec(_q_doc_fingerprints, ORACLES["doc_fingerprints"]),
+    "multimodal_features": QuerySpec(
+        _q_multimodal_features, ORACLES["multimodal_features"]
+    ),
+    # similarity search
+    "knn_bruteforce": QuerySpec(
+        _q_knn_bruteforce, ORACLES["knn_bruteforce"], bench=True
+    ),
+    "ann_lsh_topk": QuerySpec(_q_ann_lsh_topk, ORACLES["ann_lsh_topk"]),
+    "label_centroids": QuerySpec(_q_label_centroids, ORACLES["label_centroids"]),
+    "embedding_near_dup_pairs": QuerySpec(
+        _q_embedding_near_dup, ORACLES["embedding_near_dup_pairs"]
+    ),
+}
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: spec.fn for name, spec in SPECS.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {
+        name: spec.oracle for name, spec in SPECS.items() if spec.oracle is not None
+    }
+
+
+def bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: spec.fn for name, spec in SPECS.items() if spec.bench}
