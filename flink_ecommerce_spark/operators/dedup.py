@@ -95,20 +95,33 @@ def ngram_jaccard_pairs(
     )
 
 
+MINHASH_PRIME = 4294967291  # largest 32-bit prime
+
+
 def minhash_signatures(documents: DataFrame, num_hashes: int = NUM_HASHES) -> DataFrame:
-    """MinHash signature per document: mh_i = min over shingles of
-    hash32(shingle, salt=i). Entirely per-row array math — no shuffle,
-    no explode. Empty-shingle docs get NULL signatures."""
-    sh = word_shingles("text")
+    """MinHash signature per document via the Carter-Wegman universal
+    family: two base hashes per shingle, mh_i = min((h1 + i*h2) mod p).
 
-    def min_hash(i: int):
-        # NB: the inner lambda must take exactly one arg — a two-arg
-        # lambda would make F.transform pass (element, index).
-        return F.array_min(
-            F.transform(sh, lambda s: hash32(s, salt=f"mh{i}"))
-        ).alias(f"mh{i}")
-
-    return documents.select("doc_id", *[min_hash(i) for i in range(num_hashes)])
+    Two md5 evaluations per shingle instead of ``num_hashes`` — the
+    standard trick for cheap independent-enough permutations — and
+    the derived combinations are integer-only arithmetic inside the
+    partial aggregation, so the whole thing is one explode + one
+    shuffle carrying (doc_id, 16 longs). Empty-shingle docs come back
+    via explode_outer with NULL signatures."""
+    sh = documents.select(
+        "doc_id", F.explode_outer(word_shingles("text")).alias("shingle")
+    )
+    hashed = sh.select(
+        "doc_id",
+        hash32(F.col("shingle"), salt="mha").alias("h1"),
+        hash32(F.col("shingle"), salt="mhb").alias("h2"),
+    )
+    return hashed.groupBy("doc_id").agg(
+        *[
+            F.min((F.col("h1") + i * F.col("h2")) % MINHASH_PRIME).alias(f"mh{i}")
+            for i in range(num_hashes)
+        ]
+    )
 
 
 def _band_buckets(signatures: DataFrame) -> DataFrame:

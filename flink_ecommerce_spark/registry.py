@@ -260,14 +260,19 @@ _SHINGLES = sql_word_shingles("text")  # word 3-grams
 _WORDS = sql_words("text")
 
 _SIG_COLS = ",\n  ".join(
-    f"list_min(list_transform(shingles, s -> {sql_hash32('s', salt=f'mh{i}')})) AS mh{i}"
+    f"list_min(list_transform(generate_series(1, len(h1s)), "
+    f"j -> (h1s[j] + {i} * h2s[j]) % {dedup.MINHASH_PRIME})) AS mh{i}"
     for i in range(dedup.NUM_HASHES)
 )
 _SIG_CTE = f"""
 sh AS (SELECT doc_id, {_SHINGLES} AS shingles FROM documents),
+hs AS (SELECT doc_id,
+         list_transform(shingles, s -> {sql_hash32('s', salt='mha')}) AS h1s,
+         list_transform(shingles, s -> {sql_hash32('s', salt='mhb')}) AS h2s
+       FROM sh),
 sig AS (SELECT doc_id,
   {_SIG_COLS}
-FROM sh)
+FROM hs)
 """
 
 _ROWS_PER_BAND = dedup.NUM_HASHES // dedup.NUM_BANDS
