@@ -89,6 +89,26 @@ def multimodal_features(documents: DataFrame) -> DataFrame:
     return decode_features(attach_fake_payload(documents))
 
 
+def multimodal_frames(documents: DataFrame) -> DataFrame:
+    """Frame sampling plumbing: one row per (pseudo-)video frame with
+    its byte offset — composition of the Arrow-batched decode with a
+    JVM-side explode. The explode happens AFTER mapInPandas, so frame
+    fan-out never inflates the Arrow transfer."""
+    feats = multimodal_features(documents)
+    return feats.select(
+        "doc_id",
+        "n_frames",
+        F.explode(F.sequence(F.lit(0), F.col("n_frames") - 1)).alias("frame_idx"),
+        # integer division (not /-then-cast: DuckDB casts by rounding,
+        # Spark by truncation — div is unambiguous in both)
+        F.expr("n_bytes div n_frames").cast("int").alias("frame_stride"),
+    ).select(
+        "doc_id",
+        "frame_idx",
+        (F.col("frame_idx") * F.col("frame_stride")).alias("frame_offset"),
+    )
+
+
 def decode_real(with_payload: DataFrame) -> DataFrame:
     """Real codec path — not available in this container."""
     raise NotImplementedError(

@@ -125,6 +125,18 @@ def ann_lsh_topk(
     )
 
 
+def embedding_norms(embeddings: DataFrame) -> DataFrame:
+    """Per-vector L2 norm + dimensionality (normalization preflight —
+    pure map, no shuffle)."""
+    from ..functions.vector import l2_norm
+
+    return embeddings.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(l2_norm(F.col("embedding")), 6).alias("l2_norm"),
+    )
+
+
 def label_centroids(embeddings: DataFrame) -> DataFrame:
     """Per-label per-dimension centroid (1-based dim index)."""
     return (

@@ -109,6 +109,25 @@ def quality_scores(documents: DataFrame) -> DataFrame:
     )
 
 
+def top_bigrams(documents: DataFrame, k: int = 20) -> DataFrame:
+    """Global top-k word bigrams by frequency (corpus n-gram stats —
+    a standard training-data diagnostic). Explode → count → top-k
+    with deterministic tie-break on the bigram string. The count is
+    a partial-agg shuffle on the bigram; top-k is
+    TakeOrderedAndProject (no global sort)."""
+    from .textprep import word_shingles
+
+    bigrams = documents.select(
+        F.explode(word_shingles("text", w=2)).alias("bigram")
+    )
+    return (
+        bigrams.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("bigram"))
+        .limit(k)
+    )
+
+
 def doc_fingerprints(documents: DataFrame) -> DataFrame:
     """Two fingerprints per document: full-content hash of the
     whitespace-normalized text, and a winnowing-style minimum over

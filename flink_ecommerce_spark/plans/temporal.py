@@ -1,0 +1,171 @@
+"""Temporal/ordered operators Spark has no native primitive for:
+as-of join, range (band) join, time-bucketed aggregation, period-
+over-period deltas, latest-per-key.
+
+Scale notes:
+- the as-of join is the union+ordered-window construction: one
+  shuffle on the join key, state = one row per key held by the
+  window — the standard distributed as-of without a per-group
+  pandas fallback (no merge_asof needed).
+- the band join broadcasts the tiny band table and evaluates the
+  BETWEEN predicate map-side (BroadcastNestedLoopJoin over k bands
+  — linear in input, no shuffle of the big side).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join_last_click(events: DataFrame) -> DataFrame:
+    """For every purchase event: the user's most recent click at-or-
+    before the purchase (ties on ts broken by event_id — i.e. the
+    lexicographic (ts, event_id) predecessor).
+
+    Construction: tag clicks side=0 / purchases side=1, union, then
+    one window over (user_id) ordered by (ts, side, event_id)
+    carrying the last non-null click id forward. One shuffle total.
+    """
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("side"),
+        F.col("event_id").alias("click_id"),
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("side"),
+        F.lit(None).cast("long").alias("click_id"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    clicks = clicks.withColumn("purchase_id", F.lit(None).cast("long"))
+    unioned = clicks.unionByName(purchases)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side", F.coalesce("click_id", "purchase_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.withColumn(
+        "last_click_id", F.last("click_id", ignorenulls=True).over(w)
+    )
+    return (
+        carried.filter(F.col("side") == 1)
+        .select(
+            F.col("purchase_id"),
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+            "last_click_id",
+        )
+    )
+
+
+PRICE_BANDS: list[tuple[str, float, float]] = [
+    ("budget", 0.0, 20000.0),
+    ("mid", 20000.0, 60000.0),
+    ("premium", 60000.0, 120000.0),
+]
+
+
+def lineitem_price_bands(lineitem: DataFrame) -> DataFrame:
+    """Range (band) join: classify line items into price bands via a
+    broadcast non-equi join (band table is k rows; predicate runs
+    map-side)."""
+    spark = lineitem.sparkSession
+    bands = spark.createDataFrame(PRICE_BANDS, ["band", "lo", "hi"])
+    joined = lineitem.join(
+        F.broadcast(bands),
+        (F.col("l_extendedprice") >= F.col("lo"))
+        & (F.col("l_extendedprice") < F.col("hi")),
+    )
+    return joined.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(F.sum("l_extendedprice"), 2).alias("band_revenue"),
+    )
+
+
+def hourly_event_counts(events: DataFrame) -> DataFrame:
+    """Tumbling 1-hour windows via F.window (the streaming-native
+    operator, exercised in batch): per event_type hourly counts."""
+    return (
+        events.groupBy(
+            F.window("ts", "1 hour").alias("w"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("hour_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def day_over_day_delta(events: DataFrame) -> DataFrame:
+    """Period-over-period: daily revenue per event_type with the
+    delta vs the previous day (lag window)."""
+    daily = events.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(F.round(F.sum("value"), 2).alias("day_value"))
+    w = Window.partitionBy("event_type").orderBy("d")
+    return daily.withColumn(
+        "delta_vs_prev",
+        F.round(F.col("day_value") - F.lag("day_value").over(w), 2),
+    )
+
+
+def latest_event_per_user(events: DataFrame) -> DataFrame:
+    """Latest-per-key: each user's most recent event (deterministic
+    tie-break on event_id). One shuffle + per-partition window."""
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        events.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.col("event_type").alias("last_event_type"),
+            F.col("ts").alias("last_ts"),
+        )
+    )
+
+
+def value_percentiles(events: DataFrame) -> DataFrame:
+    """Exact interpolated percentiles per event_type (at 100 TB you'd
+    swap percentile -> percentile_approx; exact kept for the oracle)."""
+    return events.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+        F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+    )
+
+
+def event_metrics_long(events: DataFrame) -> DataFrame:
+    """Unpivot (wide->long): per event_type metrics in long format via
+    stack()."""
+    wide = events.groupBy("event_type").agg(
+        F.round(F.sum("value"), 2).alias("total"),
+        F.round(F.avg("value"), 6).alias("mean"),
+        F.count(F.lit(1)).cast("double").alias("n"),
+    )
+    return wide.selectExpr(
+        "event_type",
+        "stack(3, 'total', total, 'mean', mean, 'n', n) AS (metric, metric_value)",
+    )
+
+
+def customers_above_avg_balance(customer: DataFrame) -> DataFrame:
+    """Scalar-subquery pattern: customers with balance above the
+    global average (computed once, broadcast as a 1-row join)."""
+    avg_df = customer.agg(F.round(F.avg("c_acctbal"), 6).alias("avg_bal"))
+    return (
+        customer.crossJoin(F.broadcast(avg_df))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .select("c_custkey", "c_name", F.round("c_acctbal", 2).alias("c_acctbal"))
+    )

@@ -29,10 +29,10 @@ from pyspark.sql import DataFrame, SparkSession
 
 from . import catalog
 from .functions.portable import sql_hash32
-from .functions.vector import sql_cosine
+from .functions.vector import sql_cosine, sql_l2_norm
 from .operators import dedup, multimodal, similarity, text
 from .operators.textprep import sql_word_shingles, sql_char_shingles, sql_words
-from .plans import analytics, sales, tpch
+from .plans import analytics, sales, temporal, tpch
 
 
 @dataclass(frozen=True)
@@ -183,6 +183,41 @@ def _q_viewers_never_purchased(spark, sf):
     return analytics.viewers_never_purchased(_t("events")(spark, sf))
 
 
+# ---------------------------------------------------------------- temporal
+
+
+def _q_asof_last_click(spark, sf):
+    return temporal.asof_join_last_click(_t("events")(spark, sf))
+
+
+def _q_price_bands(spark, sf):
+    return temporal.lineitem_price_bands(_t("lineitem")(spark, sf))
+
+
+def _q_hourly_counts(spark, sf):
+    return temporal.hourly_event_counts(_t("events")(spark, sf))
+
+
+def _q_dod_delta(spark, sf):
+    return temporal.day_over_day_delta(_t("events")(spark, sf))
+
+
+def _q_latest_event(spark, sf):
+    return temporal.latest_event_per_user(_t("events")(spark, sf))
+
+
+def _q_percentiles(spark, sf):
+    return temporal.value_percentiles(_t("events")(spark, sf))
+
+
+def _q_metrics_long(spark, sf):
+    return temporal.event_metrics_long(_t("events")(spark, sf))
+
+
+def _q_above_avg_balance(spark, sf):
+    return temporal.customers_above_avg_balance(_t("customer")(spark, sf))
+
+
 # ---------------------------------------------------------------- dedup/text
 
 
@@ -232,6 +267,18 @@ def _q_doc_fingerprints(spark, sf):
 
 def _q_multimodal_features(spark, sf):
     return multimodal.multimodal_features(_t("documents")(spark, sf))
+
+
+def _q_multimodal_frames(spark, sf):
+    return multimodal.multimodal_frames(_t("documents")(spark, sf))
+
+
+def _q_top_bigrams(spark, sf):
+    return text.top_bigrams(_t("documents")(spark, sf))
+
+
+def _q_embedding_norms(spark, sf):
+    return similarity.embedding_norms(_t("embeddings")(spark, sf))
 
 
 # ---------------------------------------------------------------- similarity
@@ -536,6 +583,92 @@ SELECT user_id FROM events WHERE event_type = 'view'
 EXCEPT
 SELECT user_id FROM events WHERE event_type = 'purchase'
 """,
+    "asof_last_click": """
+WITH clicks AS (SELECT user_id, ts, 0 AS side, event_id AS click_id,
+                       CAST(NULL AS BIGINT) AS purchase_id
+                FROM events WHERE event_type = 'click'),
+purchases AS (SELECT user_id, ts, 1 AS side, CAST(NULL AS BIGINT) AS click_id,
+                     event_id AS purchase_id
+              FROM events WHERE event_type = 'purchase'),
+u AS (SELECT * FROM clicks UNION ALL SELECT * FROM purchases),
+carried AS (SELECT *, LAST_VALUE(click_id IGNORE NULLS) OVER (
+              PARTITION BY user_id
+              ORDER BY ts, side, COALESCE(click_id, purchase_id)
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_id
+            FROM u)
+SELECT purchase_id, user_id, ts AS purchase_ts, last_click_id
+FROM carried WHERE side = 1
+""",
+    "lineitem_price_bands": """
+WITH bands(band, lo, hi) AS (VALUES {bands})
+SELECT band, COUNT(*) AS n_items, ROUND(SUM(l_extendedprice), 2) AS band_revenue
+FROM lineitem JOIN bands ON l_extendedprice >= lo AND l_extendedprice < hi
+GROUP BY 1
+""".format(
+        bands=", ".join(f"('{b}', {lo}, {hi})" for b, lo, hi in temporal.PRICE_BANDS)
+    ),
+    "hourly_event_counts": """
+SELECT date_trunc('hour', ts) AS hour_start, event_type,
+       COUNT(*) AS n_events, ROUND(SUM(value), 2) AS total_value
+FROM events GROUP BY 1, 2
+""",
+    "day_over_day_delta": """
+WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d,
+                      ROUND(SUM(value), 2) AS day_value
+               FROM events GROUP BY 1, 2)
+SELECT event_type, d, day_value,
+       ROUND(day_value - LAG(day_value) OVER (PARTITION BY event_type ORDER BY d), 2)
+         AS delta_vs_prev
+FROM daily
+""",
+    "latest_event_per_user": """
+SELECT user_id, event_id AS last_event_id, event_type AS last_event_type,
+       ts AS last_ts
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                   ORDER BY ts DESC, event_id DESC) AS rk
+      FROM events)
+WHERE rk = 1
+""",
+    "value_percentiles": """
+SELECT event_type,
+       ROUND(quantile_cont(value, 0.5), 6) AS p50,
+       ROUND(quantile_cont(value, 0.9), 6) AS p90,
+       ROUND(quantile_cont(value, 0.99), 6) AS p99
+FROM events GROUP BY 1
+""",
+    "event_metrics_long": """
+WITH wide AS (SELECT event_type, ROUND(SUM(value), 2) AS total,
+                     ROUND(AVG(value), 6) AS mean,
+                     CAST(COUNT(*) AS DOUBLE) AS n
+              FROM events GROUP BY 1)
+SELECT event_type, 'total' AS metric, total AS metric_value FROM wide
+UNION ALL SELECT event_type, 'mean', mean FROM wide
+UNION ALL SELECT event_type, 'n', n FROM wide
+""",
+    "customers_above_avg_balance": """
+SELECT c_custkey, c_name, ROUND(c_acctbal, 2) AS c_acctbal FROM customer
+WHERE c_acctbal > (SELECT ROUND(AVG(c_acctbal), 6) FROM customer)
+""",
+    "top_bigrams": """
+WITH bg AS (SELECT unnest({shingles}) AS bigram FROM documents)
+SELECT bigram, COUNT(*) AS n FROM bg GROUP BY 1
+ORDER BY n DESC, bigram ASC LIMIT 20
+""".format(shingles=sql_word_shingles("text", 2)),
+    "embedding_norms": f"""
+SELECT vec_id, CAST(len(embedding) AS INT) AS dim,
+       ROUND({sql_l2_norm('embedding', similarity.EMB_DIM)}, 6) AS l2_norm
+FROM embeddings
+""",
+    "multimodal_frames": """
+WITH f AS (SELECT doc_id, CAST(strlen(text) AS INT) AS n_bytes,
+                  CAST(1 + strlen(text) % 16 AS INT) AS n_frames
+           FROM documents)
+SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+       CAST(frame_idx * (n_bytes // n_frames) AS INT) AS frame_offset
+FROM (SELECT doc_id, n_bytes, n_frames,
+             unnest(generate_series(0, n_frames - 1)) AS frame_idx
+      FROM f)
+""",
     "dedup_exact": """
 SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_copies
 FROM documents GROUP BY 1
@@ -737,6 +870,25 @@ SPECS: dict[str, QuerySpec] = {
     "viewers_never_purchased": QuerySpec(
         _q_viewers_never_purchased, ORACLES["viewers_never_purchased"]
     ),
+    # temporal / ordered
+    "asof_last_click": QuerySpec(
+        _q_asof_last_click, ORACLES["asof_last_click"], bench=True
+    ),
+    "lineitem_price_bands": QuerySpec(
+        _q_price_bands, ORACLES["lineitem_price_bands"]
+    ),
+    "hourly_event_counts": QuerySpec(
+        _q_hourly_counts, ORACLES["hourly_event_counts"]
+    ),
+    "day_over_day_delta": QuerySpec(_q_dod_delta, ORACLES["day_over_day_delta"]),
+    "latest_event_per_user": QuerySpec(
+        _q_latest_event, ORACLES["latest_event_per_user"]
+    ),
+    "value_percentiles": QuerySpec(_q_percentiles, ORACLES["value_percentiles"]),
+    "event_metrics_long": QuerySpec(_q_metrics_long, ORACLES["event_metrics_long"]),
+    "customers_above_avg_balance": QuerySpec(
+        _q_above_avg_balance, ORACLES["customers_above_avg_balance"]
+    ),
     # dedup
     "dedup_exact": QuerySpec(_q_dedup_exact, ORACLES["dedup_exact"]),
     "dedup_exact_normalized": QuerySpec(
@@ -763,6 +915,11 @@ SPECS: dict[str, QuerySpec] = {
     "multimodal_features": QuerySpec(
         _q_multimodal_features, ORACLES["multimodal_features"]
     ),
+    "multimodal_frames": QuerySpec(
+        _q_multimodal_frames, ORACLES["multimodal_frames"]
+    ),
+    "top_bigrams": QuerySpec(_q_top_bigrams, ORACLES["top_bigrams"]),
+    "embedding_norms": QuerySpec(_q_embedding_norms, ORACLES["embedding_norms"]),
     # similarity search
     "knn_bruteforce": QuerySpec(
         _q_knn_bruteforce, ORACLES["knn_bruteforce"], bench=True
