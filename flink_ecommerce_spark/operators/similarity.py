@@ -137,6 +137,64 @@ def embedding_norms(embeddings: DataFrame) -> DataFrame:
     )
 
 
+def knn_bruteforce_pandas(
+    embeddings: DataFrame,
+    k: int = DEFAULT_K,
+    n_queries: int = DEFAULT_N_QUERIES,
+) -> DataFrame:
+    """Same result as knn_bruteforce, computed through the Arrow path:
+    a mapInPandas over corpus partitions doing the whole query-block
+    scoring as one numpy matmul per batch.
+
+    This is the 100 TB-preferred physical strategy for wide vectors:
+    one BLAS GEMM per Arrow batch instead of per-element codegen
+    expressions; queries ship to executors once via a broadcast
+    variable. Top-k selection still happens in Spark (window), so
+    the operator composes with everything else."""
+    import numpy as np
+    import pandas as pd
+
+    spark = embeddings.sparkSession
+    q_rows = (
+        embeddings.filter(F.col("vec_id") < n_queries)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    q_ids = [r["vec_id"] for r in q_rows]
+    q_mat = np.array([r["embedding"] for r in q_rows], dtype=np.float64)
+    q_norm = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+    bc = spark.sparkContext.broadcast((q_ids, q_norm))
+
+    out_schema = "query_id long, neighbor_id long, cos_sim double"
+
+    def score(batches):
+        ids, qn = bc.value
+        for pdf in batches:
+            c = np.array(list(pdf["embedding"]), dtype=np.float64)
+            cn = c / np.linalg.norm(c, axis=1, keepdims=True)
+            sims = cn @ qn.T  # (batch, n_queries)
+            n_b, n_q = sims.shape
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(ids, n_b),
+                    "neighbor_id": np.tile(pdf["vec_id"].values, n_q),
+                    "cos_sim": np.round(sims.T.ravel(), 6),
+                }
+            )
+
+    scored = embeddings.select("vec_id", "embedding").mapInPandas(
+        score, schema=out_schema
+    ).filter(F.col("neighbor_id") != F.col("query_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rk")
+    )
+
+
 def label_centroids(embeddings: DataFrame) -> DataFrame:
     """Per-label per-dimension centroid (1-based dim index)."""
     return (

@@ -288,6 +288,30 @@ def _q_knn_bruteforce(spark, sf):
     return similarity.knn_bruteforce(_t("embeddings")(spark, sf))
 
 
+def _q_knn_pandas(spark, sf):
+    return similarity.knn_bruteforce_pandas(_t("embeddings")(spark, sf))
+
+
+def _q_grouping_sets(spark, sf):
+    _t("events")(spark, sf).createOrReplaceTempView("events_v")
+    return spark.sql(
+        """
+        SELECT event_type, CAST(dayofweek(ts) AS INT) AS dow,
+               ROUND(SUM(value), 2) AS total_sales
+        FROM events_v
+        GROUP BY GROUPING SETS ((event_type), (CAST(dayofweek(ts) AS INT)))
+        """
+    )
+
+
+def _q_distinct_user_event_pairs(spark, sf):
+    return (
+        _t("events")(spark, sf)
+        .dropDuplicates(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+
+
 def _q_ann_lsh_topk(spark, sf):
     return similarity.ann_lsh_topk(_t("embeddings")(spark, sf))
 
@@ -669,6 +693,15 @@ FROM (SELECT doc_id, n_bytes, n_frames,
              unnest(generate_series(0, n_frames - 1)) AS frame_idx
       FROM f)
 """,
+    "grouping_sets_sales": """
+SELECT event_type, CAST(dayofweek(ts) + 1 AS INT) AS dow,
+       ROUND(SUM(value), 2) AS total_sales
+FROM events
+GROUP BY GROUPING SETS ((event_type), (CAST(dayofweek(ts) + 1 AS INT)))
+""",
+    "distinct_user_event_pairs": """
+SELECT DISTINCT user_id, event_type FROM events
+""",
     "dedup_exact": """
 SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_copies
 FROM documents GROUP BY 1
@@ -923,6 +956,16 @@ SPECS: dict[str, QuerySpec] = {
     # similarity search
     "knn_bruteforce": QuerySpec(
         _q_knn_bruteforce, ORACLES["knn_bruteforce"], bench=True
+    ),
+    # same semantics through the Arrow/numpy path — same oracle
+    "knn_bruteforce_pandas": QuerySpec(
+        _q_knn_pandas, ORACLES["knn_bruteforce"], bench=True
+    ),
+    "grouping_sets_sales": QuerySpec(
+        _q_grouping_sets, ORACLES["grouping_sets_sales"]
+    ),
+    "distinct_user_event_pairs": QuerySpec(
+        _q_distinct_user_event_pairs, ORACLES["distinct_user_event_pairs"]
     ),
     "ann_lsh_topk": QuerySpec(_q_ann_lsh_topk, ORACLES["ann_lsh_topk"]),
     "label_centroids": QuerySpec(_q_label_centroids, ORACLES["label_centroids"]),
