@@ -33,8 +33,11 @@ def main() -> None:
     spark = get_spark(
         "bench", extra_conf={"spark.ui.showConsoleProgress": "false"}
     )
-    # warmup: JVM + parquet footer reads off the clock
+    # warmup: JVM, codegen, and the parquet reader path off the clock
     spark.range(1000).selectExpr("sum(id)").collect()
+    from flink_ecommerce_spark import catalog
+
+    catalog.table(spark, sf_dir, "events").limit(10).collect()
 
     timings: dict[str, float] = {}
     for name, fn in registry.bench_queries().items():

@@ -108,7 +108,9 @@ def minhash_signatures(documents: DataFrame, num_hashes: int = NUM_HASHES) -> Da
     partial aggregation, so the whole thing is one explode + one
     shuffle carrying (doc_id, 16 longs). Empty-shingle docs come back
     via explode_outer with NULL signatures."""
-    sh = documents.select(
+    from .scale import ensure_parallelism
+
+    sh = ensure_parallelism(documents).select(
         "doc_id", F.explode_outer(word_shingles("text")).alias("shingle")
     )
     hashed = sh.select(
@@ -162,9 +164,30 @@ def lsh_candidate_pairs(
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    exact = ngram_jaccard_pairs(documents, threshold=0.0)
+    # Verify ONLY the candidates (never all shared-shingle pairs):
+    # fan candidate pairs out by doc_a's shingles, intersect against
+    # doc_b's shingle set — work is Σ(candidate) |shingles(doc_a)|.
+    ds = _doc_shingles(documents)
+    sizes = ds.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sh_a = ds.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sh_b = ds.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        cands.join(sh_a, "doc_a")
+        .join(sh_b, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("sa"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("sb"))
     return (
-        cands.join(exact, ["doc_a", "doc_b"])
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter") / (F.col("sa") + F.col("sb") - F.col("n_inter")), 6
+            ),
+        )
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
@@ -174,7 +197,9 @@ def simhash(documents: DataFrame) -> DataFrame:
     """32-bit SimHash per document: per-token hash32, ±1 vote per bit
     position weighted by term frequency, bit set where the vote sum is
     positive. Two narrow shuffles on doc_id-derived keys."""
-    toks = documents.select(
+    from .scale import ensure_parallelism
+
+    toks = ensure_parallelism(documents).select(
         "doc_id",
         F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("tok"),
     ).withColumn("h", hash32(F.col("tok"), salt="simhash"))

@@ -64,6 +64,18 @@ def write_bucketed(
     writer.saveAsTable(table_name)
 
 
+def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Round-robin repartition ONLY when the plan has fewer partitions
+    than cores — e.g. a small single-file scan feeding CPU-heavy
+    per-row work (hashing, decoding). At 100 TB the scan already has
+    thousands of splits and this is a no-op, so the extra shuffle is
+    strictly a small-input fixup, never a scale cost."""
+    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def repartition_for_join(df: DataFrame, key: str, n: int | None = None) -> DataFrame:
     """Pre-partition by the join key so several subsequent operations
     (join + groupBy on the same key) reuse one Exchange."""

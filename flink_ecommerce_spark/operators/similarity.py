@@ -46,11 +46,14 @@ def knn_bruteforce(
     """Exact cosine top-k neighbors for the query set (vec_id <
     n_queries), excluding self. Deterministic tie-break on rounded
     score then neighbor id."""
+    from .scale import ensure_parallelism
+
+    corpus = ensure_parallelism(embeddings)
     q = embeddings.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
     scored = (
-        embeddings.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        corpus.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
@@ -95,7 +98,9 @@ def ann_lsh_topk(
     bucket, exact cosine re-rank within. Recall < 1 by construction;
     results are still fully deterministic (portable-hash planes), so
     the oracle reproduces them exactly."""
-    bucketed = embeddings.withColumn("bucket", _lsh_bucket("embedding"))
+    from .scale import ensure_parallelism
+
+    bucketed = ensure_parallelism(embeddings).withColumn("bucket", _lsh_bucket("embedding"))
     q = bucketed.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
@@ -182,7 +187,9 @@ def knn_bruteforce_pandas(
                 }
             )
 
-    scored = embeddings.select("vec_id", "embedding").mapInPandas(
+    from .scale import ensure_parallelism
+
+    scored = ensure_parallelism(embeddings).select("vec_id", "embedding").mapInPandas(
         score, schema=out_schema
     ).filter(F.col("neighbor_id") != F.col("query_id"))
     w = Window.partitionBy("query_id").orderBy(
@@ -212,7 +219,9 @@ def embedding_near_dup_pairs(
     """Embedding-cosine near-duplicate detection restricted to LSH
     buckets (same-bucket pairs only — the scalable candidate set),
     exact cosine filter. Output: (vec_a, vec_b, cos_sim)."""
-    bucketed = embeddings.withColumn("bucket", _lsh_bucket("embedding"))
+    from .scale import ensure_parallelism
+
+    bucketed = ensure_parallelism(embeddings).withColumn("bucket", _lsh_bucket("embedding"))
     a = bucketed.alias("a")
     b = bucketed.alias("b")
     return (

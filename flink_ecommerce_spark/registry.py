@@ -957,10 +957,10 @@ SPECS: dict[str, QuerySpec] = {
     "knn_bruteforce": QuerySpec(
         _q_knn_bruteforce, ORACLES["knn_bruteforce"], bench=True
     ),
-    # same semantics through the Arrow/numpy path — same oracle
-    "knn_bruteforce_pandas": QuerySpec(
-        _q_knn_pandas, ORACLES["knn_bruteforce"], bench=True
-    ),
+    # same semantics through the Arrow/numpy path — same oracle.
+    # bench=False: Python-worker spin-up dominates at 5k rows; the
+    # GEMM path only wins once batches are ~100k+ vectors.
+    "knn_bruteforce_pandas": QuerySpec(_q_knn_pandas, ORACLES["knn_bruteforce"]),
     "grouping_sets_sales": QuerySpec(
         _q_grouping_sets, ORACLES["grouping_sets_sales"]
     ),
