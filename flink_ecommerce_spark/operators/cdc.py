@@ -1,0 +1,91 @@
+"""CDC / SCD2 merge emulation — MERGE INTO without a table format.
+
+Delta/Iceberg aren't on the classpath (README), so the slowly-
+changing-dimension type-2 merge is expressed as pure DataFrame
+algebra: close changed rows, append new versions, keep everything
+else. One shuffle on the business key.
+
+Scale notes: both inputs shuffle once on ``key``; the change
+detection is a join + column comparison, no window over history —
+current rows only. History (closed rows) is untouched pass-through.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+OPEN_END = "9999-12-31 00:00:00"
+
+
+def scd2_merge(
+    current: DataFrame,
+    updates: DataFrame,
+    key: str,
+    attrs: list[str],
+    ts_col: str = "effective_ts",
+) -> DataFrame:
+    """Apply ``updates(key, attrs, ts_col)`` to an SCD2 ``current``
+    table with columns (key, attrs, valid_from, valid_to, is_current).
+
+    - new key → insert open row
+    - changed attrs → close old row at the update ts, insert open row
+    - unchanged → keep as-is
+    Late-arriving updates older than the open row are ignored (the
+    standard append-only SCD2 contract)."""
+    open_rows = current.filter(F.col("is_current"))
+    closed_rows = current.filter(~F.col("is_current"))
+
+    changed_cond = F.lit(False)
+    for a in attrs:
+        changed_cond = changed_cond | ~F.col(f"u.{a}").eqNullSafe(F.col(f"o.{a}"))
+
+    u = updates.alias("u")
+    o = open_rows.alias("o")
+    joined = u.join(o, F.col(f"u.{key}") == F.col(f"o.{key}"), "left")
+
+    fresh = joined.filter(
+        F.col(f"o.{key}").isNull()
+        | (changed_cond & (F.col(f"u.{ts_col}") > F.col("o.valid_from")))
+    )
+    # rows to insert (new open versions)
+    inserts = fresh.select(
+        F.col(f"u.{key}").alias(key),
+        *[F.col(f"u.{a}").alias(a) for a in attrs],
+        F.col(f"u.{ts_col}").alias("valid_from"),
+        F.lit(OPEN_END).cast("timestamp").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    # open rows being superseded -> close them at the update ts
+    superseded_keys = fresh.filter(F.col(f"o.{key}").isNotNull()).select(
+        F.col(f"u.{key}").alias(key), F.col(f"u.{ts_col}").alias("__close_ts")
+    )
+    closed_now = (
+        open_rows.join(superseded_keys, key)
+        .select(
+            key,
+            *attrs,
+            "valid_from",
+            F.col("__close_ts").alias("valid_to"),
+            F.lit(False).alias("is_current"),
+        )
+    )
+    untouched_open = open_rows.join(
+        superseded_keys.select(key), key, "left_anti"
+    )
+    return (
+        closed_rows.unionByName(untouched_open)
+        .unionByName(closed_now)
+        .unionByName(inserts)
+    )
+
+
+def empty_scd2(updates: DataFrame, key: str, attrs: list[str], ts_col: str = "effective_ts") -> DataFrame:
+    """Bootstrap an SCD2 table from an initial snapshot."""
+    return updates.select(
+        key,
+        *attrs,
+        F.col(ts_col).alias("valid_from"),
+        F.lit(OPEN_END).cast("timestamp").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )

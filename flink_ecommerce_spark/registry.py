@@ -26,6 +26,7 @@ from collections.abc import Callable
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from . import catalog
 from .functions.portable import sql_hash32
@@ -216,6 +217,37 @@ def _q_metrics_long(spark, sf):
 
 def _q_above_avg_balance(spark, sf):
     return temporal.customers_above_avg_balance(_t("customer")(spark, sf))
+
+
+_SCD2_CUTOFF = "2024-01-15 00:00:00"
+
+
+def _q_scd2_user_segments(spark, sf):
+    """SCD2 merge exercised on events: dimension = each user's latest
+    event_type before the cutoff; updates = latest after. See
+    operators/cdc.py."""
+    from pyspark.sql import Window
+
+    from .operators.cdc import empty_scd2, scd2_merge
+
+    ev = _t("events")(spark, sf)
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+
+    def latest(df):
+        return (
+            df.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select(
+                "user_id",
+                F.col("event_type").alias("segment"),
+                F.col("ts").alias("effective_ts"),
+            )
+        )
+
+    cutoff = F.lit(_SCD2_CUTOFF).cast("timestamp")
+    dim = empty_scd2(latest(ev.filter(F.col("ts") < cutoff)), "user_id", ["segment"])
+    upd = latest(ev.filter(F.col("ts") >= cutoff))
+    return scd2_merge(dim, upd, "user_id", ["segment"])
 
 
 # ---------------------------------------------------------------- dedup/text
@@ -693,6 +725,36 @@ FROM (SELECT doc_id, n_bytes, n_frames,
              unnest(generate_series(0, n_frames - 1)) AS frame_idx
       FROM f)
 """,
+    "scd2_user_segments": f"""
+WITH ranked_before AS (
+  SELECT user_id, event_type AS segment, ts,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rk
+  FROM events WHERE ts < TIMESTAMP '{_SCD2_CUTOFF}'),
+cur AS (SELECT user_id, segment, ts AS valid_from FROM ranked_before WHERE rk = 1),
+ranked_after AS (
+  SELECT user_id, event_type AS segment, ts,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rk
+  FROM events WHERE ts >= TIMESTAMP '{_SCD2_CUTOFF}'),
+upd AS (SELECT user_id, segment, ts FROM ranked_after WHERE rk = 1),
+j AS (SELECT u.user_id AS u_user, u.segment AS u_seg, u.ts AS u_ts,
+             c.user_id AS c_user, c.segment AS c_seg, c.valid_from AS c_from
+      FROM upd u LEFT JOIN cur c ON u.user_id = c.user_id),
+fresh AS (SELECT * FROM j
+          WHERE c_user IS NULL OR ((u_seg IS DISTINCT FROM c_seg) AND u_ts > c_from)),
+inserts AS (SELECT u_user AS user_id, u_seg AS segment, u_ts AS valid_from,
+                   TIMESTAMP '9999-12-31 00:00:00' AS valid_to, TRUE AS is_current
+            FROM fresh),
+closed_now AS (SELECT c.user_id, c.segment, c.valid_from, f.u_ts AS valid_to,
+                      FALSE AS is_current
+               FROM cur c JOIN (SELECT u_user, u_ts FROM fresh WHERE c_user IS NOT NULL) f
+                 ON c.user_id = f.u_user),
+untouched AS (SELECT c.user_id, c.segment, c.valid_from,
+                     TIMESTAMP '9999-12-31 00:00:00' AS valid_to, TRUE AS is_current
+              FROM cur c
+              WHERE NOT EXISTS (SELECT 1 FROM fresh f WHERE f.c_user = c.user_id))
+SELECT * FROM untouched UNION ALL SELECT * FROM closed_now
+UNION ALL SELECT * FROM inserts
+""",
     "grouping_sets_sales": """
 SELECT event_type, CAST(dayofweek(ts) + 1 AS INT) AS dow,
        ROUND(SUM(value), 2) AS total_sales
@@ -963,6 +1025,9 @@ SPECS: dict[str, QuerySpec] = {
     "knn_bruteforce_pandas": QuerySpec(_q_knn_pandas, ORACLES["knn_bruteforce"]),
     "grouping_sets_sales": QuerySpec(
         _q_grouping_sets, ORACLES["grouping_sets_sales"]
+    ),
+    "scd2_user_segments": QuerySpec(
+        _q_scd2_user_segments, ORACLES["scd2_user_segments"]
     ),
     "distinct_user_event_pairs": QuerySpec(
         _q_distinct_user_event_pairs, ORACLES["distinct_user_event_pairs"]

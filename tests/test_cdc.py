@@ -1,0 +1,68 @@
+"""SCD2 merge emulation: insert/close/keep semantics, idempotence of
+no-op updates, late-update rejection."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from flink_ecommerce_spark.operators.cdc import empty_scd2, scd2_merge
+
+SCHEMA = "user_id long, segment string, effective_ts timestamp"
+
+
+def _t(h):
+    return dt.datetime(2024, 1, 1, h, 0, 0)
+
+
+def test_scd2_full_lifecycle(spark):
+    snap = spark.createDataFrame(
+        [(1, "bronze", _t(0)), (2, "silver", _t(0))], SCHEMA
+    )
+    dim = empty_scd2(snap, "user_id", ["segment"])
+    assert dim.count() == 2
+
+    updates = spark.createDataFrame(
+        [
+            (1, "gold", _t(5)),      # change -> close + insert
+            (2, "silver", _t(6)),    # no change -> ignored
+            (3, "bronze", _t(7)),    # new key -> insert
+        ],
+        SCHEMA,
+    )
+    merged = scd2_merge(dim, updates, "user_id", ["segment"])
+    rows = {(r["user_id"], r["segment"], r["is_current"]): r for r in merged.collect()}
+
+    assert len(rows) == 4
+    closed = rows[(1, "bronze", False)]
+    assert closed["valid_to"] == _t(5)
+    assert rows[(1, "gold", True)]["valid_from"] == _t(5)
+    assert rows[(2, "silver", True)]["valid_from"] == _t(0)  # untouched
+    assert rows[(3, "bronze", True)]["valid_from"] == _t(7)
+
+    # a second identical merge is a no-op (idempotent for no-change)
+    again = scd2_merge(merged, updates.filter(F.col("user_id") == 2), "user_id", ["segment"])
+    assert again.count() == 4
+
+
+def test_scd2_rejects_stale_update(spark):
+    snap = spark.createDataFrame([(1, "gold", _t(10))], SCHEMA)
+    dim = empty_scd2(snap, "user_id", ["segment"])
+    stale = spark.createDataFrame([(1, "bronze", _t(3))], SCHEMA)
+    merged = scd2_merge(dim, stale, "user_id", ["segment"])
+    rows = merged.collect()
+    assert len(rows) == 1 and rows[0]["segment"] == "gold" and rows[0]["is_current"]
+
+
+def test_scd2_null_attr_change_detection(spark):
+    snap = spark.createDataFrame([(1, None, _t(0))], SCHEMA)
+    dim = empty_scd2(snap, "user_id", ["segment"])
+    upd = spark.createDataFrame([(1, "silver", _t(2))], SCHEMA)
+    merged = scd2_merge(dim, upd, "user_id", ["segment"])
+    cur = [r for r in merged.collect() if r["is_current"]]
+    assert len(cur) == 1 and cur[0]["segment"] == "silver"
+    # null -> null is NOT a change
+    upd2 = spark.createDataFrame([(1, None, _t(1))], SCHEMA)
+    dim2 = empty_scd2(spark.createDataFrame([(1, None, _t(0))], SCHEMA), "user_id", ["segment"])
+    assert scd2_merge(dim2, upd2, "user_id", ["segment"]).count() == 1

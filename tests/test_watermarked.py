@@ -1,0 +1,88 @@
+"""Watermarked streaming: windowed aggregation emits closed windows;
+streaming dedup suppresses duplicate keys across micro-batches."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from flink_ecommerce_spark.schemas import TRANSACTION_SCHEMA
+from flink_ecommerce_spark.streaming.watermarked import dedup_stream, windowed_sales
+
+
+def _txn(tid, ts, amount):
+    return (
+        tid, "product1", "laptop", "electronic", 10.0, 1, "apple",
+        amount, "USD", "u1", ts, "credit_card",
+    )
+
+
+def _write(spark, path, rows, chunk):
+    spark.createDataFrame(rows, TRANSACTION_SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/chunk={chunk}")
+
+
+def test_windowed_sales_emits_closed_windows(spark, tmp_path):
+    src = str(tmp_path / "src")
+    d1 = dt.datetime(2024, 1, 1, 5, 0, 0)
+    d2 = dt.datetime(2024, 1, 2, 12, 0, 0)
+    d3 = dt.datetime(2024, 1, 3, 12, 0, 0)
+    _write(spark, src, [_txn("a", d1, 10.0), _txn("b", d1, 5.0)], 0)
+    _write(spark, src, [_txn("c", d2, 7.0)], 1)
+    _write(spark, src, [_txn("d", d3, 1.0)], 2)
+
+    stream = (
+        spark.readStream.schema(TRANSACTION_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/chunk=*")
+    )
+    q = (
+        windowed_sales(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("win_sales")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    rows = {
+        r["window_start"]: r["total_sales"]
+        for r in spark.sql("SELECT * FROM win_sales").collect()
+    }
+    # day-1 and day-2 windows closed once the watermark passed them;
+    # day-3 stays open (append mode emits only finalized windows)
+    assert rows[dt.datetime(2024, 1, 1)] == 15.0
+    assert rows[dt.datetime(2024, 1, 2)] == 7.0
+    assert dt.datetime(2024, 1, 3) not in rows
+
+
+def test_dedup_stream_suppresses_duplicates(spark, tmp_path):
+    src = str(tmp_path / "src2")
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+    _write(spark, src, [_txn("x", t0, 10.0), _txn("y", t0, 5.0)], 0)
+    # duplicate key "x" again in a later micro-batch, inside the horizon
+    _write(
+        spark,
+        src,
+        [_txn("x", t0 + dt.timedelta(minutes=5), 10.0), _txn("z", t0, 1.0)],
+        1,
+    )
+
+    stream = (
+        spark.readStream.schema(TRANSACTION_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/chunk=*")
+    )
+    q = (
+        dedup_stream(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_out")
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    ids = [r["transactionId"] for r in spark.sql("SELECT * FROM dedup_out").collect()]
+    assert sorted(ids) == ["x", "y", "z"], ids
