@@ -202,6 +202,89 @@ def knn_bruteforce_pandas(
     )
 
 
+IVF_N_PROBE = 2
+
+
+def _centroid_arrays(embeddings: DataFrame) -> DataFrame:
+    """(label, cvec) — per-label centroid as an ordered double array,
+    rounded to 6dp so both engines quantize identically."""
+    cents = label_centroids(embeddings)  # label, dim, centroid
+    return cents.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "centroid"))),
+            lambda s: s["centroid"],
+        ).alias("cvec")
+    )
+
+
+def _sq_dist(a: F.Column, c: F.Column) -> F.Column:
+    """Squared L2 distance, accumulated left-to-right in double (the
+    same order the SQL oracle uses)."""
+    return F.aggregate(
+        F.zip_with(a, c, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    k: int = DEFAULT_K,
+    n_queries: int = DEFAULT_N_QUERIES,
+    n_probe: int = IVF_N_PROBE,
+) -> DataFrame:
+    """IVF-style ANN: label centroids act as the coarse quantizer
+    (deterministic — no k-means iterations to replicate), vectors are
+    assigned to their nearest centroid cell, and each query searches
+    only its ``n_probe`` nearest cells with an exact cosine re-rank.
+
+    Scale shape: the corpus is scanned once to assign cells (map +
+    broadcast of K centroids), queries touch ~n_probe/K of the data.
+    With K cells this is the textbook IVF cost model; swapping the
+    quantizer for trained k-means changes none of the dataflow."""
+    cents = F.broadcast(_centroid_arrays(embeddings))
+    corpus = embeddings.select("vec_id", "embedding")
+    dists = corpus.crossJoin(cents).select(
+        "vec_id",
+        "embedding",
+        F.col("label"),
+        _sq_dist(F.col("embedding"), F.col("cvec")).alias("d2"),
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(F.asc("d2"), F.asc("label"))
+    assign = (
+        dists.withColumn("rk", F.row_number().over(w_assign))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "embedding", F.col("label").alias("cell"))
+    )
+    qprobe = (
+        dists.filter(F.col("vec_id") < n_queries)
+        .withColumn("rk", F.row_number().over(w_assign))
+        .filter(F.col("rk") <= n_probe)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            F.col("label").alias("cell"),
+        )
+    )
+    scored = (
+        assign.join(F.broadcast(qprobe), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cosine_sim(F.col("q_emb"), F.col("embedding")), 6).alias(
+                "cos_sim"
+            ),
+        )
+    )  # no dedup needed: each neighbor lives in exactly one cell
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rk")
+    )
+
+
 def label_centroids(embeddings: DataFrame) -> DataFrame:
     """Per-label per-dimension centroid (1-based dim index)."""
     return (

@@ -352,6 +352,10 @@ def _q_label_centroids(spark, sf):
     return similarity.label_centroids(_t("embeddings")(spark, sf))
 
 
+def _q_ivf_topk(spark, sf):
+    return similarity.ivf_topk(_t("embeddings")(spark, sf))
+
+
 def _q_embedding_near_dup(spark, sf):
     return similarity.embedding_near_dup_pairs(_t("embeddings")(spark, sf))
 
@@ -884,6 +888,37 @@ FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
       FROM scored)
 WHERE rk <= {similarity.DEFAULT_K}
 """,
+    "ivf_ann_topk": f"""
+WITH cent AS (SELECT label, CAST(dim AS INT) AS dim,
+                     ROUND(AVG(CAST(v AS DOUBLE)), 6) AS c
+              FROM (SELECT label, unnest(embedding) AS v,
+                           generate_subscripts(embedding, 1) AS dim
+                    FROM embeddings)
+              GROUP BY 1, 2),
+cent_arr AS (SELECT label, list(c ORDER BY dim) AS cvec FROM cent GROUP BY label),
+dists AS (SELECT e.vec_id, e.embedding, c.label,
+                 list_reduce(list_transform(generate_series(1, {similarity.EMB_DIM}),
+                   i -> (CAST(e.embedding[i] AS DOUBLE) - c.cvec[i])
+                      * (CAST(e.embedding[i] AS DOUBLE) - c.cvec[i])),
+                   (x, y) -> x + y) AS d2
+          FROM embeddings e CROSS JOIN cent_arr c),
+ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                        ORDER BY d2 ASC, label ASC) AS rk
+           FROM dists),
+assign AS (SELECT vec_id, embedding, label AS cell FROM ranked WHERE rk = 1),
+qprobe AS (SELECT vec_id AS query_id, embedding AS q_emb, label AS cell
+           FROM ranked
+           WHERE vec_id < {similarity.DEFAULT_N_QUERIES} AND rk <= {similarity.IVF_N_PROBE}),
+scored AS (SELECT q.query_id, a.vec_id AS neighbor_id,
+                  ROUND({sql_cosine('q.q_emb', 'a.embedding', similarity.EMB_DIM)}, 6) AS cos_sim
+           FROM assign a JOIN qprobe q ON a.cell = q.cell
+           WHERE a.vec_id != q.query_id)
+SELECT query_id, neighbor_id, cos_sim, CAST(rk AS INT) AS rk
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, neighbor_id ASC) AS rk
+      FROM scored)
+WHERE rk <= {similarity.DEFAULT_K}
+""",
     "label_centroids": """
 SELECT label, CAST(dim AS INT) AS dim,
        ROUND(AVG(CAST(v AS DOUBLE)), 6) AS centroid
@@ -1033,6 +1068,7 @@ SPECS: dict[str, QuerySpec] = {
         _q_distinct_user_event_pairs, ORACLES["distinct_user_event_pairs"]
     ),
     "ann_lsh_topk": QuerySpec(_q_ann_lsh_topk, ORACLES["ann_lsh_topk"]),
+    "ivf_ann_topk": QuerySpec(_q_ivf_topk, ORACLES["ivf_ann_topk"]),
     "label_centroids": QuerySpec(_q_label_centroids, ORACLES["label_centroids"]),
     "embedding_near_dup_pairs": QuerySpec(
         _q_embedding_near_dup, ORACLES["embedding_near_dup_pairs"]
