@@ -22,6 +22,52 @@ from flink_ecommerce_spark import registry  # noqa: E402
 from flink_ecommerce_spark.session import get_spark  # noqa: E402
 
 
+def _streaming_replay(spark, sf_dir: str) -> float:
+    """Replay the events table through the 4-branch streaming job
+    (memory upsert sinks) and return wall seconds. Throughput =
+    n_events / this value; BASELINE.md targets ≥ 10k events/s."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from flink_ecommerce_spark import catalog
+    from flink_ecommerce_spark.streaming.runner import StreamingJob, reference_branches
+    from flink_ecommerce_spark.streaming.sinks import MemoryUpsertSink
+
+    events = catalog.table(spark, sf_dir, "events")
+    # events.ts is TIMESTAMP(NANOS) parquet → read as long, normalize
+    # exactly like catalog.table does
+    stream = (
+        spark.readStream.schema("event_id long, ts long, user_id long, "
+                                "event_type string, value double, props string")
+        .option("pathGlobFilter", "events.parquet")  # file source wants a dir
+        .parquet(sf_dir)
+        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    )
+    branches = reference_branches(
+        ts_col="ts", category_col="event_type", amount_col="value",
+        id_col="event_id", user_col="user_id",
+    )
+    ckpt = tempfile.mkdtemp(prefix="bench_ckpt_")
+    t0 = time.perf_counter()
+    job = StreamingJob(
+        source=stream,
+        sink_factory=lambda b: MemoryUpsertSink(b.key_cols),
+        branches=branches,
+        checkpoint_root=ckpt,
+        trigger_ms=200,
+    ).start()
+    job.process_available()
+    wall = time.perf_counter() - t0
+    job.stop()
+    n = events.count()
+    print(  # human-visible context line on stderr, JSON stays clean
+        f"streaming replay: {n} events in {wall:.1f}s = {n / wall:,.0f} events/s",
+        file=sys.stderr,
+    )
+    return wall
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -44,6 +90,8 @@ def main() -> None:
         t0 = time.perf_counter()
         fn(spark, sf_dir).collect()
         timings[name] = round(time.perf_counter() - t0, 3)
+
+    timings["streaming_replay"] = round(_streaming_replay(spark, sf_dir), 3)
 
     total = round(sum(timings.values()), 3)
     print(
