@@ -75,6 +75,23 @@ def user_sessions(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     )
 
 
+def session_window_stats(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Native session-window aggregation (F.session_window — the same
+    operator Structured Streaming uses for streaming sessions): merge
+    each user's events closer than ``gap``, emit session bounds and
+    size. Boundary semantics: an event exactly ``gap`` after the
+    previous one starts a NEW session (window end is exclusive)."""
+    return (
+        events.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "n_events",
+        )
+    )
+
+
 def sales_rollup(events: DataFrame) -> DataFrame:
     """ROLLUP (year, month): totals at month, year, and grand-total
     levels in one pass (Expand → single shuffle)."""

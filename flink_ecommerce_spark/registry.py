@@ -156,6 +156,10 @@ def _q_sales_rollup(spark, sf):
     return analytics.sales_rollup(_t("events")(spark, sf))
 
 
+def _q_session_window_stats(spark, sf):
+    return analytics.session_window_stats(_t("events")(spark, sf))
+
+
 def _q_event_type_cube(spark, sf):
     return analytics.event_type_cube(_t("events")(spark, sf))
 
@@ -606,6 +610,20 @@ SELECT user_id, COUNT(*) AS n_sessions,
        ROUND(AVG(n_events), 6) AS avg_events_per_session
 FROM per_session GROUP BY 1
 """,
+    "session_window_stats": """
+WITH o AS (SELECT user_id, ts,
+             CASE WHEN (epoch_us(ts) - LAG(epoch_us(ts)) OVER w) IS NULL
+                    OR (epoch_us(ts) - LAG(epoch_us(ts)) OVER w) >= 1800000000
+                  THEN 1 ELSE 0 END AS new_sess
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+s AS (SELECT user_id, ts,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM o)
+SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events
+FROM s GROUP BY user_id, sid
+""",
     "sales_rollup": """
 SELECT y AS year, m AS month, ROUND(SUM(value), 2) AS total_sales,
        COUNT(*) AS n_events
@@ -985,6 +1003,9 @@ SPECS: dict[str, QuerySpec] = {
     ),
     "user_sessions": QuerySpec(_q_user_sessions, ORACLES["user_sessions"]),
     "sales_rollup": QuerySpec(_q_sales_rollup, ORACLES["sales_rollup"]),
+    "session_window_stats": QuerySpec(
+        _q_session_window_stats, ORACLES["session_window_stats"]
+    ),
     "event_type_cube": QuerySpec(_q_event_type_cube, ORACLES["event_type_cube"]),
     "distinct_users_per_day": QuerySpec(
         _q_distinct_users_per_day, ORACLES["distinct_users_per_day"]
