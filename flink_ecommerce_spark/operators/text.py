@@ -128,6 +128,39 @@ def top_bigrams(documents: DataFrame, k: int = 20) -> DataFrame:
     )
 
 
+def tfidf_top_terms(documents: DataFrame, k: int = 3) -> DataFrame:
+    """Top-k terms per document by tf-idf (ln-scaled idf, raw tf).
+
+    Classic IR pipeline as three hash-partitioned aggregations:
+    term counts per doc (tf), document frequency per term (df), and
+    a broadcast-joined score. Deterministic tie-break on the term
+    string. idf = ln(N / df) with N = corpus size."""
+    from pyspark.sql import Window
+
+    toks = documents.select(
+        "doc_id", F.explode(words("text")).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = documents.select(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tfidf"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("doc_id", "term", "tf", "tfidf", F.col("rk").alias("rk"))
+    )
+
+
 def doc_fingerprints(documents: DataFrame) -> DataFrame:
     """Two fingerprints per document: full-content hash of the
     whitespace-normalized text, and a winnowing-style minimum over

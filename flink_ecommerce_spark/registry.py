@@ -313,6 +313,27 @@ def _q_top_bigrams(spark, sf):
     return text.top_bigrams(_t("documents")(spark, sf))
 
 
+def _q_tfidf_top_terms(spark, sf):
+    return text.tfidf_top_terms(_t("documents")(spark, sf))
+
+
+def _q_profile_events(spark, sf):
+    """Dataset profiling: per-column null/distinct/min/max — the
+    preflight every ingestion pipeline runs."""
+    ev = _t("events")(spark, sf)
+    return ev.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("value").isNull().cast("long")).alias("null_value"),
+        F.sum(F.col("props").isNull().cast("long")).alias("null_props"),
+        F.countDistinct("user_id").alias("distinct_users"),
+        F.countDistinct("event_type").alias("distinct_types"),
+        F.round(F.min("value"), 6).alias("min_value"),
+        F.round(F.max("value"), 6).alias("max_value"),
+        F.min("ts").alias("min_ts"),
+        F.max("ts").alias("max_ts"),
+    )
+
+
 def _q_embedding_norms(spark, sf):
     return similarity.embedding_norms(_t("embeddings")(spark, sf))
 
@@ -727,6 +748,32 @@ UNION ALL SELECT event_type, 'n', n FROM wide
 SELECT c_custkey, c_name, ROUND(c_acctbal, 2) AS c_acctbal FROM customer
 WHERE c_acctbal > (SELECT ROUND(AVG(c_acctbal), 6) FROM customer)
 """,
+    "tfidf_top_terms": """
+WITH toks AS (SELECT doc_id, unnest({words}) AS term FROM documents),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (SELECT tf.doc_id, tf.term, tf.tf,
+                  ROUND(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS tfidf
+           FROM tf JOIN df USING (term) CROSS JOIN n)
+SELECT doc_id, term, tf, tfidf, CAST(rk AS INT) AS rk
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                   ORDER BY tfidf DESC, term ASC) AS rk
+      FROM scored)
+WHERE rk <= 3
+""".format(words=sql_words("text")),
+    "profile_events": """
+SELECT COUNT(*) AS n_rows,
+       CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_value,
+       CAST(SUM(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_props,
+       COUNT(DISTINCT user_id) AS distinct_users,
+       COUNT(DISTINCT event_type) AS distinct_types,
+       ROUND(MIN(value), 6) AS min_value,
+       ROUND(MAX(value), 6) AS max_value,
+       MIN(ts) AS min_ts,
+       MAX(ts) AS max_ts
+FROM events
+""",
     "top_bigrams": """
 WITH bg AS (SELECT unnest({shingles}) AS bigram FROM documents)
 SELECT bigram, COUNT(*) AS n FROM bg GROUP BY 1
@@ -1070,6 +1117,8 @@ SPECS: dict[str, QuerySpec] = {
         _q_multimodal_frames, ORACLES["multimodal_frames"]
     ),
     "top_bigrams": QuerySpec(_q_top_bigrams, ORACLES["top_bigrams"]),
+    "tfidf_top_terms": QuerySpec(_q_tfidf_top_terms, ORACLES["tfidf_top_terms"]),
+    "profile_events": QuerySpec(_q_profile_events, ORACLES["profile_events"]),
     "embedding_norms": QuerySpec(_q_embedding_norms, ORACLES["embedding_norms"]),
     # similarity search
     "knn_bruteforce": QuerySpec(
