@@ -92,6 +92,28 @@ def session_window_stats(events: DataFrame, gap: str = "30 minutes") -> DataFram
     )
 
 
+def weekly_moving_avg(events: DataFrame) -> DataFrame:
+    """7-day moving average of daily revenue per event_type — a
+    RANGE window frame keyed on days-since-epoch, so gaps in the
+    calendar are handled by value (a missing day still shrinks the
+    window) rather than by row position."""
+    daily = events.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(F.round(F.sum("value"), 2).alias("day_value"))
+    daily = daily.withColumn("day_num", F.datediff("d", F.lit("1970-01-01")))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day_num")
+        .rangeBetween(-6, 0)
+    )
+    return daily.select(
+        "event_type",
+        "d",
+        "day_value",
+        F.round(F.avg("day_value").over(w), 6).alias("weekly_avg"),
+    )
+
+
 def sales_rollup(events: DataFrame) -> DataFrame:
     """ROLLUP (year, month): totals at month, year, and grand-total
     levels in one pass (Expand → single shuffle)."""

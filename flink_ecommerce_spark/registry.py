@@ -160,6 +160,10 @@ def _q_session_window_stats(spark, sf):
     return analytics.session_window_stats(_t("events")(spark, sf))
 
 
+def _q_weekly_moving_avg(spark, sf):
+    return analytics.weekly_moving_avg(_t("events")(spark, sf))
+
+
 def _q_event_type_cube(spark, sf):
     return analytics.event_type_cube(_t("events")(spark, sf))
 
@@ -645,6 +649,16 @@ s AS (SELECT user_id, ts,
 SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events
 FROM s GROUP BY user_id, sid
 """,
+    "weekly_moving_avg": """
+WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d,
+                      ROUND(SUM(value), 2) AS day_value
+               FROM events GROUP BY 1, 2),
+keyed AS (SELECT *, CAST(d - DATE '1970-01-01' AS BIGINT) AS day_num FROM daily)
+SELECT event_type, d, day_value,
+       ROUND(AVG(day_value) OVER (PARTITION BY event_type ORDER BY day_num
+             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS weekly_avg
+FROM keyed
+""",
     "sales_rollup": """
 SELECT y AS year, m AS month, ROUND(SUM(value), 2) AS total_sales,
        COUNT(*) AS n_events
@@ -1052,6 +1066,9 @@ SPECS: dict[str, QuerySpec] = {
     "sales_rollup": QuerySpec(_q_sales_rollup, ORACLES["sales_rollup"]),
     "session_window_stats": QuerySpec(
         _q_session_window_stats, ORACLES["session_window_stats"]
+    ),
+    "weekly_moving_avg": QuerySpec(
+        _q_weekly_moving_avg, ORACLES["weekly_moving_avg"]
     ),
     "event_type_cube": QuerySpec(_q_event_type_cube, ORACLES["event_type_cube"]),
     "distinct_users_per_day": QuerySpec(
