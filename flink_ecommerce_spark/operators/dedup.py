@@ -193,6 +193,57 @@ def lsh_candidate_pairs(
     )
 
 
+def dedup_clusters(documents: DataFrame, threshold: float = JACCARD_THRESHOLD) -> DataFrame:
+    """Duplicate CLUSTERS from LSH near-dup pairs: connected
+    components by iterative min-label propagation — each doc adopts
+    the smallest doc_id reachable through near-dup edges; singletons
+    cluster with themselves.
+
+    This is the canonical Spark shape for iterative graph algorithms
+    without GraphFrames: a driver loop of join+groupBy rounds, each
+    fully distributed, converging in O(component diameter) rounds
+    (near-dup clusters are shallow — a handful of rounds). The loop
+    re-evaluates lineage per round, so for big graphs you'd
+    checkpoint every few rounds; component sizes here make that
+    unnecessary."""
+    pairs = lsh_candidate_pairs(documents, threshold).select("doc_a", "doc_b")
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    )
+    labels = documents.select(
+        "doc_id", F.col("doc_id").alias("cluster_id")
+    )
+    for _ in range(20):  # diameter bound; near-dup clusters are shallow
+        neighbor_min = (
+            edges.join(
+                labels.select(
+                    F.col("doc_id").alias("doc_b"),
+                    F.col("cluster_id").alias("nb_cl"),
+                ),
+                "doc_b",
+            )
+            .groupBy(F.col("doc_a").alias("doc_id"))
+            .agg(F.min("nb_cl").alias("nb_min"))
+        )
+        updated = labels.join(neighbor_min, "doc_id", "left").select(
+            "doc_id",
+            F.least(
+                F.col("cluster_id"), F.coalesce("nb_min", F.col("cluster_id"))
+            ).alias("cluster_id"),
+        )
+        changed = (
+            updated.alias("u")
+            .join(labels.alias("l"), "doc_id")
+            .filter(F.col("u.cluster_id") != F.col("l.cluster_id"))
+            .limit(1)
+            .count()
+        )
+        labels = updated
+        if changed == 0:
+            break
+    return labels
+
+
 def simhash(documents: DataFrame) -> DataFrame:
     """32-bit SimHash per document: per-token hash32, ±1 vote per bit
     position weighted by term frequency, bit set where the vote sum is

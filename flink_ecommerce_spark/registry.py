@@ -285,6 +285,10 @@ def _q_simhash(spark, sf):
     return dedup.simhash(_t("documents")(spark, sf))
 
 
+def _q_dedup_clusters(spark, sf):
+    return dedup.dedup_clusters(_t("documents")(spark, sf))
+
+
 def _q_simhash_near_pairs(spark, sf):
     return dedup.simhash_near_pairs(_t("documents")(spark, sf))
 
@@ -880,6 +884,25 @@ SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= {dedup.JACCARD_THRESHOLD}
 WITH {_SIMHASH_CTE}
 SELECT doc_id, simhash FROM sim
 """,
+    # connected components over the LSH near-dup pairs: cluster_id =
+    # min doc_id reachable (recursive transitive closure — tiny graph)
+    "dedup_clusters": f"""
+WITH RECURSIVE {_SIG_CTE},
+bands AS ({_BANDS_SELECTS}),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM bands a JOIN bands b
+           ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+{_JACCARD_CTES},
+pairs AS (SELECT c.doc_a, c.doc_b
+          FROM cand c JOIN jac j ON j.doc_a = c.doc_a AND j.doc_b = c.doc_b
+          WHERE j.jaccard >= {dedup.JACCARD_THRESHOLD}),
+edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+          UNION SELECT doc_b, doc_a FROM pairs),
+walk(a, b) AS (SELECT doc_id, doc_id FROM documents
+               UNION
+               SELECT w.a, e.dst FROM walk w JOIN edges e ON w.b = e.src)
+SELECT a AS doc_id, MIN(b) AS cluster_id FROM walk GROUP BY a
+""",
     "simhash_near_pairs": f"""
 WITH {_SIMHASH_CTE},
 bands AS ({_SIMHASH_BAND_SELECTS})
@@ -1119,6 +1142,7 @@ SPECS: dict[str, QuerySpec] = {
         _q_ngram_jaccard_pairs, ORACLES["ngram_jaccard_pairs"]
     ),
     "simhash": QuerySpec(_q_simhash, ORACLES["simhash"]),
+    "dedup_clusters": QuerySpec(_q_dedup_clusters, ORACLES["dedup_clusters"]),
     "simhash_near_pairs": QuerySpec(
         _q_simhash_near_pairs, ORACLES["simhash_near_pairs"]
     ),
