@@ -32,6 +32,7 @@ from . import catalog
 from .functions.portable import sql_hash32
 from .functions.vector import sql_cosine, sql_l2_norm
 from .operators import dedup, multimodal, similarity, text
+from .operators.sampling import sql_bucket
 from .operators.textprep import sql_word_shingles, sql_char_shingles, sql_words
 from .plans import analytics, sales, temporal, tpch
 
@@ -287,6 +288,34 @@ def _q_simhash(spark, sf):
 
 def _q_dedup_clusters(spark, sf):
     return dedup.dedup_clusters(_t("documents")(spark, sf))
+
+
+def _q_documents_deduped(spark, sf):
+    """The dedup END PRODUCT: keep one representative per cluster
+    (the min doc_id — exactly the rows where cluster_id == doc_id)."""
+    clusters = dedup.dedup_clusters(_t("documents")(spark, sf))
+    keep = clusters.filter(F.col("cluster_id") == F.col("doc_id")).select("doc_id")
+    return _t("documents")(spark, sf).join(keep, "doc_id").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+def _q_sample_events(spark, sf):
+    from .operators.sampling import sample_events
+
+    return sample_events(_t("events")(spark, sf))
+
+
+def _q_dataset_splits(spark, sf):
+    from .operators.sampling import dataset_splits
+
+    return dataset_splits(_t("events")(spark, sf))
+
+
+def _q_split_summary(spark, sf):
+    from .operators.sampling import split_summary
+
+    return split_summary(_t("events")(spark, sf))
 
 
 def _q_simhash_near_pairs(spark, sf):
@@ -884,6 +913,22 @@ SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= {dedup.JACCARD_THRESHOLD}
 WITH {_SIMHASH_CTE}
 SELECT doc_id, simhash FROM sim
 """,
+    "sample_events": """
+SELECT event_id, ts, user_id, event_type, value FROM events
+WHERE ({bucket}) < 10
+""".format(bucket=sql_bucket("event_id", "sample")),
+    "dataset_splits": """
+SELECT event_id, user_id,
+       CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+FROM (SELECT event_id, user_id, {bucket} AS b FROM events)
+""".format(bucket=sql_bucket("user_id", "split")),
+    "split_summary": """
+WITH s AS (SELECT event_id, user_id,
+             CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+           FROM (SELECT event_id, user_id, {bucket} AS b FROM events))
+SELECT split, COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users
+FROM s GROUP BY 1
+""".format(bucket=sql_bucket("user_id", "split")),
     # connected components over the LSH near-dup pairs: cluster_id =
     # min doc_id reachable (recursive transitive closure — tiny graph)
     "dedup_clusters": f"""
@@ -902,6 +947,26 @@ walk(a, b) AS (SELECT doc_id, doc_id FROM documents
                UNION
                SELECT w.a, e.dst FROM walk w JOIN edges e ON w.b = e.src)
 SELECT a AS doc_id, MIN(b) AS cluster_id FROM walk GROUP BY a
+""",
+    "documents_deduped": f"""
+WITH RECURSIVE {_SIG_CTE},
+bands AS ({_BANDS_SELECTS}),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM bands a JOIN bands b
+           ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+{_JACCARD_CTES},
+pairs AS (SELECT c.doc_a, c.doc_b
+          FROM cand c JOIN jac j ON j.doc_a = c.doc_a AND j.doc_b = c.doc_b
+          WHERE j.jaccard >= {dedup.JACCARD_THRESHOLD}),
+edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+          UNION SELECT doc_b, doc_a FROM pairs),
+walk(a, b) AS (SELECT doc_id, doc_id FROM documents
+               UNION
+               SELECT w.a, e.dst FROM walk w JOIN edges e ON w.b = e.src),
+cl AS (SELECT a AS doc_id, MIN(b) AS cluster_id FROM walk GROUP BY a)
+SELECT d.doc_id, d.lang, d.source, d.n_chars
+FROM documents d JOIN cl ON cl.doc_id = d.doc_id
+WHERE cl.cluster_id = cl.doc_id
 """,
     "simhash_near_pairs": f"""
 WITH {_SIMHASH_CTE},
@@ -1143,6 +1208,12 @@ SPECS: dict[str, QuerySpec] = {
     ),
     "simhash": QuerySpec(_q_simhash, ORACLES["simhash"]),
     "dedup_clusters": QuerySpec(_q_dedup_clusters, ORACLES["dedup_clusters"]),
+    "documents_deduped": QuerySpec(
+        _q_documents_deduped, ORACLES["documents_deduped"]
+    ),
+    "sample_events": QuerySpec(_q_sample_events, ORACLES["sample_events"]),
+    "dataset_splits": QuerySpec(_q_dataset_splits, ORACLES["dataset_splits"]),
+    "split_summary": QuerySpec(_q_split_summary, ORACLES["split_summary"]),
     "simhash_near_pairs": QuerySpec(
         _q_simhash_near_pairs, ORACLES["simhash_near_pairs"]
     ),
