@@ -210,9 +210,14 @@ def dedup_clusters(documents: DataFrame, threshold: float = JACCARD_THRESHOLD) -
     edges = pairs.union(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     )
+    # Iterative-algorithm hygiene: materialize the edge list once
+    # (every round would otherwise re-run the whole LSH pipeline) and
+    # truncate label lineage per round with localCheckpoint so round
+    # N doesn't re-evaluate rounds 1..N-1.
+    edges = edges.localCheckpoint(eager=True)
     labels = documents.select(
         "doc_id", F.col("doc_id").alias("cluster_id")
-    )
+    ).localCheckpoint(eager=True)
     for _ in range(20):  # diameter bound; near-dup clusters are shallow
         neighbor_min = (
             edges.join(
@@ -231,6 +236,7 @@ def dedup_clusters(documents: DataFrame, threshold: float = JACCARD_THRESHOLD) -
                 F.col("cluster_id"), F.coalesce("nb_min", F.col("cluster_id"))
             ).alias("cluster_id"),
         )
+        updated = updated.localCheckpoint(eager=True)
         changed = (
             updated.alias("u")
             .join(labels.alias("l"), "doc_id")
