@@ -61,6 +61,41 @@ def asof_join_last_click(events: DataFrame) -> DataFrame:
     )
 
 
+def interval_join_click_purchase(events: DataFrame, window_hours: int = 1) -> DataFrame:
+    """Interval join (Flink's interval-join shape): every (click,
+    purchase) pair of the same user where the purchase lands within
+    ``window_hours`` after the click. In batch this is an equi-join
+    on user_id with a range predicate — one shuffle, and the range
+    filter runs during the join. The same plan works stream-stream
+    with watermarks on both sides (tests/test_stream_joins.py)."""
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("user_id"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    return clicks.join(
+        purchases,
+        (clicks.user_id == purchases.user_id)
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.expr(f"INTERVAL {window_hours} HOURS")
+        ),
+    ).select(
+        clicks.user_id.alias("user_id"),
+        "click_id",
+        "click_ts",
+        "purchase_id",
+        F.round("purchase_value", 2).alias("purchase_value"),
+    )
+
+
 PRICE_BANDS: list[tuple[str, float, float]] = [
     ("budget", 0.0, 20000.0),
     ("mid", 20000.0, 60000.0),

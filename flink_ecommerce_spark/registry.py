@@ -204,6 +204,10 @@ def _q_price_bands(spark, sf):
     return temporal.lineitem_price_bands(_t("lineitem")(spark, sf))
 
 
+def _q_interval_join(spark, sf):
+    return temporal.interval_join_click_purchase(_t("events")(spark, sf))
+
+
 def _q_hourly_counts(spark, sf):
     return temporal.hourly_event_counts(_t("events")(spark, sf))
 
@@ -745,6 +749,19 @@ carried AS (SELECT *, LAST_VALUE(click_id IGNORE NULLS) OVER (
 SELECT purchase_id, user_id, ts AS purchase_ts, last_click_id
 FROM carried WHERE side = 1
 """,
+    "interval_join_click_purchase": """
+WITH clicks AS (SELECT user_id, event_id AS click_id, ts AS click_ts
+                FROM events WHERE event_type = 'click'),
+purchases AS (SELECT user_id, event_id AS purchase_id, ts AS purchase_ts,
+                     value AS purchase_value
+              FROM events WHERE event_type = 'purchase')
+SELECT c.user_id, c.click_id, c.click_ts, p.purchase_id,
+       ROUND(p.purchase_value, 2) AS purchase_value
+FROM clicks c JOIN purchases p
+  ON c.user_id = p.user_id
+ AND p.purchase_ts >= c.click_ts
+ AND p.purchase_ts <= c.click_ts + INTERVAL 1 HOUR
+""",
     "lineitem_price_bands": """
 WITH bands(band, lo, hi) AS (VALUES {bands})
 SELECT band, COUNT(*) AS n_items, ROUND(SUM(l_extendedprice), 2) AS band_revenue
@@ -1179,6 +1196,9 @@ SPECS: dict[str, QuerySpec] = {
     ),
     "lineitem_price_bands": QuerySpec(
         _q_price_bands, ORACLES["lineitem_price_bands"]
+    ),
+    "interval_join_click_purchase": QuerySpec(
+        _q_interval_join, ORACLES["interval_join_click_purchase"]
     ),
     "hourly_event_counts": QuerySpec(
         _q_hourly_counts, ORACLES["hourly_event_counts"]
