@@ -114,6 +114,23 @@ def weekly_moving_avg(events: DataFrame) -> DataFrame:
     )
 
 
+def user_value_quartiles(events: DataFrame) -> DataFrame:
+    """Ranking-function family over per-user totals: NTILE(4),
+    PERCENT_RANK, CUME_DIST. Ordering tie-broken by user_id so bucket
+    assignment is engine-deterministic."""
+    per_user = events.groupBy("user_id").agg(
+        F.round(F.sum("value"), 2).alias("total_value")
+    )
+    w = Window.orderBy(F.desc("total_value"), F.asc("user_id"))
+    return per_user.select(
+        "user_id",
+        "total_value",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume_dist"),
+    )
+
+
 def sales_rollup(events: DataFrame) -> DataFrame:
     """ROLLUP (year, month): totals at month, year, and grand-total
     levels in one pass (Expand → single shuffle)."""

@@ -165,6 +165,10 @@ def _q_weekly_moving_avg(spark, sf):
     return analytics.weekly_moving_avg(_t("events")(spark, sf))
 
 
+def _q_user_value_quartiles(spark, sf):
+    return analytics.user_value_quartiles(_t("events")(spark, sf))
+
+
 def _q_event_type_cube(spark, sf):
     return analytics.event_type_cube(_t("events")(spark, sf))
 
@@ -686,6 +690,16 @@ s AS (SELECT user_id, ts,
 SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events
 FROM s GROUP BY user_id, sid
 """,
+    "user_value_quartiles": """
+WITH per_user AS (SELECT user_id, ROUND(SUM(value), 2) AS total_value
+                  FROM events GROUP BY 1)
+SELECT user_id, total_value,
+       CAST(NTILE(4) OVER w AS INT) AS quartile,
+       ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+       ROUND(CUME_DIST() OVER w, 6) AS cume_dist
+FROM per_user
+WINDOW w AS (ORDER BY total_value DESC, user_id ASC)
+""",
     "weekly_moving_avg": """
 WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d,
                       ROUND(SUM(value), 2) AS day_value
@@ -1174,6 +1188,9 @@ SPECS: dict[str, QuerySpec] = {
     ),
     "weekly_moving_avg": QuerySpec(
         _q_weekly_moving_avg, ORACLES["weekly_moving_avg"]
+    ),
+    "user_value_quartiles": QuerySpec(
+        _q_user_value_quartiles, ORACLES["user_value_quartiles"]
     ),
     "event_type_cube": QuerySpec(_q_event_type_cube, ORACLES["event_type_cube"]),
     "distinct_users_per_day": QuerySpec(

@@ -32,6 +32,30 @@ def test_salted_join_equals_plain_join(spark):
     assert sorted(map(tuple, plain)) == sorted(map(tuple, salted))
 
 
+def test_salted_join_on_skewed_data(spark):
+    """90% of fact rows share one hot key: salting must still produce
+    join-identical results (the scenario the operator exists for)."""
+    from pyspark.sql import functions as F
+
+    fact = spark.range(0, 20000).select(
+        F.when(F.col("id") % 10 < 9, F.lit(7)).otherwise(F.col("id") % 100).alias("k"),
+        (F.col("id") % 1000).cast("double").alias("v"),
+    )
+    dim = spark.range(0, 100).select(
+        F.col("id").alias("k"), F.concat(F.lit("d"), F.col("id")).alias("name")
+    )
+    plain = (
+        fact.join(dim, "k").groupBy("name").agg(F.sum("v").alias("s")).collect()
+    )
+    salted = (
+        salted_join(fact, dim, "k", salt=8)
+        .groupBy("name")
+        .agg(F.sum("v").alias("s"))
+        .collect()
+    )
+    assert sorted(map(tuple, plain)) == sorted(map(tuple, salted))
+
+
 def test_salted_join_left_outer(spark):
     customer = catalog.table(spark, SF_SMALL, "customer")
     orders = catalog.table(spark, SF_SMALL, "orders").withColumnRenamed(
