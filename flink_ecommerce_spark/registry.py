@@ -362,6 +362,67 @@ def _q_tfidf_top_terms(spark, sf):
     return text.tfidf_top_terms(_t("documents")(spark, sf))
 
 
+def _q_vocabulary(spark, sf):
+    """Vocabulary extraction with a min-document-frequency floor —
+    the tokenizer-training preflight."""
+    docs = _t("documents")(spark, sf)
+    from .operators.textprep import words
+
+    toks = docs.select("doc_id", F.explode(words("text")).alias("term")).distinct()
+    df_counts = toks.groupBy("term").agg(F.count(F.lit(1)).alias("doc_freq"))
+    all_tf = (
+        docs.select(F.explode(words("text")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("total_tf"))
+    )
+    return (
+        df_counts.join(all_tf, "term")
+        .filter(F.col("doc_freq") >= 2)
+        .select("term", "doc_freq", "total_tf")
+    )
+
+
+def _q_embedding_quantize(spark, sf):
+    """Scalar int8 quantization: per-vector symmetric scale
+    (max_abs/127), emitted as (vec_id, dim, qval) rows plus the scale
+    — the storage-compression preflight for large vector corpora."""
+    emb = _t("embeddings")(spark, sf)
+    max_abs = F.array_max(
+        F.transform("embedding", lambda x: F.abs(x.cast("double")))
+    )
+    exploded = emb.select(
+        "vec_id",
+        F.round(max_abs, 6).alias("scale"),
+        F.posexplode("embedding").alias("pos", "v"),
+    )
+    return exploded.select(
+        "vec_id",
+        "scale",
+        (F.col("pos") + 1).alias("dim"),
+        F.round(F.col("v").cast("double") * 127.0 / F.col("scale"), 0)
+        .cast("int")
+        .alias("qval"),
+    )
+
+
+def _q_curation_scores(spark, sf):
+    """Cross-modal curation: join text quality with embedding norm
+    (doc_id == vec_id in the fixtures) into one keep/drop score."""
+    from .operators.text import quality_scores
+    from .operators.similarity import embedding_norms
+
+    q = quality_scores(_t("documents")(spark, sf)).select("doc_id", "quality")
+    n = embedding_norms(_t("embeddings")(spark, sf)).select(
+        F.col("vec_id").alias("doc_id"), "l2_norm"
+    )
+    return q.join(n, "doc_id").select(
+        "doc_id",
+        "quality",
+        "l2_norm",
+        F.round(F.col("quality") * F.col("l2_norm"), 6).alias("curation_score"),
+    )
+
+
 def _q_profile_events(spark, sf):
     """Dataset profiling: per-column null/distinct/min/max — the
     preflight every ingestion pipeline runs."""
@@ -840,6 +901,24 @@ FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
       FROM scored)
 WHERE rk <= 3
 """.format(words=sql_words("text")),
+    "vocabulary": """
+WITH toks AS (SELECT DISTINCT doc_id, unnest({w}) AS term FROM documents),
+dfc AS (SELECT term, COUNT(*) AS doc_freq FROM toks GROUP BY 1),
+tf AS (SELECT term, COUNT(*) AS total_tf
+       FROM (SELECT unnest({w}) AS term FROM documents) GROUP BY 1)
+SELECT term, doc_freq, total_tf FROM dfc JOIN tf USING (term)
+WHERE doc_freq >= 2
+""".format(w=sql_words("text")),
+    "embedding_quantize_int8": """
+SELECT vec_id,
+       ROUND(list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))), 6) AS scale,
+       CAST(dim AS INT) AS dim,
+       CAST(ROUND(CAST(v AS DOUBLE) * 127.0
+            / ROUND(list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))), 6), 0) AS INT) AS qval
+FROM (SELECT vec_id, embedding, unnest(embedding) AS v,
+             generate_subscripts(embedding, 1) AS dim
+      FROM embeddings)
+""",
     "profile_events": """
 SELECT COUNT(*) AS n_rows,
        CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_value,
@@ -1058,6 +1137,7 @@ FROM documents
         shingles=sql_char_shingles("text", 8),
         sh_hash=sql_hash32("s", salt="fp"),
     ),
+    "curation_scores": None,  # filled in below (composes two oracles)
     "knn_bruteforce": f"""
 WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb
            FROM embeddings WHERE vec_id < {similarity.DEFAULT_N_QUERIES}),
@@ -1143,6 +1223,15 @@ SELECT doc_id,
 FROM documents
 """,
 }
+
+ORACLES["curation_scores"] = f"""
+WITH q AS (SELECT doc_id, quality FROM ({ORACLES['quality_scores']})),
+n AS (SELECT vec_id AS doc_id, ROUND({sql_l2_norm('embedding', similarity.EMB_DIM)}, 6) AS l2_norm
+      FROM embeddings)
+SELECT q.doc_id, q.quality, n.l2_norm,
+       ROUND(q.quality * n.l2_norm, 6) AS curation_score
+FROM q JOIN n ON q.doc_id = n.doc_id
+"""
 
 SPECS: dict[str, QuerySpec] = {
     # parity (reference surface, SURVEY.md §2)
@@ -1268,6 +1357,11 @@ SPECS: dict[str, QuerySpec] = {
     "top_bigrams": QuerySpec(_q_top_bigrams, ORACLES["top_bigrams"]),
     "tfidf_top_terms": QuerySpec(_q_tfidf_top_terms, ORACLES["tfidf_top_terms"]),
     "profile_events": QuerySpec(_q_profile_events, ORACLES["profile_events"]),
+    "vocabulary": QuerySpec(_q_vocabulary, ORACLES["vocabulary"]),
+    "embedding_quantize_int8": QuerySpec(
+        _q_embedding_quantize, ORACLES["embedding_quantize_int8"]
+    ),
+    "curation_scores": QuerySpec(_q_curation_scores, ORACLES["curation_scores"]),
     "embedding_norms": QuerySpec(_q_embedding_norms, ORACLES["embedding_norms"]),
     # similarity search
     "knn_bruteforce": QuerySpec(
