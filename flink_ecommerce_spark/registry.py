@@ -487,6 +487,15 @@ def _q_ivf_topk(spark, sf):
     return similarity.ivf_topk(_t("embeddings")(spark, sf))
 
 
+def _q_kmeans_sizes(spark, sf):
+    """Iterative Lloyd k-means (deterministic init/iters) — no SQL
+    oracle (iterative algorithm; driver records rows-only). The exact
+    NumPy-reference equivalence lives in tests/test_kmeans.py."""
+    from .operators.clustering import kmeans_sizes
+
+    return kmeans_sizes(_t("embeddings")(spark, sf))
+
+
 def _q_embedding_near_dup(spark, sf):
     return similarity.embedding_near_dup_pairs(_t("embeddings")(spark, sf))
 
@@ -1382,6 +1391,7 @@ SPECS: dict[str, QuerySpec] = {
     ),
     "ann_lsh_topk": QuerySpec(_q_ann_lsh_topk, ORACLES["ann_lsh_topk"]),
     "ivf_ann_topk": QuerySpec(_q_ivf_topk, ORACLES["ivf_ann_topk"]),
+    "kmeans_cluster_sizes": QuerySpec(_q_kmeans_sizes, None),
     "label_centroids": QuerySpec(_q_label_centroids, ORACLES["label_centroids"]),
     "embedding_near_dup_pairs": QuerySpec(
         _q_embedding_near_dup, ORACLES["embedding_near_dup_pairs"]
