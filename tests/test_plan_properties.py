@@ -1,0 +1,72 @@
+"""Physical-plan regression tests: pin the plan properties that make
+these queries scale (pushdown reaching scans, broadcasts on dims,
+TakeOrderedAndProject for top-k, single-Exchange aggregations). A
+code change that silently loses one of these still passes value
+checks — these tests are the guard."""
+
+from __future__ import annotations
+
+import pytest
+
+from flink_ecommerce_spark import registry
+
+from tests.conftest import SF_SMALL
+
+
+def _plan(spark, name: str) -> str:
+    df = registry.SPECS[name].fn(spark, SF_SMALL)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q1_filter_pushed_to_scan(spark):
+    plan = _plan(spark, "q1_pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+
+
+def test_q3_dimensions_broadcast(spark):
+    plan = _plan(spark, "q3_shipping_priority")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "TakeOrderedAndProject" in plan
+    assert "PushedFilters: [IsNotNull(c_mktsegment), EqualTo(c_mktsegment,BUILDING)" in plan
+
+
+def test_q5_no_fact_broadcast_of_lineitem(spark):
+    plan = _plan(spark, "q5_regional_revenue")
+    # all dims broadcast; the lineitem-orders join may be SMJ (scale
+    # plan) or AQE-converted broadcast at this tiny SF — but lineitem
+    # itself must never be the build (broadcast) side
+    assert "BroadcastHashJoin" in plan
+    for line in plan.splitlines():
+        if "BroadcastExchange" in line:
+            assert "lineitem" not in line
+
+
+def test_top10_uses_take_ordered(spark):
+    plan = _plan(spark, "top10_orders")
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort " not in plan  # no global sort operator
+
+
+def test_sales_per_day_single_shuffle(spark):
+    plan = _plan(spark, "sales_per_day")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "ReadSchema: struct<ts:bigint,value:double>" in plan  # pruned columns
+
+
+def test_sales_per_day_partial_aggregation(spark):
+    plan = _plan(spark, "sales_per_day")
+    # partial (map-side) + final aggregate pattern
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_knn_broadcasts_queries_not_corpus(spark):
+    plan = _plan(spark, "knn_bruteforce")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+@pytest.mark.parametrize(
+    "name", ["minhash_signatures", "lsh_candidate_pairs", "simhash"]
+)
+def test_dedup_plans_have_no_cartesian(spark, name):
+    plan = _plan(spark, name)
+    assert "CartesianProduct" not in plan
