@@ -89,13 +89,19 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name, fn in registry.bench_queries().items():
         best = float("inf")
-        for _ in range(reps):  # min-of-N damps JVM/GC noise
-            t0 = time.perf_counter()
-            fn(spark, sf_dir).collect()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+        try:
+            for _ in range(reps):  # min-of-N damps JVM/GC noise
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).collect()
+                best = min(best, time.perf_counter() - t0)
+            timings[name] = round(best, 3)
+        except Exception as e:  # one broken query must not lose the run
+            print(f"bench query {name} FAILED: {e}", file=sys.stderr)
 
-    timings["streaming_replay"] = round(_streaming_replay(spark, sf_dir), 3)
+    try:
+        timings["streaming_replay"] = round(_streaming_replay(spark, sf_dir), 3)
+    except Exception as e:
+        print(f"streaming_replay FAILED: {e}", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
     print(

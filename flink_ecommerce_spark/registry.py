@@ -138,6 +138,41 @@ def _q_parts_by_brand_type(spark, sf):
     return tpch.parts_by_brand_type(_t("part")(spark, sf))
 
 
+def _q_events_by_customer_segment(spark, sf):
+    """Cross-dataset enrichment: the event stream joined to the
+    customer dimension (user_id == c_custkey in the fixtures),
+    revenue per market segment. Dim broadcast; facts never shuffle
+    for the join."""
+    ev = _t("events")(spark, sf)
+    cust = _t("customer")(spark, sf).select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    return (
+        ev.join(F.broadcast(cust), "user_id")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
+def _q_revenue_by_brand(spark, sf):
+    """lineitem ⋈ part (broadcast dim): discounted revenue per brand."""
+    li = _t("lineitem")(spark, sf)
+    part = _t("part")(spark, sf).select("p_partkey", "p_brand")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
 # ---------------------------------------------------------------- analytics
 
 
@@ -708,6 +743,17 @@ SELECT p_brand, p_type, COUNT(*) AS n_parts,
        ROUND(AVG(p_retailprice), 6) AS avg_price
 FROM part GROUP BY 1, 2
 """,
+    "events_by_customer_segment": """
+SELECT c_mktsegment, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS total_value
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY 1
+""",
+    "revenue_by_brand": """
+SELECT p_brand, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY 1
+""",
     "top_users_per_event_type": """
 WITH per_user AS (
   SELECT event_type, user_id, ROUND(SUM(value), 2) AS user_value
@@ -1272,6 +1318,10 @@ SPECS: dict[str, QuerySpec] = {
     "parts_by_brand_type": QuerySpec(
         _q_parts_by_brand_type, ORACLES["parts_by_brand_type"]
     ),
+    "events_by_customer_segment": QuerySpec(
+        _q_events_by_customer_segment, ORACLES["events_by_customer_segment"]
+    ),
+    "revenue_by_brand": QuerySpec(_q_revenue_by_brand, ORACLES["revenue_by_brand"]),
     # analytics
     "top_users_per_event_type": QuerySpec(
         _q_top_users, ORACLES["top_users_per_event_type"], bench=True
