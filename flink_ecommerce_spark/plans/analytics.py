@@ -200,6 +200,64 @@ def event_value_pivot(events: DataFrame) -> DataFrame:
     return events.groupBy(F.to_date("ts").alias("d")).agg(*agg)
 
 
+def conversion_funnel(events: DataFrame) -> DataFrame:
+    """Ordered funnel click → view → purchase: users who reached each
+    stage IN ORDER (first-click before first-view before first-
+    purchase). One aggregation builds the per-user stage timestamps;
+    the stage counts are conditional aggregates over it."""
+    per_user = events.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "t_purchase"
+        ),
+    )
+    agg = per_user.agg(
+        F.sum(F.col("t_click").isNotNull().cast("long")).alias("clicked"),
+        F.sum(
+            (F.col("t_click").isNotNull() & (F.col("t_view") > F.col("t_click")))
+            .cast("long")
+        ).alias("then_viewed"),
+        F.sum(
+            (
+                F.col("t_click").isNotNull()
+                & (F.col("t_view") > F.col("t_click"))
+                & (F.col("t_purchase") > F.col("t_view"))
+            ).cast("long")
+        ).alias("then_purchased"),
+    )
+    return agg.selectExpr(
+        "stack(3, '1_clicked', clicked, '2_then_viewed', then_viewed, "
+        "'3_then_purchased', then_purchased) AS (stage, n_users)"
+    )
+
+
+def weekly_retention(events: DataFrame, anchor: str = "2024-01-01") -> DataFrame:
+    """Cohort retention: users grouped by first-seen week, counted in
+    each subsequent week they were active. Two aggregations + one
+    join — the classic retention-matrix dataflow."""
+    first_seen = events.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("d0")
+    )
+    activity = events.select(
+        "user_id", F.to_date("ts").alias("d")
+    ).distinct()
+    joined = activity.join(first_seen, "user_id")
+    return (
+        joined.select(
+            "user_id",
+            F.floor(F.datediff("d0", F.lit(anchor)) / 7).cast("int").alias(
+                "cohort_week"
+            ),
+            F.floor(F.datediff("d", F.col("d0")) / 7).cast("int").alias(
+                "week_offset"
+            ),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
 def purchasers_also_errored(events: DataFrame) -> DataFrame:
     """INTERSECT of user sets (set op coverage)."""
     a = events.filter(F.col("event_type") == "purchase").select("user_id")

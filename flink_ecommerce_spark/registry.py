@@ -204,6 +204,14 @@ def _q_user_value_quartiles(spark, sf):
     return analytics.user_value_quartiles(_t("events")(spark, sf))
 
 
+def _q_conversion_funnel(spark, sf):
+    return analytics.conversion_funnel(_t("events")(spark, sf))
+
+
+def _q_weekly_retention(spark, sf):
+    return analytics.weekly_retention(_t("events")(spark, sf))
+
+
 def _q_event_type_cube(spark, sf):
     return analytics.event_type_cube(_t("events")(spark, sf))
 
@@ -806,6 +814,33 @@ s AS (SELECT user_id, ts,
 SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events
 FROM s GROUP BY user_id, sid
 """,
+    "conversion_funnel": """
+WITH per_user AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+         MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+         MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+  FROM events GROUP BY 1),
+agg AS (SELECT
+  CAST(SUM(CASE WHEN t_click IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS clicked,
+  CAST(SUM(CASE WHEN t_click IS NOT NULL AND t_view > t_click THEN 1 ELSE 0 END) AS BIGINT) AS then_viewed,
+  CAST(SUM(CASE WHEN t_click IS NOT NULL AND t_view > t_click AND t_purchase > t_view
+            THEN 1 ELSE 0 END) AS BIGINT) AS then_purchased
+FROM per_user)
+SELECT '1_clicked' AS stage, clicked AS n_users FROM agg
+UNION ALL SELECT '2_then_viewed', then_viewed FROM agg
+UNION ALL SELECT '3_then_purchased', then_purchased FROM agg
+""",
+    "weekly_retention": """
+WITH first_seen AS (SELECT user_id, MIN(CAST(ts AS DATE)) AS d0
+                    FROM events GROUP BY 1),
+activity AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events)
+SELECT CAST((CAST(d0 - DATE '2024-01-01' AS BIGINT)) // 7 AS INT) AS cohort_week,
+       CAST((CAST(d - d0 AS BIGINT)) // 7 AS INT) AS week_offset,
+       COUNT(DISTINCT user_id) AS n_users
+FROM activity JOIN first_seen USING (user_id)
+GROUP BY 1, 2
+""",
     "user_value_quartiles": """
 WITH per_user AS (SELECT user_id, ROUND(SUM(value), 2) AS total_value
                   FROM events GROUP BY 1)
@@ -1339,6 +1374,12 @@ SPECS: dict[str, QuerySpec] = {
     ),
     "user_value_quartiles": QuerySpec(
         _q_user_value_quartiles, ORACLES["user_value_quartiles"]
+    ),
+    "conversion_funnel": QuerySpec(
+        _q_conversion_funnel, ORACLES["conversion_funnel"]
+    ),
+    "weekly_retention": QuerySpec(
+        _q_weekly_retention, ORACLES["weekly_retention"]
     ),
     "event_type_cube": QuerySpec(_q_event_type_cube, ORACLES["event_type_cube"]),
     "distinct_users_per_day": QuerySpec(
