@@ -39,6 +39,13 @@ def get_spark(
         # test parquet stores events.ts as TIMESTAMP(NANOS); read the raw
         # int64 and convert in catalog.table (Spark has no nanos type)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # local fixtures are single small files — split finer so scan
+        # tasks ≈ cores (a cluster with many files keeps the 128m
+        # default; override via SPARK_GRAFT_MAX_PARTITION_BYTES)
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "8m"),
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
