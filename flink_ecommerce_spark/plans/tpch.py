@@ -164,3 +164,422 @@ def parts_by_brand_type(part: DataFrame) -> DataFrame:
         F.countDistinct("p_size").alias("n_sizes"),
         F.round(F.avg("p_retailprice"), 6).alias("avg_price"),
     )
+
+
+def _dec2(col: str):
+    """Money/rate column as exact DECIMAL(18,2). The fixture doubles all
+    carry ≤2 decimal digits, so this cast recovers the exact decimal value;
+    downstream ×/−/SUM in decimal are then order-independent — immune to
+    the last-ulp drift that double partial aggregation has across partition
+    orders (which breaks value-hash parity on ROUND boundaries)."""
+    return F.col(col).cast("decimal(18,2)")
+
+
+# --------------------------------------------------------------------------
+# Further TPC-H-shaped queries, adapted to the fixture columns (the fixtures
+# have no partsupp/commitdate/shipmode/comment; substitutions are noted per
+# query). Together they cover: non-equi semi join (q4), pure pushdown agg
+# (q6), double-dimension multi-join (q7), part-filtered profit rollup (q9),
+# grouped top-k over a 4-way join (q10), outer-join histogram (q13), global
+# ratio aggregate (q14), per-group argmin join (q2), correlated-average
+# filter (q17), group-HAVING fact self-aggregation (q18), disjunctive
+# OR-of-ANDs pushdown (q19), and scalar-subquery + anti-join (q22).
+# --------------------------------------------------------------------------
+
+
+def q2_min_cost_supplier(
+    part: DataFrame,
+    supplier: DataFrame,
+    lineitem: DataFrame,
+    max_size: int = 10,
+) -> DataFrame:
+    """TPC-H Q2 shape (argmin per group). The fixtures have no partsupp,
+    so lineitem plays its role: a (part, supplier) pair's unit cost is
+    its min observed l_extendedprice / l_quantity.
+
+    Scale: lineitem aggregates down to (part, supplier) FIRST — the
+    window ranking then runs on the pre-shrunk pair table, not the raw
+    fact. The part dim filter broadcasts into the pair table."""
+    from pyspark.sql import Window
+
+    pairs = (
+        lineitem.groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.round(
+                F.min(F.col("l_extendedprice") / F.col("l_quantity")), 6
+            ).alias("unit_cost")
+        )
+    )
+    small_parts = part.filter(F.col("p_size") <= max_size).select(
+        "p_partkey", "p_name", "p_size"
+    )
+    ranked = (
+        pairs.join(
+            F.broadcast(small_parts), pairs.l_partkey == small_parts.p_partkey
+        )
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("p_partkey").orderBy(
+                    F.asc("unit_cost"), F.asc("l_suppkey")
+                )
+            ),
+        )
+        .filter(F.col("rk") == 1)
+    )
+    return (
+        ranked.join(
+            F.broadcast(supplier.select("s_suppkey", "s_name")),
+            ranked.l_suppkey == F.col("s_suppkey"),
+        )
+        .select("p_partkey", "p_name", "p_size", "s_name", "unit_cost")
+    )
+
+
+def q4_order_priority(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q4 shape: order-priority checking via EXISTS. The fixtures
+    lack commit/receipt dates, so the exists-predicate is "some line
+    item shipped after the order date" — a LEFT SEMI join whose
+    condition mixes the equi key with a non-equi comparison.
+
+    Scale: semi join shuffles both sides on the order key once; the
+    non-equi part is evaluated post-match, never as a nested loop."""
+    return (
+        orders.join(
+            lineitem,
+            (orders.o_orderkey == lineitem.l_orderkey)
+            & (lineitem.l_shipdate > orders.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+def q6_revenue_forecast(
+    lineitem: DataFrame,
+    year_start: str = "1996-01-01",
+    year_end: str = "1997-01-01",
+    disc_lo: float = 0.02,
+    disc_hi: float = 0.04,
+    max_qty: float = 24.0,
+) -> DataFrame:
+    """TPC-H Q6: the canonical filter-pushdown probe — three range
+    predicates, no join, one global sum. All three predicates must
+    appear in the parquet scan's PushedFilters; the whole query is a
+    single scan + partial/final agg with no shuffle of raw rows."""
+    return (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit(year_start).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(year_end).cast("timestamp"))
+            & (F.col("l_discount") >= disc_lo)
+            & (F.col("l_discount") <= disc_hi)
+            & (F.col("l_quantity") < max_qty)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+def q7_volume_shipping(
+    supplier: DataFrame,
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    nation: DataFrame,
+) -> DataFrame:
+    """TPC-H Q7 shape: shipping volume between DIFFERENT nations —
+    the supplier's nation and the customer's nation both label each
+    line item, via two independent dimension paths.
+
+    Scale: nation×2 and supplier broadcast; customer folds into orders
+    (broadcast at fixture scale, shuffle at 100 TB); lineitem shuffles
+    exactly once, on l_orderkey."""
+    n1 = nation.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    supp = supplier.join(
+        F.broadcast(n1), supplier.s_nationkey == n1.s_nk
+    ).select("s_suppkey", "supp_nation")
+    cust = customer.join(
+        F.broadcast(n2), customer.c_nationkey == n2.c_nk
+    ).select("c_custkey", "cust_nation")
+    ords = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey).select(
+        "o_orderkey", "o_orderdate", "cust_nation"
+    )
+    return (
+        lineitem.join(F.broadcast(supp), lineitem.l_suppkey == supp.s_suppkey)
+        .join(ords, F.col("l_orderkey") == ords.o_orderkey)
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("o_orderdate").alias("l_year")
+        )
+        .agg(
+            F.round(
+                F.sum(_dec2("l_extendedprice") * (1 - _dec2("l_discount"))), 2
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+def q9_product_profit(
+    part: DataFrame,
+    supplier: DataFrame,
+    lineitem: DataFrame,
+    orders: DataFrame,
+    nation: DataFrame,
+    name_like: str = "%bolt%",
+) -> DataFrame:
+    """TPC-H Q9 shape: profit by supplier nation and order year for a
+    part-name-filtered slice. No partsupp in the fixtures, so cost is
+    p_retailprice × l_quantity (same join shape, different arithmetic).
+
+    Scale: part filter broadcasts (name LIKE prunes ~1/7 of parts);
+    supplier+nation broadcast; the only fact-fact shuffle is
+    lineitem⋈orders on the order key."""
+    parts = part.filter(F.col("p_name").like(name_like)).select(
+        "p_partkey", "p_retailprice"
+    )
+    supp = supplier.join(
+        F.broadcast(nation.select("n_nationkey", "n_name")),
+        supplier.s_nationkey == F.col("n_nationkey"),
+    ).select("s_suppkey", "n_name")
+    return (
+        lineitem.join(F.broadcast(parts), lineitem.l_partkey == parts.p_partkey)
+        .join(F.broadcast(supp), lineitem.l_suppkey == supp.s_suppkey)
+        .join(orders.select("o_orderkey", "o_orderdate"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(F.col("n_name").alias("nation"),
+                 F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(
+                    _dec2("l_extendedprice") * (1 - _dec2("l_discount"))
+                    - _dec2("p_retailprice") * _dec2("l_quantity")
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("sum_profit")
+        )
+    )
+
+
+def q10_returned_items(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    nation: DataFrame,
+    date_lo: str = "1996-07-01",
+    date_hi: str = "1996-10-01",
+    k: int = 20,
+) -> DataFrame:
+    """TPC-H Q10: top-k customers by revenue lost to returned items in
+    one quarter. Covers grouped top-k over a 4-way join.
+
+    Scale: the order-date filter pushes into the orders scan and
+    pre-shrinks the fact-fact join; customer/nation broadcast; final
+    top-20 is TakeOrderedAndProject (per-partition heads, no global
+    sort)."""
+    ords = orders.filter(
+        (F.col("o_orderdate") >= F.lit(date_lo).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(date_hi).cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    li = lineitem.filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    cust = customer.join(
+        F.broadcast(nation.select("n_nationkey", "n_name")),
+        customer.c_nationkey == F.col("n_nationkey"),
+    ).select("c_custkey", "c_name", "c_acctbal", "n_name")
+    return (
+        li.join(ords, li.l_orderkey == ords.o_orderkey)
+        .join(F.broadcast(cust), ords.o_custkey == cust.c_custkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(k)
+    )
+
+
+def q13_order_distribution(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """TPC-H Q13: distribution of orders-per-customer INCLUDING
+    zero-order customers — the outer-join histogram. Two aggregations:
+    count per customer (left outer), then customers per count.
+
+    Scale: first agg shuffles on custkey, second on the (tiny) count
+    domain; the second shuffle moves one row per distinct count."""
+    per_cust = (
+        customer.join(
+            orders.select("o_custkey", "o_orderkey"),
+            customer.c_custkey == F.col("o_custkey"),
+            "left_outer",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))  # count(col): nulls drop
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("custdist")
+    )
+
+
+def q14_promo_revenue(
+    lineitem: DataFrame,
+    part: DataFrame,
+    month_lo: str = "1996-03-01",
+    month_hi: str = "1996-04-01",
+) -> DataFrame:
+    """TPC-H Q14: promo revenue share — a conditional-sum ratio in one
+    aggregation pass over a month of shipments (p_type = 'PROMO' is the
+    fixtures' analog of TPC-H's 'PROMO%' prefix)."""
+    amount = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit(month_lo).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(month_hi).cast("timestamp"))
+        )
+        .join(F.broadcast(part.select("p_partkey", "p_type")),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", amount).otherwise(0.0))
+                / F.sum(amount),
+                6,
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+def q17_small_quantity_revenue(
+    lineitem: DataFrame, part: DataFrame, brand: str = "Brand#3"
+) -> DataFrame:
+    """TPC-H Q17: yearly revenue that would vanish if sub-20%-of-average
+    quantity orders stopped — the correlated-average filter.
+
+    Spark-first: the correlated scalar subquery becomes an aggregate-
+    then-broadcast-join — per-part averages are tiny (one row per part)
+    and join back into the brand-filtered fact slice. Quantities are
+    integer-valued doubles, so their sums (hence averages) are exact in
+    IEEE double and the 0.2×avg threshold is engine-portable."""
+    branded = lineitem.join(
+        F.broadcast(
+            part.filter(F.col("p_brand") == brand).select("p_partkey")
+        ),
+        lineitem.l_partkey == F.col("p_partkey"),
+    )
+    avg_qty = branded.groupBy("l_partkey").agg(
+        F.avg("l_quantity").alias("avg_qty")
+    ).withColumnRenamed("l_partkey", "ap_partkey")
+    return (
+        branded.join(
+            F.broadcast(avg_qty), branded.l_partkey == F.col("ap_partkey")
+        )
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly")
+        )
+    )
+
+
+def q18_large_volume_customers(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    min_qty: float = 300.0,
+) -> DataFrame:
+    """TPC-H Q18: customers whose single orders exceed a total-quantity
+    threshold — aggregate-HAVING on the fact, then joins outward.
+
+    Scale: lineitem collapses to per-order sums first (map-side partial
+    sums make this cheap), the HAVING filter keeps a handful of rows,
+    and those broadcast into orders/customer."""
+    big = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+        .filter(F.col("sum_qty") > min_qty)
+    )
+    return (
+        orders.join(F.broadcast(big), orders.o_orderkey == big.l_orderkey)
+        .join(
+            F.broadcast(customer.select("c_custkey", "c_name")),
+            orders.o_custkey == F.col("c_custkey"),
+        )
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.to_date("o_orderdate").alias("o_orderdate"),
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            "sum_qty",
+        )
+    )
+
+
+def q19_disjunctive_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """TPC-H Q19: revenue under an OR of three brand/size/quantity
+    conjunction branches — the disjunctive-predicate probe. Expressed
+    as one boolean expression so Catalyst can factor the common
+    l_partkey = p_partkey equi-join out of the OR and keep the join a
+    hash join (not a nested loop)."""
+    j = lineitem.join(
+        F.broadcast(part.select("p_partkey", "p_brand", "p_size")),
+        lineitem.l_partkey == F.col("p_partkey"),
+    )
+    b1 = (
+        (F.col("p_brand") == "Brand#1")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 20)
+    )
+    b2 = (
+        (F.col("p_brand") == "Brand#2")
+        & F.col("p_size").between(10, 30)
+        & F.col("l_quantity").between(10, 30)
+    )
+    b3 = (
+        (F.col("p_brand") == "Brand#3")
+        & F.col("p_size").between(20, 50)
+        & F.col("l_quantity").between(20, 40)
+    )
+    return j.filter(b1 | b2 | b3).agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue")
+    )
+
+
+def q22_sales_opportunity(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """TPC-H Q22: well-funded customers who never ordered, grouped by
+    nation (the fixtures' analog of phone country code). Scalar
+    subquery (average positive balance) + anti join.
+
+    Scale: the scalar average is one row (broadcast by construction);
+    the anti join shuffles on custkey. Balances are compared against
+    the unrounded average exactly as DuckDB computes it — double sums
+    of 2-decimal values agree to well under the 1e-2 gap between any
+    two distinct balances."""
+    avg_bal = customer.filter(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    rich = customer.join(F.broadcast(avg_bal)).filter(
+        F.col("c_acctbal") > F.col("avg_bal")
+    )
+    no_orders = rich.join(
+        orders, rich.c_custkey == orders.o_custkey, "left_anti"
+    )
+    return no_orders.groupBy(F.col("c_nationkey").alias("nationkey")).agg(
+        F.count(F.lit(1)).alias("numcust"),
+        F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+    )

@@ -138,6 +138,75 @@ def _q_parts_by_brand_type(spark, sf):
     return tpch.parts_by_brand_type(_t("part")(spark, sf))
 
 
+def _q_q2(spark, sf):
+    return tpch.q2_min_cost_supplier(
+        _t("part")(spark, sf), _t("supplier")(spark, sf), _t("lineitem")(spark, sf)
+    )
+
+
+def _q_q4(spark, sf):
+    return tpch.q4_order_priority(_t("orders")(spark, sf), _t("lineitem")(spark, sf))
+
+
+def _q_q6(spark, sf):
+    return tpch.q6_revenue_forecast(_t("lineitem")(spark, sf))
+
+
+def _q_q7(spark, sf):
+    return tpch.q7_volume_shipping(
+        _t("supplier")(spark, sf),
+        _t("lineitem")(spark, sf),
+        _t("orders")(spark, sf),
+        _t("customer")(spark, sf),
+        _t("nation")(spark, sf),
+    )
+
+
+def _q_q9(spark, sf):
+    return tpch.q9_product_profit(
+        _t("part")(spark, sf),
+        _t("supplier")(spark, sf),
+        _t("lineitem")(spark, sf),
+        _t("orders")(spark, sf),
+        _t("nation")(spark, sf),
+    )
+
+
+def _q_q10(spark, sf):
+    return tpch.q10_returned_items(
+        _t("customer")(spark, sf),
+        _t("orders")(spark, sf),
+        _t("lineitem")(spark, sf),
+        _t("nation")(spark, sf),
+    )
+
+
+def _q_q13(spark, sf):
+    return tpch.q13_order_distribution(_t("customer")(spark, sf), _t("orders")(spark, sf))
+
+
+def _q_q14(spark, sf):
+    return tpch.q14_promo_revenue(_t("lineitem")(spark, sf), _t("part")(spark, sf))
+
+
+def _q_q17(spark, sf):
+    return tpch.q17_small_quantity_revenue(_t("lineitem")(spark, sf), _t("part")(spark, sf))
+
+
+def _q_q18(spark, sf):
+    return tpch.q18_large_volume_customers(
+        _t("customer")(spark, sf), _t("orders")(spark, sf), _t("lineitem")(spark, sf)
+    )
+
+
+def _q_q19(spark, sf):
+    return tpch.q19_disjunctive_revenue(_t("lineitem")(spark, sf), _t("part")(spark, sf))
+
+
+def _q_q22(spark, sf):
+    return tpch.q22_sales_opportunity(_t("customer")(spark, sf), _t("orders")(spark, sf))
+
+
 def _q_events_by_customer_segment(spark, sf):
     """Cross-dataset enrichment: the event stream joined to the
     customer dimension (user_id == c_custkey in the fixtures),
@@ -751,6 +820,143 @@ SELECT p_brand, p_type, COUNT(*) AS n_parts,
        ROUND(AVG(p_retailprice), 6) AS avg_price
 FROM part GROUP BY 1, 2
 """,
+    "q2_min_cost_supplier": """
+WITH pairs AS (
+  SELECT l_partkey, l_suppkey,
+         ROUND(MIN(l_extendedprice / l_quantity), 6) AS unit_cost
+  FROM lineitem GROUP BY 1, 2
+), ranked AS (
+  SELECT p_partkey, p_name, p_size, l_suppkey, unit_cost,
+         CAST(ROW_NUMBER() OVER (PARTITION BY p_partkey
+                                 ORDER BY unit_cost ASC, l_suppkey ASC) AS INT) AS rk
+  FROM pairs JOIN part ON l_partkey = p_partkey
+  WHERE p_size <= 10
+)
+SELECT p_partkey, p_name, p_size, s_name, unit_cost
+FROM ranked JOIN supplier ON l_suppkey = s_suppkey
+WHERE rk = 1
+""",
+    "q4_order_priority": """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+GROUP BY 1
+""",
+    "q6_revenue_forecast": """
+SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount >= 0.02 AND l_discount <= 0.04
+  AND l_quantity < 24.0
+""",
+    "q7_volume_shipping": """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(o_orderdate) AS INT) AS l_year,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2)
+            AS DOUBLE) AS revenue
+FROM lineitem
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation n1 ON n1.n_nationkey = s_nationkey
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation n2 ON n2.n_nationkey = c_nationkey
+WHERE n1.n_name <> n2.n_name
+GROUP BY 1, 2, 3
+""",
+    "q9_product_profit": """
+SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                      - CAST(p_retailprice AS DECIMAL(18,2))
+                        * CAST(l_quantity AS DECIMAL(18,2))), 2)
+            AS DOUBLE) AS sum_profit
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation ON n_nationkey = s_nationkey
+JOIN orders ON o_orderkey = l_orderkey
+WHERE p_name LIKE '%bolt%'
+GROUP BY 1, 2
+""",
+    "q10_returned_items": """
+SELECT c_custkey, c_name, c_acctbal, n_name,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation ON n_nationkey = c_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1996-10-01 00:00:00'
+GROUP BY 1, 2, 3, 4
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+""",
+    "q13_order_distribution": """
+SELECT c_count, COUNT(*) AS custdist
+FROM (SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer LEFT OUTER JOIN orders ON o_custkey = c_custkey
+      GROUP BY 1) per_cust
+GROUP BY 1
+""",
+    "q14_promo_revenue": """
+SELECT ROUND(100.0 * SUM(CASE WHEN p_type = 'PROMO'
+                              THEN l_extendedprice * (1 - l_discount)
+                              ELSE 0.0 END)
+             / SUM(l_extendedprice * (1 - l_discount)), 6) AS promo_revenue_pct
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+""",
+    "q17_small_quantity_revenue": """
+WITH avg_q AS (
+  SELECT l_partkey AS ap_partkey, AVG(l_quantity) AS avg_qty
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  WHERE p_brand = 'Brand#3'
+  GROUP BY 1
+)
+SELECT ROUND(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+JOIN avg_q ON ap_partkey = l_partkey
+WHERE p_brand = 'Brand#3' AND l_quantity < 0.2 * avg_qty
+""",
+    "q18_large_volume_customers": """
+WITH big AS (
+  SELECT l_orderkey, ROUND(SUM(l_quantity), 2) AS sum_qty
+  FROM lineitem GROUP BY 1
+  HAVING ROUND(SUM(l_quantity), 2) > 300.0
+)
+SELECT c_name, c_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
+       ROUND(o_totalprice, 2) AS o_totalprice, sum_qty
+FROM orders
+JOIN big ON o_orderkey = big.l_orderkey
+JOIN customer ON c_custkey = o_custkey
+""",
+    "q19_disjunctive_revenue": """
+SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 1 AND 20)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+       AND l_quantity BETWEEN 10 AND 30)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
+       AND l_quantity BETWEEN 20 AND 40)
+""",
+    "q22_sales_opportunity": """
+WITH avg_bal AS (
+  SELECT AVG(c_acctbal) AS avg_bal FROM customer WHERE c_acctbal > 0.0
+)
+SELECT c_nationkey AS nationkey, COUNT(*) AS numcust,
+       ROUND(SUM(c_acctbal), 2) AS totacctbal
+FROM customer, avg_bal
+WHERE c_acctbal > avg_bal
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY 1
+""",
     "events_by_customer_segment": """
 SELECT c_mktsegment, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS total_value
 FROM events JOIN customer ON user_id = c_custkey
@@ -1353,6 +1559,22 @@ SPECS: dict[str, QuerySpec] = {
     "parts_by_brand_type": QuerySpec(
         _q_parts_by_brand_type, ORACLES["parts_by_brand_type"]
     ),
+    "q2_min_cost_supplier": QuerySpec(_q_q2, ORACLES["q2_min_cost_supplier"]),
+    "q4_order_priority": QuerySpec(_q_q4, ORACLES["q4_order_priority"]),
+    "q6_revenue_forecast": QuerySpec(_q_q6, ORACLES["q6_revenue_forecast"]),
+    "q7_volume_shipping": QuerySpec(_q_q7, ORACLES["q7_volume_shipping"]),
+    "q9_product_profit": QuerySpec(_q_q9, ORACLES["q9_product_profit"], bench=True),
+    "q10_returned_items": QuerySpec(_q_q10, ORACLES["q10_returned_items"]),
+    "q13_order_distribution": QuerySpec(_q_q13, ORACLES["q13_order_distribution"]),
+    "q14_promo_revenue": QuerySpec(_q_q14, ORACLES["q14_promo_revenue"]),
+    "q17_small_quantity_revenue": QuerySpec(
+        _q_q17, ORACLES["q17_small_quantity_revenue"]
+    ),
+    "q18_large_volume_customers": QuerySpec(
+        _q_q18, ORACLES["q18_large_volume_customers"], bench=True
+    ),
+    "q19_disjunctive_revenue": QuerySpec(_q_q19, ORACLES["q19_disjunctive_revenue"]),
+    "q22_sales_opportunity": QuerySpec(_q_q22, ORACLES["q22_sales_opportunity"]),
     "events_by_customer_segment": QuerySpec(
         _q_events_by_customer_segment, ORACLES["events_by_customer_segment"]
     ),
