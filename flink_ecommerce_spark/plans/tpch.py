@@ -583,3 +583,323 @@ def q22_sales_opportunity(customer: DataFrame, orders: DataFrame) -> DataFrame:
         F.count(F.lit(1)).alias("numcust"),
         F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
     )
+
+
+# --------------------------------------------------------------------------
+# Final batch: the remaining TPC-H shapes (q8, q11, q12, q15, q16, q20,
+# q21), completing all 22 query archetypes. Where the fixtures lack a
+# column (partsupp, commitdate, shipmode), the substitution keeps the
+# query SHAPE — the optimizer pattern being exercised — and is noted.
+# --------------------------------------------------------------------------
+
+
+def q8_market_share(
+    part: DataFrame,
+    supplier: DataFrame,
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    region_name: str = "ASIA",
+    part_type: str = "ECONOMY",
+    target_nation: str = "NATION_5",
+) -> DataFrame:
+    """TPC-H Q8: one nation's market share, per year, of a part type
+    sold to customers in one region — a conditional-sum ratio over an
+    8-table join.
+
+    Scale: every dimension path (region→nation→customer folds into
+    orders; nation→supplier; filtered part) broadcasts; lineitem
+    shuffles once on l_orderkey. Sums run in exact decimal; the share
+    is computed as double division of the two exact sums, so both
+    engines see bit-identical operands."""
+    amount = _dec2("l_extendedprice") * (1 - _dec2("l_discount"))
+    region_nations = nation.join(
+        F.broadcast(
+            region.filter(F.col("r_name") == region_name).select("r_regionkey")
+        ),
+        nation.n_regionkey == F.col("r_regionkey"),
+    ).select(F.col("n_nationkey").alias("rn_nk"))
+    cust = customer.join(
+        F.broadcast(region_nations), customer.c_nationkey == F.col("rn_nk")
+    ).select("c_custkey")
+    ords = orders.join(
+        F.broadcast(cust), orders.o_custkey == F.col("c_custkey")
+    ).select("o_orderkey", "o_orderdate")
+    supp = supplier.join(
+        F.broadcast(
+            nation.select(F.col("n_nationkey").alias("s_nk"), "n_name")
+        ),
+        supplier.s_nationkey == F.col("s_nk"),
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    parts = part.filter(F.col("p_type") == part_type).select("p_partkey")
+    return (
+        lineitem.join(F.broadcast(parts), lineitem.l_partkey == F.col("p_partkey"))
+        .join(F.broadcast(supp), lineitem.l_suppkey == F.col("s_suppkey"))
+        .join(ords, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(F.col("supp_nation") == target_nation, amount).otherwise(
+                        F.lit(0)
+                    )
+                ).cast("double")
+                / F.sum(amount).cast("double"),
+                6,
+            ).alias("mkt_share")
+        )
+    )
+
+
+def q11_important_parts(
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    nation_name: str = "NATION_3",
+    fraction: float = 0.001,
+) -> DataFrame:
+    """TPC-H Q11 shape: parts representing a significant fraction of
+    one nation's traded value — group-sum HAVING a share of a global
+    scalar aggregate. No partsupp in the fixtures, so a part's value
+    for the nation is sum(extendedprice × quantity) over the nation's
+    suppliers' line items.
+
+    Scale: the global total re-aggregates the (small) per-part sums
+    and broadcasts back — two passes over an already-shrunk table,
+    never over the fact. Decimal sums keep both the per-part values
+    and the threshold comparison order-independent."""
+    supp = supplier.join(
+        F.broadcast(
+            nation.filter(F.col("n_name") == nation_name).select("n_nationkey")
+        ),
+        supplier.s_nationkey == F.col("n_nationkey"),
+    ).select("s_suppkey")
+    vals = (
+        lineitem.join(F.broadcast(supp), lineitem.l_suppkey == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(_dec2("l_extendedprice") * _dec2("l_quantity")).alias("value_dec")
+        )
+    )
+    total = vals.agg(F.sum("value_dec").alias("total_dec"))
+    return (
+        vals.join(F.broadcast(total))
+        .filter(
+            F.col("value_dec").cast("double")
+            > F.col("total_dec").cast("double") * fraction
+        )
+        .select(
+            "l_partkey",
+            F.round(F.col("value_dec"), 2).cast("double").alias("part_value"),
+        )
+    )
+
+
+def q12_priority_shipping(
+    orders: DataFrame,
+    lineitem: DataFrame,
+    year_lo: str = "1996-01-01",
+    year_hi: str = "1997-01-01",
+) -> DataFrame:
+    """TPC-H Q12 shape: high- vs low-priority line counts per group for
+    a year of late shipments. The fixtures lack shipmode/commitdate, so
+    the group is l_returnflag and "late" is l_shipdate > o_orderdate.
+
+    Scale: the ship-date range pushes into the lineitem scan; the only
+    shuffle is the fact-fact join on the order key; the conditional
+    counts are map-side partial sums."""
+    high = ("1-URGENT", "2-HIGH")
+    j = (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit(year_lo).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(year_hi).cast("timestamp"))
+        )
+        .join(
+            orders.select("o_orderkey", "o_orderdate", "o_orderpriority"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .filter(F.col("l_shipdate") > F.col("o_orderdate"))
+    )
+    return j.groupBy("l_returnflag").agg(
+        F.sum(
+            F.when(F.col("o_orderpriority").isin(*high), 1).otherwise(0)
+        ).alias("high_line_count"),
+        F.sum(
+            F.when(~F.col("o_orderpriority").isin(*high), 1).otherwise(0)
+        ).alias("low_line_count"),
+    )
+
+
+def q15_top_supplier(
+    supplier: DataFrame,
+    lineitem: DataFrame,
+    date_lo: str = "1996-01-01",
+    date_hi: str = "1996-04-01",
+) -> DataFrame:
+    """TPC-H Q15: the supplier(s) with maximum revenue in a quarter —
+    an aggregate view joined against its own scalar max (ties kept,
+    exactly as the spec's revenue view semantics).
+
+    Scale: per-supplier revenue is a one-shuffle partial-sum agg; the
+    scalar max broadcasts back into the tiny aggregate, never the
+    fact. Revenue is rounded from an exact decimal sum on both
+    engines, so the max-equality join is safe on doubles."""
+    rev = (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit(date_lo).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(date_hi).cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.round(
+                F.sum(_dec2("l_extendedprice") * (1 - _dec2("l_discount"))), 2
+            )
+            .cast("double")
+            .alias("total_revenue")
+        )
+    )
+    mx = rev.agg(F.max("total_revenue").alias("max_rev"))
+    return (
+        rev.join(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("max_rev"))
+        .join(
+            F.broadcast(supplier.select("s_suppkey", "s_name")),
+            rev.l_suppkey == F.col("s_suppkey"),
+        )
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+def q16_part_supplier_counts(
+    part: DataFrame,
+    supplier: DataFrame,
+    lineitem: DataFrame,
+    exclude_brand: str = "Brand#5",
+    exclude_type_prefix: str = "PROMO",
+    sizes: tuple = (1, 4, 9, 16, 25, 36, 49),
+    complaint_bal: float = 1000.0,
+) -> DataFrame:
+    """TPC-H Q16 shape: how many distinct suppliers can provide parts
+    with given attribute filters, excluding blacklisted suppliers.
+    (part, supplier) pairs come from lineitem (no partsupp); the
+    "customer complaints" exclusion is s_acctbal < threshold.
+
+    Scale: the distinct (part, supplier) projection is the only wide
+    shuffle and it collapses the fact immediately; the attribute
+    filter broadcasts; the blacklist anti-join broadcasts (it's a tiny
+    dim slice)."""
+    pairs = lineitem.select("l_partkey", "l_suppkey").distinct()
+    parts = part.filter(
+        (F.col("p_brand") != exclude_brand)
+        & (~F.col("p_type").startswith(exclude_type_prefix))
+        & (F.col("p_size").isin(*sizes))
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    bad = supplier.filter(F.col("s_acctbal") < complaint_bal).select("s_suppkey")
+    return (
+        pairs.join(F.broadcast(parts), pairs.l_partkey == F.col("p_partkey"))
+        .join(
+            F.broadcast(bad), pairs.l_suppkey == F.col("s_suppkey"), "left_anti"
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+def q20_promotion_suppliers(
+    supplier: DataFrame,
+    nation: DataFrame,
+    part: DataFrame,
+    lineitem: DataFrame,
+    name_like: str = "%bolt%",
+    date_lo: str = "1996-01-01",
+    date_hi: str = "1997-01-01",
+    min_qty: float = 50.0,
+) -> DataFrame:
+    """TPC-H Q20 shape: suppliers who moved significant volume of a
+    part family in a year — nested IN over an aggregate threshold,
+    expressed as agg → filter → semi join (no correlated subquery at
+    runtime).
+
+    Scale: part filter broadcasts into the date-pruned fact; the
+    per-(part, supplier) quantity agg collapses before the threshold;
+    the surviving supplier keys semi-join (broadcast) into the dim."""
+    parts = part.filter(F.col("p_name").like(name_like)).select("p_partkey")
+    movers = (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit(date_lo).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(date_hi).cast("timestamp"))
+        )
+        .join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > min_qty)
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        supplier.join(
+            F.broadcast(movers),
+            supplier.s_suppkey == F.col("l_suppkey"),
+            "left_semi",
+        )
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            supplier.s_nationkey == F.col("n_nationkey"),
+        )
+        .select("s_name", F.col("n_name").alias("nation"))
+    )
+
+
+def q21_waiting_suppliers(
+    supplier: DataFrame,
+    lineitem: DataFrame,
+    orders: DataFrame,
+    late_days: int = 30,
+    k: int = 100,
+) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who were the SOLE late shipper on
+    multi-supplier orders. The reference formulation is EXISTS (another
+    supplier on the order) AND NOT EXISTS (another late supplier);
+    Spark-first that's one per-order aggregation producing both
+    counts — the two correlated subqueries become two countDistincts,
+    and the fact is scanned once instead of three times. "Late" is
+    shipping > late_days after the order date (no commit/receipt dates
+    in the fixtures).
+
+    Scale: one shuffle joins lineitem to orders on the order key, one
+    reuses that partitioning for the per-order agg; the distinct late
+    (order, supplier) pairs join the tiny qualifying-order set."""
+    li = lineitem.join(
+        orders.select("o_orderkey", "o_orderdate"),
+        lineitem.l_orderkey == F.col("o_orderkey"),
+    ).withColumn(
+        "is_late",
+        F.col("l_shipdate")
+        > F.col("o_orderdate") + F.expr(f"INTERVAL {int(late_days)} DAYS"),
+    )
+    per_order = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(
+            F.when(F.col("is_late"), F.col("l_suppkey"))
+        ).alias("n_late_supp"),
+    )
+    sole_late_orders = per_order.filter(
+        (F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1)
+    ).select("l_orderkey")
+    late_pairs = (
+        li.filter(F.col("is_late")).select("l_orderkey", "l_suppkey").distinct()
+    )
+    return (
+        late_pairs.join(sole_late_orders, "l_orderkey")
+        .groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .join(
+            F.broadcast(supplier.select("s_suppkey", "s_name")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .select("s_name", "numwait")
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(k)
+    )

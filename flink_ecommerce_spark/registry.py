@@ -207,6 +207,53 @@ def _q_q22(spark, sf):
     return tpch.q22_sales_opportunity(_t("customer")(spark, sf), _t("orders")(spark, sf))
 
 
+def _q_q8(spark, sf):
+    return tpch.q8_market_share(
+        _t("part")(spark, sf),
+        _t("supplier")(spark, sf),
+        _t("lineitem")(spark, sf),
+        _t("orders")(spark, sf),
+        _t("customer")(spark, sf),
+        _t("nation")(spark, sf),
+        _t("region")(spark, sf),
+    )
+
+
+def _q_q11(spark, sf):
+    return tpch.q11_important_parts(
+        _t("lineitem")(spark, sf), _t("supplier")(spark, sf), _t("nation")(spark, sf)
+    )
+
+
+def _q_q12(spark, sf):
+    return tpch.q12_priority_shipping(_t("orders")(spark, sf), _t("lineitem")(spark, sf))
+
+
+def _q_q15(spark, sf):
+    return tpch.q15_top_supplier(_t("supplier")(spark, sf), _t("lineitem")(spark, sf))
+
+
+def _q_q16(spark, sf):
+    return tpch.q16_part_supplier_counts(
+        _t("part")(spark, sf), _t("supplier")(spark, sf), _t("lineitem")(spark, sf)
+    )
+
+
+def _q_q20(spark, sf):
+    return tpch.q20_promotion_suppliers(
+        _t("supplier")(spark, sf),
+        _t("nation")(spark, sf),
+        _t("part")(spark, sf),
+        _t("lineitem")(spark, sf),
+    )
+
+
+def _q_q21(spark, sf):
+    return tpch.q21_waiting_suppliers(
+        _t("supplier")(spark, sf), _t("lineitem")(spark, sf), _t("orders")(spark, sf)
+    )
+
+
 def _q_events_by_customer_segment(spark, sf):
     """Cross-dataset enrichment: the event stream joined to the
     customer dimension (user_id == c_custkey in the fixtures),
@@ -946,6 +993,115 @@ WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
    OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
        AND l_quantity BETWEEN 20 AND 40)
 """,
+    "q8_market_share": """
+SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+       ROUND(CAST(SUM(CASE WHEN n1.n_name = 'NATION_5'
+                           THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                                * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                           ELSE 0 END) AS DOUBLE)
+             / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE),
+             6) AS mkt_share
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation n1 ON n1.n_nationkey = s_nationkey
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation n2 ON n2.n_nationkey = c_nationkey
+JOIN region ON r_regionkey = n2.n_regionkey
+WHERE p_type = 'ECONOMY' AND r_name = 'ASIA'
+GROUP BY 1
+""",
+    "q11_important_parts": """
+WITH vals AS (
+  SELECT l_partkey,
+         SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+             * CAST(l_quantity AS DECIMAL(18,2))) AS value_dec
+  FROM lineitem
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation ON n_nationkey = s_nationkey
+  WHERE n_name = 'NATION_3'
+  GROUP BY 1
+)
+SELECT l_partkey, CAST(ROUND(value_dec, 2) AS DOUBLE) AS part_value
+FROM vals
+WHERE CAST(value_dec AS DOUBLE)
+      > CAST((SELECT SUM(value_dec) FROM vals) AS DOUBLE) * 0.001
+""",
+    "q12_priority_shipping": """
+SELECT l_returnflag,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate > o_orderdate
+GROUP BY 1
+""",
+    "q15_top_supplier": """
+WITH rev AS (
+  SELECT l_suppkey,
+         CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2)
+              AS DOUBLE) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY 1
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM rev JOIN supplier ON s_suppkey = l_suppkey
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+""",
+    "q16_part_supplier_counts": """
+SELECT p_brand, p_type, p_size,
+       COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) pairs
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#5'
+  AND p_type NOT LIKE 'PROMO%'
+  AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                        WHERE s_acctbal < 1000.0)
+GROUP BY 1, 2, 3
+""",
+    "q20_promotion_suppliers": """
+SELECT s_name, n_name AS nation
+FROM supplier
+JOIN nation ON n_nationkey = s_nationkey
+WHERE s_suppkey IN (
+  SELECT l_suppkey
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  WHERE p_name LIKE '%bolt%'
+    AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  GROUP BY l_partkey, l_suppkey
+  HAVING SUM(l_quantity) > 50.0
+)
+""",
+    "q21_waiting_suppliers": """
+WITH li AS (
+  SELECT l_orderkey, l_suppkey,
+         (l_shipdate > o_orderdate + INTERVAL 30 DAY) AS is_late
+  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+), per_order AS (
+  SELECT l_orderkey,
+         COUNT(DISTINCT l_suppkey) AS n_supp,
+         COUNT(DISTINCT CASE WHEN is_late THEN l_suppkey END) AS n_late_supp
+  FROM li GROUP BY 1
+)
+SELECT s_name, COUNT(*) AS numwait
+FROM (SELECT DISTINCT l_orderkey, l_suppkey FROM li WHERE is_late) lp
+JOIN per_order USING (l_orderkey)
+JOIN supplier ON s_suppkey = l_suppkey
+WHERE n_supp >= 2 AND n_late_supp = 1
+GROUP BY 1
+ORDER BY numwait DESC, s_name ASC
+LIMIT 100
+""",
     "q22_sales_opportunity": """
 WITH avg_bal AS (
   SELECT AVG(c_acctbal) AS avg_bal FROM customer WHERE c_acctbal > 0.0
@@ -1575,6 +1731,13 @@ SPECS: dict[str, QuerySpec] = {
     ),
     "q19_disjunctive_revenue": QuerySpec(_q_q19, ORACLES["q19_disjunctive_revenue"]),
     "q22_sales_opportunity": QuerySpec(_q_q22, ORACLES["q22_sales_opportunity"]),
+    "q8_market_share": QuerySpec(_q_q8, ORACLES["q8_market_share"]),
+    "q11_important_parts": QuerySpec(_q_q11, ORACLES["q11_important_parts"]),
+    "q12_priority_shipping": QuerySpec(_q_q12, ORACLES["q12_priority_shipping"]),
+    "q15_top_supplier": QuerySpec(_q_q15, ORACLES["q15_top_supplier"]),
+    "q16_part_supplier_counts": QuerySpec(_q_q16, ORACLES["q16_part_supplier_counts"]),
+    "q20_promotion_suppliers": QuerySpec(_q_q20, ORACLES["q20_promotion_suppliers"]),
+    "q21_waiting_suppliers": QuerySpec(_q_q21, ORACLES["q21_waiting_suppliers"]),
     "events_by_customer_segment": QuerySpec(
         _q_events_by_customer_segment, ORACLES["events_by_customer_segment"]
     ),
