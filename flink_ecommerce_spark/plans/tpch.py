@@ -861,16 +861,18 @@ def q21_waiting_suppliers(
 ) -> DataFrame:
     """TPC-H Q21 shape: suppliers who were the SOLE late shipper on
     multi-supplier orders. The reference formulation is EXISTS (another
-    supplier on the order) AND NOT EXISTS (another late supplier);
-    Spark-first that's one per-order aggregation producing both
-    counts — the two correlated subqueries become two countDistincts,
-    and the fact is scanned once instead of three times. "Late" is
-    shipping > late_days after the order date (no commit/receipt dates
-    in the fixtures).
+    supplier on the order) AND NOT EXISTS (another late supplier late);
+    Spark-first, both correlated subqueries collapse into ONE per-order
+    aggregation: distinct-supplier count, distinct-late-supplier count,
+    and max(late suppkey) — when the late count is exactly 1, that max
+    IS the sole late supplier, so no second pass over the fact is
+    needed to recover who it was. "Late" is shipping > late_days after
+    the order date (no commit/receipt dates in the fixtures).
 
-    Scale: one shuffle joins lineitem to orders on the order key, one
-    reuses that partitioning for the per-order agg; the distinct late
-    (order, supplier) pairs join the tiny qualifying-order set."""
+    Scale: lineitem joins orders on the order key (one fact shuffle,
+    dims broadcast at fixture scale / SMJ at 100 TB), aggregates per
+    order in the same partitioning, and the surviving one-row-per-
+    qualifying-order table shuffles on the (tiny) supplier domain."""
     li = lineitem.join(
         orders.select("o_orderkey", "o_orderdate"),
         lineitem.l_orderkey == F.col("o_orderkey"),
@@ -879,25 +881,19 @@ def q21_waiting_suppliers(
         F.col("l_shipdate")
         > F.col("o_orderdate") + F.expr(f"INTERVAL {int(late_days)} DAYS"),
     )
+    late_supp = F.when(F.col("is_late"), F.col("l_suppkey"))
     per_order = li.groupBy("l_orderkey").agg(
         F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(
-            F.when(F.col("is_late"), F.col("l_suppkey"))
-        ).alias("n_late_supp"),
-    )
-    sole_late_orders = per_order.filter(
-        (F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1)
-    ).select("l_orderkey")
-    late_pairs = (
-        li.filter(F.col("is_late")).select("l_orderkey", "l_suppkey").distinct()
+        F.countDistinct(late_supp).alias("n_late_supp"),
+        F.max(late_supp).alias("sole_supp"),
     )
     return (
-        late_pairs.join(sole_late_orders, "l_orderkey")
-        .groupBy("l_suppkey")
+        per_order.filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
+        .groupBy("sole_supp")
         .agg(F.count(F.lit(1)).alias("numwait"))
         .join(
             F.broadcast(supplier.select("s_suppkey", "s_name")),
-            F.col("l_suppkey") == F.col("s_suppkey"),
+            F.col("sole_supp") == F.col("s_suppkey"),
         )
         .select("s_name", "numwait")
         .orderBy(F.desc("numwait"), F.asc("s_name"))

@@ -1083,20 +1083,19 @@ WHERE s_suppkey IN (
 )
 """,
     "q21_waiting_suppliers": """
-WITH li AS (
-  SELECT l_orderkey, l_suppkey,
-         (l_shipdate > o_orderdate + INTERVAL 30 DAY) AS is_late
-  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
-), per_order AS (
+WITH per_order AS (
   SELECT l_orderkey,
          COUNT(DISTINCT l_suppkey) AS n_supp,
-         COUNT(DISTINCT CASE WHEN is_late THEN l_suppkey END) AS n_late_supp
-  FROM li GROUP BY 1
+         COUNT(DISTINCT CASE WHEN l_shipdate > o_orderdate + INTERVAL 30 DAY
+                             THEN l_suppkey END) AS n_late_supp,
+         MAX(CASE WHEN l_shipdate > o_orderdate + INTERVAL 30 DAY
+                  THEN l_suppkey END) AS sole_supp
+  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+  GROUP BY 1
 )
 SELECT s_name, COUNT(*) AS numwait
-FROM (SELECT DISTINCT l_orderkey, l_suppkey FROM li WHERE is_late) lp
-JOIN per_order USING (l_orderkey)
-JOIN supplier ON s_suppkey = l_suppkey
+FROM per_order
+JOIN supplier ON s_suppkey = sole_supp
 WHERE n_supp >= 2 AND n_late_supp = 1
 GROUP BY 1
 ORDER BY numwait DESC, s_name ASC
