@@ -174,3 +174,134 @@ def doc_fingerprints(documents: DataFrame) -> DataFrame:
         hash32(norm, salt="doc").alias("content_fp"),
         winnow.alias("winnow_fp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-curation operators: repetition scoring, eval-set decontamination,
+# PII / denylist scrubbing. The first and third are pure per-row expression
+# pipelines (scan-speed at 100 TB); decontamination is explode → broadcast
+# membership join → one re-group on doc_id.
+# ---------------------------------------------------------------------------
+
+
+def repetition_scores(documents: DataFrame) -> DataFrame:
+    """Gopher-style repetition signals: duplicate-word fraction, the
+    share of the single most frequent word, and duplicate word-3-gram
+    fraction. High values flag boilerplate / degenerate generations.
+
+    Scale: per-row array expressions only — no shuffle. The
+    most-frequent-word pass is O(distinct × words) per row, bounded by
+    document length; at 100 TB it is still embarrassingly parallel
+    scan work."""
+    from .textprep import word_shingles
+
+    ws = words(F.col("text"))
+    n_words = F.size(ws)
+    n_distinct = F.size(F.array_distinct(ws))
+    top_count = F.array_max(
+        F.transform(
+            F.array_distinct(ws),
+            lambda d: F.size(F.filter(ws, lambda w: w == d)),
+        )
+    )
+    sh = word_shingles(F.col("text"))
+    n_sh = F.size(sh)
+    dup_3gram = F.when(
+        n_sh > 0,
+        1.0 - F.size(F.array_distinct(sh)).cast("double") / n_sh.cast("double"),
+    ).otherwise(F.lit(0.0))
+    return documents.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        F.round(
+            1.0 - n_distinct.cast("double") / n_words.cast("double"), 6
+        ).alias("dup_word_frac"),
+        F.round(top_count.cast("double") / n_words.cast("double"), 6).alias(
+            "top_word_share"
+        ),
+        F.round(dup_3gram, 6).alias("dup_3gram_frac"),
+    )
+
+
+def decontaminate(documents: DataFrame, eval_mod: int = 20) -> DataFrame:
+    """Benchmark decontamination: for every training document, the
+    fraction of its distinct word-3-gram shingles that also occur in
+    the held-out eval slice (doc_id % eval_mod == 0 — the fixtures'
+    stand-in for an external benchmark corpus). Docs with high overlap
+    are contamination-removal candidates.
+
+    Scale: shingles are deduped PER ROW (array_distinct) before the
+    explode, so no shuffle is spent de-duplicating; the eval shingle
+    set is tiny relative to the corpus and broadcasts; the only wide
+    shuffle is the final regroup on doc_id."""
+    from .textprep import word_shingles
+
+    sh = F.array_distinct(word_shingles(F.col("text")))
+    eval_shingles = (
+        documents.filter((F.col("doc_id") % eval_mod) == 0)
+        .select(F.explode(sh).alias("sh"))
+        .distinct()
+        .withColumn("in_eval", F.lit(1))
+    )
+    train = documents.filter((F.col("doc_id") % eval_mod) != 0).select(
+        "doc_id", F.explode(sh).alias("sh")
+    )
+    return (
+        train.join(F.broadcast(eval_shingles), "sh", "left_outer")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.coalesce(F.col("in_eval"), F.lit(0))).alias("n_contaminated"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_contaminated",
+            F.round(
+                F.col("n_contaminated").cast("double")
+                / F.col("n_shingles").cast("double"),
+                6,
+            ).alias("contamination_frac"),
+        )
+    )
+
+
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE = r"\+?[0-9][0-9() -]{6,}[0-9]"
+PII_DENYLIST = ("customer", "key")
+
+
+def pii_scrub(documents: DataFrame) -> DataFrame:
+    """PII / denylist scrubbing: replace emails, phone-number-shaped
+    spans, and denylisted terms with typed placeholder tokens; report
+    per-document hit counts and a portable hash of the scrubbed text
+    (the hash proves both engines produced byte-identical redactions).
+    The synthetic corpus contains no real PII — email/phone counts are
+    exercised by the unit tests; the denylist fires on fixture data.
+
+    Scale: pure per-row regexp work, no shuffle; the scrubbed text
+    would normally be written back as a column, the hash is for the
+    oracle check."""
+    deny_re = r"\b(" + "|".join(PII_DENYLIST) + r")\b"
+    # function-API regexps with lit() patterns: no SQL-string-literal
+    # escaping layer, so \b / \. survive verbatim
+    n_emails = F.size(F.regexp_extract_all(F.col("text"), F.lit(PII_EMAIL), F.lit(0)))
+    n_phones = F.size(F.regexp_extract_all(F.col("text"), F.lit(PII_PHONE), F.lit(0)))
+    n_denied = F.size(F.regexp_extract_all(F.col("text"), F.lit(deny_re), F.lit(0)))
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), PII_EMAIL, "<EMAIL>"),
+            PII_PHONE,
+            "<PHONE>",
+        ),
+        deny_re,
+        "<REDACTED>",
+    )
+    return documents.select(
+        "doc_id",
+        n_emails.alias("n_emails"),
+        n_phones.alias("n_phones"),
+        n_denied.alias("n_denylisted"),
+        F.length(scrubbed).alias("scrubbed_len"),
+        hash32(scrubbed).alias("scrubbed_hash"),
+    )

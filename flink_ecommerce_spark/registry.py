@@ -505,6 +505,18 @@ def _q_doc_fingerprints(spark, sf):
     return text.doc_fingerprints(_t("documents")(spark, sf))
 
 
+def _q_repetition_scores(spark, sf):
+    return text.repetition_scores(_t("documents")(spark, sf))
+
+
+def _q_decontaminate(spark, sf):
+    return text.decontaminate(_t("documents")(spark, sf))
+
+
+def _q_pii_scrub(spark, sf):
+    return text.pii_scrub(_t("documents")(spark, sf))
+
+
 def _q_multimodal_features(spark, sf):
     return multimodal.multimodal_features(_t("documents")(spark, sf))
 
@@ -763,6 +775,16 @@ _LANG_PRED = (
 _PIVOT_COLS = ",\n  ".join(
     f"ROUND(SUM(CASE WHEN event_type = '{t}' THEN value END), 2) AS {t}_value"
     for t in ("click", "view", "purchase", "signup", "error")
+)
+
+# pii_scrub: the DuckDB twin of operators.text.pii_scrub, built from the
+# SAME pattern constants so the regexes can never drift apart.
+_DENY_RE = r"\b(" + "|".join(text.PII_DENYLIST) + r")\b"
+_SCRUBBED_SQL = (
+    "regexp_replace(regexp_replace(regexp_replace(text, "
+    f"'{text.PII_EMAIL}', '<EMAIL>', 'g'), "
+    f"'{text.PII_PHONE}', '<PHONE>', 'g'), "
+    f"'{_DENY_RE}', '<REDACTED>', 'g')"
 )
 
 ORACLES: dict[str, str] = {
@@ -1588,6 +1610,50 @@ FROM documents
         shingles=sql_char_shingles("text", 8),
         sh_hash=sql_hash32("s", salt="fp"),
     ),
+    "repetition_scores": f"""
+WITH t AS (
+  SELECT doc_id, {sql_words('text')} AS ws,
+         {sql_word_shingles('text')} AS sh
+  FROM documents)
+SELECT doc_id,
+       CAST(len(ws) AS INT) AS n_words,
+       ROUND(1.0 - CAST(len(list_distinct(ws)) AS DOUBLE)
+                   / CAST(len(ws) AS DOUBLE), 6) AS dup_word_frac,
+       ROUND(CAST(list_max(list_transform(list_distinct(ws),
+                  d -> len(list_filter(ws, w -> w = d)))) AS DOUBLE)
+             / CAST(len(ws) AS DOUBLE), 6) AS top_word_share,
+       ROUND(CASE WHEN len(sh) > 0
+                  THEN 1.0 - CAST(len(list_distinct(sh)) AS DOUBLE)
+                             / CAST(len(sh) AS DOUBLE)
+                  ELSE 0.0 END, 6) AS dup_3gram_frac
+FROM t
+""",
+    "decontaminate": f"""
+WITH sh_tbl AS (
+  SELECT doc_id, list_distinct({sql_word_shingles('text')}) AS sh
+  FROM documents),
+eval_sh AS (
+  SELECT DISTINCT unnest(sh) AS s FROM sh_tbl WHERE doc_id % 20 = 0),
+train AS (
+  SELECT doc_id, unnest(sh) AS s FROM sh_tbl WHERE doc_id % 20 <> 0)
+SELECT train.doc_id AS doc_id,
+       COUNT(*) AS n_shingles,
+       CAST(SUM(CASE WHEN e.s IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_contaminated,
+       ROUND(CAST(SUM(CASE WHEN e.s IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS contamination_frac
+FROM train LEFT JOIN eval_sh e ON train.s = e.s
+GROUP BY 1
+""",
+    "pii_scrub": f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{text.PII_EMAIL}')) AS INT) AS n_emails,
+       CAST(len(regexp_extract_all(text, '{text.PII_PHONE}')) AS INT) AS n_phones,
+       CAST(len(regexp_extract_all(text, '{_DENY_RE}')) AS INT) AS n_denylisted,
+       CAST(length({_SCRUBBED_SQL}) AS INT) AS scrubbed_len,
+       {sql_hash32(_SCRUBBED_SQL)} AS scrubbed_hash
+FROM documents
+""",
     "curation_scores": None,  # filled in below (composes two oracles)
     "knn_bruteforce": f"""
 WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb
@@ -1831,6 +1897,11 @@ SPECS: dict[str, QuerySpec] = {
     "token_counts": QuerySpec(_q_token_counts, ORACLES["token_counts"]),
     "lang_id": QuerySpec(_q_lang_id, ORACLES["lang_id"]),
     "quality_scores": QuerySpec(_q_quality_scores, ORACLES["quality_scores"]),
+    "repetition_scores": QuerySpec(
+        _q_repetition_scores, ORACLES["repetition_scores"]
+    ),
+    "decontaminate": QuerySpec(_q_decontaminate, ORACLES["decontaminate"]),
+    "pii_scrub": QuerySpec(_q_pii_scrub, ORACLES["pii_scrub"]),
     "doc_fingerprints": QuerySpec(_q_doc_fingerprints, ORACLES["doc_fingerprints"]),
     "multimodal_features": QuerySpec(
         _q_multimodal_features, ORACLES["multimodal_features"]

@@ -1,0 +1,90 @@
+"""Curation operators on crafted rows — the synthetic corpus has no
+real PII, so these tests prove the scrub regexes and repetition /
+contamination math fire on content engineered to trip them."""
+
+from __future__ import annotations
+
+import pytest
+
+from flink_ecommerce_spark.operators import text
+from flink_ecommerce_spark.schemas import DOCUMENTS_SCHEMA
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        [(i, t, "en", "test", len(t)) for i, t in enumerate(rows)],
+        DOCUMENTS_SCHEMA,
+    )
+
+
+def test_pii_scrub_redacts_emails_phones_denylist(spark):
+    df = _docs(
+        spark,
+        [
+            "contact bob.smith+spam@example.co.uk for details",
+            "call +1 (555) 123-4567 now",
+            "the customer turned the key twice",
+            "clean text with no sensitive content",
+        ],
+    )
+    rows = {r["doc_id"]: r for r in text.pii_scrub(df).collect()}
+    assert rows[0]["n_emails"] == 1 and rows[0]["n_phones"] == 0
+    assert rows[1]["n_phones"] == 1 and rows[1]["n_emails"] == 0
+    assert rows[2]["n_denylisted"] == 2
+    assert rows[3]["n_emails"] == rows[3]["n_phones"] == rows[3]["n_denylisted"] == 0
+    # scrubbed length reflects replacement, not deletion
+    assert rows[0]["scrubbed_len"] == len("contact <EMAIL> for details")
+    assert rows[2]["scrubbed_len"] == len(
+        "the <REDACTED> turned the <REDACTED> twice"
+    )
+
+
+def test_pii_scrub_hash_differs_only_when_scrubbed(spark):
+    df = _docs(spark, ["hello world", "mail me a@b.io today"])
+    out = {r["doc_id"]: r for r in text.pii_scrub(df).collect()}
+    from flink_ecommerce_spark.functions.portable import hash32
+    import pyspark.sql.functions as F
+
+    plain = {
+        r["doc_id"]: r["h"]
+        for r in df.select("doc_id", hash32(F.col("text")).alias("h")).collect()
+    }
+    assert out[0]["scrubbed_hash"] == plain[0]  # untouched text, same hash
+    assert out[1]["scrubbed_hash"] != plain[1]  # redaction changed the bytes
+
+
+def test_repetition_scores_flags_degenerate_docs(spark):
+    df = _docs(
+        spark,
+        [
+            "spam spam spam spam spam spam",
+            "one two three four five six",
+        ],
+    )
+    rows = {r["doc_id"]: r for r in text.repetition_scores(df).collect()}
+    degenerate, clean = rows[0], rows[1]
+    assert degenerate["dup_word_frac"] == round(5 / 6, 6)  # operator rounds 6dp
+    assert degenerate["top_word_share"] == 1.0
+    assert degenerate["dup_3gram_frac"] == 0.75  # 4 shingles, 1 kept
+    assert clean["dup_word_frac"] == 0.0
+    assert clean["top_word_share"] == round(1 / 6, 6)
+    assert clean["dup_3gram_frac"] == 0.0
+
+
+def test_decontaminate_scores_overlap(spark):
+    # doc 0 (doc_id % 20 == 0) is the eval doc; doc 21 copies half of it,
+    # doc 22 shares nothing.
+    rows = [
+        (0, "alpha beta gamma delta epsilon zeta", "en", "eval", 1),
+        (21, "alpha beta gamma delta nine ten", "en", "train", 1),
+        (22, "one two three four five six", "en", "train", 1),
+    ]
+    df = spark.createDataFrame(rows, DOCUMENTS_SCHEMA)
+    out = {r["doc_id"]: r for r in text.decontaminate(df).collect()}
+    assert set(out) == {21, 22}  # eval doc itself is excluded
+    # doc 21 word-3-grams: 4 total, 2 of them ("alpha beta gamma",
+    # "beta gamma delta") occur in the eval doc
+    assert out[21]["n_shingles"] == 4
+    assert out[21]["n_contaminated"] == 2
+    assert out[21]["contamination_frac"] == 0.5
+    assert out[22]["n_contaminated"] == 0
