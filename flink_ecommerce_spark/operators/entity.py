@@ -1,0 +1,74 @@
+"""Entity resolution: blocked fuzzy self-match on names.
+
+The classic record-linkage shape: normalize → derive a BLOCKING key →
+self-join only within blocks → edit-distance filter on the survivors.
+The blocking key is what makes this scale: an unblocked fuzzy join is
+O(n²) over the whole table; with blocking it is O(Σ block²), governed
+entirely by key selectivity. Both the normalization and the distance
+run with built-in functions (JVM codegen; DuckDB has the identical
+`levenshtein`), so the operator is exactly oracle-checkable.
+
+Blocking trades recall for cost by construction: a pair whose edit
+difference falls INSIDE the blocking prefix is never compared. Pick
+the prefix from the stable part of the key domain (here: all but the
+last 2 chars of the fixture names, where the variation lives).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+BLOCK_LEN = 16
+MAX_DIST = 1
+
+
+def fuzzy_name_pairs(
+    customer: DataFrame,
+    block_len: int = BLOCK_LEN,
+    max_dist: int = MAX_DIST,
+) -> DataFrame:
+    """Candidate duplicate-customer pairs: same normalized-name prefix
+    (block), Levenshtein distance ≤ max_dist, each unordered pair
+    reported once (custkey_1 < custkey_2).
+
+    Scale: the self-join shuffles both sides on the block key once;
+    within-block comparison cost is quadratic only in block size, so
+    monitoring the largest block (see block_profile) is the capacity
+    check. Distance evaluates AFTER the equi-join match, never as a
+    cross product."""
+    norm = F.lower(F.trim(F.col("c_name")))
+    t = customer.select(
+        "c_custkey",
+        norm.alias("name"),
+        F.substring(norm, 1, block_len).alias("blk"),
+    )
+    a, b = t.alias("a"), t.alias("b")
+    dist = F.levenshtein(F.col("a.name"), F.col("b.name"))
+    return (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+        )
+        .filter(dist <= max_dist)
+        .select(
+            F.col("a.c_custkey").alias("custkey_1"),
+            F.col("b.c_custkey").alias("custkey_2"),
+            dist.alias("dist"),
+        )
+    )
+
+
+def block_profile(customer: DataFrame, block_len: int = BLOCK_LEN) -> DataFrame:
+    """Block-size histogram — the operational health check for the
+    blocked join (a runaway block means the blocking key stopped
+    discriminating and the join cost curve went quadratic)."""
+    norm = F.lower(F.trim(F.col("c_name")))
+    return (
+        customer.select(F.substring(norm, 1, block_len).alias("blk"))
+        .groupBy("blk")
+        .agg(F.count(F.lit(1)).alias("block_size"))
+        .groupBy("block_size")
+        .agg(F.count(F.lit(1)).alias("n_blocks"))
+    )

@@ -58,3 +58,82 @@ def split_summary(events: DataFrame) -> DataFrame:
 
 def sql_bucket(expr: str, salt: str, n: int = 100) -> str:
     return f"({sql_hash32(f'CAST({expr} AS VARCHAR)', salt=salt)} % {n})"
+
+
+STRATA_RATES: dict[str, int] = {
+    # per-event-type keep percentages: downsample the dominant event
+    # classes, keep all of the rare ones (class rebalancing)
+    "view": 10,
+    "click": 25,
+    "purchase": 100,
+    "signup": 100,
+    "error": 50,
+}
+
+
+def stratified_sample(
+    events: DataFrame,
+    rates: dict[str, int] | None = None,
+    salt: str = "strat",
+) -> DataFrame:
+    """Deterministic stratified sampling: each stratum (event_type)
+    keeps its own hash-bucket percentage of rows — the class-
+    rebalancing step of a training pipeline, reproducible across
+    reruns, partitionings, and engines. Unlisted strata are dropped
+    (rate 0).
+
+    Scale: the rate lookup folds into a CASE expression on the scan —
+    a pure per-row filter, no shuffle, no driver-side sampling
+    state."""
+    rates = STRATA_RATES if rates is None else rates
+    b = _bucket(F.col("event_id"), salt)
+    rate = F.lit(0)
+    for k, v in rates.items():
+        rate = F.when(F.col("event_type") == k, F.lit(v)).otherwise(rate)
+    return events.filter(b < rate).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+
+
+MIXTURE_WEIGHTS: dict[str, int] = {
+    # per-source keep percentages for corpus mixing (e.g. upweight
+    # curated sources, downsample the crawl); unlisted sources drop
+    "src0": 100,
+    "src1": 80,
+    "src2": 60,
+    "src3": 40,
+    "src4": 20,
+    "src5": 10,
+}
+
+
+def mixture_sample(
+    documents: DataFrame,
+    weights: dict[str, int] | None = None,
+    salt: str = "mix",
+) -> DataFrame:
+    """Corpus mixture construction: deterministically keep a per-
+    source percentage of documents — the "data recipe" step that
+    turns raw source corpora into a training mixture. Same hash-
+    threshold mechanism as stratified_sample, keyed on doc_id.
+
+    Scale: per-row filter on the scan; at 100 TB this runs at read
+    speed with partition pruning intact when the corpus is
+    source-partitioned."""
+    weights = MIXTURE_WEIGHTS if weights is None else weights
+    b = _bucket(F.col("doc_id"), salt)
+    rate = F.lit(0)
+    for k, v in weights.items():
+        rate = F.when(F.col("source") == k, F.lit(v)).otherwise(rate)
+    return documents.select(
+        "doc_id",
+        "source",
+        F.col("n_chars").alias("n_chars"),
+        (b < rate).alias("kept"),
+    )
+
+
+def sql_rate_case(col: str, rates: dict[str, int]) -> str:
+    """DuckDB CASE expression mirroring the rate lookup."""
+    whens = " ".join(f"WHEN {col} = '{k}' THEN {v}" for k, v in rates.items())
+    return f"(CASE {whens} ELSE 0 END)"

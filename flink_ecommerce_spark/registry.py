@@ -31,8 +31,13 @@ from pyspark.sql import functions as F
 from . import catalog
 from .functions.portable import sql_hash32
 from .functions.vector import sql_cosine, sql_l2_norm
-from .operators import dedup, multimodal, similarity, text
-from .operators.sampling import sql_bucket
+from .operators import dedup, entity, multimodal, sampling, similarity, text
+from .operators.sampling import (
+    MIXTURE_WEIGHTS,
+    STRATA_RATES,
+    sql_bucket,
+    sql_rate_case,
+)
 from .operators.textprep import sql_word_shingles, sql_char_shingles, sql_words
 from .plans import analytics, sales, temporal, tpch
 
@@ -483,6 +488,22 @@ def _q_split_summary(spark, sf):
     from .operators.sampling import split_summary
 
     return split_summary(_t("events")(spark, sf))
+
+
+def _q_stratified_sample(spark, sf):
+    return sampling.stratified_sample(_t("events")(spark, sf))
+
+
+def _q_mixture_sample(spark, sf):
+    return sampling.mixture_sample(_t("documents")(spark, sf))
+
+
+def _q_fuzzy_name_pairs(spark, sf):
+    return entity.fuzzy_name_pairs(_t("customer")(spark, sf))
+
+
+def _q_block_profile(spark, sf):
+    return entity.block_profile(_t("customer")(spark, sf))
 
 
 def _q_simhash_near_pairs(spark, sf):
@@ -1505,6 +1526,37 @@ SELECT event_id, user_id,
        CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
 FROM (SELECT event_id, user_id, {bucket} AS b FROM events)
 """.format(bucket=sql_bucket("user_id", "split")),
+    "stratified_sample": """
+SELECT event_id, ts, user_id, event_type, value FROM events
+WHERE ({bucket}) < {rate}
+""".format(
+        bucket=sql_bucket("event_id", "strat"),
+        rate=sql_rate_case("event_type", STRATA_RATES),
+    ),
+    "mixture_sample": """
+SELECT doc_id, source, n_chars, ({bucket}) < {rate} AS kept
+FROM documents
+""".format(
+        bucket=sql_bucket("doc_id", "mix"),
+        rate=sql_rate_case("source", MIXTURE_WEIGHTS),
+    ),
+    "fuzzy_name_pairs": f"""
+WITH t AS (
+  SELECT c_custkey, lower(trim(c_name)) AS name,
+         substr(lower(trim(c_name)), 1, {entity.BLOCK_LEN}) AS blk
+  FROM customer)
+SELECT a.c_custkey AS custkey_1, b.c_custkey AS custkey_2,
+       CAST(levenshtein(a.name, b.name) AS INT) AS dist
+FROM t a JOIN t b ON a.blk = b.blk AND a.c_custkey < b.c_custkey
+WHERE levenshtein(a.name, b.name) <= {entity.MAX_DIST}
+""",
+    "block_profile": f"""
+SELECT block_size, COUNT(*) AS n_blocks
+FROM (SELECT substr(lower(trim(c_name)), 1, {entity.BLOCK_LEN}) AS blk,
+             COUNT(*) AS block_size
+      FROM customer GROUP BY 1) b
+GROUP BY 1
+""",
     "split_summary": """
 WITH s AS (SELECT event_id, user_id,
              CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
@@ -1890,6 +1942,12 @@ SPECS: dict[str, QuerySpec] = {
     "sample_events": QuerySpec(_q_sample_events, ORACLES["sample_events"]),
     "dataset_splits": QuerySpec(_q_dataset_splits, ORACLES["dataset_splits"]),
     "split_summary": QuerySpec(_q_split_summary, ORACLES["split_summary"]),
+    "stratified_sample": QuerySpec(
+        _q_stratified_sample, ORACLES["stratified_sample"]
+    ),
+    "mixture_sample": QuerySpec(_q_mixture_sample, ORACLES["mixture_sample"]),
+    "fuzzy_name_pairs": QuerySpec(_q_fuzzy_name_pairs, ORACLES["fuzzy_name_pairs"]),
+    "block_profile": QuerySpec(_q_block_profile, ORACLES["block_profile"]),
     "simhash_near_pairs": QuerySpec(
         _q_simhash_near_pairs, ORACLES["simhash_near_pairs"]
     ),
