@@ -34,3 +34,34 @@ def write_events_partitioned(
 
 def read_events_partitioned(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
+
+
+def write_clustered(
+    df: DataFrame,
+    path: str,
+    cluster_cols: list[str],
+    n_files: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Range-cluster rows across output files on `cluster_cols`:
+    repartitionByRange gives each file a narrow, pairwise-disjoint
+    slice of the leading key's domain, and sortWithinPartitions keeps
+    every row group's min/max tight inside it. Any downstream range or
+    point predicate on the leading key then skips all but the touched
+    row groups via parquet statistics — the single biggest read-side
+    lever after directory partitioning, and the right layout for the
+    secondary access path a hypertable-style rollup would index.
+
+    Scale: one range-exchange (sampled boundaries) + local sort; cost
+    amortizes over every future scan. Prefer the coarse dt-directory
+    partitioning (write_events_partitioned) for time, this for the
+    high-cardinality secondary key."""
+    n = n_files or int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
+    (
+        df.repartitionByRange(n, *cluster_cols)
+        .sortWithinPartitions(*cluster_cols)
+        .write.mode(mode)
+        .parquet(path)
+    )

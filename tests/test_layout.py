@@ -47,3 +47,47 @@ def test_portable_hash_matches_python_and_duckdb(s):
     ).fetchone()[0]
     con.close()
     assert got == expected, repr(s)
+
+
+def test_clustered_layout_has_disjoint_tight_rowgroups(spark, tmp_path):
+    """write_clustered must produce files whose row-group min/max
+    ranges on the cluster key are (a) tight and (b) pairwise disjoint
+    across files — the property parquet readers skip on. A naive
+    unsorted write has every row group spanning the whole domain."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    events = catalog.table(spark, SF_SMALL, "events")
+    out = str(tmp_path / "events_by_user")
+    from flink_ecommerce_spark.sources.layout import write_clustered
+
+    write_clustered(events, out, ["user_id"], n_files=8)
+
+    spans = []
+    for f in glob.glob(out + "/*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        col_idx = next(
+            i for i in range(len(md.schema))
+            if md.schema.column(i).name == "user_id"
+        )
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(col_idx).statistics
+            spans.append((st.min, st.max))
+    assert len(spans) >= 4  # actually split across files
+    spans.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
+        assert hi1 <= lo2, f"overlapping row groups: {(lo1, hi1)} {(lo2, hi2)}"
+
+    # a point read touches exactly one span
+    probe = spans[len(spans) // 2][0]
+    hits = [s for s in spans if s[0] <= probe <= s[1]]
+    assert len(hits) == 1
+
+    # and the clustered copy is lossless
+    back = spark.read.parquet(out)
+    assert back.count() == events.count()
+    assert (
+        back.filter(F.col("user_id") == probe).count()
+        == events.filter(F.col("user_id") == probe).count()
+    )
