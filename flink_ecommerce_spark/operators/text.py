@@ -74,10 +74,9 @@ def lang_id(documents: DataFrame) -> DataFrame:
     )
 
 
-def quality_scores(documents: DataFrame) -> DataFrame:
-    """Heuristic document quality: token count, mean token length,
-    punctuation ratio, stopword ratio, folded through a logistic into
-    [0, 1]. Deterministic arithmetic only."""
+def _quality_column() -> Column:
+    """The logistic quality score as a single per-row Column, shared
+    by quality_scores and curated_corpus (one projection, one scan)."""
     n_tok = _n_tokens(F.col("text")).cast("double")
     n_punct = F.size(F.expr("regexp_extract_all(text, '[^a-zA-Z0-9\\\\s]', 0)")).cast(
         "double"
@@ -99,13 +98,51 @@ def quality_scores(documents: DataFrame) -> DataFrame:
         - 8.0 * punct_ratio
         - 0.1 * F.abs(mean_tok_len - 5.0)
     )
+    return F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
+
+
+def _dup_3gram_column() -> Column:
+    """Duplicate word-3-gram fraction as a per-row Column (shared by
+    repetition_scores and curated_corpus)."""
+    from .textprep import word_shingles
+
+    sh = word_shingles(F.col("text"))
+    n_sh = F.size(sh)
+    return F.round(
+        F.when(
+            n_sh > 0,
+            1.0
+            - F.size(F.array_distinct(sh)).cast("double") / n_sh.cast("double"),
+        ).otherwise(F.lit(0.0)),
+        6,
+    )
+
+
+def quality_scores(documents: DataFrame) -> DataFrame:
+    """Heuristic document quality: token count, mean token length,
+    punctuation ratio, stopword ratio, folded through a logistic into
+    [0, 1]. Deterministic arithmetic only."""
+    n_tok = _n_tokens(F.col("text")).cast("double")
+    n_punct = F.size(F.expr("regexp_extract_all(text, '[^a-zA-Z0-9\\\\s]', 0)")).cast(
+        "double"
+    )
+    sw_list = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
+    n_stop = F.size(
+        F.expr(
+            f"filter(split(lower(trim(text)), '\\\\s+'), w -> w IN ({sw_list}))"
+        )
+    ).cast("double")
+    n_chars = F.length("text").cast("double")
+    mean_tok_len = (n_chars - (n_tok - 1)) / n_tok  # chars net of single spaces
+    punct_ratio = n_punct / n_chars
+    stop_ratio = n_stop / n_tok
     return documents.select(
         "doc_id",
         n_tok.cast("long").alias("n_tokens"),
         F.round(mean_tok_len, 6).alias("mean_token_len"),
         F.round(punct_ratio, 6).alias("punct_ratio"),
         F.round(stop_ratio, 6).alias("stopword_ratio"),
-        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6).alias("quality"),
+        _quality_column().alias("quality"),
     )
 
 
@@ -193,8 +230,6 @@ def repetition_scores(documents: DataFrame) -> DataFrame:
     most-frequent-word pass is O(distinct × words) per row, bounded by
     document length; at 100 TB it is still embarrassingly parallel
     scan work."""
-    from .textprep import word_shingles
-
     ws = words(F.col("text"))
     n_words = F.size(ws)
     n_distinct = F.size(F.array_distinct(ws))
@@ -204,12 +239,6 @@ def repetition_scores(documents: DataFrame) -> DataFrame:
             lambda d: F.size(F.filter(ws, lambda w: w == d)),
         )
     )
-    sh = word_shingles(F.col("text"))
-    n_sh = F.size(sh)
-    dup_3gram = F.when(
-        n_sh > 0,
-        1.0 - F.size(F.array_distinct(sh)).cast("double") / n_sh.cast("double"),
-    ).otherwise(F.lit(0.0))
     return documents.select(
         "doc_id",
         n_words.alias("n_words"),
@@ -219,7 +248,7 @@ def repetition_scores(documents: DataFrame) -> DataFrame:
         F.round(top_count.cast("double") / n_words.cast("double"), 6).alias(
             "top_word_share"
         ),
-        F.round(dup_3gram, 6).alias("dup_3gram_frac"),
+        _dup_3gram_column().alias("dup_3gram_frac"),
     )
 
 
@@ -304,4 +333,58 @@ def pii_scrub(documents: DataFrame) -> DataFrame:
         n_denied.alias("n_denylisted"),
         F.length(scrubbed).alias("scrubbed_len"),
         hash32(scrubbed).alias("scrubbed_hash"),
+    )
+
+
+def curated_corpus(
+    documents: DataFrame,
+    min_quality: float = 0.2,
+    max_dup3: float = 0.9,
+    max_contamination: float = 0.9,
+    per_source_k: int = 5,
+    eval_mod: int = 20,
+) -> DataFrame:
+    """The curation pipeline end product: per-row quality and
+    repetition metrics, decontamination against the eval slice,
+    threshold filters, then the top-k surviving documents per source
+    by quality. What a training-data team ships to the tokenizer.
+
+    Scale: quality and dup-3-gram are computed in ONE projection over
+    ONE scan (shared Column builders — composing the standalone
+    operators would re-scan the corpus per metric); decontaminate
+    contributes the only aggregation shuffle; the final per-source
+    top-k is a window over the already-thresholded survivors. Docs
+    with fewer words than a shingle (no contamination row) are junk
+    by definition and drop with the inner join."""
+    from pyspark.sql import Window
+
+    metrics = documents.filter((F.col("doc_id") % eval_mod) != 0).select(
+        "doc_id",
+        "source",
+        _quality_column().alias("quality"),
+        _dup_3gram_column().alias("dup_3gram_frac"),
+    )
+    dec = decontaminate(documents, eval_mod=eval_mod).select(
+        "doc_id", "contamination_frac"
+    )
+    survivors = (
+        metrics.join(dec, "doc_id")
+        .filter(
+            (F.col("quality") >= min_quality)
+            & (F.col("dup_3gram_frac") <= max_dup3)
+            & (F.col("contamination_frac") <= max_contamination)
+        )
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("source").orderBy(
+            F.desc("quality"), F.asc("doc_id")
+        )
+    )
+    return (
+        survivors.withColumn("rk", rk)
+        .filter(F.col("rk") <= per_source_k)
+        .select(
+            "doc_id", "source", "quality", "dup_3gram_frac",
+            "contamination_frac", "rk",
+        )
     )

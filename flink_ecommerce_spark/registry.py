@@ -530,6 +530,10 @@ def _q_repetition_scores(spark, sf):
     return text.repetition_scores(_t("documents")(spark, sf))
 
 
+def _q_curated_corpus(spark, sf):
+    return text.curated_corpus(_t("documents")(spark, sf))
+
+
 def _q_decontaminate(spark, sf):
     return text.decontaminate(_t("documents")(spark, sf))
 
@@ -1697,6 +1701,49 @@ SELECT train.doc_id AS doc_id,
 FROM train LEFT JOIN eval_sh e ON train.s = e.s
 GROUP BY 1
 """,
+    "curated_corpus": f"""
+WITH metrics AS (
+  SELECT doc_id, source,
+         ROUND(1.0 / (1.0 + exp(-(-2.0
+           + 0.02 * CAST(len(regexp_extract_all(text, '\\S+')) AS DOUBLE)
+           + 4.0 * (CAST(len(list_filter({sql_words('text')}, w -> w IN ({{en_sw}}))) AS DOUBLE)
+                    / CAST(len(regexp_extract_all(text, '\\S+')) AS DOUBLE))
+           - 8.0 * (CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS DOUBLE)
+                    / CAST(length(text) AS DOUBLE))
+           - 0.1 * abs((CAST(length(text) AS DOUBLE)
+                        - (CAST(len(regexp_extract_all(text, '\\S+')) AS DOUBLE) - 1))
+                       / CAST(len(regexp_extract_all(text, '\\S+')) AS DOUBLE) - 5.0)))),
+               6) AS quality,
+         ROUND(CASE WHEN len({sql_word_shingles('text')}) > 0
+                    THEN 1.0 - CAST(len(list_distinct({sql_word_shingles('text')})) AS DOUBLE)
+                               / CAST(len({sql_word_shingles('text')}) AS DOUBLE)
+                    ELSE 0.0 END, 6) AS dup_3gram_frac
+  FROM documents WHERE doc_id % 20 <> 0),
+sh_tbl AS (
+  SELECT doc_id, list_distinct({sql_word_shingles('text')}) AS sh
+  FROM documents),
+eval_sh AS (
+  SELECT DISTINCT unnest(sh) AS s FROM sh_tbl WHERE doc_id % 20 = 0),
+train AS (
+  SELECT doc_id, unnest(sh) AS s FROM sh_tbl WHERE doc_id % 20 <> 0),
+dec AS (
+  SELECT train.doc_id AS doc_id,
+         ROUND(CAST(SUM(CASE WHEN e.s IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE), 6) AS contamination_frac
+  FROM train LEFT JOIN eval_sh e ON train.s = e.s
+  GROUP BY 1),
+surv AS (
+  SELECT m.doc_id, m.source, m.quality, m.dup_3gram_frac, d.contamination_frac
+  FROM metrics m JOIN dec d ON m.doc_id = d.doc_id
+  WHERE m.quality >= 0.2 AND m.dup_3gram_frac <= 0.9
+    AND d.contamination_frac <= 0.9)
+SELECT doc_id, source, quality, dup_3gram_frac, contamination_frac,
+       CAST(rk AS INT) AS rk
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+                                   ORDER BY quality DESC, doc_id ASC) AS rk
+      FROM surv)
+WHERE rk <= 5
+""".replace("{en_sw}", _EN_SW),
     "pii_scrub": f"""
 SELECT doc_id,
        CAST(len(regexp_extract_all(text, '{text.PII_EMAIL}')) AS INT) AS n_emails,
@@ -1959,6 +2006,7 @@ SPECS: dict[str, QuerySpec] = {
         _q_repetition_scores, ORACLES["repetition_scores"]
     ),
     "decontaminate": QuerySpec(_q_decontaminate, ORACLES["decontaminate"]),
+    "curated_corpus": QuerySpec(_q_curated_corpus, ORACLES["curated_corpus"]),
     "pii_scrub": QuerySpec(_q_pii_scrub, ORACLES["pii_scrub"]),
     "doc_fingerprints": QuerySpec(_q_doc_fingerprints, ORACLES["doc_fingerprints"]),
     "multimodal_features": QuerySpec(
