@@ -51,6 +51,16 @@ def test_text_on_empty_and_tiny_docs(spark, empty_docs):
     assert fp[0]["content_fp"] is not None
 
 
+def test_curated_corpus_on_empty_and_tiny_docs(spark, empty_docs):
+    assert text.curated_corpus(empty_docs).collect() == []
+    # one-word docs produce no shingles → no contamination row → the
+    # inner join drops them (junk-by-definition, per the docstring)
+    tiny = spark.createDataFrame(
+        [(1, "hi", "en", "s", 2), (3, "ok", "en", "s", 2)], DOCUMENTS_SCHEMA
+    )
+    assert text.curated_corpus(tiny).collect() == []
+
+
 def test_null_text_documents(spark):
     docs = spark.createDataFrame(
         [(1, None, "en", "s", 0), (2, "a b c d", "en", "s", 7)], DOCUMENTS_SCHEMA
