@@ -12,7 +12,7 @@ current rows only. History (closed rows) is untouched pass-through.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 OPEN_END = "9999-12-31 00:00:00"
@@ -32,7 +32,19 @@ def scd2_merge(
     - changed attrs → close old row at the update ts, insert open row
     - unchanged → keep as-is
     Late-arriving updates older than the open row are ignored (the
-    standard append-only SCD2 contract)."""
+    standard append-only SCD2 contract). When one batch carries
+    SEVERAL updates for a key, only the latest (by ``ts_col``,
+    tie-broken deterministically on the attrs) is applied — the
+    intra-batch history is collapsed, matching MERGE semantics where
+    a source must have one row per key."""
+    w_latest = Window.partitionBy(key).orderBy(
+        F.desc(ts_col), *[F.desc(a) for a in attrs]
+    )
+    updates = (
+        updates.withColumn("__rn", F.row_number().over(w_latest))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
     open_rows = current.filter(F.col("is_current"))
     closed_rows = current.filter(~F.col("is_current"))
 

@@ -253,37 +253,46 @@ def dedup_clusters(documents: DataFrame, threshold: float = JACCARD_THRESHOLD) -
 def simhash(documents: DataFrame) -> DataFrame:
     """32-bit SimHash per document: per-token hash32, ±1 vote per bit
     position weighted by term frequency, bit set where the vote sum is
-    positive. Two narrow shuffles on doc_id-derived keys."""
+    positive.
+
+    The 32 bit-votes are conditional aggregates over the token rows —
+    ONE groupBy(doc_id) whose shuffle carries (doc_id, 32 partial
+    sums), with map-side combine. (The round-1 version exploded every
+    token × 32 bit rows first: same answer, 32× the shuffle volume.)"""
     from .scale import ensure_parallelism
 
     toks = ensure_parallelism(documents).select(
         "doc_id",
         F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("tok"),
     ).withColumn("h", hash32(F.col("tok"), salt="simhash"))
-    bits = toks.select(
-        "doc_id",
-        "h",
-        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("b"),
-    ).withColumn(
-        "vote",
-        F.when(F.expr("(h >> b) & 1") == 1, F.lit(1)).otherwise(F.lit(-1)),
+    votes = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.expr(f"(h >> {b}) & 1") == 1, F.lit(1)).otherwise(
+                    F.lit(-1)
+                )
+            ).alias(f"s{b}")
+            for b in range(SIMHASH_BITS)
+        ]
     )
-    votes = bits.groupBy("doc_id", "b").agg(F.sum("vote").alias("s"))
-    return votes.groupBy("doc_id").agg(
-        F.sum(
-            F.when(F.col("s") > 0, F.expr("CAST(1 AS BIGINT) << b")).otherwise(
-                F.lit(0)
-            )
-        ).alias("simhash")
-    )
+    sh = None
+    for b in range(SIMHASH_BITS):
+        term = F.when(F.col(f"s{b}") > 0, F.lit(1 << b).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+        sh = term if sh is None else sh + term
+    return votes.select("doc_id", sh.alias("simhash"))
 
 
 def simhash_near_pairs(documents: DataFrame, max_hamming: int = HAMMING_MAX) -> DataFrame:
     """Near-duplicate pairs by SimHash hamming distance ≤ max_hamming.
-    Candidates come from matching any 8-bit band (pigeonhole: distance
-    ≤ 6 over 4 bands guarantees ≥ 1 identical band when ≤ 3 bands are
-    touched; it is the standard recall/cost tradeoff), then the exact
-    popcount filter."""
+    Candidates come from matching any 8-bit band, then the exact
+    popcount filter. Recall guarantee (pigeonhole): a pair at hamming
+    distance < SIMHASH_BANDS (i.e. ≤ 3) MUST share an untouched band;
+    pairs at distance 4..max_hamming can spread one flipped bit into
+    every band and be missed — that range is best-effort recall, the
+    standard LSH cost/recall tradeoff (raise bands to max_hamming+1
+    for an exact guarantee at more candidate volume)."""
     sh = simhash(documents)
     bands = sh.select(
         "doc_id",

@@ -36,7 +36,17 @@ def salted_join(
     row key + a row discriminator would need a unique col; we use
     monotonically varying spark_partition_id + a cheap row hash so
     hot-key rows spread evenly), dim rows are replicated across all
-    salts. Result equals a plain join (verified in tests)."""
+    salts. Result equals a plain join (verified in tests).
+
+    Only fact-preserving join types are salting-safe: the dim side is
+    replicated ``salt`` ways, so right/full/outer joins would emit up
+    to ``salt`` spurious unmatched dim rows per unmatched key."""
+    if how not in ("inner", "left", "left_outer", "leftouter", "left_semi",
+                   "leftsemi", "semi", "left_anti", "leftanti", "anti"):
+        raise ValueError(
+            f"salted_join: how={how!r} is not salting-safe (dim side is "
+            "replicated); use inner/left/semi/anti or a plain join"
+        )
     fact_salted = fact.withColumn(
         "__salt",
         (F.abs(F.xxhash64(F.col(key), F.spark_partition_id(), F.monotonically_increasing_id())) % salt).cast("int"),

@@ -227,17 +227,35 @@ def repetition_scores(documents: DataFrame) -> DataFrame:
     fraction. High values flag boilerplate / degenerate generations.
 
     Scale: per-row array expressions only — no shuffle. The
-    most-frequent-word pass is O(distinct × words) per row, bounded by
-    document length; at 100 TB it is still embarrassingly parallel
-    scan work."""
+    most-frequent-word count is computed as the longest run in the
+    SORTED word array (one array_sort + one linear aggregate pass), so
+    the per-row cost is O(w log w) instead of the round-1
+    O(distinct × words) scan that went quadratic on degenerate docs."""
     ws = words(F.col("text"))
     n_words = F.size(ws)
     n_distinct = F.size(F.array_distinct(ws))
-    top_count = F.array_max(
-        F.transform(
-            F.array_distinct(ws),
-            lambda d: F.size(F.filter(ws, lambda w: w == d)),
-        )
+    # longest run of equal adjacent words in sorted order == max term
+    # frequency; accumulator carries (previous word, current run, best).
+    top_count = F.aggregate(
+        F.array_sort(ws),
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        ),
+        lambda acc, w: F.struct(
+            w.alias("prev"),
+            F.when(acc["prev"].eqNullSafe(w), acc["run"] + 1)
+            .otherwise(F.lit(1))
+            .alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(acc["prev"].eqNullSafe(w), acc["run"] + 1).otherwise(
+                    F.lit(1)
+                ),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
     )
     return documents.select(
         "doc_id",

@@ -116,18 +116,71 @@ def weekly_moving_avg(events: DataFrame) -> DataFrame:
 
 def user_value_quartiles(events: DataFrame) -> DataFrame:
     """Ranking-function family over per-user totals: NTILE(4),
-    PERCENT_RANK, CUME_DIST. Ordering tie-broken by user_id so bucket
-    assignment is engine-deterministic."""
+    PERCENT_RANK, CUME_DIST — without the global single-partition
+    window (round 1 pushed every per-user row through ONE task).
+
+    Distributed exact ranking: range-repartition on the sort key,
+    row_number within each range partition, then add per-partition
+    row-count offsets (a numPartitions-sized table, collected and
+    folded back in as a literal map — the same driver-side footprint
+    as a k-means centroid round). The sort key
+    (total_value DESC, user_id ASC) is unique per row, so
+    rank == row_number and all three functions are closed-form in
+    (rn, n):  percent_rank = (rn-1)/(n-1);  cume_dist = rn/n;
+    ntile(4) gives the first n%4 buckets ceil(n/4) rows. No stage
+    anywhere sees more than one range partition of data."""
     per_user = events.groupBy("user_id").agg(
         F.round(F.sum("value"), 2).alias("total_value")
     )
-    w = Window.orderBy(F.desc("total_value"), F.asc("user_id"))
-    return per_user.select(
+    part = per_user.repartitionByRange(
+        F.desc("total_value"), F.asc("user_id")
+    ).withColumn("pid", F.spark_partition_id())
+    # Freeze pid: the counts job and the ranked plan below must see the
+    # SAME range-boundary sample (and skip recomputing the aggregate).
+    part = part.localCheckpoint(eager=True)
+    cnt_rows = sorted(
+        (r["pid"], r["cnt"])
+        for r in part.groupBy("pid")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    )
+    n_total = sum(c for _, c in cnt_rows)
+    offsets: dict[int, int] = {}
+    acc = 0
+    for pid, c in cnt_rows:
+        offsets[pid] = acc
+        acc += c
+    off_map = F.create_map(
+        *[F.lit(x) for pid, off in offsets.items() for x in (pid, off)]
+    )
+    w_local = Window.partitionBy("pid").orderBy(
+        F.desc("total_value"), F.asc("user_id")
+    )
+    ranked = part.withColumn(
+        "rn",
+        (F.coalesce(off_map[F.col("pid")], F.lit(0)) + F.row_number().over(w_local)).cast(
+            "long"
+        ),
+    )
+    n = F.lit(n_total).cast("long")
+    rn = F.col("rn")
+    big = F.floor(n / 4) + 1  # size of the first n%4 buckets
+    small = F.greatest(F.floor(n / 4), F.lit(1))  # guard n<4 (ANSI /0)
+    r = n % 4
+    quartile = (
+        F.when(rn <= r * big, F.floor((rn - 1) / big) + 1)
+        .otherwise(r + F.floor((rn - 1 - r * big) / small) + 1)
+        .cast("int")
+    )
+    pct_rank = F.when(n == 1, F.lit(0.0)).otherwise(
+        (rn - 1).cast("double") / (n - 1).cast("double")
+    )
+    return ranked.select(
         "user_id",
         "total_value",
-        F.ntile(4).over(w).alias("quartile"),
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cume_dist"),
+        quartile.alias("quartile"),
+        F.round(pct_rank, 6).alias("pct_rank"),
+        F.round(rn.cast("double") / n.cast("double"), 6).alias("cume_dist"),
     )
 
 

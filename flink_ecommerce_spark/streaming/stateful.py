@@ -78,7 +78,11 @@ def _sessionize_group(
                 closed.append((start_us, last_us, n_events))
                 start_us, last_us, n_events = t, t, 1
             else:
-                last_us = t
+                # a late event from an earlier micro-batch can sort
+                # before the open session's end — never move the
+                # session end (or its gap anchor) backwards
+                last_us = max(last_us, t)
+                start_us = min(start_us, t)
                 n_events += 1
 
     state.update((int(last_us), int(start_us), int(n_events)))

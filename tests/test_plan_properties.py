@@ -70,3 +70,22 @@ def test_knn_broadcasts_queries_not_corpus(spark):
 def test_dedup_plans_have_no_cartesian(spark, name):
     plan = _plan(spark, name)
     assert "CartesianProduct" not in plan
+
+
+def test_user_value_quartiles_no_single_partition_exchange(spark):
+    # round-1 regression: the global ntile/percent_rank window forced
+    # every per-user row through ONE task (Exchange SinglePartition).
+    # The distributed-rank rewrite must never reintroduce it.
+    # (the range-repartition itself runs inside the checkpointed
+    # pre-job, so the visible plan starts at the checkpoint scan and
+    # windows over hashpartitioning(pid) — never one partition)
+    plan = _plan(spark, "user_value_quartiles")
+    assert "SinglePartition" not in plan
+    assert "Exchange hashpartitioning(pid" in plan
+
+
+def test_simhash_no_bit_explode(spark):
+    # votes are conditional aggregates over token rows; the 32×
+    # (doc_id, h, bit) explode must stay gone from the plan
+    plan = _plan(spark, "simhash")
+    assert "sequence(0, 31" not in plan
