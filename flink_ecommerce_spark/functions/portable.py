@@ -28,20 +28,24 @@ _HEX = "0123456789abcdef"
 _POW16 = [268435456, 16777216, 1048576, 65536, 4096, 256, 16, 1]
 
 
-def hash32(col: Column | str, salt: str | None = None) -> Column:
-    """Spark Column: first 32 bits of md5(salt || ':' || s) as a long."""
+def hash32(col: Column | str, salt: str | None = None, half: int = 0) -> Column:
+    """Spark Column: 32 bits of md5(salt || ':' || s) as a long.
+    ``half`` selects which 8 hex digits (0 → 1-8, 1 → 9-16): two
+    independent-enough 32-bit values from ONE md5 evaluation — callers
+    needing a hash pair (Carter-Wegman MinHash) share the digest, and
+    Catalyst's subexpression elimination computes it once per row."""
     c = F.col(col) if isinstance(col, str) else col
     if salt is not None:
         c = F.concat(F.lit(f"{salt}:"), c)
-    return F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long")
+    return F.conv(F.substring(F.md5(c), 1 + 8 * half, 8), 16, 10).cast("long")
 
 
-def sql_hash32(expr: str, salt: str | None = None) -> str:
+def sql_hash32(expr: str, salt: str | None = None, half: int = 0) -> str:
     """DuckDB SQL string computing the identical value to hash32()."""
     if salt is not None:
         expr = f"concat('{salt}:', {expr})"
     digits = " + ".join(
-        f"(strpos('{_HEX}', substr(md5({expr}), {i + 1}, 1)) - 1) * {p}"
+        f"(strpos('{_HEX}', substr(md5({expr}), {8 * half + i + 1}, 1)) - 1) * {p}"
         for i, p in enumerate(_POW16)
     )
     return f"({digits})"

@@ -69,8 +69,10 @@ def ngram_jaccard_pairs(
     documents: DataFrame, threshold: float = JACCARD_THRESHOLD
 ) -> DataFrame:
     """Exact Jaccard similarity over word-shingle sets for every pair
-    sharing at least one shingle. Output: (doc_a, doc_b, jaccard)."""
-    sh = _doc_shingles(documents)
+    sharing at least one shingle. Output: (doc_a, doc_b, jaccard).
+    The shingle table feeds the self-join and the size table —
+    materialized once."""
+    sh = _doc_shingles(documents).localCheckpoint(eager=True)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -102,10 +104,11 @@ def minhash_signatures(documents: DataFrame, num_hashes: int = NUM_HASHES) -> Da
     """MinHash signature per document via the Carter-Wegman universal
     family: two base hashes per shingle, mh_i = min((h1 + i*h2) mod p).
 
-    Two md5 evaluations per shingle instead of ``num_hashes`` — the
-    standard trick for cheap independent-enough permutations — and
-    the derived combinations are integer-only arithmetic inside the
-    partial aggregation, so the whole thing is one explode + one
+    ONE md5 evaluation per shingle (h1/h2 are its two 32-bit hex
+    halves; codegen subexpression elimination shares the digest) —
+    the standard trick for cheap independent-enough permutations —
+    and the derived combinations are integer-only arithmetic inside
+    the partial aggregation, so the whole thing is one explode + one
     shuffle carrying (doc_id, 16 longs). Empty-shingle docs come back
     via explode_outer with NULL signatures."""
     from .scale import ensure_parallelism
@@ -115,8 +118,8 @@ def minhash_signatures(documents: DataFrame, num_hashes: int = NUM_HASHES) -> Da
     )
     hashed = sh.select(
         "doc_id",
-        hash32(F.col("shingle"), salt="mha").alias("h1"),
-        hash32(F.col("shingle"), salt="mhb").alias("h2"),
+        hash32(F.col("shingle"), salt="mh", half=0).alias("h1"),
+        hash32(F.col("shingle"), salt="mh", half=1).alias("h2"),
     )
     return hashed.groupBy("doc_id").agg(
         *[
@@ -149,9 +152,15 @@ def lsh_candidate_pairs(
 ) -> DataFrame:
     """MinHash-LSH near-duplicate pairs: band-bucket join proposes
     candidates, exact shingle Jaccard verifies. Output matches
-    ngram_jaccard_pairs' schema restricted to LSH-surfaced pairs."""
+    ngram_jaccard_pairs' schema restricted to LSH-surfaced pairs.
+
+    Reuse discipline: the band table feeds BOTH sides of the self-join
+    and the shingle table feeds three joins — each is materialized
+    once (localCheckpoint; persist(DISK_ONLY) on a cluster) instead of
+    re-running the signature/shingle pipelines per branch, which
+    dominated wall time."""
     sigs = minhash_signatures(documents)
-    bb = _band_buckets(sigs)
+    bb = _band_buckets(sigs).localCheckpoint(eager=True)
     a = bb.alias("a")
     b = bb.alias("b")
     cands = (
@@ -167,7 +176,7 @@ def lsh_candidate_pairs(
     # Verify ONLY the candidates (never all shared-shingle pairs):
     # fan candidate pairs out by doc_a's shingles, intersect against
     # doc_b's shingle set — work is Σ(candidate) |shingles(doc_a)|.
-    ds = _doc_shingles(documents)
+    ds = _doc_shingles(documents).localCheckpoint(eager=True)
     sizes = ds.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     sh_a = ds.select(F.col("doc_id").alias("doc_a"), "shingle")
     sh_b = ds.select(F.col("doc_id").alias("doc_b"), "shingle")
@@ -202,22 +211,28 @@ def dedup_clusters(documents: DataFrame, threshold: float = JACCARD_THRESHOLD) -
     This is the canonical Spark shape for iterative graph algorithms
     without GraphFrames: a driver loop of join+groupBy rounds, each
     fully distributed, converging in O(component diameter) rounds
-    (near-dup clusters are shallow — a handful of rounds). The loop
-    re-evaluates lineage per round, so for big graphs you'd
-    checkpoint every few rounds; component sizes here make that
-    unnecessary."""
+    (near-dup clusters are shallow — a handful of rounds).
+
+    Scale discipline: the loop iterates ONLY over edge-touched
+    vertices. Dup clusters are a small fraction of any corpus, so the
+    per-round state is |docs with a near-dup edge|, not |corpus| —
+    singletons rejoin with cluster_id = doc_id in one final left
+    join. Each round truncates lineage with localCheckpoint so round
+    N never re-evaluates rounds 1..N-1."""
     pairs = lsh_candidate_pairs(documents, threshold).select("doc_a", "doc_b")
     edges = pairs.union(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     )
-    # Iterative-algorithm hygiene: materialize the edge list once
-    # (every round would otherwise re-run the whole LSH pipeline) and
-    # truncate label lineage per round with localCheckpoint so round
-    # N doesn't re-evaluate rounds 1..N-1.
+    # materialize once — every round would otherwise re-run LSH
     edges = edges.localCheckpoint(eager=True)
-    labels = documents.select(
-        "doc_id", F.col("doc_id").alias("cluster_id")
-    ).localCheckpoint(eager=True)
+    labels = (
+        edges.select("doc_a")
+        .distinct()
+        .select(
+            F.col("doc_a").alias("doc_id"), F.col("doc_a").alias("cluster_id")
+        )
+        .localCheckpoint(eager=True)
+    )
     for _ in range(20):  # diameter bound; near-dup clusters are shallow
         neighbor_min = (
             edges.join(
@@ -247,7 +262,11 @@ def dedup_clusters(documents: DataFrame, threshold: float = JACCARD_THRESHOLD) -
         labels = updated
         if changed == 0:
             break
-    return labels
+    # singletons (no near-dup edge) cluster with themselves
+    return documents.select("doc_id").join(labels, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id"),
+    )
 
 
 def simhash(documents: DataFrame) -> DataFrame:
@@ -293,7 +312,7 @@ def simhash_near_pairs(documents: DataFrame, max_hamming: int = HAMMING_MAX) -> 
     every band and be missed — that range is best-effort recall, the
     standard LSH cost/recall tradeoff (raise bands to max_hamming+1
     for an exact guarantee at more candidate volume)."""
-    sh = simhash(documents)
+    sh = simhash(documents).localCheckpoint(eager=True)
     bands = sh.select(
         "doc_id",
         "simhash",
