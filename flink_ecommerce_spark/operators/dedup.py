@@ -129,6 +129,29 @@ def minhash_signatures(documents: DataFrame, num_hashes: int = NUM_HASHES) -> Da
     )
 
 
+def minhash_signature_array(text_col: F.Column, num_hashes: int = NUM_HASHES) -> F.Column:
+    """Per-ROW MinHash signature as array<long> — the same values as
+    ``minhash_signatures`` (same hash family/constants) computed with
+    array expressions only: no explode, no shuffle, no aggregation.
+    This is the streaming-safe form (stateless map, usable in a
+    Structured Streaming select) and the batch explode+groupBy form's
+    equivalence is pinned by tests. NULL for docs with no shingles."""
+    sh = word_shingles(text_col)
+    h1s = F.transform(sh, lambda s: hash32(s, salt="mh", half=0))
+    h2s = F.transform(sh, lambda s: hash32(s, salt="mh", half=1))
+    return F.when(
+        F.size(sh) >= 1,
+        F.array(
+            *[
+                F.array_min(
+                    F.zip_with(h1s, h2s, lambda a, b: (a + i * b) % MINHASH_PRIME)
+                )
+                for i in range(num_hashes)
+            ]
+        ),
+    )
+
+
 def _band_buckets(signatures: DataFrame) -> DataFrame:
     """(doc_id, band, bucket) — bucket = md5 of the band's signature
     slice. Banding: NUM_BANDS bands × (NUM_HASHES/NUM_BANDS) rows."""

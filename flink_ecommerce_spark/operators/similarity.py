@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 from ..functions.vector import cosine_sim
 
 EMB_DIM = 64
-N_PLANES = 8  # LSH hyperplanes → 2^8 buckets
+N_PLANES = 8  # default LSH hyperplanes → 2^8 buckets
 DEFAULT_K = 5
 DEFAULT_N_QUERIES = 10
 
@@ -36,6 +36,27 @@ def plane_weight(p: int, d: int) -> float:
     functions.portable.hash32 / sql_hash32 exactly.)"""
     h = int(hashlib.md5(f"plane{p}:dim{d}".encode()).hexdigest()[:8], 16)
     return 1.0 if h % 2 == 0 else -1.0
+
+
+def lsh_plan_for(
+    corpus_size: int, target_bucket_rows: int = 1024, recall_bands: int = 4
+) -> tuple[int, int]:
+    """Scale-aware (n_planes, n_bands) for the hyperplane LSH ops.
+
+    The near-dup self-join costs Σ(bucket size²); with 2^P buckets the
+    expected bucket holds n/2^P rows, so a FIXED P means the
+    within-bucket pair count grows quadratically with corpus size.
+    Growing P with log2(n / target) pins expected occupancy — and the
+    join cost per row — constant as the corpus scales; extra bands
+    (independent plane sets) buy back the recall that narrower
+    buckets lose. Test-scale corpora keep the oracle constants
+    (N_PLANES, 1 band)."""
+    import math
+
+    if corpus_size <= (target_bucket_rows << N_PLANES):
+        return N_PLANES, 1
+    n_planes = math.ceil(math.log2(corpus_size / target_bucket_rows))
+    return n_planes, recall_bands
 
 
 def knn_bruteforce(
@@ -72,14 +93,18 @@ def knn_bruteforce(
     )
 
 
-def _lsh_bucket(emb_col: str) -> F.Column:
+def _lsh_bucket(
+    emb_col: str, n_planes: int = N_PLANES, plane_offset: int = 0
+) -> F.Column:
     """LSH bucket id: sum over planes of 2^p * (projection_p >= 0),
-    with projection accumulated in array order (oracle-matched)."""
+    with projection accumulated in array order (oracle-matched).
+    ``plane_offset`` selects an independent plane set per band."""
     bucket = F.lit(0)
-    for p in range(N_PLANES):
+    for p in range(n_planes):
+        gp = plane_offset + p
         proj = F.aggregate(
             F.expr(
-                f"zip_with({emb_col}, array({', '.join(str(plane_weight(p, d)) for d in range(EMB_DIM))}), "
+                f"zip_with({emb_col}, array({', '.join(str(plane_weight(gp, d)) for d in range(EMB_DIM))}), "
                 f"(x, w) -> CAST(x AS DOUBLE) * w)"
             ),
             F.lit(0.0),
@@ -89,37 +114,92 @@ def _lsh_bucket(emb_col: str) -> F.Column:
     return bucket
 
 
+def _band_structs(emb_col: str, n_planes: int, n_bands: int) -> F.Column:
+    """array<struct<band, bucket>> — band b hashes with its own plane
+    set (planes b*n_planes .. b*n_planes+n_planes-1)."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                _lsh_bucket(emb_col, n_planes, plane_offset=b * n_planes).alias(
+                    "bucket"
+                ),
+            )
+            for b in range(n_bands)
+        ]
+    )
+
+
 def ann_lsh_topk(
     embeddings: DataFrame,
     k: int = DEFAULT_K,
     n_queries: int = DEFAULT_N_QUERIES,
+    n_planes: int = N_PLANES,
+    n_bands: int = 1,
 ) -> DataFrame:
     """Approximate top-k: candidates restricted to the query's LSH
-    bucket, exact cosine re-rank within. Recall < 1 by construction;
-    results are still fully deterministic (portable-hash planes), so
-    the oracle reproduces them exactly."""
+    bucket(s), exact cosine re-rank within. Recall < 1 by
+    construction; results are still fully deterministic
+    (portable-hash planes), so the oracle reproduces them exactly.
+
+    (n_planes, n_bands) are the scale knobs — see ``lsh_plan_for``:
+    more planes shrink each bucket (cost), more bands add independent
+    bucketings whose candidate sets union (recall). With n_bands > 1
+    a neighbor found by several bands is deduped before scoring."""
     from .scale import ensure_parallelism
 
-    bucketed = ensure_parallelism(embeddings).withColumn("bucket", _lsh_bucket("embedding"))
-    q = bucketed.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("q_emb"),
-        F.col("bucket").alias("q_bucket"),
-    )
-    scored = (
-        bucketed.join(
-            F.broadcast(q),
-            (F.col("bucket") == F.col("q_bucket"))
-            & (F.col("vec_id") != F.col("query_id")),
+    corpus = ensure_parallelism(embeddings)
+    if n_bands == 1:
+        bucketed = corpus.withColumn("bucket", _lsh_bucket("embedding", n_planes))
+        q = bucketed.filter(F.col("vec_id") < n_queries).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            F.col("bucket").alias("q_bucket"),
         )
-        .select(
+        scored = (
+            bucketed.join(
+                F.broadcast(q),
+                (F.col("bucket") == F.col("q_bucket"))
+                & (F.col("vec_id") != F.col("query_id")),
+            )
+            .select(
+                "query_id",
+                F.col("vec_id").alias("neighbor_id"),
+                F.round(cosine_sim(F.col("q_emb"), F.col("embedding")), 6).alias(
+                    "cos_sim"
+                ),
+            )
+        )
+    else:
+        bands = corpus.select(
+            "vec_id",
+            "embedding",
+            F.explode(_band_structs("embedding", n_planes, n_bands)).alias("bb"),
+        ).select("vec_id", "embedding", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+        q = bands.filter(F.col("vec_id") < n_queries).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            "band",
+            F.col("bucket").alias("q_bucket"),
+        )
+        # union candidates over bands, dedup BEFORE the cosine math
+        cand = (
+            bands.join(
+                F.broadcast(q),
+                (bands["band"] == q["band"])
+                & (bands["bucket"] == q["q_bucket"])
+                & (bands["vec_id"] != q["query_id"]),
+            )
+            .select("query_id", "q_emb", F.col("vec_id").alias("neighbor_id"), "embedding")
+            .dropDuplicates(["query_id", "neighbor_id"])
+        )
+        scored = cand.select(
             "query_id",
-            F.col("vec_id").alias("neighbor_id"),
+            "neighbor_id",
             F.round(cosine_sim(F.col("q_emb"), F.col("embedding")), 6).alias(
                 "cos_sim"
             ),
         )
-    )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cos_sim"), F.asc("neighbor_id")
     )
@@ -297,28 +377,74 @@ def label_centroids(embeddings: DataFrame) -> DataFrame:
 
 
 def embedding_near_dup_pairs(
-    embeddings: DataFrame, threshold: float = 0.95
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    n_planes: int = N_PLANES,
+    n_bands: int = 1,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate detection restricted to LSH
     buckets (same-bucket pairs only — the scalable candidate set),
-    exact cosine filter. Output: (vec_a, vec_b, cos_sim)."""
+    exact cosine filter. Output: (vec_a, vec_b, cos_sim).
+
+    (n_planes, n_bands) make the candidate volume scale-aware (see
+    ``lsh_plan_for``): at test scale the defaults reproduce the
+    oracle; a 100 TB corpus would run e.g. (16, 4) so Σ(bucket²)
+    stays linear in corpus size while the extra bands keep recall."""
     from .scale import ensure_parallelism
 
-    bucketed = ensure_parallelism(embeddings).withColumn("bucket", _lsh_bucket("embedding"))
-    a = bucketed.alias("a")
-    b = bucketed.alias("b")
-    return (
+    corpus = ensure_parallelism(embeddings)
+    if n_bands == 1:
+        bucketed = corpus.withColumn("bucket", _lsh_bucket("embedding", n_planes))
+        a = bucketed.alias("a")
+        b = bucketed.alias("b")
+        return (
+            a.join(
+                b,
+                (F.col("a.bucket") == F.col("b.bucket"))
+                & (F.col("a.vec_id") < F.col("b.vec_id")),
+            )
+            .select(
+                F.col("a.vec_id").alias("vec_a"),
+                F.col("b.vec_id").alias("vec_b"),
+                F.round(
+                    cosine_sim(F.col("a.embedding"), F.col("b.embedding")), 6
+                ).alias("cos_sim"),
+            )
+            .filter(F.col("cos_sim") >= threshold)
+        )
+    # multi-band: candidates = pairs sharing ANY band bucket, deduped
+    # as bare id pairs BEFORE the vectors are joined back for the
+    # exact cosine (never carry embeddings through the band join)
+    bands = corpus.select(
+        "vec_id", F.explode(_band_structs("embedding", n_planes, n_bands)).alias("bb")
+    ).select(
+        "vec_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    ).localCheckpoint(eager=True)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
         a.join(
             b,
-            (F.col("a.bucket") == F.col("b.bucket"))
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        .distinct()
+    )
+    ea = embeddings.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a")
+    )
+    eb = embeddings.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b")
+    )
+    return (
+        cand.join(ea, "vec_a")
+        .join(eb, "vec_b")
         .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            F.round(
-                cosine_sim(F.col("a.embedding"), F.col("b.embedding")), 6
-            ).alias("cos_sim"),
+            "vec_a",
+            "vec_b",
+            F.round(cosine_sim(F.col("emb_a"), F.col("emb_b")), 6).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
     )

@@ -2,16 +2,20 @@
 INSERT ... ON CONFLICT upserts, DataStreamJob.java:185-272; batching
 and retry config K6 at :100-104).
 
-Two implementations of one contract (idempotent keyed upsert):
+Three implementations of one contract (idempotent keyed upsert):
 
 - ``MemoryUpsertSink`` — driver-side dict keyed by the upsert key;
   used by tests to assert final-table-state equivalence between the
   batch and streaming paths.
-- ``JdbcUpsertSink`` — production path: per-batch ON CONFLICT upsert
-  through a DB-API connection factory (psycopg2 etc.), batched
-  executemany with retries (the reference's 1000-row / 5-retry
-  semantics). The container has no Postgres, so it's exercised in
-  tests through a fake DB-API connection.
+- ``JdbcUpsertSink`` — production row-wise path: per-batch ON
+  CONFLICT upsert through a DB-API connection factory (psycopg2
+  etc.), batched executemany with retries (the reference's 1000-row /
+  5-retry semantics). The container has no Postgres, so it's
+  exercised in tests through a fake DB-API connection.
+- ``StagedMergeSink`` — set-based MERGE path: stage the micro-batch
+  as parquet (distributed write), apply ONE MERGE INTO /
+  INSERT..ON CONFLICT statement reading the staged files. Exercised
+  in tests against a real engine (DuckDB).
 
 Scale notes: foreachBatch hands the micro-batch DataFrame to the
 sink; MemoryUpsertSink collects (test-only by design), while the
@@ -60,6 +64,123 @@ def upsert_sql(table: str, columns: Sequence[str], key_cols: Sequence[str]) -> s
         f"INSERT INTO {table} ({collist}) VALUES ({placeholders}) "
         f"ON CONFLICT ({keylist}) DO UPDATE SET {updates}"
     )
+
+
+def merge_upsert_sql(
+    table: str,
+    source: str,
+    columns: Sequence[str],
+    key_cols: Sequence[str],
+    dialect: str = "merge",
+) -> str:
+    """ONE set-based upsert statement ingesting ``source`` (a table
+    name or subquery, e.g. ``read_parquet('stage/*.parquet')``) into
+    ``table``.
+
+    dialect='merge': ANSI/Delta/Iceberg/Postgres-15 MERGE INTO.
+    dialect='on_conflict': INSERT .. SELECT .. ON CONFLICT DO UPDATE
+    (DuckDB / Postgres<15 / SQLite form — used by the in-sandbox
+    tests since the bundled DuckDB predates MERGE)."""
+    collist = ", ".join(columns)
+    updates = ", ".join(
+        f"{c} = {'s' if dialect == 'merge' else 'EXCLUDED'}.{c}"
+        for c in columns
+        if c not in set(key_cols)
+    )
+    if dialect == "merge":
+        on = " AND ".join(f"t.{k} = s.{k}" for k in key_cols)
+        svals = ", ".join(f"s.{c}" for c in columns)
+        return (
+            f"MERGE INTO {table} t USING ({source}) s ON {on} "
+            f"WHEN MATCHED THEN UPDATE SET {updates} "
+            f"WHEN NOT MATCHED THEN INSERT ({collist}) VALUES ({svals})"
+        )
+    if dialect == "on_conflict":
+        keylist = ", ".join(key_cols)
+        return (
+            f"INSERT INTO {table} ({collist}) SELECT {collist} FROM ({source}) "
+            f"ON CONFLICT ({keylist}) DO UPDATE SET {updates}"
+        )
+    raise ValueError(f"unknown dialect {dialect!r}")
+
+
+class StagedMergeSink:
+    """MERGE-shaped batch upsert: the Delta/Iceberg-style twin of
+    JdbcUpsertSink's row-at-a-time executemany.
+
+    Per micro-batch:
+    1. reduce to ONE row per key (MERGE forbids duplicate source
+       keys): latest by ``order_col`` when given, else a
+       deterministic max over the non-key columns;
+    2. stage the reduced batch as parquet — a DISTRIBUTED
+       executor-side write, no driver materialization, no per-row
+       round-trips;
+    3. issue one set-based statement (``merge_upsert_sql``) whose
+       source reads the staged files directly
+       (``read_parquet('<stage>/*.parquet')``), exactly how a
+       warehouse MERGE ingests a staged load.
+
+    ``connection_factory`` returns a DB-API connection to the target
+    engine (DuckDB in tests; anything with MERGE or ON CONFLICT in
+    production). Final state is identical to the row-wise sinks —
+    pinned by tests against MemoryUpsertSink."""
+
+    def __init__(
+        self,
+        connection_factory: Callable[[], object],
+        table: str,
+        columns: Sequence[str],
+        key_cols: Sequence[str],
+        stage_dir: str,
+        dialect: str = "on_conflict",
+        order_col: str | None = None,
+    ):
+        self.connection_factory = connection_factory
+        self.table = table
+        self.columns = tuple(columns)
+        self.key_cols = tuple(key_cols)
+        self.stage_dir = stage_dir
+        self.dialect = dialect
+        self.order_col = order_col
+
+    def _reduce_to_latest(self, batch_df: DataFrame) -> DataFrame:
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        non_key = [c for c in self.columns if c not in self.key_cols]
+        order = (
+            [F.desc(self.order_col)]
+            if self.order_col
+            else [F.desc(c) for c in non_key]
+        )
+        w = Window.partitionBy(*self.key_cols).orderBy(*order)
+        return (
+            batch_df.select(*self.columns)
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+
+    def write_batch(self, batch_df: DataFrame, epoch_id: int | None = None) -> None:
+        stage = f"{self.stage_dir}/epoch={epoch_id or 0}"
+        self._reduce_to_latest(batch_df).write.mode("overwrite").parquet(stage)
+        sql = merge_upsert_sql(
+            self.table,
+            f"SELECT * FROM read_parquet('{stage}/*.parquet')",
+            self.columns,
+            self.key_cols,
+            self.dialect,
+        )
+        conn = self.connection_factory()
+        try:
+            conn.execute(sql)
+            if hasattr(conn, "commit"):
+                conn.commit()
+        finally:
+            conn.close()
+
+    def foreach_batch(self) -> Callable[[DataFrame, int], None]:
+        return self.write_batch
 
 
 class JdbcUpsertSink:

@@ -40,3 +40,41 @@ def test_lsh_recall_and_candidate_reduction(spark):
     # LSH searches ~1/2^P of the corpus; recall is best-effort but
     # the result must be nonempty for most queries
     assert len(approx) >= len(truth) // 2
+
+
+def _pair_set(df):
+    return {(r["vec_a"], r["vec_b"]) for r in df.collect()}
+
+
+def test_lsh_plane_band_cost_recall_tradeoff(spark):
+    """The scale knobs must move cost and recall the right way:
+    fewer planes → wider buckets → MORE candidate pairs (cost);
+    more bands at the same planes → a SUPERSET of pairs (recall)."""
+    emb = catalog.table(spark, SF_SMALL, "embeddings")
+    base = _pair_set(similarity.embedding_near_dup_pairs(emb, threshold=-1.0))
+    wide = _pair_set(
+        similarity.embedding_near_dup_pairs(emb, threshold=-1.0, n_planes=4)
+    )
+    banded = _pair_set(
+        similarity.embedding_near_dup_pairs(emb, threshold=-1.0, n_bands=2)
+    )
+    assert len(wide) > len(base)  # 2^4 buckets vs 2^8 → more pairs
+    assert banded >= base  # band 0 is the single-band bucketing
+    # ann through the multi-band path stays self-free and k-bounded
+    multi = similarity.ann_lsh_topk(emb, n_bands=2).collect()
+    assert multi
+    for r in multi:
+        assert r["query_id"] != r["neighbor_id"]
+        assert r["rk"] <= similarity.DEFAULT_K
+
+
+def test_lsh_plan_for_sizing():
+    # test scale: oracle constants
+    assert similarity.lsh_plan_for(5_000) == (similarity.N_PLANES, 1)
+    # 100TB scale: planes grow with log2(n), bands recover recall
+    planes, bands = similarity.lsh_plan_for(1_000_000_000)
+    assert planes >= 19 and bands > 1
+    # expected occupancy stays ~target as corpus grows 1000x
+    p1, _ = similarity.lsh_plan_for(10_000_000)
+    p2, _ = similarity.lsh_plan_for(10_000_000_000)
+    assert 9 <= p2 - p1 <= 11

@@ -143,3 +143,104 @@ def test_jdbc_upsert_exhausted_retries_raise(spark):
     )
     with pytest.raises(Exception):
         sink.write_batch(agg)
+
+
+# ---- staged MERGE sink (real engine: DuckDB) ---------------------------
+
+from flink_ecommerce_spark.streaming.sinks import (  # noqa: E402
+    StagedMergeSink,
+    merge_upsert_sql,
+)
+
+
+def test_merge_upsert_sql_dialects():
+    cols = ["transaction_date", "category", "total_sales"]
+    keys = ["transaction_date", "category"]
+    m = merge_upsert_sql("t", "SELECT * FROM stage", cols, keys, "merge")
+    assert m == (
+        "MERGE INTO t t USING (SELECT * FROM stage) s "
+        "ON t.transaction_date = s.transaction_date AND t.category = s.category "
+        "WHEN MATCHED THEN UPDATE SET total_sales = s.total_sales "
+        "WHEN NOT MATCHED THEN INSERT (transaction_date, category, total_sales) "
+        "VALUES (s.transaction_date, s.category, s.total_sales)"
+    )
+    oc = merge_upsert_sql("t", "SELECT * FROM stage", cols, keys, "on_conflict")
+    assert oc == (
+        "INSERT INTO t (transaction_date, category, total_sales) "
+        "SELECT transaction_date, category, total_sales FROM (SELECT * FROM stage) "
+        "ON CONFLICT (transaction_date, category) DO UPDATE SET "
+        "total_sales = EXCLUDED.total_sales"
+    )
+
+
+def test_staged_merge_final_state_matches_memory_sink(spark, tmp_path):
+    import duckdb
+
+    db = str(tmp_path / "merge.duckdb")
+    con = duckdb.connect(db)
+    con.execute(
+        "CREATE TABLE sales_per_day (transaction_date DATE PRIMARY KEY, "
+        "total_sales DOUBLE)"
+    )
+    con.close()
+
+    cols = ["transaction_date", "total_sales"]
+    keys = ["transaction_date"]
+    merge_sink = StagedMergeSink(
+        lambda: duckdb.connect(db),
+        "sales_per_day",
+        cols,
+        keys,
+        stage_dir=str(tmp_path / "stage"),
+    )
+    mem_sink = MemoryUpsertSink(keys)
+
+    # two overlapping batches: day-ranges share keys, values change
+    b1 = sales.sales_per_day(generator.transactions(spark, n_rows=300, seed=31))
+    b2 = sales.sales_per_day(generator.transactions(spark, n_rows=400, seed=37))
+    for epoch, batch in enumerate((b1, b2)):
+        merge_sink.write_batch(batch, epoch)
+        mem_sink.write_batch(batch, epoch)
+
+    con = duckdb.connect(db)
+    merged = {
+        r[0].isoformat(): round(r[1], 6)
+        for r in con.execute(
+            "SELECT transaction_date, total_sales FROM sales_per_day"
+        ).fetchall()
+    }
+    con.close()
+    expected = {
+        row["transaction_date"].isoformat(): round(row["total_sales"], 6)
+        for row in mem_sink.rows()
+    }
+    assert merged == expected and len(merged) > 0
+
+
+def test_staged_merge_collapses_duplicate_keys_in_batch(spark, tmp_path):
+    import duckdb
+
+    db = str(tmp_path / "dup.duckdb")
+    con = duckdb.connect(db)
+    con.execute("CREATE TABLE kv (k BIGINT PRIMARY KEY, v DOUBLE, ts BIGINT)")
+    con.close()
+    sink = StagedMergeSink(
+        lambda: duckdb.connect(db),
+        "kv",
+        ["k", "v", "ts"],
+        ["k"],
+        stage_dir=str(tmp_path / "stage2"),
+        order_col="ts",
+    )
+    batch = spark.createDataFrame(
+        [(1, 10.0, 100), (1, 99.0, 200), (2, 5.0, 50)], "k long, v double, ts long"
+    )
+    sink.write_batch(batch, 0)
+    con = duckdb.connect(db)
+    rows = dict(
+        (r[0], (r[1], r[2]))
+        for r in con.execute("SELECT k, v, ts FROM kv ORDER BY k").fetchall()
+    )
+    con.close()
+    # MERGE source reduced to latest-per-key: ts=200 wins for k=1
+    assert rows == {1: (99.0, 200), 2: (5.0, 50)}
