@@ -26,16 +26,25 @@ def sql_words(expr: str) -> str:
 
 def word_shingles(text: Column | str, w: int = SHINGLE_WORDS) -> Column:
     """All w-word shingles (space-joined), in document order. Empty
-    array when the document has fewer than w words."""
+    array when the document has fewer than w words.
+
+    Construction: zip_with over w shifted slices of the word array,
+    NOT ``transform(sequence(1,n), i -> slice(words, i, w))`` — a
+    lambda body that references the words expression re-evaluates the
+    regex split per ELEMENT, turning shingling O(words²) per document
+    (measured 20× slower at 54-word docs; catastrophic at book-length
+    docs). Slices evaluate the split O(w) times per row; the lambdas
+    below touch only their own element variables."""
     ws = words(text)
     n = F.size(ws) - F.lit(w - 1)
-    return F.when(
-        n >= 1,
-        F.transform(
-            F.sequence(F.lit(1), n),
-            lambda i: F.concat_ws(" ", F.slice(ws, i, w)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    # shifted[j][i] = word[i+j]; shingle_i = join(shifted[0..w-1][i])
+    shingles = F.slice(ws, 1, n)
+    for j in range(1, w):
+        shifted = F.slice(ws, 1 + j, n)
+        shingles = F.zip_with(
+            shingles, shifted, lambda acc, nxt: F.concat_ws(" ", acc, nxt)
+        )
+    return F.when(n >= 1, shingles).otherwise(F.array().cast("array<string>"))
 
 
 def sql_word_shingles(expr: str, w: int = SHINGLE_WORDS) -> str:

@@ -17,8 +17,12 @@ CONTENT identity:
    is counted into state and suppressed.
 
 State: one (first_doc_id, n_seen) entry per distinct signature —
-bounded by distinct content, not stream volume; production would add
-a state TTL (GroupStateTimeout) to age out cold signatures.
+bounded by distinct content, not stream volume. ``ttl_ms`` ages out
+cold signatures (ProcessingTimeTimeout): state then holds only
+signatures seen within the TTL horizon, so a 100 TB/day stream keeps
+state proportional to the dedup window instead of all-time distinct
+content — at the documented cost that a duplicate arriving after its
+signature expired is re-emitted (window-scoped dedup semantics).
 
 Parity note: matching FULL signatures means "MinHash-identical"
 content — near-exact dedup robust to whitespace/formatting, the
@@ -76,41 +80,59 @@ def signature_key(text_col: F.Column) -> F.Column:
     return F.when(sig.isNotNull(), sig_digest).otherwise(norm_digest)
 
 
-def _dedup_group(
-    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
-) -> Iterator[pd.DataFrame]:
-    (sig_key,) = key
-    if state.exists:
-        first_id, n_seen = state.get
-        fresh = False
-    else:
-        first_id, n_seen = None, 0
-        fresh = True
-    ids: list[int] = []
-    for pdf in pdfs:
-        ids.extend(int(d) for d in pdf["doc_id"])
-    n_seen += len(ids)
-    if fresh and ids:
-        first_id = min(ids)  # deterministic within the micro-batch
-    state.update((int(first_id), int(n_seen)))
-    if fresh and ids:
-        yield pd.DataFrame({"sig_key": [sig_key], "doc_id": [first_id]})
+def _make_dedup_group(ttl_ms: int | None):
+    def _dedup_group(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if ttl_ms is not None and state.hasTimedOut:
+            state.remove()  # cold signature aged out; next arrival re-emits
+            return
+        (sig_key,) = key
+        if state.exists:
+            first_id, n_seen = state.get
+            fresh = False
+        else:
+            first_id, n_seen = None, 0
+            fresh = True
+        ids: list[int] = []
+        for pdf in pdfs:
+            ids.extend(int(d) for d in pdf["doc_id"])
+        n_seen += len(ids)
+        if fresh and ids:
+            first_id = min(ids)  # deterministic within the micro-batch
+        state.update((int(first_id), int(n_seen)))
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)  # any arrival refreshes the TTL
+        if fresh and ids:
+            yield pd.DataFrame({"sig_key": [sig_key], "doc_id": [first_id]})
+
+    return _dedup_group
 
 
 def streaming_minhash_dedup(
-    documents: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ttl_ms: int | None = None,
 ) -> DataFrame:
     """documents(id, text) stream → first-seen-per-signature stream.
     Within one micro-batch the smallest doc_id wins (deterministic);
-    across batches the earliest batch wins."""
+    across batches the earliest batch wins. ``ttl_ms`` bounds state to
+    the signatures seen within that processing-time horizon (see
+    module docstring for the re-emission tradeoff)."""
     keyed = documents.select(
         F.col(id_col).cast("long").alias("doc_id"),
         signature_key(F.col(text_col)).alias("sig_key"),
     )
+    timeout = (
+        GroupStateTimeout.NoTimeout
+        if ttl_ms is None
+        else GroupStateTimeout.ProcessingTimeTimeout
+    )
     return keyed.groupBy("sig_key").applyInPandasWithState(
-        _dedup_group,
+        _make_dedup_group(ttl_ms),
         outputStructType=DEDUP_OUTPUT_SCHEMA,
         stateStructType=DEDUP_STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=timeout,
     )
