@@ -199,7 +199,19 @@ def lsh_candidate_pairs(
     # Verify ONLY the candidates (never all shared-shingle pairs):
     # fan candidate pairs out by doc_a's shingles, intersect against
     # doc_b's shingle set — work is Σ(candidate) |shingles(doc_a)|.
-    ds = _doc_shingles(documents).localCheckpoint(eager=True)
+    # The shingle table is built from candidate DOCS only (semi-join
+    # before the explode): materializing the whole corpus's shingles
+    # for a verify stage that touches a small candidate set would be
+    # the dominant cost at scale.
+    cands = cands.localCheckpoint(eager=True)
+    cand_docs = (
+        cands.select(F.col("doc_a").alias("doc_id"))
+        .union(cands.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    ds = _doc_shingles(
+        documents.join(cand_docs, "doc_id", "left_semi")
+    ).localCheckpoint(eager=True)
     sizes = ds.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     sh_a = ds.select(F.col("doc_id").alias("doc_a"), "shingle")
     sh_b = ds.select(F.col("doc_id").alias("doc_b"), "shingle")
