@@ -15,7 +15,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-OPEN_END = "9999-12-31 00:00:00"
+# Open rows carry NULL valid_to (is_current is the flag). A far-future
+# sentinel like 9999-12-31 overflows pandas' nanosecond timestamps
+# (cap 2262-04-11) in any Arrow/pandas interchange layer, so NULL is
+# the portable representation of "no end".
+OPEN_END = None
 
 
 def scd2_merge(

@@ -19,8 +19,12 @@ Scale notes (100 TB):
 - the plain n-gram Jaccard all-shared-shingle join is the exact
   baseline; at 100 TB you'd only run it on LSH candidates (which is
   exactly what lsh_candidate_pairs does).
-- SimHash pairs join on 8-bit bands (4 buckets/doc), hamming filter
-  after — again never all-pairs.
+- SimHash pairs join on width-sized bands (simhash_plan_for pins
+  bucket occupancy as the corpus grows), hamming filter after —
+  never all-pairs.
+- the exact n-gram Jaccard join caps shingle document frequency
+  (NGRAM_MAX_DF_FRAC) so a stop-word shingle can't create a
+  quadratic hot bucket.
 """
 
 from __future__ import annotations
@@ -33,10 +37,16 @@ from .textprep import word_shingles
 
 NUM_HASHES = 16  # MinHash signature length
 NUM_BANDS = 4  # LSH bands (rows per band = NUM_HASHES // NUM_BANDS)
-SIMHASH_BITS = 32
-SIMHASH_BANDS = 4  # 8-bit bands
+SIMHASH_BITS = 64  # fingerprint width (two 32-bit halves, engine-portable)
+SIMHASH_BAND_BITS = 8  # default band width; see simhash_plan_for
 JACCARD_THRESHOLD = 0.2
 HAMMING_MAX = 6
+# Shingles appearing in more than this fraction of documents are
+# dropped before the exact-Jaccard self-join: a stop-word shingle
+# ("of the and") lands in ~every English doc, so one hot shingle
+# makes the shared-shingle join quadratic in corpus size while
+# carrying ~zero Jaccard signal. Standard df-ceiling practice.
+NGRAM_MAX_DF_FRAC = 0.5
 
 
 def dedup_exact(documents: DataFrame, normalized: bool = False) -> DataFrame:
@@ -66,13 +76,32 @@ def _doc_shingles(documents: DataFrame) -> DataFrame:
 
 
 def ngram_jaccard_pairs(
-    documents: DataFrame, threshold: float = JACCARD_THRESHOLD
+    documents: DataFrame,
+    threshold: float = JACCARD_THRESHOLD,
+    max_df_frac: float = NGRAM_MAX_DF_FRAC,
 ) -> DataFrame:
     """Exact Jaccard similarity over word-shingle sets for every pair
     sharing at least one shingle. Output: (doc_a, doc_b, jaccard).
-    The shingle table feeds the self-join and the size table —
-    materialized once."""
-    sh = _doc_shingles(documents).localCheckpoint(eager=True)
+
+    Scale guard: shingles with document frequency > ``max_df_frac`` of
+    the corpus are dropped BEFORE the self-join (and from the set
+    sizes, so the Jaccard universe stays consistent). Without the cap
+    a single stop-word shingle produces a quadratic hot bucket; the
+    dropped shingles are near-universal and carry ~no similarity
+    signal. The hot-shingle list is tiny by construction (at most
+    total-occurrences / (frac·n_docs) ≈ avg-shingles-per-doc / frac
+    entries), so it broadcasts. The shingle table feeds the df count,
+    the self-join and the size table — materialized once."""
+    sh_all = _doc_shingles(documents).localCheckpoint(eager=True)
+    n_docs = documents.select(F.countDistinct("doc_id").alias("n_docs"))
+    hot = (
+        sh_all.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .crossJoin(F.broadcast(n_docs))
+        .filter(F.col("df") > max_df_frac * F.col("n_docs"))
+        .select("shingle")
+    )
+    sh = sh_all.join(F.broadcast(hot), "shingle", "left_anti")
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -304,65 +333,135 @@ def dedup_clusters(documents: DataFrame, threshold: float = JACCARD_THRESHOLD) -
     )
 
 
-def simhash(documents: DataFrame) -> DataFrame:
-    """32-bit SimHash per document: per-token hash32, ±1 vote per bit
-    position weighted by term frequency, bit set where the vote sum is
-    positive.
+def simhash_plan_for(
+    corpus_size: int, target_bucket_rows: int = 1024
+) -> tuple[int, int]:
+    """Scale-aware (band_bits, n_bands) for ``simhash_near_pairs`` —
+    the same occupancy-pinning discipline as similarity.lsh_plan_for.
 
-    The 32 bit-votes are conditional aggregates over the token rows —
-    ONE groupBy(doc_id) whose shuffle carries (doc_id, 32 partial
+    The band self-join costs Σ(bucket size²); a band of ``w`` bits has
+    2^w buckets, so a FIXED w means the expected per-band bucket holds
+    n/2^w docs and the pair count grows quadratically with corpus
+    size. Pick the smallest w ∈ {8, 16, 32} with 2^w ≥ corpus_size /
+    target_bucket_rows (widths that divide 32 so a band never
+    straddles the hi/lo fingerprint halves). Fewer, wider bands trade
+    recall for cost: the pigeonhole guarantee covers hamming <
+    n_bands (= SIMHASH_BITS / w)."""
+    import math
+
+    need = math.ceil(
+        math.log2(max(corpus_size, 1) / target_bucket_rows)
+    ) if corpus_size > target_bucket_rows else 0
+    for w in (8, 16, 32):
+        if w >= need:
+            return w, SIMHASH_BITS // w
+    return 32, SIMHASH_BITS // 32
+
+
+def simhash(documents: DataFrame) -> DataFrame:
+    """64-bit SimHash per document, carried as two 32-bit halves
+    (simhash_hi = bits 32-63, simhash_lo = bits 0-31): per-token
+    hash32 pair from ONE md5 digest (half 0 feeds the low bits, half
+    1 the high bits), ±1 vote per bit position weighted by term
+    frequency, bit set where the vote sum is positive.
+
+    The two-halves representation is deliberate: each half stays in
+    non-negative 32-bit range, so every bit/shift/popcount op is
+    portable between Spark and the DuckDB oracle with no signed-
+    64-bit overflow edge cases.
+
+    The 64 bit-votes are conditional aggregates over the token rows —
+    ONE groupBy(doc_id) whose shuffle carries (doc_id, 64 partial
     sums), with map-side combine. (The round-1 version exploded every
-    token × 32 bit rows first: same answer, 32× the shuffle volume.)"""
+    token × bit rows first: same answer, bits× the shuffle volume.)"""
     from .scale import ensure_parallelism
 
     toks = ensure_parallelism(documents).select(
         "doc_id",
         F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("tok"),
-    ).withColumn("h", hash32(F.col("tok"), salt="simhash"))
+    ).select(
+        "doc_id",
+        hash32(F.col("tok"), salt="simhash", half=0).alias("h1"),
+        hash32(F.col("tok"), salt="simhash", half=1).alias("h2"),
+    )
+    half_bits = SIMHASH_BITS // 2
     votes = toks.groupBy("doc_id").agg(
         *[
             F.sum(
-                F.when(F.expr(f"(h >> {b}) & 1") == 1, F.lit(1)).otherwise(
+                F.when(F.expr(f"(h1 >> {b}) & 1") == 1, F.lit(1)).otherwise(
                     F.lit(-1)
                 )
             ).alias(f"s{b}")
-            for b in range(SIMHASH_BITS)
-        ]
+            for b in range(half_bits)
+        ],
+        *[
+            F.sum(
+                F.when(F.expr(f"(h2 >> {b}) & 1") == 1, F.lit(1)).otherwise(
+                    F.lit(-1)
+                )
+            ).alias(f"s{half_bits + b}")
+            for b in range(half_bits)
+        ],
     )
-    sh = None
-    for b in range(SIMHASH_BITS):
-        term = F.when(F.col(f"s{b}") > 0, F.lit(1 << b).cast("bigint")).otherwise(
-            F.lit(0).cast("bigint")
-        )
-        sh = term if sh is None else sh + term
-    return votes.select("doc_id", sh.alias("simhash"))
+
+    def _pack(offset: int) -> F.Column:
+        packed = None
+        for b in range(half_bits):
+            term = F.when(
+                F.col(f"s{offset + b}") > 0, F.lit(1 << b).cast("bigint")
+            ).otherwise(F.lit(0).cast("bigint"))
+            packed = term if packed is None else packed + term
+        return packed
+
+    return votes.select(
+        "doc_id",
+        _pack(half_bits).alias("simhash_hi"),
+        _pack(0).alias("simhash_lo"),
+    )
 
 
-def simhash_near_pairs(documents: DataFrame, max_hamming: int = HAMMING_MAX) -> DataFrame:
+def simhash_near_pairs(
+    documents: DataFrame,
+    max_hamming: int = HAMMING_MAX,
+    band_bits: int = SIMHASH_BAND_BITS,
+) -> DataFrame:
     """Near-duplicate pairs by SimHash hamming distance ≤ max_hamming.
-    Candidates come from matching any 8-bit band, then the exact
-    popcount filter. Recall guarantee (pigeonhole): a pair at hamming
-    distance < SIMHASH_BANDS (i.e. ≤ 3) MUST share an untouched band;
-    pairs at distance 4..max_hamming can spread one flipped bit into
-    every band and be missed — that range is best-effort recall, the
-    standard LSH cost/recall tradeoff (raise bands to max_hamming+1
-    for an exact guarantee at more candidate volume)."""
+    Candidates come from matching any ``band_bits``-wide band, then
+    the exact popcount filter.
+
+    Recall guarantee (pigeonhole): with B = SIMHASH_BITS/band_bits
+    bands, a pair at hamming distance < B MUST share an untouched
+    band. At the 8-bit default B = 8 > HAMMING_MAX, so recall is
+    EXACT for the shipped threshold. At scale, size the band width
+    with ``simhash_plan_for(corpus_size)`` — 16-bit bands give 65k
+    buckets (bounded self-join cost) at B = 4 bands, making hamming
+    4..max_hamming best-effort: the standard LSH cost/recall
+    tradeoff, now an explicit knob instead of a fixed constant."""
+    assert SIMHASH_BITS % band_bits == 0 and band_bits in (8, 16, 32)
     sh = simhash(documents).localCheckpoint(eager=True)
+    mask = (1 << band_bits) - 1
+    structs = []
+    for k in range(SIMHASH_BITS // band_bits):
+        off = k * band_bits
+        src, rel = ("simhash_lo", off) if off < 32 else ("simhash_hi", off - 32)
+        structs.append(
+            F.struct(
+                F.lit(k).alias("k"),
+                F.expr(f"({src} >> {rel}) & {mask}").alias("bandval"),
+            )
+        )
     bands = sh.select(
         "doc_id",
-        "simhash",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(k).alias("k"),
-                        F.expr(f"(simhash >> {8 * k}) & 255").alias("bandval"),
-                    )
-                    for k in range(SIMHASH_BANDS)
-                ]
-            )
-        ).alias("bb"),
-    ).select("doc_id", "simhash", F.col("bb.k").alias("k"), F.col("bb.bandval").alias("bandval"))
+        "simhash_hi",
+        "simhash_lo",
+        F.explode(F.array(*structs)).alias("bb"),
+    ).select(
+        "doc_id",
+        "simhash_hi",
+        "simhash_lo",
+        F.col("bb.k").alias("k"),
+        F.col("bb.bandval").alias("bandval"),
+    )
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -375,7 +474,10 @@ def simhash_near_pairs(documents: DataFrame, max_hamming: int = HAMMING_MAX) -> 
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.expr("bit_count(a.simhash ^ b.simhash)").alias("hamming"),
+            F.expr(
+                "bit_count(a.simhash_hi ^ b.simhash_hi)"
+                " + bit_count(a.simhash_lo ^ b.simhash_lo)"
+            ).alias("hamming"),
         )
         .distinct()
         .filter(F.col("hamming") <= max_hamming)

@@ -53,7 +53,11 @@ def user_sessions(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     the same user exceeds `gap_minutes`. Output: per-user session
     count and average session length (events per session)."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    micros = F.expr("unix_micros(ts)")
+    # cast: unix_micros rejects TIMESTAMP_NTZ, and the fixture's ts
+    # arrives as NTZ or TZ depending on how the parquet was written;
+    # the session timezone is pinned UTC (catalog.table) so the cast
+    # is deterministic either way.
+    micros = F.expr("unix_micros(cast(ts as timestamp))")
     gap = micros - F.lag(micros).over(w)
     sess = events.withColumn(
         "new_sess",

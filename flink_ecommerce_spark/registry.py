@@ -744,21 +744,63 @@ jac AS (SELECT i.doc_a, i.doc_b,
         JOIN sizes sb ON sb.doc_id = i.doc_b)
 """
 
+# ngram_jaccard_pairs twin: same df ceiling as the Spark plan — hot
+# shingles (df > frac·n_docs) are dropped before the self-join AND
+# from the set sizes.
+_CAPPED_JACCARD_CTES = f"""
+ds0 AS (SELECT DISTINCT doc_id, s AS shingle
+        FROM (SELECT doc_id, unnest(shingles) AS s FROM sh)),
+nd AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+hot AS (SELECT shingle
+        FROM (SELECT shingle, COUNT(*) AS df FROM ds0 GROUP BY 1) d, nd
+        WHERE d.df > {dedup.NGRAM_MAX_DF_FRAC} * nd.n_docs),
+ds AS (SELECT doc_id, shingle FROM ds0
+       WHERE shingle NOT IN (SELECT shingle FROM hot)),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM ds GROUP BY 1),
+inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+          FROM ds a JOIN ds b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+jac AS (SELECT i.doc_a, i.doc_b,
+               ROUND(i.n_inter / (sa.n_sh + sb.n_sh - i.n_inter), 6) AS jaccard
+        FROM inter i
+        JOIN sizes sa ON sa.doc_id = i.doc_a
+        JOIN sizes sb ON sb.doc_id = i.doc_b)
+"""
+
+# 64-bit SimHash as two 32-bit halves: bits 0-31 vote from md5 half 0
+# (h1), bits 32-63 from half 1 (h2) — mirrors operators/dedup.simhash.
+_SIMHASH_HALF = dedup.SIMHASH_BITS // 2
 _SIMHASH_CTE = f"""
 toks AS (SELECT doc_id, unnest({_WORDS}) AS tok FROM documents),
-th AS (SELECT doc_id, {sql_hash32('tok', salt='simhash')} AS h FROM toks),
+th AS (SELECT doc_id,
+         {sql_hash32('tok', salt='simhash', half=0)} AS h1,
+         {sql_hash32('tok', salt='simhash', half=1)} AS h2
+       FROM toks),
 bits AS (SELECT doc_id, b,
-                SUM(CASE WHEN ((h >> b) & 1) = 1 THEN 1 ELSE -1 END) AS s
+                SUM(CASE WHEN (CASE WHEN b < {_SIMHASH_HALF}
+                                    THEN (h1 >> b) & 1
+                                    ELSE (h2 >> (b - {_SIMHASH_HALF})) & 1 END) = 1
+                         THEN 1 ELSE -1 END) AS s
          FROM th CROSS JOIN (SELECT unnest(generate_series(0, {dedup.SIMHASH_BITS - 1})) AS b)
          GROUP BY 1, 2),
 sim AS (SELECT doc_id,
-               CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
+               CAST(SUM(CASE WHEN s > 0 AND b >= {_SIMHASH_HALF}
+                             THEN (CAST(1 AS BIGINT) << (b - {_SIMHASH_HALF})) ELSE 0 END) AS BIGINT) AS simhash_hi,
+               CAST(SUM(CASE WHEN s > 0 AND b < {_SIMHASH_HALF}
+                             THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash_lo
         FROM bits GROUP BY 1)
 """
 
+_SIMHASH_MASK = (1 << dedup.SIMHASH_BAND_BITS) - 1
 _SIMHASH_BAND_SELECTS = "\nUNION ALL\n".join(
-    f"SELECT doc_id, simhash, {k} AS k, (simhash >> {8 * k}) & 255 AS bandval FROM sim"
-    for k in range(dedup.SIMHASH_BANDS)
+    "SELECT doc_id, simhash_hi, simhash_lo, {k} AS k, "
+    "(({src} >> {rel}) & {mask}) AS bandval FROM sim".format(
+        k=k,
+        src="simhash_lo" if k * dedup.SIMHASH_BAND_BITS < _SIMHASH_HALF else "simhash_hi",
+        rel=(k * dedup.SIMHASH_BAND_BITS) % _SIMHASH_HALF,
+        mask=_SIMHASH_MASK,
+    )
+    for k in range(dedup.SIMHASH_BITS // dedup.SIMHASH_BAND_BITS)
 )
 
 
@@ -1466,14 +1508,14 @@ j AS (SELECT u.user_id AS u_user, u.segment AS u_seg, u.ts AS u_ts,
 fresh AS (SELECT * FROM j
           WHERE c_user IS NULL OR ((u_seg IS DISTINCT FROM c_seg) AND u_ts > c_from)),
 inserts AS (SELECT u_user AS user_id, u_seg AS segment, u_ts AS valid_from,
-                   TIMESTAMP '9999-12-31 00:00:00' AS valid_to, TRUE AS is_current
+                   CAST(NULL AS TIMESTAMP) AS valid_to, TRUE AS is_current
             FROM fresh),
 closed_now AS (SELECT c.user_id, c.segment, c.valid_from, f.u_ts AS valid_to,
                       FALSE AS is_current
                FROM cur c JOIN (SELECT u_user, u_ts FROM fresh WHERE c_user IS NOT NULL) f
                  ON c.user_id = f.u_user),
 untouched AS (SELECT c.user_id, c.segment, c.valid_from,
-                     TIMESTAMP '9999-12-31 00:00:00' AS valid_to, TRUE AS is_current
+                     CAST(NULL AS TIMESTAMP) AS valid_to, TRUE AS is_current
               FROM cur c
               WHERE NOT EXISTS (SELECT 1 FROM fresh f WHERE f.c_user = c.user_id))
 SELECT * FROM untouched UNION ALL SELECT * FROM closed_now
@@ -1514,12 +1556,12 @@ WHERE j.jaccard >= {dedup.JACCARD_THRESHOLD}
 """,
     "ngram_jaccard_pairs": f"""
 WITH sh AS (SELECT doc_id, {_SHINGLES} AS shingles FROM documents),
-{_JACCARD_CTES}
+{_CAPPED_JACCARD_CTES}
 SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= {dedup.JACCARD_THRESHOLD}
 """,
     "simhash": f"""
 WITH {_SIMHASH_CTE}
-SELECT doc_id, simhash FROM sim
+SELECT doc_id, simhash_hi, simhash_lo FROM sim
 """,
     "sample_events": """
 SELECT event_id, ts, user_id, event_type, value FROM events
@@ -1611,10 +1653,12 @@ WHERE cl.cluster_id = cl.doc_id
 WITH {_SIMHASH_CTE},
 bands AS ({_SIMHASH_BAND_SELECTS})
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+       CAST(bit_count(xor(a.simhash_hi, b.simhash_hi))
+            + bit_count(xor(a.simhash_lo, b.simhash_lo)) AS INT) AS hamming
 FROM bands a JOIN bands b
   ON a.k = b.k AND a.bandval = b.bandval AND a.doc_id < b.doc_id
-WHERE bit_count(xor(a.simhash, b.simhash)) <= {dedup.HAMMING_MAX}
+WHERE bit_count(xor(a.simhash_hi, b.simhash_hi))
+      + bit_count(xor(a.simhash_lo, b.simhash_lo)) <= {dedup.HAMMING_MAX}
 """,
     "token_counts": """
 SELECT doc_id,

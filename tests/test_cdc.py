@@ -37,6 +37,9 @@ def test_scd2_full_lifecycle(spark):
     assert len(rows) == 4
     closed = rows[(1, "bronze", False)]
     assert closed["valid_to"] == _t(5)
+    # open rows carry NULL valid_to (pandas-safe: no 9999-12-31 sentinel)
+    assert all(r["valid_to"] is None for k, r in rows.items() if k[2])
+    merged.toPandas()  # must survive pandas ns-timestamp conversion
     assert rows[(1, "gold", True)]["valid_from"] == _t(5)
     assert rows[(2, "silver", True)]["valid_from"] == _t(0)  # untouched
     assert rows[(3, "bronze", True)]["valid_from"] == _t(7)

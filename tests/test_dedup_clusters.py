@@ -48,3 +48,75 @@ def test_chain_clusters_merge(spark):
         for r in dedup_clusters(docs, threshold=0.5).collect()
     }
     assert len(set(clusters.values())) == 1, clusters
+
+
+def test_ngram_df_cap_bounds_hot_shingle_join(spark):
+    """A stop-word shingle present in EVERY doc must not turn the
+    shared-shingle self-join into all-pairs: with the df ceiling the
+    universal shingles are dropped and unrelated docs produce zero
+    pair rows, while genuine near-dups still pair via their rare
+    shingles. max_df_frac=1.0 disables the cap and recovers the
+    quadratic blow-up — the contrast pins the bound."""
+    from flink_ecommerce_spark.operators.dedup import ngram_jaccard_pairs
+
+    stop = "of the and in to for on at by with it is was as be or"
+    uniq = [
+        f"unique{i} topic{i} subject{i} theme{i} marker{i} token{i} tail{i} end{i}"
+        for i in range(20)
+    ]
+    rows = [(i, f"{stop} {uniq[i]}", "en", "s", 1) for i in range(20)]
+    # 20 and 21: genuine near-dups sharing a rare tail
+    rare = "rare alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows += [(20, f"{stop} {rare}", "en", "s", 1), (21, f"{stop} {rare} x", "en", "s", 1)]
+    docs = spark.createDataFrame(rows, DOCUMENTS_SCHEMA)
+
+    capped = ngram_jaccard_pairs(docs, threshold=0.0).collect()
+    pairs = {(r["doc_a"], r["doc_b"]) for r in capped}
+    assert (20, 21) in pairs
+    # no unrelated pair survives — the hot shingles are gone
+    assert all(a >= 20 and b >= 20 for a, b in pairs), sorted(pairs)[:5]
+
+    uncapped = ngram_jaccard_pairs(docs, threshold=0.0, max_df_frac=1.0).count()
+    assert uncapped == 22 * 21 // 2  # all-pairs: what the cap prevents
+
+
+def test_simhash_plan_for_sizing():
+    """Band width grows with corpus size so bucket occupancy (and the
+    band self-join cost) stays pinned; band count shrinks, trading
+    the pigeonhole recall bound — mirror of lsh_plan_for."""
+    from flink_ecommerce_spark.operators import dedup
+
+    # test scale: oracle constants (8-bit bands, 8 bands -> exact
+    # recall for hamming <= HAMMING_MAX)
+    assert dedup.simhash_plan_for(500) == (8, 8)
+    assert dedup.simhash_plan_for(200_000) == (8, 8)
+    # larger corpora widen the band: 2^16 buckets
+    assert dedup.simhash_plan_for(50_000_000) == (16, 4)
+    # 100TB-class corpora: widest band
+    w, b = dedup.simhash_plan_for(10_000_000_000)
+    assert w == 32 and b == 2
+
+
+def test_simhash_band_width_cost_recall_tradeoff(spark):
+    """Two band widths on one corpus: wider bands (fewer buckets
+    matched per doc, more buckets total) surface FEWER candidate
+    pairs (the cost axis), and the verified pairs they do surface are
+    a subset of the narrow-band result (the recall axis)."""
+    from flink_ecommerce_spark.operators.dedup import simhash_near_pairs
+
+    base = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi"
+    )
+    rows = [(i, f"{base} doc{i} tail{i % 7} mark{i % 5}", "en", "s", 1) for i in range(40)]
+    docs = spark.createDataFrame(rows, DOCUMENTS_SCHEMA)
+
+    # max_hamming=64 disables the verify filter: counts = raw
+    # candidate volume from band collisions (the join cost proxy)
+    cand8 = simhash_near_pairs(docs, max_hamming=64, band_bits=8).count()
+    cand16 = simhash_near_pairs(docs, max_hamming=64, band_bits=16).count()
+    assert cand16 <= cand8
+
+    pairs8 = {(r["doc_a"], r["doc_b"]) for r in simhash_near_pairs(docs, band_bits=8).collect()}
+    pairs16 = {(r["doc_a"], r["doc_b"]) for r in simhash_near_pairs(docs, band_bits=16).collect()}
+    assert pairs16 <= pairs8

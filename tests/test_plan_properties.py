@@ -50,7 +50,13 @@ def test_top10_uses_take_ordered(spark):
 def test_sales_per_day_single_shuffle(spark):
     plan = _plan(spark, "sales_per_day")
     assert plan.count("Exchange hashpartitioning") == 1
-    assert "ReadSchema: struct<ts:bigint,value:double>" in plan  # pruned columns
+    # pruned columns — ts arrives as int64-nanos or timestamp
+    # depending on how the parquet fixture was written
+    assert (
+        "ReadSchema: struct<ts:bigint,value:double>" in plan
+        or "ReadSchema: struct<ts:timestamp_ntz,value:double>" in plan
+        or "ReadSchema: struct<ts:timestamp,value:double>" in plan
+    )
 
 
 def test_sales_per_day_partial_aggregation(spark):
@@ -85,7 +91,8 @@ def test_user_value_quartiles_no_single_partition_exchange(spark):
 
 
 def test_simhash_no_bit_explode(spark):
-    # votes are conditional aggregates over token rows; the 32×
+    # votes are conditional aggregates over token rows; the bits×
     # (doc_id, h, bit) explode must stay gone from the plan
     plan = _plan(spark, "simhash")
     assert "sequence(0, 31" not in plan
+    assert "sequence(0, 63" not in plan
