@@ -28,16 +28,32 @@ _HEX = "0123456789abcdef"
 _POW16 = [268435456, 16777216, 1048576, 65536, 4096, 256, 16, 1]
 
 
-def hash32(col: Column | str, salt: str | None = None, half: int = 0) -> Column:
-    """Spark Column: 32 bits of md5(salt || ':' || s) as a long.
-    ``half`` selects which 8 hex digits (0 → 1-8, 1 → 9-16): two
-    independent-enough 32-bit values from ONE md5 evaluation — callers
-    needing a hash pair (Carter-Wegman MinHash) share the digest, and
-    Catalyst's subexpression elimination computes it once per row."""
+def salted_md5(col: Column | str, salt: str | None = None) -> Column:
+    """md5(salt || ':' || s) as lowercase hex — the shared digest for
+    hash-pair extraction. Hot paths project THIS once as a real column
+    and slice halves with ``hash32_from_digest``: plans whose hashing
+    sits outside whole-stage codegen (e.g. next to a Generate) get no
+    subexpression elimination, so two full hash32() calls would run
+    md5 twice per row."""
     c = F.col(col) if isinstance(col, str) else col
     if salt is not None:
         c = F.concat(F.lit(f"{salt}:"), c)
-    return F.conv(F.substring(F.md5(c), 1 + 8 * half, 8), 16, 10).cast("long")
+    return F.md5(c)
+
+
+def hash32_from_digest(digest: Column | str, half: int = 0) -> Column:
+    """32-bit value from an already-computed md5 hex digest column.
+    ``half`` selects which 8 hex digits (0 → 1-8, 1 → 9-16)."""
+    d = F.col(digest) if isinstance(digest, str) else digest
+    return F.conv(F.substring(d, 1 + 8 * half, 8), 16, 10).cast("long")
+
+
+def hash32(col: Column | str, salt: str | None = None, half: int = 0) -> Column:
+    """Spark Column: 32 bits of md5(salt || ':' || s) as a long.
+    Convenience one-expression form; callers needing BOTH halves on a
+    hot path should project ``salted_md5`` once and use
+    ``hash32_from_digest`` (see its docstring)."""
+    return hash32_from_digest(salted_md5(col, salt), half)
 
 
 def sql_hash32(expr: str, salt: str | None = None, half: int = 0) -> str:

@@ -32,8 +32,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.portable import hash32
-from .textprep import word_shingles
+from ..functions.portable import hash32, hash32_from_digest, salted_md5
+from .textprep import shingles_from_words, word_shingles, words
 
 NUM_HASHES = 16  # MinHash signature length
 NUM_BANDS = 4  # LSH bands (rows per band = NUM_HASHES // NUM_BANDS)
@@ -66,10 +66,16 @@ def dedup_exact(documents: DataFrame, normalized: bool = False) -> DataFrame:
 
 
 def _doc_shingles(documents: DataFrame) -> DataFrame:
-    """(doc_id, shingle) distinct pairs."""
+    """(doc_id, shingle) distinct pairs. The words array is projected
+    into a real column BELOW the explode so the regex split runs once
+    per document — Generate evaluates its generator expression with no
+    subexpression elimination, so inlining words(text) would re-split
+    w+1 times per row."""
     return (
-        documents.select(
-            "doc_id", F.explode(word_shingles("text")).alias("shingle")
+        documents.select("doc_id", words("text").alias("__words"))
+        .select(
+            "doc_id",
+            F.explode(shingles_from_words(F.col("__words"))).alias("shingle"),
         )
         .distinct()
     )
@@ -134,21 +140,36 @@ def minhash_signatures(documents: DataFrame, num_hashes: int = NUM_HASHES) -> Da
     family: two base hashes per shingle, mh_i = min((h1 + i*h2) mod p).
 
     ONE md5 evaluation per shingle (h1/h2 are its two 32-bit hex
-    halves; codegen subexpression elimination shares the digest) —
-    the standard trick for cheap independent-enough permutations —
-    and the derived combinations are integer-only arithmetic inside
-    the partial aggregation, so the whole thing is one explode + one
-    shuffle carrying (doc_id, 16 longs). Empty-shingle docs come back
-    via explode_outer with NULL signatures."""
+    halves) — the standard trick for cheap independent-enough
+    permutations — and the derived combinations are integer-only
+    arithmetic inside the partial aggregation, so the whole thing is
+    one explode + one shuffle carrying (doc_id, 16 longs).
+
+    The digest sharing is STRUCTURAL, not left to codegen: this plan's
+    hashing sits next to a Generate (no whole-stage codegen, so no
+    subexpression elimination), so the digest is projected as a real
+    column and the halves sliced from it; likewise the words array is
+    projected below the explode so the regex split runs once per
+    document, not once per shifted slice. Empty-shingle docs come
+    back via explode_outer with NULL signatures."""
     from .scale import ensure_parallelism
 
-    sh = ensure_parallelism(documents).select(
-        "doc_id", F.explode_outer(word_shingles("text")).alias("shingle")
+    sh = (
+        ensure_parallelism(documents)
+        .select("doc_id", words("text").alias("__words"))
+        .select(
+            "doc_id",
+            F.explode_outer(shingles_from_words(F.col("__words"))).alias(
+                "shingle"
+            ),
+        )
     )
     hashed = sh.select(
+        "doc_id", salted_md5(F.col("shingle"), salt="mh").alias("__d")
+    ).select(
         "doc_id",
-        hash32(F.col("shingle"), salt="mh", half=0).alias("h1"),
-        hash32(F.col("shingle"), salt="mh", half=1).alias("h2"),
+        hash32_from_digest("__d", half=0).alias("h1"),
+        hash32_from_digest("__d", half=1).alias("h2"),
     )
     return hashed.groupBy("doc_id").agg(
         *[
@@ -380,9 +401,11 @@ def simhash(documents: DataFrame) -> DataFrame:
         "doc_id",
         F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("tok"),
     ).select(
+        "doc_id", salted_md5(F.col("tok"), salt="simhash").alias("__d")
+    ).select(
         "doc_id",
-        hash32(F.col("tok"), salt="simhash", half=0).alias("h1"),
-        hash32(F.col("tok"), salt="simhash", half=1).alias("h2"),
+        hash32_from_digest("__d", half=0).alias("h1"),
+        hash32_from_digest("__d", half=1).alias("h2"),
     )
     half_bits = SIMHASH_BITS // 2
     votes = toks.groupBy("doc_id").agg(

@@ -24,6 +24,26 @@ def sql_words(expr: str) -> str:
     return f"string_split_regex(lower(trim({expr})), '\\s+')"
 
 
+def shingles_from_words(ws: Column, w: int = SHINGLE_WORDS) -> Column:
+    """w-word shingles from an ALREADY-COMPUTED words array column.
+
+    Callers on the hot path should project ``words(text)`` into a real
+    column first and pass that attribute here: the slices below
+    reference their input w+1 times, and inside a Generate (explode)
+    there is no subexpression elimination — passing the raw
+    ``words(text)`` expression re-runs the regex split w+1 times per
+    document."""
+    n = F.size(ws) - F.lit(w - 1)
+    # shifted[j][i] = word[i+j]; shingle_i = join(shifted[0..w-1][i])
+    shingles = F.slice(ws, 1, n)
+    for j in range(1, w):
+        shifted = F.slice(ws, 1 + j, n)
+        shingles = F.zip_with(
+            shingles, shifted, lambda acc, nxt: F.concat_ws(" ", acc, nxt)
+        )
+    return F.when(n >= 1, shingles).otherwise(F.array().cast("array<string>"))
+
+
 def word_shingles(text: Column | str, w: int = SHINGLE_WORDS) -> Column:
     """All w-word shingles (space-joined), in document order. Empty
     array when the document has fewer than w words.
@@ -34,17 +54,10 @@ def word_shingles(text: Column | str, w: int = SHINGLE_WORDS) -> Column:
     regex split per ELEMENT, turning shingling O(words²) per document
     (measured 20× slower at 54-word docs; catastrophic at book-length
     docs). Slices evaluate the split O(w) times per row; the lambdas
-    below touch only their own element variables."""
-    ws = words(text)
-    n = F.size(ws) - F.lit(w - 1)
-    # shifted[j][i] = word[i+j]; shingle_i = join(shifted[0..w-1][i])
-    shingles = F.slice(ws, 1, n)
-    for j in range(1, w):
-        shifted = F.slice(ws, 1 + j, n)
-        shingles = F.zip_with(
-            shingles, shifted, lambda acc, nxt: F.concat_ws(" ", acc, nxt)
-        )
-    return F.when(n >= 1, shingles).otherwise(F.array().cast("array<string>"))
+    below touch only their own element variables. (Hot paths should
+    prefer projecting ``words`` first + ``shingles_from_words`` —
+    that makes it ONE split per row.)"""
+    return shingles_from_words(words(text), w)
 
 
 def sql_word_shingles(expr: str, w: int = SHINGLE_WORDS) -> str:
