@@ -35,15 +35,21 @@ def _streaming_replay(spark, sf_dir: str) -> float:
     from flink_ecommerce_spark.streaming.sinks import MemoryUpsertSink
 
     events = catalog.table(spark, sf_dir, "events")
-    # events.ts is TIMESTAMP(NANOS) parquet → read as long, normalize
-    # exactly like catalog.table does
+    # events.ts arrives as TIMESTAMP(NANOS)-read-as-long OR as a real
+    # timestamp depending on how the fixture parquet was written —
+    # probe the RAW parquet schema (catalog.table already normalizes
+    # its own output, so probe the file, not the catalog)
+    raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    ts_type = dict((f.name, f.dataType.simpleString())
+                   for f in raw_schema.fields)["ts"]
     stream = (
-        spark.readStream.schema("event_id long, ts long, user_id long, "
+        spark.readStream.schema(f"event_id long, ts {ts_type}, user_id long, "
                                 "event_type string, value double, props string")
         .option("pathGlobFilter", "events.parquet")  # file source wants a dir
         .parquet(sf_dir)
-        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     )
+    if ts_type == "bigint":  # int64 nanos → micros, like catalog.table
+        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     branches = reference_branches(
         ts_col="ts", category_col="event_type", amount_col="value",
         id_col="event_id", user_col="user_id",

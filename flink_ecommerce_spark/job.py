@@ -26,7 +26,30 @@ from .schemas import TRANSACTION_SCHEMA
 from .session import get_spark
 from .streaming import ddl
 from .streaming.runner import DEFAULT_TRIGGER_MS, Branch, StreamingJob, reference_branches
-from .streaming.sinks import JdbcUpsertSink, MemoryUpsertSink
+from .streaming.sinks import JdbcUpsertSink, MemoryUpsertSink, StagedMergeSink
+
+# column list per branch = the branch plan's output schema (the
+# transactions branch carries the full 12-column K2 schema matching
+# ddl.TRANSACTIONS_DDL)
+SINK_COLUMNS: dict[str, list[str]] = {
+    "transactions": [
+        "transaction_id",
+        "product_id",
+        "product_name",
+        "product_category",
+        "product_price",
+        "product_quantity",
+        "product_brand",
+        "total_amount",
+        "currency",
+        "customer_id",
+        "transaction_date",
+        "payment_method",
+    ],
+    "sales_per_category": ["transaction_date", "category", "total_sales"],
+    "sales_per_day": ["transaction_date", "total_sales"],
+    "sales_per_month": ["year", "month", "total_sales"],
+}
 
 
 def build_source(spark, args) -> DataFrame:
@@ -76,30 +99,35 @@ def _pg_connection_factory(jdbc_url: str):
 
 
 def make_sink_factory(args):
+    """Sink selection: ``memory`` (tests), ``jdbc`` (row-wise
+    executemany upserts, the reference's K2-K5 shape), or ``staged``
+    (set-based: stage each micro-batch as parquet, ONE MERGE /
+    ON CONFLICT statement per batch — the warehouse-style path that
+    scales past row-at-a-time JDBC)."""
     if args.sink == "memory":
         return lambda branch: MemoryUpsertSink(branch.key_cols)
 
     factory = _pg_connection_factory(args.jdbc_url)
     ddl.create_sink_tables(factory)  # K1: once, at startup
 
+    if args.sink == "staged":
+        def staged_sink(branch: Branch):
+            return StagedMergeSink(
+                factory,
+                branch.name,
+                SINK_COLUMNS[branch.name],
+                list(branch.key_cols),
+                stage_dir=f"{args.stage_dir}/{branch.name}",
+                dialect=args.merge_dialect,
+            )
+
+        return staged_sink
+
     def jdbc_sink(branch: Branch):
-        # column list = the branch plan's output schema; key = upsert key
-        cols_by_branch = {
-            "transactions": [
-                "transaction_id",
-                "transaction_ts",
-                "customer_id",
-                "category",
-                "total_amount",
-            ],
-            "sales_per_category": ["transaction_date", "category", "total_sales"],
-            "sales_per_day": ["transaction_date", "total_sales"],
-            "sales_per_month": ["year", "month", "total_sales"],
-        }
         return JdbcUpsertSink(
             factory,
             branch.name,
-            cols_by_branch[branch.name],
+            SINK_COLUMNS[branch.name],
             list(branch.key_cols),
         )
 
@@ -113,8 +141,11 @@ def main(argv: list[str] | None = None) -> StreamingJob:
     p.add_argument("--topic", default="financial_transactions")
     p.add_argument("--input-path", help="for --source file")
     p.add_argument("--rate-rps", type=int, default=1000)
-    p.add_argument("--sink", choices=["jdbc", "memory"], default="jdbc")
+    p.add_argument("--sink", choices=["jdbc", "staged", "memory"], default="jdbc")
     p.add_argument("--jdbc-url", default="postgresql://localhost/ecommerce")
+    p.add_argument("--stage-dir", default="/tmp/flink_ecommerce_spark_stage")
+    p.add_argument("--merge-dialect", choices=["merge", "on_conflict"],
+                   default="on_conflict")
     p.add_argument("--checkpoint", default="/tmp/flink_ecommerce_spark_ckpt")
     p.add_argument("--trigger-ms", type=int, default=DEFAULT_TRIGGER_MS)
     p.add_argument("--enable-es", action="store_true")

@@ -49,6 +49,30 @@ def raw_transactions(
     )
 
 
+def raw_transactions_full(df: DataFrame) -> DataFrame:
+    """K2's sink projection over the FULL transaction schema: all 12
+    DTO fields (dto/TransactionDTO.java:9-20) renamed to the sink
+    DDL's snake_case columns (DataStreamJob.java:318-331), upsert key
+    transaction_id. This is the streaming job's transactions branch;
+    the 5-column ``raw_transactions`` stays as the events-analog
+    projection used by the batch query catalog."""
+    renames = [
+        ("transactionId", "transaction_id"),
+        ("productId", "product_id"),
+        ("productName", "product_name"),
+        ("productCategory", "product_category"),
+        ("productPrice", "product_price"),
+        ("productQuantity", "product_quantity"),
+        ("productBrand", "product_brand"),
+        ("totalAmount", "total_amount"),
+        ("currency", "currency"),
+        ("customerId", "customer_id"),
+        ("transactionDate", "transaction_date"),
+        ("paymentMethod", "payment_method"),
+    ]
+    return df.select(*[F.col(a).alias(b) for a, b in renames])
+
+
 def sales_per_day(
     df: DataFrame, ts_col: str = "transactionDate", amount_col: str = "totalAmount"
 ) -> DataFrame:

@@ -48,8 +48,16 @@ def reference_branches(
     return [
         Branch(
             "transactions",
-            lambda df: sales.raw_transactions(
-                df, id_col, ts_col, user_col, category_col, amount_col
+            # on the actual transaction schema (default column names)
+            # the raw branch carries the full 12-column K2 projection
+            # matching ddl.TRANSACTIONS_DDL; remapped sources (the
+            # events analog) only have the 5-column subset
+            (
+                sales.raw_transactions_full
+                if ts_col == "transactionDate"
+                else lambda df: sales.raw_transactions(
+                    df, id_col, ts_col, user_col, category_col, amount_col
+                )
             ),
             ("transaction_id",),
             output_mode="append",

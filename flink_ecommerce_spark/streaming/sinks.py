@@ -87,19 +87,23 @@ def merge_upsert_sql(
         for c in columns
         if c not in set(key_cols)
     )
+    # all columns are key columns -> nothing to update on match;
+    # emit an insert-only statement instead of a malformed empty SET
     if dialect == "merge":
         on = " AND ".join(f"t.{k} = s.{k}" for k in key_cols)
         svals = ", ".join(f"s.{c}" for c in columns)
+        matched = f"WHEN MATCHED THEN UPDATE SET {updates} " if updates else ""
         return (
             f"MERGE INTO {table} t USING ({source}) s ON {on} "
-            f"WHEN MATCHED THEN UPDATE SET {updates} "
+            f"{matched}"
             f"WHEN NOT MATCHED THEN INSERT ({collist}) VALUES ({svals})"
         )
     if dialect == "on_conflict":
         keylist = ", ".join(key_cols)
+        action = f"DO UPDATE SET {updates}" if updates else "DO NOTHING"
         return (
             f"INSERT INTO {table} ({collist}) SELECT {collist} FROM ({source}) "
-            f"ON CONFLICT ({keylist}) DO UPDATE SET {updates}"
+            f"ON CONFLICT ({keylist}) {action}"
         )
     raise ValueError(f"unknown dialect {dialect!r}")
 
@@ -162,8 +166,14 @@ class StagedMergeSink:
         )
 
     def write_batch(self, batch_df: DataFrame, epoch_id: int | None = None) -> None:
+        reduced = self._reduce_to_latest(batch_df)
+        # foreachBatch routinely delivers empty micro-batches; staging
+        # zero part files would make read_parquet('<stage>/*.parquet')
+        # fail on an empty glob
+        if reduced.isEmpty():
+            return
         stage = f"{self.stage_dir}/epoch={epoch_id or 0}"
-        self._reduce_to_latest(batch_df).write.mode("overwrite").parquet(stage)
+        reduced.write.mode("overwrite").parquet(stage)
         sql = merge_upsert_sql(
             self.table,
             f"SELECT * FROM read_parquet('{stage}/*.parquet')",

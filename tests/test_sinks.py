@@ -244,3 +244,33 @@ def test_staged_merge_collapses_duplicate_keys_in_batch(spark, tmp_path):
     con.close()
     # MERGE source reduced to latest-per-key: ts=200 wins for k=1
     assert rows == {1: (99.0, 200), 2: (5.0, 50)}
+
+
+def test_merge_upsert_sql_all_key_columns_insert_only():
+    """Every column in the key → no SET clause to emit; statement
+    must degrade to insert-only instead of malformed SQL."""
+    m = merge_upsert_sql("t", "SELECT * FROM s0", ["a", "b"], ["a", "b"], "merge")
+    assert "WHEN MATCHED" not in m and "WHEN NOT MATCHED THEN INSERT" in m
+    oc = merge_upsert_sql("t", "SELECT * FROM s0", ["a", "b"], ["a", "b"], "on_conflict")
+    assert oc.endswith("DO NOTHING") and "DO UPDATE" not in oc
+
+
+def test_staged_merge_skips_empty_batch(spark, tmp_path):
+    """foreachBatch routinely delivers empty micro-batches; the sink
+    must not stage zero part files (read_parquet on an empty glob
+    raises) nor touch the target table."""
+    import duckdb
+
+    db = str(tmp_path / "empty.duckdb")
+    con = duckdb.connect(db)
+    con.execute("CREATE TABLE kv (k BIGINT PRIMARY KEY, v DOUBLE)")
+    con.close()
+    sink = StagedMergeSink(
+        lambda: duckdb.connect(db), "kv", ["k", "v"], ["k"],
+        stage_dir=str(tmp_path / "stage_empty"),
+    )
+    empty = spark.createDataFrame([], "k long, v double")
+    sink.write_batch(empty, 0)  # must not raise
+    con = duckdb.connect(db)
+    assert con.execute("SELECT COUNT(*) FROM kv").fetchone()[0] == 0
+    con.close()

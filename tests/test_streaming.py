@@ -110,3 +110,81 @@ def test_malformed_json_null_vs_strict(spark):
     assert len(lenient) == 2  # malformed kept as all-null row
     strict = parse_transactions(raw, strict=True).collect()
     assert len(strict) == 1 and strict[0]["transactionId"] == "t1"
+
+
+def test_streaming_staged_merge_matches_memory_sink(spark, txn_json_dir, tmp_path):
+    """Full streaming job through the set-based StagedMergeSink
+    (foreachBatch → stage parquet → one ON CONFLICT per batch) into a
+    real engine (DuckDB), with chunked micro-batches: final table
+    state must equal the row-wise MemoryUpsertSink path for every
+    branch — the job's --sink staged configuration."""
+    import duckdb
+
+    from flink_ecommerce_spark.job import SINK_COLUMNS
+    from flink_ecommerce_spark.sources.kafka import parse_transactions
+    from flink_ecommerce_spark.streaming import ddl
+    from flink_ecommerce_spark.streaming.sinks import StagedMergeSink
+
+    db = str(tmp_path / "staged.duckdb")
+    ddl.create_sink_tables(lambda: duckdb.connect(db))
+
+    raw_stream = (
+        spark.readStream.format("text")
+        .option("maxFilesPerTrigger", "1")  # several micro-batches
+        .load(txn_json_dir)
+    )
+    stream = parse_transactions(raw_stream)
+    branches = reference_branches()
+
+    def staged(b):
+        return StagedMergeSink(
+            lambda: duckdb.connect(db),
+            b.name,
+            SINK_COLUMNS[b.name],
+            list(b.key_cols),
+            stage_dir=str(tmp_path / "stage" / b.name),
+        )
+
+    job = StreamingJob(
+        source=stream,
+        sink_factory=staged,
+        branches=branches,
+        checkpoint_root=str(tmp_path / "ckpt3"),
+    ).start()
+    job.process_available()
+    job.stop()
+
+    mem_job = StreamingJob(
+        source=parse_transactions(
+            spark.readStream.format("text").load(txn_json_dir)
+        ),
+        sink_factory=lambda b: MemoryUpsertSink(b.key_cols),
+        branches=branches,
+        checkpoint_root=str(tmp_path / "ckpt4"),
+    ).start()
+    mem_job.process_available()
+    mem_job.stop()
+
+    def norm(v):
+        if hasattr(v, "isoformat"):
+            return v.isoformat()
+        if isinstance(v, float):
+            return round(v, 6)
+        return v
+
+    con = duckdb.connect(db)
+    for b in branches:
+        cols = SINK_COLUMNS[b.name]
+        got = {
+            tuple(norm(v) for v in r)
+            for r in con.execute(
+                f"SELECT {', '.join(cols)} FROM {b.name}"
+            ).fetchall()
+        }
+        want = {
+            tuple(norm(r[c]) for c in cols)
+            for r in mem_job.sinks[b.name].rows()
+        }
+        assert got == want, f"branch {b.name} diverged (staged vs memory)"
+        assert len(got) > 0, b.name
+    con.close()
