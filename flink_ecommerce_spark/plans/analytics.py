@@ -132,7 +132,18 @@ def user_value_quartiles(events: DataFrame) -> DataFrame:
     rank == row_number and all three functions are closed-form in
     (rn, n):  percent_rank = (rn-1)/(n-1);  cume_dist = rn/n;
     ntile(4) gives the first n%4 buckets ceil(n/4) rows. No stage
-    anywhere sees more than one range partition of data."""
+    anywhere sees more than one range partition of data.
+
+    NOTE — eager by design: CALLING this function runs two Spark jobs
+    (localCheckpoint of the range-partitioned aggregate + collect of
+    the numPartitions-sized per-partition counts) before returning
+    the DataFrame. The checkpoint is what freezes ONE range-boundary
+    sample for both the offsets job and the returned plan —
+    repartitionByRange samples its boundaries per execution, so a
+    lazy twin-branch formulation would only be consistent if Exchange
+    reuse kicked in, which the API doesn't guarantee. Driver-side
+    state is one (pid, count) row per partition — centroid-table
+    sized, not data-sized."""
     per_user = events.groupBy("user_id").agg(
         F.round(F.sum("value"), 2).alias("total_value")
     )

@@ -2099,15 +2099,40 @@ _SPEC_DEFS: dict[str, QuerySpec] = {
 }
 
 # The external correctness driver verifies the registry IN ITERATION
-# ORDER and records at most ~50 entries per round. Round 1 proved the
-# TPC-H / analytics block green; this ordering now front-loads the
-# reference-parity queries plus the whole LLM-training-data suite
-# (dedup, similarity search, text curation, multimodal, sampling,
-# entity resolution, temporal) so those get external rows too. The
-# already-proven block rotates to the tail — every spec stays
-# registered and oracle-checked in-repo regardless of position.
+# ORDER and records at most ~50 entries per round. Rotation invariant
+# (COVERAGE.md "Verification rotation"): every registry query must
+# hold a green row from SOME round whose implementation is unchanged
+# since — so the window each round front-loads (1) queries never yet
+# externally verified, (2) every query whose plan changed this round,
+# then (3) backfills with stable already-green queries. Queries
+# rotated to the tail keep their prior-round certification precisely
+# because their code is untouched; touching one moves it back into
+# the window.
 _VERIFY_FIRST: tuple[str, ...] = (
-    # reference parity (SURVEY.md §2)
+    # (1) never externally verified before r03 (VERDICT r02 missing #1)
+    "purchasers_also_errored",
+    "viewers_never_purchased",
+    "lineitem_price_bands",
+    "hourly_event_counts",
+    "day_over_day_delta",
+    "value_percentiles",
+    "event_metrics_long",
+    "customers_above_avg_balance",
+    "grouping_sets_sales",
+    "distinct_user_event_pairs",
+    "profile_events",
+    # (2) implementation changed in r02/r03 — re-certify current code
+    "scd2_user_segments",  # r03: NULL open-end sentinel
+    "user_value_quartiles",  # r02 rewrite: distributed ranking
+    "user_sessions",  # r03: timestamp-type-agnostic gap calc
+    "minhash_signatures",  # r03: structural digest/words sharing
+    "lsh_candidate_pairs",
+    "ngram_jaccard_pairs",  # r03: shingle df ceiling
+    "simhash",  # r03: 64-bit two-half fingerprint
+    "simhash_near_pairs",  # r03: scale-aware band width
+    "dedup_clusters",
+    "documents_deduped",
+    # (3) stable, re-certified: parity core (SURVEY.md §2) ...
     "raw_transactions",
     "sales_per_day",
     "sales_per_category",
@@ -2115,17 +2140,9 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "sales_per_day_purchases",
     "category_stats",
     "props_extract",
-    # dedup family
+    # ... exact dedup, similarity search, text curation
     "dedup_exact",
     "dedup_exact_normalized",
-    "minhash_signatures",
-    "lsh_candidate_pairs",
-    "ngram_jaccard_pairs",
-    "simhash",
-    "simhash_near_pairs",
-    "dedup_clusters",
-    "documents_deduped",
-    # similarity search / embeddings
     "knn_bruteforce",
     "knn_bruteforce_pandas",
     "ann_lsh_topk",
@@ -2136,7 +2153,6 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "curation_scores",
     "kmeans_cluster_sizes",
     "label_centroids",
-    # text analysis / curation
     "token_counts",
     "lang_id",
     "quality_scores",
@@ -2147,24 +2163,6 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "doc_fingerprints",
     "top_bigrams",
     "tfidf_top_terms",
-    "vocabulary",
-    # multimodal
-    "multimodal_features",
-    "multimodal_frames",
-    # sampling / splits
-    "sample_events",
-    "dataset_splits",
-    "split_summary",
-    "stratified_sample",
-    "mixture_sample",
-    # entity resolution
-    "fuzzy_name_pairs",
-    "block_profile",
-    # temporal / CDC
-    "asof_last_click",
-    "interval_join_click_purchase",
-    "latest_event_per_user",
-    "scd2_user_segments",
 )
 assert set(_VERIFY_FIRST) <= set(_SPEC_DEFS), sorted(
     set(_VERIFY_FIRST) - set(_SPEC_DEFS)
