@@ -74,6 +74,63 @@ def _streaming_replay(spark, sf_dir: str) -> float:
     return wall
 
 
+def _ann_band_bench(spark, sf_dir: str, timings: dict[str, float], reps: int) -> None:
+    """lsh_plan_for's cost/recall tradeoff with wall-clock numbers:
+    time ann_lsh_topk at the test-scale plan (8 planes, 1 band) and
+    the scale plan (16 planes, 4 bands), and print recall@k of each
+    against the exact brute-force top-k. More planes → smaller
+    buckets (cheaper candidate sets at large corpora); more bands →
+    independent bucketings whose candidates union (recall back)."""
+    from flink_ecommerce_spark import catalog
+    from flink_ecommerce_spark.operators import similarity
+
+    emb = catalog.table(spark, sf_dir, "embeddings")
+    truth: dict[int, set[int]] = {}
+    for r in similarity.knn_bruteforce(emb).collect():
+        truth.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    # grid so the two knobs read separately: planes = bucket size
+    # (cost), bands = independent bucketings unioned (recall). The
+    # (16, *) rows are the large-corpus plan — at THIS corpus size
+    # they cost more and recall less, which is exactly why
+    # lsh_plan_for sizes planes from corpus/target occupancy; its
+    # recommendation for this corpus runs as the last row.
+    plan = similarity.lsh_plan_for(emb.count())
+    for planes, bands in (
+        (similarity.N_PLANES, 1),
+        (similarity.N_PLANES, 4),
+        (16, 1),
+        (16, 4),
+        plan,
+    ):
+        name = f"ann_lsh_{planes}p_{bands}b"
+        best, rows = float("inf"), []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            rows = similarity.ann_lsh_topk(
+                emb, n_planes=planes, n_bands=bands
+            ).collect()
+            best = min(best, time.perf_counter() - t0)
+        # the full grid prints to stderr; the JSON records only the
+        # oracle config and lsh_plan_for's recommendation — the other
+        # rows are deliberately mis-sized teaching points and would
+        # pollute the headline total
+        if (planes, bands) in ((similarity.N_PLANES, 1), plan):
+            timings[name] = round(best, 3)
+        got: dict[int, set[int]] = {}
+        for r in rows:
+            got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        recalls = [
+            len(got.get(q, set()) & nbrs) / len(nbrs)
+            for q, nbrs in truth.items()
+            if nbrs
+        ]
+        recall = sum(recalls) / len(recalls) if recalls else 0.0
+        print(
+            f"{name}: {best:.3f}s, recall@{similarity.DEFAULT_K} = {recall:.3f}",
+            file=sys.stderr,
+        )
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -103,6 +160,11 @@ def main() -> None:
             timings[name] = round(best, 3)
         except Exception as e:  # one broken query must not lose the run
             print(f"bench query {name} FAILED: {e}", file=sys.stderr)
+
+    try:
+        _ann_band_bench(spark, sf_dir, timings, reps)
+    except Exception as e:
+        print(f"ann_band_bench FAILED: {e}", file=sys.stderr)
 
     try:
         timings["streaming_replay"] = round(_streaming_replay(spark, sf_dir), 3)

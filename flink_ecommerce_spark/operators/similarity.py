@@ -46,17 +46,22 @@ def lsh_plan_for(
     The near-dup self-join costs Σ(bucket size²); with 2^P buckets the
     expected bucket holds n/2^P rows, so a FIXED P means the
     within-bucket pair count grows quadratically with corpus size.
-    Growing P with log2(n / target) pins expected occupancy — and the
-    join cost per row — constant as the corpus scales; extra bands
-    (independent plane sets) buy back the recall that narrower
-    buckets lose. Test-scale corpora keep the oracle constants
-    (N_PLANES, 1 band)."""
+    Occupancy pinning applies in BOTH directions: P =
+    max(1, ceil(log2(n / target))) keeps the expected bucket at
+    ~target rows whether the corpus is 2k or 20B vectors. A small
+    corpus gets FEW planes — at 2k vectors 8 planes means 8-row
+    buckets and near-zero recall (measured in bench.py's ANN grid),
+    while 1 plane scans ~half the corpus per query, which at that
+    size is the right price for real recall. Past N_PLANES planes
+    (corpus > target·2^N_PLANES) the buckets are narrow enough that
+    extra bands (independent plane sets whose candidates union) buy
+    back recall."""
     import math
 
-    if corpus_size <= (target_bucket_rows << N_PLANES):
-        return N_PLANES, 1
+    if corpus_size <= 2 * target_bucket_rows:
+        return 1, 1
     n_planes = math.ceil(math.log2(corpus_size / target_bucket_rows))
-    return n_planes, recall_bands
+    return n_planes, recall_bands if n_planes > N_PLANES else 1
 
 
 def knn_bruteforce(

@@ -69,8 +69,12 @@ def test_lsh_plane_band_cost_recall_tradeoff(spark):
 
 
 def test_lsh_plan_for_sizing():
-    # test scale: oracle constants
-    assert similarity.lsh_plan_for(5_000) == (similarity.N_PLANES, 1)
+    # occupancy pinning goes BOTH ways: a tiny corpus gets few planes
+    # (big buckets -> real recall; scanning half of 2k rows is cheap)
+    assert similarity.lsh_plan_for(2_000) == (1, 1)
+    assert similarity.lsh_plan_for(5_000) == (3, 1)
+    # single-band while buckets stay >= the N_PLANES width
+    assert similarity.lsh_plan_for(200_000) == (8, 1)
     # 100TB scale: planes grow with log2(n), bands recover recall
     planes, bands = similarity.lsh_plan_for(1_000_000_000)
     assert planes >= 19 and bands > 1
