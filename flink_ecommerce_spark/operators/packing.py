@@ -1,0 +1,92 @@
+"""Sequence packing for training-batch preparation: assign every
+document a position in fixed-length context windows.
+
+This is the concat-and-chunk packing used for LLM pretraining: the
+corpus is treated as one token stream per ``source`` (documents in
+doc_id order), and the stream is cut every ``ctx_len`` tokens. Each
+document gets its token offset in the stream and the range of chunks
+it lands in (a long document can straddle several chunks). Unlike
+greedy no-split bin packing — which is inherently sequential, each
+boundary depending on every earlier decision — the chunk assignment
+is CLOSED-FORM in the running token count, so it distributes: one
+window cumsum partitioned by source, no driver loop, no global sort.
+
+Scale notes (100 TB): the only shuffle is hash(source) for the
+window; within a source, the cumsum is the standard window scan. A
+corpus dominated by ONE source serializes that source's scan — the
+mitigation is a composite stream key (e.g. source × shard from a
+deterministic doc_id bucket), which re-enters the same closed form;
+the shard variant is ``n_streams``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+CTX_LEN = 2048  # tokens per packed context window
+
+
+def sequence_packing(
+    documents: DataFrame, ctx_len: int = CTX_LEN, n_streams: int = 1
+) -> DataFrame:
+    """Chunk assignment per document: (doc_id, source, n_tokens,
+    tok_offset, first_chunk, last_chunk) where chunk = token_index //
+    ctx_len within the source's concatenated stream (doc_id order).
+    Empty documents occupy zero tokens: they sit at their offset with
+    first_chunk == last_chunk == the chunk at that offset.
+
+    ``n_streams > 1`` splits each source into that many deterministic
+    doc_id-bucketed streams (skew mitigation); the default keeps one
+    stream per source, which is the exact concat order and what the
+    oracle mirrors."""
+    n_tokens = F.size(F.expr("regexp_extract_all(text, '\\\\S+', 0)"))
+    t = documents.select(
+        "doc_id",
+        "source",
+        n_tokens.cast("long").alias("n_tokens"),
+    )
+    if n_streams > 1:
+        t = t.withColumn("stream", (F.col("doc_id") % n_streams).cast("int"))
+        part_cols = ["source", "stream"]
+    else:
+        part_cols = ["source"]
+    w = (
+        Window.partitionBy(*part_cols)
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = t.withColumn(
+        "tok_offset", (F.sum("n_tokens").over(w) - F.col("n_tokens")).cast("long")
+    )
+    last_tok = F.col("tok_offset") + F.greatest(F.col("n_tokens"), F.lit(1)) - 1
+    return c.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        "tok_offset",
+        F.floor(F.col("tok_offset") / ctx_len).cast("long").alias("first_chunk"),
+        F.floor(last_tok / ctx_len).cast("long").alias("last_chunk"),
+    )
+
+
+def packing_efficiency(packed: DataFrame, ctx_len: int = CTX_LEN) -> DataFrame:
+    """Per-source packing stats from ``sequence_packing`` output:
+    total tokens, chunks used, fill ratio of the used chunks (the
+    waste is only each stream's final partial chunk — concat-and-
+    chunk never pads between documents)."""
+    return (
+        packed.groupBy("source")
+        .agg(
+            F.sum("n_tokens").alias("total_tokens"),
+            (F.max("last_chunk") + 1).alias("n_chunks"),
+        )
+        .select(
+            "source",
+            "total_tokens",
+            "n_chunks",
+            F.round(
+                F.col("total_tokens") / (F.col("n_chunks") * F.lit(ctx_len)), 6
+            ).alias("fill_ratio"),
+        )
+    )

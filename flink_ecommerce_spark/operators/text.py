@@ -406,3 +406,32 @@ def curated_corpus(
             "contamination_frac", "rk",
         )
     )
+
+
+def unigram_surprisal(documents: DataFrame) -> DataFrame:
+    """Corpus-LM quality signal: per-document mean unigram surprisal
+    -ln p(word), with p estimated from the corpus itself (term
+    frequency / total tokens). High surprisal flags gibberish and
+    boilerplate-free rarity; low surprisal flags repetitive or
+    stop-word-heavy text — the classic cheap stand-in for model
+    perplexity in curation pipelines.
+
+    Scale: one explode + a shuffle on term for the frequency table, a
+    term-keyed join back (the frequency table is vocabulary-sized —
+    broadcast it when the vocabulary fits, the join key is term
+    either way), one groupBy(doc_id). The total-token count folds in
+    as a 1-row broadcast."""
+    toks = documents.select("doc_id", F.explode(words("text")).alias("term"))
+    tf = toks.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    total = tf.agg(F.sum("cnt").alias("total"))
+    return (
+        toks.join(tf, "term")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.round(
+                F.avg(-F.log(F.col("cnt") / F.col("total"))), 6
+            ).alias("avg_surprisal"),
+        )
+    )

@@ -31,7 +31,15 @@ from pyspark.sql import functions as F
 from . import catalog
 from .functions.portable import sql_hash32
 from .functions.vector import sql_cosine, sql_l2_norm
-from .operators import dedup, entity, multimodal, sampling, similarity, text
+from .operators import (
+    dedup,
+    entity,
+    multimodal,
+    packing,
+    sampling,
+    similarity,
+    text,
+)
 from .operators.sampling import (
     MIXTURE_WEIGHTS,
     STRATA_RATES,
@@ -556,6 +564,22 @@ def _q_top_bigrams(spark, sf):
 
 def _q_tfidf_top_terms(spark, sf):
     return text.tfidf_top_terms(_t("documents")(spark, sf))
+
+
+def _q_unigram_surprisal(spark, sf):
+    return text.unigram_surprisal(_t("documents")(spark, sf))
+
+
+def _q_sequence_packing(spark, sf):
+    from .operators.packing import sequence_packing
+
+    return sequence_packing(_t("documents")(spark, sf))
+
+
+def _q_packing_efficiency(spark, sf):
+    from .operators.packing import packing_efficiency, sequence_packing
+
+    return packing_efficiency(sequence_packing(_t("documents")(spark, sf)))
 
 
 def _q_vocabulary(spark, sf):
@@ -1441,6 +1465,45 @@ FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
       FROM scored)
 WHERE rk <= 3
 """.format(words=sql_words("text")),
+    "unigram_surprisal": """
+WITH toks AS (SELECT doc_id, unnest({w}) AS term FROM documents),
+tf AS (SELECT term, COUNT(*) AS cnt FROM toks GROUP BY 1),
+n AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM tf)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+       ROUND(AVG(-ln(CAST(cnt AS DOUBLE) / total)), 6) AS avg_surprisal
+FROM toks JOIN tf USING (term) CROSS JOIN n
+GROUP BY doc_id
+""".format(w=sql_words("text")),
+    "sequence_packing": """
+WITH t AS (SELECT doc_id, source,
+             CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens
+           FROM documents),
+c AS (SELECT doc_id, source, n_tokens,
+        CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+             ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS tok_offset
+      FROM t)
+SELECT doc_id, source, n_tokens, tok_offset,
+       CAST(tok_offset // {ctx} AS BIGINT) AS first_chunk,
+       CAST((tok_offset + GREATEST(n_tokens, 1) - 1) // {ctx} AS BIGINT) AS last_chunk
+FROM c
+""".format(ctx=packing.CTX_LEN),
+    "packing_efficiency": """
+WITH t AS (SELECT doc_id, source,
+             CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens
+           FROM documents),
+c AS (SELECT doc_id, source, n_tokens,
+        CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+             ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS tok_offset
+      FROM t),
+p AS (SELECT source, n_tokens,
+        CAST((tok_offset + GREATEST(n_tokens, 1) - 1) // {ctx} AS BIGINT) AS last_chunk
+      FROM c)
+SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(MAX(last_chunk) + 1 AS BIGINT) AS n_chunks,
+       ROUND(CAST(SUM(n_tokens) AS DOUBLE) / ((MAX(last_chunk) + 1) * {ctx}), 6)
+         AS fill_ratio
+FROM p GROUP BY 1
+""".format(ctx=packing.CTX_LEN),
     "vocabulary": """
 WITH toks AS (SELECT DISTINCT doc_id, unnest({w}) AS term FROM documents),
 dfc AS (SELECT term, COUNT(*) AS doc_freq FROM toks GROUP BY 1),
@@ -2067,6 +2130,15 @@ _SPEC_DEFS: dict[str, QuerySpec] = {
     "tfidf_top_terms": QuerySpec(_q_tfidf_top_terms, ORACLES["tfidf_top_terms"]),
     "profile_events": QuerySpec(_q_profile_events, ORACLES["profile_events"]),
     "vocabulary": QuerySpec(_q_vocabulary, ORACLES["vocabulary"]),
+    "unigram_surprisal": QuerySpec(
+        _q_unigram_surprisal, ORACLES["unigram_surprisal"]
+    ),
+    "sequence_packing": QuerySpec(
+        _q_sequence_packing, ORACLES["sequence_packing"]
+    ),
+    "packing_efficiency": QuerySpec(
+        _q_packing_efficiency, ORACLES["packing_efficiency"]
+    ),
     "embedding_quantize_int8": QuerySpec(
         _q_embedding_quantize, ORACLES["embedding_quantize_int8"]
     ),
@@ -2109,7 +2181,11 @@ _SPEC_DEFS: dict[str, QuerySpec] = {
 # because their code is untouched; touching one moves it back into
 # the window.
 _VERIFY_FIRST: tuple[str, ...] = (
-    # (1) never externally verified before r03 (VERDICT r02 missing #1)
+    # (1) never externally verified: NEW operators this round ...
+    "sequence_packing",
+    "packing_efficiency",
+    "unigram_surprisal",
+    # ... and the 11 backlog queries (VERDICT r02 missing #1)
     "purchasers_also_errored",
     "viewers_never_purchased",
     "lineitem_price_bands",
@@ -2160,9 +2236,6 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "decontaminate",
     "curated_corpus",
     "pii_scrub",
-    "doc_fingerprints",
-    "top_bigrams",
-    "tfidf_top_terms",
 )
 assert set(_VERIFY_FIRST) <= set(_SPEC_DEFS), sorted(
     set(_VERIFY_FIRST) - set(_SPEC_DEFS)

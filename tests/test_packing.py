@@ -1,0 +1,94 @@
+"""Sequence packing (concat-and-chunk): offsets, chunk straddling,
+empty docs, per-source independence, skew-shard variant, and the
+no-global-sort plan shape."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from flink_ecommerce_spark.operators.packing import (
+    packing_efficiency,
+    sequence_packing,
+)
+from flink_ecommerce_spark.schemas import DOCUMENTS_SCHEMA
+
+
+def _docs(spark, rows):
+    # (doc_id, text, source) with lang/n_chars filler
+    return spark.createDataFrame(
+        [(i, t, "en", s, len(t)) for i, t, s in rows], DOCUMENTS_SCHEMA
+    )
+
+
+def test_packing_offsets_and_straddle(spark):
+    rows = [
+        (0, "a b c", "s1"),          # 3 tokens, offset 0
+        (1, " ".join(["w"] * 6), "s1"),  # 6 tokens, offset 3 -> straddles ctx=8
+        (2, "x y", "s1"),            # offset 9
+        (3, "only doc", "s2"),       # separate source restarts at 0
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in sequence_packing(_docs(spark, rows), ctx_len=8).collect()
+    }
+    assert (out[0]["tok_offset"], out[0]["first_chunk"], out[0]["last_chunk"]) == (0, 0, 0)
+    # doc 1: tokens 3..8 -> chunks 0 and 1
+    assert (out[1]["tok_offset"], out[1]["first_chunk"], out[1]["last_chunk"]) == (3, 0, 1)
+    assert (out[2]["tok_offset"], out[2]["first_chunk"]) == (9, 1)
+    assert (out[3]["tok_offset"], out[3]["first_chunk"]) == (0, 0)
+
+
+def test_packing_empty_doc_zero_width(spark):
+    rows = [(0, "a b", "s"), (1, "", "s"), (2, "c d e", "s")]
+    out = {
+        r["doc_id"]: r
+        for r in sequence_packing(_docs(spark, rows), ctx_len=4).collect()
+    }
+    assert out[1]["n_tokens"] == 0
+    assert out[1]["first_chunk"] == out[1]["last_chunk"] == 0
+    # the empty doc consumes no tokens: doc 2 starts right after doc 0
+    assert out[2]["tok_offset"] == 2
+
+
+def test_packing_efficiency_fill_ratio(spark):
+    rows = [(0, " ".join(["w"] * 10), "s")]  # 10 tokens, ctx 8 -> 2 chunks
+    eff = packing_efficiency(
+        sequence_packing(_docs(spark, rows), ctx_len=8), ctx_len=8
+    ).collect()
+    assert len(eff) == 1
+    r = eff[0]
+    assert (r["total_tokens"], r["n_chunks"]) == (10, 2)
+    assert abs(r["fill_ratio"] - 10 / 16) < 1e-9
+
+
+def test_packing_shards_cover_all_docs(spark):
+    rows = [(i, "a b c", "s") for i in range(20)]
+    packed = sequence_packing(_docs(spark, rows), ctx_len=4, n_streams=4)
+    got = packed.groupBy().agg(F.sum("n_tokens").alias("t"), F.count(F.lit(1)).alias("n")).collect()[0]
+    assert (got["t"], got["n"]) == (60, 20)
+    # each shard's offsets restart at 0: 4 docs with offset 0 per source
+    assert packed.filter(F.col("tok_offset") == 0).count() == 4
+
+
+def test_packing_plan_no_single_partition(spark):
+    rows = [(i, "a b c", f"s{i % 3}") for i in range(30)]
+    plan = sequence_packing(_docs(spark, rows))._sc is not None and \
+        sequence_packing(_docs(spark, rows))._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan  # window partitions on source
+
+
+def test_unigram_surprisal_hand_computed(spark):
+    import math
+
+    from flink_ecommerce_spark.operators.text import unigram_surprisal
+
+    # corpus: "a a b" + "a" -> counts: a=3, b=1, total=4
+    rows = [(0, "a a b", "s"), (1, "a", "s")]
+    out = {
+        r["doc_id"]: r for r in unigram_surprisal(_docs(spark, rows)).collect()
+    }
+    p_a, p_b = 3 / 4, 1 / 4
+    exp0 = -(2 * math.log(p_a) + math.log(p_b)) / 3
+    assert abs(out[0]["avg_surprisal"] - round(exp0, 6)) < 1e-6
+    assert abs(out[1]["avg_surprisal"] - round(-math.log(p_a), 6)) < 1e-6
+    assert out[0]["n_words"] == 3 and out[1]["n_words"] == 1
