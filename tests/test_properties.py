@@ -1,0 +1,90 @@
+"""Hypothesis property tests that pin engine formulas against plain
+sequential references — no Spark in the loop, so hundreds of examples
+run in seconds.
+
+- sequence packing's closed-form chunk arithmetic == a literal
+  walk-the-token-stream simulation (the claim that lets the op
+  distribute as one window cumsum);
+- merge_upsert_sql applied batch-by-batch through DuckDB == a Python
+  dict upsert (the idempotent-upsert contract every sink shares).
+"""
+
+from __future__ import annotations
+
+import duckdb
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from flink_ecommerce_spark.streaming.sinks import merge_upsert_sql
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    tokens=st.lists(st.integers(min_value=0, max_value=50), min_size=1, max_size=40),
+    ctx=st.integers(min_value=1, max_value=17),
+)
+def test_packing_closed_form_equals_stream_walk(tokens, ctx):
+    """floor arithmetic over the cumsum must equal literally laying
+    documents end to end on a token tape and cutting every ctx
+    tokens (empty docs sit at their offset, zero width)."""
+    # closed form (operators/packing.py)
+    offset = 0
+    closed = []
+    for n in tokens:
+        first = offset // ctx
+        last = (offset + max(n, 1) - 1) // ctx
+        closed.append((offset, first, last))
+        offset += n
+    # sequential tape walk
+    walked = []
+    pos = 0
+    for n in tokens:
+        start = pos
+        chunks = {start // ctx} if n == 0 else {
+            (start + i) // ctx for i in range(n)
+        }
+        walked.append((start, min(chunks), max(chunks)))
+        pos += n
+    assert closed == walked
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    batches=st.lists(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=6),
+                st.integers(min_value=-100, max_value=100),
+            ),
+            min_size=0,
+            max_size=6,
+        ),
+        min_size=1,
+        max_size=5,
+    )
+)
+def test_merge_upsert_sql_equals_dict_upsert(batches):
+    """Applying merge_upsert_sql batch-by-batch to a real engine ends
+    in the same state as a last-write-wins dict, for any batch
+    sequence. Within a batch, one row per key (the sink reduces
+    first), so dedup each batch keeping the last pair."""
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (k BIGINT PRIMARY KEY, v BIGINT)")
+    expected: dict[int, int] = {}
+    for batch in batches:
+        reduced = dict(batch)  # last write per key wins, like the sink
+        expected.update(reduced)
+        if not reduced:
+            continue
+        values = ", ".join(f"({k}, {v})" for k, v in reduced.items())
+        sql = merge_upsert_sql(
+            "t",
+            f"SELECT * FROM (VALUES {values}) AS x(k, v)",
+            ["k", "v"],
+            ["k"],
+            dialect="on_conflict",
+        )
+        con.execute(sql)
+    got = dict(con.execute("SELECT k, v FROM t").fetchall())
+    con.close()
+    assert got == expected
