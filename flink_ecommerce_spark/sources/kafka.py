@@ -57,22 +57,53 @@ def parse_transactions(raw: DataFrame, value_col: str = "value", strict: bool = 
     )
 
 
+def kafka_reader_options(
+    bootstrap_servers: str,
+    topic: str = DEFAULT_TOPIC,
+    group_id: str = DEFAULT_GROUP,
+    starting_offsets: str = "latest",  # OffsetsInitializer.latest(), :94
+    max_offsets_per_trigger: int | None = None,
+    fail_on_data_loss: bool = False,
+) -> dict[str, str]:
+    """Reader options as a dict (testable without a broker or the
+    kafka connector on the classpath). Reference parity: topic,
+    consumer group, latest offsets. Production knobs beyond the
+    reference: ``max_offsets_per_trigger`` caps each micro-batch
+    (backpressure — without it the first batch after downtime reads
+    the whole backlog into one batch), ``fail_on_data_loss=False``
+    keeps the query alive across topic retention evictions."""
+    opts = {
+        "kafka.bootstrap.servers": bootstrap_servers,
+        "subscribe": topic,
+        "kafka.group.id": group_id,
+        "startingOffsets": starting_offsets,
+        "failOnDataLoss": str(fail_on_data_loss).lower(),
+    }
+    if max_offsets_per_trigger is not None:
+        opts["maxOffsetsPerTrigger"] = str(max_offsets_per_trigger)
+    return opts
+
+
 def kafka_transaction_stream(
     spark: SparkSession,
     bootstrap_servers: str,
     topic: str = DEFAULT_TOPIC,
     group_id: str = DEFAULT_GROUP,
-    starting_offsets: str = "latest",  # OffsetsInitializer.latest(), :94
+    starting_offsets: str = "latest",
+    max_offsets_per_trigger: int | None = None,
+    fail_on_data_loss: bool = False,
 ) -> DataFrame:
     """Streaming DataFrame of typed transactions from Kafka. Requires
     the spark-sql-kafka package on the classpath (not in this test
     container — plan-building only here)."""
-    raw = (
-        spark.readStream.format("kafka")
-        .option("kafka.bootstrap.servers", bootstrap_servers)
-        .option("subscribe", topic)
-        .option("kafka.group.id", group_id)
-        .option("startingOffsets", starting_offsets)
-        .load()
-    )
-    return parse_transactions(raw)
+    reader = spark.readStream.format("kafka")
+    for k, v in kafka_reader_options(
+        bootstrap_servers,
+        topic,
+        group_id,
+        starting_offsets,
+        max_offsets_per_trigger,
+        fail_on_data_loss,
+    ).items():
+        reader = reader.option(k, v)
+    return parse_transactions(reader.load())

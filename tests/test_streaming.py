@@ -188,3 +188,18 @@ def test_streaming_staged_merge_matches_memory_sink(spark, txn_json_dir, tmp_pat
         assert got == want, f"branch {b.name} diverged (staged vs memory)"
         assert len(got) > 0, b.name
     con.close()
+
+
+def test_kafka_reader_options_reference_parity():
+    """S1 config parity (DataStreamJob.java:89-95) + the production
+    knobs, testable without a broker."""
+    from flink_ecommerce_spark.sources.kafka import kafka_reader_options
+
+    opts = kafka_reader_options("broker:9092")
+    assert opts["subscribe"] == "financial_transactions"
+    assert opts["kafka.group.id"] == "flink-group"
+    assert opts["startingOffsets"] == "latest"
+    assert opts["failOnDataLoss"] == "false"
+    assert "maxOffsetsPerTrigger" not in opts
+    capped = kafka_reader_options("b:9092", max_offsets_per_trigger=50_000)
+    assert capped["maxOffsetsPerTrigger"] == "50000"
