@@ -308,8 +308,12 @@ def dedup_clusters(documents: DataFrame, threshold: float = JACCARD_THRESHOLD) -
     edges = pairs.union(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     )
-    # materialize once — every round would otherwise re-run LSH
-    edges = edges.localCheckpoint(eager=True)
+    # materialize once, PRE-PARTITIONED on the per-round join key —
+    # localCheckpoint preserves the partitioning, so the edge table
+    # (the big side) never reshuffles across rounds; only the small
+    # labels table moves. Every round would otherwise re-run LSH and
+    # re-exchange the edges.
+    edges = edges.repartition("doc_b").localCheckpoint(eager=True)
     labels = (
         edges.select("doc_a")
         .distinct()
@@ -330,21 +334,21 @@ def dedup_clusters(documents: DataFrame, threshold: float = JACCARD_THRESHOLD) -
             .groupBy(F.col("doc_a").alias("doc_id"))
             .agg(F.min("nb_cl").alias("nb_min"))
         )
+        # carry the changed flag through the update select — the
+        # convergence check then reads the checkpointed result
+        # directly instead of re-joining updated against labels
+        # (round-1..2 shape: one extra shuffle join per round)
+        new_cl = F.least(
+            F.col("cluster_id"), F.coalesce("nb_min", F.col("cluster_id"))
+        )
         updated = labels.join(neighbor_min, "doc_id", "left").select(
             "doc_id",
-            F.least(
-                F.col("cluster_id"), F.coalesce("nb_min", F.col("cluster_id"))
-            ).alias("cluster_id"),
+            new_cl.alias("cluster_id"),
+            (new_cl < F.col("cluster_id")).alias("__chg"),
         )
         updated = updated.localCheckpoint(eager=True)
-        changed = (
-            updated.alias("u")
-            .join(labels.alias("l"), "doc_id")
-            .filter(F.col("u.cluster_id") != F.col("l.cluster_id"))
-            .limit(1)
-            .count()
-        )
-        labels = updated
+        changed = updated.filter(F.col("__chg")).limit(1).count()
+        labels = updated.drop("__chg")
         if changed == 0:
             break
     # singletons (no near-dup edge) cluster with themselves
