@@ -120,3 +120,52 @@ def test_simhash_band_width_cost_recall_tradeoff(spark):
     pairs8 = {(r["doc_a"], r["doc_b"]) for r in simhash_near_pairs(docs, band_bits=8).collect()}
     pairs16 = {(r["doc_a"], r["doc_b"]) for r in simhash_near_pairs(docs, band_bits=16).collect()}
     assert pairs16 <= pairs8
+
+
+def test_simhash_banded_recall_exact_at_default_width(spark):
+    """Pigeonhole guarantee: with 64-bit fingerprints and 8-bit bands
+    (8 bands), any pair at hamming <= 7 shares an untouched band —
+    so at HAMMING_MAX=6 the banded join must find EXACTLY the pairs a
+    brute-force all-pairs hamming scan finds."""
+    from pyspark.sql import functions as F
+
+    from flink_ecommerce_spark.operators.dedup import simhash, simhash_near_pairs
+
+    base = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    )
+    rows = [
+        (i, base.replace("alpha", f"w{i % 9}") + f" t{i % 4}", "en", "s", 1)
+        for i in range(60)
+    ]
+    docs = spark.createDataFrame(rows, DOCUMENTS_SCHEMA)
+
+    banded = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in simhash_near_pairs(docs, band_bits=8).collect()
+    }
+    sh = simhash(docs)
+    a = sh.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("simhash_hi").alias("ha"),
+        F.col("simhash_lo").alias("la"),
+    )
+    b = sh.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("simhash_hi").alias("hb"),
+        F.col("simhash_lo").alias("lb"),
+    )
+    brute = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in a.crossJoin(b)
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr("bit_count(ha ^ hb) + bit_count(la ^ lb)").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 6)
+        .collect()
+    }
+    assert banded == brute and len(brute) > 0
