@@ -699,6 +699,20 @@ def _q_ann_lsh_topk(spark, sf):
     return similarity.ann_lsh_topk(_t("embeddings")(spark, sf))
 
 
+def _q_ann_lsh_planned(spark, sf):
+    """The scale path itself: (n_planes, n_bands) sized by
+    lsh_plan_for from the actual corpus size (one count() job at
+    plan-construction time — eager, like user_value_quartiles). The
+    static oracle assumes the verify fixtures' corpus stays under
+    2*target_bucket_rows, where the plan is (1, 1); the assertion
+    below makes a fixture growth loud instead of a silent hash
+    mismatch."""
+    emb = _t("embeddings")(spark, sf)
+    plan = similarity.lsh_plan_for(emb.count())
+    assert plan == (1, 1), f"fixture outgrew the static oracle: {plan}"
+    return similarity.ann_lsh_topk(emb, n_planes=plan[0], n_bands=plan[1])
+
+
 def _q_label_centroids(spark, sf):
     return similarity.label_centroids(_t("embeddings")(spark, sf))
 
@@ -835,9 +849,9 @@ def _lsh_weights_sql(p: int) -> str:
     return f"[{vals}]"
 
 
-def _bucket_sql(emb: str) -> str:
+def _bucket_sql(emb: str, n_planes: int | None = None) -> str:
     terms = []
-    for p in range(similarity.N_PLANES):
+    for p in range(n_planes or similarity.N_PLANES):
         proj = (
             f"list_reduce(list_transform(generate_series(1, {similarity.EMB_DIM}), "
             f"d -> CAST({emb}[d] AS DOUBLE) * ({_lsh_weights_sql(p)})[d]), (x, y) -> x + y)"
@@ -1889,6 +1903,21 @@ FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
       FROM scored)
 WHERE rk <= {similarity.DEFAULT_K}
 """,
+    "ann_lsh_topk_planned": f"""
+WITH bucketed AS (SELECT vec_id, embedding, {_bucket_sql('embedding', n_planes=1)} AS bucket
+                  FROM embeddings),
+q AS (SELECT vec_id AS query_id, embedding AS q_emb, bucket AS q_bucket
+      FROM bucketed WHERE vec_id < {similarity.DEFAULT_N_QUERIES}),
+scored AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+                  ROUND({sql_cosine('q.q_emb', 'e.embedding', similarity.EMB_DIM)}, 6) AS cos_sim
+           FROM bucketed e JOIN q
+             ON e.bucket = q.q_bucket AND e.vec_id != q.query_id)
+SELECT query_id, neighbor_id, cos_sim, CAST(rk AS INT) AS rk
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, neighbor_id ASC) AS rk
+      FROM scored)
+WHERE rk <= {similarity.DEFAULT_K}
+""",
     "ivf_ann_topk": f"""
 WITH cent AS (SELECT label, CAST(dim AS INT) AS dim,
                      ROUND(AVG(CAST(v AS DOUBLE)), 6) AS c
@@ -2162,6 +2191,9 @@ _SPEC_DEFS: dict[str, QuerySpec] = {
         _q_distinct_user_event_pairs, ORACLES["distinct_user_event_pairs"]
     ),
     "ann_lsh_topk": QuerySpec(_q_ann_lsh_topk, ORACLES["ann_lsh_topk"]),
+    "ann_lsh_topk_planned": QuerySpec(
+        _q_ann_lsh_planned, ORACLES["ann_lsh_topk_planned"]
+    ),
     "ivf_ann_topk": QuerySpec(_q_ivf_topk, ORACLES["ivf_ann_topk"]),
     "kmeans_cluster_sizes": QuerySpec(_q_kmeans_sizes, None),
     "label_centroids": QuerySpec(_q_label_centroids, ORACLES["label_centroids"]),
@@ -2222,6 +2254,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "knn_bruteforce",
     "knn_bruteforce_pandas",
     "ann_lsh_topk",
+    "ann_lsh_topk_planned",
     "ivf_ann_topk",
     "embedding_near_dup_pairs",
     "embedding_quantize_int8",
@@ -2235,7 +2268,6 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "repetition_scores",
     "decontaminate",
     "curated_corpus",
-    "pii_scrub",
 )
 assert set(_VERIFY_FIRST) <= set(_SPEC_DEFS), sorted(
     set(_VERIFY_FIRST) - set(_SPEC_DEFS)
