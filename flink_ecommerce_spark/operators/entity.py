@@ -27,6 +27,7 @@ def fuzzy_name_pairs(
     customer: DataFrame,
     block_len: int = BLOCK_LEN,
     max_dist: int = MAX_DIST,
+    max_block_rows: int | None = None,
 ) -> DataFrame:
     """Candidate duplicate-customer pairs: same normalized-name prefix
     (block), Levenshtein distance ≤ max_dist, each unordered pair
@@ -36,13 +37,31 @@ def fuzzy_name_pairs(
     within-block comparison cost is quadratic only in block size, so
     monitoring the largest block (see block_profile) is the capacity
     check. Distance evaluates AFTER the equi-join match, never as a
-    cross product."""
+    cross product.
+
+    ``max_block_rows`` is the runaway-block guard (standard
+    record-linkage practice, same class as the ngram hot-shingle
+    ceiling): blocks larger than the cap are EXCLUDED from the fuzzy
+    join — an oversized block means the blocking key stopped
+    discriminating there, and the fix is a different key for those
+    rows, not a quadratic brute force. Default None compares every
+    block (the oracle-certified shape at fixture scale); at 100×,
+    set a cap and route the dropped blocks to a second pass with a
+    longer key."""
     norm = F.lower(F.trim(F.col("c_name")))
     t = customer.select(
         "c_custkey",
         norm.alias("name"),
         F.substring(norm, 1, block_len).alias("blk"),
     )
+    if max_block_rows is not None:
+        hot = (
+            t.groupBy("blk")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") > max_block_rows)
+            .select("blk")
+        )
+        t = t.join(F.broadcast(hot), "blk", "left_anti")
     a, b = t.alias("a"), t.alias("b")
     dist = F.levenshtein(F.col("a.name"), F.col("b.name"))
     return (

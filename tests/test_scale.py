@@ -107,3 +107,23 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS orders_b")
         spark.sql("DROP TABLE IF EXISTS lineitem_b")
+
+
+def test_fuzzy_block_cap_drops_only_hot_blocks(spark):
+    """max_block_rows excludes runaway blocks from the quadratic
+    fuzzy join (hot-shingle-ceiling analog); small blocks keep their
+    pairs, and the default (no cap) is unchanged."""
+    from flink_ecommerce_spark.operators.entity import fuzzy_name_pairs
+
+    rows = [(i, f"hotblockhotblock{i % 3}", 0, 0.0) for i in range(40)]
+    rows += [(100, "coolblockcoolname", 0, 0.0), (101, "coolblockcoolnamx", 0, 0.0)]
+    cust = spark.createDataFrame(
+        rows, "c_custkey long, c_name string, c_nationkey long, c_acctbal double"
+    )
+    uncapped = fuzzy_name_pairs(cust)
+    capped = fuzzy_name_pairs(cust, max_block_rows=10)
+    # hot block (40 rows, one 16-char prefix) produces quadratic pairs
+    # uncapped; the cap drops them and keeps the small block's pair
+    assert uncapped.count() > 100
+    got = {(r["custkey_1"], r["custkey_2"]) for r in capped.collect()}
+    assert got == {(100, 101)}
