@@ -148,7 +148,10 @@ def main() -> None:
 
     catalog.table(spark, sf_dir, "events").limit(10).collect()
 
-    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
+    # min-of-N: local single-JVM timings swing ±25% on GC/codegen
+    # hiccups; three reps keeps the recorded number close to the
+    # plan's true cost at ~8s extra wall for the whole suite
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     timings: dict[str, float] = {}
     for name, fn in registry.bench_queries().items():
         best = float("inf")
