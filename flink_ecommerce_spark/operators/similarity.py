@@ -312,24 +312,23 @@ def _sq_dist(a: F.Column, c: F.Column) -> F.Column:
     )
 
 
-def ivf_topk(
+def build_ivf_index(
     embeddings: DataFrame,
-    k: int = DEFAULT_K,
-    n_queries: int = DEFAULT_N_QUERIES,
-    n_probe: int = IVF_N_PROBE,
-) -> DataFrame:
-    """IVF-style ANN: label centroids act as the coarse quantizer
-    (deterministic — no k-means iterations to replicate), vectors are
-    assigned to their nearest centroid cell, and each query searches
-    only its ``n_probe`` nearest cells with an exact cosine re-rank.
+) -> tuple[DataFrame, DataFrame]:
+    """Build the IVF index ONCE: returns (assignments, centroids)
+    where assignments = (vec_id, embedding, cell) — every vector in
+    its nearest centroid cell — and centroids = (label, cvec).
 
-    Scale shape: the corpus is scanned once to assign cells (map +
-    broadcast of K centroids), queries touch ~n_probe/K of the data.
-    With K cells this is the textbook IVF cost model; swapping the
-    quantizer for trained k-means changes none of the dataflow."""
-    cents = F.broadcast(_centroid_arrays(embeddings))
+    Production shape: persist/bucket the assignments by cell and
+    probe many query batches against them (``ivf_probe``) without
+    re-scanning or re-quantizing the corpus — at 100 TB the build is
+    the one full-corpus pass, each probe touches ~n_probe/K of it.
+    Label centroids act as the deterministic coarse quantizer (no
+    k-means iterations to replicate in the oracle); swapping in
+    trained k-means centroids changes none of the dataflow."""
+    cents = _centroid_arrays(embeddings)
     corpus = embeddings.select("vec_id", "embedding")
-    dists = corpus.crossJoin(cents).select(
+    dists = corpus.crossJoin(F.broadcast(cents)).select(
         "vec_id",
         "embedding",
         F.col("label"),
@@ -341,18 +340,36 @@ def ivf_topk(
         .filter(F.col("rk") == 1)
         .select("vec_id", "embedding", F.col("label").alias("cell"))
     )
+    return assign, cents
+
+
+def ivf_probe(
+    assignments: DataFrame,
+    centroids: DataFrame,
+    queries: DataFrame,
+    k: int = DEFAULT_K,
+    n_probe: int = IVF_N_PROBE,
+) -> DataFrame:
+    """Probe a prebuilt IVF index: ``queries`` is (query_id, q_emb);
+    each query ranks the centroids, searches its ``n_probe`` nearest
+    cells, and exact-cosine re-ranks the candidates. The query side
+    broadcasts; the corpus-sized assignments table never reshuffles
+    (join on cell — co-located when assignments are bucketed by
+    cell)."""
+    qd = queries.crossJoin(F.broadcast(centroids)).select(
+        "query_id",
+        "q_emb",
+        F.col("label"),
+        _sq_dist(F.col("q_emb"), F.col("cvec")).alias("d2"),
+    )
+    w_probe = Window.partitionBy("query_id").orderBy(F.asc("d2"), F.asc("label"))
     qprobe = (
-        dists.filter(F.col("vec_id") < n_queries)
-        .withColumn("rk", F.row_number().over(w_assign))
+        qd.withColumn("rk", F.row_number().over(w_probe))
         .filter(F.col("rk") <= n_probe)
-        .select(
-            F.col("vec_id").alias("query_id"),
-            F.col("embedding").alias("q_emb"),
-            F.col("label").alias("cell"),
-        )
+        .select("query_id", "q_emb", F.col("label").alias("cell"))
     )
     scored = (
-        assign.join(F.broadcast(qprobe), "cell")
+        assignments.join(F.broadcast(qprobe), "cell")
         .filter(F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",
@@ -368,6 +385,25 @@ def ivf_topk(
         .filter(F.col("rk") <= k)
         .select("query_id", "neighbor_id", "cos_sim", "rk")
     )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    k: int = DEFAULT_K,
+    n_queries: int = DEFAULT_N_QUERIES,
+    n_probe: int = IVF_N_PROBE,
+) -> DataFrame:
+    """IVF ANN in one call: build_ivf_index + ivf_probe with the
+    query set drawn from the corpus (vec_id < n_queries). Kept as the
+    registry/oracle surface; pipelines that issue many query batches
+    should persist the index from ``build_ivf_index`` and call
+    ``ivf_probe`` directly."""
+    assign, cents = build_ivf_index(embeddings)
+    queries = embeddings.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+    )
+    return ivf_probe(assign, cents, queries, k=k, n_probe=n_probe)
 
 
 def label_centroids(embeddings: DataFrame) -> DataFrame:

@@ -82,3 +82,33 @@ def test_lsh_plan_for_sizing():
     p1, _ = similarity.lsh_plan_for(10_000_000)
     p2, _ = similarity.lsh_plan_for(10_000_000_000)
     assert 9 <= p2 - p1 <= 11
+
+
+def test_ivf_index_reuse_across_query_batches(spark):
+    """build once / probe many: two separate probe batches against
+    one prebuilt index must union to exactly the fused ivf_topk
+    answer for the combined query set."""
+    from pyspark.sql import functions as F
+
+    from flink_ecommerce_spark import catalog
+    from tests.conftest import SF_SMALL
+
+    emb = catalog.table(spark, SF_SMALL, "embeddings")
+    assign, cents = similarity.build_ivf_index(emb)
+    assign = assign.localCheckpoint(eager=True)  # "persisted" index
+
+    def qbatch(lo, hi):
+        return emb.filter(
+            (F.col("vec_id") >= lo) & (F.col("vec_id") < hi)
+        ).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+        )
+
+    probe_a = similarity.ivf_probe(assign, cents, qbatch(0, 5)).collect()
+    probe_b = similarity.ivf_probe(assign, cents, qbatch(5, 10)).collect()
+    fused = similarity.ivf_topk(emb, n_queries=10).collect()
+    key = lambda r: (r["query_id"], r["rk"])  # noqa: E731
+    got = {key(r): (r["neighbor_id"], r["cos_sim"]) for r in probe_a + probe_b}
+    want = {key(r): (r["neighbor_id"], r["cos_sim"]) for r in fused}
+    assert got == want and len(want) == 50
