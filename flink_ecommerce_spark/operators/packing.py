@@ -90,3 +90,42 @@ def packing_efficiency(packed: DataFrame, ctx_len: int = CTX_LEN) -> DataFrame:
             ).alias("fill_ratio"),
         )
     )
+
+
+def doc_chunks(
+    documents: DataFrame, chunk_tokens: int = 128, overlap: int = 32
+) -> DataFrame:
+    """Per-document overlapping token windows — the RAG/eval-prep
+    chunking twin of corpus-level ``sequence_packing``: each document
+    is split independently into chunks of ``chunk_tokens`` words that
+    advance by ``chunk_tokens - overlap``, carrying the chunk text
+    and its token offsets.
+
+    Scale: a pure per-row expression pipeline (split once into a real
+    column, sequence + transform, one explode) — no shuffle at all;
+    chunking 100 TB is a single scan. Output: (doc_id, chunk_idx,
+    start_tok, n_chunk_tokens, chunk_text)."""
+    assert 0 <= overlap < chunk_tokens
+    stride = chunk_tokens - overlap
+    from .textprep import words
+
+    t = documents.select("doc_id", words("text").alias("__words"))
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.size("__words") - 1, F.lit(0)), F.lit(stride)
+    )
+    chunks = F.transform(
+        starts,
+        lambda s: F.struct(
+            (s / stride).cast("int").alias("chunk_idx"),
+            s.cast("long").alias("start_tok"),
+            F.least(
+                F.lit(chunk_tokens), F.size("__words") - s
+            ).cast("int").alias("n_chunk_tokens"),
+            F.array_join(
+                F.slice(F.col("__words"), s + 1, chunk_tokens), " "
+            ).alias("chunk_text"),
+        ),
+    )
+    return t.select("doc_id", F.explode(chunks).alias("c")).select(
+        "doc_id", "c.chunk_idx", "c.start_tok", "c.n_chunk_tokens", "c.chunk_text"
+    )

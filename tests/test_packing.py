@@ -92,3 +92,20 @@ def test_unigram_surprisal_hand_computed(spark):
     assert abs(out[0]["avg_surprisal"] - round(exp0, 6)) < 1e-6
     assert abs(out[1]["avg_surprisal"] - round(-math.log(p_a), 6)) < 1e-6
     assert out[0]["n_words"] == 3 and out[1]["n_words"] == 1
+
+
+def test_doc_chunks_overlap_and_tail(spark):
+    from flink_ecommerce_spark.operators.packing import doc_chunks
+
+    rows = [(0, " ".join(f"w{i}" for i in range(10)), "s")]
+    out = sorted(
+        doc_chunks(_docs(spark, rows), chunk_tokens=6, overlap=2).collect(),
+        key=lambda r: r["chunk_idx"],
+    )
+    # stride 4 over 10 words -> starts 0, 4, 8
+    assert [(r["chunk_idx"], r["start_tok"], r["n_chunk_tokens"]) for r in out] == [
+        (0, 0, 6), (1, 4, 6), (2, 8, 2)
+    ]
+    assert out[0]["chunk_text"] == "w0 w1 w2 w3 w4 w5"
+    assert out[1]["chunk_text"] == "w4 w5 w6 w7 w8 w9"  # 2-token overlap
+    assert out[2]["chunk_text"] == "w8 w9"  # short tail, no padding
