@@ -41,13 +41,18 @@ def scd2_merge(
     tie-broken deterministically on the attrs) is applied — the
     intra-batch history is collapsed, matching MERGE semantics where
     a source must have one row per key."""
-    w_latest = Window.partitionBy(key).orderBy(
-        F.desc(ts_col), *[F.desc(a) for a in attrs]
-    )
+    # latest-per-key as max(struct(ts, attrs)): struct ordering is the
+    # same (DESC ts, DESC attrs, nulls smallest) tie-break as the
+    # previous row_number window, with map-side combine instead of a
+    # per-key sort
     updates = (
-        updates.withColumn("__rn", F.row_number().over(w_latest))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
+        updates.groupBy(key)
+        .agg(F.max(F.struct(ts_col, *attrs)).alias("__m"))
+        .select(
+            key,
+            *[F.col(f"__m.{a}").alias(a) for a in attrs],
+            F.col(f"__m.{ts_col}").alias(ts_col),
+        )
     )
     open_rows = current.filter(F.col("is_current"))
     closed_rows = current.filter(~F.col("is_current"))

@@ -154,20 +154,19 @@ def day_over_day_delta(events: DataFrame) -> DataFrame:
 
 
 def latest_event_per_user(events: DataFrame) -> DataFrame:
-    """Latest-per-key: each user's most recent event (deterministic
-    tie-break on event_id). One shuffle + per-partition window."""
-    w = Window.partitionBy("user_id").orderBy(
-        F.desc("ts"), F.desc("event_id")
-    )
-    return (
-        events.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") == 1)
-        .select(
-            "user_id",
-            F.col("event_id").alias("last_event_id"),
-            F.col("event_type").alias("last_event_type"),
-            F.col("ts").alias("last_ts"),
-        )
+    """Latest-per-key as a max-struct AGGREGATION, not a window:
+    struct ordering on (ts, event_id) reproduces the DESC/DESC
+    tie-break (event_id is unique, so the carried event_type is never
+    compared), and the aggregate gets map-side combine — every scan
+    partition contributes ONE candidate per user to the shuffle,
+    where a row_number window would shuffle and sort every event into
+    per-user partitions."""
+    m = F.max(F.struct("ts", "event_id", "event_type")).alias("m")
+    return events.groupBy("user_id").agg(m).select(
+        "user_id",
+        F.col("m.event_id").alias("last_event_id"),
+        F.col("m.event_type").alias("last_event_type"),
+        F.col("m.ts").alias("last_ts"),
     )
 
 

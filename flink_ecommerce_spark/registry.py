@@ -415,21 +415,20 @@ def _q_scd2_user_segments(spark, sf):
     """SCD2 merge exercised on events: dimension = each user's latest
     event_type before the cutoff; updates = latest after. See
     operators/cdc.py."""
-    from pyspark.sql import Window
-
     from .operators.cdc import empty_scd2, scd2_merge
 
     ev = _t("events")(spark, sf)
-    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
 
     def latest(df):
+        # max-struct latest-per-user (same DESC ts, DESC event_id
+        # tie-break as a row_number window, map-side combinable)
         return (
-            df.withColumn("rk", F.row_number().over(w))
-            .filter(F.col("rk") == 1)
+            df.groupBy("user_id")
+            .agg(F.max(F.struct("ts", "event_id", "event_type")).alias("m"))
             .select(
                 "user_id",
-                F.col("event_type").alias("segment"),
-                F.col("ts").alias("effective_ts"),
+                F.col("m.event_type").alias("segment"),
+                F.col("m.ts").alias("effective_ts"),
             )
         )
 
@@ -2261,6 +2260,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "simhash_near_pairs",  # r03: scale-aware band width
     "dedup_clusters",
     "documents_deduped",
+    "latest_event_per_user",  # r03: max-struct latest, window removed
     # (3) stable, re-certified: parity core (SURVEY.md §2) ...
     "raw_transactions",
     "sales_per_day",
@@ -2287,7 +2287,6 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "lang_id",
     "quality_scores",
     "repetition_scores",
-    "decontaminate",
 )
 assert set(_VERIFY_FIRST) <= set(_SPEC_DEFS), sorted(
     set(_VERIFY_FIRST) - set(_SPEC_DEFS)

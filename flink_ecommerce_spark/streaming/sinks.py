@@ -148,21 +148,28 @@ class StagedMergeSink:
         self.order_col = order_col
 
     def _reduce_to_latest(self, batch_df: DataFrame) -> DataFrame:
-        from pyspark.sql import Window
         from pyspark.sql import functions as F
 
         non_key = [c for c in self.columns if c not in self.key_cols]
-        order = (
-            [F.desc(self.order_col)]
+        if not non_key:
+            return batch_df.select(*self.columns).distinct()
+        # latest-per-key as a max-struct aggregation (map-side
+        # combine; no per-key sort): struct field order = the sort
+        # order — order_col first when given, then the remaining
+        # non-key columns as a deterministic tie-break (the window
+        # form this replaces left order_col ties arbitrary)
+        lead = (
+            [self.order_col] + [c for c in non_key if c != self.order_col]
             if self.order_col
-            else [F.desc(c) for c in non_key]
+            else non_key
         )
-        w = Window.partitionBy(*self.key_cols).orderBy(*order)
-        return (
+        reduced = (
             batch_df.select(*self.columns)
-            .withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
-            .drop("__rn")
+            .groupBy(*self.key_cols)
+            .agg(F.max(F.struct(*lead)).alias("__m"))
+        )
+        return reduced.select(
+            *self.key_cols, *[F.col(f"__m.{c}").alias(c) for c in non_key]
         )
 
     def write_batch(self, batch_df: DataFrame, epoch_id: int | None = None) -> None:
