@@ -501,3 +501,57 @@ def embedding_near_dup_pairs(
         )
         .filter(F.col("cos_sim") >= threshold)
     )
+
+
+def knn_int8(
+    embeddings: DataFrame,
+    k: int = DEFAULT_K,
+    n_queries: int = DEFAULT_N_QUERIES,
+) -> DataFrame:
+    """kNN over int8-quantized vectors — the retrieval end-use of the
+    embedding_quantize_int8 preflight. The symmetric per-vector scale
+    cancels inside cosine, so the score is EXACTLY the cosine of the
+    quantized integer vectors: the corpus travels 4x smaller, the
+    products are small integers, and the only loss vs the float
+    result is bounded quantization error (recall vs knn_bruteforce
+    pinned in tests). Same scale shape as knn_bruteforce: queries
+    broadcast, the corpus never shuffles."""
+    from .scale import ensure_parallelism
+
+    max_abs = F.round(
+        F.array_max(F.transform("embedding", lambda x: F.abs(x.cast("double")))),
+        6,
+    )
+    q8 = (
+        ensure_parallelism(embeddings)
+        .select("vec_id", "embedding", max_abs.alias("__scale"))
+        .select(
+            "vec_id",
+            F.transform(
+                "embedding",
+                lambda x: F.round(
+                    x.cast("double") * 127.0 / F.col("__scale"), 0
+                ).cast("int"),
+            ).alias("qvec"),
+        )
+    )
+    q = q8.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("qvec").alias("q_qvec")
+    )
+    scored = q8.join(
+        F.broadcast(q), F.col("vec_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(cosine_sim(F.col("q_qvec"), F.col("qvec")), 6).alias(
+            "cos_sim_q8"
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim_q8"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "cos_sim_q8", "rk")
+    )

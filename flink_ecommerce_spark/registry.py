@@ -678,6 +678,10 @@ def _q_knn_bruteforce(spark, sf):
     return similarity.knn_bruteforce(_t("embeddings")(spark, sf))
 
 
+def _q_knn_int8(spark, sf):
+    return similarity.knn_int8(_t("embeddings")(spark, sf))
+
+
 def _q_knn_pandas(spark, sf):
     return similarity.knn_bruteforce_pandas(_t("embeddings")(spark, sf))
 
@@ -1921,6 +1925,23 @@ FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
       FROM scored)
 WHERE rk <= {similarity.DEFAULT_K}
 """,
+    "knn_int8": f"""
+WITH qz AS (SELECT vec_id,
+        list_transform(embedding,
+          x -> CAST(ROUND(CAST(x AS DOUBLE) * 127.0 /
+               ROUND(list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE)))), 6), 0) AS INT)) AS qvec
+      FROM embeddings),
+q AS (SELECT vec_id AS query_id, qvec AS q_qvec
+      FROM qz WHERE vec_id < {similarity.DEFAULT_N_QUERIES}),
+scored AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+                  ROUND({sql_cosine('q.q_qvec', 'e.qvec', similarity.EMB_DIM)}, 6) AS cos_sim_q8
+           FROM qz e CROSS JOIN q WHERE e.vec_id != q.query_id)
+SELECT query_id, neighbor_id, cos_sim_q8, CAST(rk AS INT) AS rk
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim_q8 DESC, neighbor_id ASC) AS rk
+      FROM scored)
+WHERE rk <= {similarity.DEFAULT_K}
+""",
     "ann_lsh_topk_planned": f"""
 WITH bucketed AS (SELECT vec_id, embedding, {_bucket_sql('embedding', n_planes=1)} AS bucket
                   FROM embeddings),
@@ -2200,6 +2221,7 @@ _SPEC_DEFS: dict[str, QuerySpec] = {
     # bench=False: Python-worker spin-up dominates at 5k rows; the
     # GEMM path only wins once batches are ~100k+ vectors.
     "knn_bruteforce_pandas": QuerySpec(_q_knn_pandas, ORACLES["knn_bruteforce"]),
+    "knn_int8": QuerySpec(_q_knn_int8, ORACLES["knn_int8"]),
     "grouping_sets_sales": QuerySpec(
         _q_grouping_sets, ORACLES["grouping_sets_sales"]
     ),
@@ -2274,6 +2296,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "dedup_exact_normalized",
     "knn_bruteforce",
     "knn_bruteforce_pandas",
+    "knn_int8",
     "ann_lsh_topk",
     "ann_lsh_topk_planned",
     "ivf_ann_topk",
@@ -2286,7 +2309,6 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "token_counts",
     "lang_id",
     "quality_scores",
-    "repetition_scores",
 )
 assert set(_VERIFY_FIRST) <= set(_SPEC_DEFS), sorted(
     set(_VERIFY_FIRST) - set(_SPEC_DEFS)

@@ -112,3 +112,21 @@ def test_ivf_index_reuse_across_query_batches(spark):
     got = {key(r): (r["neighbor_id"], r["cos_sim"]) for r in probe_a + probe_b}
     want = {key(r): (r["neighbor_id"], r["cos_sim"]) for r in fused}
     assert got == want and len(want) == 50
+
+
+def test_knn_int8_recall_vs_float(spark):
+    """int8 quantization must preserve most of the float top-k: the
+    symmetric per-vector scale cancels in cosine, so the only loss is
+    rounding of 64 components to 8 bits."""
+    from flink_ecommerce_spark import catalog
+    from tests.conftest import SF_SMALL
+
+    emb = catalog.table(spark, SF_SMALL, "embeddings")
+    truth = {}
+    for r in similarity.knn_bruteforce(emb).collect():
+        truth.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    got = {}
+    for r in similarity.knn_int8(emb).collect():
+        got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    recalls = [len(got[q] & n) / len(n) for q, n in truth.items()]
+    assert sum(recalls) / len(recalls) >= 0.8, recalls
