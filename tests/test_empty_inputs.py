@@ -69,3 +69,21 @@ def test_null_text_documents(spark):
     assert sigs[1]["mh0"] is None and sigs[2]["mh0"] is not None
     counts = {r["doc_id"]: r for r in text.token_counts(docs).collect()}
     assert counts[1]["n_tokens"] is None or counts[1]["n_tokens"] == 0
+
+
+def test_packing_and_surprisal_on_empty(spark, empty_docs):
+    from flink_ecommerce_spark.operators.packing import (
+        doc_chunks,
+        packing_efficiency,
+        sequence_packing,
+    )
+    from flink_ecommerce_spark.operators.similarity import knn_int8
+
+    assert sequence_packing(empty_docs).collect() == []
+    assert packing_efficiency(sequence_packing(empty_docs)).collect() == []
+    assert doc_chunks(empty_docs).collect() == []
+    assert text.unigram_surprisal(empty_docs).collect() == []
+    from flink_ecommerce_spark.schemas import EMBEDDINGS_SCHEMA
+
+    empty_emb = spark.createDataFrame([], EMBEDDINGS_SCHEMA)
+    assert knn_int8(empty_emb).collect() == []
