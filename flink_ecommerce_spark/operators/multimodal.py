@@ -23,6 +23,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    BinaryType,
     IntegerType,
     LongType,
     StructField,
@@ -115,4 +116,59 @@ def decode_real(with_payload: DataFrame) -> DataFrame:
         "real image/audio decode requires PIL/ffmpeg, which are not "
         "installed here; use decode_features (deterministic stub) — "
         "the Spark-side plumbing is identical"
+    )
+
+
+THUMB_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("thumb_width", IntegerType()),
+        StructField("thumb_height", IntegerType()),
+        StructField("thumb_bytes", BinaryType()),
+    ]
+)
+
+
+def resize_thumbnails(with_payload: DataFrame, max_px: int = 64) -> DataFrame:
+    """Batch image-resize plumbing: decode dimensions, compute the
+    aspect-preserving thumbnail size with INTEGER-only math (floor
+    division — unambiguous across engines), and emit a binary
+    thumbnail payload. The pixel resample itself is the stubbed codec
+    step (thumbnail bytes = a deterministic byte-budget prefix of the
+    payload, sized thumb_w*thumb_h*3 — swap `_fake_decode` and the
+    slice for PIL in production); the Spark-side shape is the real
+    thing: binary in, binary out, fixed schema, Arrow-batched, no
+    shuffle, executor memory bounded by the Arrow batch size."""
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n_bytes = pdf["payload"].map(len)
+            dims = _fake_decode(n_bytes)
+            w = dims["width"].astype("int64")
+            h = dims["height"].astype("int64")
+            long_side = w.where(w >= h, h)
+            # integer aspect-preserving resize, never upscaling
+            tw = (w * max_px // long_side).where(long_side > max_px, w)
+            th = (h * max_px // long_side).where(long_side > max_px, h)
+            tw = tw.clip(lower=1)
+            th = th.clip(lower=1)
+            budget = (tw * th * 3).astype("int64")
+            thumbs = [
+                bytes(p[: int(b)]) for p, b in zip(pdf["payload"], budget)
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "width": w.astype("int32"),
+                    "height": h.astype("int32"),
+                    "thumb_width": tw.astype("int32"),
+                    "thumb_height": th.astype("int32"),
+                    "thumb_bytes": thumbs,
+                }
+            )
+
+    return with_payload.select("doc_id", "payload").mapInPandas(
+        resize, schema=THUMB_SCHEMA
     )

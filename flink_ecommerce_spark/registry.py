@@ -549,6 +549,23 @@ def _q_pii_scrub(spark, sf):
     return text.pii_scrub(_t("documents")(spark, sf))
 
 
+def _q_multimodal_thumbnails(spark, sf):
+    """Resize plumbing surfaced numerically: the binary thumbnail
+    column stays out of the oracle compare; its byte length is the
+    checkable proxy."""
+    from .operators.multimodal import attach_fake_payload, resize_thumbnails
+
+    t = resize_thumbnails(attach_fake_payload(_t("documents")(spark, sf)))
+    return t.select(
+        "doc_id",
+        "width",
+        "height",
+        "thumb_width",
+        "thumb_height",
+        F.octet_length("thumb_bytes").alias("thumb_n_bytes"),
+    )
+
+
 def _q_multimodal_features(spark, sf):
     return multimodal.multimodal_features(_t("documents")(spark, sf))
 
@@ -2005,6 +2022,20 @@ FROM bucketed a JOIN bucketed b
   ON a.bucket = b.bucket AND a.vec_id < b.vec_id
 WHERE ROUND({sql_cosine('a.embedding', 'b.embedding', similarity.EMB_DIM)}, 6) >= 0.95
 """,
+    "multimodal_thumbnails": """
+WITH d AS (SELECT doc_id, CAST(strlen(text) AS BIGINT) AS nb,
+                  16 + (strlen(text) * 7) % 624 AS w,
+                  16 + (strlen(text) * 13) % 464 AS h
+           FROM documents),
+t AS (SELECT doc_id, nb, w, h, GREATEST(w, h) AS ls FROM d)
+SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+       CAST(CASE WHEN ls > 64 THEN GREATEST(w * 64 // ls, 1) ELSE w END AS INT) AS thumb_width,
+       CAST(CASE WHEN ls > 64 THEN GREATEST(h * 64 // ls, 1) ELSE h END AS INT) AS thumb_height,
+       CAST(LEAST((CASE WHEN ls > 64 THEN GREATEST(w * 64 // ls, 1) ELSE w END)
+                  * (CASE WHEN ls > 64 THEN GREATEST(h * 64 // ls, 1) ELSE h END)
+                  * 3, nb) AS INT) AS thumb_n_bytes
+FROM t
+""",
     "multimodal_features": """
 SELECT doc_id,
        CAST(strlen(text) AS INT) AS n_bytes,
@@ -2194,6 +2225,9 @@ _SPEC_DEFS: dict[str, QuerySpec] = {
     "multimodal_frames": QuerySpec(
         _q_multimodal_frames, ORACLES["multimodal_frames"]
     ),
+    "multimodal_thumbnails": QuerySpec(
+        _q_multimodal_thumbnails, ORACLES["multimodal_thumbnails"]
+    ),
     "top_bigrams": QuerySpec(_q_top_bigrams, ORACLES["top_bigrams"]),
     "tfidf_top_terms": QuerySpec(_q_tfidf_top_terms, ORACLES["tfidf_top_terms"]),
     "profile_events": QuerySpec(_q_profile_events, ORACLES["profile_events"]),
@@ -2258,6 +2292,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "sequence_packing",
     "packing_efficiency",
     "doc_chunks",
+    "multimodal_thumbnails",
     "unigram_surprisal",
     # ... and the 11 backlog queries (VERDICT r02 missing #1)
     "purchasers_also_errored",
@@ -2308,7 +2343,6 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "label_centroids",
     "token_counts",
     "lang_id",
-    "quality_scores",
 )
 assert set(_VERIFY_FIRST) <= set(_SPEC_DEFS), sorted(
     set(_VERIFY_FIRST) - set(_SPEC_DEFS)

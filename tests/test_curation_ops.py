@@ -88,3 +88,38 @@ def test_decontaminate_scores_overlap(spark):
     assert out[21]["n_contaminated"] == 2
     assert out[21]["contamination_frac"] == 0.5
     assert out[22]["n_contaminated"] == 0
+
+
+def test_resize_thumbnails_binary_and_dims(spark):
+    """The binary path of the resize plumbing (the oracle query only
+    sees numeric projections): thumbnail bytes are a budget-bounded
+    prefix of the payload, dims never upscale and preserve the
+    floor-division aspect ratio."""
+    from flink_ecommerce_spark.operators.multimodal import (
+        attach_fake_payload,
+        resize_thumbnails,
+    )
+    from flink_ecommerce_spark.schemas import DOCUMENTS_SCHEMA
+
+    rows = [
+        (0, "x" * 500, "en", "s", 500),  # large image -> downscale
+        (1, "", "en", "s", 0),  # empty payload -> 16x16, no downscale
+    ]
+    docs = spark.createDataFrame(rows, DOCUMENTS_SCHEMA)
+    out = {
+        r["doc_id"]: r
+        for r in resize_thumbnails(attach_fake_payload(docs), max_px=64).collect()
+    }
+    big = out[0]
+    ls = max(big["width"], big["height"])
+    assert ls > 64
+    assert big["thumb_width"] == big["width"] * 64 // ls
+    assert big["thumb_height"] == big["height"] * 64 // ls
+    assert max(big["thumb_width"], big["thumb_height"]) <= 64
+    budget = big["thumb_width"] * big["thumb_height"] * 3
+    assert len(big["thumb_bytes"]) == min(budget, 500)
+    assert bytes(big["thumb_bytes"]) == b"x" * len(big["thumb_bytes"])
+    small = out[1]
+    assert (small["width"], small["height"]) == (16, 16)
+    assert (small["thumb_width"], small["thumb_height"]) == (16, 16)
+    assert len(small["thumb_bytes"]) == 0  # budget-capped by payload size
