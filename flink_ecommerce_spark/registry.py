@@ -667,6 +667,23 @@ def _q_curation_scores(spark, sf):
     )
 
 
+def _q_profile_documents(spark, sf):
+    """Per-source dataset card for the training corpus: volume, token
+    length distribution (exact percentiles — swap percentile_approx
+    at 100 TB), language spread. One shuffle on source."""
+    docs = _t("documents")(spark, sf)
+    nt = F.size(F.expr("regexp_extract_all(text, '\\\\S+', 0)")).cast("long")
+    t = docs.select("source", "lang", nt.alias("nt"))
+    return t.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("nt").alias("total_tokens"),
+        F.round(F.avg("nt"), 6).alias("avg_tokens"),
+        F.round(F.expr("percentile(nt, 0.5)"), 6).alias("p50_tokens"),
+        F.round(F.expr("percentile(nt, 0.9)"), 6).alias("p90_tokens"),
+        F.countDistinct("lang").alias("n_langs"),
+    )
+
+
 def _q_profile_events(spark, sf):
     """Dataset profiling: per-column null/distinct/min/max — the
     preflight every ingestion pipeline runs."""
@@ -1575,6 +1592,18 @@ FROM (SELECT vec_id, embedding, unnest(embedding) AS v,
              generate_subscripts(embedding, 1) AS dim
       FROM embeddings)
 """,
+    "profile_documents": """
+WITH t AS (SELECT source, lang,
+             CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS nt
+           FROM documents)
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(nt) AS BIGINT) AS total_tokens,
+       ROUND(AVG(nt), 6) AS avg_tokens,
+       ROUND(quantile_cont(nt, 0.5), 6) AS p50_tokens,
+       ROUND(quantile_cont(nt, 0.9), 6) AS p90_tokens,
+       COUNT(DISTINCT lang) AS n_langs
+FROM t GROUP BY 1
+""",
     "profile_events": """
 SELECT COUNT(*) AS n_rows,
        CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_value,
@@ -2231,6 +2260,9 @@ _SPEC_DEFS: dict[str, QuerySpec] = {
     "top_bigrams": QuerySpec(_q_top_bigrams, ORACLES["top_bigrams"]),
     "tfidf_top_terms": QuerySpec(_q_tfidf_top_terms, ORACLES["tfidf_top_terms"]),
     "profile_events": QuerySpec(_q_profile_events, ORACLES["profile_events"]),
+    "profile_documents": QuerySpec(
+        _q_profile_documents, ORACLES["profile_documents"]
+    ),
     "vocabulary": QuerySpec(_q_vocabulary, ORACLES["vocabulary"]),
     "unigram_surprisal": QuerySpec(
         _q_unigram_surprisal, ORACLES["unigram_surprisal"]
@@ -2306,6 +2338,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "grouping_sets_sales",
     "distinct_user_event_pairs",
     "profile_events",
+    "profile_documents",
     # (2) implementation changed in r02/r03 — re-certify current code
     "scd2_user_segments",  # r03: NULL open-end sentinel
     "user_value_quartiles",  # r02 rewrite: distributed ranking
@@ -2342,7 +2375,6 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "kmeans_cluster_sizes",
     "label_centroids",
     "token_counts",
-    "lang_id",
 )
 assert set(_VERIFY_FIRST) <= set(_SPEC_DEFS), sorted(
     set(_VERIFY_FIRST) - set(_SPEC_DEFS)
