@@ -509,3 +509,32 @@ def simhash_near_pairs(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def incremental_dedup(
+    new_docs: DataFrame, corpus: DataFrame, normalized: bool = True
+) -> DataFrame:
+    """Daily-pipeline dedup: keep only the NEW batch's documents whose
+    content hash is absent from the existing corpus AND unique within
+    the batch (first doc_id wins intra-batch, matching dedup_exact's
+    keep rule).
+
+    Scale shape: both sides reduce to (hash) / (hash, doc_id) pairs
+    before any join — the corpus side ships one hash per distinct
+    content, the anti-join and the intra-batch groupBy shuffle hashes
+    only, never text. This is the batch twin of
+    streaming/dedup.streaming_minhash_dedup's first-seen filter, at
+    exact-content granularity."""
+    def h(df):
+        text = F.col("text")
+        if normalized:
+            text = F.regexp_replace(F.trim(F.lower(text)), r"\s+", " ")
+        return F.md5(text).alias("__h")
+
+    seen = corpus.select(h(corpus)).distinct()
+    batch = new_docs.select("doc_id", h(new_docs))
+    fresh = batch.join(seen, "__h", "left_anti")
+    keep = (
+        fresh.groupBy("__h").agg(F.min("doc_id").alias("doc_id"))
+    )
+    return new_docs.join(keep.select("doc_id"), "doc_id", "left_semi")

@@ -441,6 +441,15 @@ def _q_scd2_user_segments(spark, sf):
 # ---------------------------------------------------------------- dedup/text
 
 
+def _q_incremental_dedup(spark, sf):
+    """Fixture split: docs with doc_id % 5 == 0 arrive as the new
+    batch; the rest are the already-ingested corpus."""
+    docs = _t("documents")(spark, sf)
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    return dedup.incremental_dedup(new, corpus)
+
+
 def _q_dedup_exact(spark, sf):
     return dedup.dedup_exact(_t("documents")(spark, sf))
 
@@ -1679,6 +1688,16 @@ SELECT DISTINCT user_id, event_type FROM events
 SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_copies
 FROM documents GROUP BY 1
 """,
+    "incremental_dedup": """
+WITH nb AS (SELECT *, md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS h
+            FROM documents WHERE doc_id % 5 = 0),
+corpus AS (SELECT DISTINCT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS h
+           FROM documents WHERE doc_id % 5 != 0),
+fresh AS (SELECT nb.* FROM nb WHERE nb.h NOT IN (SELECT h FROM corpus)),
+keep AS (SELECT h, MIN(doc_id) AS doc_id FROM fresh GROUP BY 1)
+SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
+FROM documents d JOIN keep k ON d.doc_id = k.doc_id
+""",
     "dedup_exact_normalized": """
 SELECT md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS text_hash,
        MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_copies
@@ -2204,6 +2223,9 @@ _SPEC_DEFS: dict[str, QuerySpec] = {
     ),
     # dedup
     "dedup_exact": QuerySpec(_q_dedup_exact, ORACLES["dedup_exact"]),
+    "incremental_dedup": QuerySpec(
+        _q_incremental_dedup, ORACLES["incremental_dedup"]
+    ),
     "dedup_exact_normalized": QuerySpec(
         _q_dedup_exact_normalized, ORACLES["dedup_exact_normalized"]
     ),
@@ -2350,6 +2372,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "simhash_near_pairs",  # r03: scale-aware band width
     "dedup_clusters",
     "documents_deduped",
+    "incremental_dedup",
     "latest_event_per_user",  # r03: max-struct latest, window removed
     # (3) stable, re-certified: parity core (SURVEY.md §2) ...
     "raw_transactions",
@@ -2374,7 +2397,6 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "curation_scores",
     "kmeans_cluster_sizes",
     "label_centroids",
-    "token_counts",
 )
 assert set(_VERIFY_FIRST) <= set(_SPEC_DEFS), sorted(
     set(_VERIFY_FIRST) - set(_SPEC_DEFS)

@@ -169,3 +169,25 @@ def test_simhash_banded_recall_exact_at_default_width(spark):
         .collect()
     }
     assert banded == brute and len(brute) > 0
+
+
+def test_incremental_dedup_batch_vs_history(spark):
+    """The daily-pipeline filter: a new batch keeps only content
+    absent from the corpus, deduped within the batch (first doc_id
+    wins), robust to whitespace variants."""
+    from flink_ecommerce_spark.operators.dedup import incremental_dedup
+
+    corpus = spark.createDataFrame(
+        [(0, "seen before text", "en", "s", 1)], DOCUMENTS_SCHEMA
+    )
+    new = spark.createDataFrame(
+        [
+            (10, "seen  BEFORE text", "en", "s", 1),   # normalized dup of corpus
+            (11, "genuinely new content", "en", "s", 1),
+            (12, "genuinely  new content", "en", "s", 1),  # intra-batch dup of 11
+            (13, "another fresh doc", "en", "s", 1),
+        ],
+        DOCUMENTS_SCHEMA,
+    )
+    kept = {r["doc_id"] for r in incremental_dedup(new, corpus).collect()}
+    assert kept == {11, 13}
