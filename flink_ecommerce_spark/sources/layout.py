@@ -65,3 +65,33 @@ def write_clustered(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    rows_per_shard: int = 100_000,
+    order_col: str = "doc_id",
+    mode: str = "overwrite",
+) -> int:
+    """Export fixed-size training shards: range-repartition on
+    ``order_col`` into ceil(n / rows_per_shard) partitions (shard
+    boundaries follow the global order, so the shard a row lands in
+    is reproducible run-to-run and independent of cluster
+    parallelism), sort within each shard, and cap file size with
+    maxRecordsPerFile as the enforcement backstop. Returns the
+    partition count. NOTE — eager: sizing the shard count runs one
+    count() job before the write (the same deliberate tradeoff as
+    user_value_quartiles, documented there)."""
+    import math
+
+    n = df.count()
+    n_parts = max(1, math.ceil(n / rows_per_shard))
+    (
+        df.repartitionByRange(n_parts, order_col)
+        .sortWithinPartitions(order_col)
+        .write.mode(mode)
+        .option("maxRecordsPerFile", rows_per_shard)
+        .parquet(path)
+    )
+    return n_parts

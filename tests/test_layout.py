@@ -91,3 +91,37 @@ def test_clustered_layout_has_disjoint_tight_rowgroups(spark, tmp_path):
         back.filter(F.col("user_id") == probe).count()
         == events.filter(F.col("user_id") == probe).count()
     )
+
+
+def test_training_shards_fixed_size_and_roundtrip(spark, tmp_path):
+    """Shard export: ~n/rows_per_shard files, none above the cap,
+    contents lossless, shard membership follows the global order."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    docs = catalog.table(spark, SF_SMALL, "documents")
+    n = docs.count()
+    out = str(tmp_path / "shards")
+    from flink_ecommerce_spark.sources.layout import write_training_shards
+
+    n_parts = write_training_shards(docs, out, rows_per_shard=100)
+    assert n_parts == (n + 99) // 100
+    files = sorted(glob.glob(f"{out}/part-*.parquet"))
+    assert len(files) >= n_parts
+    ranges = []
+    for f in files:
+        t = pq.read_table(f, columns=["doc_id"])
+        assert t.num_rows <= 100
+        if t.num_rows:
+            ids = t.column("doc_id").to_pylist()
+            ranges.append((min(ids), max(ids)))
+    # shards tile the doc_id order: ranges are pairwise disjoint
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2
+    back = spark.read.parquet(out)
+    assert back.count() == n
+    assert {r["doc_id"] for r in back.select("doc_id").collect()} == {
+        r["doc_id"] for r in docs.select("doc_id").collect()
+    }
