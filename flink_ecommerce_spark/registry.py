@@ -2287,10 +2287,10 @@ _SPEC_DEFS: dict[str, QuerySpec] = {
     ),
     "vocabulary": QuerySpec(_q_vocabulary, ORACLES["vocabulary"]),
     "unigram_surprisal": QuerySpec(
-        _q_unigram_surprisal, ORACLES["unigram_surprisal"]
+        _q_unigram_surprisal, ORACLES["unigram_surprisal"], bench=True
     ),
     "sequence_packing": QuerySpec(
-        _q_sequence_packing, ORACLES["sequence_packing"]
+        _q_sequence_packing, ORACLES["sequence_packing"], bench=True
     ),
     "packing_efficiency": QuerySpec(
         _q_packing_efficiency, ORACLES["packing_efficiency"]
@@ -2309,7 +2309,7 @@ _SPEC_DEFS: dict[str, QuerySpec] = {
     # bench=False: Python-worker spin-up dominates at 5k rows; the
     # GEMM path only wins once batches are ~100k+ vectors.
     "knn_bruteforce_pandas": QuerySpec(_q_knn_pandas, ORACLES["knn_bruteforce"]),
-    "knn_int8": QuerySpec(_q_knn_int8, ORACLES["knn_int8"]),
+    "knn_int8": QuerySpec(_q_knn_int8, ORACLES["knn_int8"], bench=True),
     "grouping_sets_sales": QuerySpec(
         _q_grouping_sets, ORACLES["grouping_sets_sales"]
     ),
