@@ -13,7 +13,10 @@ default (K7 parity: the reference ships it commented out).
 
 With ``--source file`` it replays JSON files through the identical
 dataflow — the airgapped/test path (no Kafka/Postgres needed when
-paired with --sink memory).
+paired with --sink memory, or with ``--jdbc-url duckdb:///path.db``
+which runs the jdbc/staged sinks against an embedded DuckDB file —
+demo/smoke use; DuckDB is single-writer, so production concurrency
+belongs to Postgres).
 """
 
 from __future__ import annotations
@@ -89,7 +92,21 @@ def build_source(spark, args) -> DataFrame:
     raise ValueError(f"unknown source {args.source!r}")
 
 
-def _pg_connection_factory(jdbc_url: str):
+def _connection_factory(jdbc_url: str):
+    """DB-API connection factory from a URL. ``duckdb:///path.db``
+    targets an embedded DuckDB file — the airgapped path that lets
+    the whole CLI (DDL + jdbc/staged sinks) run end-to-end without a
+    Postgres; anything else goes to psycopg2 (production)."""
+    if jdbc_url.startswith("duckdb://"):
+        db_path = jdbc_url[len("duckdb://"):].lstrip("/")
+
+        def connect_duckdb():
+            import duckdb
+
+            return duckdb.connect("/" + db_path if db_path else ":memory:")
+
+        return connect_duckdb
+
     def connect():
         import psycopg2  # not in the test container — production path
 
@@ -107,7 +124,8 @@ def make_sink_factory(args):
     if args.sink == "memory":
         return lambda branch: MemoryUpsertSink(branch.key_cols)
 
-    factory = _pg_connection_factory(args.jdbc_url)
+    is_duckdb = args.jdbc_url.startswith("duckdb://")
+    factory = _connection_factory(args.jdbc_url)
     ddl.create_sink_tables(factory)  # K1: once, at startup
 
     if args.sink == "staged":
@@ -129,6 +147,7 @@ def make_sink_factory(args):
             branch.name,
             SINK_COLUMNS[branch.name],
             list(branch.key_cols),
+            placeholder="?" if is_duckdb else "%s",
         )
 
     return jdbc_sink

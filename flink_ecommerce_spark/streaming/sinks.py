@@ -51,11 +51,18 @@ class MemoryUpsertSink:
         return list(self.state.values())
 
 
-def upsert_sql(table: str, columns: Sequence[str], key_cols: Sequence[str]) -> str:
+def upsert_sql(
+    table: str,
+    columns: Sequence[str],
+    key_cols: Sequence[str],
+    placeholder: str = "%s",
+) -> str:
     """INSERT ... ON CONFLICT DO UPDATE statement (reference K2-K5
-    shape, e.g. DataStreamJob.java:240-258 for transactions)."""
+    shape, e.g. DataStreamJob.java:240-258 for transactions).
+    ``placeholder`` follows the target's DB-API paramstyle ("%s" for
+    psycopg2, "?" for DuckDB/SQLite)."""
     collist = ", ".join(columns)
-    placeholders = ", ".join(["%s"] * len(columns))
+    placeholders = ", ".join([placeholder] * len(columns))
     keylist = ", ".join(key_cols)
     updates = ", ".join(
         f"{c} = EXCLUDED.{c}" for c in columns if c not in set(key_cols)
@@ -217,6 +224,7 @@ class JdbcUpsertSink:
         key_cols: Sequence[str],
         batch_size: int = 1000,
         max_retries: int = 5,
+        placeholder: str = "%s",
     ):
         self.connection_factory = connection_factory
         self.table = table
@@ -224,7 +232,7 @@ class JdbcUpsertSink:
         self.key_cols = tuple(key_cols)
         self.batch_size = batch_size
         self.max_retries = max_retries
-        self.sql = upsert_sql(table, columns, key_cols)
+        self.sql = upsert_sql(table, columns, key_cols, placeholder)
 
     def write_batch(self, batch_df: DataFrame, epoch_id: int | None = None) -> None:
         factory, sql, cols = self.connection_factory, self.sql, self.columns

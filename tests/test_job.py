@@ -69,3 +69,38 @@ def test_rate_source_schema(spark):
     assert [f.name for f in stream.schema.fields] == [
         f.name for f in TRANSACTION_SCHEMA.fields
     ]
+
+
+def test_job_cli_staged_duckdb_end_to_end(spark, tmp_path):
+    """The airgapped CLI path: file source → staged MERGE sinks into
+    an embedded DuckDB file (duckdb:// URL), DDL at startup, final
+    table state conserves totals across branches."""
+    import duckdb
+
+    src = str(tmp_path / "in2")
+    df = generator.transactions(spark, n_rows=300, seed=43)
+    generator.transactions_as_json(df).coalesce(2).write.mode("overwrite").text(src)
+    db = str(tmp_path / "job.duckdb")
+
+    job = job_mod.main(
+        [
+            "--source", "file",
+            "--input-path", src,
+            "--sink", "staged",
+            "--jdbc-url", f"duckdb://{db}",
+            "--stage-dir", str(tmp_path / "stage"),
+            "--checkpoint", str(tmp_path / "ck2"),
+        ]
+    )
+    try:
+        job.process_available()
+    finally:
+        job.stop()
+
+    con = duckdb.connect(db)
+    n_txn = con.execute("SELECT COUNT(*) FROM transactions").fetchone()[0]
+    total_raw = con.execute("SELECT ROUND(SUM(total_amount), 2) FROM transactions").fetchone()[0]
+    total_day = con.execute("SELECT ROUND(SUM(total_sales), 2) FROM sales_per_day").fetchone()[0]
+    con.close()
+    assert n_txn == 300
+    assert abs(total_raw - total_day) < 0.05
