@@ -538,3 +538,27 @@ def incremental_dedup(
         fresh.groupBy("__h").agg(F.min("doc_id").alias("doc_id"))
     )
     return new_docs.join(keep.select("doc_id"), "doc_id", "left_semi")
+
+
+def corpus_diff(old: DataFrame, new: DataFrame) -> DataFrame:
+    """Snapshot diff between two corpus versions, keyed by doc_id:
+    status ∈ {added, removed, changed, unchanged} with the content
+    hash of each side. The decision input for incremental pipelines —
+    re-embed/re-score only added+changed, retire removed.
+
+    Scale: both sides reduce to (doc_id, md5) before the ONE
+    full-outer join — text never shuffles; the join key is the
+    document key, so output is bounded by |old ∪ new|."""
+    def hashed(df, col):
+        return df.select("doc_id", F.md5("text").alias(col))
+
+    o = hashed(old, "old_hash")
+    n = hashed(new, "new_hash")
+    joined = o.join(n, "doc_id", "full_outer")
+    status = (
+        F.when(F.col("old_hash").isNull(), F.lit("added"))
+        .when(F.col("new_hash").isNull(), F.lit("removed"))
+        .when(F.col("old_hash") != F.col("new_hash"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return joined.select("doc_id", "old_hash", "new_hash", status.alias("status"))

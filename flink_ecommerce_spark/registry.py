@@ -441,6 +441,20 @@ def _q_scd2_user_segments(spark, sf):
 # ---------------------------------------------------------------- dedup/text
 
 
+def _q_corpus_diff(spark, sf):
+    """Fixture snapshots: old = doc_id < 400; new = doc_id >= 100
+    with every 10th document's text rewritten (a changed revision)."""
+    docs = _t("documents")(spark, sf)
+    old = docs.filter(F.col("doc_id") < 400)
+    new = docs.filter(F.col("doc_id") >= 100).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 10 == 0, F.concat(F.col("text"), F.lit(" [rev2]"))
+        ).otherwise(F.col("text")),
+    )
+    return dedup.corpus_diff(old, new)
+
+
 def _q_incremental_dedup(spark, sf):
     """Fixture split: docs with doc_id % 5 == 0 arrive as the new
     batch; the rest are the already-ingested corpus."""
@@ -1688,6 +1702,18 @@ SELECT DISTINCT user_id, event_type FROM events
 SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_copies
 FROM documents GROUP BY 1
 """,
+    "corpus_diff": """
+WITH o AS (SELECT doc_id, md5(text) AS old_hash FROM documents WHERE doc_id < 400),
+n AS (SELECT doc_id,
+             md5(CASE WHEN doc_id % 10 = 0 THEN text || ' [rev2]' ELSE text END) AS new_hash
+      FROM documents WHERE doc_id >= 100)
+SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id, o.old_hash, n.new_hash,
+       CASE WHEN o.old_hash IS NULL THEN 'added'
+            WHEN n.new_hash IS NULL THEN 'removed'
+            WHEN o.old_hash != n.new_hash THEN 'changed'
+            ELSE 'unchanged' END AS status
+FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+""",
     "incremental_dedup": """
 WITH nb AS (SELECT *, md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS h
             FROM documents WHERE doc_id % 5 = 0),
@@ -2226,6 +2252,7 @@ _SPEC_DEFS: dict[str, QuerySpec] = {
     "incremental_dedup": QuerySpec(
         _q_incremental_dedup, ORACLES["incremental_dedup"]
     ),
+    "corpus_diff": QuerySpec(_q_corpus_diff, ORACLES["corpus_diff"]),
     "dedup_exact_normalized": QuerySpec(
         _q_dedup_exact_normalized, ORACLES["dedup_exact_normalized"]
     ),
@@ -2373,6 +2400,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "dedup_clusters",
     "documents_deduped",
     "incremental_dedup",
+    "corpus_diff",
     "latest_event_per_user",  # r03: max-struct latest, window removed
     # (3) stable, re-certified: parity core (SURVEY.md §2) ...
     "raw_transactions",
@@ -2396,7 +2424,6 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "embedding_norms",
     "curation_scores",
     "kmeans_cluster_sizes",
-    "label_centroids",
 )
 assert set(_VERIFY_FIRST) <= set(_SPEC_DEFS), sorted(
     set(_VERIFY_FIRST) - set(_SPEC_DEFS)

@@ -191,3 +191,20 @@ def test_incremental_dedup_batch_vs_history(spark):
     )
     kept = {r["doc_id"] for r in incremental_dedup(new, corpus).collect()}
     assert kept == {11, 13}
+
+
+def test_corpus_diff_statuses(spark):
+    from flink_ecommerce_spark.operators.dedup import corpus_diff
+
+    old = spark.createDataFrame(
+        [(0, "stays same", "en", "s", 1), (1, "will change", "en", "s", 1),
+         (2, "will vanish", "en", "s", 1)],
+        DOCUMENTS_SCHEMA,
+    )
+    new = spark.createDataFrame(
+        [(0, "stays same", "en", "s", 1), (1, "has changed", "en", "s", 1),
+         (3, "brand new", "en", "s", 1)],
+        DOCUMENTS_SCHEMA,
+    )
+    got = {r["doc_id"]: r["status"] for r in corpus_diff(old, new).collect()}
+    assert got == {0: "unchanged", 1: "changed", 2: "removed", 3: "added"}
