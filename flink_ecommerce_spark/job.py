@@ -25,7 +25,6 @@ import argparse
 
 from pyspark.sql import DataFrame
 
-from .schemas import TRANSACTION_SCHEMA
 from .session import get_spark
 from .streaming import ddl
 from .streaming.runner import DEFAULT_TRIGGER_MS, Branch, StreamingJob, reference_branches

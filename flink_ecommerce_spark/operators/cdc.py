@@ -12,7 +12,7 @@ current rows only. History (closed rows) is untouched pass-through.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 # Open rows carry NULL valid_to (is_current is the flag). A far-future
