@@ -435,3 +435,38 @@ def unigram_surprisal(documents: DataFrame) -> DataFrame:
             ).alias("avg_surprisal"),
         )
     )
+
+
+def bigram_surprisal(documents: DataFrame) -> DataFrame:
+    """Conditional bigram surprisal per document: mean of
+    -ln p(w2 | w1) with p = corpus bigram count / corpus count of the
+    context word — one step past ``unigram_surprisal`` toward real LM
+    perplexity, still exact-oracle-checkable. Repetitive texts score
+    near zero; incoherent word salads score high even when every
+    individual word is common — the signal unigrams can't see.
+
+    Scale: bigram construction reuses the shifted-slice shingle
+    builder (w=2) on a pre-projected words column — linear, no
+    re-splitting; then two frequency tables (bigram- and
+    vocabulary-sized) joined back by key. Docs with fewer than two
+    words have no bigrams and drop out."""
+    from .textprep import shingles_from_words, words
+
+    bg = documents.select("doc_id", words("text").alias("__w")).select(
+        "doc_id",
+        F.explode(shingles_from_words(F.col("__w"), 2)).alias("bigram"),
+    )
+    c2 = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("cnt2"))
+    toks = documents.select(F.explode(words("text")).alias("w1"))
+    c1 = toks.groupBy("w1").agg(F.count(F.lit(1)).alias("cnt1"))
+    scored = (
+        bg.join(c2, "bigram")
+        .withColumn("w1", F.substring_index("bigram", " ", 1))
+        .join(c1, "w1")
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(
+            F.avg(-F.log(F.col("cnt2") / F.col("cnt1"))), 6
+        ).alias("avg_bigram_surprisal"),
+    )

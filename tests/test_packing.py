@@ -109,3 +109,22 @@ def test_doc_chunks_overlap_and_tail(spark):
     assert out[0]["chunk_text"] == "w0 w1 w2 w3 w4 w5"
     assert out[1]["chunk_text"] == "w4 w5 w6 w7 w8 w9"  # 2-token overlap
     assert out[2]["chunk_text"] == "w8 w9"  # short tail, no padding
+
+
+def test_bigram_surprisal_hand_computed(spark):
+    import math
+
+    from flink_ecommerce_spark.operators.text import bigram_surprisal
+
+    # corpus bigrams: "a b" x2 (docs 0,1), "b a" x1 (doc 0)
+    # context counts: a=3 (a,a in doc0 + a in doc1), b=2
+    rows = [(0, "a b a", "s"), (1, "a b", "s"), (2, "solo", "s")]
+    out = {
+        r["doc_id"]: r for r in bigram_surprisal(_docs(spark, rows)).collect()
+    }
+    p_ab = 2 / 3   # cnt2("a b")=2 / cnt1("a")=3
+    p_ba = 1 / 2   # cnt2("b a")=1 / cnt1("b")=2
+    exp0 = -(math.log(p_ab) + math.log(p_ba)) / 2
+    assert abs(out[0]["avg_bigram_surprisal"] - round(exp0, 6)) < 1e-6
+    assert abs(out[1]["avg_bigram_surprisal"] - round(-math.log(p_ab), 6)) < 1e-6
+    assert 2 not in out  # single-word doc has no bigrams
