@@ -470,3 +470,51 @@ def bigram_surprisal(documents: DataFrame) -> DataFrame:
             F.avg(-F.log(F.col("cnt2") / F.col("cnt1"))), 6
         ).alias("avg_bigram_surprisal"),
     )
+
+
+def contamination_report(documents: DataFrame, eval_mod: int = 20) -> DataFrame:
+    """The eval-side view of ``decontaminate``: for every EVAL
+    document, how many distinct training documents share at least one
+    word-3-gram with it, and the training side's worst per-doc overlap
+    fraction. The hygiene report an eval owner reads to decide which
+    benchmark items are burned.
+
+    Scale: same join skeleton as decontaminate but keyed the other
+    way — eval shingles (tiny) explode with their eval doc_id, the
+    training side streams through the broadcast join, and the regroup
+    is on the eval doc_id, so output is eval-sized."""
+    from .textprep import word_shingles
+
+    sh = F.array_distinct(word_shingles(F.col("text")))
+    eval_sh = (
+        documents.filter((F.col("doc_id") % eval_mod) == 0)
+        .select(F.col("doc_id").alias("eval_doc_id"), sh.alias("__sh"))
+        .select("eval_doc_id", F.explode("__sh").alias("sh"))
+        .distinct()
+    )
+    # shingle array projected once BELOW the explode (the size and the
+    # generator would otherwise each re-run the shingling per row)
+    train = (
+        documents.filter((F.col("doc_id") % eval_mod) != 0)
+        .select("doc_id", sh.alias("__sh"))
+        .select(
+            "doc_id",
+            F.explode("__sh").alias("sh"),
+            F.size("__sh").alias("n_sh"),
+        )
+    )
+    hits = train.join(F.broadcast(eval_sh), "sh").select(
+        "eval_doc_id", "doc_id", "n_sh"
+    )
+    per_pair = hits.groupBy("eval_doc_id", "doc_id", "n_sh").agg(
+        F.count(F.lit(1)).alias("n_shared")
+    )
+    return (
+        per_pair.groupBy("eval_doc_id")
+        .agg(
+            F.countDistinct("doc_id").alias("n_contaminating_docs"),
+            F.round(
+                F.max(F.col("n_shared").cast("double") / F.col("n_sh")), 6
+            ).alias("max_overlap_frac"),
+        )
+    )

@@ -564,6 +564,10 @@ def _q_curated_corpus(spark, sf):
     return text.curated_corpus(_t("documents")(spark, sf))
 
 
+def _q_contamination_report(spark, sf):
+    return text.contamination_report(_t("documents")(spark, sf))
+
+
 def _q_decontaminate(spark, sf):
     return text.decontaminate(_t("documents")(spark, sf))
 
@@ -1935,6 +1939,19 @@ SELECT doc_id,
                   ELSE 0.0 END, 6) AS dup_3gram_frac
 FROM t
 """,
+    "contamination_report": f"""
+WITH ev AS (SELECT DISTINCT doc_id AS eval_doc_id, s AS sh
+            FROM (SELECT doc_id, unnest(list_distinct({_SHINGLES})) AS s
+                  FROM documents WHERE doc_id % 20 = 0)),
+tr0 AS (SELECT doc_id, list_distinct({_SHINGLES}) AS shl
+        FROM documents WHERE doc_id % 20 != 0),
+tr AS (SELECT doc_id, unnest(shl) AS sh, len(shl) AS n_sh FROM tr0),
+pair AS (SELECT ev.eval_doc_id, tr.doc_id, tr.n_sh, COUNT(*) AS n_shared
+         FROM tr JOIN ev USING (sh) GROUP BY 1, 2, 3)
+SELECT eval_doc_id, COUNT(DISTINCT doc_id) AS n_contaminating_docs,
+       ROUND(MAX(CAST(n_shared AS DOUBLE) / n_sh), 6) AS max_overlap_frac
+FROM pair GROUP BY 1
+""",
     "decontaminate": f"""
 WITH sh_tbl AS (
   SELECT doc_id, list_distinct({sql_word_shingles('text')}) AS sh
@@ -2311,6 +2328,9 @@ _SPEC_DEFS: dict[str, QuerySpec] = {
         _q_repetition_scores, ORACLES["repetition_scores"]
     ),
     "decontaminate": QuerySpec(_q_decontaminate, ORACLES["decontaminate"]),
+    "contamination_report": QuerySpec(
+        _q_contamination_report, ORACLES["contamination_report"]
+    ),
     "curated_corpus": QuerySpec(_q_curated_corpus, ORACLES["curated_corpus"]),
     "pii_scrub": QuerySpec(_q_pii_scrub, ORACLES["pii_scrub"]),
     "doc_fingerprints": QuerySpec(_q_doc_fingerprints, ORACLES["doc_fingerprints"]),
@@ -2396,6 +2416,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "multimodal_thumbnails",
     "unigram_surprisal",
     "bigram_surprisal",
+    "contamination_report",
     # ... and the 11 backlog queries (VERDICT r02 missing #1)
     "purchasers_also_errored",
     "viewers_never_purchased",
@@ -2441,7 +2462,6 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "ivf_ann_topk",
     "embedding_near_dup_pairs",
     "embedding_quantize_int8",
-    "embedding_norms",
     "curation_scores",
     "kmeans_cluster_sizes",
 )
