@@ -45,3 +45,30 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every test table as a temp view for spark.sql use."""
     for name in TABLE_NAMES:
         table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def schema_violations(df: DataFrame, expected) -> list[str]:
+    """Data-contract check: human-readable violations of ``df``'s
+    schema against an expected StructType — missing columns, extra
+    columns, and type mismatches (nullability is advisory in parquet
+    and deliberately not enforced). Empty list = contract holds.
+
+    This is the ingestion-side guard for a fixed-schema engine
+    (SURVEY.md §1.2): run it before a batch enters the pipeline so a
+    producer-side schema drift fails loudly at the boundary instead
+    of as a NULL-filled join three stages later."""
+    got = {f.name: f.dataType for f in df.schema.fields}
+    want = {f.name: f.dataType for f in expected.fields}
+    issues = []
+    for name in want:
+        if name not in got:
+            issues.append(f"missing column {name} ({want[name].simpleString()})")
+        elif got[name].simpleString() != want[name].simpleString():
+            issues.append(
+                f"type mismatch {name}: expected {want[name].simpleString()}, "
+                f"got {got[name].simpleString()}"
+            )
+    for name in got:
+        if name not in want:
+            issues.append(f"unexpected column {name} ({got[name].simpleString()})")
+    return issues
