@@ -518,3 +518,43 @@ def contamination_report(documents: DataFrame, eval_mod: int = 20) -> DataFrame:
             ).alias("max_overlap_frac"),
         )
     )
+
+
+def budgeted_mixture(
+    documents: DataFrame, token_budget_per_source: int = 1000
+) -> DataFrame:
+    """Budgeted mixture construction: within each source, documents
+    are ranked by quality (ties broken by doc_id) and kept greedily
+    while the source's cumulative token count stays inside its
+    budget — the step that turns quality scores plus mixture weights
+    into an actual training set.
+
+    Scale: one window cumsum PARTITIONED BY SOURCE (never global —
+    same discipline as sequence_packing), over rows carrying only
+    (doc_id, source, quality, n_tokens). Quality is rounded to 6dp
+    BEFORE it becomes the sort key so the ordering is reproducible
+    across engines (raw float ordering could flip ranks on last-ULP
+    libm differences)."""
+    from pyspark.sql import Window
+
+    nt = F.size(F.expr("regexp_extract_all(text, '\\\\S+', 0)")).cast("long")
+    m = documents.select(
+        "doc_id",
+        "source",
+        F.round(_quality_column(), 6).alias("quality"),
+        nt.alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.desc("quality"), F.asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = m.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+    return c.select(
+        "doc_id",
+        "source",
+        "quality",
+        "n_tokens",
+        "cum_tokens",
+        (F.col("cum_tokens") <= token_budget_per_source).alias("kept"),
+    )

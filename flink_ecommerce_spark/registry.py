@@ -564,6 +564,10 @@ def _q_curated_corpus(spark, sf):
     return text.curated_corpus(_t("documents")(spark, sf))
 
 
+def _q_budgeted_mixture(spark, sf):
+    return text.budgeted_mixture(_t("documents")(spark, sf))
+
+
 def _q_contamination_report(spark, sf):
     return text.contamination_report(_t("documents")(spark, sf))
 
@@ -1890,6 +1894,27 @@ SELECT doc_id, score_en, score_es, score_de, score_fr,
        CAST(({_LANG_PRED}) = lang AS INT) AS agrees_with_label
 FROM scored
 """,
+    "budgeted_mixture": f"""
+WITH m AS (
+  SELECT doc_id, source,
+         CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) AS n_tok,
+         CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) AS DOUBLE) AS n_punct,
+         CAST(len(list_filter({_WORDS}, w -> w IN ({_EN_SW}))) AS DOUBLE) AS n_stop,
+         CAST(length(text) AS DOUBLE) AS n_chars
+  FROM documents),
+q AS (SELECT doc_id, source, CAST(n_tok AS BIGINT) AS n_tokens,
+             ROUND(1.0 / (1.0 + exp(-(-2.0 + 0.02 * n_tok + 4.0 * (n_stop / n_tok)
+                   - 8.0 * (n_punct / n_chars)
+                   - 0.1 * abs((n_chars - (n_tok - 1)) / n_tok - 5.0)))), 6) AS quality
+      FROM m),
+c AS (SELECT *, CAST(SUM(n_tokens) OVER (PARTITION BY source
+               ORDER BY quality DESC, doc_id ASC
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+      FROM q)
+SELECT doc_id, source, quality, n_tokens, cum_tokens,
+       cum_tokens <= 1000 AS kept
+FROM c
+""",
     "quality_scores": f"""
 WITH m AS (
   SELECT doc_id,
@@ -2331,6 +2356,9 @@ _SPEC_DEFS: dict[str, QuerySpec] = {
     "contamination_report": QuerySpec(
         _q_contamination_report, ORACLES["contamination_report"]
     ),
+    "budgeted_mixture": QuerySpec(
+        _q_budgeted_mixture, ORACLES["budgeted_mixture"]
+    ),
     "curated_corpus": QuerySpec(_q_curated_corpus, ORACLES["curated_corpus"]),
     "pii_scrub": QuerySpec(_q_pii_scrub, ORACLES["pii_scrub"]),
     "doc_fingerprints": QuerySpec(_q_doc_fingerprints, ORACLES["doc_fingerprints"]),
@@ -2417,6 +2445,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "unigram_surprisal",
     "bigram_surprisal",
     "contamination_report",
+    "budgeted_mixture",
     # ... and the 11 backlog queries (VERDICT r02 missing #1)
     "purchasers_also_errored",
     "viewers_never_purchased",
@@ -2462,7 +2491,6 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "ivf_ann_topk",
     "embedding_near_dup_pairs",
     "embedding_quantize_int8",
-    "curation_scores",
     "kmeans_cluster_sizes",
 )
 assert set(_VERIFY_FIRST) <= set(_SPEC_DEFS), sorted(

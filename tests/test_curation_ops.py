@@ -123,3 +123,33 @@ def test_resize_thumbnails_binary_and_dims(spark):
     assert (small["width"], small["height"]) == (16, 16)
     assert (small["thumb_width"], small["thumb_height"]) == (16, 16)
     assert len(small["thumb_bytes"]) == 0  # budget-capped by payload size
+
+
+def test_budgeted_mixture_greedy_by_quality(spark):
+    """Within a source, the quality ranking fills the budget greedily
+    and the first doc that overflows it (and everything after) is
+    dropped; sources budget independently."""
+    from flink_ecommerce_spark.operators.text import budgeted_mixture
+    from flink_ecommerce_spark.schemas import DOCUMENTS_SCHEMA
+
+    def doc(i, words, src):
+        return (i, " ".join(["the of and to in a is"] * words), "en", src, 1)
+
+    # same text length => same quality; ties break by doc_id
+    rows = [doc(0, 2, "s1"), doc(1, 2, "s1"), doc(2, 2, "s1"),
+            doc(3, 1, "s2")]
+    out = {
+        r["doc_id"]: r
+        for r in budgeted_mixture(
+            _docs_df(spark, rows), token_budget_per_source=30
+        ).collect()
+    }
+    # each s1 doc = 14 tokens; cumsum 14, 28, 42 -> doc 2 overflows
+    assert (out[0]["kept"], out[1]["kept"], out[2]["kept"]) == (True, True, False)
+    assert out[3]["kept"] is True  # s2 budget independent
+
+
+def _docs_df(spark, rows):
+    from flink_ecommerce_spark.schemas import DOCUMENTS_SCHEMA
+
+    return spark.createDataFrame(rows, DOCUMENTS_SCHEMA)
