@@ -562,3 +562,34 @@ def corpus_diff(old: DataFrame, new: DataFrame) -> DataFrame:
         .otherwise(F.lit("unchanged"))
     )
     return joined.select("doc_id", "old_hash", "new_hash", status.alias("status"))
+
+
+def shingle_novelty(documents: DataFrame) -> DataFrame:
+    """Per-document novelty: the fraction of a document's distinct
+    word-shingles whose FIRST corpus occurrence (minimum doc_id) is
+    this document — near-zero for boilerplate recombinations, high
+    for genuinely new material. The corpus-level redundancy signal
+    that pairwise dedup can't express.
+
+    Scale: one shuffle building the shingle→first-doc table, one join
+    back on shingle, one regroup on doc_id — all hash-partitioned,
+    shingle strings never fan out beyond their occurrence count."""
+    ds = _doc_shingles(documents)
+    first = ds.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    novel = (F.col("first_doc") == F.col("doc_id")).cast("long")
+    return (
+        ds.join(first, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(novel).alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_novel",
+            F.round(
+                F.col("n_novel").cast("double") / F.col("n_shingles"), 6
+            ).alias("novelty_frac"),
+        )
+    )

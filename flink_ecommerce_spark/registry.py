@@ -464,6 +464,10 @@ def _q_incremental_dedup(spark, sf):
     return dedup.incremental_dedup(new, corpus)
 
 
+def _q_shingle_novelty(spark, sf):
+    return dedup.shingle_novelty(_t("documents")(spark, sf))
+
+
 def _q_dedup_exact(spark, sf):
     return dedup.dedup_exact(_t("documents")(spark, sf))
 
@@ -1727,6 +1731,17 @@ SELECT DISTINCT user_id, event_type FROM events
 SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_copies
 FROM documents GROUP BY 1
 """,
+    "shingle_novelty": f"""
+WITH sh AS (SELECT doc_id, {_SHINGLES} AS shingles FROM documents),
+ds AS (SELECT DISTINCT doc_id, s AS shingle
+       FROM (SELECT doc_id, unnest(shingles) AS s FROM sh)),
+f AS (SELECT shingle, MIN(doc_id) AS first_doc FROM ds GROUP BY 1)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       CAST(SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+       ROUND(CAST(SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS novelty_frac
+FROM ds JOIN f USING (shingle) GROUP BY doc_id
+""",
     "corpus_diff": """
 WITH o AS (SELECT doc_id, md5(text) AS old_hash FROM documents WHERE doc_id < 400),
 n AS (SELECT doc_id,
@@ -2312,6 +2327,9 @@ _SPEC_DEFS: dict[str, QuerySpec] = {
         _q_incremental_dedup, ORACLES["incremental_dedup"]
     ),
     "corpus_diff": QuerySpec(_q_corpus_diff, ORACLES["corpus_diff"]),
+    "shingle_novelty": QuerySpec(
+        _q_shingle_novelty, ORACLES["shingle_novelty"]
+    ),
     "dedup_exact_normalized": QuerySpec(
         _q_dedup_exact_normalized, ORACLES["dedup_exact_normalized"]
     ),
@@ -2472,6 +2490,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "documents_deduped",
     "incremental_dedup",
     "corpus_diff",
+    "shingle_novelty",
     "latest_event_per_user",  # r03: max-struct latest, window removed
     # (3) stable, re-certified: parity core (SURVEY.md §2) ...
     "raw_transactions",
@@ -2490,7 +2509,6 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "ann_lsh_topk_planned",
     "ivf_ann_topk",
     "embedding_near_dup_pairs",
-    "embedding_quantize_int8",
     "kmeans_cluster_sizes",
 )
 assert set(_VERIFY_FIRST) <= set(_SPEC_DEFS), sorted(

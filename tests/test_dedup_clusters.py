@@ -208,3 +208,21 @@ def test_corpus_diff_statuses(spark):
     )
     got = {r["doc_id"]: r["status"] for r in corpus_diff(old, new).collect()}
     assert got == {0: "unchanged", 1: "changed", 2: "removed", 3: "added"}
+
+
+def test_shingle_novelty_first_occurrence_rule(spark):
+    from flink_ecommerce_spark.operators.dedup import shingle_novelty
+
+    rows = [
+        (0, "alpha beta gamma delta", "en", "s", 1),     # 2 shingles, all first
+        (1, "alpha beta gamma epsilon", "en", "s", 1),   # shares 1 of 2
+        (2, "alpha beta gamma delta", "en", "s", 1),     # exact dup of 0
+    ]
+    out = {
+        r["doc_id"]: r for r in shingle_novelty(
+            spark.createDataFrame(rows, DOCUMENTS_SCHEMA)
+        ).collect()
+    }
+    assert out[0]["novelty_frac"] == 1.0
+    assert out[1]["novelty_frac"] == 0.5  # "beta gamma epsilon" is new
+    assert out[2]["novelty_frac"] == 0.0  # everything seen in doc 0
