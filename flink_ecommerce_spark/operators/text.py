@@ -558,3 +558,53 @@ def budgeted_mixture(
         "cum_tokens",
         (F.col("cum_tokens") <= token_budget_per_source).alias("kept"),
     )
+
+
+def source_overlap_matrix(documents: DataFrame) -> DataFrame:
+    """Pairwise shingle-level Jaccard between SOURCES — the
+    corpus-composition diagnostic (two feeds scraping the same sites
+    show up as a high-overlap cell; the mixture weights then
+    double-count that content unless one side is deduped).
+
+    Scale: reduces to DISTINCT (source, shingle) first (k·|shingle
+    universe| rows max, k = #sources), sizes per source, then a
+    shingle-keyed self-join that only pairs sources sharing that
+    shingle — never a k² × corpus product."""
+    from .textprep import word_shingles
+
+    ss = (
+        documents.select(
+            "source", F.explode(F.array_distinct(word_shingles("text"))).alias("sh")
+        )
+        .distinct()
+    )
+    sizes = ss.groupBy("source").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = ss.alias("a"), ss.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("source").alias("source_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("source").alias("source_b"), F.col("n_sh").alias("nb"))
+    return (
+        inter.join(sa, "source_a")
+        .join(sb, "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_inter",
+            F.round(
+                F.col("n_inter").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("n_inter")),
+                6,
+            ).alias("jaccard"),
+        )
+    )

@@ -568,6 +568,10 @@ def _q_curated_corpus(spark, sf):
     return text.curated_corpus(_t("documents")(spark, sf))
 
 
+def _q_source_overlap_matrix(spark, sf):
+    return text.source_overlap_matrix(_t("documents")(spark, sf))
+
+
 def _q_budgeted_mixture(spark, sf):
     return text.budgeted_mixture(_t("documents")(spark, sf))
 
@@ -1909,6 +1913,20 @@ SELECT doc_id, score_en, score_es, score_de, score_fr,
        CAST(({_LANG_PRED}) = lang AS INT) AS agrees_with_label
 FROM scored
 """,
+    "source_overlap_matrix": f"""
+WITH ss AS (SELECT DISTINCT source, s AS sh
+            FROM (SELECT source, unnest(list_distinct({_SHINGLES})) AS s
+                  FROM documents)),
+sizes AS (SELECT source, COUNT(*) AS n_sh FROM ss GROUP BY 1),
+inter AS (SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS n_inter
+          FROM ss a JOIN ss b ON a.sh = b.sh AND a.source < b.source
+          GROUP BY 1, 2)
+SELECT source_a, source_b, n_inter,
+       ROUND(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.source = source_a
+JOIN sizes sb ON sb.source = source_b
+""",
     "budgeted_mixture": f"""
 WITH m AS (
   SELECT doc_id, source,
@@ -2377,6 +2395,9 @@ _SPEC_DEFS: dict[str, QuerySpec] = {
     "budgeted_mixture": QuerySpec(
         _q_budgeted_mixture, ORACLES["budgeted_mixture"]
     ),
+    "source_overlap_matrix": QuerySpec(
+        _q_source_overlap_matrix, ORACLES["source_overlap_matrix"]
+    ),
     "curated_corpus": QuerySpec(_q_curated_corpus, ORACLES["curated_corpus"]),
     "pii_scrub": QuerySpec(_q_pii_scrub, ORACLES["pii_scrub"]),
     "doc_fingerprints": QuerySpec(_q_doc_fingerprints, ORACLES["doc_fingerprints"]),
@@ -2464,6 +2485,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "bigram_surprisal",
     "contamination_report",
     "budgeted_mixture",
+    "source_overlap_matrix",
     # ... and the 11 backlog queries (VERDICT r02 missing #1)
     "purchasers_also_errored",
     "viewers_never_purchased",
@@ -2508,7 +2530,6 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "ann_lsh_topk",
     "ann_lsh_topk_planned",
     "ivf_ann_topk",
-    "embedding_near_dup_pairs",
     "kmeans_cluster_sizes",
 )
 assert set(_VERIFY_FIRST) <= set(_SPEC_DEFS), sorted(
