@@ -2,8 +2,13 @@
 
 Thin adapter over flink_ecommerce_spark.registry, which holds every
 implemented query from SURVEY.md §2 (parity surface) plus the
-extension operators (joins/windows/dedup/similarity/text/multimodal)
-with their DuckDB oracle twins.
+extension operators — joins/windows/TPC-H shapes, dedup (exact /
+MinHash-LSH / SimHash / incremental / novelty / snapshot diff),
+similarity search (float, GEMM, int8, hyperplane-LSH, IVF),
+text curation (quality, surprisal LMs, decontamination, PII,
+budgeted mixtures), sequence packing / chunking, multimodal
+plumbing, sampling/splits, entity resolution, CDC, profiling —
+each with a DuckDB oracle twin (COVERAGE.md is the full map).
 """
 
 from __future__ import annotations
