@@ -593,3 +593,65 @@ def shingle_novelty(documents: DataFrame) -> DataFrame:
             ).alias("novelty_frac"),
         )
     )
+
+
+def containment_pairs(
+    documents: DataFrame,
+    threshold: float = 0.8,
+    max_df_frac: float = NGRAM_MAX_DF_FRAC,
+) -> DataFrame:
+    """Asymmetric CONTAINMENT: |A∩B| / |A| and |A∩B| / |B| for pairs
+    sharing at least one (df-capped) shingle, kept when either side
+    is mostly contained in the other. Broder's resemblance-vs-
+    containment distinction: a long document quoting a short one
+    wholesale has LOW Jaccard (the union is big) but containment ≈ 1
+    on the quoted side — the signal that catches quote inclusion,
+    boilerplate wrapping, and subset scrapes.
+
+    Candidate generation is DELIBERATELY the shared-shingle join, not
+    MinHash-LSH bands: band collision probability tracks resemblance,
+    so a deep subset of a much larger doc essentially never lands in
+    the same bucket — LSH candidates would miss exactly the pairs
+    this operator exists for (measured in tests). The shingle df
+    ceiling bounds the join like ngram_jaccard_pairs; at corpus
+    scales beyond that, the dedicated containment sketch (bottom-k
+    of the SMALLER side against a global shingle index) replaces the
+    pair join — same verify arithmetic."""
+    sh_all = _doc_shingles(documents).localCheckpoint(eager=True)
+    n_docs = documents.select(F.countDistinct("doc_id").alias("n_docs"))
+    hot = (
+        sh_all.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .crossJoin(F.broadcast(n_docs))
+        .filter(F.col("df") > max_df_frac * F.col("n_docs"))
+        .select("shingle")
+    )
+    sh = sh_all.join(F.broadcast(hot), "shingle", "left_anti")
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("sa"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("sb"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(F.col("n_inter") / F.col("sa"), 6).alias("containment_a"),
+            F.round(F.col("n_inter") / F.col("sb"), 6).alias("containment_b"),
+        )
+        .filter(
+            (F.col("containment_a") >= threshold)
+            | (F.col("containment_b") >= threshold)
+        )
+    )

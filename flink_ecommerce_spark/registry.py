@@ -464,6 +464,10 @@ def _q_incremental_dedup(spark, sf):
     return dedup.incremental_dedup(new, corpus)
 
 
+def _q_containment_pairs(spark, sf):
+    return dedup.containment_pairs(_t("documents")(spark, sf))
+
+
 def _q_shingle_novelty(spark, sf):
     return dedup.shingle_novelty(_t("documents")(spark, sf))
 
@@ -1735,7 +1739,29 @@ SELECT DISTINCT user_id, event_type FROM events
 SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_copies
 FROM documents GROUP BY 1
 """,
-    "shingle_novelty": f"""
+    "containment_pairs": """
+WITH sh AS (SELECT doc_id, {shingles} AS shingles FROM documents),
+ds0 AS (SELECT DISTINCT doc_id, s AS shingle
+        FROM (SELECT doc_id, unnest(shingles) AS s FROM sh)),
+nd AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+hot AS (SELECT shingle
+        FROM (SELECT shingle, COUNT(*) AS df FROM ds0 GROUP BY 1) d, nd
+        WHERE d.df > {frac} * nd.n_docs),
+ds AS (SELECT doc_id, shingle FROM ds0
+       WHERE shingle NOT IN (SELECT shingle FROM hot)),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM ds GROUP BY 1),
+inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+          FROM ds a JOIN ds b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+SELECT i.doc_a, i.doc_b,
+       ROUND(CAST(i.n_inter AS DOUBLE) / sa.n_sh, 6) AS containment_a,
+       ROUND(CAST(i.n_inter AS DOUBLE) / sb.n_sh, 6) AS containment_b
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_a
+JOIN sizes sb ON sb.doc_id = i.doc_b
+WHERE ROUND(CAST(i.n_inter AS DOUBLE) / sa.n_sh, 6) >= 0.8
+   OR ROUND(CAST(i.n_inter AS DOUBLE) / sb.n_sh, 6) >= 0.8
+""".format(shingles=sql_word_shingles("text"), frac=dedup.NGRAM_MAX_DF_FRAC),    "shingle_novelty": f"""
 WITH sh AS (SELECT doc_id, {_SHINGLES} AS shingles FROM documents),
 ds AS (SELECT DISTINCT doc_id, s AS shingle
        FROM (SELECT doc_id, unnest(shingles) AS s FROM sh)),
@@ -2348,6 +2374,9 @@ _SPEC_DEFS: dict[str, QuerySpec] = {
     "shingle_novelty": QuerySpec(
         _q_shingle_novelty, ORACLES["shingle_novelty"]
     ),
+    "containment_pairs": QuerySpec(
+        _q_containment_pairs, ORACLES["containment_pairs"]
+    ),
     "dedup_exact_normalized": QuerySpec(
         _q_dedup_exact_normalized, ORACLES["dedup_exact_normalized"]
     ),
@@ -2513,6 +2542,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "incremental_dedup",
     "corpus_diff",
     "shingle_novelty",
+    "containment_pairs",
     "latest_event_per_user",  # r03: max-struct latest, window removed
     # (3) stable, re-certified: parity core (SURVEY.md §2) ...
     "raw_transactions",
@@ -2530,7 +2560,6 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "ann_lsh_topk",
     "ann_lsh_topk_planned",
     "ivf_ann_topk",
-    "kmeans_cluster_sizes",
 )
 assert set(_VERIFY_FIRST) <= set(_SPEC_DEFS), sorted(
     set(_VERIFY_FIRST) - set(_SPEC_DEFS)

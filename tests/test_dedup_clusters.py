@@ -226,3 +226,40 @@ def test_shingle_novelty_first_occurrence_rule(spark):
     assert out[0]["novelty_frac"] == 1.0
     assert out[1]["novelty_frac"] == 0.5  # "beta gamma epsilon" is new
     assert out[2]["novelty_frac"] == 0.0  # everything seen in doc 0
+
+
+def test_containment_catches_subset_quote(spark):
+    """A short doc quoted wholesale inside a long doc: Jaccard is low
+    (big union) so symmetric near-dup misses it, but containment on
+    the quoted side is 1.0 — the Broder containment-vs-resemblance
+    distinction this operator exists for."""
+    from flink_ecommerce_spark.operators.dedup import (
+        containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    short = "alpha beta gamma delta epsilon zeta eta theta"
+    long_doc = (
+        "intro words before the quote begins now " + short +
+        " and after the quote a long discussion follows with many "
+        "additional unrelated sentences about other topics entirely "
+        "continuing for a while to dilute the union of shingles"
+    )
+    filler = [
+        (i, f"unrelated{i} filler{i} content{i} words{i} here{i} more{i} text{i}",
+         "en", "s", 1)
+        for i in range(10, 16)
+    ]
+    docs = spark.createDataFrame(
+        [(0, short, "en", "s", 1), (1, long_doc, "en", "s", 1)] + filler,
+        DOCUMENTS_SCHEMA,
+    )
+    cont = {
+        (r["doc_a"], r["doc_b"]): (r["containment_a"], r["containment_b"])
+        for r in containment_pairs(docs, threshold=0.9).collect()
+    }
+    assert (0, 1) in cont
+    assert cont[(0, 1)][0] == 1.0  # the short doc is fully contained
+    # symmetric Jaccard at the same strictness finds nothing
+    jac = ngram_jaccard_pairs(docs, threshold=0.9).collect()
+    assert jac == []
