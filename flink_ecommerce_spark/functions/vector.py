@@ -37,7 +37,12 @@ def l2_norm(a: Column) -> Column:
 
 
 def cosine_sim(a: Column, b: Column) -> Column:
-    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+    # greatest(denom, 1e-12) is a branch-free zero-vector guard: a
+    # zero vector's cosine against anything is exactly 0.0 instead of
+    # 0/0 = NaN (which orders differently across engines). Real
+    # embedding norms are O(1), so the floor never perturbs a nonzero
+    # result at 6-decimal rounding. Mirrored in sql_cosine.
+    return dot(a, b) / F.greatest(l2_norm(a) * l2_norm(b), F.lit(1e-12))
 
 
 def sql_dot(a: str, b: str, dim: int) -> str:
@@ -56,4 +61,8 @@ def sql_l2_norm(a: str, dim: int) -> str:
 
 
 def sql_cosine(a: str, b: str, dim: int) -> str:
-    return f"({sql_dot(a, b, dim)} / ({sql_l2_norm(a, dim)} * {sql_l2_norm(b, dim)}))"
+    # GREATEST(..., 1e-12) mirrors cosine_sim's zero-vector guard
+    return (
+        f"({sql_dot(a, b, dim)} / GREATEST("
+        f"{sql_l2_norm(a, dim)} * {sql_l2_norm(b, dim)}, 1e-12))"
+    )

@@ -97,12 +97,16 @@ def _connection_factory(jdbc_url: str):
     the whole CLI (DDL + jdbc/staged sinks) run end-to-end without a
     Postgres; anything else goes to psycopg2 (production)."""
     if jdbc_url.startswith("duckdb://"):
-        db_path = jdbc_url[len("duckdb://"):].lstrip("/")
+        # duckdb:///abs/path.db -> "/abs/path.db" (absolute),
+        # duckdb://rel.db       -> "rel.db"       (relative, preserved),
+        # duckdb://:memory: or duckdb:// -> in-memory
+        rest = jdbc_url[len("duckdb://"):]
+        db_path = ":memory:" if rest in ("", ":memory:") else rest
 
         def connect_duckdb():
             import duckdb
 
-            return duckdb.connect("/" + db_path if db_path else ":memory:")
+            return duckdb.connect(db_path)
 
         return connect_duckdb
 

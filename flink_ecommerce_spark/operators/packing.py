@@ -37,9 +37,11 @@ def sequence_packing(
     first_chunk == last_chunk == the chunk at that offset.
 
     ``n_streams > 1`` splits each source into that many deterministic
-    doc_id-bucketed streams (skew mitigation); the default keeps one
-    stream per source, which is the exact concat order and what the
-    oracle mirrors."""
+    doc_id-bucketed streams (skew mitigation); the output then carries
+    a ``stream`` column so chunk indices stay unambiguous — chunk 0 of
+    stream 0 and chunk 0 of stream 1 are different windows. The default
+    keeps one stream per source (no ``stream`` column), which is the
+    exact concat order and what the oracle mirrors."""
     n_tokens = F.size(F.expr("regexp_extract_all(text, '\\\\S+', 0)"))
     t = documents.select(
         "doc_id",
@@ -60,9 +62,11 @@ def sequence_packing(
         "tok_offset", (F.sum("n_tokens").over(w) - F.col("n_tokens")).cast("long")
     )
     last_tok = F.col("tok_offset") + F.greatest(F.col("n_tokens"), F.lit(1)) - 1
+    out_cols = ["doc_id", "source"]
+    if n_streams > 1:
+        out_cols.append("stream")
     return c.select(
-        "doc_id",
-        "source",
+        *out_cols,
         "n_tokens",
         "tok_offset",
         F.floor(F.col("tok_offset") / ctx_len).cast("long").alias("first_chunk"),
@@ -74,13 +78,29 @@ def packing_efficiency(packed: DataFrame, ctx_len: int = CTX_LEN) -> DataFrame:
     """Per-source packing stats from ``sequence_packing`` output:
     total tokens, chunks used, fill ratio of the used chunks (the
     waste is only each stream's final partial chunk — concat-and-
-    chunk never pads between documents)."""
-    return (
-        packed.groupBy("source")
-        .agg(
+    chunk never pads between documents).
+
+    Handles both packing shapes: if the input carries a ``stream``
+    column (``n_streams > 1``), chunk counts are computed per
+    (source, stream) first — each stream's window sequence is
+    independent — then summed per source; max(last_chunk) across
+    streams would undercount and overstate fill_ratio."""
+    if "stream" in packed.columns:
+        per_stream = packed.groupBy("source", "stream").agg(
             F.sum("n_tokens").alias("total_tokens"),
             (F.max("last_chunk") + 1).alias("n_chunks"),
         )
+        per_source = per_stream.groupBy("source").agg(
+            F.sum("total_tokens").alias("total_tokens"),
+            F.sum("n_chunks").alias("n_chunks"),
+        )
+    else:
+        per_source = packed.groupBy("source").agg(
+            F.sum("n_tokens").alias("total_tokens"),
+            (F.max("last_chunk") + 1).alias("n_chunks"),
+        )
+    return (
+        per_source
         .select(
             "source",
             "total_tokens",

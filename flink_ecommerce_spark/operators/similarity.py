@@ -252,7 +252,10 @@ def knn_bruteforce_pandas(
     )
     q_ids = [r["vec_id"] for r in q_rows]
     q_mat = np.array([r["embedding"] for r in q_rows], dtype=np.float64)
-    q_norm = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+    # maximum(norm, 1e-12) mirrors cosine_sim's zero-vector guard
+    q_norm = q_mat / np.maximum(
+        np.linalg.norm(q_mat, axis=1, keepdims=True), 1e-12
+    )
     bc = spark.sparkContext.broadcast((q_ids, q_norm))
 
     out_schema = "query_id long, neighbor_id long, cos_sim double"
@@ -261,7 +264,9 @@ def knn_bruteforce_pandas(
         ids, qn = bc.value
         for pdf in batches:
             c = np.array(list(pdf["embedding"]), dtype=np.float64)
-            cn = c / np.linalg.norm(c, axis=1, keepdims=True)
+            cn = c / np.maximum(
+                np.linalg.norm(c, axis=1, keepdims=True), 1e-12
+            )
             sims = cn @ qn.T  # (batch, n_queries)
             n_b, n_q = sims.shape
             yield pd.DataFrame(
@@ -518,9 +523,17 @@ def knn_int8(
     broadcast, the corpus never shuffles."""
     from .scale import ensure_parallelism
 
-    max_abs = F.round(
-        F.array_max(F.transform("embedding", lambda x: F.abs(x.cast("double")))),
-        6,
+    # greatest(…, 1e-12) guards the all-zero embedding: 0/0 would
+    # quantize to NaN and diverge between engines; with the floor the
+    # zero vector stays exactly zero.
+    max_abs = F.greatest(
+        F.round(
+            F.array_max(
+                F.transform("embedding", lambda x: F.abs(x.cast("double")))
+            ),
+            6,
+        ),
+        F.lit(1e-12),
     )
     q8 = (
         ensure_parallelism(embeddings)

@@ -1784,7 +1784,7 @@ SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id, o.old_hash, n.new_hash,
             ELSE 'unchanged' END AS status
 FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
 """,
-    "incremental_dedup": """
+    "incremental_dedup": r"""
 WITH nb AS (SELECT *, md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS h
             FROM documents WHERE doc_id % 5 = 0),
 corpus AS (SELECT DISTINCT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS h
@@ -1953,7 +1953,7 @@ FROM inter
 JOIN sizes sa ON sa.source = source_a
 JOIN sizes sb ON sb.source = source_b
 """,
-    "budgeted_mixture": f"""
+    "budgeted_mixture": rf"""
 WITH m AS (
   SELECT doc_id, source,
          CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) AS n_tok,
@@ -2138,7 +2138,7 @@ WHERE rk <= {similarity.DEFAULT_K}
 WITH qz AS (SELECT vec_id,
         list_transform(embedding,
           x -> CAST(ROUND(CAST(x AS DOUBLE) * 127.0 /
-               ROUND(list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE)))), 6), 0) AS INT)) AS qvec
+               GREATEST(ROUND(list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE)))), 6), 1e-12), 0) AS INT)) AS qvec
       FROM embeddings),
 q AS (SELECT vec_id AS query_id, qvec AS q_qvec
       FROM qz WHERE vec_id < {similarity.DEFAULT_N_QUERIES}),

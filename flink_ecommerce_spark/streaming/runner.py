@@ -25,6 +25,25 @@ from ..plans import sales
 
 DEFAULT_TRIGGER_MS = 200  # reference flush interval, DataStreamJob.java:102
 
+# the reference DTO's full field set (dto/TransactionDTO.java:9-20);
+# presence of ALL of these selects the 12-column K2 sink projection
+_FULL_DTO_COLS = frozenset(
+    {
+        "transactionId",
+        "productId",
+        "productName",
+        "productCategory",
+        "productPrice",
+        "productQuantity",
+        "productBrand",
+        "totalAmount",
+        "currency",
+        "customerId",
+        "transactionDate",
+        "paymentMethod",
+    }
+)
+
 
 @dataclass
 class Branch:
@@ -42,23 +61,32 @@ def reference_branches(
     amount_col: str = "totalAmount",
     id_col: str = "transactionId",
     user_col: str = "customerId",
+    full_schema: bool | None = None,
 ) -> list[Branch]:
     """The reference's five sink attachments (raw + 3 aggs; ES sink is
-    dead code in the reference and omitted by default, K7)."""
+    dead code in the reference and omitted by default, K7).
+
+    ``full_schema`` picks the raw branch projection: True forces the
+    12-column K2 DTO projection (ddl.TRANSACTIONS_DDL), False the
+    5-column remapped subset, and the default None decides per-source
+    by whether ALL DTO fields are present — not by the timestamp
+    column's name, so a remapped source that happens to call its
+    timestamp ``transactionDate`` still gets the 5-column branch."""
+
+    def raw_plan(df: DataFrame) -> DataFrame:
+        use_full = full_schema
+        if use_full is None:
+            use_full = _FULL_DTO_COLS.issubset(set(df.columns))
+        if use_full:
+            return sales.raw_transactions_full(df)
+        return sales.raw_transactions(
+            df, id_col, ts_col, user_col, category_col, amount_col
+        )
+
     return [
         Branch(
             "transactions",
-            # on the actual transaction schema (default column names)
-            # the raw branch carries the full 12-column K2 projection
-            # matching ddl.TRANSACTIONS_DDL; remapped sources (the
-            # events analog) only have the 5-column subset
-            (
-                sales.raw_transactions_full
-                if ts_col == "transactionDate"
-                else lambda df: sales.raw_transactions(
-                    df, id_col, ts_col, user_col, category_col, amount_col
-                )
-            ),
+            raw_plan,
             ("transaction_id",),
             output_mode="append",
         ),

@@ -202,6 +202,21 @@ class StagedMergeSink:
                 conn.commit()
         finally:
             conn.close()
+        self._prune_stage(keep=stage)
+
+    def _prune_stage(self, keep: str) -> None:
+        """Drop every epoch directory except ``keep`` once its merge
+        has committed — a long-running stream would otherwise grow the
+        stage dir without bound. The just-committed epoch is retained
+        so a foreachBatch retry of the same epoch re-merges
+        idempotently instead of failing on a missing glob."""
+        import glob
+        import os
+        import shutil
+
+        for d in glob.glob(os.path.join(self.stage_dir, "epoch=*")):
+            if os.path.abspath(d) != os.path.abspath(keep):
+                shutil.rmtree(d, ignore_errors=True)
 
     def foreach_batch(self) -> Callable[[DataFrame, int], None]:
         return self.write_batch

@@ -70,6 +70,38 @@ def test_packing_shards_cover_all_docs(spark):
     assert packed.filter(F.col("tok_offset") == 0).count() == 4
 
 
+def test_packing_sharded_output_carries_stream_column(spark):
+    """n_streams>1 output must identify the stream, or chunk indices
+    from different shards of one source collide (two docs both at
+    first_chunk=0); packing_efficiency must count chunks per stream
+    and sum, not max across streams."""
+    rows = [(i, "a b c", "s") for i in range(20)]
+    packed = sequence_packing(_docs(spark, rows), ctx_len=4, n_streams=4)
+    assert "stream" in packed.columns
+    # one stream-origin doc per shard: 4 rows share first_chunk=0 but
+    # each carries a distinct stream id
+    zero = packed.filter(F.col("tok_offset") == 0)
+    assert zero.count() == 4
+    assert zero.select("stream").distinct().count() == 4
+    # each stream: 5 docs x 3 tokens = 15 tokens -> 4 chunks of ctx 4;
+    # per-source chunk count is the SUM over streams (16), not
+    # max(last_chunk)+1 (4)
+    eff = packing_efficiency(packed, ctx_len=4).collect()
+    assert len(eff) == 1
+    assert (eff[0]["total_tokens"], eff[0]["n_chunks"]) == (60, 16)
+    assert abs(eff[0]["fill_ratio"] - 60 / 64) < 1e-9
+
+
+def test_packing_default_schema_unchanged(spark):
+    """n_streams=1 (the oracle-certified path) keeps the original
+    6-column schema with no stream column."""
+    rows = [(0, "a b", "s")]
+    packed = sequence_packing(_docs(spark, rows))
+    assert packed.columns == [
+        "doc_id", "source", "n_tokens", "tok_offset", "first_chunk", "last_chunk"
+    ]
+
+
 def test_packing_plan_no_single_partition(spark):
     rows = [(i, "a b c", f"s{i % 3}") for i in range(30)]
     plan = sequence_packing(_docs(spark, rows))._sc is not None and \

@@ -68,6 +68,29 @@ def test_lsh_plane_band_cost_recall_tradeoff(spark):
         assert r["rk"] <= similarity.DEFAULT_K
 
 
+def test_knn_int8_zero_vector_no_nan(spark):
+    """An all-zero embedding must quantize to zeros (guarded scale),
+    not 0/0 = NaN — NaN scores diverge between engines."""
+    import math
+
+    from flink_ecommerce_spark.schemas import EMBEDDINGS_SCHEMA
+
+    dim = similarity.EMB_DIM
+    rows = [
+        (0, [0.0] * dim, 0),                       # zero vector as a query
+        (1, [1.0] + [0.0] * (dim - 1), 0),
+        (2, [0.5] + [0.0] * (dim - 1), 0),
+    ]
+    emb = spark.createDataFrame(rows, EMBEDDINGS_SCHEMA)
+    out = similarity.knn_int8(emb, k=2, n_queries=3).collect()
+    assert out  # the join must still produce scored pairs
+    for r in out:
+        assert not math.isnan(r["cos_sim_q8"]), r
+    # the zero vector's cosine against anything is exactly 0
+    zero_scores = {r["cos_sim_q8"] for r in out if r["query_id"] == 0}
+    assert zero_scores == {0.0}
+
+
 def test_lsh_plan_for_sizing():
     # occupancy pinning goes BOTH ways: a tiny corpus gets few planes
     # (big buckets -> real recall; scanning half of 2k rows is cheap)

@@ -255,6 +255,32 @@ def test_merge_upsert_sql_all_key_columns_insert_only():
     assert oc.endswith("DO NOTHING") and "DO UPDATE" not in oc
 
 
+def test_staged_merge_prunes_committed_epochs(spark, tmp_path):
+    """The stage dir must not grow without bound on a long-running
+    stream: after each merge commits, earlier epoch directories are
+    dropped and only the just-committed one is kept (so a foreachBatch
+    retry of the same epoch stays idempotent)."""
+    import os
+
+    import duckdb
+
+    db = str(tmp_path / "prune.duckdb")
+    con = duckdb.connect(db)
+    con.execute("CREATE TABLE kv (k BIGINT PRIMARY KEY, v DOUBLE)")
+    con.close()
+    stage = str(tmp_path / "stage_prune")
+    sink = StagedMergeSink(
+        lambda: duckdb.connect(db), "kv", ["k", "v"], ["k"], stage_dir=stage
+    )
+    for epoch in range(3):
+        batch = spark.createDataFrame([(epoch, float(epoch))], "k long, v double")
+        sink.write_batch(batch, epoch)
+    assert sorted(os.listdir(stage)) == ["epoch=2"]
+    con = duckdb.connect(db)
+    assert con.execute("SELECT COUNT(*) FROM kv").fetchone()[0] == 3
+    con.close()
+
+
 def test_staged_merge_skips_empty_batch(spark, tmp_path):
     """foreachBatch routinely delivers empty micro-batches; the sink
     must not stage zero part files (read_parquet on an empty glob
