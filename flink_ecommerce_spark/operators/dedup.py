@@ -564,7 +564,9 @@ def corpus_diff(old: DataFrame, new: DataFrame) -> DataFrame:
     return joined.select("doc_id", "old_hash", "new_hash", status.alias("status"))
 
 
-def shingle_novelty(documents: DataFrame) -> DataFrame:
+def shingle_novelty(
+    documents: DataFrame, max_df_frac: float = NGRAM_MAX_DF_FRAC
+) -> DataFrame:
     """Per-document novelty: the fraction of a document's distinct
     word-shingles whose FIRST corpus occurrence (minimum doc_id) is
     this document — near-zero for boilerplate recombinations, high
@@ -572,10 +574,24 @@ def shingle_novelty(documents: DataFrame) -> DataFrame:
     that pairwise dedup can't express.
 
     Scale: one shuffle building the shingle→first-doc table, one join
-    back on shingle, one regroup on doc_id — all hash-partitioned,
-    shingle strings never fan out beyond their occurrence count."""
+    back on shingle, one regroup on doc_id. Shingles with document
+    frequency above ``max_df_frac`` of the corpus are dropped at the
+    first-doc aggregate (same structural cap as ngram_jaccard_pairs),
+    so the join back never concentrates a stop-word shingle's
+    occurrences on one reducer — a near-universal shingle is novel
+    only for its single first document and dilutes every other doc's
+    denominator identically, so the capped fraction keeps the same
+    ranking signal. Docs whose every shingle is hot drop out (no
+    denominator); the oracle applies the identical cap."""
     ds = _doc_shingles(documents)
-    first = ds.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    n_docs = documents.select(F.countDistinct("doc_id").alias("n_docs"))
+    first = (
+        ds.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"), F.min("doc_id").alias("first_doc"))
+        .crossJoin(F.broadcast(n_docs))
+        .filter(F.col("df") <= max_df_frac * F.col("n_docs"))
+        .select("shingle", "first_doc")
+    )
     novel = (F.col("first_doc") == F.col("doc_id")).cast("long")
     return (
         ds.join(first, "shingle")

@@ -521,7 +521,9 @@ def contamination_report(documents: DataFrame, eval_mod: int = 20) -> DataFrame:
 
 
 def budgeted_mixture(
-    documents: DataFrame, token_budget_per_source: int = 1000
+    documents: DataFrame,
+    token_budget_per_source: int = 1000,
+    bucket_decimals: int = 3,
 ) -> DataFrame:
     """Budgeted mixture construction: within each source, documents
     are ranked by quality (ties broken by doc_id) and kept greedily
@@ -529,12 +531,29 @@ def budgeted_mixture(
     budget — the step that turns quality scores plus mixture weights
     into an actual training set.
 
-    Scale: one window cumsum PARTITIONED BY SOURCE (never global —
-    same discipline as sequence_packing), over rows carrying only
-    (doc_id, source, quality, n_tokens). Quality is rounded to 6dp
-    BEFORE it becomes the sort key so the ordering is reproducible
-    across engines (raw float ordering could flip ranks on last-ULP
-    libm differences)."""
+    Scale (the two-pass bucket decomposition): a naive greedy cumsum
+    is a window PARTITIONED BY SOURCE — one task per source sorts the
+    source's entire row stream, which serializes at 100 TB when a few
+    sources dominate. Instead the greedy prefix sum is decomposed
+    exactly:
+
+    1. bucket quality to ``bucket_decimals`` (coarse, contiguous
+       ranges: descending bucket order == descending quality order);
+    2. aggregate per-(source, bucket) token mass — a map-side-combined
+       aggregate whose output is at most |sources| x 10^decimals rows;
+    3. window over THAT tiny table (partitioned by source, ~1k rows
+       per source) for each bucket's cumulative offset;
+    4. broadcast the offsets back and run the exact (quality desc,
+       doc_id asc) cumsum WITHIN each (source, bucket) partition —
+       offset + within-bucket prefix = the exact global prefix.
+
+    The result is bit-identical to the single-window greedy (same
+    cum_tokens, same kept set — the oracle SQL is the plain one-window
+    form), but the big-data window partitions by (source, bucket):
+    parallelism |sources| x #occupied buckets instead of |sources|.
+    Quality is rounded to 6dp BEFORE it becomes the sort key so the
+    ordering is reproducible across engines (raw float ordering could
+    flip ranks on last-ULP libm differences)."""
     from pyspark.sql import Window
 
     nt = F.size(F.expr("regexp_extract_all(text, '\\\\S+', 0)")).cast("long")
@@ -543,13 +562,26 @@ def budgeted_mixture(
         "source",
         F.round(_quality_column(), 6).alias("quality"),
         nt.alias("n_tokens"),
-    )
-    w = (
+    ).withColumn("__qb", F.round("quality", bucket_decimals))
+    mass = m.groupBy("source", "__qb").agg(F.sum("n_tokens").alias("__mass"))
+    w_off = (
         Window.partitionBy("source")
+        .orderBy(F.desc("__qb"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = mass.select(
+        "source",
+        "__qb",
+        F.coalesce(F.sum("__mass").over(w_off), F.lit(0)).alias("__offset"),
+    )
+    w_in = (
+        Window.partitionBy("source", "__qb")
         .orderBy(F.desc("quality"), F.asc("doc_id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    c = m.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+    c = m.join(F.broadcast(offsets), ["source", "__qb"]).withColumn(
+        "cum_tokens", F.col("__offset") + F.sum("n_tokens").over(w_in)
+    )
     return c.select(
         "doc_id",
         "source",

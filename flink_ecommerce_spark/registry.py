@@ -678,12 +678,18 @@ def _q_embedding_quantize(spark, sf):
     (max_abs/127), emitted as (vec_id, dim, qval) rows plus the scale
     — the storage-compression preflight for large vector corpora."""
     emb = _t("embeddings")(spark, sf)
-    max_abs = F.array_max(
-        F.transform("embedding", lambda x: F.abs(x.cast("double")))
+    # greatest(…, 1e-12) guards the all-zero vector (0/0 → NaN);
+    # same guard as operators/similarity.knn_int8
+    max_abs = F.greatest(
+        F.round(
+            F.array_max(F.transform("embedding", lambda x: F.abs(x.cast("double")))),
+            6,
+        ),
+        F.lit(1e-12),
     )
     exploded = emb.select(
         "vec_id",
-        F.round(max_abs, 6).alias("scale"),
+        max_abs.alias("scale"),
         F.posexplode("embedding").alias("pos", "v"),
     )
     return exploded.select(
@@ -1644,10 +1650,10 @@ WHERE doc_freq >= 2
 """.format(w=sql_words("text")),
     "embedding_quantize_int8": """
 SELECT vec_id,
-       ROUND(list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))), 6) AS scale,
+       GREATEST(ROUND(list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))), 6), 1e-12) AS scale,
        CAST(dim AS INT) AS dim,
        CAST(ROUND(CAST(v AS DOUBLE) * 127.0
-            / ROUND(list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))), 6), 0) AS INT) AS qval
+            / GREATEST(ROUND(list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))), 6), 1e-12), 0) AS INT) AS qval
 FROM (SELECT vec_id, embedding, unnest(embedding) AS v,
              generate_subscripts(embedding, 1) AS dim
       FROM embeddings)
@@ -1765,7 +1771,9 @@ WHERE ROUND(CAST(i.n_inter AS DOUBLE) / sa.n_sh, 6) >= 0.8
 WITH sh AS (SELECT doc_id, {_SHINGLES} AS shingles FROM documents),
 ds AS (SELECT DISTINCT doc_id, s AS shingle
        FROM (SELECT doc_id, unnest(shingles) AS s FROM sh)),
-f AS (SELECT shingle, MIN(doc_id) AS first_doc FROM ds GROUP BY 1)
+nd AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+f AS (SELECT shingle, MIN(doc_id) AS first_doc FROM ds GROUP BY 1
+      HAVING COUNT(*) <= {dedup.NGRAM_MAX_DF_FRAC} * (SELECT n_docs FROM nd))
 SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
        CAST(SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
        ROUND(CAST(SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS DOUBLE)

@@ -149,6 +149,38 @@ def test_budgeted_mixture_greedy_by_quality(spark):
     assert out[3]["kept"] is True  # s2 budget independent
 
 
+def test_budgeted_mixture_bucket_decomposition_exact(spark):
+    """The (source, quality-bucket) window decomposition must be
+    bit-identical to the naive one-window-per-source greedy cumsum —
+    offset + within-bucket prefix == global prefix — on real data
+    whose quality values span many buckets."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from flink_ecommerce_spark import catalog
+    from flink_ecommerce_spark.operators.text import budgeted_mixture
+
+    from tests.conftest import SF_SMALL
+
+    docs = catalog.table(spark, SF_SMALL, "documents")
+    out = budgeted_mixture(docs, token_budget_per_source=5000)
+    assert out.select("quality").distinct().count() > 10  # spans buckets
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.desc("quality"), F.asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    naive = out.select("doc_id", "source", "quality", "n_tokens").withColumn(
+        "cum_naive", F.sum("n_tokens").over(w)
+    )
+    diff = (
+        out.join(naive.select("doc_id", "cum_naive"), "doc_id")
+        .filter(F.col("cum_tokens") != F.col("cum_naive"))
+        .count()
+    )
+    assert diff == 0
+
+
 def _docs_df(spark, rows):
     from flink_ecommerce_spark.schemas import DOCUMENTS_SCHEMA
 

@@ -80,6 +80,34 @@ def test_ngram_df_cap_bounds_hot_shingle_join(spark):
     assert uncapped == 22 * 21 // 2  # all-pairs: what the cap prevents
 
 
+def test_shingle_novelty_df_cap_drops_hot_shingles(spark):
+    """The join-back must not fan a universal shingle across one
+    reducer: with the df cap, corpus-wide shingles vanish from both
+    the numerator and the denominator; with max_df_frac=1.0 they stay
+    (the uncapped semantics). The contrast pins the structural cap."""
+    from flink_ecommerce_spark.operators.dedup import shingle_novelty
+
+    stop = "of the and in to for on at by with it is was as be or"
+    rows = [
+        (i, f"{stop} unique{i} topic{i} subject{i} theme{i} marker{i}", "en", "s", 1)
+        for i in range(10)
+    ]
+    docs = spark.createDataFrame(rows, DOCUMENTS_SCHEMA)
+
+    capped = {r["doc_id"]: r for r in shingle_novelty(docs).collect()}
+    uncapped = {
+        r["doc_id"]: r for r in shingle_novelty(docs, max_df_frac=1.0).collect()
+    }
+    # hot shingles (the shared stop prefix) are counted only uncapped
+    assert all(
+        capped[i]["n_shingles"] < uncapped[i]["n_shingles"] for i in capped
+    )
+    # capped: every surviving shingle is unique to its doc -> fully novel
+    assert all(r["novelty_frac"] == 1.0 for r in capped.values())
+    # uncapped: later docs carry the shared prefix as non-novel
+    assert uncapped[9]["novelty_frac"] < 1.0
+
+
 def test_simhash_plan_for_sizing():
     """Band width grows with corpus size so bucket occupancy (and the
     band self-join cost) stays pinned; band count shrinks, trading
@@ -218,9 +246,11 @@ def test_shingle_novelty_first_occurrence_rule(spark):
         (1, "alpha beta gamma epsilon", "en", "s", 1),   # shares 1 of 2
         (2, "alpha beta gamma delta", "en", "s", 1),     # exact dup of 0
     ]
+    # max_df_frac=1.0: a 3-doc corpus trips the production df cap
+    # (df 2/3 > 0.5); this test pins the first-occurrence rule itself
     out = {
         r["doc_id"]: r for r in shingle_novelty(
-            spark.createDataFrame(rows, DOCUMENTS_SCHEMA)
+            spark.createDataFrame(rows, DOCUMENTS_SCHEMA), max_df_frac=1.0
         ).collect()
     }
     assert out[0]["novelty_frac"] == 1.0

@@ -90,6 +90,21 @@ def test_user_value_quartiles_no_single_partition_exchange(spark):
     assert "Exchange hashpartitioning(pid" in plan
 
 
+def test_budgeted_mixture_no_per_source_serial_window(spark):
+    # the greedy budget cumsum must NOT run as one window partition
+    # per source (a handful of dominant sources would serialize at
+    # scale): the full-row window partitions by (source, quality
+    # bucket), and only the tiny per-bucket offset table windows by
+    # source alone
+    import re
+
+    plan = _plan(spark, "budgeted_mixture")
+    assert "SinglePartition" not in plan
+    assert re.search(r"hashpartitioning\(source#\d+, __qb#\d+", plan), plan
+    # the bucket offsets join back as a broadcast, not a shuffle
+    assert "BroadcastHashJoin" in plan
+
+
 def test_simhash_no_bit_explode(spark):
     # votes are conditional aggregates over token rows; the bits×
     # (doc_id, h, bit) explode must stay gone from the plan
