@@ -2513,61 +2513,64 @@ _SPEC_DEFS: dict[str, QuerySpec] = {
 # because their code is untouched; touching one moves it back into
 # the window.
 _VERIFY_FIRST: tuple[str, ...] = (
-    # (1) never externally verified: NEW operators this round ...
-    "sequence_packing",
-    "packing_efficiency",
-    "doc_chunks",
-    "multimodal_thumbnails",
-    "unigram_surprisal",
-    "bigram_surprisal",
-    "contamination_report",
+    # (1) plan changed this round (r04) — MUST re-certify:
+    # zero-vector cosine/scale guard touched the whole similarity
+    # family; budgeted_mixture got the (source, quality-bucket)
+    # window decomposition; shingle_novelty got the structural df cap
     "budgeted_mixture",
-    "source_overlap_matrix",
-    # ... and the 11 backlog queries (VERDICT r02 missing #1)
-    "purchasers_also_errored",
-    "viewers_never_purchased",
-    "lineitem_price_bands",
-    "hourly_event_counts",
-    "day_over_day_delta",
-    "value_percentiles",
-    "event_metrics_long",
-    "customers_above_avg_balance",
-    "grouping_sets_sales",
-    "distinct_user_event_pairs",
-    "profile_events",
-    "profile_documents",
-    # (2) implementation changed in r02/r03 — re-certify current code
-    "scd2_user_segments",  # r03: NULL open-end sentinel
-    "user_value_quartiles",  # r02 rewrite: distributed ranking
-    "user_sessions",  # r03: timestamp-type-agnostic gap calc
-    "minhash_signatures",  # r03: structural digest/words sharing
-    "lsh_candidate_pairs",
-    "ngram_jaccard_pairs",  # r03: shingle df ceiling
-    "simhash",  # r03: 64-bit two-half fingerprint
-    "simhash_near_pairs",  # r03: scale-aware band width
-    "dedup_clusters",
-    "documents_deduped",
-    "incremental_dedup",
-    "corpus_diff",
     "shingle_novelty",
-    "containment_pairs",
-    "latest_event_per_user",  # r03: max-struct latest, window removed
-    # (3) stable, re-certified: parity core (SURVEY.md §2) ...
-    "raw_transactions",
-    "sales_per_day",
-    "sales_per_category",
-    "sales_per_month",
-    "sales_per_day_purchases",
-    "category_stats",
-    "props_extract",
-    # ... exact dedup, similarity search, text curation
-    "dedup_exact",
-    "dedup_exact_normalized",
     "knn_bruteforce",
+    "knn_bruteforce_pandas",
     "knn_int8",
     "ann_lsh_topk",
     "ann_lsh_topk_planned",
     "ivf_ann_topk",
+    "embedding_near_dup_pairs",
+    "embedding_quantize_int8",
+    # (2) longest-stale certifications (r01 rows, code unchanged
+    # since — rotated back through the window so every ledger row
+    # stays <= 2 rounds old; the one r01 holdover left for r05 is
+    # approx_distinct_users, whose driver row is rows-only by design)
+    "q1_pricing_summary",
+    "q2_min_cost_supplier",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q5_regional_revenue",
+    "q6_revenue_forecast",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q11_important_parts",
+    "q12_priority_shipping",
+    "q13_order_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_part_supplier_counts",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customers",
+    "q19_disjunctive_revenue",
+    "q20_promotion_suppliers",
+    "q21_waiting_suppliers",
+    "q22_sales_opportunity",
+    "customer_order_totals",
+    "customers_without_orders",
+    "orders_with_big_lineitem",
+    "parts_by_brand_type",
+    "events_by_customer_segment",
+    "revenue_by_brand",
+    "top10_orders",
+    "top_users_per_event_type",
+    "daily_running_revenue",
+    "weekly_moving_avg",
+    "sales_rollup",
+    "event_type_cube",
+    "event_value_pivot",
+    "distinct_users_per_day",
+    "value_stats_per_type",
+    "session_window_stats",
+    "conversion_funnel",
+    "weekly_retention",
 )
 assert set(_VERIFY_FIRST) <= set(_SPEC_DEFS), sorted(
     set(_VERIFY_FIRST) - set(_SPEC_DEFS)

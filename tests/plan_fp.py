@@ -1,0 +1,88 @@
+"""Plan-fingerprint ledger: the machine-checkable half of the
+verification-rotation invariant.
+
+The driver externally certifies (oracle value-match) only the first
+50 registry queries each round; every query OUTSIDE that window keeps
+its certification from an earlier round PRECISELY BECAUSE its plan is
+unchanged since. That used to be a hand-maintained claim. This module
+pins it: ``plan_ledger.json`` records a normalized fingerprint of
+every query's optimized logical plan as of its last certification,
+and tests/test_certification_invariant.py recomputes fingerprints for
+all out-of-window queries — any drift fails the suite until the query
+is rotated back into the verify window (registry._VERIFY_FIRST).
+
+Regenerate after deliberately changing windowed queries::
+
+    python -m tests.plan_fp
+
+(only run it when the changed queries ARE in the window — the test
+enforces exactly that before the ledger can be trusted again).
+
+The fingerprint hashes the ANALYZED logical plan (not the optimized
+one): the invariant guards *source* changes to query definitions, and
+the optimizer introduces cross-session nondeterminism the source
+never had (RewriteDistinctAggregates assigns grouping ids in JVM-hash
+order, so two sessions order a multi-countDistinct Expand
+differently). Normalization then strips the run-varying parts of the
+string: expression ids (``#123``), lambda-variable counters
+(``x_45``), and file URIs — everything else (operators, expressions,
+literals, including data-derived literals like collected centroids,
+which are deterministic for the fixed fixtures) is fingerprinted.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import re
+from pathlib import Path
+
+LEDGER_PATH = Path(__file__).with_name("plan_ledger.json")
+LEDGER_SF = "/root/testdata/sf0.001"
+
+
+def normalize_plan(plan: str) -> str:
+    s = re.sub(r"#\d+", "#x", plan)
+    s = re.sub(r"file:[^\s,\]\)]*", "file:PATH", s)
+    s = re.sub(r"lambda ([A-Za-z]+)_\d+", r"lambda \1_n", s)
+    return s
+
+
+def plan_fingerprint(df) -> str:
+    plan = df._jdf.queryExecution().analyzed().toString()
+    return hashlib.md5(normalize_plan(plan).encode()).hexdigest()
+
+
+def compute_all(spark) -> dict[str, str]:
+    from flink_ecommerce_spark import registry
+
+    return {
+        name: plan_fingerprint(spec.fn(spark, LEDGER_SF))
+        for name, spec in registry.SPECS.items()
+    }
+
+
+def load_ledger() -> dict[str, str]:
+    return json.loads(LEDGER_PATH.read_text())
+
+
+def main() -> None:
+    import os
+
+    # plans embed the core count (ensure_parallelism targets
+    # defaultParallelism) — mirror tests/conftest.py exactly or the
+    # fingerprints won't be comparable with the pytest session's
+    os.environ.setdefault("SPARK_GRAFT_CPUS", "8")
+
+    from flink_ecommerce_spark.session import get_spark
+
+    spark = get_spark(
+        "plan-ledger", extra_conf={"spark.sql.shuffle.partitions": "8"}
+    )
+    ledger = compute_all(spark)
+    LEDGER_PATH.write_text(json.dumps(ledger, indent=1, sort_keys=True) + "\n")
+    print(f"wrote {LEDGER_PATH} ({len(ledger)} fingerprints)")
+
+
+if __name__ == "__main__":
+    main()

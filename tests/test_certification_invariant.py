@@ -1,0 +1,47 @@
+"""Machine-check of the verification-rotation invariant.
+
+The external driver value-certifies only the first ``WINDOW`` registry
+queries per round; everything behind the window keeps an older round's
+green row on the claim that its plan hasn't changed since. These tests
+turn that claim into a failure mode: an out-of-window query whose
+current plan fingerprint differs from the committed ledger fails the
+suite — the fix is to move it into registry._VERIFY_FIRST (and regen
+the ledger), never to quietly keep the stale certification.
+"""
+
+from __future__ import annotations
+
+from flink_ecommerce_spark import registry
+
+from tests.plan_fp import LEDGER_SF, load_ledger, plan_fingerprint
+
+WINDOW = 50  # external driver verifies the first 50 queries() entries
+
+
+def test_ledger_covers_every_query():
+    ledger = load_ledger()
+    assert set(ledger) == set(registry.SPECS), (
+        sorted(set(registry.SPECS) - set(ledger)),
+        sorted(set(ledger) - set(registry.SPECS)),
+    )
+
+
+def test_window_is_the_verify_first_block():
+    names = list(registry.SPECS)
+    assert set(names[:WINDOW]) == set(registry._VERIFY_FIRST)
+    assert len(registry._VERIFY_FIRST) == WINDOW
+
+
+def test_out_of_window_plans_unchanged_since_certification(spark):
+    ledger = load_ledger()
+    out_of_window = list(registry.SPECS)[WINDOW:]
+    drifted = []
+    for name in out_of_window:
+        fp = plan_fingerprint(registry.SPECS[name].fn(spark, LEDGER_SF))
+        if ledger.get(name) != fp:
+            drifted.append(name)
+    assert not drifted, (
+        f"plan changed since last certification for {drifted}; rotate them "
+        "into registry._VERIFY_FIRST and regenerate the ledger "
+        "(python -m tests.plan_fp)"
+    )
