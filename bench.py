@@ -22,65 +22,187 @@ from flink_ecommerce_spark import registry  # noqa: E402
 from flink_ecommerce_spark.session import get_spark  # noqa: E402
 
 
-def _streaming_replay(spark, sf_dir: str) -> float:
-    """Replay the events table through the 4-branch streaming job
-    (memory upsert sinks) and return wall seconds. Throughput =
-    n_events / this value; BASELINE.md targets ≥ 10k events/s."""
+def _stage_replay_input(spark, sf_dir: str, replicas: int, n_files: int) -> tuple[str, int]:
+    """Write ``replicas`` id-remapped copies of the events table as
+    ``n_files`` parquet files so the file stream source delivers REAL
+    multi-batch input (the raw fixture is one file = one micro-batch,
+    which measures startup, not throughput). Returns (dir, n_events)."""
     import tempfile
 
     from pyspark.sql import functions as F
 
     from flink_ecommerce_spark import catalog
-    from flink_ecommerce_spark.streaming.runner import StreamingJob, reference_branches
-    from flink_ecommerce_spark.streaming.sinks import MemoryUpsertSink
 
     events = catalog.table(spark, sf_dir, "events")
-    # events.ts arrives as TIMESTAMP(NANOS)-read-as-long OR as a real
-    # timestamp depending on how the fixture parquet was written —
-    # probe the RAW parquet schema (catalog.table already normalizes
-    # its own output, so probe the file, not the catalog)
-    raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
-    ts_type = dict((f.name, f.dataType.simpleString())
-                   for f in raw_schema.fields)["ts"]
+    n = events.count()
+    copies = events
+    if replicas > 1:
+        rep = spark.range(replicas).select(F.col("id").alias("__rep"))
+        copies = events.crossJoin(F.broadcast(rep)).select(
+            (F.col("event_id") + F.col("__rep") * (n + 1)).alias("event_id"),
+            "ts", "user_id", "event_type", "value", "props",
+        )
+    stage = tempfile.mkdtemp(prefix="bench_replay_in_")
+    copies.repartition(n_files).write.mode("overwrite").parquet(stage)
+    return stage, n * replicas
+
+
+def _sustained_rate(queries) -> float:
+    """Steady-state events/s from the engines' own batch progress:
+    rows/duration summed over every batch AFTER each query's first
+    (the first batch carries stream-start costs). Uses the slowest
+    query — all branches must sustain the rate for the job to."""
+    rates = []
+    for q in queries:
+        prog = [p for p in q.recentProgress if p["numInputRows"] > 0]
+        if len(prog) > 1:
+            prog = prog[1:]
+        rows = sum(p["numInputRows"] for p in prog)
+        secs = sum(p["durationMs"]["triggerExecution"] for p in prog) / 1000.0
+        if rows and secs:
+            rates.append(rows / secs)
+    return min(rates) if rates else 0.0
+
+
+def _streaming_replay(
+    spark, sf_dir: str, metrics: dict, sink: str = "memory"
+) -> float:
+    """Replay the events table through the 4-branch streaming job and
+    return wall seconds. BASELINE.md targets ≥ 10k events/s.
+
+    sink='memory': driver-dict upsert sinks (the test harness path).
+    sink='staged': StagedMergeSink into an embedded DuckDB — the
+    set-based MERGE path that is the actual scale sink.
+
+    The input is staged as multiple files and replayed with
+    maxFilesPerTrigger, so the run has real micro-batches; besides the
+    end-to-end wall number this records ``sustained_events_per_sec``
+    (rows/duration of steady-state batches from StreamingQuery
+    progress, slowest branch) under ``metrics``."""
+    import tempfile
+
+    from flink_ecommerce_spark.streaming.runner import StreamingJob, reference_branches
+    from flink_ecommerce_spark.streaming.sinks import (
+        MemoryUpsertSink,
+        StagedMergeSink,
+    )
+
+    # 10x sf0.1 = 1M events: big enough that the ~0.4 s/branch/batch
+    # fixed micro-batch cost (plan + schedule + foreachBatch py4j
+    # round-trip — THE floor that had throughput plateaued at ~36k/s
+    # on single-batch replays) amortizes into the noise
+    replicas = int(os.environ.get("SPARK_GRAFT_REPLAY_REPLICAS", "10"))
+    n_files = 16
+    stage_dir, n = _stage_replay_input(spark, sf_dir, replicas, n_files)
+    raw_schema = spark.read.parquet(stage_dir).schema
+    ts_type = dict(
+        (f.name, f.dataType.simpleString()) for f in raw_schema.fields
+    )["ts"]
+    # 4 files/trigger → 4 batches: big enough to amortize per-batch
+    # fixed cost, multiple enough to expose the sustained rate
     stream = (
-        spark.readStream.schema(f"event_id long, ts {ts_type}, user_id long, "
-                                "event_type string, value double, props string")
-        .option("pathGlobFilter", "events.parquet")  # file source wants a dir
-        .parquet(sf_dir)
+        spark.readStream.schema(
+            f"event_id long, ts {ts_type}, user_id long, "
+            "event_type string, value double, props string"
+        )
+        .option("maxFilesPerTrigger", "4")
+        .parquet(stage_dir)
     )
     if ts_type == "bigint":  # int64 nanos → micros, like catalog.table
+        from pyspark.sql import functions as F
+
         stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     branches = reference_branches(
         ts_col="ts", category_col="event_type", amount_col="value",
         id_col="event_id", user_col="user_id",
     )
+
+    if sink == "staged":
+        import duckdb
+
+        db = tempfile.mktemp(prefix="bench_replay_", suffix=".duckdb")
+        merge_stage = tempfile.mkdtemp(prefix="bench_merge_stage_")
+        con = duckdb.connect(db)
+        con.execute(
+            "CREATE TABLE IF NOT EXISTS transactions ("
+            "transaction_id BIGINT PRIMARY KEY, transaction_ts TIMESTAMP, "
+            "customer_id BIGINT, category VARCHAR, total_amount DOUBLE)"
+        )
+        con.execute(
+            "CREATE TABLE IF NOT EXISTS sales_per_category ("
+            "transaction_date DATE, category VARCHAR, total_sales DOUBLE, "
+            "PRIMARY KEY (transaction_date, category))"
+        )
+        con.execute(
+            "CREATE TABLE IF NOT EXISTS sales_per_day ("
+            "transaction_date DATE PRIMARY KEY, total_sales DOUBLE)"
+        )
+        con.execute(
+            "CREATE TABLE IF NOT EXISTS sales_per_month ("
+            "year INT, month INT, total_sales DOUBLE, "
+            "PRIMARY KEY (year, month))"
+        )
+        con.close()
+        cols = {
+            "transactions": [
+                "transaction_id", "transaction_ts", "customer_id",
+                "category", "total_amount",
+            ],
+            "sales_per_category": ["transaction_date", "category", "total_sales"],
+            "sales_per_day": ["transaction_date", "total_sales"],
+            "sales_per_month": ["year", "month", "total_sales"],
+        }
+
+        def sink_factory(b):
+            return StagedMergeSink(
+                lambda: duckdb.connect(db),
+                b.name,
+                cols[b.name],
+                list(b.key_cols),
+                stage_dir=f"{merge_stage}/{b.name}",
+            )
+    else:
+        def sink_factory(b):
+            return MemoryUpsertSink(b.key_cols)
+
     ckpt = tempfile.mkdtemp(prefix="bench_ckpt_")
     t0 = time.perf_counter()
     job = StreamingJob(
         source=stream,
-        sink_factory=lambda b: MemoryUpsertSink(b.key_cols),
+        sink_factory=sink_factory,
         branches=branches,
         checkpoint_root=ckpt,
         trigger_ms=200,
     ).start()
     job.process_available()
     wall = time.perf_counter() - t0
+    sustained = _sustained_rate(job.queries)
     job.stop()
-    n = events.count()
-    print(  # human-visible context line on stderr, JSON stays clean
-        f"streaming replay: {n} events in {wall:.1f}s = {n / wall:,.0f} events/s",
+    metrics[f"replay_{sink}_events_per_sec"] = round(n / wall)
+    metrics[f"replay_{sink}_sustained_events_per_sec"] = round(sustained)
+    print(
+        f"streaming replay [{sink}]: {n} events in {wall:.1f}s = "
+        f"{n / wall:,.0f} events/s end-to-end, "
+        f"{sustained:,.0f} events/s sustained (slowest branch)",
         file=sys.stderr,
     )
     return wall
 
 
-def _ann_band_bench(spark, sf_dir: str, timings: dict[str, float], reps: int) -> None:
+def _ann_band_bench(
+    spark, sf_dir: str, timings: dict[str, float], reps: int
+) -> list[dict]:
     """lsh_plan_for's cost/recall tradeoff with wall-clock numbers:
     time ann_lsh_topk at the test-scale plan (8 planes, 1 band) and
     the scale plan (16 planes, 4 bands), and print recall@k of each
     against the exact brute-force top-k. More planes → smaller
     buckets (cheaper candidate sets at large corpora); more bands →
-    independent bucketings whose candidates union (recall back)."""
+    independent bucketings whose candidates union (recall back).
+
+    Returns the full grid as machine-readable rows (persisted under
+    ``ann_grid`` in the bench JSON so planner dominance — fastest AND
+    highest-recall row — is checkable from the artifact, not just
+    from truncated stderr)."""
     from flink_ecommerce_spark import catalog
     from flink_ecommerce_spark.operators import similarity
 
@@ -95,6 +217,7 @@ def _ann_band_bench(spark, sf_dir: str, timings: dict[str, float], reps: int) ->
     # lsh_plan_for sizes planes from corpus/target occupancy; its
     # recommendation for this corpus runs as the last row.
     plan = similarity.lsh_plan_for(emb.count())
+    grid: list[dict] = []
     for planes, bands in (
         (similarity.N_PLANES, 1),
         (similarity.N_PLANES, 4),
@@ -125,10 +248,118 @@ def _ann_band_bench(spark, sf_dir: str, timings: dict[str, float], reps: int) ->
             if nbrs
         ]
         recall = sum(recalls) / len(recalls) if recalls else 0.0
+        grid.append(
+            {
+                "planes": planes,
+                "bands": bands,
+                "sec": round(best, 3),
+                f"recall_at_{similarity.DEFAULT_K}": round(recall, 3),
+                "planned": (planes, bands) == plan,
+            }
+        )
         print(
             f"{name}: {best:.3f}s, recall@{similarity.DEFAULT_K} = {recall:.3f}",
             file=sys.stderr,
         )
+    return grid
+
+
+def _scale_rehearsal(spark, sf_dir: str) -> dict:
+    """One order of magnitude past the bench fixture: replicate the
+    sf0.1 documents/embeddings tables 10× (id-remapped — ≈ sf1) into
+    a temp dir and run the dedup → curation → packing chain on it.
+    Records wall times under a separate key in the bench JSON and the
+    plan-for-scale knobs' recommendations at BOTH corpus sizes — the
+    planners must actually move with the data (lsh_plan_for sizes
+    planes from corpus/occupancy; simhash_plan_for widens bands)."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from flink_ecommerce_spark import catalog
+    from flink_ecommerce_spark.operators import dedup, packing, similarity, text
+
+    reps = int(os.environ.get("SPARK_GRAFT_REHEARSAL_REPS", "10"))
+    stage = tempfile.mkdtemp(prefix="bench_rehearsal_")
+
+    docs01 = catalog.table(spark, sf_dir, "documents")
+    n_docs01 = docs01.count()
+    rep = spark.range(reps).select(F.col("id").alias("__rep"))
+    (
+        docs01.crossJoin(F.broadcast(rep))
+        .select(
+            (F.col("doc_id") + F.col("__rep") * (n_docs01 + 1)).alias("doc_id"),
+            # suffix the text per replica so the 10x corpus isn't 90%
+            # exact duplicates (that would collapse, not scale, the
+            # similarity work)
+            F.concat("text", F.lit(" r"), F.col("__rep")).alias("text"),
+            "lang",
+            "source",
+            "n_chars",
+        )
+        .repartition(32)
+        .write.mode("overwrite")
+        .parquet(f"{stage}/documents.parquet")
+    )
+    emb01 = catalog.table(spark, sf_dir, "embeddings")
+    n_vec01 = emb01.count()
+    (
+        emb01.crossJoin(F.broadcast(rep))
+        .select(
+            (F.col("vec_id") + F.col("__rep") * (n_vec01 + 1)).alias("vec_id"),
+            "embedding",
+            "label",
+        )
+        .repartition(32)
+        .write.mode("overwrite")
+        .parquet(f"{stage}/embeddings.parquet")
+    )
+
+    docs = catalog.table(spark, stage, "documents")
+    emb = catalog.table(spark, stage, "embeddings")
+    n_docs = n_docs01 * reps
+    chain: dict[str, float] = {}
+
+    def timed(name, thunk):
+        t0 = time.perf_counter()
+        thunk()
+        chain[name] = round(time.perf_counter() - t0, 3)
+        print(f"rehearsal {name}: {chain[name]}s", file=sys.stderr)
+
+    timed("dedup_exact", lambda: dedup.dedup_exact(docs).count())
+    timed("minhash_signatures", lambda: dedup.minhash_signatures(docs).count())
+    timed("lsh_candidate_pairs", lambda: dedup.lsh_candidate_pairs(docs).count())
+    timed("dedup_clusters", lambda: dedup.dedup_clusters(docs).count())
+    timed("shingle_novelty", lambda: dedup.shingle_novelty(docs).count())
+    timed("budgeted_mixture", lambda: text.budgeted_mixture(docs).count())
+    timed("sequence_packing", lambda: packing.sequence_packing(docs).count())
+    timed("unigram_surprisal", lambda: text.unigram_surprisal(docs).count())
+    plan01 = similarity.lsh_plan_for(n_vec01)
+    plan10 = similarity.lsh_plan_for(n_vec01 * reps)
+    sim01 = dedup.simhash_plan_for(n_docs01)
+    sim10 = dedup.simhash_plan_for(n_docs)
+    timed(
+        "ann_lsh_topk_planned",
+        lambda: similarity.ann_lsh_topk(
+            emb, n_planes=plan10[0], n_bands=plan10[1]
+        ).count(),
+    )
+    print(
+        f"rehearsal planners: lsh {plan01} -> {plan10}, "
+        f"simhash {sim01} -> {sim10}",
+        file=sys.stderr,
+    )
+    return {
+        "corpus": f"{reps}x sf0.1 (id-remapped, per-replica salted)",
+        "n_docs": n_docs,
+        "queries": chain,
+        "planner": {
+            "lsh_sf0.1": list(plan01),
+            "lsh_rehearsal": list(plan10),
+            "simhash_sf0.1": list(sim01),
+            "simhash_rehearsal": list(sim10),
+        },
+    }
 
 
 def main() -> None:
@@ -164,15 +395,32 @@ def main() -> None:
         except Exception as e:  # one broken query must not lose the run
             print(f"bench query {name} FAILED: {e}", file=sys.stderr)
 
+    ann_grid: list[dict] = []
     try:
-        _ann_band_bench(spark, sf_dir, timings, reps)
+        ann_grid = _ann_band_bench(spark, sf_dir, timings, reps)
     except Exception as e:
         print(f"ann_band_bench FAILED: {e}", file=sys.stderr)
 
+    replay_metrics: dict[str, int] = {}
     try:
-        timings["streaming_replay"] = round(_streaming_replay(spark, sf_dir), 3)
+        timings["streaming_replay"] = round(
+            _streaming_replay(spark, sf_dir, replay_metrics), 3
+        )
     except Exception as e:
         print(f"streaming_replay FAILED: {e}", file=sys.stderr)
+    try:
+        timings["streaming_replay_staged"] = round(
+            _streaming_replay(spark, sf_dir, replay_metrics, sink="staged"), 3
+        )
+    except Exception as e:
+        print(f"streaming_replay_staged FAILED: {e}", file=sys.stderr)
+
+    rehearsal: dict = {}
+    if os.environ.get("SPARK_GRAFT_SKIP_REHEARSAL") != "1":
+        try:
+            rehearsal = _scale_rehearsal(spark, sf_dir)
+        except Exception as e:
+            print(f"scale_rehearsal FAILED: {e}", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -182,6 +430,9 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "ann_grid": ann_grid,
+                "replay": replay_metrics,
+                "rehearsal_10x": rehearsal,
                 "sf": sf_val,
             }
         )

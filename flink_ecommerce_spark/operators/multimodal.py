@@ -111,11 +111,48 @@ def multimodal_frames(documents: DataFrame) -> DataFrame:
 
 
 def decode_real(with_payload: DataFrame) -> DataFrame:
-    """Real codec path — not available in this container."""
-    raise NotImplementedError(
-        "real image/audio decode requires PIL/ffmpeg, which are not "
-        "installed here; use decode_features (deterministic stub) — "
-        "the Spark-side plumbing is identical"
+    """Real image decode: identical Arrow-batched plumbing to
+    decode_features, but the per-batch body opens each payload with
+    PIL and emits true (width, height) plus n_frames (animated
+    formats report their frame count; stills are 1). Gated on PIL
+    being importable — this container ships without codecs, so the
+    deterministic stub (decode_features) carries the oracle and this
+    path raises with instructions until PIL is installed."""
+    import importlib.util
+
+    if importlib.util.find_spec("PIL") is None:
+        raise NotImplementedError(
+            "real image decode requires PIL (pip install pillow); this "
+            "container has no codecs — use decode_features "
+            "(deterministic stub), whose Spark-side plumbing is identical"
+        )
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+
+        from PIL import Image
+
+        for pdf in batches:
+            widths, heights, frames, sizes = [], [], [], []
+            for payload in pdf["payload"]:
+                raw = bytes(payload)
+                sizes.append(len(raw))
+                with Image.open(io.BytesIO(raw)) as im:
+                    widths.append(im.width)
+                    heights.append(im.height)
+                    frames.append(int(getattr(im, "n_frames", 1)))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "n_bytes": pd.Series(sizes, dtype="int32"),
+                    "width": pd.Series(widths, dtype="int32"),
+                    "height": pd.Series(heights, dtype="int32"),
+                    "n_frames": pd.Series(frames, dtype="int32"),
+                }
+            )
+
+    return with_payload.select("doc_id", "payload").mapInPandas(
+        decode, schema=FEATURE_SCHEMA
     )
 
 

@@ -149,6 +149,40 @@ def test_budgeted_mixture_greedy_by_quality(spark):
     assert out[3]["kept"] is True  # s2 budget independent
 
 
+def test_decode_real_requires_pil_or_decodes(spark):
+    """decode_real is gated on PIL: without it the call raises a
+    NotImplementedError naming the dependency (this container); with
+    it, a generated PNG round-trips to its true dimensions."""
+    import importlib.util
+
+    import pytest
+
+    from flink_ecommerce_spark.operators.multimodal import (
+        attach_fake_payload,
+        decode_real,
+    )
+    from flink_ecommerce_spark.schemas import DOCUMENTS_SCHEMA
+
+    docs = spark.createDataFrame([(0, "x", "en", "s", 1)], DOCUMENTS_SCHEMA)
+    if importlib.util.find_spec("PIL") is None:
+        with pytest.raises(NotImplementedError, match="PIL"):
+            decode_real(attach_fake_payload(docs))
+        return
+
+    import io
+
+    from PIL import Image
+    from pyspark.sql import functions as F
+
+    buf = io.BytesIO()
+    Image.new("RGB", (40, 25)).save(buf, format="PNG")
+    payload = spark.createDataFrame(
+        [(7, bytearray(buf.getvalue()))], "doc_id long, payload binary"
+    ).withColumn("payload", F.col("payload").cast("binary"))
+    row = decode_real(payload).collect()[0]
+    assert (row["width"], row["height"], row["n_frames"]) == (40, 25, 1)
+
+
 def test_budgeted_mixture_bucket_decomposition_exact(spark):
     """The (source, quality-bucket) window decomposition must be
     bit-identical to the naive one-window-per-source greedy cumsum —

@@ -68,6 +68,33 @@ def test_lsh_plane_band_cost_recall_tradeoff(spark):
         assert r["rk"] <= similarity.DEFAULT_K
 
 
+def test_lsh_planner_recall_dominates_static_grid(spark):
+    """BASELINE.md requires lsh_plan_for's recommendation to dominate
+    the bench grid. The recall axis is deterministic, so it's pinned
+    here at sf0.01 against every static grid config; the wall-clock
+    axis is recorded per-round in the bench JSON's ann_grid block
+    (timings in a unit test would be noise)."""
+    from tests.conftest import SF_MEDIUM
+
+    emb = catalog.table(spark, SF_MEDIUM, "embeddings")
+    truth = _topk_sets(similarity.knn_bruteforce(emb))
+
+    def mean_recall(planes, bands):
+        got = _topk_sets(similarity.ann_lsh_topk(emb, n_planes=planes, n_bands=bands))
+        return sum(
+            len(truth[q] & got.get(q, set())) / len(truth[q]) for q in truth
+        ) / len(truth)
+
+    plan = similarity.lsh_plan_for(emb.count())
+    planned = mean_recall(*plan)
+    static = {
+        (p, b): mean_recall(p, b)
+        for p, b in ((similarity.N_PLANES, 1), (similarity.N_PLANES, 4), (16, 1), (16, 4))
+        if (p, b) != plan
+    }
+    assert all(planned >= r for r in static.values()), (plan, planned, static)
+
+
 def test_knn_int8_zero_vector_no_nan(spark):
     """An all-zero embedding must quantize to zeros (guarded scale),
     not 0/0 = NaN — NaN scores diverge between engines."""
@@ -101,6 +128,10 @@ def test_lsh_plan_for_sizing():
     # 100TB scale: planes grow with log2(n), bands recover recall
     planes, bands = similarity.lsh_plan_for(1_000_000_000)
     assert planes >= 19 and bands > 1
+    # the bench rehearsal's premise: a 10x corpus (sf0.1 -> ~sf1
+    # embeddings counts) must change the recommendation — the planner
+    # moves with the data, it isn't a constant in disguise
+    assert similarity.lsh_plan_for(5_000) != similarity.lsh_plan_for(50_000)
     # expected occupancy stays ~target as corpus grows 1000x
     p1, _ = similarity.lsh_plan_for(10_000_000)
     p2, _ = similarity.lsh_plan_for(10_000_000_000)
