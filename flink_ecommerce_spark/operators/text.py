@@ -557,12 +557,19 @@ def budgeted_mixture(
     from pyspark.sql import Window
 
     nt = F.size(F.expr("regexp_extract_all(text, '\\\\S+', 0)")).cast("long")
+    # localCheckpoint the scored NARROW projection (5 columns, ~50
+    # bytes/row) so the mass aggregate and the per-bucket window both
+    # read it instead of re-scanning text and re-running the quality
+    # regexes twice — at scale one materialized narrow pass beats two
+    # full text scans by the text:projection width ratio
     m = documents.select(
         "doc_id",
         "source",
         F.round(_quality_column(), 6).alias("quality"),
         nt.alias("n_tokens"),
-    ).withColumn("__qb", F.round("quality", bucket_decimals))
+    ).withColumn("__qb", F.round("quality", bucket_decimals)).localCheckpoint(
+        eager=True
+    )
     mass = m.groupBy("source", "__qb").agg(F.sum("n_tokens").alias("__mass"))
     w_off = (
         Window.partitionBy("source")
