@@ -177,6 +177,18 @@ def main(argv: list[str] | None = None) -> StreamingJob:
 
     spark = get_spark("flink-ecommerce-spark-job")
     source = build_source(spark, args)
+    # SINK_COLUMNS assumes the 12-column DTO branch; fail fast with a
+    # clear message if the source can't deliver it (a remapped source
+    # needs its own sink column config, not a runtime AnalysisException)
+    from .streaming.runner import _FULL_DTO_COLS
+
+    missing = _FULL_DTO_COLS - set(source.columns)
+    if missing:
+        raise SystemExit(
+            f"--source {args.source} does not deliver the full transaction "
+            f"DTO (missing: {sorted(missing)}); this CLI's sink tables "
+            "expect the 12-column schema"
+        )
     branches = reference_branches()
     job = StreamingJob(
         source=source,

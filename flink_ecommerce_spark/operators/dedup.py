@@ -582,7 +582,13 @@ def shingle_novelty(
     only for its single first document and dilutes every other doc's
     denominator identically, so the capped fraction keeps the same
     ranking signal. Docs whose every shingle is hot drop out (no
-    denominator); the oracle applies the identical cap."""
+    denominator); the oracle applies the identical cap.
+
+    ds deliberately NOT checkpointed although two consumers read it:
+    unlike budgeted_mixture's scored projection (expensive regexes,
+    narrow rows), shingles are cheap to recompute and wide to store —
+    measured at the 10x rehearsal, materializing them costs more
+    (9.0 s) than the second explode (5.1 s)."""
     ds = _doc_shingles(documents)
     n_docs = documents.select(F.countDistinct("doc_id").alias("n_docs"))
     first = (
