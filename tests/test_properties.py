@@ -88,3 +88,48 @@ def test_merge_upsert_sql_equals_dict_upsert(batches):
     got = dict(con.execute("SELECT k, v FROM t").fetchall())
     con.close()
     assert got == expected
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    docs=st.lists(
+        st.tuples(
+            st.floats(
+                min_value=0.0, max_value=1.0,
+                allow_nan=False, allow_infinity=False,
+            ),
+            st.integers(min_value=0, max_value=50),
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    decimals=st.integers(min_value=0, max_value=4),
+)
+def test_budgeted_mixture_bucket_decomposition_identity(docs, decimals):
+    """The (quality-bucket offset + within-bucket prefix) sum equals
+    the plain greedy prefix over the full (quality DESC, doc_id ASC)
+    order — for ANY bucketing precision. This is the arithmetic that
+    lets budgeted_mixture window on (source, bucket) instead of one
+    partition per source: bucket ranges are contiguous under the sort
+    because rounding is monotone, so the decomposition is exact."""
+    rows = [
+        (round(q, 6), i, n) for i, (q, n) in enumerate(docs)
+    ]  # ids unique; quality pre-rounded like the operator
+    order = sorted(rows, key=lambda r: (-r[0], r[1]))
+    cum, global_prefix = 0, {}
+    for q, i, n in order:
+        cum += n
+        global_prefix[i] = cum
+
+    buckets: dict[float, list] = {}
+    for q, i, n in rows:
+        buckets.setdefault(round(q, decimals), []).append((q, i, n))
+    mass = {qb: sum(n for _, _, n in rs) for qb, rs in buckets.items()}
+    decomposed = {}
+    for qb, rs in buckets.items():
+        offset = sum(m for b, m in mass.items() if b > qb)
+        within = 0
+        for q, i, n in sorted(rs, key=lambda r: (-r[0], r[1])):
+            within += n
+            decomposed[i] = offset + within
+    assert decomposed == global_prefix
