@@ -209,7 +209,13 @@ class StagedMergeSink:
         has committed — a long-running stream would otherwise grow the
         stage dir without bound. The just-committed epoch is retained
         so a foreachBatch retry of the same epoch re-merges
-        idempotently instead of failing on a missing glob."""
+        idempotently instead of failing on a missing glob.
+
+        Local filesystems only: an object-store stage (s3://, gs://,
+        ...) is left to a bucket lifecycle/TTL rule — driver-side
+        directory walks are the wrong tool there."""
+        if "://" in self.stage_dir:
+            return
         import glob
         import os
         import shutil

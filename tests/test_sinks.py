@@ -281,6 +281,30 @@ def test_staged_merge_prunes_committed_epochs(spark, tmp_path):
     con.close()
 
 
+def test_staged_merge_epoch_retry_is_idempotent(spark, tmp_path):
+    """foreachBatch may redeliver an epoch after a failure; re-staging
+    (mode=overwrite) plus re-merging the same rows must land in the
+    same final state — the at-least-once + idempotent-upsert contract
+    the reference relies on (checkpointing off, DataStreamJob.java)."""
+    import duckdb
+
+    db = str(tmp_path / "retry.duckdb")
+    con = duckdb.connect(db)
+    con.execute("CREATE TABLE kv (k BIGINT PRIMARY KEY, v DOUBLE)")
+    con.close()
+    sink = StagedMergeSink(
+        lambda: duckdb.connect(db), "kv", ["k", "v"], ["k"],
+        stage_dir=str(tmp_path / "stage_retry"),
+    )
+    batch = spark.createDataFrame([(1, 1.0), (2, 2.0)], "k long, v double")
+    sink.write_batch(batch, 7)
+    sink.write_batch(batch, 7)  # redelivery of the same epoch
+    con = duckdb.connect(db)
+    rows = dict(con.execute("SELECT k, v FROM kv").fetchall())
+    con.close()
+    assert rows == {1: 1.0, 2: 2.0}
+
+
 def test_staged_merge_skips_empty_batch(spark, tmp_path):
     """foreachBatch routinely delivers empty micro-batches; the sink
     must not stage zero part files (read_parquet on an empty glob
