@@ -67,6 +67,78 @@ def write_clustered(
     )
 
 
+def zorder_key(
+    cols: list, bits: int = 16, mins: list | None = None, maxs: list | None = None
+) -> "F.Column":
+    """Morton (Z-order) key: interleave the top ``bits`` bits of each
+    column's min/max-normalized value — bit i of column c lands at
+    position i*k + c. Rows close in EVERY dimension get close keys,
+    so range-clustering on the key gives parquet min/max skipping to
+    predicates on ANY subset of the dimensions — what lexicographic
+    sort only provides for the leading column.
+
+    Pure codegen expressions (k×bits shift/and/or terms, no UDF, no
+    shuffle); ``mins``/``maxs`` are the per-column bounds used for
+    normalization (collect them once with an agg — a bounded 2k-value
+    driver fetch, same discipline as the k-means centroids)."""
+    k = len(cols)
+    assert k >= 1 and mins is not None and maxs is not None
+    scaled = []
+    top = (1 << bits) - 1
+    for c, lo, hi in zip(cols, mins, maxs):
+        span = (hi - lo) or 1
+        s = F.floor(
+            (c.cast("double") - F.lit(float(lo))) / F.lit(float(span)) * top
+        ).cast("long")
+        scaled.append(F.greatest(F.lit(0), F.least(F.lit(top), s)))
+    key = F.lit(0).cast("long")
+    for ci, s in enumerate(scaled):
+        for bi in range(bits):
+            key = key.bitwiseOR(
+                F.shiftleft(
+                    F.shiftright(s, bi).bitwiseAND(F.lit(1)), bi * k + ci
+                )
+            )
+    return key
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cluster_cols: list[str],
+    bits: int = 16,
+    n_files: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Multi-dimensional clustering: range-partition + sort on the
+    Morton key of ``cluster_cols`` so every dimension's predicates
+    skip row groups, then drop the key before writing. One bounded
+    min/max agg (driver fetch of 2k scalars) + one range exchange —
+    the write-side cost amortizes over every future selective scan.
+    Use write_clustered when queries only ever filter the leading
+    key; this when they filter several."""
+    bounds = df.agg(
+        *[F.min(c).alias(f"__lo{i}") for i, c in enumerate(cluster_cols)],
+        *[F.max(c).alias(f"__hi{i}") for i, c in enumerate(cluster_cols)],
+    ).collect()[0]
+    k = len(cluster_cols)
+    mins = [bounds[f"__lo{i}"] for i in range(k)]
+    maxs = [bounds[f"__hi{i}"] for i in range(k)]
+    n = n_files or int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
+    keyed = df.withColumn(
+        "__zkey", zorder_key([F.col(c) for c in cluster_cols], bits, mins, maxs)
+    )
+    (
+        keyed.repartitionByRange(n, "__zkey")
+        .sortWithinPartitions("__zkey")
+        .drop("__zkey")
+        .write.mode(mode)
+        .parquet(path)
+    )
+
+
 def write_training_shards(
     df: DataFrame,
     path: str,
