@@ -74,12 +74,38 @@ def main() -> None:
     # fingerprints won't be comparable with the pytest session's
     os.environ.setdefault("SPARK_GRAFT_CPUS", "8")
 
+    from flink_ecommerce_spark import registry
     from flink_ecommerce_spark.session import get_spark
 
     spark = get_spark(
         "plan-ledger", extra_conf={"spark.sql.shuffle.partitions": "8"}
     )
-    ledger = compute_all(spark)
+    current = compute_all(spark)
+    window = set(list(registry.SPECS)[:50])
+    if LEDGER_PATH.exists():
+        # ONLY in-window entries refresh: an out-of-window query's
+        # certified fingerprint must never be overwritten by a regen —
+        # otherwise accidental drift could be laundered instead of
+        # failing test_certification_invariant until the query is
+        # rotated into the window
+        old = load_ledger()
+        ledger = {
+            name: current[name]
+            if (name in window or name not in old)
+            else old[name]
+            for name in current
+        }
+        laundered = [
+            n for n in current
+            if n not in window and n in old and old[n] != current[n]
+        ]
+        if laundered:
+            print(
+                "NOT updating drifted out-of-window fingerprints "
+                f"(rotate into _VERIFY_FIRST instead): {laundered}"
+            )
+    else:
+        ledger = current
     LEDGER_PATH.write_text(json.dumps(ledger, indent=1, sort_keys=True) + "\n")
     print(f"wrote {LEDGER_PATH} ({len(ledger)} fingerprints)")
 

@@ -32,6 +32,23 @@ def test_window_is_the_verify_first_block():
     assert len(registry._VERIFY_FIRST) == WINDOW
 
 
+def test_window_plans_match_ledger(spark):
+    """In-window entries must track HEAD exactly: the round's external
+    certification runs against HEAD, so a stale windowed fingerprint
+    means someone changed a query after the last regen — regenerate
+    (python -m tests.plan_fp) before committing."""
+    ledger = load_ledger()
+    stale = []
+    for name in list(registry.SPECS)[:WINDOW]:
+        fp = plan_fingerprint(registry.SPECS[name].fn(spark, LEDGER_SF))
+        if ledger.get(name) != fp:
+            stale.append(name)
+    assert not stale, (
+        f"ledger is stale for in-window queries {stale}; regenerate with "
+        "python -m tests.plan_fp"
+    )
+
+
 def test_out_of_window_plans_unchanged_since_certification(spark):
     ledger = load_ledger()
     out_of_window = list(registry.SPECS)[WINDOW:]
