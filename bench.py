@@ -380,9 +380,11 @@ def main() -> None:
     catalog.table(spark, sf_dir, "events").limit(10).collect()
 
     # min-of-N: local single-JVM timings swing ±25% on GC/codegen
-    # hiccups; three reps keeps the recorded number close to the
-    # plan's true cost at ~8s extra wall for the whole suite
-    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+    # hiccups; five reps keeps the recorded number close to the
+    # plan's true cost (round-over-round comparisons read these
+    # numbers name-for-name, so minimum stability matters more than
+    # the ~30s extra wall)
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5"))
     timings: dict[str, float] = {}
     for name, fn in registry.bench_queries().items():
         best = float("inf")

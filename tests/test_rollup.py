@@ -1,0 +1,75 @@
+"""Continuous aggregate: the materialized-head + live-tail union must
+equal the full batch rollup for any bucket-aligned threshold, and the
+threshold must be forcibly bucket-aligned so no bucket is split."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from flink_ecommerce_spark import catalog
+from flink_ecommerce_spark.plans.rollup import (
+    rollup_with_tail,
+    time_bucket_rollup,
+)
+
+from tests.conftest import SF_SMALL
+
+
+def _as_dict(df):
+    return {
+        (r["bucket_start"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in df.collect()
+    }
+
+
+def test_rollup_with_tail_equals_full_rollup(spark):
+    events = catalog.table(spark, SF_SMALL, "events")
+    full = _as_dict(time_bucket_rollup(events))
+    assert len(full) > 10
+
+    # pick a threshold strictly inside the data's time range
+    lo, hi = events.agg(
+        F.min(F.col("ts").cast("timestamp")), F.max(F.col("ts").cast("timestamp"))
+    ).collect()[0]
+    mid = lo + (hi - lo) / 2
+
+    # "materialize" the head the way a streaming/batch maintainer
+    # would: rollup of the full table, kept only below the threshold
+    # by rollup_with_tail's own filter
+    materialized = time_bucket_rollup(events)
+    combined = _as_dict(rollup_with_tail(materialized, events, mid))
+    assert combined == full
+
+
+def test_rollup_threshold_is_bucket_aligned(spark):
+    """A mid-bucket threshold must not split a bucket: the same union
+    stays exact even when the caller passes a ragged timestamp,
+    because the threshold floors to the bucket boundary."""
+    events = catalog.table(spark, SF_SMALL, "events")
+    full = _as_dict(time_bucket_rollup(events))
+    lo, hi = events.agg(
+        F.min(F.col("ts").cast("timestamp")), F.max(F.col("ts").cast("timestamp"))
+    ).collect()[0]
+    import datetime
+
+    ragged = lo + (hi - lo) / 2
+    ragged = ragged.replace(minute=37, second=13)  # not a bucket edge
+    materialized = time_bucket_rollup(events)
+    combined = _as_dict(rollup_with_tail(materialized, events, ragged))
+    assert combined == full
+
+
+def test_rollup_tail_only_scans_past_threshold(spark):
+    """The live side's filter must reach the scan: with the threshold
+    at max(ts), the tail aggregates (almost) nothing and the plan
+    carries the pushed ts predicate."""
+    events = catalog.table(spark, SF_SMALL, "events")
+    materialized = time_bucket_rollup(events)
+    lo, hi = events.agg(
+        F.min(F.col("ts").cast("timestamp")), F.max(F.col("ts").cast("timestamp"))
+    ).collect()[0]
+    out = rollup_with_tail(materialized, events, hi)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan
+    # still exact at the extreme threshold
+    assert _as_dict(out) == _as_dict(time_bucket_rollup(events))
