@@ -36,6 +36,16 @@ def l2_norm(a: Column) -> Column:
     )
 
 
+def cosine_from_parts(dot_col: Column, norm_a: Column, norm_b: Column) -> Column:
+    """Cosine from a precomputed dot and per-vector norms — the
+    pair-join form: norms are per-VECTOR quantities, so computing them
+    once per row before the join (n + q evaluations) instead of
+    inside the pair expression (n x q) removes the dominant term of
+    the scoring cost. Bit-identical to cosine_sim: same products,
+    same accumulation order, same zero-vector guard."""
+    return dot_col / F.greatest(norm_a * norm_b, F.lit(1e-12))
+
+
 def cosine_sim(a: Column, b: Column) -> Column:
     # greatest(denom, 1e-12) is a branch-free zero-vector guard: a
     # zero vector's cosine against anything is exactly 0.0 instead of
