@@ -677,3 +677,75 @@ def containment_pairs(
             | (F.col("containment_b") >= threshold)
         )
     )
+
+
+def repeated_substring_spans(
+    documents: DataFrame, k: int = 8, min_tokens: int = 16
+) -> DataFrame:
+    """Exact-substring dedup spans — the ExactSubstr technique of Lee
+    et al., "Deduplicating Training Data Makes Language Models Better"
+    (ACL 2022), re-expressed Spark-first. A span is a MAXIMAL run of
+    consecutive k-token shingle starts whose content occurs >= 2 times
+    in the corpus (within- or cross-document, as in the paper); a run
+    of m consecutive starts covers m + k - 1 tokens. Spans shorter
+    than ``min_tokens`` are dropped. Output: (doc_id, start_tok,
+    end_tok, span_tokens), token positions 0-based inclusive over the
+    lowercased whitespace tokenization.
+
+    The paper builds a corpus-wide suffix array — inherently
+    sequential. The distributable equivalent: positions are repeated
+    IFF their k-shingle is repeated, and maximal repeated substrings
+    of length >= k are exactly the maximal runs of repeated shingle
+    starts, so one shingle-frequency aggregate plus a per-document
+    island merge recovers the paper's spans without any global order.
+
+    Scale: shingles travel as md5 digests (fixed 32 bytes through the
+    frequency shuffle and the join back, never the raw text); the
+    frequency aggregate is map-side combined; the island merge is a
+    window per (doc_id) over ONLY the repeated positions — bounded by
+    each document's own length, not the corpus."""
+    ws = documents.select("doc_id", words("text").alias("__words"))
+    sh = ws.select(
+        "doc_id",
+        F.posexplode(shingles_from_words(F.col("__words"), k)).alias(
+            "pos", "__sh"
+        ),
+    ).select("doc_id", "pos", F.md5("__sh").alias("__h"))
+    rep = (
+        sh.groupBy("__h")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .filter(F.col("__c") >= 2)
+        .select("__h")
+    )
+    hits = sh.join(rep, "__h").select("doc_id", "pos")
+    from pyspark.sql import Window
+
+    w_doc = Window.partitionBy("doc_id").orderBy("pos")
+    isl = (
+        hits.withColumn("__prev", F.lag("pos").over(w_doc))
+        .withColumn(
+            "__brk",
+            F.when(F.col("pos") - F.col("__prev") == 1, F.lit(0)).otherwise(
+                F.lit(1)
+            ),
+        )
+        .withColumn(
+            "__gid",
+            F.sum("__brk").over(
+                w_doc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+    )
+    return (
+        isl.groupBy("doc_id", "__gid")
+        .agg(
+            F.min("pos").alias("start_tok"),
+            (F.max("pos") + F.lit(k - 1)).alias("end_tok"),
+        )
+        .withColumn(
+            "span_tokens",
+            (F.col("end_tok") - F.col("start_tok") + 1).cast("long"),
+        )
+        .filter(F.col("span_tokens") >= min_tokens)
+        .select("doc_id", "start_tok", "end_tok", "span_tokens")
+    )

@@ -472,6 +472,10 @@ def _q_shingle_novelty(spark, sf):
     return dedup.shingle_novelty(_t("documents")(spark, sf))
 
 
+def _q_repeated_substring_spans(spark, sf):
+    return dedup.repeated_substring_spans(_t("documents")(spark, sf))
+
+
 def _q_dedup_exact(spark, sf):
     return dedup.dedup_exact(_t("documents")(spark, sf))
 
@@ -1767,7 +1771,30 @@ JOIN sizes sa ON sa.doc_id = i.doc_a
 JOIN sizes sb ON sb.doc_id = i.doc_b
 WHERE ROUND(CAST(i.n_inter AS DOUBLE) / sa.n_sh, 6) >= 0.8
    OR ROUND(CAST(i.n_inter AS DOUBLE) / sb.n_sh, 6) >= 0.8
-""".format(shingles=sql_word_shingles("text"), frac=dedup.NGRAM_MAX_DF_FRAC),    "shingle_novelty": f"""
+""".format(shingles=sql_word_shingles("text"), frac=dedup.NGRAM_MAX_DF_FRAC),    "repeated_substring_spans": f"""
+WITH w AS (SELECT doc_id, {_WORDS} AS ws FROM documents),
+s0 AS (SELECT doc_id, unnest(generate_series(1, len(ws) - 7)) AS i, ws
+       FROM w WHERE len(ws) >= 8),
+s AS (SELECT doc_id, CAST(i - 1 AS INT) AS pos,
+             md5(array_to_string(list_slice(ws, i, i + 7), ' ')) AS h
+      FROM s0),
+rep AS (SELECT h FROM s GROUP BY h HAVING COUNT(*) >= 2),
+m AS (SELECT doc_id, pos FROM s JOIN rep USING (h)),
+g AS (SELECT doc_id, pos,
+        CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) = 1
+             THEN 0 ELSE 1 END AS brk
+      FROM m),
+isl AS (SELECT doc_id, pos,
+          SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                         ROWS UNBOUNDED PRECEDING) AS gid
+        FROM g)
+SELECT doc_id, MIN(pos) AS start_tok,
+       MAX(pos) + 7 AS end_tok,
+       CAST(MAX(pos) + 7 - MIN(pos) + 1 AS BIGINT) AS span_tokens
+FROM isl GROUP BY doc_id, gid
+HAVING CAST(MAX(pos) + 7 - MIN(pos) + 1 AS BIGINT) >= 16
+""",
+    "shingle_novelty": f"""
 WITH sh AS (SELECT doc_id, {_SHINGLES} AS shingles FROM documents),
 ds AS (SELECT DISTINCT doc_id, s AS shingle
        FROM (SELECT doc_id, unnest(shingles) AS s FROM sh)),
@@ -2379,6 +2406,9 @@ _SPEC_DEFS: dict[str, QuerySpec] = {
         _q_incremental_dedup, ORACLES["incremental_dedup"]
     ),
     "corpus_diff": QuerySpec(_q_corpus_diff, ORACLES["corpus_diff"]),
+    "repeated_substring_spans": QuerySpec(
+        _q_repeated_substring_spans, ORACLES["repeated_substring_spans"]
+    ),
     "shingle_novelty": QuerySpec(
         _q_shingle_novelty, ORACLES["shingle_novelty"]
     ),
@@ -2519,6 +2549,8 @@ _VERIFY_FIRST: tuple[str, ...] = (
     # window decomposition; shingle_novelty got the structural df cap
     "budgeted_mixture",
     "shingle_novelty",
+    # NEW this round — must be verified in its first round
+    "repeated_substring_spans",
     "knn_bruteforce",
     "knn_bruteforce_pandas",
     "knn_int8",
@@ -2570,7 +2602,10 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "value_stats_per_type",
     "session_window_stats",
     "conversion_funnel",
-    "weekly_retention",
+    # weekly_retention rotates in r05 with approx_distinct_users —
+    # displaced by the new repeated_substring_spans (new queries must
+    # certify in their first round; both displaced queries keep their
+    # r01 rows ledger-protected)
 )
 assert set(_VERIFY_FIRST) <= set(_SPEC_DEFS), sorted(
     set(_VERIFY_FIRST) - set(_SPEC_DEFS)

@@ -293,3 +293,37 @@ def test_containment_catches_subset_quote(spark):
     # symmetric Jaccard at the same strictness finds nothing
     jac = ngram_jaccard_pairs(docs, threshold=0.9).collect()
     assert jac == []
+
+
+def test_repeated_substring_spans_finds_shared_passage(spark):
+    """Two documents share one long passage embedded in otherwise
+    unique text: the span must cover exactly the shared tokens in
+    BOTH docs (0-based positions over whitespace tokens), unique docs
+    must produce nothing, and an internal within-doc repetition also
+    counts (Lee et al. count total occurrences >= 2)."""
+    from flink_ecommerce_spark.operators.dedup import repeated_substring_spans
+
+    shared = " ".join(f"p{i}" for i in range(20))  # 20-token passage
+    rows = [
+        (0, f"a0 b0 c0 {shared} z0", "en", "s", 1),       # passage at 3..22
+        (1, f"{shared} x1 y1 z1 w1 v1", "en", "s", 1),     # passage at 0..19
+        (2, "entirely unique text with no repeats here at all", "en", "s", 1),
+    ]
+    docs = spark.createDataFrame(rows, DOCUMENTS_SCHEMA)
+    spans = {
+        r["doc_id"]: (r["start_tok"], r["end_tok"], r["span_tokens"])
+        for r in repeated_substring_spans(docs, k=8, min_tokens=16).collect()
+    }
+    assert spans[0] == (3, 22, 20)
+    assert spans[1] == (0, 19, 20)
+    assert 2 not in spans
+
+    # within-doc repetition: the same 10-token phrase twice in ONE doc
+    phrase = " ".join(f"q{i}" for i in range(10))
+    solo = spark.createDataFrame(
+        [(7, f"{phrase} mid1 mid2 mid3 {phrase}", "en", "s", 1)],
+        DOCUMENTS_SCHEMA,
+    )
+    got = repeated_substring_spans(solo, k=8, min_tokens=8).collect()
+    assert len(got) == 2
+    assert {(r["start_tok"], r["end_tok"]) for r in got} == {(0, 9), (13, 22)}
