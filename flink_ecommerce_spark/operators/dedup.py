@@ -749,3 +749,40 @@ def repeated_substring_spans(
         .filter(F.col("span_tokens") >= min_tokens)
         .select("doc_id", "start_tok", "end_tok", "span_tokens")
     )
+
+
+def remove_spans(documents: DataFrame, spans: DataFrame) -> DataFrame:
+    """Rebuild text with the given token spans removed — the cleaning
+    half of exact-substring dedup (pass a filtered
+    ``repeated_substring_spans`` output, e.g. minus each content's
+    first occurrence, to implement the Lee-et-al keep-one policy; pass
+    it unfiltered to drop repeated text everywhere).
+
+    Pure expression composition: spans collect_list into one array
+    per doc (bounded by the doc's own span count), then a single
+    indexed ``filter`` over the words array drops covered positions
+    and ``concat_ws`` rejoins — no explode, no second shuffle beyond
+    the span join. Docs without spans pass through unchanged."""
+    per_doc = spans.groupBy("doc_id").agg(
+        F.collect_list(F.struct("start_tok", "end_tok")).alias("__spans")
+    )
+    ws = documents.select(
+        "doc_id", "lang", "source", words("text").alias("__words")
+    )
+    joined = ws.join(per_doc, "doc_id", "left")
+    covered = lambda i: F.exists(  # noqa: E731 — readable inline predicate
+        F.col("__spans"),
+        lambda s: (i - 1 >= s["start_tok"]) & (i - 1 <= s["end_tok"]),
+    )
+    kept = F.when(
+        F.col("__spans").isNull(), F.col("__words")
+    ).otherwise(
+        F.filter(F.col("__words"), lambda w, i: ~covered(i + 1))
+    )
+    return joined.select(
+        "doc_id",
+        F.concat_ws(" ", kept).alias("text"),
+        "lang",
+        "source",
+        F.length(F.concat_ws(" ", kept)).cast("long").alias("n_chars"),
+    )

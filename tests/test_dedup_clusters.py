@@ -327,3 +327,41 @@ def test_repeated_substring_spans_finds_shared_passage(spark):
     got = repeated_substring_spans(solo, k=8, min_tokens=8).collect()
     assert len(got) == 2
     assert {(r["start_tok"], r["end_tok"]) for r in got} == {(0, 9), (13, 22)}
+
+
+def test_remove_spans_strips_only_covered_tokens(spark):
+    """Composing span detection with remove_spans leaves exactly the
+    un-covered tokens, in order; docs without spans pass through."""
+    from pyspark.sql import functions as F
+
+    from flink_ecommerce_spark.operators.dedup import (
+        remove_spans,
+        repeated_substring_spans,
+    )
+
+    shared = " ".join(f"p{i}" for i in range(20))
+    rows = [
+        (0, f"a0 b0 c0 {shared} z0", "en", "s", 1),
+        (1, f"{shared} x1 y1 z1 w1 v1", "en", "s", 1),
+        (2, "entirely unique text with no repeats here at all", "en", "s", 1),
+    ]
+    docs = spark.createDataFrame(rows, DOCUMENTS_SCHEMA)
+    spans = repeated_substring_spans(docs, k=8, min_tokens=16)
+    out = {r["doc_id"]: r["text"] for r in remove_spans(docs, spans).collect()}
+    assert out[0] == "a0 b0 c0 z0"
+    assert out[1] == "x1 y1 z1 w1 v1"
+    assert out[2] == "entirely unique text with no repeats here at all"
+
+    # keep-one policy: filter out each content's first occurrence
+    # (min doc_id here) before removing -> doc 0 keeps its copy
+    from pyspark.sql import Window as W
+
+    keep_first = spans.withColumn(
+        "rk",
+        F.row_number().over(
+            W.partitionBy("span_tokens").orderBy("doc_id", "start_tok")
+        ),
+    ).filter(F.col("rk") > 1).drop("rk")
+    kept = {r["doc_id"]: r["text"] for r in remove_spans(docs, keep_first).collect()}
+    assert kept[0] == f"a0 b0 c0 {shared} z0"
+    assert kept[1] == "x1 y1 z1 w1 v1"
