@@ -73,3 +73,48 @@ def test_rollup_tail_only_scans_past_threshold(spark):
     assert "PushedFilters" in plan
     # still exact at the extreme threshold
     assert _as_dict(out) == _as_dict(time_bucket_rollup(events))
+
+
+def test_streaming_maintenance_converges_to_batch_rollup(spark, tmp_path):
+    """The materialized side of the continuous aggregate is maintained
+    by the SAME keyed-upsert streaming machinery as the sales
+    branches: replaying events through a rollup Branch must end with
+    exactly the batch rollup's state — which is what rollup_with_tail
+    assumes of its `materialized` input."""
+    from flink_ecommerce_spark.sources import generator
+    from flink_ecommerce_spark.sources.kafka import parse_transactions
+    from flink_ecommerce_spark.streaming.runner import Branch, StreamingJob
+    from flink_ecommerce_spark.streaming.sinks import MemoryUpsertSink
+
+    path = str(tmp_path / "txn_json")
+    df = generator.transactions(spark, n_rows=1500, seed=11)
+    generator.transactions_as_json(df).coalesce(3).write.mode("overwrite").text(path)
+
+    def rollup_plan(src):
+        return time_bucket_rollup(
+            src, bucket="1 hour", ts_col="transactionDate",
+            key_col="productCategory", value_col="totalAmount",
+        )
+
+    stream = parse_transactions(spark.readStream.format("text").load(path))
+    job = StreamingJob(
+        source=stream,
+        sink_factory=lambda b: MemoryUpsertSink(b.key_cols),
+        branches=[
+            Branch("rollup", rollup_plan, ("bucket_start", "productCategory"))
+        ],
+        checkpoint_root=str(tmp_path / "ckpt"),
+    ).start()
+    job.process_available()
+    job.stop()
+
+    batch = rollup_plan(parse_transactions(spark.read.text(path)))
+    expected = {
+        (r["bucket_start"], r["productCategory"]): (r["n_events"], r["total_value"])
+        for r in batch.collect()
+    }
+    got = {
+        (r["bucket_start"], r["productCategory"]): (r["n_events"], r["total_value"])
+        for r in job.sinks["rollup"].rows()
+    }
+    assert got == expected and len(got) > 0
