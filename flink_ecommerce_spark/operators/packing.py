@@ -149,3 +149,86 @@ def doc_chunks(
     return t.select("doc_id", F.explode(chunks).alias("c")).select(
         "doc_id", "c.chunk_idx", "c.start_tok", "c.n_chunk_tokens", "c.chunk_text"
     )
+
+
+N_SHARDS = 8
+
+
+def balanced_shards(documents: DataFrame, n_shards: int = N_SHARDS) -> DataFrame:
+    """LPT-style balanced shard assignment: rank documents by
+    (n_tokens DESC, doc_id ASC) and deal them round-robin across
+    ``n_shards`` shards. Sorted round-robin is the classic
+    longest-processing-time heuristic shape: consecutive ranks go to
+    different shards, so each shard receives one document from every
+    length stratum and shard token totals stay within one max-doc of
+    each other — the property training wants when each shard feeds
+    one data-parallel worker.
+
+    Returns (doc_id, n_tokens, rank, shard).
+
+    Scale: the global rank is NOT computed with a global-order window
+    (ORDER BY without PARTITION BY collapses to one task). It is
+    decomposed exactly, the same way budgeted_mixture decomposes its
+    greedy cumsum: (1) aggregate doc counts per distinct n_tokens — a
+    map-side-combined aggregate, output rows = distinct lengths;
+    (2) window over THAT tiny table for each length's global rank
+    offset (docs with strictly more tokens); (3) broadcast the
+    offsets back and row_number WITHIN each n_tokens partition
+    (ordered by doc_id). offset + within-length rank == the exact
+    global (n_tokens DESC, doc_id ASC) rank, with parallelism =
+    #distinct lengths instead of 1."""
+    n_tokens = F.size(F.expr("regexp_extract_all(text, '\\\\S+', 0)"))
+    t = documents.select("doc_id", n_tokens.cast("long").alias("n_tokens"))
+    counts = t.groupBy("n_tokens").agg(F.count(F.lit(1)).alias("__n"))
+    w_off = (
+        Window.orderBy(F.desc("n_tokens"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        "n_tokens",
+        F.coalesce(F.sum("__n").over(w_off), F.lit(0)).alias("__offset"),
+    )
+    w_in = Window.partitionBy("n_tokens").orderBy(F.asc("doc_id"))
+    ranked = (
+        t.join(F.broadcast(offsets), "n_tokens")
+        .withColumn(
+            "rank",
+            (F.col("__offset") + F.row_number().over(w_in)).cast("long"),
+        )
+    )
+    return ranked.select(
+        "doc_id",
+        "n_tokens",
+        "rank",
+        ((F.col("rank") - 1) % n_shards).cast("int").alias("shard"),
+    )
+
+
+def shard_balance(documents: DataFrame, n_shards: int = N_SHARDS) -> DataFrame:
+    """Per-shard load report for ``balanced_shards``: document count,
+    token total, and each shard's token share of the corpus — the
+    number a data-parallel training job checks before launch (a
+    1%-over-mean shard is a 1% step-time tax on every step).
+
+    Scale: reuses the balanced_shards assignment (narrow rows), then
+    one n_shards-row aggregate with map-side combine."""
+    a = balanced_shards(documents, n_shards=n_shards)
+    totals = a.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )
+    corpus = totals.select(
+        F.sum("total_tokens").alias("__corpus_tokens")
+    )
+    return (
+        totals.crossJoin(F.broadcast(corpus))
+        .select(
+            "shard",
+            "n_docs",
+            "total_tokens",
+            F.round(
+                F.col("total_tokens").cast("double") / F.col("__corpus_tokens"),
+                6,
+            ).alias("token_share"),
+        )
+    )

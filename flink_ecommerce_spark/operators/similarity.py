@@ -591,3 +591,123 @@ def knn_int8(
         .filter(F.col("rk") <= k)
         .select("query_id", "neighbor_id", "cos_sim_q8", "rk")
     )
+
+
+SEMDEDUP_THRESHOLD = 0.95
+
+
+def semantic_dedup(
+    embeddings: DataFrame, threshold: float = SEMDEDUP_THRESHOLD
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication by clustering embeddings and dropping, within each
+    cluster, every vector that has a more-senior near-duplicate
+    (cosine >= threshold, smaller vec_id). Catches paraphrase-level
+    duplicates that token-based MinHash/SimHash structurally miss.
+
+    Returns (vec_id, cell, kept, max_dup_sim): kept=false means some
+    same-cell vector with a smaller id is within the threshold;
+    max_dup_sim is the strongest such similarity (0.0 when none).
+
+    Scale: the cluster assignment reuses ``build_ivf_index`` — one
+    full-corpus pass against broadcast centroids with a map-side
+    min-struct argmin, no corpus shuffle. The candidate generation is
+    a within-cell self-join, the same Σ(cell²) cost profile as the
+    paper's per-cluster pairwise pass; cell count K is the knob that
+    keeps cells O(corpus/K), so growing K with the corpus holds the
+    per-cell work constant (exactly the occupancy-pinning argument of
+    ``lsh_plan_for``). Seniority (min vec_id wins) makes the kept set
+    order-free and deterministic — no iterative dependency between
+    drops: a vector is dropped iff an EARLIER vector is close, even
+    if that earlier vector is itself dropped, matching the paper's
+    "keep one representative per ε-ball" intent without a sequential
+    scan. Cosine is computed from per-vector norms materialized
+    before the pair join (n + n evaluations, not per-pair)."""
+    assign, _ = build_ivf_index(embeddings)
+    a = assign.select(
+        "vec_id", "cell", "embedding", l2_norm(F.col("embedding")).alias("__norm")
+    )
+    senior = a.select(
+        "cell",
+        F.col("vec_id").alias("__sid"),
+        F.col("embedding").alias("__semb"),
+        F.col("__norm").alias("__snorm"),
+    )
+    dup = (
+        a.join(senior, "cell")
+        .filter(F.col("__sid") < F.col("vec_id"))
+        .select(
+            "vec_id",
+            F.round(
+                cosine_from_parts(
+                    dot(F.col("embedding"), F.col("__semb")),
+                    F.col("__norm"),
+                    F.col("__snorm"),
+                ),
+                6,
+            ).alias("__sim"),
+        )
+        .filter(F.col("__sim") >= threshold)
+        .groupBy("vec_id")
+        .agg(F.max("__sim").alias("__max_dup"))
+    )
+    return a.join(dup, "vec_id", "left").select(
+        "vec_id",
+        "cell",
+        F.col("__max_dup").isNull().alias("kept"),
+        F.round(F.coalesce(F.col("__max_dup"), F.lit(0.0)), 6).alias(
+            "max_dup_sim"
+        ),
+    )
+
+
+def hard_negatives(
+    embeddings: DataFrame,
+    k: int = DEFAULT_K,
+    n_queries: int = DEFAULT_N_QUERIES,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each query
+    vector, the top-k most-similar corpus vectors with a DIFFERENT
+    label. These near-miss negatives carry most of the gradient
+    signal in InfoNCE-style objectives; random negatives are trivially
+    separable at scale.
+
+    Same shape as ``knn_bruteforce`` — broadcast query set, one
+    corpus map with per-vector norms precomputed, per-query top-k
+    window over (query_id, neighbor, score) tuples only — plus the
+    label-mismatch predicate pushed into the join condition so
+    same-label rows never reach the scorer."""
+    from .scale import ensure_parallelism
+
+    corpus = ensure_parallelism(embeddings).select(
+        "vec_id", "embedding", "label", l2_norm(F.col("embedding")).alias("__norm")
+    )
+    q = embeddings.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("label").alias("q_label"),
+        l2_norm(F.col("embedding")).alias("__qnorm"),
+    )
+    scored = corpus.join(
+        F.broadcast(q), F.col("label") != F.col("q_label")
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("neighbor_label"),
+        F.round(
+            cosine_from_parts(
+                dot(F.col("q_emb"), F.col("embedding")),
+                F.col("__qnorm"),
+                F.col("__norm"),
+            ),
+            6,
+        ).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "neighbor_label", "cos_sim", "rk")
+    )

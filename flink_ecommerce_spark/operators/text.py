@@ -647,3 +647,77 @@ def source_overlap_matrix(documents: DataFrame) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+# Gopher-rule thresholds (Rae et al. 2021, arXiv:2112.11446 Table A1),
+# adapted to the synthetic fixture corpus so each rule actually
+# discriminates (the fixtures are lowercase-word streams of 10-99
+# words: the paper's 50-word floor would fail half the corpus and its
+# symbol/bullet rules would pass vacuously).
+GOPHER_MIN_WORDS = 30
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WORD_LEN = 4.0
+GOPHER_MAX_MEAN_WORD_LEN = 10.0
+GOPHER_MIN_UNIQUE_FRAC = 0.3
+GOPHER_MIN_STOP_HITS = 2
+
+
+def gopher_quality_flags(documents: DataFrame) -> DataFrame:
+    """Gopher-style heuristic quality rules as one per-document flag
+    battery: word-count bounds, mean-word-length bounds, lexical
+    diversity (unique-word fraction), and stopword presence, plus the
+    conjunctive ``keep``. This is the rule-based sibling of the
+    logistic ``quality_scores`` — production curation stacks run both
+    (hard rules first, learned score on the survivors).
+
+    Scale: a single pure-expression projection — the words array is
+    computed once per row and every metric folds over it; no shuffle,
+    no UDF, linear in input bytes (same profile as token_counts)."""
+    ws = words("text")
+    d = documents.select(
+        "doc_id",
+        "source",
+        ws.alias("__ws"),
+    )
+    n_words = F.size("__ws").cast("long")
+    word_chars = F.aggregate(
+        F.transform("__ws", lambda w: F.length(w)),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    ).cast("double")
+    mean_word_len = F.round(word_chars / n_words.cast("double"), 6)
+    uniq_frac = F.round(
+        F.size(F.array_distinct("__ws")).cast("double") / n_words.cast("double"),
+        6,
+    )
+    sw = EN_STOPWORDS
+    stop_hits = F.size(F.filter("__ws", lambda w: w.isin(*sw))).cast("long")
+    m = d.select(
+        "doc_id",
+        "source",
+        n_words.alias("n_words"),
+        mean_word_len.alias("mean_word_len"),
+        uniq_frac.alias("unique_word_frac"),
+        stop_hits.alias("stop_hits"),
+    )
+    word_count_ok = (F.col("n_words") >= GOPHER_MIN_WORDS) & (
+        F.col("n_words") <= GOPHER_MAX_WORDS
+    )
+    word_len_ok = (F.col("mean_word_len") >= GOPHER_MIN_MEAN_WORD_LEN) & (
+        F.col("mean_word_len") <= GOPHER_MAX_MEAN_WORD_LEN
+    )
+    diversity_ok = F.col("unique_word_frac") >= GOPHER_MIN_UNIQUE_FRAC
+    stopword_ok = F.col("stop_hits") >= GOPHER_MIN_STOP_HITS
+    return m.select(
+        "doc_id",
+        "source",
+        "n_words",
+        "mean_word_len",
+        "unique_word_frac",
+        "stop_hits",
+        word_count_ok.alias("word_count_ok"),
+        word_len_ok.alias("word_len_ok"),
+        diversity_ok.alias("diversity_ok"),
+        stopword_ok.alias("stopword_ok"),
+        (word_count_ok & word_len_ok & diversity_ok & stopword_ok).alias("keep"),
+    )

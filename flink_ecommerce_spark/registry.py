@@ -777,6 +777,26 @@ def _q_knn_pandas(spark, sf):
     return similarity.knn_bruteforce_pandas(_t("embeddings")(spark, sf))
 
 
+def _q_semantic_dedup(spark, sf):
+    return similarity.semantic_dedup(_t("embeddings")(spark, sf))
+
+
+def _q_hard_negatives(spark, sf):
+    return similarity.hard_negatives(_t("embeddings")(spark, sf))
+
+
+def _q_gopher_quality_flags(spark, sf):
+    return text.gopher_quality_flags(_t("documents")(spark, sf))
+
+
+def _q_balanced_shards(spark, sf):
+    return packing.balanced_shards(_t("documents")(spark, sf))
+
+
+def _q_shard_balance(spark, sf):
+    return packing.shard_balance(_t("documents")(spark, sf))
+
+
 def _q_grouping_sets(spark, sf):
     _t("events")(spark, sf).createOrReplaceTempView("events_v")
     return spark.sql(
@@ -2249,6 +2269,101 @@ FROM bucketed a JOIN bucketed b
   ON a.bucket = b.bucket AND a.vec_id < b.vec_id
 WHERE ROUND({sql_cosine('a.embedding', 'b.embedding', similarity.EMB_DIM)}, 6) >= 0.95
 """,
+    "semantic_dedup": f"""
+WITH cent AS (SELECT label, CAST(dim AS INT) AS dim,
+                     ROUND(AVG(CAST(v AS DOUBLE)), 6) AS c
+              FROM (SELECT label, unnest(embedding) AS v,
+                           generate_subscripts(embedding, 1) AS dim
+                    FROM embeddings)
+              GROUP BY 1, 2),
+cent_arr AS (SELECT label, list(c ORDER BY dim) AS cvec FROM cent GROUP BY label),
+dists AS (SELECT e.vec_id, e.embedding, c.label,
+                 list_reduce(list_transform(generate_series(1, {similarity.EMB_DIM}),
+                   i -> (CAST(e.embedding[i] AS DOUBLE) - c.cvec[i])
+                      * (CAST(e.embedding[i] AS DOUBLE) - c.cvec[i])),
+                   (x, y) -> x + y) AS d2
+          FROM embeddings e CROSS JOIN cent_arr c),
+ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                        ORDER BY d2 ASC, label ASC) AS rk
+           FROM dists),
+assign AS (SELECT vec_id, embedding, label AS cell FROM ranked WHERE rk = 1),
+pairs AS (SELECT a.vec_id,
+                 ROUND({sql_cosine('a.embedding', 'b.embedding', similarity.EMB_DIM)}, 6) AS sim
+          FROM assign a JOIN assign b
+            ON a.cell = b.cell AND b.vec_id < a.vec_id),
+dup AS (SELECT vec_id, MAX(sim) AS m FROM pairs
+        WHERE sim >= {similarity.SEMDEDUP_THRESHOLD} GROUP BY vec_id)
+SELECT a.vec_id, a.cell, (d.m IS NULL) AS kept,
+       ROUND(COALESCE(d.m, 0.0), 6) AS max_dup_sim
+FROM assign a LEFT JOIN dup d ON a.vec_id = d.vec_id
+""",
+    "hard_negatives": f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb, label AS q_label
+           FROM embeddings WHERE vec_id < {similarity.DEFAULT_N_QUERIES}),
+scored AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+                  e.label AS neighbor_label,
+                  ROUND({sql_cosine('q.q_emb', 'e.embedding', similarity.EMB_DIM)}, 6) AS cos_sim
+           FROM embeddings e JOIN q ON e.label != q.q_label)
+SELECT query_id, neighbor_id, neighbor_label, cos_sim, CAST(rk AS INT) AS rk
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, neighbor_id ASC) AS rk
+      FROM scored)
+WHERE rk <= {similarity.DEFAULT_K}
+""",
+    "gopher_quality_flags": f"""
+WITH w AS (SELECT doc_id, source, {sql_words('text')} AS ws FROM documents),
+m AS (SELECT doc_id, source,
+             CAST(len(ws) AS BIGINT) AS n_words,
+             ROUND(CAST(list_sum(list_transform(ws, x -> strlen(x))) AS DOUBLE)
+                   / len(ws), 6) AS mean_word_len,
+             ROUND(CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws), 6)
+               AS unique_word_frac,
+             CAST(len(list_filter(ws,
+               x -> x IN ({', '.join(f"'{w}'" for w in text.EN_STOPWORDS)})))
+               AS BIGINT) AS stop_hits
+      FROM w)
+SELECT doc_id, source, n_words, mean_word_len, unique_word_frac, stop_hits,
+       (n_words >= {text.GOPHER_MIN_WORDS} AND n_words <= {text.GOPHER_MAX_WORDS})
+         AS word_count_ok,
+       (mean_word_len >= {text.GOPHER_MIN_MEAN_WORD_LEN}
+        AND mean_word_len <= {text.GOPHER_MAX_MEAN_WORD_LEN}) AS word_len_ok,
+       (unique_word_frac >= {text.GOPHER_MIN_UNIQUE_FRAC}) AS diversity_ok,
+       (stop_hits >= {text.GOPHER_MIN_STOP_HITS}) AS stopword_ok,
+       ((n_words >= {text.GOPHER_MIN_WORDS} AND n_words <= {text.GOPHER_MAX_WORDS})
+        AND (mean_word_len >= {text.GOPHER_MIN_MEAN_WORD_LEN}
+             AND mean_word_len <= {text.GOPHER_MAX_MEAN_WORD_LEN})
+        AND (unique_word_frac >= {text.GOPHER_MIN_UNIQUE_FRAC})
+        AND (stop_hits >= {text.GOPHER_MIN_STOP_HITS})) AS keep
+FROM m
+""",
+    "balanced_shards": f"""
+WITH t AS (SELECT doc_id,
+                  CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens
+           FROM documents),
+r AS (SELECT doc_id, n_tokens,
+             ROW_NUMBER() OVER (ORDER BY n_tokens DESC, doc_id ASC) AS rank
+      FROM t)
+SELECT doc_id, n_tokens, CAST(rank AS BIGINT) AS rank,
+       CAST((rank - 1) % {packing.N_SHARDS} AS INT) AS shard
+FROM r
+""",
+    "shard_balance": f"""
+WITH t AS (SELECT doc_id,
+                  CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens
+           FROM documents),
+r AS (SELECT doc_id, n_tokens,
+             ROW_NUMBER() OVER (ORDER BY n_tokens DESC, doc_id ASC) AS rank
+      FROM t),
+a AS (SELECT n_tokens, CAST((rank - 1) % {packing.N_SHARDS} AS INT) AS shard FROM r),
+tot AS (SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+        FROM a GROUP BY shard)
+SELECT shard, n_docs, total_tokens,
+       ROUND(CAST(total_tokens AS DOUBLE)
+             / (SELECT CAST(SUM(total_tokens) AS DOUBLE) FROM tot), 6)
+         AS token_share
+FROM tot
+""",
     "multimodal_thumbnails": """
 WITH d AS (SELECT doc_id, CAST(strlen(text) AS BIGINT) AS nb,
                   16 + (strlen(text) * 7) % 624 AS w,
@@ -2530,6 +2645,17 @@ _SPEC_DEFS: dict[str, QuerySpec] = {
     "embedding_near_dup_pairs": QuerySpec(
         _q_embedding_near_dup, ORACLES["embedding_near_dup_pairs"]
     ),
+    "semantic_dedup": QuerySpec(
+        _q_semantic_dedup, ORACLES["semantic_dedup"], bench=True
+    ),
+    "hard_negatives": QuerySpec(_q_hard_negatives, ORACLES["hard_negatives"]),
+    "gopher_quality_flags": QuerySpec(
+        _q_gopher_quality_flags, ORACLES["gopher_quality_flags"]
+    ),
+    "balanced_shards": QuerySpec(
+        _q_balanced_shards, ORACLES["balanced_shards"]
+    ),
+    "shard_balance": QuerySpec(_q_shard_balance, ORACLES["shard_balance"]),
 }
 
 # The external correctness driver verifies the registry IN ITERATION
@@ -2551,6 +2677,11 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "shingle_novelty",
     # NEW this round — must be verified in its first round
     "repeated_substring_spans",
+    "semantic_dedup",
+    "hard_negatives",
+    "gopher_quality_flags",
+    "balanced_shards",
+    "shard_balance",
     "knn_bruteforce",
     "knn_bruteforce_pandas",
     "knn_int8",
@@ -2597,15 +2728,12 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "weekly_moving_avg",
     "sales_rollup",
     "event_type_cube",
-    "event_value_pivot",
-    "distinct_users_per_day",
-    "value_stats_per_type",
-    "session_window_stats",
-    "conversion_funnel",
-    # weekly_retention rotates in r05 with approx_distinct_users —
-    # displaced by the new repeated_substring_spans (new queries must
-    # certify in their first round; both displaced queries keep their
-    # r01 rows ledger-protected)
+    # event_value_pivot / distinct_users_per_day / value_stats_per_type /
+    # session_window_stats / conversion_funnel / weekly_retention /
+    # approx_distinct_users rotate in r05 — displaced by the six
+    # queries NEW in r04 (new queries must certify in their first
+    # round; every displaced query keeps its r01 row ledger-protected
+    # because its code is unchanged since)
 )
 assert set(_VERIFY_FIRST) <= set(_SPEC_DEFS), sorted(
     set(_VERIFY_FIRST) - set(_SPEC_DEFS)

@@ -1,0 +1,146 @@
+"""Unit tests for the round-4 curation additions: SemDeDup-style
+semantic dedup, hard-negative mining, Gopher rule flags, and LPT
+balanced sharding — known-answer cases plus the plan/balance
+properties that make each one scale."""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+from flink_ecommerce_spark import registry
+from flink_ecommerce_spark.operators.packing import balanced_shards, shard_balance
+from flink_ecommerce_spark.operators.similarity import hard_negatives, semantic_dedup
+from flink_ecommerce_spark.operators.text import gopher_quality_flags
+
+from tests.conftest import SF_SMALL
+
+
+def _emb(spark, rows):
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+
+
+def test_semantic_dedup_drops_junior_near_duplicate(spark):
+    # label 0 centroid pulls the first three vectors into one cell;
+    # vec 1 is a near-copy of vec 0 (cos ~ 1) -> dropped; vec 2 is
+    # orthogonal-ish -> kept; label 1's vector sits alone -> kept
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0], 0),
+        (1, [1.0, 0.01, 0.0, 0.0], 0),
+        (2, [0.0, 1.0, 0.0, 0.0], 0),
+        (3, [0.0, 0.0, 1.0, 0.0], 1),
+    ]
+    out = {
+        r["vec_id"]: r
+        for r in semantic_dedup(_emb(spark, rows), threshold=0.95).collect()
+    }
+    assert out[0]["kept"] and out[0]["max_dup_sim"] == 0.0
+    assert not out[1]["kept"] and out[1]["max_dup_sim"] > 0.999
+    assert out[2]["kept"]
+    assert out[3]["kept"]
+
+
+def test_semantic_dedup_seniority_is_not_transitive_chaining(spark):
+    # a chain a~b, b~c with a!~c: b is dropped (senior a is close),
+    # c is ALSO dropped iff close to some senior — c is close to b
+    # (senior, even though b itself is dropped). This is the
+    # order-free "earlier vector wins" rule, documented behavior.
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0], 0),
+        (1, [0.98, 0.199, 0.0, 0.0], 0),  # cos(0,1) ~ 0.98
+        (2, [0.92, 0.39, 0.0, 0.0], 0),  # cos(1,2) ~ 0.98, cos(0,2) ~ 0.92
+    ]
+    out = {
+        r["vec_id"]: r["kept"]
+        for r in semantic_dedup(_emb(spark, rows), threshold=0.95).collect()
+    }
+    assert out == {0: True, 1: False, 2: False}
+
+
+def test_hard_negatives_never_returns_query_label(spark):
+    df = registry.SPECS["hard_negatives"].fn(spark, SF_SMALL)
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet").select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("q_label")
+    )
+    joined = df.join(emb, "query_id")
+    assert joined.filter(F.col("neighbor_label") == F.col("q_label")).count() == 0
+    # dense ranks 1..k per query, descending similarity
+    per_q = joined.groupBy("query_id").agg(
+        F.collect_list(F.struct("rk", "cos_sim")).alias("s")
+    )
+    for row in per_q.collect():
+        s = sorted(row["s"], key=lambda x: x["rk"])
+        assert [x["rk"] for x in s] == list(range(1, len(s) + 1))
+        sims = [x["cos_sim"] for x in s]
+        assert sims == sorted(sims, reverse=True)
+
+
+def test_gopher_flags_each_rule_fires(spark):
+    docs = spark.createDataFrame(
+        [
+            # healthy: 30 distinct words incl. stopwords, mwl>=4
+            (1, " ".join(["the", "of"] + [f"word{i}" for i in range(28)]), "en", "s", 0),
+            # too short
+            (2, "the of table table longword", "en", "s", 0),
+            # low diversity: one word repeated (mwl kept healthy)
+            (3, " ".join(["the", "of"] + ["worda"] * 48), "en", "s", 0),
+            # no stopwords
+            (4, " ".join([f"table{i}" for i in range(40)]), "en", "s", 0),
+            # tiny mean word length, all words distinct
+            (5, " ".join(["the", "of"] + [f"a{c}" for c in "bcdefghijklmnopqrstuvwxyzABCDEFGHIJKL"]), "en", "s", 0),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = {r["doc_id"]: r for r in gopher_quality_flags(docs).collect()}
+    assert out[1]["keep"] and all(
+        out[1][c]
+        for c in ("word_count_ok", "word_len_ok", "diversity_ok", "stopword_ok")
+    )
+    assert not out[2]["word_count_ok"] and not out[2]["keep"]
+    assert not out[3]["diversity_ok"] and not out[3]["keep"]
+    assert not out[4]["stopword_ok"] and not out[4]["keep"]
+    assert not out[5]["word_len_ok"] and not out[5]["keep"]
+
+
+def test_balanced_shards_rank_is_global_permutation(spark):
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    out = balanced_shards(docs, n_shards=4).collect()
+    n = len(out)
+    assert sorted(r["rank"] for r in out) == list(range(1, n + 1))
+    # rank order == (n_tokens desc, doc_id asc)
+    by_rank = sorted(out, key=lambda r: r["rank"])
+    keys = [(-r["n_tokens"], r["doc_id"]) for r in by_rank]
+    assert keys == sorted(keys)
+    assert all(r["shard"] == (r["rank"] - 1) % 4 for r in out)
+
+
+def test_balanced_shards_lpt_balance_bound(spark):
+    # sorted round-robin: max shard load - min shard load <= max item
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    rep = shard_balance(docs, n_shards=4).collect()
+    totals = [r["total_tokens"] for r in rep]
+    max_item = (
+        balanced_shards(docs, n_shards=4)
+        .agg(F.max("n_tokens"))
+        .collect()[0][0]
+    )
+    assert max(totals) - min(totals) <= max_item
+    assert abs(sum(r["token_share"] for r in rep) - 1.0) < 1e-4
+
+
+def test_balanced_shards_no_global_sort_on_corpus(spark):
+    # the exact global rank must come from the length-bucket
+    # decomposition: the corpus-wide window partitions by n_tokens
+    # (hashpartitioning), never a corpus-wide SinglePartition sort;
+    # the per-length offsets join back as a broadcast
+    df = registry.SPECS["balanced_shards"].fn(spark, SF_SMALL)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"hashpartitioning\(n_tokens#\d+", plan), plan
+    assert "BroadcastHashJoin" in plan
+    # the only SinglePartition window runs over the per-length count
+    # aggregate (rows = distinct lengths), never over document rows
+    for frag in plan.split("Exchange SinglePartition"):
+        pass
+    singles = plan.count("Exchange SinglePartition")
+    assert singles <= 1, plan
