@@ -622,11 +622,19 @@ def semantic_dedup(
     if that earlier vector is itself dropped, matching the paper's
     "keep one representative per ε-ball" intent without a sequential
     scan. Cosine is computed from per-vector norms materialized
-    before the pair join (n + n evaluations, not per-pair)."""
+    before the pair join (n + n evaluations, not per-pair).
+
+    The assignment is localCheckpoint'ed before the self-join:
+    without it the centroid build + full-corpus argmin subtree is
+    planned THREE times (the base relation and both sides of the
+    pair join) — three corpus passes instead of one. This is the
+    query-surface analog of what a production pipeline does anyway:
+    persist/bucket ``build_ivf_index``'s assignments once, then run
+    cell-local passes against the materialized table."""
     assign, _ = build_ivf_index(embeddings)
     a = assign.select(
         "vec_id", "cell", "embedding", l2_norm(F.col("embedding")).alias("__norm")
-    )
+    ).localCheckpoint(eager=True)
     senior = a.select(
         "cell",
         F.col("vec_id").alias("__sid"),
