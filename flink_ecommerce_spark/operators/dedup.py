@@ -786,3 +786,51 @@ def remove_spans(documents: DataFrame, spans: DataFrame) -> DataFrame:
         "source",
         F.length(F.concat_ws(" ", kept)).cast("long").alias("n_chars"),
     )
+
+
+def minhash_candidate_prob(
+    jaccard: float, num_bands: int, rows_per_band: int
+) -> float:
+    """P(two docs become an LSH candidate pair | their true Jaccard):
+    1 - (1 - s^r)^b — the banding S-curve (Leskovec/Rajaraman/Ullman,
+    Mining of Massive Datasets §3.4)."""
+    return 1.0 - (1.0 - jaccard**rows_per_band) ** num_bands
+
+
+def minhash_plan_for(
+    target_jaccard: float = 0.7, max_hashes: int = 256
+) -> tuple[int, int]:
+    """Scale-aware (num_hashes, num_bands) for the MinHash LSH dedup
+    family — the third leg of the plan-for-scale planners next to
+    ``lsh_plan_for`` (hyperplane ANN) and ``simhash_plan_for``.
+
+    The banding S-curve has its inflection near t = (1/b)^(1/r):
+    pairs with Jaccard above t are likely candidates, below it
+    unlikely. Shipping fixed (b, r) means shipping a fixed similarity
+    threshold — the planner inverts that: given the threshold the
+    pipeline wants (e.g. 0.7 near-dup vs 0.5 fuzzy-dup sweeps), pick
+    the divisor pair whose inflection lands closest, preferring the
+    SHORTEST signature on ties (signature width is per-corpus-row
+    storage and per-row compute; unlike bucket-count planners there
+    is no corpus-size term here, because band buckets live in a
+    2^32r key space — occupancy never saturates the way 2^P
+    hyperplane buckets do; hot buckets come from true duplicate mass,
+    which is exactly what the candidate stage should surface).
+
+    The shipped defaults (NUM_HASHES=16, NUM_BANDS=4 → r=4,
+    t ≈ 0.707) are this planner's answer for target 0.7 (pinned in
+    tests)."""
+    best: tuple[float, int, int] | None = None
+    n = 8
+    while n <= max_hashes:
+        for b in range(1, n + 1):
+            if n % b:
+                continue
+            r = n // b
+            t = (1.0 / b) ** (1.0 / r) if b > 1 else 1.0
+            key = (abs(t - target_jaccard), n, b)
+            if best is None or key < best:
+                best = key
+        n *= 2
+    assert best is not None
+    return best[1], best[2]

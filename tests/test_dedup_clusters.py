@@ -365,3 +365,33 @@ def test_remove_spans_strips_only_covered_tokens(spark):
     kept = {r["doc_id"]: r["text"] for r in remove_spans(docs, keep_first).collect()}
     assert kept[0] == f"a0 b0 c0 {shared} z0"
     assert kept[1] == "x1 y1 z1 w1 v1"
+
+
+def test_minhash_plan_for_sizing():
+    from flink_ecommerce_spark.operators import dedup
+
+    """The banding planner inverts the S-curve: shipped defaults are
+    its answer at the default 0.7 near-dup threshold; lowering the
+    target threshold buys shorter signatures, raising it buys more
+    rows per band; ties prefer the cheapest signature."""
+    assert dedup.minhash_plan_for(0.7) == (dedup.NUM_HASHES, dedup.NUM_BANDS)
+    # r=2, b=4: t=(1/4)^(1/2)=0.5 exactly, with the minimal 8-hash sig
+    assert dedup.minhash_plan_for(0.5) == (8, 4)
+    # high-precision sweep wants longer rows per band
+    n, b = dedup.minhash_plan_for(0.9)
+    assert n // b >= 8
+
+
+def test_minhash_candidate_prob_s_curve():
+    from flink_ecommerce_spark.operators import dedup
+
+    n, b = dedup.NUM_HASHES, dedup.NUM_BANDS
+    r = n // b
+    t = (1.0 / b) ** (1.0 / r)
+    # monotone in similarity
+    probs = [dedup.minhash_candidate_prob(s / 10, b, r) for s in range(11)]
+    assert probs == sorted(probs)
+    # sharp around the inflection: strong dups almost surely caught,
+    # noise-level pairs almost surely not
+    assert dedup.minhash_candidate_prob(min(t + 0.15, 0.99), b, r) > 0.9
+    assert dedup.minhash_candidate_prob(max(t - 0.4, 0.05), b, r) < 0.1
