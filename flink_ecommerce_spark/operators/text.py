@@ -520,6 +520,46 @@ def contamination_report(documents: DataFrame, eval_mod: int = 20) -> DataFrame:
     )
 
 
+def _budget_cumsum(m: DataFrame, bucket_decimals: int = 3) -> DataFrame:
+    """The exact two-pass greedy prefix sum shared by
+    ``budgeted_mixture`` and ``corpus_funnel``: given a narrow frame
+    (doc_id, source, quality, n_tokens), adds ``cum_tokens`` — the
+    running per-source token total in (quality DESC, doc_id ASC)
+    order — via the (source, quality-bucket) decomposition (bucket
+    offsets from a tiny broadcast aggregate + within-bucket window),
+    bit-identical to a single per-source window.
+
+    localCheckpoints its input: the mass aggregate and the per-bucket
+    window both read the materialized narrow rows (~50 bytes each)
+    instead of re-running the upstream projection twice — at scale
+    one materialized narrow pass beats two full text scans by the
+    text:projection width ratio."""
+    from pyspark.sql import Window
+
+    m = m.withColumn("__qb", F.round("quality", bucket_decimals)).localCheckpoint(
+        eager=True
+    )
+    mass = m.groupBy("source", "__qb").agg(F.sum("n_tokens").alias("__mass"))
+    w_off = (
+        Window.partitionBy("source")
+        .orderBy(F.desc("__qb"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = mass.select(
+        "source",
+        "__qb",
+        F.coalesce(F.sum("__mass").over(w_off), F.lit(0)).alias("__offset"),
+    )
+    w_in = (
+        Window.partitionBy("source", "__qb")
+        .orderBy(F.desc("quality"), F.asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return m.join(F.broadcast(offsets), ["source", "__qb"]).withColumn(
+        "cum_tokens", F.col("__offset") + F.sum("n_tokens").over(w_in)
+    )
+
+
 def budgeted_mixture(
     documents: DataFrame,
     token_budget_per_source: int = 1000,
@@ -554,41 +594,14 @@ def budgeted_mixture(
     Quality is rounded to 6dp BEFORE it becomes the sort key so the
     ordering is reproducible across engines (raw float ordering could
     flip ranks on last-ULP libm differences)."""
-    from pyspark.sql import Window
-
     nt = F.size(F.expr("regexp_extract_all(text, '\\\\S+', 0)")).cast("long")
-    # localCheckpoint the scored NARROW projection (5 columns, ~50
-    # bytes/row) so the mass aggregate and the per-bucket window both
-    # read it instead of re-scanning text and re-running the quality
-    # regexes twice — at scale one materialized narrow pass beats two
-    # full text scans by the text:projection width ratio
     m = documents.select(
         "doc_id",
         "source",
         F.round(_quality_column(), 6).alias("quality"),
         nt.alias("n_tokens"),
-    ).withColumn("__qb", F.round("quality", bucket_decimals)).localCheckpoint(
-        eager=True
     )
-    mass = m.groupBy("source", "__qb").agg(F.sum("n_tokens").alias("__mass"))
-    w_off = (
-        Window.partitionBy("source")
-        .orderBy(F.desc("__qb"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    offsets = mass.select(
-        "source",
-        "__qb",
-        F.coalesce(F.sum("__mass").over(w_off), F.lit(0)).alias("__offset"),
-    )
-    w_in = (
-        Window.partitionBy("source", "__qb")
-        .orderBy(F.desc("quality"), F.asc("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    c = m.join(F.broadcast(offsets), ["source", "__qb"]).withColumn(
-        "cum_tokens", F.col("__offset") + F.sum("n_tokens").over(w_in)
-    )
+    c = _budget_cumsum(m, bucket_decimals=bucket_decimals)
     return c.select(
         "doc_id",
         "source",
@@ -662,6 +675,28 @@ GOPHER_MIN_UNIQUE_FRAC = 0.3
 GOPHER_MIN_STOP_HITS = 2
 
 
+def _gopher_metrics(ws: Column) -> dict[str, Column]:
+    """The four Gopher rule metrics as Columns over an
+    ALREADY-PROJECTED words array (one regex split per row, shared by
+    every metric). Shared by gopher_quality_flags and corpus_funnel."""
+    n_words = F.size(ws).cast("long")
+    word_chars = F.aggregate(
+        F.transform(ws, lambda w: F.length(w)),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    ).cast("double")
+    sw = EN_STOPWORDS
+    return {
+        "n_words": n_words,
+        "mean_word_len": F.round(word_chars / n_words.cast("double"), 6),
+        "unique_word_frac": F.round(
+            F.size(F.array_distinct(ws)).cast("double") / n_words.cast("double"),
+            6,
+        ),
+        "stop_hits": F.size(F.filter(ws, lambda w: w.isin(*sw))).cast("long"),
+    }
+
+
 def gopher_quality_flags(documents: DataFrame) -> DataFrame:
     """Gopher-style heuristic quality rules as one per-document flag
     battery: word-count bounds, mean-word-length bounds, lexical
@@ -673,32 +708,19 @@ def gopher_quality_flags(documents: DataFrame) -> DataFrame:
     Scale: a single pure-expression projection — the words array is
     computed once per row and every metric folds over it; no shuffle,
     no UDF, linear in input bytes (same profile as token_counts)."""
-    ws = words("text")
     d = documents.select(
         "doc_id",
         "source",
-        ws.alias("__ws"),
+        words("text").alias("__ws"),
     )
-    n_words = F.size("__ws").cast("long")
-    word_chars = F.aggregate(
-        F.transform("__ws", lambda w: F.length(w)),
-        F.lit(0),
-        lambda acc, v: acc + v,
-    ).cast("double")
-    mean_word_len = F.round(word_chars / n_words.cast("double"), 6)
-    uniq_frac = F.round(
-        F.size(F.array_distinct("__ws")).cast("double") / n_words.cast("double"),
-        6,
-    )
-    sw = EN_STOPWORDS
-    stop_hits = F.size(F.filter("__ws", lambda w: w.isin(*sw))).cast("long")
+    gm = _gopher_metrics(F.col("__ws"))
     m = d.select(
         "doc_id",
         "source",
-        n_words.alias("n_words"),
-        mean_word_len.alias("mean_word_len"),
-        uniq_frac.alias("unique_word_frac"),
-        stop_hits.alias("stop_hits"),
+        gm["n_words"].alias("n_words"),
+        gm["mean_word_len"].alias("mean_word_len"),
+        gm["unique_word_frac"].alias("unique_word_frac"),
+        gm["stop_hits"].alias("stop_hits"),
     )
     word_count_ok = (F.col("n_words") >= GOPHER_MIN_WORDS) & (
         F.col("n_words") <= GOPHER_MAX_WORDS
@@ -720,4 +742,134 @@ def gopher_quality_flags(documents: DataFrame) -> DataFrame:
         diversity_ok.alias("diversity_ok"),
         stopword_ok.alias("stopword_ok"),
         (word_count_ok & word_len_ok & diversity_ok & stopword_ok).alias("keep"),
+    )
+
+
+def _gopher_keep(gm: dict[str, Column]) -> Column:
+    """Conjunctive Gopher keep from the metric Columns."""
+    return (
+        (gm["n_words"] >= GOPHER_MIN_WORDS)
+        & (gm["n_words"] <= GOPHER_MAX_WORDS)
+        & (gm["mean_word_len"] >= GOPHER_MIN_MEAN_WORD_LEN)
+        & (gm["mean_word_len"] <= GOPHER_MAX_MEAN_WORD_LEN)
+        & (gm["unique_word_frac"] >= GOPHER_MIN_UNIQUE_FRAC)
+        & (gm["stop_hits"] >= GOPHER_MIN_STOP_HITS)
+    )
+
+
+FUNNEL_STAGES = ("raw", "rules", "dedup", "decontam", "budget")
+
+
+def corpus_funnel(
+    documents: DataFrame,
+    token_budget_per_source: int = 1000,
+    max_contamination: float = 0.9,
+    eval_mod: int = 20,
+) -> DataFrame:
+    """The curation funnel report: document and token counts
+    surviving each stage of the full training-data pipeline —
+
+        raw → Gopher rules → exact-normalized dedup →
+        decontamination → per-source token budget
+
+    — the first artifact a training-data team reads for a corpus
+    build ("rules dropped 24%, dedup another 5%, the budget binds at
+    source X"). Stage semantics are conjunctive and ordered: a
+    document counts at stage k iff it survived every stage ≤ k.
+    Dedup keeps the smallest doc_id among RULE-SURVIVING copies of a
+    normalized text; decontamination drops eval-slice docs
+    themselves plus training docs whose eval-shingle overlap exceeds
+    ``max_contamination``; the budget stage replays
+    ``budgeted_mixture``'s greedy per-source (quality DESC, doc_id)
+    selection over the decontaminated survivors.
+
+    Scale: one text scan computes every per-doc metric (token count,
+    quality, normalized hash, Gopher words array) into a narrow
+    checkpointed frame; the dedup winners table is a hash-keyed
+    aggregate of that frame (text never shuffles); decontamination
+    contributes its own scan (the shingle explode — unavoidable) but
+    joins back by doc_id; the budget cumsum reuses the
+    (source, quality-bucket) decomposition via ``_budget_cumsum``.
+    The final answer is five conditional aggregates in ONE pass over
+    the narrow frame, unpivoted with stack()."""
+    nt = F.size(F.expr("regexp_extract_all(text, '\\\\S+', 0)")).cast("long")
+    norm_hash = F.md5(F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " "))
+    b0 = documents.select(
+        "doc_id",
+        "source",
+        nt.alias("n_tokens"),
+        F.round(_quality_column(), 6).alias("quality"),
+        norm_hash.alias("__h"),
+        words("text").alias("__ws"),
+    )
+    base = b0.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        "quality",
+        "__h",
+        _gopher_keep(_gopher_metrics(F.col("__ws"))).alias("__rules"),
+    ).localCheckpoint(eager=True)
+    winners = (
+        base.filter(F.col("__rules"))
+        .groupBy("__h")
+        .agg(F.min("doc_id").alias("__keep"))
+    )
+    b2 = base.join(winners, "__h", "left").withColumn(
+        "__dedup", F.col("__rules") & (F.col("doc_id") == F.col("__keep"))
+    )
+    dec = decontaminate(documents, eval_mod=eval_mod).select(
+        "doc_id", "contamination_frac"
+    )
+    b3 = b2.join(dec, "doc_id", "left").withColumn(
+        "__decontam",
+        F.col("__dedup")
+        & ((F.col("doc_id") % eval_mod) != 0)
+        & (
+            F.coalesce(F.col("contamination_frac"), F.lit(1.0))
+            <= max_contamination
+        ),
+    )
+    cum = _budget_cumsum(
+        b3.filter(F.col("__decontam")).select(
+            "doc_id", "source", "quality", "n_tokens"
+        )
+    ).select("doc_id", "cum_tokens")
+    b4 = b3.join(cum, "doc_id", "left").withColumn(
+        "__budget",
+        F.col("__decontam")
+        & (
+            F.coalesce(F.col("cum_tokens"), F.lit(1 << 60))
+            <= token_budget_per_source
+        ),
+    )
+    conds = {
+        "raw": F.lit(True),
+        "rules": F.col("__rules"),
+        "dedup": F.col("__dedup"),
+        "decontam": F.col("__decontam"),
+        "budget": F.col("__budget"),
+    }
+    aggs = []
+    for nm in FUNNEL_STAGES:
+        aggs.append(
+            F.sum(F.when(conds[nm], 1).otherwise(0)).alias(f"__d_{nm}")
+        )
+        aggs.append(
+            F.sum(F.when(conds[nm], F.col("n_tokens")).otherwise(0)).alias(
+                f"__t_{nm}"
+            )
+        )
+    row = b4.agg(*aggs)
+    stack = ", ".join(
+        f"'{nm}', {i}, __d_{nm}, __t_{nm}"
+        for i, nm in enumerate(FUNNEL_STAGES)
+    )
+    return row.selectExpr(
+        f"stack({len(FUNNEL_STAGES)}, {stack}) AS (stage, stage_idx, n_docs, n_tokens)"
+    ).select(
+        "stage",
+        F.col("stage_idx").cast("int").alias("stage_idx"),
+        "n_docs",
+        "n_tokens",
     )

@@ -144,3 +144,51 @@ def test_balanced_shards_no_global_sort_on_corpus(spark):
         pass
     singles = plan.count("Exchange SinglePartition")
     assert singles <= 1, plan
+
+
+def test_corpus_funnel_stages_monotone_and_consistent(spark):
+    from flink_ecommerce_spark.operators.text import (
+        FUNNEL_STAGES,
+        budgeted_mixture,
+        corpus_funnel,
+        gopher_quality_flags,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    out = {r["stage"]: r for r in corpus_funnel(docs).collect()}
+    assert [out[s]["stage_idx"] for s in FUNNEL_STAGES] == [0, 1, 2, 3, 4]
+    # conjunctive, ordered stages: monotone non-increasing in both units
+    docs_seq = [out[s]["n_docs"] for s in FUNNEL_STAGES]
+    toks_seq = [out[s]["n_tokens"] for s in FUNNEL_STAGES]
+    assert docs_seq == sorted(docs_seq, reverse=True)
+    assert toks_seq == sorted(toks_seq, reverse=True)
+    # raw == corpus, rules == gopher keep count, budget > 0
+    assert out["raw"]["n_docs"] == docs.count()
+    n_keep = gopher_quality_flags(docs).filter("keep").count()
+    assert out["rules"]["n_docs"] == n_keep
+    assert 0 < out["budget"]["n_docs"] <= out["decontam"]["n_docs"]
+
+
+def test_budgeted_mixture_unchanged_by_cumsum_refactor(spark):
+    # the extracted _budget_cumsum must reproduce the certified
+    # greedy semantics: kept set == all docs whose per-source
+    # (quality desc, doc_id) running total fits the budget
+    from pyspark.sql import Window
+    from flink_ecommerce_spark.operators.text import budgeted_mixture
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    out = budgeted_mixture(docs)
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.desc("quality"), F.asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    naive = out.select(
+        "doc_id", (F.sum("n_tokens").over(w) <= 1000).alias("naive_kept")
+    )
+    diff = (
+        out.join(naive, "doc_id")
+        .filter(F.col("kept") != F.col("naive_kept"))
+        .count()
+    )
+    assert diff == 0
