@@ -192,3 +192,36 @@ def test_budgeted_mixture_unchanged_by_cumsum_refactor(spark):
         .count()
     )
     assert diff == 0
+
+
+def test_gopher_flags_are_stream_agnostic(spark, tmp_path):
+    """The rule battery is a pure per-row projection, so the SAME
+    function body runs unchanged on a streaming DataFrame — the
+    design contract that lets batch-certified curation expressions
+    gate an ingest stream (filter at the edge, before anything is
+    persisted). Streamed output must equal the batch output row-set."""
+    docs = (
+        spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+        .select("doc_id", "text", "source")
+        .limit(60)
+    )
+    src = str(tmp_path / "docs_stream")
+    docs.repartition(3).write.parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string, source string") \
+        .option("maxFilesPerTrigger", "1").parquet(src)
+    out = gopher_quality_flags(stream)
+    assert out.isStreaming
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("gopher_stream")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    streamed = {
+        tuple(r) for r in spark.sql("SELECT * FROM gopher_stream").collect()
+    }
+    batch = {tuple(r) for r in gopher_quality_flags(docs).collect()}
+    assert streamed == batch
