@@ -332,8 +332,15 @@ def _scale_rehearsal(spark, sf_dir: str) -> dict:
     timed("dedup_clusters", lambda: dedup.dedup_clusters(docs).count())
     timed("shingle_novelty", lambda: dedup.shingle_novelty(docs).count())
     timed("budgeted_mixture", lambda: text.budgeted_mixture(docs).count())
+    timed("corpus_funnel", lambda: text.corpus_funnel(docs).count())
     timed("sequence_packing", lambda: packing.sequence_packing(docs).count())
     timed("unigram_surprisal", lambda: text.unigram_surprisal(docs).count())
+    n_labels = emb.select("label").distinct().count()
+    sd_bits = similarity.semdedup_bits_for(n_vec01 * reps, n_labels)
+    timed(
+        f"semantic_dedup_{sd_bits}bits",
+        lambda: similarity.semantic_dedup(emb, extra_bits=sd_bits).count(),
+    )
     plan01 = similarity.lsh_plan_for(n_vec01)
     plan10 = similarity.lsh_plan_for(n_vec01 * reps)
     sim01 = dedup.simhash_plan_for(n_docs01)
@@ -354,6 +361,8 @@ def _scale_rehearsal(spark, sf_dir: str) -> dict:
         "n_docs": n_docs,
         "queries": chain,
         "planner": {
+            "semdedup_bits_sf0.1": similarity.semdedup_bits_for(n_vec01, n_labels),
+            "semdedup_bits_rehearsal": sd_bits,
             "lsh_sf0.1": list(plan01),
             "lsh_rehearsal": list(plan10),
             "simhash_sf0.1": list(sim01),

@@ -596,8 +596,29 @@ def knn_int8(
 SEMDEDUP_THRESHOLD = 0.95
 
 
+def semdedup_bits_for(
+    corpus_size: int, n_base_cells: int, target_cell_rows: int = 1024
+) -> int:
+    """How many LSH sub-bucket bits ``semantic_dedup`` needs so the
+    expected cell stays ~target_cell_rows as the corpus grows: with
+    fixed base cells the within-cell pair cost is quadratic in corpus
+    size; each extra bit halves the expected cell. The same occupancy
+    pinning as ``lsh_plan_for`` / ``simhash_plan_for``, applied to
+    the SemDeDup cluster count (the paper's answer is 'use more
+    k-means clusters'; the deterministic analog is label cell ×
+    hyperplane sub-bucket)."""
+    import math
+
+    expected = corpus_size / max(n_base_cells, 1)
+    if expected <= target_cell_rows:
+        return 0
+    return math.ceil(math.log2(expected / target_cell_rows))
+
+
 def semantic_dedup(
-    embeddings: DataFrame, threshold: float = SEMDEDUP_THRESHOLD
+    embeddings: DataFrame,
+    threshold: float = SEMDEDUP_THRESHOLD,
+    extra_bits: int = 0,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     deduplication by clustering embeddings and dropping, within each
@@ -630,10 +651,32 @@ def semantic_dedup(
     pair join) — three corpus passes instead of one. This is the
     query-surface analog of what a production pipeline does anyway:
     persist/bucket ``build_ivf_index``'s assignments once, then run
-    cell-local passes against the materialized table."""
+    cell-local passes against the materialized table.
+
+    ``extra_bits`` is the scale knob: with a FIXED base cell count
+    (here, the label centroids) the within-cell pair cost grows
+    quadratically with the corpus. extra_bits > 0 subdivides each
+    cell by that many deterministic hyperplane LSH bits (a plane set
+    disjoint from the ANN planes), multiplying the cell count by
+    2^bits and pulling the pair cost back to linear — the
+    deterministic analog of SemDeDup's 'increase k'. The price is
+    bounded recall loss: a true near-dup pair splits sub-buckets only
+    when some plane passes between the two vectors, probability
+    ≈ bits·θ/π per pair with θ = arccos(threshold) (≈ bits·10% at
+    0.95) — same pigeonhole argument as the banded SimHash. Size it
+    with ``semdedup_bits_for``. The default 0 is the exact,
+    oracle-certified path."""
     assign, _ = build_ivf_index(embeddings)
+    cell = F.col("cell")
+    if extra_bits > 0:
+        cell = cell * (1 << extra_bits) + _lsh_bucket(
+            "embedding", n_planes=extra_bits, plane_offset=101
+        )
     a = assign.select(
-        "vec_id", "cell", "embedding", l2_norm(F.col("embedding")).alias("__norm")
+        "vec_id",
+        cell.alias("cell"),
+        "embedding",
+        l2_norm(F.col("embedding")).alias("__norm"),
     ).localCheckpoint(eager=True)
     senior = a.select(
         "cell",

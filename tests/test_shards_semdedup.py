@@ -225,3 +225,38 @@ def test_gopher_flags_are_stream_agnostic(spark, tmp_path):
     }
     batch = {tuple(r) for r in gopher_quality_flags(docs).collect()}
     assert streamed == batch
+
+
+def test_semantic_dedup_extra_bits_scale_knob(spark):
+    from flink_ecommerce_spark.operators.similarity import (
+        semantic_dedup,
+        semdedup_bits_for,
+    )
+
+    # occupancy pinning: 0 bits while cells are small, +1 bit per
+    # doubling past the target
+    assert semdedup_bits_for(10_000, 10, target_cell_rows=1024) == 0
+    assert semdedup_bits_for(100_000, 10, target_cell_rows=1024) == 4
+    assert semdedup_bits_for(200_000, 10, target_cell_rows=1024) == 5
+
+    # exact duplicates always share every hyperplane side -> still
+    # caught at any bit width; sub-bucketing only multiplies cells
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0], 0),
+        (1, [1.0, 0.0, 0.0, 0.0], 0),  # exact copy of 0
+        (2, [0.0, 1.0, 0.0, 0.0], 0),
+        (3, [0.0, 0.0, 1.0, 0.0], 1),
+    ]
+    emb = _emb(spark, rows)
+    out0 = {r["vec_id"]: r["kept"] for r in semantic_dedup(emb).collect()}
+    out3 = {
+        r["vec_id"]: r["kept"]
+        for r in semantic_dedup(emb, extra_bits=3).collect()
+    }
+    assert out0[1] is False and out3[1] is False
+    assert out0[0] and out3[0]
+
+    big = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    cells0 = semantic_dedup(big).select("cell").distinct().count()
+    cells2 = semantic_dedup(big, extra_bits=2).select("cell").distinct().count()
+    assert cells2 > cells0
