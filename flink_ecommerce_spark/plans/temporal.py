@@ -203,3 +203,47 @@ def customers_above_avg_balance(customer: DataFrame) -> DataFrame:
         .filter(F.col("c_acctbal") > F.col("avg_bal"))
         .select("c_custkey", "c_name", F.round("c_acctbal", 2).alias("c_acctbal"))
     )
+
+
+def asof_join_next_purchase(events: DataFrame) -> DataFrame:
+    """Forward as-of join — the attribution companion of
+    ``asof_join_last_click``: for every click, the user's EARLIEST
+    purchase at-or-after the click (ties on ts broken by event_id).
+    Reference has no joins at all (SURVEY §2.6); both as-of
+    directions complete the temporal-join family.
+
+    Same union+window construction, mirrored: clicks sort before
+    purchases at equal ts (side 0 < 1) so an equal-ts purchase is
+    inside the CURRENT ROW .. UNBOUNDED FOLLOWING frame, and
+    ``first(ignorenulls)`` carries the next purchase id backward.
+    One shuffle on user_id, state one row per key — identical scale
+    profile to the backward direction."""
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("side"),
+        F.col("event_id").alias("click_id"),
+        F.lit(None).cast("long").alias("purchase_id"),
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("side"),
+        F.lit(None).cast("long").alias("click_id"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    unioned = clicks.unionByName(purchases)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side", F.coalesce("click_id", "purchase_id"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    carried = unioned.withColumn(
+        "next_purchase_id", F.first("purchase_id", ignorenulls=True).over(w)
+    )
+    return carried.filter(F.col("side") == 0).select(
+        "click_id",
+        "user_id",
+        F.col("ts").alias("click_ts"),
+        "next_purchase_id",
+    )

@@ -376,6 +376,10 @@ def _q_asof_last_click(spark, sf):
     return temporal.asof_join_last_click(_t("events")(spark, sf))
 
 
+def _q_asof_next_purchase(spark, sf):
+    return temporal.asof_join_next_purchase(_t("events")(spark, sf))
+
+
 def _q_price_bands(spark, sf):
     return temporal.lineitem_price_bands(_t("lineitem")(spark, sf))
 
@@ -1528,6 +1532,22 @@ carried AS (SELECT *, LAST_VALUE(click_id IGNORE NULLS) OVER (
 SELECT purchase_id, user_id, ts AS purchase_ts, last_click_id
 FROM carried WHERE side = 1
 """,
+    "asof_next_purchase": """
+WITH clicks AS (SELECT user_id, ts, 0 AS side, event_id AS click_id,
+                       CAST(NULL AS BIGINT) AS purchase_id
+                FROM events WHERE event_type = 'click'),
+purchases AS (SELECT user_id, ts, 1 AS side, CAST(NULL AS BIGINT) AS click_id,
+                     event_id AS purchase_id
+              FROM events WHERE event_type = 'purchase'),
+u AS (SELECT * FROM clicks UNION ALL SELECT * FROM purchases),
+carried AS (SELECT *, FIRST_VALUE(purchase_id IGNORE NULLS) OVER (
+              PARTITION BY user_id
+              ORDER BY ts, side, COALESCE(click_id, purchase_id)
+              ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_purchase_id
+            FROM u)
+SELECT click_id, user_id, ts AS click_ts, next_purchase_id
+FROM carried WHERE side = 0
+""",
     "interval_join_click_purchase": """
 WITH clicks AS (SELECT user_id, event_id AS click_id, ts AS click_ts
                 FROM events WHERE event_type = 'click'),
@@ -2569,6 +2589,9 @@ _SPEC_DEFS: dict[str, QuerySpec] = {
         _q_viewers_never_purchased, ORACLES["viewers_never_purchased"]
     ),
     # temporal / ordered
+    "asof_next_purchase": QuerySpec(
+        _q_asof_next_purchase, ORACLES["asof_next_purchase"]
+    ),
     "asof_last_click": QuerySpec(
         _q_asof_last_click, ORACLES["asof_last_click"], bench=True
     ),
@@ -2756,6 +2779,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     # NEW this round — must be verified in its first round
     "repeated_substring_spans",
     "corpus_funnel",
+    "asof_next_purchase",
     "semantic_dedup",
     "hard_negatives",
     "gopher_quality_flags",
@@ -2805,10 +2829,9 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "top_users_per_event_type",
     "daily_running_revenue",
     "weekly_moving_avg",
-    "sales_rollup",
-    # event_type_cube / event_value_pivot / distinct_users_per_day / value_stats_per_type /
+    # sales_rollup / event_type_cube / event_value_pivot / distinct_users_per_day / value_stats_per_type /
     # session_window_stats / conversion_funnel / weekly_retention /
-    # approx_distinct_users rotate in r05 — displaced by the seven
+    # approx_distinct_users rotate in r05 — displaced by the eight
     # queries NEW in r04 (new queries must certify in their first
     # round; every displaced query keeps its r01 row ledger-protected
     # because its code is unchanged since)
