@@ -260,3 +260,37 @@ def test_semantic_dedup_extra_bits_scale_knob(spark):
     cells0 = semantic_dedup(big).select("cell").distinct().count()
     cells2 = semantic_dedup(big, extra_bits=2).select("cell").distinct().count()
     assert cells2 > cells0
+
+
+def test_balanced_shards_matches_python_reference_random_lengths(spark):
+    """Property: the length-bucket rank decomposition reproduces the
+    naive (n_tokens DESC, doc_id ASC) global rank on adversarial
+    length multisets (heavy ties — the decomposition's hard case)."""
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (i, " ".join(["w"] * rng.choice([1, 2, 2, 5, 5, 5, 40])), "s")
+        for i in range(300)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r["doc_id"]: r for r in balanced_shards(docs, n_shards=5).collect()}
+    ref = sorted(rows, key=lambda r: (-len(r[1].split()), r[0]))
+    for rank, row in enumerate(ref, start=1):
+        assert out[row[0]]["rank"] == rank
+        assert out[row[0]]["shard"] == (rank - 1) % 5
+
+
+def test_minhash_planner_threshold_tolerance():
+    """Property: across the useful threshold range the planned
+    config's S-curve inflection lands within 0.12 of the target —
+    the guarantee that makes 'plan from the threshold you want'
+    meaningful."""
+    from flink_ecommerce_spark.operators import dedup
+
+    for t10 in range(30, 96, 5):
+        target = t10 / 100
+        n, b = dedup.minhash_plan_for(target)
+        r = n // b
+        t = (1.0 / b) ** (1.0 / r) if b > 1 else 1.0
+        assert abs(t - target) < 0.12, (target, n, b, t)
