@@ -792,6 +792,89 @@ def corpus_funnel(
     (source, quality-bucket) decomposition via ``_budget_cumsum``.
     The final answer is five conditional aggregates in ONE pass over
     the narrow frame, unpivoted with stack()."""
+    b4 = _funnel_flags(
+        documents, token_budget_per_source, max_contamination, eval_mod
+    )
+    row = b4.agg(*_funnel_aggs())
+    stack = ", ".join(
+        f"'{nm}', {i}, __d_{nm}, __t_{nm}"
+        for i, nm in enumerate(FUNNEL_STAGES)
+    )
+    return row.selectExpr(
+        f"stack({len(FUNNEL_STAGES)}, {stack}) AS (stage, stage_idx, n_docs, n_tokens)"
+    ).select(
+        "stage",
+        F.col("stage_idx").cast("int").alias("stage_idx"),
+        "n_docs",
+        "n_tokens",
+    )
+
+
+def corpus_funnel_by_source(
+    documents: DataFrame,
+    token_budget_per_source: int = 1000,
+    max_contamination: float = 0.9,
+    eval_mod: int = 20,
+) -> DataFrame:
+    """``corpus_funnel`` broken out per source — the view a mixture
+    owner reads ("the budget binds for source X but rules dominate
+    source Y's losses"). Same flag frame, grouped by source before
+    the conditional aggregates; output is 5 rows per source.
+
+    Scale: identical to corpus_funnel except the final aggregate is
+    keyed by source (map-side combine; |sources| × 5 output rows)."""
+    b4 = _funnel_flags(
+        documents, token_budget_per_source, max_contamination, eval_mod
+    )
+    row = b4.groupBy("source").agg(*_funnel_aggs())
+    stack = ", ".join(
+        f"'{nm}', {i}, __d_{nm}, __t_{nm}"
+        for i, nm in enumerate(FUNNEL_STAGES)
+    )
+    return row.selectExpr(
+        "source",
+        f"stack({len(FUNNEL_STAGES)}, {stack}) AS (stage, stage_idx, n_docs, n_tokens)",
+    ).select(
+        "source",
+        "stage",
+        F.col("stage_idx").cast("int").alias("stage_idx"),
+        "n_docs",
+        "n_tokens",
+    )
+
+
+def _funnel_aggs() -> list[Column]:
+    """The five-stage conditional (docs, tokens) aggregate columns
+    over a ``_funnel_flags`` frame."""
+    conds = {
+        "raw": F.lit(True),
+        "rules": F.col("__rules"),
+        "dedup": F.col("__dedup"),
+        "decontam": F.col("__decontam"),
+        "budget": F.col("__budget"),
+    }
+    aggs: list[Column] = []
+    for nm in FUNNEL_STAGES:
+        aggs.append(
+            F.sum(F.when(conds[nm], 1).otherwise(0)).alias(f"__d_{nm}")
+        )
+        aggs.append(
+            F.sum(F.when(conds[nm], F.col("n_tokens")).otherwise(0)).alias(
+                f"__t_{nm}"
+            )
+        )
+    return aggs
+
+
+def _funnel_flags(
+    documents: DataFrame,
+    token_budget_per_source: int,
+    max_contamination: float,
+    eval_mod: int,
+) -> DataFrame:
+    """Per-document stage-survival flags shared by corpus_funnel and
+    corpus_funnel_by_source (see corpus_funnel for the stage
+    semantics and scale argument)."""
     nt = F.size(F.expr("regexp_extract_all(text, '\\\\S+', 0)")).cast("long")
     norm_hash = F.md5(F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " "))
     b0 = documents.select(
@@ -835,41 +918,11 @@ def corpus_funnel(
             "doc_id", "source", "quality", "n_tokens"
         )
     ).select("doc_id", "cum_tokens")
-    b4 = b3.join(cum, "doc_id", "left").withColumn(
+    return b3.join(cum, "doc_id", "left").withColumn(
         "__budget",
         F.col("__decontam")
         & (
             F.coalesce(F.col("cum_tokens"), F.lit(1 << 60))
             <= token_budget_per_source
         ),
-    )
-    conds = {
-        "raw": F.lit(True),
-        "rules": F.col("__rules"),
-        "dedup": F.col("__dedup"),
-        "decontam": F.col("__decontam"),
-        "budget": F.col("__budget"),
-    }
-    aggs = []
-    for nm in FUNNEL_STAGES:
-        aggs.append(
-            F.sum(F.when(conds[nm], 1).otherwise(0)).alias(f"__d_{nm}")
-        )
-        aggs.append(
-            F.sum(F.when(conds[nm], F.col("n_tokens")).otherwise(0)).alias(
-                f"__t_{nm}"
-            )
-        )
-    row = b4.agg(*aggs)
-    stack = ", ".join(
-        f"'{nm}', {i}, __d_{nm}, __t_{nm}"
-        for i, nm in enumerate(FUNNEL_STAGES)
-    )
-    return row.selectExpr(
-        f"stack({len(FUNNEL_STAGES)}, {stack}) AS (stage, stage_idx, n_docs, n_tokens)"
-    ).select(
-        "stage",
-        F.col("stage_idx").cast("int").alias("stage_idx"),
-        "n_docs",
-        "n_tokens",
     )

@@ -785,6 +785,10 @@ def _q_corpus_funnel(spark, sf):
     return text.corpus_funnel(_t("documents")(spark, sf))
 
 
+def _q_corpus_funnel_by_source(spark, sf):
+    return text.corpus_funnel_by_source(_t("documents")(spark, sf))
+
+
 def _q_semantic_dedup(spark, sf):
     return similarity.semantic_dedup(_t("embeddings")(spark, sf))
 
@@ -1021,6 +1025,61 @@ _SCRUBBED_SQL = (
     f"'{text.PII_PHONE}', '<PHONE>', 'g'), "
     f"'{_DENY_RE}', '<REDACTED>', 'g')"
 )
+
+_FUNNEL_CTE = rf"""
+WITH m0 AS (
+  SELECT doc_id, source,
+         CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) AS n_tok,
+         CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) AS DOUBLE) AS n_punct,
+         CAST(len(list_filter({_WORDS}, w -> w IN ({_EN_SW}))) AS DOUBLE) AS n_stop,
+         CAST(length(text) AS DOUBLE) AS n_chars,
+         md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS h,
+         {_WORDS} AS ws
+  FROM documents),
+q AS (
+  SELECT doc_id, source, h, CAST(n_tok AS BIGINT) AS n_tokens,
+         ROUND(1.0 / (1.0 + exp(-(-2.0 + 0.02 * n_tok + 4.0 * (n_stop / n_tok)
+               - 8.0 * (n_punct / n_chars)
+               - 0.1 * abs((n_chars - (n_tok - 1)) / n_tok - 5.0)))), 6) AS quality,
+         (CAST(len(ws) AS BIGINT) >= {text.GOPHER_MIN_WORDS}
+          AND CAST(len(ws) AS BIGINT) <= {text.GOPHER_MAX_WORDS}
+          AND ROUND(CAST(list_sum(list_transform(ws, x -> strlen(x))) AS DOUBLE)
+                    / len(ws), 6) >= {text.GOPHER_MIN_MEAN_WORD_LEN}
+          AND ROUND(CAST(list_sum(list_transform(ws, x -> strlen(x))) AS DOUBLE)
+                    / len(ws), 6) <= {text.GOPHER_MAX_MEAN_WORD_LEN}
+          AND ROUND(CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws), 6)
+              >= {text.GOPHER_MIN_UNIQUE_FRAC}
+          AND CAST(len(list_filter(ws, x -> x IN ({_EN_SW}))) AS BIGINT)
+              >= {text.GOPHER_MIN_STOP_HITS}) AS rules_ok
+  FROM m0),
+win AS (SELECT h, MIN(doc_id) AS keep_id FROM q WHERE rules_ok GROUP BY h),
+b2 AS (SELECT q.*, (q.rules_ok AND q.doc_id = w.keep_id) AS dedup_ok
+       FROM q LEFT JOIN win w ON q.h = w.h),
+sh_tbl AS (
+  SELECT doc_id, list_distinct({_SHINGLES}) AS sh FROM documents),
+eval_sh AS (
+  SELECT DISTINCT unnest(sh) AS s FROM sh_tbl WHERE doc_id % 20 = 0),
+train AS (
+  SELECT doc_id, unnest(sh) AS s FROM sh_tbl WHERE doc_id % 20 <> 0),
+dec AS (
+  SELECT train.doc_id AS doc_id,
+         ROUND(CAST(SUM(CASE WHEN e.s IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE), 6) AS contamination_frac
+  FROM train LEFT JOIN eval_sh e ON train.s = e.s
+  GROUP BY 1),
+b3 AS (SELECT b2.*, (b2.dedup_ok AND b2.doc_id % 20 <> 0
+                     AND COALESCE(d.contamination_frac, 1.0) <= 0.9) AS decontam_ok
+       FROM b2 LEFT JOIN dec d ON b2.doc_id = d.doc_id),
+cum AS (SELECT doc_id,
+               CAST(SUM(n_tokens) OVER (PARTITION BY source
+                    ORDER BY quality DESC, doc_id ASC
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+        FROM b3 WHERE decontam_ok),
+b4 AS (SELECT b3.*, (b3.decontam_ok
+                     AND COALESCE(c.cum_tokens, 9223372036854775807) <= 1000)
+               AS budget_ok
+       FROM b3 LEFT JOIN cum c ON b3.doc_id = c.doc_id),
+"""
 
 ORACLES: dict[str, str] = {
     "raw_transactions": """
@@ -2293,59 +2352,7 @@ FROM bucketed a JOIN bucketed b
   ON a.bucket = b.bucket AND a.vec_id < b.vec_id
 WHERE ROUND({sql_cosine('a.embedding', 'b.embedding', similarity.EMB_DIM)}, 6) >= 0.95
 """,
-    "corpus_funnel": rf"""
-WITH m0 AS (
-  SELECT doc_id, source,
-         CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) AS n_tok,
-         CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) AS DOUBLE) AS n_punct,
-         CAST(len(list_filter({_WORDS}, w -> w IN ({_EN_SW}))) AS DOUBLE) AS n_stop,
-         CAST(length(text) AS DOUBLE) AS n_chars,
-         md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS h,
-         {_WORDS} AS ws
-  FROM documents),
-q AS (
-  SELECT doc_id, source, h, CAST(n_tok AS BIGINT) AS n_tokens,
-         ROUND(1.0 / (1.0 + exp(-(-2.0 + 0.02 * n_tok + 4.0 * (n_stop / n_tok)
-               - 8.0 * (n_punct / n_chars)
-               - 0.1 * abs((n_chars - (n_tok - 1)) / n_tok - 5.0)))), 6) AS quality,
-         (CAST(len(ws) AS BIGINT) >= {text.GOPHER_MIN_WORDS}
-          AND CAST(len(ws) AS BIGINT) <= {text.GOPHER_MAX_WORDS}
-          AND ROUND(CAST(list_sum(list_transform(ws, x -> strlen(x))) AS DOUBLE)
-                    / len(ws), 6) >= {text.GOPHER_MIN_MEAN_WORD_LEN}
-          AND ROUND(CAST(list_sum(list_transform(ws, x -> strlen(x))) AS DOUBLE)
-                    / len(ws), 6) <= {text.GOPHER_MAX_MEAN_WORD_LEN}
-          AND ROUND(CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws), 6)
-              >= {text.GOPHER_MIN_UNIQUE_FRAC}
-          AND CAST(len(list_filter(ws, x -> x IN ({_EN_SW}))) AS BIGINT)
-              >= {text.GOPHER_MIN_STOP_HITS}) AS rules_ok
-  FROM m0),
-win AS (SELECT h, MIN(doc_id) AS keep_id FROM q WHERE rules_ok GROUP BY h),
-b2 AS (SELECT q.*, (q.rules_ok AND q.doc_id = w.keep_id) AS dedup_ok
-       FROM q LEFT JOIN win w ON q.h = w.h),
-sh_tbl AS (
-  SELECT doc_id, list_distinct({_SHINGLES}) AS sh FROM documents),
-eval_sh AS (
-  SELECT DISTINCT unnest(sh) AS s FROM sh_tbl WHERE doc_id % 20 = 0),
-train AS (
-  SELECT doc_id, unnest(sh) AS s FROM sh_tbl WHERE doc_id % 20 <> 0),
-dec AS (
-  SELECT train.doc_id AS doc_id,
-         ROUND(CAST(SUM(CASE WHEN e.s IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
-               / CAST(COUNT(*) AS DOUBLE), 6) AS contamination_frac
-  FROM train LEFT JOIN eval_sh e ON train.s = e.s
-  GROUP BY 1),
-b3 AS (SELECT b2.*, (b2.dedup_ok AND b2.doc_id % 20 <> 0
-                     AND COALESCE(d.contamination_frac, 1.0) <= 0.9) AS decontam_ok
-       FROM b2 LEFT JOIN dec d ON b2.doc_id = d.doc_id),
-cum AS (SELECT doc_id,
-               CAST(SUM(n_tokens) OVER (PARTITION BY source
-                    ORDER BY quality DESC, doc_id ASC
-                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
-        FROM b3 WHERE decontam_ok),
-b4 AS (SELECT b3.*, (b3.decontam_ok
-                     AND COALESCE(c.cum_tokens, 9223372036854775807) <= 1000)
-               AS budget_ok
-       FROM b3 LEFT JOIN cum c ON b3.doc_id = c.doc_id),
+    "corpus_funnel": _FUNNEL_CTE + """
 final AS (SELECT
   CAST(SUM(1) AS BIGINT) AS d_raw, CAST(SUM(n_tokens) AS BIGINT) AS t_raw,
   CAST(SUM(CASE WHEN rules_ok THEN 1 ELSE 0 END) AS BIGINT) AS d_rules,
@@ -2363,6 +2370,25 @@ UNION ALL SELECT 'rules', CAST(1 AS INT), d_rules, t_rules FROM final
 UNION ALL SELECT 'dedup', CAST(2 AS INT), d_dedup, t_dedup FROM final
 UNION ALL SELECT 'decontam', CAST(3 AS INT), d_decontam, t_decontam FROM final
 UNION ALL SELECT 'budget', CAST(4 AS INT), d_budget, t_budget FROM final
+""",
+    "corpus_funnel_by_source": _FUNNEL_CTE + """
+final AS (SELECT source,
+  CAST(SUM(1) AS BIGINT) AS d_raw, CAST(SUM(n_tokens) AS BIGINT) AS t_raw,
+  CAST(SUM(CASE WHEN rules_ok THEN 1 ELSE 0 END) AS BIGINT) AS d_rules,
+  CAST(SUM(CASE WHEN rules_ok THEN n_tokens ELSE 0 END) AS BIGINT) AS t_rules,
+  CAST(SUM(CASE WHEN dedup_ok THEN 1 ELSE 0 END) AS BIGINT) AS d_dedup,
+  CAST(SUM(CASE WHEN dedup_ok THEN n_tokens ELSE 0 END) AS BIGINT) AS t_dedup,
+  CAST(SUM(CASE WHEN decontam_ok THEN 1 ELSE 0 END) AS BIGINT) AS d_decontam,
+  CAST(SUM(CASE WHEN decontam_ok THEN n_tokens ELSE 0 END) AS BIGINT) AS t_decontam,
+  CAST(SUM(CASE WHEN budget_ok THEN 1 ELSE 0 END) AS BIGINT) AS d_budget,
+  CAST(SUM(CASE WHEN budget_ok THEN n_tokens ELSE 0 END) AS BIGINT) AS t_budget
+  FROM b4 GROUP BY source)
+SELECT source, 'raw' AS stage, CAST(0 AS INT) AS stage_idx,
+       d_raw AS n_docs, t_raw AS n_tokens FROM final
+UNION ALL SELECT source, 'rules', CAST(1 AS INT), d_rules, t_rules FROM final
+UNION ALL SELECT source, 'dedup', CAST(2 AS INT), d_dedup, t_dedup FROM final
+UNION ALL SELECT source, 'decontam', CAST(3 AS INT), d_decontam, t_decontam FROM final
+UNION ALL SELECT source, 'budget', CAST(4 AS INT), d_budget, t_budget FROM final
 """,
     "semantic_dedup": f"""
 WITH cent AS (SELECT label, CAST(dim AS INT) AS dim,
@@ -2749,6 +2775,9 @@ _SPEC_DEFS: dict[str, QuerySpec] = {
     "corpus_funnel": QuerySpec(
         _q_corpus_funnel, ORACLES["corpus_funnel"], bench=True
     ),
+    "corpus_funnel_by_source": QuerySpec(
+        _q_corpus_funnel_by_source, ORACLES["corpus_funnel_by_source"]
+    ),
     "hard_negatives": QuerySpec(_q_hard_negatives, ORACLES["hard_negatives"]),
     "gopher_quality_flags": QuerySpec(
         _q_gopher_quality_flags, ORACLES["gopher_quality_flags"]
@@ -2779,6 +2808,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     # NEW this round — must be verified in its first round
     "repeated_substring_spans",
     "corpus_funnel",
+    "corpus_funnel_by_source",
     "asof_next_purchase",
     "semantic_dedup",
     "hard_negatives",
@@ -2828,10 +2858,9 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "top10_orders",
     "top_users_per_event_type",
     "daily_running_revenue",
-    "weekly_moving_avg",
-    # sales_rollup / event_type_cube / event_value_pivot / distinct_users_per_day / value_stats_per_type /
+    # weekly_moving_avg / sales_rollup / event_type_cube / event_value_pivot / distinct_users_per_day / value_stats_per_type /
     # session_window_stats / conversion_funnel / weekly_retention /
-    # approx_distinct_users rotate in r05 — displaced by the eight
+    # approx_distinct_users rotate in r05 — displaced by the nine
     # queries NEW in r04 (new queries must certify in their first
     # round; every displaced query keeps its r01 row ledger-protected
     # because its code is unchanged since)

@@ -294,3 +294,22 @@ def test_minhash_planner_threshold_tolerance():
         r = n // b
         t = (1.0 / b) ** (1.0 / r) if b > 1 else 1.0
         assert abs(t - target) < 0.12, (target, n, b, t)
+
+
+def test_corpus_funnel_by_source_sums_to_global(spark):
+    from flink_ecommerce_spark.operators.text import (
+        corpus_funnel,
+        corpus_funnel_by_source,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    glob = {r["stage"]: r for r in corpus_funnel(docs).collect()}
+    per_src = corpus_funnel_by_source(docs).collect()
+    by_stage = {}
+    for r in per_src:
+        a = by_stage.setdefault(r["stage"], [0, 0])
+        a[0] += r["n_docs"]
+        a[1] += r["n_tokens"]
+    for stage, (d, t) in by_stage.items():
+        assert d == glob[stage]["n_docs"], stage
+        assert t == glob[stage]["n_tokens"], stage
