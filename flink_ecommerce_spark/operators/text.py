@@ -926,3 +926,37 @@ def _funnel_flags(
             <= token_budget_per_source
         ),
     )
+
+
+def curation_drop_reasons(
+    documents: DataFrame,
+    token_budget_per_source: int = 1000,
+    max_contamination: float = 0.9,
+    eval_mod: int = 20,
+) -> DataFrame:
+    """Per-document disposition for the curation funnel: the FIRST
+    stage that dropped the document (``rules`` / ``dedup`` /
+    ``decontam`` / ``budget``) or ``kept``. The debugging companion
+    to ``corpus_funnel``: the funnel says HOW MANY died per stage,
+    this says WHICH — the view someone reads when a source's volume
+    collapses ("all of source X died at decontam → its docs quote the
+    eval set").
+
+    Scale: a pure projection over the same ``_funnel_flags`` frame —
+    no additional shuffle beyond the funnel's own."""
+    b4 = _funnel_flags(
+        documents, token_budget_per_source, max_contamination, eval_mod
+    )
+    reason = (
+        F.when(~F.col("__rules"), F.lit("rules"))
+        .when(~F.col("__dedup"), F.lit("dedup"))
+        .when(~F.col("__decontam"), F.lit("decontam"))
+        .when(~F.col("__budget"), F.lit("budget"))
+        .otherwise(F.lit("kept"))
+    )
+    return b4.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        reason.alias("dropped_at"),
+    )

@@ -789,6 +789,10 @@ def _q_corpus_funnel_by_source(spark, sf):
     return text.corpus_funnel_by_source(_t("documents")(spark, sf))
 
 
+def _q_curation_drop_reasons(spark, sf):
+    return text.curation_drop_reasons(_t("documents")(spark, sf))
+
+
 def _q_semantic_dedup(spark, sf):
     return similarity.semantic_dedup(_t("embeddings")(spark, sf))
 
@@ -2390,6 +2394,16 @@ UNION ALL SELECT source, 'dedup', CAST(2 AS INT), d_dedup, t_dedup FROM final
 UNION ALL SELECT source, 'decontam', CAST(3 AS INT), d_decontam, t_decontam FROM final
 UNION ALL SELECT source, 'budget', CAST(4 AS INT), d_budget, t_budget FROM final
 """,
+    "curation_drop_reasons": _FUNNEL_CTE + """
+reasons AS (SELECT doc_id, source, n_tokens,
+       CASE WHEN NOT rules_ok THEN 'rules'
+            WHEN NOT dedup_ok THEN 'dedup'
+            WHEN NOT decontam_ok THEN 'decontam'
+            WHEN NOT budget_ok THEN 'budget'
+            ELSE 'kept' END AS dropped_at
+FROM b4)
+SELECT * FROM reasons
+""",
     "semantic_dedup": f"""
 WITH cent AS (SELECT label, CAST(dim AS INT) AS dim,
                      ROUND(AVG(CAST(v AS DOUBLE)), 6) AS c
@@ -2778,6 +2792,9 @@ _SPEC_DEFS: dict[str, QuerySpec] = {
     "corpus_funnel_by_source": QuerySpec(
         _q_corpus_funnel_by_source, ORACLES["corpus_funnel_by_source"]
     ),
+    "curation_drop_reasons": QuerySpec(
+        _q_curation_drop_reasons, ORACLES["curation_drop_reasons"]
+    ),
     "hard_negatives": QuerySpec(_q_hard_negatives, ORACLES["hard_negatives"]),
     "gopher_quality_flags": QuerySpec(
         _q_gopher_quality_flags, ORACLES["gopher_quality_flags"]
@@ -2809,6 +2826,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "repeated_substring_spans",
     "corpus_funnel",
     "corpus_funnel_by_source",
+    "curation_drop_reasons",
     "asof_next_purchase",
     "semantic_dedup",
     "hard_negatives",
@@ -2857,10 +2875,9 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "revenue_by_brand",
     "top10_orders",
     "top_users_per_event_type",
-    "daily_running_revenue",
-    # weekly_moving_avg / sales_rollup / event_type_cube / event_value_pivot / distinct_users_per_day / value_stats_per_type /
+    # daily_running_revenue / weekly_moving_avg / sales_rollup / event_type_cube / event_value_pivot / distinct_users_per_day / value_stats_per_type /
     # session_window_stats / conversion_funnel / weekly_retention /
-    # approx_distinct_users rotate in r05 — displaced by the nine
+    # approx_distinct_users rotate in r05 — displaced by the ten
     # queries NEW in r04 (new queries must certify in their first
     # round; every displaced query keeps its r01 row ledger-protected
     # because its code is unchanged since)

@@ -313,3 +313,25 @@ def test_corpus_funnel_by_source_sums_to_global(spark):
     for stage, (d, t) in by_stage.items():
         assert d == glob[stage]["n_docs"], stage
         assert t == glob[stage]["n_tokens"], stage
+
+
+def test_drop_reasons_consistent_with_funnel(spark):
+    from flink_ecommerce_spark.operators.text import (
+        corpus_funnel,
+        curation_drop_reasons,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    glob = {r["stage"]: r["n_docs"] for r in corpus_funnel(docs).collect()}
+    reasons = (
+        curation_drop_reasons(docs)
+        .groupBy("dropped_at")
+        .count()
+        .collect()
+    )
+    by = {r["dropped_at"]: r["count"] for r in reasons}
+    assert by.get("kept", 0) == glob["budget"]
+    assert by.get("rules", 0) == glob["raw"] - glob["rules"]
+    assert by.get("dedup", 0) == glob["rules"] - glob["dedup"]
+    assert by.get("decontam", 0) == glob["dedup"] - glob["decontam"]
+    assert by.get("budget", 0) == glob["decontam"] - glob["budget"]
