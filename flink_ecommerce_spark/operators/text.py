@@ -960,3 +960,41 @@ def curation_drop_reasons(
         "n_tokens",
         reason.alias("dropped_at"),
     )
+
+
+def quality_thresholds(
+    documents: DataFrame, keep_frac: float = 0.5
+) -> DataFrame:
+    """Per-source quality cutoffs for fraction-based curation: the
+    exact quality percentile below which (1 - keep_frac) of the
+    source's documents fall, plus how many documents clear it — the
+    numbers a mixture owner uses to turn "keep the best half of each
+    source" into concrete thresholds (the fraction-targeting
+    complement of ``budgeted_mixture``'s token targeting).
+
+    Scale: one narrow (source, quality) projection; the exact
+    percentile is a per-source aggregate (Spark's percentile keeps
+    per-group state proportional to group cardinality — for
+    corpus-scale sources swap in percentile_approx, same dataflow);
+    cutoffs broadcast back for the counting pass. The cutoff is
+    rounded to 6dp BEFORE the >= comparison in both engines so the
+    kept count never hinges on a last-ULP interpolation difference."""
+    q = documents.select(
+        "source", F.round(_quality_column(), 6).alias("quality")
+    ).localCheckpoint(eager=True)
+    th = q.groupBy("source").agg(
+        F.round(
+            F.percentile("quality", F.lit(1.0 - keep_frac)), 6
+        ).alias("cutoff")
+    )
+    return (
+        q.join(F.broadcast(th), "source")
+        .groupBy("source", "cutoff")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                F.when(F.col("quality") >= F.col("cutoff"), 1).otherwise(0)
+            ).alias("n_kept"),
+        )
+        .select("source", "cutoff", "n_docs", "n_kept")
+    )

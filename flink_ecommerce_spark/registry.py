@@ -793,6 +793,10 @@ def _q_curation_drop_reasons(spark, sf):
     return text.curation_drop_reasons(_t("documents")(spark, sf))
 
 
+def _q_quality_thresholds(spark, sf):
+    return text.quality_thresholds(_t("documents")(spark, sf))
+
+
 def _q_semantic_dedup(spark, sf):
     return similarity.semantic_dedup(_t("embeddings")(spark, sf))
 
@@ -2404,6 +2408,27 @@ reasons AS (SELECT doc_id, source, n_tokens,
 FROM b4)
 SELECT * FROM reasons
 """,
+    "quality_thresholds": rf"""
+WITH m AS (
+  SELECT doc_id, source,
+         CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) AS n_tok,
+         CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) AS DOUBLE) AS n_punct,
+         CAST(len(list_filter({_WORDS}, w -> w IN ({_EN_SW}))) AS DOUBLE) AS n_stop,
+         CAST(length(text) AS DOUBLE) AS n_chars
+  FROM documents),
+q AS (SELECT source,
+             ROUND(1.0 / (1.0 + exp(-(-2.0 + 0.02 * n_tok + 4.0 * (n_stop / n_tok)
+                   - 8.0 * (n_punct / n_chars)
+                   - 0.1 * abs((n_chars - (n_tok - 1)) / n_tok - 5.0)))), 6) AS quality
+      FROM m),
+th AS (SELECT source, ROUND(quantile_cont(quality, 0.5), 6) AS cutoff
+       FROM q GROUP BY source)
+SELECT q.source, th.cutoff,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN q.quality >= th.cutoff THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+FROM q JOIN th ON q.source = th.source
+GROUP BY q.source, th.cutoff
+""",
     "semantic_dedup": f"""
 WITH cent AS (SELECT label, CAST(dim AS INT) AS dim,
                      ROUND(AVG(CAST(v AS DOUBLE)), 6) AS c
@@ -2795,6 +2820,9 @@ _SPEC_DEFS: dict[str, QuerySpec] = {
     "curation_drop_reasons": QuerySpec(
         _q_curation_drop_reasons, ORACLES["curation_drop_reasons"]
     ),
+    "quality_thresholds": QuerySpec(
+        _q_quality_thresholds, ORACLES["quality_thresholds"]
+    ),
     "hard_negatives": QuerySpec(_q_hard_negatives, ORACLES["hard_negatives"]),
     "gopher_quality_flags": QuerySpec(
         _q_gopher_quality_flags, ORACLES["gopher_quality_flags"]
@@ -2827,6 +2855,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "corpus_funnel",
     "corpus_funnel_by_source",
     "curation_drop_reasons",
+    "quality_thresholds",
     "asof_next_purchase",
     "semantic_dedup",
     "hard_negatives",
@@ -2874,10 +2903,9 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "events_by_customer_segment",
     "revenue_by_brand",
     "top10_orders",
-    "top_users_per_event_type",
-    # daily_running_revenue / weekly_moving_avg / sales_rollup / event_type_cube / event_value_pivot / distinct_users_per_day / value_stats_per_type /
+    # top_users_per_event_type / daily_running_revenue / weekly_moving_avg / sales_rollup / event_type_cube / event_value_pivot / distinct_users_per_day / value_stats_per_type /
     # session_window_stats / conversion_funnel / weekly_retention /
-    # approx_distinct_users rotate in r05 — displaced by the ten
+    # approx_distinct_users rotate in r05 — displaced by the eleven
     # queries NEW in r04 (new queries must certify in their first
     # round; every displaced query keeps its r01 row ledger-protected
     # because its code is unchanged since)

@@ -335,3 +335,16 @@ def test_drop_reasons_consistent_with_funnel(spark):
     assert by.get("dedup", 0) == glob["rules"] - glob["dedup"]
     assert by.get("decontam", 0) == glob["dedup"] - glob["decontam"]
     assert by.get("budget", 0) == glob["decontam"] - glob["budget"]
+
+
+def test_quality_thresholds_keep_semantics(spark):
+    from flink_ecommerce_spark.operators.text import quality_thresholds
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    rows = quality_thresholds(docs, keep_frac=0.5).collect()
+    assert rows
+    for r in rows:
+        # median cutoff: at least half the docs clear it (ties can
+        # push above), and never fewer than half minus the tie mass
+        assert r["n_kept"] >= r["n_docs"] // 2, r
+        assert r["n_kept"] <= r["n_docs"], r
