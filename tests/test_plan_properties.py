@@ -111,3 +111,21 @@ def test_simhash_no_bit_explode(spark):
     plan = _plan(spark, "simhash")
     assert "sequence(0, 31" not in plan
     assert "sequence(0, 63" not in plan
+
+
+def test_corpus_funnel_two_text_scans_only(spark):
+    # one scan fills the checkpointed flag frame, decontaminate's
+    # shingle explode is the second; un-checkpointing the frame (or
+    # composing the standalone ops) would multiply corpus scans
+    plan = _plan(spark, "corpus_funnel")
+    assert plan.count("FileScan parquet") == 2, plan
+    assert "Scan ExistingRDD" in plan  # the checkpointed flag frame
+
+
+def test_semantic_dedup_single_corpus_pass(spark):
+    # the IVF centroid-build/argmin subtree must run once into the
+    # checkpoint: the executed plan reads only the materialized
+    # assignment, never the parquet corpus
+    plan = _plan(spark, "semantic_dedup")
+    assert "FileScan parquet" not in plan, plan
+    assert plan.count("Scan ExistingRDD") >= 3

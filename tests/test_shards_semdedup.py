@@ -348,3 +348,12 @@ def test_quality_thresholds_keep_semantics(spark):
         # push above), and never fewer than half minus the tie mass
         assert r["n_kept"] >= r["n_docs"] // 2, r
         assert r["n_kept"] <= r["n_docs"], r
+
+
+def test_quality_thresholds_keep_all_edge(spark):
+    from flink_ecommerce_spark.operators.text import quality_thresholds
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    rows = quality_thresholds(docs, keep_frac=1.0).collect()
+    for r in rows:
+        assert r["n_kept"] == r["n_docs"], r  # cutoff = per-source min

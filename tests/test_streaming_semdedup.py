@@ -134,3 +134,35 @@ def test_streaming_semdedup_no_chains_matches_batch(spark, tmp_path):
     _write_chunk(spark, src, rows[3:], 2)
     kept = _run_stream(spark, tmp_path, src, centroids, "semdedup_nochain")
     assert kept == batch_kept
+
+
+def test_streaming_semdedup_fifo_eviction_readmits(spark, tmp_path):
+    # cap 1: admitting B evicts A's rep, so a later copy of A
+    # re-admits — the documented dedup-window semantics
+    hist = [(0, [1.0, 0.0, 0.0, 0.0], 0)]
+    centroids = _centroid_rows(spark, spark.createDataFrame(hist, EMB_SCHEMA))
+    src = str(tmp_path / "emb_fifo")
+    _write_chunk(spark, src, [(1, [1.0, 0.0, 0.0, 0.0], 0)], 1)
+    _write_chunk(spark, src, [(2, [0.0, 1.0, 0.0, 0.0], 0)], 2)
+    _write_chunk(spark, src, [(3, [1.0, 0.001, 0.0, 0.0], 0)], 3)
+    stream = (
+        spark.readStream.schema(EMB_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/chunk=*")
+        .drop("label")
+    )
+    out = streaming_semantic_dedup(stream, centroids, max_reps_per_cell=1)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("semdedup_fifo")
+        .option("checkpointLocation", str(tmp_path / "ckpt_fifo"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    kept = {
+        r["vec_id"] for r in spark.sql("SELECT * FROM semdedup_fifo").collect()
+    }
+    # 3 is a near-copy of 1, but 1's rep was evicted when 2 arrived
+    assert kept == {1, 2, 3}
