@@ -167,3 +167,56 @@ def write_training_shards(
         .parquet(path)
     )
     return n_parts
+
+
+def export_curated_shards(
+    documents: DataFrame,
+    path: str,
+    n_shards: int = 8,
+    token_budget_per_source: int = 1000,
+    mode: str = "overwrite",
+) -> dict:
+    """The ship-it composition: run the curation funnel, keep the
+    survivors, deal them into token-balanced shards
+    (``balanced_shards``'s LPT rank), and write one directory per
+    shard — the artifact a data-parallel training job mounts.
+
+    Dataflow: curation verdicts and shard assignments are computed on
+    NARROW frames (ids, hashes, token counts — the funnel's
+    checkpointed flag frame and the rank decomposition); document
+    text is shuffled exactly ONCE, by the final
+    ``repartition(shard)`` that gives each output directory its own
+    writer tasks. Returns {n_docs, n_tokens, n_shards}."""
+    from pyspark.sql import functions as F
+
+    from ..operators.packing import balanced_shards
+    from ..operators.text import curation_drop_reasons
+
+    kept_ids = (
+        curation_drop_reasons(
+            documents, token_budget_per_source=token_budget_per_source
+        )
+        .filter(F.col("dropped_at") == "kept")
+        .select("doc_id")
+    )
+    kept = documents.join(kept_ids, "doc_id")
+    shards = balanced_shards(kept, n_shards=n_shards).select(
+        "doc_id", "n_tokens", "shard"
+    )
+    out = kept.join(shards, "doc_id")
+    stats = out.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+    ).collect()[0]
+    (
+        out.drop("n_tokens")
+        .repartition(n_shards, "shard")
+        .write.mode(mode)
+        .partitionBy("shard")
+        .parquet(path)
+    )
+    return {
+        "n_docs": int(stats["n_docs"]),
+        "n_tokens": int(stats["n_tokens"] or 0),
+        "n_shards": n_shards,
+    }

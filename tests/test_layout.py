@@ -238,3 +238,24 @@ def test_write_zordered_roundtrip(spark, tmp_path):
     assert back.count() == events.count()
     assert "__zkey" not in back.columns
     assert set(back.columns) == set(events.columns)
+
+
+def test_export_curated_shards_roundtrip(spark, tmp_path):
+    from flink_ecommerce_spark.operators.text import curation_drop_reasons
+    from flink_ecommerce_spark.sources.layout import export_curated_shards
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out_dir = str(tmp_path / "curated")
+    stats = export_curated_shards(docs, out_dir, n_shards=4)
+    back = spark.read.parquet(out_dir)
+    assert back.count() == stats["n_docs"] > 0
+    # every exported doc is a funnel survivor, and every survivor is exported
+    kept = {
+        r["doc_id"]
+        for r in curation_drop_reasons(docs).collect()
+        if r["dropped_at"] == "kept"
+    }
+    assert {r["doc_id"] for r in back.select("doc_id").collect()} == kept
+    # physical layout: one directory per non-empty shard, all within range
+    shard_vals = {r["shard"] for r in back.select("shard").distinct().collect()}
+    assert shard_vals <= set(range(4)) and len(shard_vals) >= 1
