@@ -202,12 +202,16 @@ def minhash_signature_array(text_col: F.Column, num_hashes: int = NUM_HASHES) ->
     )
 
 
-def _band_buckets(signatures: DataFrame) -> DataFrame:
+def _band_buckets(
+    signatures: DataFrame,
+    num_hashes: int = NUM_HASHES,
+    num_bands: int = NUM_BANDS,
+) -> DataFrame:
     """(doc_id, band, bucket) — bucket = md5 of the band's signature
-    slice. Banding: NUM_BANDS bands × (NUM_HASHES/NUM_BANDS) rows."""
-    rows = NUM_HASHES // NUM_BANDS
+    slice. Banding: num_bands bands × (num_hashes/num_bands) rows."""
+    rows = num_hashes // num_bands
     bands = []
-    for b in range(NUM_BANDS):
+    for b in range(num_bands):
         parts = [F.col(f"mh{b * rows + r}").cast("string") for r in range(rows)]
         bands.append(
             F.struct(
@@ -221,19 +225,29 @@ def _band_buckets(signatures: DataFrame) -> DataFrame:
 
 
 def lsh_candidate_pairs(
-    documents: DataFrame, threshold: float = JACCARD_THRESHOLD
+    documents: DataFrame,
+    threshold: float = JACCARD_THRESHOLD,
+    num_hashes: int = NUM_HASHES,
+    num_bands: int = NUM_BANDS,
 ) -> DataFrame:
     """MinHash-LSH near-duplicate pairs: band-bucket join proposes
     candidates, exact shingle Jaccard verifies. Output matches
     ngram_jaccard_pairs' schema restricted to LSH-surfaced pairs.
+
+    ``(num_hashes, num_bands)`` sets the candidate S-curve — size it
+    with ``minhash_plan_for(target_jaccard)`` so the banding's
+    inflection matches the similarity the pipeline actually hunts
+    (the shipped defaults are the planner's answer at 0.7; a 0.5
+    fuzzy-dup sweep gets (8, 4), a 0.9 precision pass (16, 2) —
+    candidate volume moves accordingly, pinned in tests).
 
     Reuse discipline: the band table feeds BOTH sides of the self-join
     and the shingle table feeds three joins — each is materialized
     once (localCheckpoint; persist(DISK_ONLY) on a cluster) instead of
     re-running the signature/shingle pipelines per branch, which
     dominated wall time."""
-    sigs = minhash_signatures(documents)
-    bb = _band_buckets(sigs).localCheckpoint(eager=True)
+    sigs = minhash_signatures(documents, num_hashes=num_hashes)
+    bb = _band_buckets(sigs, num_hashes, num_bands).localCheckpoint(eager=True)
     a = bb.alias("a")
     b = bb.alias("b")
     cands = (

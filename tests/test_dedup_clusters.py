@@ -395,3 +395,24 @@ def test_minhash_candidate_prob_s_curve():
     # noise-level pairs almost surely not
     assert dedup.minhash_candidate_prob(min(t + 0.15, 0.99), b, r) > 0.9
     assert dedup.minhash_candidate_prob(max(t - 0.4, 0.05), b, r) < 0.1
+
+
+def test_lsh_banding_follows_planner_s_curve(spark):
+    """End-to-end planner actionability: looser-threshold plans
+    surface at least as many verified pairs as the default, tighter
+    plans at most as many — the S-curve direction on real data."""
+    from flink_ecommerce_spark.operators import dedup
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+    def pairs(cfg):
+        n, b = cfg
+        return dedup.lsh_candidate_pairs(
+            docs, threshold=0.0, num_hashes=n, num_bands=b
+        ).count()
+
+    loose = pairs(dedup.minhash_plan_for(0.5))
+    default = pairs((dedup.NUM_HASHES, dedup.NUM_BANDS))
+    tight = pairs(dedup.minhash_plan_for(0.9))
+    assert loose >= default >= tight, (loose, default, tight)
+    assert loose > tight  # the knob must actually move on this corpus
