@@ -998,3 +998,35 @@ def quality_thresholds(
         )
         .select("source", "cutoff", "n_docs", "n_kept")
     )
+
+
+def bpe_merge_candidates(documents: DataFrame, k: int = 20) -> DataFrame:
+    """The first step of BPE tokenizer training: corpus-wide counts
+    of adjacent character pairs within words, top-k by frequency —
+    the pair a BPE trainer would merge first. (Full BPE training is
+    an iterative merge loop; each iteration is exactly this
+    aggregate over the re-segmented corpus, so this operator is the
+    distributable inner loop, the way k-means is Lloyd's inner
+    step.)
+
+    Scale: words explode → per-word pair arrays from substring
+    slices (pure expressions) → explode → one hash-partitioned count
+    with map-side combine; top-k is TakeOrderedAndProject (no global
+    sort). The shuffle carries (2-char pair, partial count) only."""
+    w = documents.select(F.explode(words("text")).alias("word"))
+    pairs = w.select(
+        F.explode(
+            F.when(
+                F.length("word") >= 2,
+                F.expr(
+                    "transform(sequence(1, length(word) - 1), i -> substring(word, i, 2))"
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("pair"))
+        .limit(k)
+    )

@@ -797,6 +797,10 @@ def _q_quality_thresholds(spark, sf):
     return text.quality_thresholds(_t("documents")(spark, sf))
 
 
+def _q_bpe_merge_candidates(spark, sf):
+    return text.bpe_merge_candidates(_t("documents")(spark, sf))
+
+
 def _q_semantic_dedup(spark, sf):
     return similarity.semantic_dedup(_t("embeddings")(spark, sf))
 
@@ -2429,6 +2433,18 @@ SELECT q.source, th.cutoff,
 FROM q JOIN th ON q.source = th.source
 GROUP BY q.source, th.cutoff
 """,
+    "bpe_merge_candidates": rf"""
+WITH w AS (SELECT unnest({_WORDS}) AS word FROM documents),
+p AS (SELECT unnest(CASE WHEN strlen(word) >= 2
+        THEN list_transform(generate_series(1, strlen(word) - 1),
+                            i -> substr(word, i, 2))
+        ELSE [] END) AS pair
+      FROM w)
+SELECT pair, CAST(COUNT(*) AS BIGINT) AS n
+FROM p GROUP BY pair
+ORDER BY n DESC, pair ASC
+LIMIT 20
+""",
     "semantic_dedup": f"""
 WITH cent AS (SELECT label, CAST(dim AS INT) AS dim,
                      ROUND(AVG(CAST(v AS DOUBLE)), 6) AS c
@@ -2823,6 +2839,9 @@ _SPEC_DEFS: dict[str, QuerySpec] = {
     "quality_thresholds": QuerySpec(
         _q_quality_thresholds, ORACLES["quality_thresholds"]
     ),
+    "bpe_merge_candidates": QuerySpec(
+        _q_bpe_merge_candidates, ORACLES["bpe_merge_candidates"]
+    ),
     "hard_negatives": QuerySpec(_q_hard_negatives, ORACLES["hard_negatives"]),
     "gopher_quality_flags": QuerySpec(
         _q_gopher_quality_flags, ORACLES["gopher_quality_flags"]
@@ -2856,6 +2875,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "corpus_funnel_by_source",
     "curation_drop_reasons",
     "quality_thresholds",
+    "bpe_merge_candidates",
     "asof_next_purchase",
     "semantic_dedup",
     "hard_negatives",
@@ -2902,10 +2922,9 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "parts_by_brand_type",
     "events_by_customer_segment",
     "revenue_by_brand",
-    "top10_orders",
-    # top_users_per_event_type / daily_running_revenue / weekly_moving_avg / sales_rollup / event_type_cube / event_value_pivot / distinct_users_per_day / value_stats_per_type /
+    # top10_orders / top_users_per_event_type / daily_running_revenue / weekly_moving_avg / sales_rollup / event_type_cube / event_value_pivot / distinct_users_per_day / value_stats_per_type /
     # session_window_stats / conversion_funnel / weekly_retention /
-    # approx_distinct_users rotate in r05 — displaced by the eleven
+    # approx_distinct_users rotate in r05 — displaced by the twelve
     # queries NEW in r04 (new queries must certify in their first
     # round; every displaced query keeps its r01 row ledger-protected
     # because its code is unchanged since)
