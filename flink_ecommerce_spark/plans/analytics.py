@@ -338,3 +338,37 @@ def viewers_never_purchased(events: DataFrame) -> DataFrame:
     a = events.filter(F.col("event_type") == "view").select("user_id")
     b = events.filter(F.col("event_type") == "purchase").select("user_id")
     return a.subtract(b)
+
+
+def daily_anomaly_scores(events: DataFrame) -> DataFrame:
+    """Monitoring-style anomaly detection: each (event_type, day)'s
+    revenue z-scored against its own TRAILING week (the 7 preceding
+    days by VALUE — a range frame excluding the current day, so
+    today's spike can't dilute its own baseline and calendar gaps
+    shrink the window). z is null until two trailing days exist or
+    when the trailing week is flat (stddev 0) — surfacing "no
+    baseline" explicitly instead of faking a score.
+
+    Scale: one (event_type, day) pre-aggregation with map-side
+    combine (days × types rows), then a range window over that tiny
+    frame — the corpus-sized events table is touched exactly once."""
+    daily = events.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(F.round(F.sum("value"), 2).alias("day_value"))
+    daily = daily.withColumn("day_num", F.datediff("d", F.lit("1970-01-01")))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day_num")
+        .rangeBetween(-7, -1)
+    )
+    mu = F.avg("day_value").over(w)
+    sd = F.stddev_samp("day_value").over(w)
+    return daily.select(
+        "event_type",
+        "d",
+        "day_value",
+        F.round(mu, 6).alias("trailing_avg"),
+        F.round(
+            F.when(sd > 0, (F.col("day_value") - mu) / sd), 6
+        ).alias("z_score"),
+    )

@@ -801,6 +801,10 @@ def _q_bpe_merge_candidates(spark, sf):
     return text.bpe_merge_candidates(_t("documents")(spark, sf))
 
 
+def _q_daily_anomaly_scores(spark, sf):
+    return analytics.daily_anomaly_scores(_t("events")(spark, sf))
+
+
 def _q_semantic_dedup(spark, sf):
     return similarity.semantic_dedup(_t("embeddings")(spark, sf))
 
@@ -2445,6 +2449,21 @@ FROM p GROUP BY pair
 ORDER BY n DESC, pair ASC
 LIMIT 20
 """,
+    "daily_anomaly_scores": """
+WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d,
+                      ROUND(SUM(value), 2) AS day_value
+               FROM events GROUP BY 1, 2),
+n AS (SELECT *, CAST(d - DATE '1970-01-01' AS BIGINT) AS day_num FROM daily),
+z AS (SELECT event_type, d, day_value,
+             ROUND(AVG(day_value) OVER w, 6) AS trailing_avg,
+             ROUND(CASE WHEN STDDEV_SAMP(day_value) OVER w > 0
+                   THEN (day_value - AVG(day_value) OVER w)
+                        / STDDEV_SAMP(day_value) OVER w END, 6) AS z_score
+      FROM n
+      WINDOW w AS (PARTITION BY event_type ORDER BY day_num
+                   RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING))
+SELECT * FROM z
+""",
     "semantic_dedup": f"""
 WITH cent AS (SELECT label, CAST(dim AS INT) AS dim,
                      ROUND(AVG(CAST(v AS DOUBLE)), 6) AS c
@@ -2842,6 +2861,9 @@ _SPEC_DEFS: dict[str, QuerySpec] = {
     "bpe_merge_candidates": QuerySpec(
         _q_bpe_merge_candidates, ORACLES["bpe_merge_candidates"]
     ),
+    "daily_anomaly_scores": QuerySpec(
+        _q_daily_anomaly_scores, ORACLES["daily_anomaly_scores"]
+    ),
     "hard_negatives": QuerySpec(_q_hard_negatives, ORACLES["hard_negatives"]),
     "gopher_quality_flags": QuerySpec(
         _q_gopher_quality_flags, ORACLES["gopher_quality_flags"]
@@ -2876,6 +2898,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "curation_drop_reasons",
     "quality_thresholds",
     "bpe_merge_candidates",
+    "daily_anomaly_scores",
     "asof_next_purchase",
     "semantic_dedup",
     "hard_negatives",
@@ -2921,10 +2944,9 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "orders_with_big_lineitem",
     "parts_by_brand_type",
     "events_by_customer_segment",
-    "revenue_by_brand",
-    # top10_orders / top_users_per_event_type / daily_running_revenue / weekly_moving_avg / sales_rollup / event_type_cube / event_value_pivot / distinct_users_per_day / value_stats_per_type /
+    # revenue_by_brand / top10_orders / top_users_per_event_type / daily_running_revenue / weekly_moving_avg / sales_rollup / event_type_cube / event_value_pivot / distinct_users_per_day / value_stats_per_type /
     # session_window_stats / conversion_funnel / weekly_retention /
-    # approx_distinct_users rotate in r05 — displaced by the twelve
+    # approx_distinct_users rotate in r05 — displaced by the thirteen
     # queries NEW in r04 (new queries must certify in their first
     # round; every displaced query keeps its r01 row ledger-protected
     # because its code is unchanged since)
