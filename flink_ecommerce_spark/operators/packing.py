@@ -154,7 +154,9 @@ def doc_chunks(
 N_SHARDS = 8
 
 
-def balanced_shards(documents: DataFrame, n_shards: int = N_SHARDS) -> DataFrame:
+def balanced_shards(
+    documents: DataFrame, n_shards: int = N_SHARDS, id_bucket_bits: int = 0
+) -> DataFrame:
     """LPT-style balanced shard assignment: rank documents by
     (n_tokens DESC, doc_id ASC) and deal them round-robin across
     ``n_shards`` shards. Sorted round-robin is the classic
@@ -176,9 +178,61 @@ def balanced_shards(documents: DataFrame, n_shards: int = N_SHARDS) -> DataFrame
     offsets back and row_number WITHIN each n_tokens partition
     (ordered by doc_id). offset + within-length rank == the exact
     global (n_tokens DESC, doc_id ASC) rank, with parallelism =
-    #distinct lengths instead of 1."""
+    #distinct lengths instead of 1.
+
+    ``id_bucket_bits`` handles the DEGENERATE length distribution: a
+    uniform-length corpus (fixed-size chunks from ``doc_chunks``, or
+    truncation-capped docs) has ONE distinct n_tokens, collapsing the
+    length partitioning back to a single task. Setting b > 0 splits
+    each length into 2^b CONTIGUOUS doc_id ranges (equal-width over
+    the observed [min, max] id span — contiguity is what preserves
+    the doc_id order across buckets), so the window partitions by
+    (n_tokens, id_bucket) and the offset table carries one row per
+    occupied (length, bucket) pair, cumulated in (length DESC,
+    bucket ASC) order. Still exact; parallelism = occupied pairs.
+    NOTE — eager when b > 0: the id bounds are one 2-scalar driver
+    fetch (same discipline as the Z-order bounds). Default 0 keeps
+    the certified single-level plan."""
     n_tokens = F.size(F.expr("regexp_extract_all(text, '\\\\S+', 0)"))
     t = documents.select("doc_id", n_tokens.cast("long").alias("n_tokens"))
+    if id_bucket_bits > 0:
+        lo, hi = t.agg(F.min("doc_id"), F.max("doc_id")).collect()[0]
+        n_buckets = 1 << id_bucket_bits
+        span = max((hi or 0) - (lo or 0) + 1, 1)
+        t = t.withColumn(
+            "__idb",
+            F.floor(
+                (F.col("doc_id") - F.lit(lo or 0))
+                * F.lit(n_buckets)
+                / F.lit(span)
+            ).cast("int"),
+        )
+        counts = t.groupBy("n_tokens", "__idb").agg(
+            F.count(F.lit(1)).alias("__n")
+        )
+        w_off = (
+            Window.orderBy(F.desc("n_tokens"), F.asc("__idb"))
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        offsets = counts.select(
+            "n_tokens",
+            "__idb",
+            F.coalesce(F.sum("__n").over(w_off), F.lit(0)).alias("__offset"),
+        )
+        w_in = Window.partitionBy("n_tokens", "__idb").orderBy(F.asc("doc_id"))
+        ranked = (
+            t.join(F.broadcast(offsets), ["n_tokens", "__idb"])
+            .withColumn(
+                "rank",
+                (F.col("__offset") + F.row_number().over(w_in)).cast("long"),
+            )
+        )
+        return ranked.select(
+            "doc_id",
+            "n_tokens",
+            "rank",
+            ((F.col("rank") - 1) % n_shards).cast("int").alias("shard"),
+        )
     counts = t.groupBy("n_tokens").agg(F.count(F.lit(1)).alias("__n"))
     w_off = (
         Window.orderBy(F.desc("n_tokens"))

@@ -357,3 +357,36 @@ def test_quality_thresholds_keep_all_edge(spark):
     rows = quality_thresholds(docs, keep_frac=1.0).collect()
     for r in rows:
         assert r["n_kept"] == r["n_docs"], r  # cutoff = per-source min
+
+
+def test_balanced_shards_id_buckets_exact_on_uniform_lengths(spark):
+    """Degenerate case: every doc the same length — the single-level
+    decomposition collapses to one task; id_bucket_bits must split
+    the work while reproducing the EXACT naive rank."""
+    rows = [(i, " ".join(["w"] * 10), "s") for i in range(200)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {
+        r["doc_id"]: r
+        for r in balanced_shards(docs, n_shards=4, id_bucket_bits=3).collect()
+    }
+    # uniform length: rank == doc_id order
+    for i in range(200):
+        assert out[i]["rank"] == i + 1
+        assert out[i]["shard"] == i % 4
+    # the plan partitions by (n_tokens, id bucket), not one task
+    df = balanced_shards(docs, n_shards=4, id_bucket_bits=3)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"hashpartitioning\(n_tokens#\d+L?, __idb#\d+", plan), plan
+
+
+def test_balanced_shards_id_buckets_match_default_on_fixture(spark):
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    base = {
+        (r["doc_id"], r["rank"], r["shard"])
+        for r in balanced_shards(docs, n_shards=4).collect()
+    }
+    bucketed = {
+        (r["doc_id"], r["rank"], r["shard"])
+        for r in balanced_shards(docs, n_shards=4, id_bucket_bits=2).collect()
+    }
+    assert base == bucketed
