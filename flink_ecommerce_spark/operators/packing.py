@@ -258,7 +258,9 @@ def balanced_shards(
     )
 
 
-def shard_balance(documents: DataFrame, n_shards: int = N_SHARDS) -> DataFrame:
+def shard_balance(
+    documents: DataFrame, n_shards: int = N_SHARDS, id_bucket_bits: int = 0
+) -> DataFrame:
     """Per-shard load report for ``balanced_shards``: document count,
     token total, and each shard's token share of the corpus — the
     number a data-parallel training job checks before launch (a
@@ -266,7 +268,9 @@ def shard_balance(documents: DataFrame, n_shards: int = N_SHARDS) -> DataFrame:
 
     Scale: reuses the balanced_shards assignment (narrow rows), then
     one n_shards-row aggregate with map-side combine."""
-    a = balanced_shards(documents, n_shards=n_shards)
+    a = balanced_shards(
+        documents, n_shards=n_shards, id_bucket_bits=id_bucket_bits
+    )
     totals = a.groupBy("shard").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("total_tokens"),

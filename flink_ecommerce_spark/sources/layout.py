@@ -220,3 +220,42 @@ def export_curated_shards(
         "n_tokens": int(stats["n_tokens"] or 0),
         "n_shards": n_shards,
     }
+
+
+def compact_parquet(
+    spark: SparkSession,
+    src: str,
+    dst: str,
+    target_mb: int = 256,
+    mode: str = "overwrite",
+) -> dict:
+    """Small-file compaction — the maintenance job every long-lived
+    ingest directory needs (streaming sinks and partitioned writers
+    accrete kilobyte files; at 100 TB the NameNode/listing cost and
+    per-file open overhead dominate reads long before the bytes do).
+    Rewrites ``src`` into ceil(total_bytes / target_mb) files at
+    ``dst``.
+
+    Sizing reads the filesystem's content summary (works on any
+    Hadoop-supported scheme, not just local), then a round-robin
+    ``repartition(n)`` spreads rows evenly — a deliberate full
+    shuffle: even output file sizes are the point, and compaction
+    runs offline. (``coalesce`` would avoid the shuffle but inherits
+    the input's skew and caps parallelism at the output file count.)
+    Returns {input_files, output_files, total_bytes}."""
+    import math
+
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    jpath = jvm.org.apache.hadoop.fs.Path(src)
+    fs = jpath.getFileSystem(conf)
+    total = fs.getContentSummary(jpath).getLength()
+    n_out = max(1, math.ceil(total / (target_mb * 1024 * 1024)))
+    df = spark.read.parquet(src)
+    n_in = len(df.inputFiles())
+    df.repartition(n_out).write.mode(mode).parquet(dst)
+    return {
+        "input_files": n_in,
+        "output_files": n_out,
+        "total_bytes": int(total),
+    }

@@ -259,3 +259,20 @@ def test_export_curated_shards_roundtrip(spark, tmp_path):
     # physical layout: one directory per non-empty shard, all within range
     shard_vals = {r["shard"] for r in back.select("shard").distinct().collect()}
     assert shard_vals <= set(range(4)) and len(shard_vals) >= 1
+
+
+def test_compact_parquet_reduces_files_preserves_rows(spark, tmp_path):
+    from flink_ecommerce_spark.sources.layout import compact_parquet
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    frag = str(tmp_path / "fragmented")
+    docs.repartition(50).write.parquet(frag)
+    out = str(tmp_path / "compacted")
+    stats = compact_parquet(spark, frag, out, target_mb=64)
+    back = spark.read.parquet(out)
+    assert stats["input_files"] == 50
+    assert stats["output_files"] < 50
+    assert len(back.inputFiles()) == stats["output_files"]
+    assert back.count() == docs.count()
+    # content identical, not just counts
+    assert back.exceptAll(docs).count() == 0 and docs.exceptAll(back).count() == 0
