@@ -87,3 +87,65 @@ def rollup_with_tail(
     return head.select(
         "bucket_start", key_col, "n_events", "total_value"
     ).unionByName(tail)
+
+
+def refresh_rollup(
+    materialized: DataFrame,
+    raw_events: DataFrame,
+    window_start,
+    window_end,
+    bucket: str = DEFAULT_BUCKET,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """Batch incremental refresh — the
+    ``refresh_continuous_aggregate`` analog: recompute the
+    bucket-aligned [window_start, window_end) slice from raw events
+    and splice it into the materialized rollup, REPLACING any
+    existing rows for those buckets. Periodic maintenance calls this
+    with (last_threshold, now); re-running it over an OLD window
+    folds in late-arriving data for exactly those buckets (buckets
+    outside the window stay untouched — Timescale's semantics).
+
+    Exactness: both bounds are floored to bucket edges, so the
+    recomputed slice covers whole buckets only, and the anti-filter
+    removes exactly the rows the slice replaces. Scale: the raw scan
+    is bounded by the refresh window (partition-pruned when the raw
+    table is date-partitioned); the splice touches the tiny rollup
+    table only. Returns the new materialized frame — persisting it
+    is the caller's sink (keyed upsert or StagedMergeSink, both
+    idempotent on (bucket_start, key))."""
+    # The two bounds are floored EAGERLY (two driver scalars):
+    # Spark rejects multiple F.window expressions in one plan node,
+    # and literal bounds keep the main plan free of window exprs
+    # entirely (the delta's time_bucket_rollup keeps the only one).
+    spark = materialized.sparkSession
+
+    def _floor(v):
+        return (
+            spark.range(1)
+            .select(
+                bucket_floor(F.lit(v).cast("timestamp"), bucket).alias("t")
+            )
+            .collect()[0]["t"]
+        )
+
+    ws = F.lit(_floor(window_start)).cast("timestamp")
+    we = F.lit(_floor(window_end)).cast("timestamp")
+    delta = time_bucket_rollup(
+        raw_events.filter(
+            (F.col(ts_col).cast("timestamp") >= ws)
+            & (F.col(ts_col).cast("timestamp") < we)
+        ),
+        bucket,
+        ts_col,
+        key_col,
+        value_col,
+    )
+    kept = materialized.filter(
+        (F.col("bucket_start") < ws) | (F.col("bucket_start") >= we)
+    )
+    return kept.select(
+        "bucket_start", key_col, "n_events", "total_value"
+    ).unionByName(delta)

@@ -118,3 +118,58 @@ def test_streaming_maintenance_converges_to_batch_rollup(spark, tmp_path):
         for r in job.sinks["rollup"].rows()
     }
     assert got == expected and len(got) > 0
+
+
+def _floor_val(spark, v, bucket="1 hour"):
+    from flink_ecommerce_spark.plans.rollup import bucket_floor
+
+    return (
+        spark.range(1)
+        .select(bucket_floor(F.lit(v).cast("timestamp"), bucket).alias("t"))
+        .collect()[0]["t"]
+    )
+
+
+def test_refresh_rollup_advances_threshold_exactly(spark):
+    from flink_ecommerce_spark.plans.rollup import refresh_rollup
+
+    ev = catalog.table(spark, SF_SMALL, "events")
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).collect()[0]
+    span = hi - lo
+    t1 = lo + span / 3
+    t2 = lo + 2 * span / 3
+    # materialize everything before t1, then refresh [t1, t2)
+    mat = time_bucket_rollup(
+        ev.filter(F.col("ts") < F.lit(t1).cast("timestamp"))
+    )
+    refreshed = refresh_rollup(mat, ev, t1, t2)
+    # ground truth: full rollup restricted to buckets before t2
+    t2f = _floor_val(spark, t2)
+    full = time_bucket_rollup(ev).filter(F.col("bucket_start") < F.lit(t2f))
+    assert _as_dict(
+        refreshed.filter(F.col("bucket_start") < F.lit(t2f))
+    ) == _as_dict(full)
+
+
+def test_refresh_rollup_old_window_folds_in_late_data(spark):
+    from flink_ecommerce_spark.plans.rollup import refresh_rollup
+
+    ev = catalog.table(spark, SF_SMALL, "events").limit(500).cache()
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).collect()[0]
+    mid = lo + (hi - lo) / 2
+    early = ev.filter(F.col("ts") < F.lit(mid).cast("timestamp"))
+    # initial materialization misses half the early rows ("late data")
+    on_time = early.filter(F.col("event_id") % 2 == 0)
+    mat = time_bucket_rollup(on_time)
+    # re-refreshing the OLD window against the complete raw table
+    # replaces those buckets with the true totals
+    healed = refresh_rollup(mat, ev, lo, mid)
+    w_lo = F.lit(_floor_val(spark, lo))
+    w_hi = F.lit(_floor_val(spark, mid))
+    healed_w = healed.filter(
+        (F.col("bucket_start") >= w_lo) & (F.col("bucket_start") < w_hi)
+    )
+    truth_w = time_bucket_rollup(ev).filter(
+        (F.col("bucket_start") >= w_lo) & (F.col("bucket_start") < w_hi)
+    )
+    assert _as_dict(healed_w) == _as_dict(truth_w)
