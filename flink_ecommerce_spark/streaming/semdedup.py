@@ -23,7 +23,10 @@ index build and probe:
    within ``threshold`` of any → suppressed; otherwise emitted and
    appended. ``max_reps_per_cell`` bounds state with FIFO eviction —
    the streaming analog of a dedup window (a duplicate of an evicted
-   rep re-admits, documented recall cost).
+   rep re-admits, documented recall cost) — and ``ttl_ms`` ages out
+   whole COLD cells via ProcessingTimeTimeout, the same state-aging
+   contract as ``streaming/dedup.py`` (state ∝ content seen within
+   the TTL horizon, not all-time).
 
 Semantics note (deliberate, tested): the batch operator drops a
 vector iff an EARLIER vector is within the threshold, even when that
@@ -89,12 +92,17 @@ def cell_expr(
     return F.array_min(F.array(*cands))["label"]
 
 
-def _make_semdedup_group(threshold: float, max_reps_per_cell: int):
+def _make_semdedup_group(
+    threshold: float, max_reps_per_cell: int, ttl_ms: int | None = None
+):
     import numpy as np
 
     def _group(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
+        if ttl_ms is not None and state.hasTimedOut:
+            state.remove()  # cold cell aged out; later dups re-admit
+            return
         (cell,) = key
         if state.exists:
             rep_ids, rep_vecs = state.get
@@ -125,6 +133,8 @@ def _make_semdedup_group(threshold: float, max_reps_per_cell: int):
             rep_ids = rep_ids[-max_reps_per_cell:]
             reps = reps[-max_reps_per_cell:]
         state.update((rep_ids, [list(map(float, r)) for r in reps]))
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)  # any arrival refreshes
         if admitted:
             yield pd.DataFrame(
                 {"cell": [int(cell)] * len(admitted), "vec_id": admitted}
@@ -138,6 +148,7 @@ def streaming_semantic_dedup(
     centroids: list[tuple[int, list[float]]],
     threshold: float = SEMDEDUP_THRESHOLD,
     max_reps_per_cell: int = 10_000,
+    ttl_ms: int | None = None,
 ) -> DataFrame:
     """embeddings(vec_id, embedding) stream → admitted (cell, vec_id)
     stream. ``centroids`` is the collected output of the batch
@@ -155,10 +166,15 @@ def streaming_semantic_dedup(
         F.col("embedding"),
         cell_expr(F.col("embedding"), centroids).alias("cell"),
     )
+    timeout = (
+        GroupStateTimeout.NoTimeout
+        if ttl_ms is None
+        else GroupStateTimeout.ProcessingTimeTimeout
+    )
     return keyed.groupBy("cell").applyInPandasWithState(
-        _make_semdedup_group(threshold, max_reps_per_cell),
+        _make_semdedup_group(threshold, max_reps_per_cell, ttl_ms),
         outputStructType=SEMDEDUP_OUTPUT_SCHEMA,
         stateStructType=SEMDEDUP_STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=timeout,
     )
