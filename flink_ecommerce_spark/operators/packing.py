@@ -192,9 +192,17 @@ def balanced_shards(
     bucket ASC) order. Still exact; parallelism = occupied pairs.
     NOTE — eager when b > 0: the id bounds are one 2-scalar driver
     fetch (same discipline as the Z-order bounds). Default 0 keeps
-    the certified single-level plan."""
+    the certified single-level plan.
+
+    The narrow (doc_id, n_tokens) frame is localCheckpoint'ed: both
+    the counts aggregate and the rank join consume it, and without
+    the materialization each consumer re-scans the corpus TEXT to
+    recompute the token count — two full text scans for a 16-byte
+    projection. Same discipline as budgeted_mixture's scored frame."""
     n_tokens = F.size(F.expr("regexp_extract_all(text, '\\\\S+', 0)"))
-    t = documents.select("doc_id", n_tokens.cast("long").alias("n_tokens"))
+    t = documents.select(
+        "doc_id", n_tokens.cast("long").alias("n_tokens")
+    ).localCheckpoint(eager=True)
     if id_bucket_bits > 0:
         lo, hi = t.agg(F.min("doc_id"), F.max("doc_id")).collect()[0]
         n_buckets = 1 << id_bucket_bits
@@ -271,10 +279,12 @@ def shard_balance(
     a = balanced_shards(
         documents, n_shards=n_shards, id_bucket_bits=id_bucket_bits
     )
+    # n_shards rows; checkpointed so the corpus-total branch reads it
+    # instead of re-planning the whole rank decomposition
     totals = a.groupBy("shard").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("total_tokens"),
-    )
+    ).localCheckpoint(eager=True)
     corpus = totals.select(
         F.sum("total_tokens").alias("__corpus_tokens")
     )
