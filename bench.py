@@ -189,6 +189,68 @@ def _streaming_replay(
     return wall
 
 
+def _streaming_curation_bench(spark, sf_dir: str, metrics: dict) -> None:
+    """Ingest-side curation throughput: the Gopher rule battery as a
+    streaming filter over a replicated documents corpus (the
+    batch-certified expressions running unchanged on a stream —
+    tests/test_shards_semdedup.py proves value equality; this
+    measures the rate). Same staging discipline as the replay bench:
+    multiple files, maxFilesPerTrigger, sustained rate from
+    steady-state batch progress."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from flink_ecommerce_spark import catalog
+    from flink_ecommerce_spark.operators.text import gopher_quality_flags
+
+    replicas = int(os.environ.get("SPARK_GRAFT_CURATION_REPLICAS", "10"))
+    n_files = 16
+    docs = catalog.table(spark, sf_dir, "documents")
+    n0 = docs.count()
+    rep = spark.range(replicas).select(F.col("id").alias("__rep"))
+    stage = tempfile.mkdtemp(prefix="bench_curation_in_")
+    (
+        docs.crossJoin(F.broadcast(rep))
+        .select(
+            (F.col("doc_id") + F.col("__rep") * (n0 + 1)).alias("doc_id"),
+            "text",
+            "source",
+        )
+        .repartition(n_files)
+        .write.mode("overwrite")
+        .parquet(stage)
+    )
+    n = n0 * replicas
+    stream = (
+        spark.readStream.schema("doc_id long, text string, source string")
+        .option("maxFilesPerTrigger", "4")
+        .parquet(stage)
+    )
+    out = gopher_quality_flags(stream).filter("keep")
+    t0 = time.perf_counter()
+    q = (
+        out.writeStream.outputMode("append")
+        .format("noop")
+        .option(
+            "checkpointLocation", tempfile.mkdtemp(prefix="bench_cur_ckpt_")
+        )
+        .trigger(processingTime="200 milliseconds")
+        .start()
+    )
+    q.processAllAvailable()
+    wall = time.perf_counter() - t0
+    sustained = _sustained_rate([q])
+    q.stop()
+    metrics["curation_docs_per_sec"] = round(n / wall)
+    metrics["curation_sustained_docs_per_sec"] = round(sustained)
+    print(
+        f"streaming curation: {n} docs in {wall:.1f}s = "
+        f"{n / wall:,.0f} docs/s end-to-end, {sustained:,.0f} docs/s sustained",
+        file=sys.stderr,
+    )
+
+
 def _ann_band_bench(
     spark, sf_dir: str, timings: dict[str, float], reps: int
 ) -> list[dict]:
@@ -429,6 +491,10 @@ def main() -> None:
         )
     except Exception as e:
         print(f"streaming_replay_staged FAILED: {e}", file=sys.stderr)
+    try:
+        _streaming_curation_bench(spark, sf_dir, replay_metrics)
+    except Exception as e:
+        print(f"streaming_curation FAILED: {e}", file=sys.stderr)
 
     rehearsal: dict = {}
     if os.environ.get("SPARK_GRAFT_SKIP_REHEARSAL") != "1":
