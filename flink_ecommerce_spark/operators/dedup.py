@@ -578,6 +578,110 @@ def corpus_diff(old: DataFrame, new: DataFrame) -> DataFrame:
     return joined.select("doc_id", "old_hash", "new_hash", status.alias("status"))
 
 
+def incremental_fuzzy_dedup(
+    new_docs: DataFrame,
+    corpus: DataFrame,
+    threshold: float = JACCARD_THRESHOLD,
+    num_hashes: int = NUM_HASHES,
+    num_bands: int = NUM_BANDS,
+    corpus_signatures: DataFrame | None = None,
+    verify: bool = True,
+) -> DataFrame:
+    """NEAR-duplicate batch admission — the fuzzy twin of
+    ``incremental_dedup``: keep only the NEW batch's documents with no
+    verified near-duplicate (shingle Jaccard >= ``threshold``) in the
+    existing corpus. Exact-hash admission misses the reformatted /
+    lightly-edited reposts that dominate web-crawl incremental loads;
+    this is the daily-pipeline shape of MinHash-LSH dedup (new batch
+    vs history, not corpus self-join).
+
+    Scale shape (the reason this is not "union then dedup_clusters"):
+    the corpus side reduces to its band table — (doc_id, band,
+    bucket), built from ``corpus_signatures`` when the pipeline stores
+    signatures alongside the corpus (it should: signatures are
+    ~128 bytes/doc and never change, so history text is NEVER
+    re-scanned, let alone re-hashed, per daily batch). The candidate
+    join is new-bands x corpus-bands on (band, bucket) — cost
+    proportional to bucket collisions, not |new| x |corpus| — and the
+    exact-Jaccard verify explodes shingles for CANDIDATE docs only
+    (semi-join both frames before the explode). Intra-batch near-dups
+    are deliberately out of scope (run ``dedup_clusters`` on the
+    admitted batch): admission vs history and intra-batch clustering
+    have different keep rules.
+
+    ``verify=False`` admits on band evidence alone (any bucket
+    collision rejects) — more aggressive, zero corpus-text access;
+    the signature-only mode for when history text is cold storage.
+
+    Returns the admitted rows of ``new_docs`` with their full columns.
+    """
+    nb = _band_buckets(
+        minhash_signatures(new_docs, num_hashes=num_hashes), num_hashes, num_bands
+    ).localCheckpoint(eager=True)
+    sigs = (
+        corpus_signatures
+        if corpus_signatures is not None
+        else minhash_signatures(corpus, num_hashes=num_hashes)
+    )
+    cb = _band_buckets(sigs, num_hashes, num_bands)
+    cands = (
+        nb.alias("n")
+        .join(
+            cb.alias("c"),
+            (F.col("n.band") == F.col("c.band"))
+            & (F.col("n.bucket") == F.col("c.bucket")),
+        )
+        .select(
+            F.col("n.doc_id").alias("new_id"),
+            F.col("c.doc_id").alias("corpus_id"),
+        )
+        .distinct()
+    )
+    if not verify:
+        flagged = cands.select(F.col("new_id").alias("doc_id")).distinct()
+        return new_docs.join(flagged, "doc_id", "left_anti")
+    cands = cands.localCheckpoint(eager=True)
+    new_sh = _doc_shingles(
+        new_docs.join(
+            cands.select(F.col("new_id").alias("doc_id")), "doc_id", "left_semi"
+        )
+    ).localCheckpoint(eager=True)
+    cor_sh = _doc_shingles(
+        corpus.join(
+            cands.select(F.col("corpus_id").alias("doc_id")), "doc_id", "left_semi"
+        )
+    ).localCheckpoint(eager=True)
+    n_sizes = new_sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("na"))
+    c_sizes = cor_sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nb"))
+    inter = (
+        cands.join(
+            new_sh.select(F.col("doc_id").alias("new_id"), "shingle"), "new_id"
+        )
+        .join(
+            cor_sh.select(F.col("doc_id").alias("corpus_id"), "shingle"),
+            ["corpus_id", "shingle"],
+        )
+        .groupBy("new_id", "corpus_id")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    flagged = (
+        inter.join(
+            n_sizes.select(F.col("doc_id").alias("new_id"), "na"), "new_id"
+        )
+        .join(c_sizes.select(F.col("doc_id").alias("corpus_id"), "nb"), "corpus_id")
+        .filter(
+            F.round(
+                F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter")),
+                6,
+            )
+            >= threshold
+        )
+        .select(F.col("new_id").alias("doc_id"))
+        .distinct()
+    )
+    return new_docs.join(flagged, "doc_id", "left_anti")
+
+
 def shingle_novelty(
     documents: DataFrame, max_df_frac: float = NGRAM_MAX_DF_FRAC
 ) -> DataFrame:

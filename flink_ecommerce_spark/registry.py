@@ -468,6 +468,16 @@ def _q_incremental_dedup(spark, sf):
     return dedup.incremental_dedup(new, corpus)
 
 
+def _q_incremental_fuzzy_dedup(spark, sf):
+    """Same fixture split as incremental_dedup (doc_id % 5 == 0 is
+    the new batch) so the two admission policies read side by side:
+    exact-hash admits reformatted reposts, fuzzy rejects them."""
+    docs = _t("documents")(spark, sf)
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    return dedup.incremental_fuzzy_dedup(new, corpus)
+
+
 def _q_containment_pairs(spark, sf):
     return dedup.containment_pairs(_t("documents")(spark, sf))
 
@@ -1948,6 +1958,33 @@ keep AS (SELECT h, MIN(doc_id) AS doc_id FROM fresh GROUP BY 1)
 SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
 FROM documents d JOIN keep k ON d.doc_id = k.doc_id
 """,
+    # fuzzy admission twin: bands over ALL docs once, candidates are
+    # new-side x corpus-side collisions, exact Jaccard gates the
+    # rejection — mirrors incremental_fuzzy_dedup's verify path
+    "incremental_fuzzy_dedup": f"""
+WITH {_SIG_CTE},
+bands AS ({_BANDS_SELECTS}),
+cand AS (SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS corpus_id
+         FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+         WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 != 0),
+ds AS (SELECT DISTINCT doc_id, s AS shingle
+       FROM (SELECT doc_id, unnest(shingles) AS s FROM sh)),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM ds GROUP BY 1),
+inter AS (SELECT c.new_id, c.corpus_id, COUNT(*) AS n_inter
+          FROM cand c
+          JOIN ds a ON a.doc_id = c.new_id
+          JOIN ds b ON b.doc_id = c.corpus_id AND b.shingle = a.shingle
+          GROUP BY 1, 2),
+dup AS (SELECT DISTINCT i.new_id
+        FROM inter i
+        JOIN sizes sa ON sa.doc_id = i.new_id
+        JOIN sizes sb ON sb.doc_id = i.corpus_id
+        WHERE ROUND(i.n_inter / (sa.n_sh + sb.n_sh - i.n_inter), 6)
+              >= {dedup.JACCARD_THRESHOLD})
+SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
+FROM documents d
+WHERE d.doc_id % 5 = 0 AND d.doc_id NOT IN (SELECT new_id FROM dup)
+""",
     "dedup_exact_normalized": """
 SELECT md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS text_hash,
        MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_copies
@@ -2718,6 +2755,9 @@ _SPEC_DEFS: dict[str, QuerySpec] = {
     "incremental_dedup": QuerySpec(
         _q_incremental_dedup, ORACLES["incremental_dedup"]
     ),
+    "incremental_fuzzy_dedup": QuerySpec(
+        _q_incremental_fuzzy_dedup, ORACLES["incremental_fuzzy_dedup"]
+    ),
     "corpus_diff": QuerySpec(_q_corpus_diff, ORACLES["corpus_diff"]),
     "repeated_substring_spans": QuerySpec(
         _q_repeated_substring_spans, ORACLES["repeated_substring_spans"]
@@ -2892,6 +2932,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "budgeted_mixture",
     "shingle_novelty",
     # NEW this round — must be verified in its first round
+    "incremental_fuzzy_dedup",
     "repeated_substring_spans",
     "corpus_funnel",
     "corpus_funnel_by_source",
@@ -2943,10 +2984,9 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "customers_without_orders",
     "orders_with_big_lineitem",
     "parts_by_brand_type",
-    "events_by_customer_segment",
-    # revenue_by_brand / top10_orders / top_users_per_event_type / daily_running_revenue / weekly_moving_avg / sales_rollup / event_type_cube / event_value_pivot / distinct_users_per_day / value_stats_per_type /
+    # events_by_customer_segment / revenue_by_brand / top10_orders / top_users_per_event_type / daily_running_revenue / weekly_moving_avg / sales_rollup / event_type_cube / event_value_pivot / distinct_users_per_day / value_stats_per_type /
     # session_window_stats / conversion_funnel / weekly_retention /
-    # approx_distinct_users rotate in r05 — displaced by the thirteen
+    # approx_distinct_users rotate in r05 — displaced by the fourteen
     # queries NEW in r04 (new queries must certify in their first
     # round; every displaced query keeps its r01 row ledger-protected
     # because its code is unchanged since)

@@ -416,3 +416,72 @@ def test_lsh_banding_follows_planner_s_curve(spark):
     tight = pairs(dedup.minhash_plan_for(0.9))
     assert loose >= default >= tight, (loose, default, tight)
     assert loose > tight  # the knob must actually move on this corpus
+
+
+def test_incremental_fuzzy_dedup_rejects_near_dups(spark):
+    """Fuzzy admission: a lightly-edited repost of corpus content is
+    rejected even though its exact hash differs; genuinely new
+    content is admitted with full columns intact."""
+    from flink_ecommerce_spark.operators.dedup import (
+        incremental_fuzzy_dedup,
+        minhash_signatures,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (0, BASE, "en", "s", len(BASE)),
+            (1, "completely different text about spark query engines "
+                "and distributed columnar execution at large scale", "en", "s", 100),
+        ],
+        DOCUMENTS_SCHEMA,
+    )
+    new = spark.createDataFrame(
+        [
+            (10, BASE + " extra", "en", "s", len(BASE) + 6),  # near-dup of 0
+            (11, "another unrelated document mentioning kafka topics "
+                 "postgres upserts and flink keyed state semantics", "en", "s", 100),
+        ],
+        DOCUMENTS_SCHEMA,
+    )
+    admitted = incremental_fuzzy_dedup(new, corpus).collect()
+    assert {r["doc_id"] for r in admitted} == {11}
+    assert set(admitted[0].asDict()) == {
+        "doc_id", "text", "lang", "source", "n_chars"
+    }
+
+    # precomputed-signature path (the stored-history shape) must
+    # admit the identical set
+    sigs = minhash_signatures(corpus)
+    kept_sig = {
+        r["doc_id"]
+        for r in incremental_fuzzy_dedup(
+            new, corpus, corpus_signatures=sigs
+        ).collect()
+    }
+    assert kept_sig == {11}
+
+
+def test_incremental_fuzzy_dedup_verify_gate(spark):
+    """verify=True admits a band-collision FALSE POSITIVE that exact
+    Jaccard clears; verify=False rejects on band evidence alone, so
+    the admitted set can only shrink."""
+    from flink_ecommerce_spark.operators.dedup import incremental_fuzzy_dedup
+
+    corpus = spark.createDataFrame([(0, BASE, "en", "s", len(BASE))], DOCUMENTS_SCHEMA)
+    # shares a prefix (some bands collide at low thresholds) but is
+    # mostly different text: verified Jaccard sits well under 0.7
+    half_new = (
+        "the quick brown fox jumps over the sleeping guard dog and "
+        "then runs far away into the deep cold forest before dawn breaks"
+    )
+    new = spark.createDataFrame(
+        [(10, half_new, "en", "s", len(half_new))], DOCUMENTS_SCHEMA
+    )
+    strict = {
+        r["doc_id"]
+        for r in incremental_fuzzy_dedup(new, corpus, verify=False).collect()
+    }
+    verified = {
+        r["doc_id"] for r in incremental_fuzzy_dedup(new, corpus).collect()
+    }
+    assert strict <= verified  # band-only can only be more aggressive
