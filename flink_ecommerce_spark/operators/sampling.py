@@ -137,3 +137,69 @@ def sql_rate_case(col: str, rates: dict[str, int]) -> str:
     """DuckDB CASE expression mirroring the rate lookup."""
     whens = " ".join(f"WHEN {col} = '{k}' THEN {v}" for k, v in rates.items())
     return f"(CASE {whens} ELSE 0 END)"
+
+
+WEIGHTED_K = 64
+
+
+def weighted_sample(
+    documents: DataFrame,
+    k: int = WEIGHTED_K,
+    weight_col: str = "n_chars",
+    salt: str = "ws",
+) -> DataFrame:
+    """Weight-proportional sampling WITHOUT replacement (Efraimidis-
+    Spirakis A-Res, 2006): each row draws a deterministic uniform
+    u ∈ (0, 1) from the portable hash of its key and scores
+    ln(u) / w; the k LARGEST scores are the sample. This selects each
+    row with probability proportional to its weight, without
+    replacement — the exact semantics "sample 64 docs ∝ length"
+    needs, where a bucket-percentage filter (mixture_sample) can only
+    approximate via rate banding. Zero/negative weights are excluded
+    (a zero-weight row must never be drawn).
+
+    Reproducible like every sampler here: the score is a pure row
+    function, so the same corpus yields the same sample on any
+    engine, partitioning, or cluster size.
+
+    Scale: score is per-row on the scan; global top-k compiles to
+    TakeOrderedAndProject — per-partition heaps of k rows, one
+    k-row-per-partition collect — NOT a global sort shuffle. 100 TB
+    in, k rows out, one pass.
+
+    The ``+ 0.0`` after rounding folds IEEE ``-0.0`` to ``+0.0`` — a
+    huge-weight row's score rounds to zero and the engines disagree
+    on the sign of that zero's string form otherwise."""
+    u = (hash32(F.col("doc_id").cast("string"), salt=salt) + 1) / F.lit(
+        4294967297.0
+    )
+    w = F.col(weight_col).cast("double")
+    score = F.log(u) / w
+    return (
+        documents.filter(w > 0)
+        .select(
+            "doc_id",
+            "source",
+            F.col(weight_col).alias("weight"),
+            (F.round(score, 6) + F.lit(0.0)).alias("sample_score"),
+        )
+        .orderBy(F.desc(F.col("sample_score")), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def sql_weighted_sample(
+    k: int = WEIGHTED_K, weight_col: str = "n_chars", salt: str = "ws"
+) -> str:
+    """DuckDB oracle for ``weighted_sample`` — identical hash, score,
+    and tie-break."""
+    h = sql_hash32("CAST(doc_id AS VARCHAR)", salt=salt)
+    return f"""
+SELECT doc_id, source, {weight_col} AS weight,
+       ROUND(ln(({h} + 1) / 4294967297.0) / CAST({weight_col} AS DOUBLE), 6) + 0.0
+         AS sample_score
+FROM documents
+WHERE CAST({weight_col} AS DOUBLE) > 0
+ORDER BY sample_score DESC, doc_id ASC
+LIMIT {k}
+"""

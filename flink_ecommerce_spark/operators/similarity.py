@@ -762,3 +762,74 @@ def hard_negatives(
         .filter(F.col("rk") <= k)
         .select("query_id", "neighbor_id", "neighbor_label", "cos_sim", "rk")
     )
+
+
+JL_DIM_OUT = 16
+
+
+def _jl_sign(i: int, j: int) -> float:
+    """Deterministic ±1 projection weights (same md5 family as
+    plane_weight, independent salt): sign of output dim i on input
+    dim j."""
+    h = int(hashlib.md5(f"jl{i}:dim{j}".encode()).hexdigest()[:8], 16)
+    return 1.0 if h % 2 == 0 else -1.0
+
+
+def jl_project(
+    embeddings: DataFrame, dim_out: int = JL_DIM_OUT, dim_in: int = EMB_DIM
+) -> DataFrame:
+    """Johnson-Lindenstrauss random projection to ``dim_out``
+    dimensions with a deterministic ±1/sqrt(dim_out) sign matrix
+    (Achlioptas 2003: database-friendly random projections — ±1
+    entries preserve pairwise distances like Gaussian ones). The
+    dimensionality-reduction front end for 100 TB similarity: project
+    once on the scan, then run near-dup / ANN / clustering in the
+    reduced space at dim_out/dim_in of the compute and shuffle width.
+
+    Output is unnested (vec_id, dim ∈ 1..dim_out, proj) — the same
+    long shape as embedding_quantize_int8, exact across engines
+    because the fold order is fixed (j ascending, left fold).
+
+    Scale: a pure per-row expression (dim_out fixed-order sums over
+    a zip_with product) — no shuffle, no UDF, whole-stage codegen;
+    the sign matrix is dim_out x dim_in literals folded into the
+    plan, not a join."""
+    emb = F.col("embedding").cast("array<double>")
+    outs = []
+    inv = 1.0 / (dim_out ** 0.5)
+    for i in range(dim_out):
+        signs = F.array(
+            *[F.lit(_jl_sign(i, j)) for j in range(dim_in)]
+        )
+        s = F.aggregate(
+            F.zip_with(emb, signs, lambda x, sgn: x * sgn),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        outs.append(
+            F.struct(
+                F.lit(i + 1).alias("dim"),
+                # + 0.0 folds IEEE -0.0 to +0.0 (engine-portable zero)
+                (F.round(s * inv, 6) + F.lit(0.0)).alias("proj"),
+            )
+        )
+    return embeddings.select(
+        "vec_id", F.explode(F.array(*outs)).alias("p")
+    ).select("vec_id", F.col("p.dim").alias("dim"), F.col("p.proj").alias("proj"))
+
+
+def sql_jl_project(dim_out: int = JL_DIM_OUT, dim_in: int = EMB_DIM) -> str:
+    """DuckDB oracle for ``jl_project``: the identical sign literals
+    and the identical left-to-right add chain per output dim."""
+    inv = 1.0 / (dim_out ** 0.5)
+    rows = []
+    for i in range(dim_out):
+        terms = " + ".join(
+            f"CAST(embedding[{j + 1}] AS DOUBLE) * ({_jl_sign(i, j)})"
+            for j in range(dim_in)
+        )
+        rows.append(
+            f"SELECT vec_id, {i + 1} AS dim, "
+            f"ROUND((0.0 + {terms}) * {inv!r}, 6) + 0.0 AS proj FROM embeddings"
+        )
+    return "\nUNION ALL\n".join(rows)

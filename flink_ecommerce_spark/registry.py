@@ -554,6 +554,14 @@ def _q_mixture_sample(spark, sf):
     return sampling.mixture_sample(_t("documents")(spark, sf))
 
 
+def _q_weighted_sample(spark, sf):
+    return sampling.weighted_sample(_t("documents")(spark, sf))
+
+
+def _q_jl_project(spark, sf):
+    return similarity.jl_project(_t("embeddings")(spark, sf))
+
+
 def _q_fuzzy_name_pairs(spark, sf):
     return entity.fuzzy_name_pairs(_t("customer")(spark, sf))
 
@@ -2037,6 +2045,8 @@ FROM documents
         bucket=sql_bucket("doc_id", "mix"),
         rate=sql_rate_case("source", MIXTURE_WEIGHTS),
     ),
+    "weighted_sample": sampling.sql_weighted_sample(),
+    "jl_project": similarity.sql_jl_project(),
     "fuzzy_name_pairs": f"""
 WITH t AS (
   SELECT c_custkey, lower(trim(c_name)) AS name,
@@ -2796,6 +2806,8 @@ _SPEC_DEFS: dict[str, QuerySpec] = {
         _q_stratified_sample, ORACLES["stratified_sample"]
     ),
     "mixture_sample": QuerySpec(_q_mixture_sample, ORACLES["mixture_sample"]),
+    "weighted_sample": QuerySpec(_q_weighted_sample, ORACLES["weighted_sample"]),
+    "jl_project": QuerySpec(_q_jl_project, ORACLES["jl_project"]),
     "fuzzy_name_pairs": QuerySpec(_q_fuzzy_name_pairs, ORACLES["fuzzy_name_pairs"]),
     "block_profile": QuerySpec(_q_block_profile, ORACLES["block_profile"]),
     "simhash_near_pairs": QuerySpec(
@@ -2933,6 +2945,8 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "shingle_novelty",
     # NEW this round — must be verified in its first round
     "incremental_fuzzy_dedup",
+    "weighted_sample",
+    "jl_project",
     "repeated_substring_spans",
     "corpus_funnel",
     "corpus_funnel_by_source",
@@ -2982,9 +2996,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "q22_sales_opportunity",
     "customer_order_totals",
     "customers_without_orders",
-    "orders_with_big_lineitem",
-    "parts_by_brand_type",
-    # events_by_customer_segment / revenue_by_brand / top10_orders / top_users_per_event_type / daily_running_revenue / weekly_moving_avg / sales_rollup / event_type_cube / event_value_pivot / distinct_users_per_day / value_stats_per_type /
+    # orders_with_big_lineitem / parts_by_brand_type / events_by_customer_segment / revenue_by_brand / top10_orders / top_users_per_event_type / daily_running_revenue / weekly_moving_avg / sales_rollup / event_type_cube / event_value_pivot / distinct_users_per_day / value_stats_per_type /
     # session_window_stats / conversion_funnel / weekly_retention /
     # approx_distinct_users rotate in r05 — displaced by the fourteen
     # queries NEW in r04 (new queries must certify in their first

@@ -1,0 +1,99 @@
+"""weighted_sample (A-Res) statistical + contract tests and
+jl_project distance-preservation tests."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from flink_ecommerce_spark.operators.sampling import weighted_sample
+from flink_ecommerce_spark.operators.similarity import jl_project
+from flink_ecommerce_spark.schemas import DOCUMENTS_SCHEMA
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        [(i, "t", "en", s, w) for i, s, w in rows], DOCUMENTS_SCHEMA
+    )
+
+
+def test_weighted_sample_contract(spark):
+    """k rows out, zero/negative weights never drawn, deterministic
+    across repeat runs."""
+    rows = [(i, "s", (i % 7) * 10) for i in range(100)]  # some zero weights
+    d = _docs(spark, rows)
+    out1 = weighted_sample(d, k=10).collect()
+    out2 = weighted_sample(d, k=10).collect()
+    assert len(out1) == 10
+    assert [r["doc_id"] for r in out1] == [r["doc_id"] for r in out2]
+    assert all(r["weight"] > 0 for r in out1)
+
+
+def test_weighted_sample_weight_proportional(spark):
+    """Heavy rows dominate the sample: 100 docs at weight 10000 vs
+    100 at weight 1 — with inclusion odds ~10000:1 per pair, a
+    20-sample containing more than a couple of light docs would be a
+    (1e-3)-probability event under correct A-Res."""
+    rows = [(i, "heavy", 10000) for i in range(100)]
+    rows += [(100 + i, "light", 1) for i in range(100)]
+    out = weighted_sample(_docs(spark, rows), k=20).collect()
+    n_heavy = sum(1 for r in out if r["source"] == "heavy")
+    assert n_heavy >= 18
+
+
+def test_weighted_sample_plan_is_take_ordered(spark):
+    """The global top-k must compile to TakeOrderedAndProject (per-
+    partition heaps), never a global Sort shuffle."""
+    d = _docs(spark, [(i, "s", i + 1) for i in range(50)])
+    plan = weighted_sample(d, k=5)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_jl_project_preserves_relative_distances(spark):
+    """JL with +/-1 signs: projected squared distances concentrate
+    around the originals. We check rank agreement: a pair FAR apart
+    in the original space must project farther than a pair that is
+    close (factor 100 separation leaves room for dim_out=16
+    distortion)."""
+    import random
+
+    rng = random.Random(7)
+    base = [rng.uniform(-1, 1) for _ in range(64)]
+    near = [x + rng.uniform(-0.01, 0.01) for x in base]
+    far = [rng.uniform(-1, 1) for _ in range(64)]
+    emb = spark.createDataFrame(
+        [(0, base, 0), (1, near, 0), (2, far, 0)],
+        "vec_id long, embedding array<double>, label int",
+    ).withColumn("embedding", F.col("embedding").cast("array<float>"))
+    proj = {
+        (r["vec_id"], r["dim"]): r["proj"] for r in jl_project(emb).collect()
+    }
+    assert len(proj) == 3 * 16
+
+    def dist(a, b):
+        return math.sqrt(
+            sum(
+                (proj[(a, d)] - proj[(b, d)]) ** 2
+                for d in range(1, 17)
+            )
+        )
+
+    assert dist(0, 1) < dist(0, 2)
+
+
+def test_jl_project_is_linear_in_scale(spark):
+    """Projection of 2x is exactly 2x the projection (up to the 6dp
+    output rounding) — pins the transform as the linear map it claims
+    to be."""
+    v = [0.25 * ((j % 5) - 2) for j in range(64)]
+    emb = spark.createDataFrame(
+        [(0, v, 0), (1, [2 * x for x in v], 0)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    proj = {
+        (r["vec_id"], r["dim"]): r["proj"] for r in jl_project(emb).collect()
+    }
+    for d in range(1, 17):
+        assert abs(proj[(1, d)] - 2 * proj[(0, d)]) < 1e-5
