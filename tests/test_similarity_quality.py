@@ -184,3 +184,53 @@ def test_knn_int8_recall_vs_float(spark):
         got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
     recalls = [len(got[q] & n) / len(n) for q, n in truth.items()]
     assert sum(recalls) / len(recalls) >= 0.8, recalls
+
+
+def test_pq_codes_shape_and_range(spark):
+    """Every vector gets exactly PQ_M codes, each a valid codebook
+    index (labels 0..9 are the deterministic codewords)."""
+    emb = catalog.table(spark, SF_SMALL, "embeddings")
+    n = emb.count()
+    codes = similarity.pq_codes(emb).collect()
+    assert len(codes) == n * similarity.PQ_M
+    assert all(0 <= r["code"] < similarity.PQ_N_CODES for r in codes)
+    assert all(0 <= r["m"] < similarity.PQ_M for r in codes)
+
+
+def test_pq_adc_recall_vs_bruteforce(spark):
+    """ADC over 8 one-byte codes must still mostly agree with exact
+    cosine top-k — the quantization is lossy but not random."""
+    emb = catalog.table(spark, SF_SMALL, "embeddings")
+    truth = _topk_sets(similarity.knn_bruteforce(emb))
+    approx = _topk_sets(similarity.pq_ann_topk(emb))
+    recalls = [
+        len(truth[q] & approx.get(q, set())) / len(truth[q]) for q in truth
+    ]
+    mean_recall = sum(recalls) / len(recalls)
+    assert mean_recall >= 0.2, f"PQ ADC mean recall {mean_recall:.2f}"
+    assert all(len(v) <= similarity.DEFAULT_K for v in approx.values())
+
+
+def test_pq_adc_orders_reconstruction_distance(spark):
+    """Sanity on the ADC metric itself: for a corpus vector, ADC
+    distance equals the exact distance between the query subvectors
+    and the vector's reconstructed codewords — so identical vectors
+    (same codes) get identical ADC distances. Pin a weaker invariant
+    that survives quantization: each query's OWN near-duplicate (if
+    its codes match) ranks first."""
+    from pyspark.sql import functions as F
+
+    emb = catalog.table(spark, SF_SMALL, "embeddings")
+    # duplicate query vectors under new ids: the duplicate shares all
+    # codes with the query, so its ADC distance is the minimum
+    # (reconstruction error only) and it must appear in the top-k
+    base = emb.filter(F.col("vec_id") < similarity.DEFAULT_N_QUERIES)
+    max_id = emb.agg(F.max("vec_id")).collect()[0][0]
+    dups = base.select(
+        (F.col("vec_id") + max_id + 1).alias("vec_id"), "embedding", "label"
+    )
+    approx = _topk_sets(similarity.pq_ann_topk(emb.unionByName(dups)))
+    for q in range(similarity.DEFAULT_N_QUERIES):
+        assert (q + max_id + 1) in approx[q], (
+            f"query {q}: its exact duplicate missed the ADC top-k"
+        )
