@@ -2893,7 +2893,9 @@ _SPEC_DEFS: dict[str, QuerySpec] = {
     "weighted_sample": QuerySpec(_q_weighted_sample, ORACLES["weighted_sample"]),
     "jl_project": QuerySpec(_q_jl_project, ORACLES["jl_project"]),
     "pq_codes": QuerySpec(_q_pq_codes, ORACLES["pq_codes"]),
-    "pq_ann_topk": QuerySpec(_q_pq_ann_topk, ORACLES["pq_ann_topk"]),
+    "pq_ann_topk": QuerySpec(
+        _q_pq_ann_topk, ORACLES["pq_ann_topk"], bench=True
+    ),
     "fuzzy_name_pairs": QuerySpec(_q_fuzzy_name_pairs, ORACLES["fuzzy_name_pairs"]),
     "block_profile": QuerySpec(_q_block_profile, ORACLES["block_profile"]),
     "simhash_near_pairs": QuerySpec(

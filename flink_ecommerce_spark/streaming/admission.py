@@ -1,0 +1,131 @@
+"""Streaming near-duplicate admission — the continuous-ingest form of
+``operators.dedup.incremental_fuzzy_dedup``.
+
+A crawl/ingest stream keeps only documents with no near-duplicate in
+(a) the static seed corpus and (b) everything ADMITTED SO FAR — the
+self-extending-history property that distinguishes admission from
+per-batch dedup: batch 2's repost of a batch-1 admit must be
+rejected even though neither is in the seed corpus.
+
+Shape: foreachBatch over the document stream; each micro-batch runs
+the certified batch admission against the accumulated history and
+appends its admits to it. The history is TWO append-only parquet
+layers, exactly the storage layout the batch op's
+``corpus_signatures`` argument anticipates:
+
+- ``sig_dir``  — MinHash signatures (~128 B/doc). Every batch's band
+  table builds from THIS, so history text is never re-hashed. One
+  seed-corpus signature pass at setup, one signature write per
+  admitted batch.
+- ``docs_dir`` — admitted documents. Read only by the exact-Jaccard
+  verify stage, which semi-joins down to band-collision candidates
+  before exploding shingles.
+
+Why foreachBatch and not a stream-static join: admission is a
+per-document ALL-bands predicate (reject iff ANY band collides and
+the collision verifies). Post-explode that needs a per-doc
+aggregation — stateful in a streaming plan — while the history
+append makes the "static" side grow per batch, which a stream-static
+join snapshot does not re-read mid-query reliably. foreachBatch gives
+each micro-batch transactional batch semantics against the history
+as of the previous batch (the same contract as StagedMergeSink, this
+module's sibling).
+
+Intra-batch near-dups are admitted together (the batch op's
+documented scope): within one micro-batch there is no "earlier"
+history. Tighten by shrinking the trigger interval, or run
+dedup_clusters over the admitted output.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators.dedup import (
+    JACCARD_THRESHOLD,
+    NUM_BANDS,
+    NUM_HASHES,
+    incremental_fuzzy_dedup,
+    minhash_signatures,
+)
+
+
+def init_admission_history(
+    corpus: DataFrame, docs_dir: str, sig_dir: str, num_hashes: int = NUM_HASHES
+) -> None:
+    """Seed the history layers from the static corpus: one full text
+    scan to write signatures, one narrow copy of the documents. Run
+    once before starting the stream."""
+    corpus.write.mode("overwrite").parquet(docs_dir)
+    minhash_signatures(corpus, num_hashes=num_hashes).write.mode(
+        "overwrite"
+    ).parquet(sig_dir)
+
+
+def make_admission_batch_fn(
+    docs_dir: str,
+    sig_dir: str,
+    threshold: float = JACCARD_THRESHOLD,
+    num_hashes: int = NUM_HASHES,
+    num_bands: int = NUM_BANDS,
+    verify: bool = True,
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch function: admit the micro-batch against the
+    accumulated history, then extend the history with the admits
+    (docs + their signatures). Empty batches short-circuit."""
+
+    def admit_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        history = spark.read.parquet(docs_dir)
+        history_sigs = spark.read.parquet(sig_dir)
+        admitted = incremental_fuzzy_dedup(
+            batch_df,
+            history,
+            threshold=threshold,
+            num_hashes=num_hashes,
+            num_bands=num_bands,
+            corpus_signatures=history_sigs,
+            verify=verify,
+        ).localCheckpoint(eager=True)  # cut the stream lineage before
+        # the two writes below (each would otherwise re-run admission)
+        admitted.write.mode("append").parquet(docs_dir)
+        minhash_signatures(admitted, num_hashes=num_hashes).write.mode(
+            "append"
+        ).parquet(sig_dir)
+
+    return admit_batch
+
+
+def streaming_fuzzy_admission(
+    documents: DataFrame,
+    docs_dir: str,
+    sig_dir: str,
+    checkpoint_dir: str,
+    threshold: float = JACCARD_THRESHOLD,
+    num_hashes: int = NUM_HASHES,
+    num_bands: int = NUM_BANDS,
+    verify: bool = True,
+):
+    """Start the admission stream: ``documents`` is a streaming
+    DataFrame with the documents schema; admitted rows accumulate in
+    ``docs_dir`` (which doubles as the curated-corpus sink). Returns
+    the StreamingQuery."""
+    return (
+        documents.writeStream.foreachBatch(
+            make_admission_batch_fn(
+                docs_dir,
+                sig_dir,
+                threshold=threshold,
+                num_hashes=num_hashes,
+                num_bands=num_bands,
+                verify=verify,
+            )
+        )
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )

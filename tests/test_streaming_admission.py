@@ -1,0 +1,68 @@
+"""Streaming fuzzy admission: cross-batch self-extending history —
+a later batch's near-dup of an EARLIER ADMIT is rejected, not just
+near-dups of the seed corpus."""
+
+from __future__ import annotations
+
+from flink_ecommerce_spark.schemas import DOCUMENTS_SCHEMA
+from flink_ecommerce_spark.streaming.admission import (
+    init_admission_history,
+    streaming_fuzzy_admission,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat "
+    "watches from the warm windowsill in the afternoon sun today"
+)
+FRESH_1 = (
+    "completely different text about spark query engines and "
+    "distributed columnar execution at extremely large data scale"
+)
+FRESH_2 = (
+    "another unrelated document mentioning kafka topics postgres "
+    "upserts and flink keyed state semantics in production systems"
+)
+
+
+def _doc_rows(rows):
+    return [(i, t, "en", "s", len(t)) for i, t in rows]
+
+
+def _write_chunk(spark, path, rows, chunk):
+    df = spark.createDataFrame(_doc_rows(rows), DOCUMENTS_SCHEMA)
+    df.coalesce(1).write.mode("overwrite").parquet(f"{path}/chunk={chunk}")
+
+
+def test_streaming_admission_extends_history(spark, tmp_path):
+    docs_dir = str(tmp_path / "admitted")
+    sig_dir = str(tmp_path / "sigs")
+    src = str(tmp_path / "incoming")
+
+    corpus = spark.createDataFrame(_doc_rows([(0, BASE)]), DOCUMENTS_SCHEMA)
+    init_admission_history(corpus, docs_dir, sig_dir)
+
+    # batch 1: near-dup of the SEED corpus + a fresh doc
+    _write_chunk(spark, src, [(10, BASE + " extra"), (11, FRESH_1)], 1)
+    stream = (
+        spark.readStream.schema(DOCUMENTS_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/chunk=*")
+    )
+    q = streaming_fuzzy_admission(
+        stream, docs_dir, sig_dir, str(tmp_path / "ckpt")
+    )
+    q.processAllAvailable()
+    admitted = {r["doc_id"] for r in spark.read.parquet(docs_dir).collect()}
+    assert admitted == {0, 11}  # seed + fresh; repost of seed rejected
+
+    # batch 2: near-dup of BATCH-1's admit (11) + a fresh doc — the
+    # cross-batch property: 11 is history now, so 20 must be rejected
+    _write_chunk(spark, src, [(20, FRESH_1 + " extra"), (21, FRESH_2)], 2)
+    q.processAllAvailable()
+    q.stop()
+    admitted = {r["doc_id"] for r in spark.read.parquet(docs_dir).collect()}
+    assert admitted == {0, 11, 21}
+
+    # the signature layer tracked the admits (the no-rescan invariant)
+    sig_ids = {r["doc_id"] for r in spark.read.parquet(sig_dir).collect()}
+    assert sig_ids == {0, 11, 21}
