@@ -987,3 +987,50 @@ def pq_ann_topk(
         .filter(F.col("rk") <= k)
         .select("query_id", "neighbor_id", "adc_d2", "rk")
     )
+
+
+PQ_RERANK = 50  # ADC shortlist size for the re-rank stage
+
+
+def pq_ann_rerank(
+    embeddings: DataFrame,
+    k: int = DEFAULT_K,
+    n_queries: int = DEFAULT_N_QUERIES,
+    shortlist: int = PQ_RERANK,
+) -> DataFrame:
+    """The production two-stage PQ pattern: ADC over codes shortlists
+    ``shortlist`` candidates per query (8 bytes/vector moves), then
+    exact cosine re-ranks ONLY the shortlist against full-precision
+    embeddings. Recall approaches brute force while the full-precision
+    read is shortlist-sized — at 100 TB, the embeddings table is
+    touched for n_queries x shortlist rows instead of every vector.
+
+    Output matches knn_bruteforce: (query_id, neighbor_id, cos_sim,
+    rk)."""
+    adc = pq_ann_topk(embeddings, k=shortlist, n_queries=n_queries)
+    cand = adc.select("query_id", "neighbor_id")
+    full = embeddings.select("vec_id", "embedding")
+    queries = embeddings.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    scored = (
+        cand.join(
+            full.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id"
+        )
+        .join(F.broadcast(queries), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_sim(F.col("q_emb"), F.col("embedding")), 6).alias(
+                "cos_sim"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rk")
+    )

@@ -570,6 +570,10 @@ def _q_pq_ann_topk(spark, sf):
     return similarity.pq_ann_topk(_t("embeddings")(spark, sf))
 
 
+def _q_pq_ann_rerank(spark, sf):
+    return similarity.pq_ann_rerank(_t("embeddings")(spark, sf))
+
+
 def _q_fuzzy_name_pairs(spark, sf):
     return entity.fuzzy_name_pairs(_t("customer")(spark, sf))
 
@@ -1122,6 +1126,49 @@ b4 AS (SELECT b3.*, (b3.decontam_ok
                AS budget_ok
        FROM b3 LEFT JOIN cum c ON b3.doc_id = c.doc_id),
 """
+
+# PQ shared oracle fragments: sampled codebook (subvectors of the
+# lowest-id vectors), per-(vector, subspace) argmin, and the ADC
+# distance table — mirrors operators/similarity exactly.
+_PQ_CORE = f"""WITH dims AS (SELECT vec_id, CAST(v AS DOUBLE) AS v,
+                     CAST(dim AS INT) - 1 AS d0
+              FROM (SELECT vec_id, unnest(embedding) AS v,
+                           generate_subscripts(embedding, 1) AS dim
+                    FROM embeddings)),
+seeds AS (SELECT vec_id,
+                 CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS code
+          FROM embeddings ORDER BY vec_id LIMIT {similarity.PQ_N_CODES}),
+cbarr AS (SELECT CAST(d.d0 // {similarity.PQ_SUB_DIM} AS INT) AS m, s.code,
+                 list(d.v ORDER BY d.d0) AS cw
+          FROM dims d JOIN seeds s ON s.vec_id = d.vec_id
+          GROUP BY 1, 2),
+sub AS (SELECT vec_id, CAST(d0 // {similarity.PQ_SUB_DIM} AS INT) AS m,
+               list(v ORDER BY d0) AS sub
+        FROM dims GROUP BY 1, 2),
+d AS (SELECT s.vec_id, s.m, c.code,
+             list_reduce(list_transform(generate_series(1, {similarity.PQ_SUB_DIM}),
+               i -> (s.sub[i] - c.cw[i]) * (s.sub[i] - c.cw[i])),
+               (x, y) -> x + y) AS d2
+      FROM sub s JOIN cbarr c ON c.m = s.m)"""
+
+_PQ_ADC = f"""codes AS (SELECT vec_id, m, code FROM (
+            SELECT vec_id, m, code,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                                      ORDER BY d2 ASC, code ASC) AS rk
+            FROM d)
+          WHERE rk = 1),
+dt AS (SELECT s.vec_id AS query_id, s.m, c.code,
+              list_reduce(list_transform(generate_series(1, {similarity.PQ_SUB_DIM}),
+                i -> (s.sub[i] - c.cw[i]) * (s.sub[i] - c.cw[i])),
+                (x, y) -> x + y) AS d2m
+       FROM sub s JOIN cbarr c ON c.m = s.m
+       WHERE s.vec_id < {similarity.DEFAULT_N_QUERIES}),
+scored AS (SELECT dt.query_id, codes.vec_id AS neighbor_id,
+                  ROUND(list_reduce(list(dt.d2m ORDER BY dt.m),
+                                    (x, y) -> x + y), 6) AS adc_d2
+           FROM codes JOIN dt ON dt.m = codes.m AND dt.code = codes.code
+           WHERE codes.vec_id != dt.query_id
+           GROUP BY 1, 2)"""
 
 ORACLES: dict[str, str] = {
     "raw_transactions": """
@@ -2059,26 +2106,7 @@ FROM documents
     # quantizer, same move as ivf_ann_topk), ordered-fold distances,
     # argmin with code-asc tie-break — mirrors operators/similarity
     "pq_codes": f"""
-WITH dims AS (SELECT vec_id, CAST(v AS DOUBLE) AS v,
-                     CAST(dim AS INT) - 1 AS d0
-              FROM (SELECT vec_id, unnest(embedding) AS v,
-                           generate_subscripts(embedding, 1) AS dim
-                    FROM embeddings)),
-seeds AS (SELECT vec_id,
-                 CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS code
-          FROM embeddings ORDER BY vec_id LIMIT {similarity.PQ_N_CODES}),
-cbarr AS (SELECT CAST(d.d0 // {similarity.PQ_SUB_DIM} AS INT) AS m, s.code,
-                 list(d.v ORDER BY d.d0) AS cw
-          FROM dims d JOIN seeds s ON s.vec_id = d.vec_id
-          GROUP BY 1, 2),
-sub AS (SELECT vec_id, CAST(d0 // {similarity.PQ_SUB_DIM} AS INT) AS m,
-               list(v ORDER BY d0) AS sub
-        FROM dims GROUP BY 1, 2),
-d AS (SELECT s.vec_id, s.m, c.code,
-             list_reduce(list_transform(generate_series(1, {similarity.PQ_SUB_DIM}),
-               i -> (s.sub[i] - c.cw[i]) * (s.sub[i] - c.cw[i])),
-               (x, y) -> x + y) AS d2
-      FROM sub s JOIN cbarr c ON c.m = s.m)
+{_PQ_CORE}
 SELECT vec_id, m, code FROM (
   SELECT vec_id, m, code,
          ROW_NUMBER() OVER (PARTITION BY vec_id, m
@@ -2087,48 +2115,31 @@ SELECT vec_id, m, code FROM (
 WHERE rk = 1
 """,
     "pq_ann_topk": f"""
-WITH dims AS (SELECT vec_id, CAST(v AS DOUBLE) AS v,
-                     CAST(dim AS INT) - 1 AS d0
-              FROM (SELECT vec_id, unnest(embedding) AS v,
-                           generate_subscripts(embedding, 1) AS dim
-                    FROM embeddings)),
-seeds AS (SELECT vec_id,
-                 CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS code
-          FROM embeddings ORDER BY vec_id LIMIT {similarity.PQ_N_CODES}),
-cbarr AS (SELECT CAST(d.d0 // {similarity.PQ_SUB_DIM} AS INT) AS m, s.code,
-                 list(d.v ORDER BY d.d0) AS cw
-          FROM dims d JOIN seeds s ON s.vec_id = d.vec_id
-          GROUP BY 1, 2),
-sub AS (SELECT vec_id, CAST(d0 // {similarity.PQ_SUB_DIM} AS INT) AS m,
-               list(v ORDER BY d0) AS sub
-        FROM dims GROUP BY 1, 2),
-d AS (SELECT s.vec_id, s.m, c.code,
-             list_reduce(list_transform(generate_series(1, {similarity.PQ_SUB_DIM}),
-               i -> (s.sub[i] - c.cw[i]) * (s.sub[i] - c.cw[i])),
-               (x, y) -> x + y) AS d2
-      FROM sub s JOIN cbarr c ON c.m = s.m),
-codes AS (SELECT vec_id, m, code FROM (
-            SELECT vec_id, m, code,
-                   ROW_NUMBER() OVER (PARTITION BY vec_id, m
-                                      ORDER BY d2 ASC, code ASC) AS rk
-            FROM d)
-          WHERE rk = 1),
-dt AS (SELECT s.vec_id AS query_id, s.m, c.code,
-              list_reduce(list_transform(generate_series(1, {similarity.PQ_SUB_DIM}),
-                i -> (s.sub[i] - c.cw[i]) * (s.sub[i] - c.cw[i])),
-                (x, y) -> x + y) AS d2m
-       FROM sub s JOIN cbarr c ON c.m = s.m
-       WHERE s.vec_id < {similarity.DEFAULT_N_QUERIES}),
-scored AS (SELECT dt.query_id, codes.vec_id AS neighbor_id,
-                  ROUND(list_reduce(list(dt.d2m ORDER BY dt.m),
-                                    (x, y) -> x + y), 6) AS adc_d2
-           FROM codes JOIN dt ON dt.m = codes.m AND dt.code = codes.code
-           WHERE codes.vec_id != dt.query_id
-           GROUP BY 1, 2)
+{_PQ_CORE},
+{_PQ_ADC}
 SELECT query_id, neighbor_id, adc_d2, CAST(rk AS INT) AS rk FROM (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
                                ORDER BY adc_d2 ASC, neighbor_id ASC) AS rk
   FROM scored)
+WHERE rk <= {similarity.DEFAULT_K}
+""",
+    "pq_ann_rerank": f"""
+{_PQ_CORE},
+{_PQ_ADC},
+short AS (SELECT query_id, neighbor_id FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                         ORDER BY adc_d2 ASC, neighbor_id ASC) AS rk
+            FROM scored)
+          WHERE rk <= {similarity.PQ_RERANK}),
+rer AS (SELECT sh.query_id, sh.neighbor_id,
+               ROUND({sql_cosine('q.embedding', 'e.embedding', similarity.EMB_DIM)}, 6) AS cos_sim
+        FROM short sh
+        JOIN embeddings e ON e.vec_id = sh.neighbor_id
+        JOIN embeddings q ON q.vec_id = sh.query_id)
+SELECT query_id, neighbor_id, cos_sim, CAST(rk AS INT) AS rk FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, neighbor_id ASC) AS rk
+  FROM rer)
 WHERE rk <= {similarity.DEFAULT_K}
 """,
     "fuzzy_name_pairs": f"""
@@ -2893,6 +2904,7 @@ _SPEC_DEFS: dict[str, QuerySpec] = {
     "weighted_sample": QuerySpec(_q_weighted_sample, ORACLES["weighted_sample"]),
     "jl_project": QuerySpec(_q_jl_project, ORACLES["jl_project"]),
     "pq_codes": QuerySpec(_q_pq_codes, ORACLES["pq_codes"]),
+    "pq_ann_rerank": QuerySpec(_q_pq_ann_rerank, ORACLES["pq_ann_rerank"]),
     "pq_ann_topk": QuerySpec(
         _q_pq_ann_topk, ORACLES["pq_ann_topk"], bench=True
     ),
@@ -3037,6 +3049,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "jl_project",
     "pq_codes",
     "pq_ann_topk",
+    "pq_ann_rerank",
     "repeated_substring_spans",
     "corpus_funnel",
     "corpus_funnel_by_source",
@@ -3083,8 +3096,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "q19_disjunctive_revenue",
     "q20_promotion_suppliers",
     "q21_waiting_suppliers",
-    "q22_sales_opportunity",
-    # customer_order_totals / customers_without_orders / orders_with_big_lineitem / parts_by_brand_type / events_by_customer_segment / revenue_by_brand / top10_orders / top_users_per_event_type / daily_running_revenue / weekly_moving_avg / sales_rollup / event_type_cube / event_value_pivot / distinct_users_per_day / value_stats_per_type /
+    # q22_sales_opportunity / customer_order_totals / customers_without_orders / orders_with_big_lineitem / parts_by_brand_type / events_by_customer_segment / revenue_by_brand / top10_orders / top_users_per_event_type / daily_running_revenue / weekly_moving_avg / sales_rollup / event_type_cube / event_value_pivot / distinct_users_per_day / value_stats_per_type /
     # session_window_stats / conversion_funnel / weekly_retention /
     # approx_distinct_users rotate in r05 — displaced by the fourteen
     # queries NEW in r04 (new queries must certify in their first

@@ -234,3 +234,21 @@ def test_pq_adc_orders_reconstruction_distance(spark):
         assert (q + max_id + 1) in approx[q], (
             f"query {q}: its exact duplicate missed the ADC top-k"
         )
+
+
+def test_pq_rerank_beats_raw_adc_recall(spark):
+    """The two-stage pattern must recover recall: exact re-rank of a
+    50-candidate ADC shortlist can only improve on raw ADC top-k, and
+    with a 10%-of-corpus shortlist it should approach brute force."""
+    emb = catalog.table(spark, SF_SMALL, "embeddings")
+    truth = _topk_sets(similarity.knn_bruteforce(emb))
+    adc = _topk_sets(similarity.pq_ann_topk(emb))
+    rer = _topk_sets(similarity.pq_ann_rerank(emb))
+
+    def mean_recall(approx):
+        return sum(
+            len(truth[q] & approx.get(q, set())) / len(truth[q]) for q in truth
+        ) / len(truth)
+
+    assert mean_recall(rer) >= mean_recall(adc)
+    assert mean_recall(rer) >= 0.5, f"rerank recall {mean_recall(rer):.2f}"
