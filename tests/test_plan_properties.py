@@ -129,3 +129,44 @@ def test_semantic_dedup_single_corpus_pass(spark):
     plan = _plan(spark, "semantic_dedup")
     assert "FileScan parquet" not in plan, plan
     assert plan.count("Scan ExistingRDD") >= 3
+
+
+def test_pq_adc_broadcasts_lookup_never_embeddings(spark):
+    """pq_ann_topk: the codebook and the per-query distance table
+    broadcast; the corpus-sized side of the ADC join carries codes
+    only — no embedding column may cross the candidate Exchange."""
+    plan = _plan(spark, "pq_ann_topk")
+    assert plan.count("BroadcastHashJoin") >= 2
+    for line in plan.splitlines():
+        # every shuffle past encode moves (query_id, vec_id, m, code,
+        # d2m)-shaped rows, never vectors
+        if "Exchange hashpartitioning" in line:
+            assert "embedding" not in line, line
+
+
+def test_pq_encode_argmin_is_aggregated_not_windowed(spark):
+    """Encode argmin must be the min-struct aggregation with map-side
+    partials, not a per-(vector, subspace) row_number window over all
+    candidate rows. The ONE permitted window is the codebook's seed
+    numbering, which sits on a TakeOrderedAndProject(limit=PQ_N_CODES)
+    frame — corpus-size-independent."""
+    plan = _plan(spark, "pq_codes")
+    assert "partial_min(struct(d2" in plan
+    assert plan.count("Window") <= 1
+    assert "TakeOrderedAndProject(limit=32" in plan
+
+
+def test_weighted_sample_no_exchange_at_all(spark):
+    """Global top-k by score compiles to TakeOrderedAndProject over
+    the scan: zero Exchange operators in the whole plan."""
+    plan = _plan(spark, "weighted_sample")
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan
+
+
+def test_jl_project_is_scan_shaped(spark):
+    """Projection is Generate over per-row folds: no Exchange, no
+    join, no aggregation."""
+    plan = _plan(spark, "jl_project")
+    assert "Exchange" not in plan
+    assert "Join" not in plan
