@@ -413,6 +413,16 @@ def _scale_rehearsal(spark, sf_dir: str) -> dict:
             emb, n_planes=plan10[0], n_bands=plan10[1]
         ).count(),
     )
+    timed("pq_ann_topk", lambda: similarity.pq_ann_topk(emb).count())
+    timed(
+        "incremental_fuzzy_dedup",
+        # daily-batch shape at 10x: replica 0 arrives as the new
+        # batch against the other replicas as history
+        lambda: dedup.incremental_fuzzy_dedup(
+            docs.filter(F.col("doc_id") <= n_docs01),
+            docs.filter(F.col("doc_id") > n_docs01),
+        ).count(),
+    )
     print(
         f"rehearsal planners: lsh {plan01} -> {plan10}, "
         f"simhash {sim01} -> {sim10}",
