@@ -114,3 +114,35 @@ def test_round4_similarity_on_empty(spark):
     )
     assert similarity.semantic_dedup(empty_emb).collect() == []
     assert similarity.hard_negatives(empty_emb).collect() == []
+
+
+def test_fuzzy_admission_and_sampling_on_empty(spark, empty_docs):
+    from flink_ecommerce_spark.operators import sampling
+
+    docs = spark.createDataFrame(
+        [(1, "a genuinely new document with enough words to shingle "
+             "across the default width", "en", "s", 10)],
+        DOCUMENTS_SCHEMA,
+    )
+    # empty new batch / empty history — and empty vs empty
+    assert dedup.incremental_fuzzy_dedup(empty_docs, docs).collect() == []
+    kept = dedup.incremental_fuzzy_dedup(docs, empty_docs).collect()
+    assert {r["doc_id"] for r in kept} == {1}
+    assert dedup.incremental_fuzzy_dedup(empty_docs, empty_docs).collect() == []
+    assert sampling.weighted_sample(empty_docs).collect() == []
+
+
+def test_pq_jl_bpe_on_empty(spark):
+    from flink_ecommerce_spark.operators import bpe, similarity
+
+    empty_emb = spark.createDataFrame(
+        [], "vec_id long, embedding array<float>, label int"
+    )
+    assert similarity.pq_codes(empty_emb).collect() == []
+    assert similarity.pq_ann_topk(empty_emb).collect() == []
+    assert similarity.pq_ann_rerank(empty_emb).collect() == []
+    assert similarity.jl_project(empty_emb).collect() == []
+
+    empty_docs = spark.createDataFrame([], DOCUMENTS_SCHEMA)
+    assert bpe.bpe_train(empty_docs, num_merges=5) == []
+    assert bpe.bpe_apply(empty_docs, []).collect() == []
