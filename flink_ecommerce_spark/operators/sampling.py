@@ -11,7 +11,7 @@ the standard "salted hash bucket" split used for train/val/test.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.portable import hash32, sql_hash32
@@ -202,4 +202,64 @@ FROM documents
 WHERE CAST({weight_col} AS DOUBLE) > 0
 ORDER BY sample_score DESC, doc_id ASC
 LIMIT {k}
+"""
+
+
+WEIGHTED_K_PER_SOURCE = 16
+
+
+def weighted_sample_by_source(
+    documents: DataFrame,
+    k_per_source: int = WEIGHTED_K_PER_SOURCE,
+    weight_col: str = "n_chars",
+    salt: str = "ws",
+) -> DataFrame:
+    """Per-stratum A-Res: ``weighted_sample``'s score, top-k WITHIN
+    each source — the "sample 16 docs per source ∝ length" recipe
+    step, so small sources aren't crowded out of a global sample by
+    large ones.
+
+    Scale: one window partitioned by source over the per-row score;
+    parallelism = |sources|, rows per partition = source size — the
+    standard per-group top-k shape (AQE splits a skewed source)."""
+    u = (hash32(F.col("doc_id").cast("string"), salt=salt) + 1) / F.lit(
+        4294967297.0
+    )
+    w = F.col(weight_col).cast("double")
+    scored = documents.filter(w > 0).select(
+        "doc_id",
+        "source",
+        F.col(weight_col).alias("weight"),
+        (F.round(F.log(u) / w, 6) + F.lit(0.0)).alias("sample_score"),
+    )
+    win = Window.partitionBy("source").orderBy(
+        F.desc("sample_score"), F.asc("doc_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(win))
+        .filter(F.col("rk") <= k_per_source)
+        .select("doc_id", "source", "weight", "sample_score", "rk")
+    )
+
+
+def sql_weighted_sample_by_source(
+    k_per_source: int = WEIGHTED_K_PER_SOURCE,
+    weight_col: str = "n_chars",
+    salt: str = "ws",
+) -> str:
+    """DuckDB oracle for ``weighted_sample_by_source``."""
+    h = sql_hash32("CAST(doc_id AS VARCHAR)", salt=salt)
+    return f"""
+SELECT doc_id, source, weight, sample_score, CAST(rk AS INT) AS rk FROM (
+  SELECT doc_id, source, {weight_col} AS weight,
+         ROUND(ln(({h} + 1) / 4294967297.0) / CAST({weight_col} AS DOUBLE), 6) + 0.0
+           AS sample_score,
+         ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY ROUND(ln(({h} + 1) / 4294967297.0)
+                          / CAST({weight_col} AS DOUBLE), 6) + 0.0 DESC,
+                    doc_id ASC) AS rk
+  FROM documents
+  WHERE CAST({weight_col} AS DOUBLE) > 0)
+WHERE rk <= {k_per_source}
 """

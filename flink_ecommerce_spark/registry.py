@@ -40,6 +40,7 @@ from .operators import (
     similarity,
     text,
 )
+from .operators import sketch as _sketch
 from .operators.sampling import (
     MIXTURE_WEIGHTS,
     STRATA_RATES,
@@ -556,6 +557,22 @@ def _q_mixture_sample(spark, sf):
 
 def _q_weighted_sample(spark, sf):
     return sampling.weighted_sample(_t("documents")(spark, sf))
+
+
+def _q_weighted_sample_by_source(spark, sf):
+    return sampling.weighted_sample_by_source(_t("documents")(spark, sf))
+
+
+def _q_countmin_sketch(spark, sf):
+    from .operators import sketch
+
+    return sketch.countmin_sketch(_t("documents")(spark, sf))
+
+
+def _q_countmin_estimates(spark, sf):
+    from .operators import sketch
+
+    return sketch.countmin_estimates(_t("documents")(spark, sf))
 
 
 def _q_jl_project(spark, sf):
@@ -2101,6 +2118,9 @@ FROM documents
         rate=sql_rate_case("source", MIXTURE_WEIGHTS),
     ),
     "weighted_sample": sampling.sql_weighted_sample(),
+    "weighted_sample_by_source": sampling.sql_weighted_sample_by_source(),
+    "countmin_sketch": _sketch.sql_countmin_sketch(),
+    "countmin_estimates": _sketch.sql_countmin_estimates(),
     "jl_project": similarity.sql_jl_project(),
     # PQ: label-mean codebook per subspace (the deterministic
     # quantizer, same move as ivf_ann_topk), ordered-fold distances,
@@ -2902,6 +2922,13 @@ _SPEC_DEFS: dict[str, QuerySpec] = {
     ),
     "mixture_sample": QuerySpec(_q_mixture_sample, ORACLES["mixture_sample"]),
     "weighted_sample": QuerySpec(_q_weighted_sample, ORACLES["weighted_sample"]),
+    "weighted_sample_by_source": QuerySpec(
+        _q_weighted_sample_by_source, ORACLES["weighted_sample_by_source"]
+    ),
+    "countmin_sketch": QuerySpec(_q_countmin_sketch, ORACLES["countmin_sketch"]),
+    "countmin_estimates": QuerySpec(
+        _q_countmin_estimates, ORACLES["countmin_estimates"]
+    ),
     "jl_project": QuerySpec(_q_jl_project, ORACLES["jl_project"]),
     "pq_codes": QuerySpec(_q_pq_codes, ORACLES["pq_codes"]),
     "pq_ann_rerank": QuerySpec(_q_pq_ann_rerank, ORACLES["pq_ann_rerank"]),
@@ -3046,6 +3073,9 @@ _VERIFY_FIRST: tuple[str, ...] = (
     # NEW this round — must be verified in its first round
     "incremental_fuzzy_dedup",
     "weighted_sample",
+    "weighted_sample_by_source",
+    "countmin_sketch",
+    "countmin_estimates",
     "jl_project",
     "pq_codes",
     "pq_ann_topk",
@@ -3093,10 +3123,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "q16_part_supplier_counts",
     "q17_small_quantity_revenue",
     "q18_large_volume_customers",
-    "q19_disjunctive_revenue",
-    "q20_promotion_suppliers",
-    "q21_waiting_suppliers",
-    # q22_sales_opportunity / customer_order_totals / customers_without_orders / orders_with_big_lineitem / parts_by_brand_type / events_by_customer_segment / revenue_by_brand / top10_orders / top_users_per_event_type / daily_running_revenue / weekly_moving_avg / sales_rollup / event_type_cube / event_value_pivot / distinct_users_per_day / value_stats_per_type /
+    # q19_disjunctive_revenue / q20_promotion_suppliers / q21_waiting_suppliers / q22_sales_opportunity / customer_order_totals / customers_without_orders / orders_with_big_lineitem / parts_by_brand_type / events_by_customer_segment / revenue_by_brand / top10_orders / top_users_per_event_type / daily_running_revenue / weekly_moving_avg / sales_rollup / event_type_cube / event_value_pivot / distinct_users_per_day / value_stats_per_type /
     # session_window_stats / conversion_funnel / weekly_retention /
     # approx_distinct_users rotate in r05 — displaced by the fourteen
     # queries NEW in r04 (new queries must certify in their first

@@ -97,3 +97,58 @@ def test_jl_project_is_linear_in_scale(spark):
     }
     for d in range(1, 17):
         assert abs(proj[(1, d)] - 2 * proj[(0, d)]) < 1e-5
+
+
+def test_weighted_sample_by_source_covers_small_sources(spark):
+    """Per-source k: a tiny source still gets rows (global sampling
+    would crowd it out), and no source exceeds k."""
+    from flink_ecommerce_spark.operators.sampling import (
+        weighted_sample_by_source,
+    )
+
+    rows = [(i, "big", 100) for i in range(200)]
+    rows += [(1000 + i, "tiny", 100) for i in range(3)]
+    out = weighted_sample_by_source(_docs(spark, rows), k_per_source=5).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["source"], []).append(r["doc_id"])
+    assert len(by_src["big"]) == 5
+    assert sorted(by_src["tiny"]) == [1000, 1001, 1002]  # all 3 kept
+
+
+def test_countmin_overestimates_never_under(spark):
+    """The defining CM property: min-of-cells >= true count for every
+    term, with equality for collision-free cells."""
+    from flink_ecommerce_spark import catalog
+    from flink_ecommerce_spark.operators.sketch import countmin_estimates
+
+    from tests.conftest import SF_SMALL
+
+    docs = catalog.table(spark, SF_SMALL, "documents")
+    rows = countmin_estimates(docs, k=50).collect()
+    # the synthetic vocab is small; k caps, it doesn't pad
+    assert 1 <= len(rows) <= 50
+    assert all(r["n_est"] >= r["n_true"] for r in rows)
+
+
+def test_countmin_sketch_is_mergeable(spark):
+    """Cell-wise addition of two half-corpus sketches equals the
+    full-corpus sketch — the property that lets daily sketches merge
+    into monthly ones without reprocessing."""
+    from pyspark.sql import functions as F
+
+    from flink_ecommerce_spark import catalog
+    from flink_ecommerce_spark.operators.sketch import countmin_sketch
+
+    from tests.conftest import SF_SMALL
+
+    docs = catalog.table(spark, SF_SMALL, "documents")
+    full = {
+        (r["j"], r["bucket"]): r["n"] for r in countmin_sketch(docs).collect()
+    }
+    a = countmin_sketch(docs.filter(F.col("doc_id") % 2 == 0)).collect()
+    b = countmin_sketch(docs.filter(F.col("doc_id") % 2 == 1)).collect()
+    merged: dict = {}
+    for r in list(a) + list(b):
+        merged[(r["j"], r["bucket"])] = merged.get((r["j"], r["bucket"]), 0) + r["n"]
+    assert merged == full
