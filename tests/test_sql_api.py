@@ -31,3 +31,21 @@ def test_sql_join_across_views(spark):
         "SELECT count(*) FROM orders JOIN customer ON o_custkey = c_custkey",
     ).collect()[0][0]
     assert n == catalog.table(spark, SF_SMALL, "orders").count()
+
+
+def test_registry_queries_compose_as_views(spark):
+    """Operator results are SQL relations: register a few registry
+    queries as views and JOIN them in plain SQL."""
+    sql_mod.register_query_views(
+        spark, SF_SMALL, ["dedup_exact", "profile_documents"]
+    )
+    out = spark.sql(
+        """
+        SELECT p.source, COUNT(*) AS n_unique_docs
+        FROM dedup_exact d
+        JOIN documents doc ON doc.doc_id = d.keep_doc_id
+        JOIN profile_documents p ON p.source = doc.source
+        GROUP BY 1
+        """
+    ).collect()
+    assert len(out) > 0
