@@ -3,18 +3,22 @@
 Thin adapter over flink_ecommerce_spark.registry, which holds every
 implemented query from SURVEY.md §2 (parity surface) plus the
 extension operators — joins/windows/TPC-H shapes, dedup (exact /
-MinHash-LSH / SimHash / incremental / novelty / snapshot diff /
-exact-substring spans, SemDeDup semantic dedup with the
-occupancy-pinned cell knob), similarity search (float, GEMM, int8,
-hyperplane-LSH, IVF, hard-negative mining — all zero-vector-guarded,
-norms per vector not per pair), text curation (quality, Gopher rule
-flags, surprisal LMs, decontamination, PII, budgeted mixtures via
-the exact bucket decomposition, the five-stage corpus_funnel
-report), sequence packing / chunking / LPT-balanced shards,
-temporal joins (both as-of directions, interval, band), multimodal
-plumbing, sampling/splits, entity resolution, CDC, profiling — each with a DuckDB oracle twin
-(COVERAGE.md is the full map; non-query machinery — continuous
-aggregates, Z-order layout, streaming sinks/packing/dedup — is
+MinHash-LSH / SimHash / incremental exact AND fuzzy batch admission /
+novelty / snapshot diff / exact-substring spans, SemDeDup semantic
+dedup with the occupancy-pinned cell knob), similarity search
+(float, GEMM, int8, hyperplane-LSH, IVF, product quantization with
+ADC + two-stage re-rank, JL random projection, hard-negative mining
+— all zero-vector-guarded, norms per vector not per pair), text
+curation (quality, Gopher rule flags, surprisal LMs, decontamination,
+PII, budgeted mixtures via the exact bucket decomposition, the
+five-stage corpus_funnel report), Count-Min frequency sketches,
+sequence packing / chunking / LPT-balanced shards, temporal joins
+(both as-of directions, interval, band), multimodal plumbing,
+sampling/splits/weighted sampling without replacement (global and
+per-source A-Res), entity resolution, CDC, profiling — each with a
+DuckDB oracle twin (COVERAGE.md is the full map; non-query machinery
+— continuous aggregates, Z-order layout, streaming
+sinks/packing/dedup/fuzzy-admission, BPE tokenizer train/apply — is
 pytest-covered there too). tests/plan_ledger.json machine-checks
 that out-of-verify-window queries' plans are unchanged since their
 last external certification.
