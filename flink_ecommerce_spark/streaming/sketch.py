@@ -1,0 +1,45 @@
+"""Streaming Count-Min sketch: corpus term frequencies on a live
+document stream with state bounded BY CONSTRUCTION.
+
+Every other streaming aggregate here bounds state by key-space
+argument (calendar keys, TTL, FIFO caps); the Count-Min sketch is
+the operator whose state bound is structural — a streaming groupBy
+on (j, bucket) can never hold more than DEPTH x WIDTH rows no matter
+how many distinct terms the stream carries. That makes it the
+canonical "frequency view over an unbounded vocabulary stream":
+update-mode emits the changed cells per micro-batch, and the final
+cell table equals the batch sketch over the same documents (pinned
+in tests), because counter addition commutes with micro-batching —
+the same mergeability that lets daily batch sketches roll up into
+monthly ones.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.sketch import CM_DEPTH, CM_WIDTH, _cm_cells
+from ..operators.textprep import words
+
+
+def streaming_countmin(
+    documents: DataFrame,
+    depth: int = CM_DEPTH,
+    width: int = CM_WIDTH,
+    text_col: str = "text",
+) -> DataFrame:
+    """documents stream → running (j, bucket, n) cell counts.
+    Use with ``outputMode("update")``/``"complete"``; the aggregation
+    state is at most depth x width rows."""
+    terms = documents.select(
+        F.explode(words(F.col(text_col))).alias("term")
+    )
+    cells = terms.select(
+        F.explode(_cm_cells(F.col("term"), depth, width)).alias("c")
+    )
+    return (
+        cells.groupBy(
+            F.col("c.j").alias("j"), F.col("c.bucket").alias("bucket")
+        ).agg(F.count(F.lit(1)).alias("n"))
+    )
