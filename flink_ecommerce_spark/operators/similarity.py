@@ -942,11 +942,14 @@ def pq_ann_topk(
 
     Scale: the distance TABLE (n_queries x PQ_M x n_codes rows, built
     from two broadcast-sized frames) broadcasts to the corpus codes;
-    summing the PQ_M per-subspace terms per (query, vector) is a
-    collect_list of 8 structs folded in fixed m-order — deterministic
-    float addition in both engines — followed by the usual top-k
-    window per query. The corpus never ships embeddings, only codes:
-    the whole ANN pass moves 8 bytes per vector.
+    the per-subspace distances are quantized to integer MICRO-UNITS
+    in the table, so the per-(query, vector) total is a plain SUM of
+    longs — integer addition is associative, which makes the
+    map-side-combined aggregate engine-deterministic without any
+    fixed-order float fold (the collect_list + sorted-fold version
+    this replaced was the rehearsal chain's slowest op: 36 s -> the
+    sum shape at 10x). The corpus never ships embeddings, only
+    codes: the whole ANN pass moves 8 bytes per vector.
 
     Output: (query_id, neighbor_id, adc_d2, rk)."""
     cb = _pq_codebook(embeddings)
@@ -959,24 +962,16 @@ def pq_ann_topk(
         "query_id",
         "m",
         "code",
-        _sq_dist(F.col("sub"), F.col("cw")).alias("d2m"),
+        F.round(_sq_dist(F.col("sub"), F.col("cw")) * 1e6, 0)
+        .cast("long")
+        .alias("d2u"),
     )
     scored = (
         codes.join(F.broadcast(dtable), ["m", "code"])
         .filter(F.col("vec_id") != F.col("query_id"))
         .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
         .agg(
-            F.round(
-                F.aggregate(
-                    F.transform(
-                        F.array_sort(F.collect_list(F.struct("m", "d2m"))),
-                        lambda s: s["d2m"],
-                    ),
-                    F.lit(0.0),
-                    lambda acc, v: acc + v,
-                ),
-                6,
-            ).alias("adc_d2")
+            F.round(F.sum("d2u") / F.lit(1e6), 6).alias("adc_d2")
         )
     )
     w = Window.partitionBy("query_id").orderBy(

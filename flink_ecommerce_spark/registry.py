@@ -1175,14 +1175,13 @@ _PQ_ADC = f"""codes AS (SELECT vec_id, m, code FROM (
             FROM d)
           WHERE rk = 1),
 dt AS (SELECT s.vec_id AS query_id, s.m, c.code,
-              list_reduce(list_transform(generate_series(1, {similarity.PQ_SUB_DIM}),
+              CAST(ROUND(list_reduce(list_transform(generate_series(1, {similarity.PQ_SUB_DIM}),
                 i -> (s.sub[i] - c.cw[i]) * (s.sub[i] - c.cw[i])),
-                (x, y) -> x + y) AS d2m
+                (x, y) -> x + y) * 1000000.0, 0) AS BIGINT) AS d2u
        FROM sub s JOIN cbarr c ON c.m = s.m
        WHERE s.vec_id < {similarity.DEFAULT_N_QUERIES}),
 scored AS (SELECT dt.query_id, codes.vec_id AS neighbor_id,
-                  ROUND(list_reduce(list(dt.d2m ORDER BY dt.m),
-                                    (x, y) -> x + y), 6) AS adc_d2
+                  ROUND(SUM(dt.d2u) / 1000000.0, 6) AS adc_d2
            FROM codes JOIN dt ON dt.m = codes.m AND dt.code = codes.code
            WHERE codes.vec_id != dt.query_id
            GROUP BY 1, 2)"""
