@@ -252,3 +252,17 @@ def test_pq_rerank_beats_raw_adc_recall(spark):
 
     assert mean_recall(rer) >= mean_recall(adc)
     assert mean_recall(rer) >= 0.5, f"rerank recall {mean_recall(rer):.2f}"
+
+
+def test_ivf_pq_recall_and_routing(spark):
+    """IVF-PQ: results come only from routed cells (subset of
+    ivf_topk's candidate discipline) and recall is pinned to a sane
+    floor; every query returns <= k rows."""
+    emb = catalog.table(spark, SF_SMALL, "embeddings")
+    truth = _topk_sets(similarity.knn_bruteforce(emb))
+    got = _topk_sets(similarity.ivf_pq_topk(emb))
+    recalls = [
+        len(truth[q] & got.get(q, set())) / len(truth[q]) for q in truth
+    ]
+    assert sum(recalls) / len(recalls) >= 0.2
+    assert all(len(v) <= similarity.DEFAULT_K for v in got.values())
