@@ -129,3 +129,61 @@ def streaming_fuzzy_admission(
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
+
+
+def main(argv: list[str] | None = None):
+    """CLI: run the admission stream over a watched parquet directory.
+
+    python -m flink_ecommerce_spark.streaming.admission \\
+        --corpus seed.parquet --incoming /data/incoming \\
+        --docs-dir /data/curated --sig-dir /data/curated_sigs
+
+    Seeds the history from --corpus unless the layers already exist
+    (restart-safe: the checkpoint + append-only layers resume), then
+    admits every arriving file. Returns the StreamingQuery (call
+    .awaitTermination() in production; tests drive
+    .processAllAvailable())."""
+    import argparse
+    import os
+
+    from ..schemas import DOCUMENTS_SCHEMA
+    from ..session import get_spark
+
+    p = argparse.ArgumentParser(description="streaming near-dup admission")
+    p.add_argument("--corpus", required=True, help="seed corpus parquet")
+    p.add_argument("--incoming", required=True, help="watched parquet dir")
+    p.add_argument("--docs-dir", required=True)
+    p.add_argument("--sig-dir", required=True)
+    p.add_argument("--checkpoint", required=True)
+    p.add_argument("--threshold", type=float, default=JACCARD_THRESHOLD)
+    p.add_argument("--no-verify", action="store_true",
+                   help="band-collision-only admission (no corpus text reads)")
+    p.add_argument("--max-files-per-trigger", type=int, default=16)
+    p.add_argument("--await", dest="await_termination", action="store_true")
+    args = p.parse_args(argv)
+
+    spark = get_spark("fuzzy-admission")
+    if not os.path.exists(args.docs_dir):
+        init_admission_history(
+            spark.read.parquet(args.corpus), args.docs_dir, args.sig_dir
+        )
+    stream = (
+        spark.readStream.schema(DOCUMENTS_SCHEMA)
+        .option("maxFilesPerTrigger", str(args.max_files_per_trigger))
+        .parquet(args.incoming)
+    )
+    q = streaming_fuzzy_admission(
+        stream,
+        args.docs_dir,
+        args.sig_dir,
+        args.checkpoint,
+        threshold=args.threshold,
+        verify=not args.no_verify,
+    )
+    if args.await_termination:
+        q.awaitTermination()
+    return q
+
+
+if __name__ == "__main__":
+    main()

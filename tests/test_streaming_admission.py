@@ -66,3 +66,30 @@ def test_streaming_admission_extends_history(spark, tmp_path):
     # the signature layer tracked the admits (the no-rescan invariant)
     sig_ids = {r["doc_id"] for r in spark.read.parquet(sig_dir).collect()}
     assert sig_ids == {0, 11, 21}
+
+
+def test_admission_cli_end_to_end(spark, tmp_path):
+    """The module CLI seeds history and admits arriving files."""
+    from flink_ecommerce_spark.streaming import admission
+
+    seed = str(tmp_path / "seed.parquet")
+    spark.createDataFrame(_doc_rows([(0, BASE)]), DOCUMENTS_SCHEMA).write.parquet(seed)
+    incoming = str(tmp_path / "incoming")
+    _write_chunk(spark, incoming, [(10, BASE + " extra"), (11, FRESH_1)], 1)
+
+    q = admission.main(
+        [
+            "--corpus", seed,
+            "--incoming", f"{incoming}/chunk=*",
+            "--docs-dir", str(tmp_path / "curated"),
+            "--sig-dir", str(tmp_path / "curated_sigs"),
+            "--checkpoint", str(tmp_path / "cli_ckpt"),
+        ]
+    )
+    q.processAllAvailable()
+    q.stop()
+    admitted = {
+        r["doc_id"]
+        for r in spark.read.parquet(str(tmp_path / "curated")).collect()
+    }
+    assert admitted == {0, 11}
