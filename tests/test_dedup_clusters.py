@@ -485,3 +485,31 @@ def test_incremental_fuzzy_dedup_verify_gate(spark):
         r["doc_id"] for r in incremental_fuzzy_dedup(new, corpus).collect()
     }
     assert strict <= verified  # band-only can only be more aggressive
+
+
+def test_incremental_fuzzy_dedup_threshold_monotone(spark):
+    """Admission is monotone in the threshold: lowering it (stricter
+    about near-dups) can only shrink the admitted set."""
+    from flink_ecommerce_spark.operators.dedup import incremental_fuzzy_dedup
+
+    corpus = spark.createDataFrame(
+        [(0, BASE, "en", "s", len(BASE))], DOCUMENTS_SCHEMA
+    )
+    new = spark.createDataFrame(
+        [
+            (10, BASE + " extra words appended", "en", "s", 1),
+            (11, BASE.replace("fox", "wolf").replace("dog", "cat"), "en", "s", 1),
+            (12, "entirely different content on spark and flink engines "
+                 "running large distributed queries", "en", "s", 1),
+        ],
+        DOCUMENTS_SCHEMA,
+    )
+    kept = {
+        t: {
+            r["doc_id"]
+            for r in incremental_fuzzy_dedup(new, corpus, threshold=t).collect()
+        }
+        for t in (0.3, 0.7, 0.95)
+    }
+    assert kept[0.3] <= kept[0.7] <= kept[0.95]
+    assert 12 in kept[0.3]  # unrelated content always admitted

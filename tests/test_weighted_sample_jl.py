@@ -152,3 +152,22 @@ def test_countmin_sketch_is_mergeable(spark):
     for r in list(a) + list(b):
         merged[(r["j"], r["bucket"])] = merged.get((r["j"], r["bucket"]), 0) + r["n"]
     assert merged == full
+
+
+def test_countmin_strict_overestimate_under_forced_collisions(spark):
+    """Width 2 forces collisions: estimates must still bound true
+    counts from above, and at least one term must be STRICTLY
+    overestimated (proof the collision path is exercised)."""
+    from flink_ecommerce_spark.operators.sketch import countmin_estimates
+
+    rows = [
+        (i, f"term{i} term{i} filler{i % 7}", "en", "s", 10) for i in range(40)
+    ]
+    d = _docs_text(spark, rows)
+    out = countmin_estimates(d, k=100, depth=2, width=2).collect()
+    assert all(r["n_est"] >= r["n_true"] for r in out)
+    assert any(r["n_est"] > r["n_true"] for r in out)
+
+
+def _docs_text(spark, rows):
+    return spark.createDataFrame(rows, DOCUMENTS_SCHEMA)
