@@ -1,0 +1,152 @@
+"""Multinomial Naive Bayes as pure dataflow — classifier training
+and scoring with no MLlib, no UDFs, no driver-side math.
+
+The canonical "ML as aggregation" demonstration: training IS a
+groupBy (per-class word counts + Laplace smoothing), scoring IS a
+join + sum + argmax. Everything stays in Catalyst expressions, so
+the classifier trains at scan speed over 100 TB and the model is a
+(|vocab| x |classes|)-row table that joins or broadcasts like any
+other dimension.
+
+Engine determinism: log-likelihoods are quantized to integer
+MICRO-NATS in the model table (same trick as pq_ann_topk's ADC),
+so per-document score totals are sums of longs — associative,
+map-side combined, bit-identical across engines with no fold-order
+discipline. Argmax is a max-struct aggregation with a
+lexicographic tie-break.
+
+On the synthetic fixture the ``lang`` column is uncorrelated with
+the text (every language draws from the same vocabulary), so
+fixture accuracy is chance — the oracle certifies EXACTNESS of the
+computation; accuracy-on-signal is pinned by tests on a crafted
+corpus where the classes genuinely differ.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .textprep import words
+
+MICRO = 1_000_000
+
+
+def nb_lang_scores(documents: DataFrame) -> DataFrame:
+    """Train on the corpus (lang = class), score every document:
+    (doc_id, pred_lang, score). score = max over classes of
+    ln P(class) + Σ_tokens ln P(word | class), Laplace-smoothed,
+    in (rounded) nats.
+
+    Dataflow: tokens → per-(class, word) counts → smoothed
+    micro-nat log-likelihood table (one row per class-word) →
+    token-level join back → per-(doc, class) long sum + class prior
+    → max-struct argmax. The model table is vocab x classes rows —
+    broadcastable for any real vocabulary cap; the only
+    corpus-sized shuffles carry (doc_id, class, partial long)."""
+    tokens = documents.select(
+        "doc_id", "lang", F.explode(words("text")).alias("word")
+    ).localCheckpoint(eager=True)  # feeds model AND scoring below
+
+    wc = tokens.groupBy("lang", "word").agg(F.count(F.lit(1)).alias("n_wc"))
+    cc = tokens.groupBy("lang").agg(F.count(F.lit(1)).alias("n_c"))
+    vocab = tokens.agg(
+        F.countDistinct("word").alias("__v")
+    )  # 1 row, broadcast
+    # smoothed ln P(w|c) over the FULL vocab x class grid: a word the
+    # class never saw must contribute the unseen-word penalty
+    # ln(1/(n_c+V)), not silently drop out of that class's sum — the
+    # textbook NB bug the grid join prevents. Model size = V x C
+    # rows either way.
+    grid = tokens.select("word").distinct().crossJoin(F.broadcast(cc))
+    loglik = (
+        grid.join(wc, ["lang", "word"], "left")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            F.col("lang").alias("model_lang"),
+            "word",
+            F.round(
+                F.log(
+                    (F.coalesce(F.col("n_wc"), F.lit(0)) + 1)
+                    / (F.col("n_c") + F.col("__v"))
+                )
+                * MICRO,
+                0,
+            )
+            .cast("long")
+            .alias("ll_u"),
+        )
+    )
+    n_docs = documents.agg(F.count(F.lit(1)).alias("__n"))
+    prior = (
+        documents.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs_c"))
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            F.col("lang").alias("model_lang"),
+            F.round(F.log(F.col("n_docs_c") / F.col("__n")) * MICRO, 0)
+            .cast("long")
+            .alias("prior_u"),
+        )
+    )
+    scored = (
+        tokens.select("doc_id", "word")
+        .join(loglik, "word")  # fan each token out to every class
+        .groupBy("doc_id", "model_lang")
+        .agg(F.sum("ll_u").alias("sum_u"))
+        .join(F.broadcast(prior), "model_lang")
+        .select(
+            "doc_id",
+            "model_lang",
+            (F.col("sum_u") + F.col("prior_u")).alias("score_u"),
+        )
+    )
+    # argmax as ONE min-struct aggregation over (-score, lang):
+    # highest score wins, ties break to the lexicographically
+    # smallest class — matching the oracle's MIN_BY tuple exactly
+    best = scored.groupBy("doc_id").agg(
+        F.min(F.struct((-F.col("score_u")).alias("neg_u"), "model_lang")).alias(
+            "m"
+        )
+    )
+    return best.select(
+        "doc_id",
+        F.col("m.model_lang").alias("pred_lang"),
+        F.round(-F.col("m.neg_u") / MICRO, 6).alias("score"),
+    )
+
+
+def sql_nb_lang_scores() -> str:
+    """DuckDB oracle for ``nb_lang_scores`` — identical smoothing,
+    quantization, and tie-break."""
+    from .textprep import sql_words
+
+    return f"""
+WITH tokens AS (SELECT doc_id, lang, unnest({sql_words('text')}) AS word
+                FROM documents),
+wc AS (SELECT lang, word, COUNT(*) AS n_wc FROM tokens GROUP BY 1, 2),
+cc AS (SELECT lang, COUNT(*) AS n_c FROM tokens GROUP BY 1),
+v AS (SELECT COUNT(DISTINCT word) AS v FROM tokens),
+grid AS (SELECT w.word, cc.lang, cc.n_c
+         FROM (SELECT DISTINCT word FROM tokens) w CROSS JOIN cc),
+loglik AS (SELECT g.lang AS model_lang, g.word,
+                  CAST(ROUND(ln((COALESCE(wc.n_wc, 0) + 1.0) / (g.n_c + v.v)) * {MICRO}, 0) AS BIGINT) AS ll_u
+           FROM grid g
+           LEFT JOIN wc ON wc.lang = g.lang AND wc.word = g.word
+           CROSS JOIN v),
+nd AS (SELECT COUNT(*) AS n FROM documents),
+prior AS (SELECT lang AS model_lang,
+                 CAST(ROUND(ln(COUNT(*) * 1.0 / nd.n) * {MICRO}, 0) AS BIGINT) AS prior_u
+          FROM documents CROSS JOIN nd GROUP BY 1, nd.n),
+scored AS (SELECT t.doc_id, l.model_lang, SUM(l.ll_u) + ANY_VALUE(p.prior_u) AS score_u
+           FROM tokens t
+           JOIN loglik l ON l.word = t.word
+           JOIN prior p ON p.model_lang = l.model_lang
+           GROUP BY 1, 2)
+SELECT doc_id, model_lang AS pred_lang,
+       ROUND(score_u / {MICRO}.0, 6) AS score
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                   ORDER BY score_u DESC, model_lang ASC) AS rk
+      FROM scored)
+WHERE rk = 1
+"""

@@ -40,6 +40,7 @@ from .operators import (
     similarity,
     text,
 )
+from .operators import classifier as _classifier
 from .operators import sketch as _sketch
 from .operators.sampling import (
     MIXTURE_WEIGHTS,
@@ -573,6 +574,12 @@ def _q_countmin_estimates(spark, sf):
     from .operators import sketch
 
     return sketch.countmin_estimates(_t("documents")(spark, sf))
+
+
+def _q_nb_lang_scores(spark, sf):
+    from .operators import classifier
+
+    return classifier.nb_lang_scores(_t("documents")(spark, sf))
 
 
 def _q_jl_project(spark, sf):
@@ -2120,6 +2127,7 @@ FROM documents
     "weighted_sample_by_source": sampling.sql_weighted_sample_by_source(),
     "countmin_sketch": _sketch.sql_countmin_sketch(),
     "countmin_estimates": _sketch.sql_countmin_estimates(),
+    "nb_lang_scores": _classifier.sql_nb_lang_scores(),
     "jl_project": similarity.sql_jl_project(),
     # PQ: label-mean codebook per subspace (the deterministic
     # quantizer, same move as ivf_ann_topk), ordered-fold distances,
@@ -2928,6 +2936,7 @@ _SPEC_DEFS: dict[str, QuerySpec] = {
     "countmin_estimates": QuerySpec(
         _q_countmin_estimates, ORACLES["countmin_estimates"]
     ),
+    "nb_lang_scores": QuerySpec(_q_nb_lang_scores, ORACLES["nb_lang_scores"]),
     "jl_project": QuerySpec(_q_jl_project, ORACLES["jl_project"]),
     "pq_codes": QuerySpec(_q_pq_codes, ORACLES["pq_codes"]),
     "pq_ann_rerank": QuerySpec(_q_pq_ann_rerank, ORACLES["pq_ann_rerank"]),
@@ -3075,6 +3084,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "weighted_sample_by_source",
     "countmin_sketch",
     "countmin_estimates",
+    "nb_lang_scores",
     "jl_project",
     "pq_codes",
     "pq_ann_topk",
@@ -3121,8 +3131,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "q15_top_supplier",
     "q16_part_supplier_counts",
     "q17_small_quantity_revenue",
-    "q18_large_volume_customers",
-    # q19_disjunctive_revenue / q20_promotion_suppliers / q21_waiting_suppliers / q22_sales_opportunity / customer_order_totals / customers_without_orders / orders_with_big_lineitem / parts_by_brand_type / events_by_customer_segment / revenue_by_brand / top10_orders / top_users_per_event_type / daily_running_revenue / weekly_moving_avg / sales_rollup / event_type_cube / event_value_pivot / distinct_users_per_day / value_stats_per_type /
+    # q18_large_volume_customers / q19_disjunctive_revenue / q20_promotion_suppliers / q21_waiting_suppliers / q22_sales_opportunity / customer_order_totals / customers_without_orders / orders_with_big_lineitem / parts_by_brand_type / events_by_customer_segment / revenue_by_brand / top10_orders / top_users_per_event_type / daily_running_revenue / weekly_moving_avg / sales_rollup / event_type_cube / event_value_pivot / distinct_users_per_day / value_stats_per_type /
     # session_window_stats / conversion_funnel / weekly_retention /
     # approx_distinct_users rotate in r05 — displaced by the fourteen
     # queries NEW in r04 (new queries must certify in their first
