@@ -3133,10 +3133,10 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "q17_small_quantity_revenue",
     # q18_large_volume_customers / q19_disjunctive_revenue / q20_promotion_suppliers / q21_waiting_suppliers / q22_sales_opportunity / customer_order_totals / customers_without_orders / orders_with_big_lineitem / parts_by_brand_type / events_by_customer_segment / revenue_by_brand / top10_orders / top_users_per_event_type / daily_running_revenue / weekly_moving_avg / sales_rollup / event_type_cube / event_value_pivot / distinct_users_per_day / value_stats_per_type /
     # session_window_stats / conversion_funnel / weekly_retention /
-    # approx_distinct_users rotate in r05 — displaced by the fourteen
-    # queries NEW in r04 (new queries must certify in their first
-    # round; every displaced query keeps its r01 row ledger-protected
-    # because its code is unchanged since)
+    # approx_distinct_users rotate in r05 — displaced by the
+    # twenty-six queries NEW in r04 (new queries must certify in
+    # their first round; every displaced query keeps its prior-round
+    # row ledger-protected because its code is unchanged since)
 )
 assert set(_VERIFY_FIRST) <= set(_SPEC_DEFS), sorted(
     set(_VERIFY_FIRST) - set(_SPEC_DEFS)
