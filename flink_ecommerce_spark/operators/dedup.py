@@ -317,54 +317,13 @@ def dedup_clusters(documents: DataFrame, threshold: float = JACCARD_THRESHOLD) -
     per-round state is |docs with a near-dup edge|, not |corpus| —
     singletons rejoin with cluster_id = doc_id in one final left
     join. Each round truncates lineage with localCheckpoint so round
-    N never re-evaluates rounds 1..N-1."""
+    N never re-evaluates rounds 1..N-1. The propagation loop itself
+    lives in ``operators.graph.connected_components`` (reused by any
+    pipeline needing merge groups)."""
+    from .graph import connected_components
+
     pairs = lsh_candidate_pairs(documents, threshold).select("doc_a", "doc_b")
-    edges = pairs.union(
-        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    )
-    # materialize once, PRE-PARTITIONED on the per-round join key —
-    # localCheckpoint preserves the partitioning, so the edge table
-    # (the big side) never reshuffles across rounds; only the small
-    # labels table moves. Every round would otherwise re-run LSH and
-    # re-exchange the edges.
-    edges = edges.repartition("doc_b").localCheckpoint(eager=True)
-    labels = (
-        edges.select("doc_a")
-        .distinct()
-        .select(
-            F.col("doc_a").alias("doc_id"), F.col("doc_a").alias("cluster_id")
-        )
-        .localCheckpoint(eager=True)
-    )
-    for _ in range(20):  # diameter bound; near-dup clusters are shallow
-        neighbor_min = (
-            edges.join(
-                labels.select(
-                    F.col("doc_id").alias("doc_b"),
-                    F.col("cluster_id").alias("nb_cl"),
-                ),
-                "doc_b",
-            )
-            .groupBy(F.col("doc_a").alias("doc_id"))
-            .agg(F.min("nb_cl").alias("nb_min"))
-        )
-        # carry the changed flag through the update select — the
-        # convergence check then reads the checkpointed result
-        # directly instead of re-joining updated against labels
-        # (round-1..2 shape: one extra shuffle join per round)
-        new_cl = F.least(
-            F.col("cluster_id"), F.coalesce("nb_min", F.col("cluster_id"))
-        )
-        updated = labels.join(neighbor_min, "doc_id", "left").select(
-            "doc_id",
-            new_cl.alias("cluster_id"),
-            (new_cl < F.col("cluster_id")).alias("__chg"),
-        )
-        updated = updated.localCheckpoint(eager=True)
-        changed = updated.filter(F.col("__chg")).limit(1).count()
-        labels = updated.drop("__chg")
-        if changed == 0:
-            break
+    labels = connected_components(pairs)
     # singletons (no near-dup edge) cluster with themselves
     return documents.select("doc_id").join(labels, "doc_id", "left").select(
         "doc_id",

@@ -1,0 +1,78 @@
+"""Distributed graph primitives without GraphFrames.
+
+``connected_components`` is the iterative min-label propagation loop
+factored out of ``dedup_clusters`` so other pipelines (entity
+resolution merge groups, citation/link clusters, session stitching)
+can reuse it: a driver loop of join+groupBy rounds, each fully
+distributed, converging in O(component diameter) rounds.
+
+Scale discipline (inherited from the dedup use and unchanged):
+- iterate ONLY over edge-touched vertices — per-round state is
+  |vertices with an edge|, not |graph|;
+- the edge table is materialized ONCE, pre-partitioned on the
+  per-round join key (localCheckpoint preserves partitioning), so
+  the big side never reshuffles across rounds;
+- each round truncates lineage with localCheckpoint and carries the
+  changed flag through the update select, so convergence is read
+  from the checkpointed result (no extra join, no lineage replay).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    pairs: DataFrame, max_rounds: int = 20
+) -> DataFrame:
+    """``pairs``: (doc_a, doc_b) undirected edges (either
+    orientation). Returns (doc_id, cluster_id) for every
+    edge-touched vertex, cluster_id = the smallest reachable vertex
+    id. Vertices with no edges are absent — callers rejoin them with
+    identity labels (see dedup_clusters), which keeps the loop state
+    proportional to the edge-touched set.
+
+    ``max_rounds`` bounds the loop at the component-diameter budget;
+    near-dup / entity-merge graphs are shallow so the default is
+    generous."""
+    edges = pairs.select("doc_a", "doc_b").union(
+        pairs.select(
+            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+        )
+    )
+    edges = edges.repartition("doc_b").localCheckpoint(eager=True)
+    labels = (
+        edges.select("doc_a")
+        .distinct()
+        .select(
+            F.col("doc_a").alias("doc_id"), F.col("doc_a").alias("cluster_id")
+        )
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_rounds):
+        neighbor_min = (
+            edges.join(
+                labels.select(
+                    F.col("doc_id").alias("doc_b"),
+                    F.col("cluster_id").alias("nb_cl"),
+                ),
+                "doc_b",
+            )
+            .groupBy(F.col("doc_a").alias("doc_id"))
+            .agg(F.min("nb_cl").alias("nb_min"))
+        )
+        new_cl = F.least(
+            F.col("cluster_id"), F.coalesce("nb_min", F.col("cluster_id"))
+        )
+        updated = labels.join(neighbor_min, "doc_id", "left").select(
+            "doc_id",
+            new_cl.alias("cluster_id"),
+            (new_cl < F.col("cluster_id")).alias("__chg"),
+        )
+        updated = updated.localCheckpoint(eager=True)
+        changed = updated.filter(F.col("__chg")).limit(1).count()
+        labels = updated.drop("__chg")
+        if changed == 0:
+            break
+    return labels

@@ -1,0 +1,39 @@
+"""connected_components on crafted graphs: chains, cycles, and
+isolated pairs resolve to min-vertex labels."""
+
+from __future__ import annotations
+
+from flink_ecommerce_spark.operators.graph import connected_components
+
+
+def _cc(spark, edges):
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    return {
+        r["doc_id"]: r["cluster_id"] for r in connected_components(df).collect()
+    }
+
+
+def test_chain_cycle_and_pair(spark):
+    # chain 1-2-3-4, cycle 10-11-12-10, pair 20-21
+    edges = [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (12, 10), (20, 21)]
+    got = _cc(spark, edges)
+    assert got == {
+        1: 1, 2: 1, 3: 1, 4: 1,
+        10: 10, 11: 10, 12: 10,
+        20: 20, 21: 20,
+    }
+
+
+def test_direction_invariance(spark):
+    fwd = _cc(spark, [(5, 9), (9, 7)])
+    rev = _cc(spark, [(9, 5), (7, 9)])
+    assert fwd == rev == {5: 5, 7: 5, 9: 5}
+
+
+def test_long_chain_within_round_budget(spark):
+    # a 12-vertex chain: diameter 11 — min-label propagation halves
+    # the frontier each round via transitive adoption, well inside
+    # the default budget
+    edges = [(i, i + 1) for i in range(12)]
+    got = _cc(spark, edges)
+    assert set(got.values()) == {0}
