@@ -91,3 +91,44 @@ def block_profile(customer: DataFrame, block_len: int = BLOCK_LEN) -> DataFrame:
         .groupBy("block_size")
         .agg(F.count(F.lit(1)).alias("n_blocks"))
     )
+
+
+def entity_merge_groups(customer: DataFrame) -> DataFrame:
+    """MDM merge groups: transitive closure over the fuzzy-match
+    pairs — A~B and B~C merge {A,B,C} even when A~C itself misses
+    the distance cutoff — with the smallest custkey as the
+    canonical record. Every customer appears exactly once
+    (singletons are their own canonical).
+
+    Scale: reuses ``operators.graph.connected_components`` (the
+    dedup_clusters loop): per-round state is |custkeys with a fuzzy
+    match|, a small fraction of any customer table. Output:
+    (c_custkey, canonical_custkey, is_canonical)."""
+    from pyspark.sql import functions as F
+
+    from .graph import connected_components
+
+    pairs = fuzzy_name_pairs(customer).select(
+        F.col("custkey_1").alias("doc_a"), F.col("custkey_2").alias("doc_b")
+    )
+    labels = connected_components(pairs)
+    return (
+        customer.select("c_custkey")
+        .join(
+            labels.select(
+                F.col("doc_id").alias("c_custkey"),
+                F.col("cluster_id").alias("canonical_custkey"),
+            ),
+            "c_custkey",
+            "left",
+        )
+        .select(
+            "c_custkey",
+            F.coalesce(
+                "canonical_custkey", F.col("c_custkey")
+            ).alias("canonical_custkey"),
+        )
+        .withColumn(
+            "is_canonical", F.col("c_custkey") == F.col("canonical_custkey")
+        )
+    )

@@ -602,6 +602,10 @@ def _q_fuzzy_name_pairs(spark, sf):
     return entity.fuzzy_name_pairs(_t("customer")(spark, sf))
 
 
+def _q_entity_merge_groups(spark, sf):
+    return entity.entity_merge_groups(_t("customer")(spark, sf))
+
+
 def _q_block_profile(spark, sf):
     return entity.block_profile(_t("customer")(spark, sf))
 
@@ -2179,6 +2183,24 @@ SELECT a.c_custkey AS custkey_1, b.c_custkey AS custkey_2,
 FROM t a JOIN t b ON a.blk = b.blk AND a.c_custkey < b.c_custkey
 WHERE levenshtein(a.name, b.name) <= {entity.MAX_DIST}
 """,
+    "entity_merge_groups": f"""
+WITH RECURSIVE t AS (
+  SELECT c_custkey, lower(trim(c_name)) AS name,
+         substr(lower(trim(c_name)), 1, {entity.BLOCK_LEN}) AS blk
+  FROM customer),
+pairs AS (SELECT a.c_custkey AS k1, b.c_custkey AS k2
+          FROM t a JOIN t b ON a.blk = b.blk AND a.c_custkey < b.c_custkey
+          WHERE levenshtein(a.name, b.name) <= {entity.MAX_DIST}),
+edges AS (SELECT k1 AS src, k2 AS dst FROM pairs
+          UNION SELECT k2, k1 FROM pairs),
+walk(a, b) AS (SELECT c_custkey, c_custkey FROM customer
+               UNION
+               SELECT w.a, e.dst FROM walk w JOIN edges e ON w.b = e.src),
+cl AS (SELECT a AS c_custkey, MIN(b) AS canonical_custkey FROM walk GROUP BY a)
+SELECT c_custkey, canonical_custkey,
+       c_custkey = canonical_custkey AS is_canonical
+FROM cl
+""",
     "block_profile": f"""
 SELECT block_size, COUNT(*) AS n_blocks
 FROM (SELECT substr(lower(trim(c_name)), 1, {entity.BLOCK_LEN}) AS blk,
@@ -2943,6 +2965,9 @@ _SPEC_DEFS: dict[str, QuerySpec] = {
     "pq_ann_topk": QuerySpec(
         _q_pq_ann_topk, ORACLES["pq_ann_topk"], bench=True
     ),
+    "entity_merge_groups": QuerySpec(
+        _q_entity_merge_groups, ORACLES["entity_merge_groups"]
+    ),
     "fuzzy_name_pairs": QuerySpec(_q_fuzzy_name_pairs, ORACLES["fuzzy_name_pairs"]),
     "block_profile": QuerySpec(_q_block_profile, ORACLES["block_profile"]),
     "simhash_near_pairs": QuerySpec(
@@ -3085,6 +3110,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "countmin_sketch",
     "countmin_estimates",
     "nb_lang_scores",
+    "entity_merge_groups",
     "jl_project",
     "pq_codes",
     "pq_ann_topk",
@@ -3130,11 +3156,10 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "q14_promo_revenue",
     "q15_top_supplier",
     "q16_part_supplier_counts",
-    "q17_small_quantity_revenue",
-    # q18_large_volume_customers / q19_disjunctive_revenue / q20_promotion_suppliers / q21_waiting_suppliers / q22_sales_opportunity / customer_order_totals / customers_without_orders / orders_with_big_lineitem / parts_by_brand_type / events_by_customer_segment / revenue_by_brand / top10_orders / top_users_per_event_type / daily_running_revenue / weekly_moving_avg / sales_rollup / event_type_cube / event_value_pivot / distinct_users_per_day / value_stats_per_type /
+    # q17_small_quantity_revenue / q18_large_volume_customers / q19_disjunctive_revenue / q20_promotion_suppliers / q21_waiting_suppliers / q22_sales_opportunity / customer_order_totals / customers_without_orders / orders_with_big_lineitem / parts_by_brand_type / events_by_customer_segment / revenue_by_brand / top10_orders / top_users_per_event_type / daily_running_revenue / weekly_moving_avg / sales_rollup / event_type_cube / event_value_pivot / distinct_users_per_day / value_stats_per_type /
     # session_window_stats / conversion_funnel / weekly_retention /
     # approx_distinct_users rotate in r05 — displaced by the
-    # twenty-six queries NEW in r04 (new queries must certify in
+    # twenty-eight queries NEW in r04 (new queries must certify in
     # their first round; every displaced query keeps its prior-round
     # row ledger-protected because its code is unchanged since)
 )

@@ -37,3 +37,28 @@ def test_long_chain_within_round_budget(spark):
     edges = [(i, i + 1) for i in range(12)]
     got = _cc(spark, edges)
     assert set(got.values()) == {0}
+
+
+def test_entity_merge_groups_transitive(spark):
+    """A~B and B~C merge all three even when A and C themselves are
+    over the distance cutoff; unrelated names stay singletons."""
+    from flink_ecommerce_spark.operators.entity import entity_merge_groups
+
+    # identical 16-char blocking prefix ("customer aligned"), edits
+    # after it: smith~smyth = 1, smyth~smythe = 1, smith~smythe = 2
+    # (over MAX_DIST) — the transitive case
+    rows = [
+        (1, "customer aligned smith"),
+        (2, "customer aligned smyth"),
+        (3, "customer aligned smythe"),
+        (9, "totally different"),
+    ]
+    df = spark.createDataFrame(rows, "c_custkey long, c_name string")
+    got = {
+        r["c_custkey"]: (r["canonical_custkey"], r["is_canonical"])
+        for r in entity_merge_groups(df).collect()
+    }
+    assert got[1] == (1, True)
+    assert got[2] == (1, False)
+    assert got[3] == (1, False)
+    assert got[9] == (9, True)
