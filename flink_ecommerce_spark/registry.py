@@ -2954,11 +2954,15 @@ _SPEC_DEFS: dict[str, QuerySpec] = {
     "weighted_sample_by_source": QuerySpec(
         _q_weighted_sample_by_source, ORACLES["weighted_sample_by_source"]
     ),
-    "countmin_sketch": QuerySpec(_q_countmin_sketch, ORACLES["countmin_sketch"]),
+    "countmin_sketch": QuerySpec(
+        _q_countmin_sketch, ORACLES["countmin_sketch"], bench=True
+    ),
     "countmin_estimates": QuerySpec(
         _q_countmin_estimates, ORACLES["countmin_estimates"]
     ),
-    "nb_lang_scores": QuerySpec(_q_nb_lang_scores, ORACLES["nb_lang_scores"]),
+    "nb_lang_scores": QuerySpec(
+        _q_nb_lang_scores, ORACLES["nb_lang_scores"], bench=True
+    ),
     "jl_project": QuerySpec(_q_jl_project, ORACLES["jl_project"]),
     "pq_codes": QuerySpec(_q_pq_codes, ORACLES["pq_codes"]),
     "pq_ann_rerank": QuerySpec(_q_pq_ann_rerank, ORACLES["pq_ann_rerank"]),
