@@ -32,11 +32,37 @@ from .textprep import words
 MICRO = 1_000_000
 
 
+def nb_train(documents: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Train the model: returns (loglik, prior) — two plain
+    DataFrames a pipeline persists once and reuses across scoring
+    batches (the same index-reuse split as
+    build_ivf_index/ivf_probe). loglik: (model_lang, word, ll_u);
+    prior: (model_lang, prior_u); both in integer micro-nats."""
+    tokens = documents.select(
+        "lang", F.explode(words("text")).alias("word")
+    )
+    return _nb_model(documents, tokens)
+
+
+def nb_classify(
+    documents: DataFrame, loglik: DataFrame, prior: DataFrame
+) -> DataFrame:
+    """Score ``documents`` with a trained model: (doc_id, pred_lang,
+    score). Tokens the model never saw are skipped (no vocab row —
+    the standard open-vocabulary convention); argmax ties break to
+    the lexicographically smallest class."""
+    tokens = documents.select(
+        "doc_id", F.explode(words("text")).alias("word")
+    )
+    return _nb_score(tokens, loglik, prior)
+
+
 def nb_lang_scores(documents: DataFrame) -> DataFrame:
     """Train on the corpus (lang = class), score every document:
     (doc_id, pred_lang, score). score = max over classes of
     ln P(class) + Σ_tokens ln P(word | class), Laplace-smoothed,
-    in (rounded) nats.
+    in (rounded) nats. The one-call surface over nb_train +
+    nb_classify (shared token frame, so the text splits once).
 
     Dataflow: tokens → per-(class, word) counts → smoothed
     micro-nat log-likelihood table (one row per class-word) →
@@ -47,7 +73,13 @@ def nb_lang_scores(documents: DataFrame) -> DataFrame:
     tokens = documents.select(
         "doc_id", "lang", F.explode(words("text")).alias("word")
     ).localCheckpoint(eager=True)  # feeds model AND scoring below
+    loglik, prior = _nb_model(documents, tokens)
+    return _nb_score(tokens.select("doc_id", "word"), loglik, prior)
 
+
+def _nb_model(
+    documents: DataFrame, tokens: DataFrame
+) -> tuple[DataFrame, DataFrame]:
     wc = tokens.groupBy("lang", "word").agg(F.count(F.lit(1)).alias("n_wc"))
     cc = tokens.groupBy("lang").agg(F.count(F.lit(1)).alias("n_c"))
     vocab = tokens.agg(
@@ -89,9 +121,14 @@ def nb_lang_scores(documents: DataFrame) -> DataFrame:
             .alias("prior_u"),
         )
     )
+    return loglik, prior
+
+
+def _nb_score(
+    doc_tokens: DataFrame, loglik: DataFrame, prior: DataFrame
+) -> DataFrame:
     scored = (
-        tokens.select("doc_id", "word")
-        .join(loglik, "word")  # fan each token out to every class
+        doc_tokens.join(loglik, "word")  # fan each token out per class
         .groupBy("doc_id", "model_lang")
         .agg(F.sum("ll_u").alias("sum_u"))
         .join(F.broadcast(prior), "model_lang")

@@ -44,3 +44,39 @@ def test_nb_is_deterministic(spark):
     a = sorted(map(tuple, nb_lang_scores(_corpus(spark)).collect()))
     b = sorted(map(tuple, nb_lang_scores(_corpus(spark)).collect()))
     assert a == b
+
+
+def test_nb_model_reuse_on_new_batch(spark):
+    """The production split: train once (nb_train), score a NEW
+    unlabeled batch with the stored model. Unseen words are skipped
+    (open-vocabulary convention)."""
+    from flink_ecommerce_spark.operators.classifier import (
+        nb_classify,
+        nb_train,
+    )
+
+    loglik, prior = nb_train(_corpus(spark))
+    new = spark.createDataFrame(
+        [
+            (500, "the quick fox and the lazy dog unknownword", "xx", "s", 1),
+            (501, "der schnelle fuchs und der faule hund zzz", "xx", "s", 1),
+        ],
+        DOCUMENTS_SCHEMA,
+    )
+    preds = {r["doc_id"]: r["pred_lang"] for r in nb_classify(new, loglik, prior).collect()}
+    assert preds == {500: "en", 501: "de"}
+
+
+def test_nb_composed_equals_split(spark):
+    """nb_lang_scores == nb_train + nb_classify on the same corpus."""
+    from flink_ecommerce_spark.operators.classifier import (
+        nb_classify,
+        nb_lang_scores,
+        nb_train,
+    )
+
+    d = _corpus(spark)
+    composed = sorted(map(tuple, nb_lang_scores(d).collect()))
+    loglik, prior = nb_train(d)
+    split = sorted(map(tuple, nb_classify(d, loglik, prior).collect()))
+    assert composed == split
