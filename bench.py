@@ -414,6 +414,9 @@ def _scale_rehearsal(spark, sf_dir: str) -> dict:
         ).count(),
     )
     timed("pq_ann_topk", lambda: similarity.pq_ann_topk(emb).count())
+    from flink_ecommerce_spark.operators import classifier
+
+    timed("nb_lang_scores", lambda: classifier.nb_lang_scores(docs).count())
     timed(
         "incremental_fuzzy_dedup",
         # daily-batch shape at 10x: replica 0 arrives as the new

@@ -50,7 +50,10 @@ def nb_classify(
     """Score ``documents`` with a trained model: (doc_id, pred_lang,
     score). Tokens the model never saw are skipped (no vocab row —
     the standard open-vocabulary convention); argmax ties break to
-    the lexicographically smallest class."""
+    the lexicographically smallest class. Documents with ZERO known
+    tokens (empty text, or all-unseen vocab) carry no evidence and
+    are absent from the output — the oracle drops them identically;
+    callers wanting prior-only predictions left-join the result."""
     tokens = documents.select(
         "doc_id", F.explode(words("text")).alias("word")
     )
