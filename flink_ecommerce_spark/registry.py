@@ -598,6 +598,10 @@ def _q_pq_ann_rerank(spark, sf):
     return similarity.pq_ann_rerank(_t("embeddings")(spark, sf))
 
 
+def _q_ivf_pq_topk(spark, sf):
+    return similarity.ivf_pq_topk(_t("embeddings")(spark, sf))
+
+
 def _q_fuzzy_name_pairs(spark, sf):
     return entity.fuzzy_name_pairs(_t("customer")(spark, sf))
 
@@ -1179,23 +1183,53 @@ d AS (SELECT s.vec_id, s.m, c.code,
                (x, y) -> x + y) AS d2
       FROM sub s JOIN cbarr c ON c.m = s.m)"""
 
-_PQ_ADC = f"""codes AS (SELECT vec_id, m, code FROM (
+_PQ_CODES = """codes AS (SELECT vec_id, m, code FROM (
             SELECT vec_id, m, code,
                    ROW_NUMBER() OVER (PARTITION BY vec_id, m
                                       ORDER BY d2 ASC, code ASC) AS rk
             FROM d)
-          WHERE rk = 1),
-dt AS (SELECT s.vec_id AS query_id, s.m, c.code,
+          WHERE rk = 1)"""
+
+_PQ_DT = f"""dt AS (SELECT s.vec_id AS query_id, s.m, c.code,
               CAST(ROUND(list_reduce(list_transform(generate_series(1, {similarity.PQ_SUB_DIM}),
                 i -> (s.sub[i] - c.cw[i]) * (s.sub[i] - c.cw[i])),
                 (x, y) -> x + y) * 1000000.0, 0) AS BIGINT) AS d2u
        FROM sub s JOIN cbarr c ON c.m = s.m
-       WHERE s.vec_id < {similarity.DEFAULT_N_QUERIES}),
+       WHERE s.vec_id < {similarity.DEFAULT_N_QUERIES})"""
+
+_PQ_ADC = f"""{_PQ_CODES},
+{_PQ_DT},
 scored AS (SELECT dt.query_id, codes.vec_id AS neighbor_id,
                   ROUND(SUM(dt.d2u) / 1000000.0, 6) AS adc_d2
            FROM codes JOIN dt ON dt.m = codes.m AND dt.code = codes.code
            WHERE codes.vec_id != dt.query_id
            GROUP BY 1, 2)"""
+
+# IVF routing fragment shared by ivf_pq: label centroids as the
+# coarse quantizer, per-vector cell assignment, per-query n_probe
+# routed cells — identical ordering/tie-breaks to ivf_ann_topk's
+# oracle.
+_IVF_ROUTE = f"""cent AS (SELECT label, CAST(dim AS INT) AS dim,
+                     ROUND(AVG(CAST(v AS DOUBLE)), 6) AS c
+              FROM (SELECT label, unnest(embedding) AS v,
+                           generate_subscripts(embedding, 1) AS dim
+                    FROM embeddings)
+              GROUP BY 1, 2),
+cent_arr AS (SELECT label, list(c ORDER BY dim) AS cvec FROM cent GROUP BY label),
+cdists AS (SELECT e.vec_id, c.label,
+                  list_reduce(list_transform(generate_series(1, {similarity.EMB_DIM}),
+                    i -> (CAST(e.embedding[i] AS DOUBLE) - c.cvec[i])
+                       * (CAST(e.embedding[i] AS DOUBLE) - c.cvec[i])),
+                    (x, y) -> x + y) AS cd2
+           FROM embeddings e CROSS JOIN cent_arr c),
+cranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                         ORDER BY cd2 ASC, label ASC) AS crk
+            FROM cdists),
+assign AS (SELECT vec_id, label AS cell FROM cranked WHERE crk = 1),
+qroute AS (SELECT vec_id AS query_id, label AS cell
+           FROM cranked
+           WHERE vec_id < {similarity.DEFAULT_N_QUERIES}
+             AND crk <= {similarity.IVF_N_PROBE})"""
 
 ORACLES: dict[str, str] = {
     "raw_transactions": """
@@ -2173,6 +2207,38 @@ SELECT query_id, neighbor_id, cos_sim, CAST(rk AS INT) AS rk FROM (
   FROM rer)
 WHERE rk <= {similarity.DEFAULT_K}
 """,
+    # full IVF-PQ: routing restricts ADC to each query's n_probe
+    # cells; integer micro-unit ADC shortlist; exact cosine re-rank
+    "ivf_pq_topk": f"""
+{_PQ_CORE},
+{_PQ_CODES},
+{_PQ_DT},
+{_IVF_ROUTE},
+adc AS (SELECT dt.query_id, codes.vec_id AS neighbor_id,
+               SUM(dt.d2u) AS adc_u
+        FROM codes
+        JOIN assign a ON a.vec_id = codes.vec_id
+        JOIN qroute r ON r.cell = a.cell
+        JOIN dt ON dt.query_id = r.query_id
+               AND dt.m = codes.m AND dt.code = codes.code
+        WHERE codes.vec_id != dt.query_id
+        GROUP BY 1, 2),
+short AS (SELECT query_id, neighbor_id FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                         ORDER BY adc_u ASC, neighbor_id ASC) AS srk
+            FROM adc)
+          WHERE srk <= {similarity.PQ_RERANK}),
+rer AS (SELECT sh.query_id, sh.neighbor_id,
+               ROUND({sql_cosine('q.embedding', 'e.embedding', similarity.EMB_DIM)}, 6) AS cos_sim
+        FROM short sh
+        JOIN embeddings e ON e.vec_id = sh.neighbor_id
+        JOIN embeddings q ON q.vec_id = sh.query_id)
+SELECT query_id, neighbor_id, cos_sim, CAST(rk AS INT) AS rk FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, neighbor_id ASC) AS rk
+  FROM rer)
+WHERE rk <= {similarity.DEFAULT_K}
+""",
     "fuzzy_name_pairs": f"""
 WITH t AS (
   SELECT c_custkey, lower(trim(c_name)) AS name,
@@ -2966,6 +3032,7 @@ _SPEC_DEFS: dict[str, QuerySpec] = {
     "jl_project": QuerySpec(_q_jl_project, ORACLES["jl_project"]),
     "pq_codes": QuerySpec(_q_pq_codes, ORACLES["pq_codes"]),
     "pq_ann_rerank": QuerySpec(_q_pq_ann_rerank, ORACLES["pq_ann_rerank"]),
+    "ivf_pq_topk": QuerySpec(_q_ivf_pq_topk, ORACLES["ivf_pq_topk"]),
     "pq_ann_topk": QuerySpec(
         _q_pq_ann_topk, ORACLES["pq_ann_topk"], bench=True
     ),
@@ -3119,6 +3186,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "pq_codes",
     "pq_ann_topk",
     "pq_ann_rerank",
+    "ivf_pq_topk",
     "repeated_substring_spans",
     "corpus_funnel",
     "corpus_funnel_by_source",
@@ -3159,11 +3227,10 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "q13_order_distribution",
     "q14_promo_revenue",
     "q15_top_supplier",
-    "q16_part_supplier_counts",
-    # q17_small_quantity_revenue / q18_large_volume_customers / q19_disjunctive_revenue / q20_promotion_suppliers / q21_waiting_suppliers / q22_sales_opportunity / customer_order_totals / customers_without_orders / orders_with_big_lineitem / parts_by_brand_type / events_by_customer_segment / revenue_by_brand / top10_orders / top_users_per_event_type / daily_running_revenue / weekly_moving_avg / sales_rollup / event_type_cube / event_value_pivot / distinct_users_per_day / value_stats_per_type /
+    # q16_part_supplier_counts / q17_small_quantity_revenue / q18_large_volume_customers / q19_disjunctive_revenue / q20_promotion_suppliers / q21_waiting_suppliers / q22_sales_opportunity / customer_order_totals / customers_without_orders / orders_with_big_lineitem / parts_by_brand_type / events_by_customer_segment / revenue_by_brand / top10_orders / top_users_per_event_type / daily_running_revenue / weekly_moving_avg / sales_rollup / event_type_cube / event_value_pivot / distinct_users_per_day / value_stats_per_type /
     # session_window_stats / conversion_funnel / weekly_retention /
     # approx_distinct_users rotate in r05 — displaced by the
-    # twenty-eight queries NEW in r04 (new queries must certify in
+    # twenty-nine queries NEW in r04 (new queries must certify in
     # their first round; every displaced query keeps its prior-round
     # row ledger-protected because its code is unchanged since)
 )
