@@ -93,3 +93,43 @@ def test_admission_cli_end_to_end(spark, tmp_path):
         for r in spark.read.parquet(str(tmp_path / "curated")).collect()
     }
     assert admitted == {0, 11}
+
+
+def test_admission_survives_restart(spark, tmp_path):
+    """Kill the stream after batch 1, start a NEW query on the same
+    checkpoint: batch 1's files are not re-admitted (no duplicate
+    rows in the history layers) and cross-batch rejection still
+    works against pre-restart admits."""
+    docs_dir = str(tmp_path / "admitted")
+    sig_dir = str(tmp_path / "sigs")
+    src = str(tmp_path / "incoming")
+    ckpt = str(tmp_path / "ckpt")
+
+    corpus = spark.createDataFrame(_doc_rows([(0, BASE)]), DOCUMENTS_SCHEMA)
+    init_admission_history(corpus, docs_dir, sig_dir)
+
+    _write_chunk(spark, src, [(11, FRESH_1)], 1)
+    stream1 = (
+        spark.readStream.schema(DOCUMENTS_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/chunk=*")
+    )
+    q1 = streaming_fuzzy_admission(stream1, docs_dir, sig_dir, ckpt)
+    q1.processAllAvailable()
+    q1.stop()
+
+    # restart: same checkpoint, new query object
+    _write_chunk(spark, src, [(20, FRESH_1 + " extra"), (21, FRESH_2)], 2)
+    stream2 = (
+        spark.readStream.schema(DOCUMENTS_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/chunk=*")
+    )
+    q2 = streaming_fuzzy_admission(stream2, docs_dir, sig_dir, ckpt)
+    q2.processAllAvailable()
+    q2.stop()
+
+    admitted = [r["doc_id"] for r in spark.read.parquet(docs_dir).collect()]
+    assert sorted(admitted) == [0, 11, 21]  # no duplicates, 20 rejected
+    sig_ids = [r["doc_id"] for r in spark.read.parquet(sig_dir).collect()]
+    assert sorted(sig_ids) == [0, 11, 21]
