@@ -170,3 +170,14 @@ def test_jl_project_is_scan_shaped(spark):
     plan = _plan(spark, "jl_project")
     assert "Exchange" not in plan
     assert "Join" not in plan
+
+
+def test_ivf_pq_no_embedding_past_adc_exchange(spark):
+    """ivf_pq_topk: like raw ADC, the candidate-scoring shuffles move
+    codes/ids only; embeddings re-enter solely for the shortlist
+    re-rank joins."""
+    plan = _plan(spark, "ivf_pq_topk")
+    assert plan.count("BroadcastHashJoin") >= 2
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line and "adc_u" in line:
+            assert "embedding" not in line, line
