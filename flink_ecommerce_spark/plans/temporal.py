@@ -247,3 +247,76 @@ def asof_join_next_purchase(events: DataFrame) -> DataFrame:
         F.col("ts").alias("click_ts"),
         "next_purchase_id",
     )
+
+
+def daily_gapfill(events: DataFrame) -> DataFrame:
+    """Gap-filled daily revenue per event_type — the
+    time_bucket_gapfill analog (TimescaleDB's continuous-series
+    read): every (event_type, day) in the corpus's date span gets a
+    row, with the raw sum (NULL on empty days), a
+    last-observation-carried-forward value, and a zero-filled value —
+    the three standard series-completion policies, side by side so
+    downstream charts/models pick one.
+
+    Scale: the date spine is sequence(min_day, max_day) exploded from
+    a ONE-ROW broadcast aggregate crossed with the distinct types —
+    spine size is days x types regardless of event volume; the raw
+    daily aggregate (the only event-volume-sized stage) happens
+    BEFORE the join, so the spine join and the LOCF window touch
+    days x types rows only. LOCF partitions by event_type: per-type
+    series windows are the textbook shape (a series with one
+    monster type is days-bounded anyway)."""
+    daily = (
+        events.select(
+            F.col("ts").cast("date").alias("day"), "event_type", "value"
+        )
+        .groupBy("event_type", "day")
+        .agg(F.round(F.sum("value"), 2).alias("revenue"))
+    )
+    bounds = daily.agg(
+        F.min("day").alias("__lo"), F.max("day").alias("__hi")
+    )
+    days = bounds.select(
+        F.explode(
+            F.sequence(F.col("__lo"), F.col("__hi"), F.expr("interval 1 day"))
+        ).alias("day")
+    )
+    spine = (
+        events.select("event_type").distinct().crossJoin(F.broadcast(days))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        spine.join(daily, ["event_type", "day"], "left")
+        .select(
+            "event_type",
+            "day",
+            "revenue",
+            F.last("revenue", ignorenulls=True).over(w).alias("revenue_locf"),
+            F.coalesce("revenue", F.lit(0.0)).alias("revenue_zero"),
+        )
+    )
+
+
+def sql_daily_gapfill() -> str:
+    """DuckDB oracle for ``daily_gapfill``."""
+    return """
+WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                      ROUND(SUM(value), 2) AS revenue
+               FROM events GROUP BY 1, 2),
+b AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM daily),
+days AS (SELECT CAST(unnest(generate_series(b.lo, b.hi, INTERVAL 1 DAY)) AS DATE) AS day
+         FROM b),
+spine AS (SELECT t.event_type, days.day
+          FROM (SELECT DISTINCT event_type FROM events) t CROSS JOIN days)
+SELECT s.event_type, s.day, d.revenue,
+       LAST_VALUE(d.revenue IGNORE NULLS) OVER (
+         PARTITION BY s.event_type ORDER BY s.day
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS revenue_locf,
+       COALESCE(d.revenue, 0.0) AS revenue_zero
+FROM spine s
+LEFT JOIN daily d ON d.event_type = s.event_type AND d.day = s.day
+"""

@@ -69,3 +69,36 @@ def test_scd2_null_attr_change_detection(spark):
     upd2 = spark.createDataFrame([(1, None, _t(1))], SCHEMA)
     dim2 = empty_scd2(spark.createDataFrame([(1, None, _t(0))], SCHEMA), "user_id", ["segment"])
     assert scd2_merge(dim2, upd2, "user_id", ["segment"]).count() == 1
+
+
+def test_daily_gapfill_fills_and_carries(spark):
+    """Crafted gaps: missing (type, day) cells appear with NULL raw
+    revenue, the LOCF column carries the last seen value, zero-fill
+    is 0.0; leading gaps (before a type's first sale) stay NULL in
+    LOCF."""
+    import datetime as dt
+
+    from flink_ecommerce_spark.plans.temporal import daily_gapfill
+
+    rows = [
+        # type A: day 1 and day 3 (gap on day 2)
+        (1, dt.datetime(2024, 1, 1, 10), 1, "A", 10.0, "{}"),
+        (2, dt.datetime(2024, 1, 3, 10), 1, "A", 30.0, "{}"),
+        # type B: only day 2 (leading gap day 1, trailing gap day 3)
+        (3, dt.datetime(2024, 1, 2, 10), 2, "B", 20.0, "{}"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string"
+    )
+    got = {
+        (r["event_type"], str(r["day"])): (
+            r["revenue"], r["revenue_locf"], r["revenue_zero"]
+        )
+        for r in daily_gapfill(ev).collect()
+    }
+    assert len(got) == 6  # 2 types x 3 days
+    assert got[("A", "2024-01-02")] == (None, 10.0, 0.0)   # gap: locf carries
+    assert got[("A", "2024-01-03")] == (30.0, 30.0, 30.0)
+    assert got[("B", "2024-01-01")] == (None, None, 0.0)   # leading gap
+    assert got[("B", "2024-01-03")] == (None, 20.0, 0.0)   # trailing gap
