@@ -163,7 +163,10 @@ def main(argv: list[str] | None = None):
     args = p.parse_args(argv)
 
     spark = get_spark("fuzzy-admission")
-    if not os.path.exists(args.docs_dir):
+    # (re)seed when EITHER layer is missing — a partial init (docs
+    # written, signatures not) must not start a stream that would
+    # fail on its first band build
+    if not (os.path.exists(args.docs_dir) and os.path.exists(args.sig_dir)):
         init_admission_history(
             spark.read.parquet(args.corpus), args.docs_dir, args.sig_dir
         )
