@@ -1,0 +1,69 @@
+"""Corpus ingestion: every supported format conforms to the canonical
+documents schema, content-hash ids are engine/partitioning stable,
+and the conformed output feeds the operator surface directly."""
+
+from __future__ import annotations
+
+import json
+
+from flink_ecommerce_spark.operators.dedup import dedup_exact
+from flink_ecommerce_spark.schemas import DOCUMENTS_SCHEMA
+from flink_ecommerce_spark.sources.corpus import conform_documents, read_documents
+
+DOCS = [
+    "the quick brown fox jumps over the lazy dog",
+    "an entirely different document about spark engines",
+    "the quick brown fox jumps over the lazy dog",  # exact dup of 0
+]
+
+
+def test_jsonl_ingest_conforms(spark, tmp_path):
+    p = tmp_path / "c.jsonl"
+    p.write_text(
+        "\n".join(json.dumps({"text": t, "lang": "en"}) for t in DOCS)
+    )
+    df = read_documents(spark, str(p), fmt="jsonl", source="crawl")
+    assert [f.name for f in df.schema.fields] == [
+        f.name for f in DOCUMENTS_SCHEMA.fields
+    ]
+    rows = df.collect()
+    assert len(rows) == 3
+    assert all(r["source"] == "crawl" and r["lang"] == "en" for r in rows)
+    assert all(r["n_chars"] == len(r["text"]) for r in rows)
+    # content-hash ids: the exact-duplicate text resolves to ONE id
+    assert len({r["doc_id"] for r in rows}) == 2
+
+
+def test_text_and_csv_ingest(spark, tmp_path):
+    t = tmp_path / "d.txt"
+    t.write_text("\n".join(DOCS[:2]))
+    df = read_documents(spark, str(t), fmt="text")
+    assert df.count() == 2
+    assert df.filter("source = 'd'").count() == 2  # file-stem source
+
+    c = tmp_path / "e.csv"
+    c.write_text("text,lang\nhello world doc,en\nsecond doc here,de\n")
+    rows = read_documents(spark, str(c), fmt="csv", source="s").collect()
+    assert {r["lang"] for r in rows} == {"en", "de"}
+
+
+def test_content_hash_stable_across_partitionings(spark):
+    base = spark.createDataFrame([(t,) for t in DOCS], "text string")
+    a = {
+        r["text"]: r["doc_id"]
+        for r in conform_documents(base.repartition(1), source="s").collect()
+    }
+    b = {
+        r["text"]: r["doc_id"]
+        for r in conform_documents(base.repartition(7), source="s").collect()
+    }
+    assert a == b
+
+
+def test_conformed_output_feeds_operators(spark, tmp_path):
+    p = tmp_path / "c.jsonl"
+    p.write_text("\n".join(json.dumps({"text": t}) for t in DOCS))
+    docs = read_documents(spark, str(p), fmt="jsonl", source="s")
+    groups = dedup_exact(docs).collect()
+    assert len(groups) == 2  # two distinct contents
+    assert max(r["n_copies"] for r in groups) == 2  # the dup pair grouped
