@@ -63,17 +63,19 @@ def conform_documents(
             f"corpus input has no 'text' column: {df.columns}"
         )
     text = F.col("text").cast("string")
-    src = (
-        F.lit(source)
-        if source is not None
-        else (
-            F.col("source").cast("string")
-            if "source" in df.columns
-            else F.regexp_extract(F.input_file_name(), r"([^/]+?)(\.[a-z.]+)?$", 1)
-        )
+    # ragged inputs (JSONL rows missing keys) surface as NULL cells,
+    # not missing columns — fall back PER ROW, not per schema
+    file_stem = F.regexp_extract(
+        F.input_file_name(), r"([^/]+?)(\.[a-z.]+)?$", 1
     )
+    if source is not None:
+        src = F.lit(source)
+    elif "source" in df.columns:
+        src = F.coalesce(F.col("source").cast("string"), file_stem)
+    else:
+        src = file_stem
     lang = (
-        F.col("lang").cast("string")
+        F.coalesce(F.col("lang").cast("string"), F.lit(default_lang))
         if "lang" in df.columns
         else F.lit(default_lang)
     )

@@ -159,6 +159,10 @@ def main(argv: list[str] | None = None):
     p.add_argument("--no-verify", action="store_true",
                    help="band-collision-only admission (no corpus text reads)")
     p.add_argument("--max-files-per-trigger", type=int, default=16)
+    p.add_argument("--format", choices=["parquet", "jsonl"], default="parquet",
+                   help="incoming file format; jsonl rows need only a "
+                        "'text' field (ids content-hashed, lang/source "
+                        "defaulted per row)")
     p.add_argument("--await", dest="await_termination", action="store_true")
     args = p.parse_args(argv)
 
@@ -170,11 +174,21 @@ def main(argv: list[str] | None = None):
         init_admission_history(
             spark.read.parquet(args.corpus), args.docs_dir, args.sig_dir
         )
-    stream = (
-        spark.readStream.schema(DOCUMENTS_SCHEMA)
-        .option("maxFilesPerTrigger", str(args.max_files_per_trigger))
-        .parquet(args.incoming)
-    )
+    if args.format == "jsonl":
+        from ..sources.corpus import conform_documents
+
+        raw = (
+            spark.readStream.schema("text string, lang string, source string")
+            .option("maxFilesPerTrigger", str(args.max_files_per_trigger))
+            .json(args.incoming)
+        )
+        stream = conform_documents(raw)
+    else:
+        stream = (
+            spark.readStream.schema(DOCUMENTS_SCHEMA)
+            .option("maxFilesPerTrigger", str(args.max_files_per_trigger))
+            .parquet(args.incoming)
+        )
     q = streaming_fuzzy_admission(
         stream,
         args.docs_dir,

@@ -133,3 +133,39 @@ def test_admission_survives_restart(spark, tmp_path):
     assert sorted(admitted) == [0, 11, 21]  # no duplicates, 20 rejected
     sig_ids = [r["doc_id"] for r in spark.read.parquet(sig_dir).collect()]
     assert sorted(sig_ids) == [0, 11, 21]
+
+
+def test_admission_cli_jsonl_incoming(spark, tmp_path):
+    """JSONL ingestion path: rows with only a text field stream
+    through conform_documents (content-hash ids) into admission."""
+    import json as _json
+
+    from flink_ecommerce_spark.streaming import admission
+
+    seed = str(tmp_path / "seed.parquet")
+    spark.createDataFrame(_doc_rows([(0, BASE)]), DOCUMENTS_SCHEMA).write.parquet(seed)
+    incoming = tmp_path / "incoming"
+    incoming.mkdir()
+    (incoming / "batch1.jsonl").write_text(
+        "\n".join(
+            _json.dumps({"text": t})
+            for t in (BASE + " extra", FRESH_1)
+        )
+    )
+    q = admission.main(
+        [
+            "--corpus", seed,
+            "--incoming", str(incoming),
+            "--docs-dir", str(tmp_path / "curated"),
+            "--sig-dir", str(tmp_path / "curated_sigs"),
+            "--checkpoint", str(tmp_path / "jl_ckpt"),
+            "--format", "jsonl",
+        ]
+    )
+    q.processAllAvailable()
+    q.stop()
+    admitted = spark.read.parquet(str(tmp_path / "curated"))
+    texts = {r["text"] for r in admitted.collect()}
+    assert FRESH_1 in texts          # fresh admitted
+    assert (BASE + " extra") not in texts  # repost rejected
+    assert BASE in texts             # the seed
