@@ -127,3 +127,12 @@ def read_documents(
     return conform_documents(
         raw, source=source, default_lang=default_lang, id_policy=id_policy
     )
+
+
+def write_jsonl(documents: DataFrame, path: str, n_files: int | None = None) -> None:
+    """Interop export: the canonical documents frame as JSONL part
+    files (one JSON object per line — what tokenizer/training tools
+    ingest). ``n_files`` controls output fan-in; default keeps the
+    plan's partitioning (no extra shuffle)."""
+    out = documents.repartition(n_files) if n_files else documents
+    out.write.mode("overwrite").json(path)

@@ -67,3 +67,19 @@ def test_conformed_output_feeds_operators(spark, tmp_path):
     groups = dedup_exact(docs).collect()
     assert len(groups) == 2  # two distinct contents
     assert max(r["n_copies"] for r in groups) == 2  # the dup pair grouped
+
+
+def test_jsonl_round_trip(spark, tmp_path):
+    """write_jsonl → read_documents(id_policy='provided') is lossless
+    for the canonical columns."""
+    from flink_ecommerce_spark.sources.corpus import write_jsonl
+
+    src = spark.createDataFrame(
+        [(7, "round trip doc", "en", "s", 14)], DOCUMENTS_SCHEMA
+    )
+    p = str(tmp_path / "export")
+    write_jsonl(src, p, n_files=1)
+    back = read_documents(spark, p, fmt="jsonl", id_policy="provided")
+    assert [tuple(r) for r in back.collect()] == [
+        (7, "round trip doc", "en", "s", 14)
+    ]
