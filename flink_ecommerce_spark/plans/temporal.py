@@ -320,3 +320,82 @@ SELECT s.event_type, s.day, d.revenue,
 FROM spine s
 LEFT JOIN daily d ON d.event_type = s.event_type AND d.day = s.day
 """
+
+
+def first_conversion_episode(events: DataFrame) -> DataFrame:
+    """CEP-style episode extraction: each user's EARLIEST completed
+    view -> click -> purchase chain, where every step strictly
+    follows the previous one (the sequential-pattern semantics of
+    Flink CEP's `begin("view").followedBy("click").followedBy(
+    "purchase")` — not "first click ever", but first click AFTER the
+    first view). Returns the matched episode rows
+    (user_id, view_ts, click_ts, purchase_ts, seconds_to_convert) —
+    the episodes themselves, where conversion_funnel returns only
+    stage counts.
+
+    Earliest-completion semantics: v = first view; c = first click
+    after v; p = first purchase after c. Greedy-first is exact here:
+    choosing any later view/click can only delay (or lose) the
+    completion, so the greedy chain completes iff any chain does,
+    and completes earliest.
+
+    Scale: each step depends on the previous step's timestamp, so
+    the plan is one aggregate per step keyed on user (3 shuffles of
+    (user, ts)) — each map-side combined, and the per-user frames
+    never carry more than one timestamp per step. A single-pass
+    CASE-chain aggregate cannot express the dependency (the click
+    filter needs v's result), so three narrow passes is the minimal
+    shape."""
+    v = (
+        events.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("view_ts"))
+    )
+    c = (
+        events.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("view_ts"))
+        .groupBy("user_id", "view_ts")
+        .agg(F.min("ts").alias("click_ts"))
+    )
+    p = (
+        events.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("click_ts"))
+        .groupBy("user_id", "view_ts", "click_ts")
+        .agg(F.min("ts").alias("purchase_ts"))
+    )
+    return p.select(
+        "user_id",
+        "view_ts",
+        "click_ts",
+        "purchase_ts",
+        (
+            F.unix_micros(F.col("purchase_ts").cast("timestamp"))
+            - F.unix_micros(F.col("view_ts").cast("timestamp"))
+        ).cast("double").alias("micros_to_convert"),
+    ).withColumn(
+        "seconds_to_convert",
+        F.round(F.col("micros_to_convert") / 1e6, 6),
+    ).drop("micros_to_convert")
+
+
+def sql_first_conversion_episode() -> str:
+    """DuckDB oracle for ``first_conversion_episode``."""
+    return """
+WITH v AS (SELECT user_id, MIN(ts) AS view_ts FROM events
+           WHERE event_type = 'view' GROUP BY 1),
+c AS (SELECT e.user_id, v.view_ts, MIN(e.ts) AS click_ts
+      FROM events e JOIN v ON v.user_id = e.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.view_ts
+      GROUP BY 1, 2),
+p AS (SELECT e.user_id, c.view_ts, c.click_ts, MIN(e.ts) AS purchase_ts
+      FROM events e JOIN c ON c.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.click_ts
+      GROUP BY 1, 2, 3)
+SELECT user_id, view_ts, click_ts, purchase_ts,
+       ROUND((epoch_us(CAST(purchase_ts AS TIMESTAMP))
+              - epoch_us(CAST(view_ts AS TIMESTAMP))) / 1000000.0, 6)
+         AS seconds_to_convert
+FROM p
+"""

@@ -576,6 +576,12 @@ def _q_countmin_estimates(spark, sf):
     return sketch.countmin_estimates(_t("documents")(spark, sf))
 
 
+def _q_first_conversion_episode(spark, sf):
+    from .plans import temporal
+
+    return temporal.first_conversion_episode(_t("events")(spark, sf))
+
+
 def _q_daily_gapfill(spark, sf):
     from .plans import temporal
 
@@ -2173,6 +2179,7 @@ FROM documents
     "countmin_estimates": _sketch.sql_countmin_estimates(),
     "nb_lang_scores": _classifier.sql_nb_lang_scores(),
     "daily_gapfill": temporal.sql_daily_gapfill(),
+    "first_conversion_episode": temporal.sql_first_conversion_episode(),
     "jl_project": similarity.sql_jl_project(),
     # PQ: label-mean codebook per subspace (the deterministic
     # quantizer, same move as ivf_ann_topk), ordered-fold distances,
@@ -3037,6 +3044,9 @@ _SPEC_DEFS: dict[str, QuerySpec] = {
         _q_nb_lang_scores, ORACLES["nb_lang_scores"], bench=True
     ),
     "daily_gapfill": QuerySpec(_q_daily_gapfill, ORACLES["daily_gapfill"]),
+    "first_conversion_episode": QuerySpec(
+        _q_first_conversion_episode, ORACLES["first_conversion_episode"]
+    ),
     "jl_project": QuerySpec(_q_jl_project, ORACLES["jl_project"]),
     "pq_codes": QuerySpec(_q_pq_codes, ORACLES["pq_codes"]),
     "pq_ann_rerank": QuerySpec(_q_pq_ann_rerank, ORACLES["pq_ann_rerank"]),
@@ -3191,6 +3201,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "nb_lang_scores",
     "entity_merge_groups",
     "daily_gapfill",
+    "first_conversion_episode",
     "jl_project",
     "pq_codes",
     "pq_ann_topk",
@@ -3234,11 +3245,10 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "q11_important_parts",
     "q12_priority_shipping",
     "q13_order_distribution",
-    "q14_promo_revenue",
-    # q15_top_supplier / q16_part_supplier_counts / q17_small_quantity_revenue / q18_large_volume_customers / q19_disjunctive_revenue / q20_promotion_suppliers / q21_waiting_suppliers / q22_sales_opportunity / customer_order_totals / customers_without_orders / orders_with_big_lineitem / parts_by_brand_type / events_by_customer_segment / revenue_by_brand / top10_orders / top_users_per_event_type / daily_running_revenue / weekly_moving_avg / sales_rollup / event_type_cube / event_value_pivot / distinct_users_per_day / value_stats_per_type /
+    # q14_promo_revenue / q15_top_supplier / q16_part_supplier_counts / q17_small_quantity_revenue / q18_large_volume_customers / q19_disjunctive_revenue / q20_promotion_suppliers / q21_waiting_suppliers / q22_sales_opportunity / customer_order_totals / customers_without_orders / orders_with_big_lineitem / parts_by_brand_type / events_by_customer_segment / revenue_by_brand / top10_orders / top_users_per_event_type / daily_running_revenue / weekly_moving_avg / sales_rollup / event_type_cube / event_value_pivot / distinct_users_per_day / value_stats_per_type /
     # session_window_stats / conversion_funnel / weekly_retention /
     # approx_distinct_users rotate in r05 — displaced by the
-    # thirty queries NEW in r04 (new queries must certify in
+    # thirty-one queries NEW in r04 (new queries must certify in
     # their first round; every displaced query keeps its prior-round
     # row ledger-protected because its code is unchanged since)
 )

@@ -1,0 +1,103 @@
+"""Streaming CEP: the view -> click -> purchase episode detector as a
+per-user state machine — Flink CEP's marquee pattern
+(`begin("view").followedBy("click").followedBy("purchase")`) in
+Structured Streaming form.
+
+State per user is THREE nullable timestamps (the earliest view, the
+earliest post-view click, the earliest post-click purchase progress)
+— a fixed-width tuple regardless of stream volume, the canonical
+bounded-state shape. An episode emits exactly once, when its
+purchase step completes; the state then resets so the NEXT chain can
+match (repeating-match semantics; the batch twin
+``plans.temporal.first_conversion_episode`` extracts only the first
+episode, equality on single-episode streams is pinned in tests).
+
+In-order caveat (documented, standard for processing-time CEP): rows
+are consumed in arrival order within each micro-batch, sorted by
+``ts`` inside the batch; late cross-batch arrivals that belong
+BEFORE an already-consumed step are not retroactively matched — the
+same contract as the reference's no-watermark keyed state. Feed
+event-time-ordered replays (or watermarked re-sorts) when exactness
+against the batch op matters.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+EPISODE_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("view_ts", TimestampType()),
+        StructField("click_ts", TimestampType()),
+        StructField("purchase_ts", TimestampType()),
+        StructField("seconds_to_convert", DoubleType()),
+    ]
+)
+
+# (view_ts, click_ts) progress; epoch micros, -1 = unset
+EPISODE_STATE_SCHEMA = StructType(
+    [
+        StructField("view_us", LongType()),
+        StructField("click_us", LongType()),
+    ]
+)
+
+
+def _episode_group(
+    key: tuple, pdfs: Iterator["pd.DataFrame"], state: GroupState
+) -> Iterator["pd.DataFrame"]:
+    (user_id,) = key
+    view_us, click_us = state.get if state.exists else (-1, -1)
+    out = []
+    rows = pd.concat(list(pdfs), ignore_index=True)
+    rows = rows.sort_values("ts", kind="mergesort")  # stable in-batch order
+    for ts, etype in zip(rows["ts"], rows["event_type"]):
+        us = int(pd.Timestamp(ts).value // 1000)
+        if view_us < 0:
+            if etype == "view":
+                view_us = us
+        elif click_us < 0:
+            if etype == "click" and us > view_us:
+                click_us = us
+        else:
+            if etype == "purchase" and us > click_us:
+                out.append(
+                    {
+                        "user_id": int(user_id),
+                        "view_ts": pd.Timestamp(view_us * 1000),
+                        "click_ts": pd.Timestamp(click_us * 1000),
+                        "purchase_ts": pd.Timestamp(us * 1000),
+                        "seconds_to_convert": round(
+                            (us - view_us) / 1e6, 6
+                        ),
+                    }
+                )
+                view_us, click_us = -1, -1  # reset: repeating matches
+    state.update((int(view_us), int(click_us)))
+    if out:
+        yield pd.DataFrame(out)
+
+
+def streaming_episodes(events: DataFrame) -> DataFrame:
+    """events stream (user_id, ts, event_type, ...) → completed
+    episode stream. Append-mode output; fixed-width state per user."""
+    keyed = events.select("user_id", "ts", "event_type")
+    return keyed.groupBy("user_id").applyInPandasWithState(
+        _episode_group,
+        outputStructType=EPISODE_OUTPUT_SCHEMA,
+        stateStructType=EPISODE_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
