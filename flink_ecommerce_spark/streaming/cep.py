@@ -101,3 +101,83 @@ def streaming_episodes(events: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+PATTERN_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("start_ts", TimestampType()),
+        StructField("end_ts", TimestampType()),
+        StructField("seconds_to_complete", DoubleType()),
+    ]
+)
+
+# (step index reached, last matched ts in epoch micros, start ts)
+PATTERN_STATE_SCHEMA = StructType(
+    [
+        StructField("step", LongType()),
+        StructField("last_us", LongType()),
+        StructField("start_us", LongType()),
+    ]
+)
+
+
+def _make_pattern_group(pattern: list[str]):
+    n = len(pattern)
+
+    def _group(
+        key: tuple, pdfs: Iterator["pd.DataFrame"], state: GroupState
+    ) -> Iterator["pd.DataFrame"]:
+        (user_id,) = key
+        step, last_us, start_us = (
+            state.get if state.exists else (0, -1, -1)
+        )
+        out = []
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values("ts", kind="mergesort")
+        for ts, etype in zip(rows["ts"], rows["event_type"]):
+            us = int(pd.Timestamp(ts).value // 1000)
+            if etype == pattern[step] and us > last_us:
+                if step == 0:
+                    start_us = us
+                step += 1
+                last_us = us
+                if step == n:
+                    out.append(
+                        {
+                            "user_id": int(user_id),
+                            "start_ts": pd.Timestamp(start_us * 1000),
+                            "end_ts": pd.Timestamp(us * 1000),
+                            "seconds_to_complete": round(
+                                (us - start_us) / 1e6, 6
+                            ),
+                        }
+                    )
+                    step, last_us, start_us = 0, us, -1
+        state.update((int(step), int(last_us), int(start_us)))
+        if out:
+            yield pd.DataFrame(out)
+
+    return _group
+
+
+def streaming_pattern_matches(
+    events: DataFrame, pattern: list[str]
+) -> DataFrame:
+    """Generalized N-step sequential pattern (`followedBy` chains of
+    any length): emit (user_id, start_ts, end_ts,
+    seconds_to_complete) per completed strictly-increasing match,
+    repeating. State per user is a FIXED 3-long tuple regardless of
+    pattern length or stream volume — ad-hoc funnels of any depth
+    (e.g. signup -> view -> click -> purchase) cost the same state.
+    ``streaming_episodes`` remains the specialized 3-step surface
+    carrying every intermediate step's timestamp."""
+    assert pattern, "pattern must be non-empty"
+    keyed = events.select("user_id", "ts", "event_type")
+    return keyed.groupBy("user_id").applyInPandasWithState(
+        _make_pattern_group(list(pattern)),
+        outputStructType=PATTERN_OUTPUT_SCHEMA,
+        stateStructType=PATTERN_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -121,3 +121,39 @@ def test_repeating_matches_emit_per_chain(spark, tmp_path):
     q.processAllAvailable()
     q.stop()
     assert spark.sql("SELECT COUNT(*) FROM cep_rep").collect()[0][0] == 2
+
+
+def test_generalized_pattern_any_length(spark, tmp_path):
+    """4-step pattern completes across batches; an interleaved
+    non-matching event type is ignored; the post-completion reset
+    requires the NEXT chain to start fresh."""
+    from flink_ecommerce_spark.streaming.cep import streaming_pattern_matches
+
+    rows1 = [
+        _ev(1, 0, 1, "signup"), _ev(2, 1, 1, "view"), _ev(3, 2, 1, "error"),
+        _ev(4, 3, 1, "click"),
+    ]
+    rows2 = [_ev(5, 4, 1, "purchase"), _ev(6, 5, 1, "view")]
+    src = str(tmp_path / "ev")
+    _write_chunk(spark, src, rows1, 1)
+    _write_chunk(spark, src, rows2, 2)
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/chunk=*")
+    )
+    q = (
+        streaming_pattern_matches(
+            stream, ["signup", "view", "click", "purchase"]
+        )
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("cep_gen")
+        .option("checkpointLocation", str(tmp_path / "ckptg"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.sql("SELECT * FROM cep_gen").collect()
+    assert len(rows) == 1
+    assert rows[0]["seconds_to_complete"] == 240.0  # minute 0 -> 4
