@@ -122,7 +122,7 @@ PATTERN_STATE_SCHEMA = StructType(
 )
 
 
-def _make_pattern_group(pattern: list[str]):
+def _make_pattern_group(pattern: list[str], within_us: int | None):
     n = len(pattern)
 
     def _group(
@@ -137,6 +137,16 @@ def _make_pattern_group(pattern: list[str]):
         rows = rows.sort_values("ts", kind="mergesort")
         for ts, etype in zip(rows["ts"], rows["event_type"]):
             us = int(pd.Timestamp(ts).value // 1000)
+            # within(): an in-progress chain whose window has lapsed
+            # resets BEFORE the event is considered, so the event can
+            # seed a fresh chain (Flink CEP's timed-out partial match
+            # is discarded, not the event)
+            if (
+                within_us is not None
+                and step > 0
+                and us - start_us > within_us
+            ):
+                step, last_us, start_us = 0, -1, -1
             if etype == pattern[step] and us > last_us:
                 if step == 0:
                     start_us = us
@@ -162,7 +172,9 @@ def _make_pattern_group(pattern: list[str]):
 
 
 def streaming_pattern_matches(
-    events: DataFrame, pattern: list[str]
+    events: DataFrame,
+    pattern: list[str],
+    within_seconds: float | None = None,
 ) -> DataFrame:
     """Generalized N-step sequential pattern (`followedBy` chains of
     any length): emit (user_id, start_ts, end_ts,
@@ -171,11 +183,19 @@ def streaming_pattern_matches(
     pattern length or stream volume — ad-hoc funnels of any depth
     (e.g. signup -> view -> click -> purchase) cost the same state.
     ``streaming_episodes`` remains the specialized 3-step surface
-    carrying every intermediate step's timestamp."""
+    carrying every intermediate step's timestamp.
+
+    ``within_seconds`` is Flink CEP's ``within()``: a partial match
+    older than the window is discarded the moment a later event
+    arrives — the event itself can seed a fresh chain (timed-out
+    partials drop, events don't)."""
     assert pattern, "pattern must be non-empty"
+    within_us = (
+        int(within_seconds * 1_000_000) if within_seconds is not None else None
+    )
     keyed = events.select("user_id", "ts", "event_type")
     return keyed.groupBy("user_id").applyInPandasWithState(
-        _make_pattern_group(list(pattern)),
+        _make_pattern_group(list(pattern), within_us),
         outputStructType=PATTERN_OUTPUT_SCHEMA,
         stateStructType=PATTERN_STATE_SCHEMA,
         outputMode="append",

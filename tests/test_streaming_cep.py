@@ -157,3 +157,40 @@ def test_generalized_pattern_any_length(spark, tmp_path):
     rows = spark.sql("SELECT * FROM cep_gen").collect()
     assert len(rows) == 1
     assert rows[0]["seconds_to_complete"] == 240.0  # minute 0 -> 4
+
+
+def test_within_window_discards_stale_partials(spark, tmp_path):
+    """within(): a view->click chain that ages past the window is
+    discarded when the purchase finally arrives — but a fresh chain
+    inside the window completes."""
+    from flink_ecommerce_spark.streaming.cep import streaming_pattern_matches
+
+    rows = [
+        # chain 1: view at 0, click at 1, purchase at 20 — the
+        # partial is 19 min old at purchase time, window is 5 min
+        _ev(1, 0, 1, "view"), _ev(2, 1, 1, "click"), _ev(3, 20, 1, "purchase"),
+        # chain 2: tight chain inside the window
+        _ev(4, 30, 1, "view"), _ev(5, 31, 1, "click"), _ev(6, 32, 1, "purchase"),
+    ]
+    src = str(tmp_path / "ev")
+    _write_chunk(spark, src, rows, 1)
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/chunk=*")
+    )
+    q = (
+        streaming_pattern_matches(
+            stream, ["view", "click", "purchase"], within_seconds=300
+        )
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("cep_win")
+        .option("checkpointLocation", str(tmp_path / "ckptw"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    rows_out = spark.sql("SELECT * FROM cep_win").collect()
+    assert len(rows_out) == 1
+    assert rows_out[0]["seconds_to_complete"] == 120.0  # minute 30 -> 32
