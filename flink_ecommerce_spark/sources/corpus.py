@@ -15,7 +15,8 @@ doc_id policy (``id_policy``):
   engines — the right default for dedup pipelines (identical content
   collides on purpose: exact duplicates resolve to one id before
   near-dup even runs). Derived as two independent 32-bit halves of
-  one digest, packed (h1 << 31) | h2 — positive, well-spread.
+  one digest packed into 63 bits — positive, well-spread, never
+  wraps signed 64-bit.
 - ``"load_order"`` — monotonically_increasing_id(): unique within
   THIS load, not reproducible across loads (documented Spark
   semantics). For append-style ingestion where ids only need to be
@@ -41,9 +42,13 @@ from ..schemas import DOCUMENTS_SCHEMA
 
 def _content_hash_id(source_col: F.Column, text_col: F.Column) -> F.Column:
     d = salted_md5(F.concat_ws("\x1f", source_col, text_col), salt="docid")
-    h1 = hash32_from_digest(d, half=0)
+    # pack (h1 mod 2^31) into the high 31 bits, h2 into the low 32:
+    # max value is exactly 2^63 - 1, so the id can never wrap signed
+    # 64-bit (an unmasked h1 << 31 overflows for h1 within 2 of 2^32
+    # — one-in-2^31 content, i.e. guaranteed at 100 TB)
+    h1 = hash32_from_digest(d, half=0) % F.lit(2147483648)
     h2 = hash32_from_digest(d, half=1)
-    return (F.shiftleft(h1, 31) + h2).cast("long")
+    return (h1 * F.lit(4294967296) + h2).cast("long")
 
 
 def conform_documents(
