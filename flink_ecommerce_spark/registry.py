@@ -3045,7 +3045,9 @@ _SPEC_DEFS: dict[str, QuerySpec] = {
     ),
     "daily_gapfill": QuerySpec(_q_daily_gapfill, ORACLES["daily_gapfill"]),
     "first_conversion_episode": QuerySpec(
-        _q_first_conversion_episode, ORACLES["first_conversion_episode"]
+        _q_first_conversion_episode,
+        ORACLES["first_conversion_episode"],
+        bench=True,
     ),
     "jl_project": QuerySpec(_q_jl_project, ORACLES["jl_project"]),
     "pq_codes": QuerySpec(_q_pq_codes, ORACLES["pq_codes"]),

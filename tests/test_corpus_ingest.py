@@ -83,3 +83,19 @@ def test_jsonl_round_trip(spark, tmp_path):
     assert [tuple(r) for r in back.collect()] == [
         (7, "round trip doc", "en", "s", 14)
     ]
+
+
+def test_content_hash_ids_fit_63_bits(spark):
+    """The packed id must stay in [0, 2^63) for any content — the
+    unmasked-shift overflow class is locked out structurally, and a
+    large sample leaves headroom assertions meaningful."""
+    from flink_ecommerce_spark.sources.corpus import conform_documents
+
+    docs = spark.range(5000).selectExpr(
+        "concat('doc text number ', id, repeat(' filler', CAST(id % 17 AS INT))) AS text"
+    )
+    ids = [
+        r["doc_id"] for r in conform_documents(docs, source="s").collect()
+    ]
+    assert all(0 <= i < (1 << 63) for i in ids)
+    assert len(set(ids)) == len(ids)  # no collisions in the sample
