@@ -100,7 +100,10 @@ def conform_documents(
         lang.alias("lang"),
         src.alias("source"),
         F.length(text).cast("long").alias("n_chars"),
-    )
+    ).filter(F.col("text").isNotNull())
+    # null text = a malformed input row (e.g. a corrupt JSONL line
+    # parsed PERMISSIVE-ly) — dropped at the boundary rather than
+    # flowing NULL rows into every downstream text expression
     issues = schema_violations(out, DOCUMENTS_SCHEMA)
     assert not issues, issues
     return out

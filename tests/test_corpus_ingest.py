@@ -99,3 +99,19 @@ def test_content_hash_ids_fit_63_bits(spark):
     ]
     assert all(0 <= i < (1 << 63) for i in ids)
     assert len(set(ids)) == len(ids)  # no collisions in the sample
+
+
+def test_malformed_jsonl_lines_drop_at_boundary(spark, tmp_path):
+    """A corrupt JSONL line (PERMISSIVE parse -> null text) drops at
+    conform time instead of flowing NULL rows downstream."""
+    p = tmp_path / "bad.jsonl"
+    p.write_text(
+        '{"text": "a good document line"}\n'
+        "{not valid json at all\n"
+        '{"other_key": "no text field"}\n'
+        '{"text": "another good one"}\n'
+    )
+    rows = read_documents(spark, str(p), fmt="jsonl", source="s").collect()
+    assert {r["text"] for r in rows} == {
+        "a good document line", "another good one"
+    }
