@@ -865,6 +865,118 @@ def remove_spans(documents: DataFrame, spans: DataFrame) -> DataFrame:
     )
 
 
+def prefix_jaccard_pairs(
+    documents: DataFrame, threshold: float = JACCARD_THRESHOLD
+) -> DataFrame:
+    """EXACT Jaccard >= threshold pairs via prefix filtering (the
+    PPJoin family — Chaudhuri et al. 2006 "A Primitive Operator for
+    Similarity Joins", Xiao et al. 2008 PPJoin). Output schema matches
+    ngram_jaccard_pairs: (doc_a, doc_b, jaccard).
+
+    Where it sits among the dedup joins: ngram_jaccard_pairs is exact
+    only up to its df ceiling (hot shingles are DROPPED — an
+    approximation taken for scale); lsh_candidate_pairs is
+    probabilistic (the banding S-curve misses some true pairs). This
+    operator is LOSSLESS at any corpus size: every pair with true
+    Jaccard >= threshold is produced, with no df cap and no hash
+    luck.
+
+    Prefix filter: order the shingle universe globally by ascending
+    document frequency (rarest first; shingle value breaks ties). If
+    J(A,B) >= t then |A∩B| >= ceil(t·|A|), so A and B must share a
+    shingle inside each one's first L_x = |x| - ceil(t·|x|) + 1
+    shingles of that order — the self-join only touches prefixes.
+    The scale win is structural: a stop-word shingle has maximal df,
+    sorts LAST, and therefore almost never lands in any prefix — the
+    quadratic hot bucket that forces ngram_jaccard_pairs' df cap
+    disappears without dropping anything. At t=0.7 a prefix is ~30%
+    of the doc's shingles, and it is the RAREST 30%, whose postings
+    lists are the shortest in the corpus.
+
+    Size filter: candidates must satisfy t·|A| <= |B| (|A| <= |B| by
+    ordering pairs), applied inside the join condition.
+
+    Verify: exact Jaccard on candidate pairs only — same
+    candidates-fan-out-by-doc_a's-shingles shape as
+    lsh_candidate_pairs' verify stage.
+
+    ceil(t·n) is computed as ceil(t·n - 1e-9): binary-double noise
+    (0.7*10 = 7.000000000000001) would otherwise SHRINK the prefix by
+    one and break the exactness guarantee; the epsilon can only ever
+    lengthen a prefix (still exact, at worst one extra candidate
+    probe).
+    """
+    from pyspark.sql import Window
+
+    sh = _doc_shingles(documents).localCheckpoint(eager=True)
+    # global order: rare shingles first. The df table is shingle-keyed
+    # (vocabulary-sized); joined back to the shingle table on its key.
+    df_tbl = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    sized = sh.join(df_tbl, "shingle").withColumn(
+        "n_sh", F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
+    )
+    rank = F.row_number().over(
+        Window.partitionBy("doc_id").orderBy("df", "shingle")
+    )
+    prefix_len = (
+        F.col("n_sh")
+        - F.ceil(F.lit(threshold) * F.col("n_sh") - F.lit(1e-9))
+        + F.lit(1)
+    )
+    prefix = (
+        sized.withColumn("rk", rank)
+        .filter(F.col("rk") <= prefix_len)
+        .select("doc_id", "shingle", "n_sh")
+        .localCheckpoint(eager=True)
+    )
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            # size filter: J >= t needs t·max(|A|,|B|) <= |A∩B| <= min
+            & (F.lit(threshold) * F.col("a.n_sh") <= F.col("b.n_sh"))
+            & (F.lit(threshold) * F.col("b.n_sh") <= F.col("a.n_sh")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    # verify only candidate DOCS' shingle sets (lsh_candidate_pairs'
+    # verify discipline): at scale the candidate set is tiny next to
+    # the corpus, so the full shingle table must not shuffle again.
+    cand_docs = (
+        cands.select(F.col("doc_a").alias("doc_id"))
+        .union(cands.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    ds = sh.join(cand_docs, "doc_id", "left_semi").localCheckpoint(eager=True)
+    sizes = ds.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sh_a = ds.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sh_b = ds.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        cands.join(sh_a, "doc_a")
+        .join(sh_b, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("sa"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("sb"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter") / (F.col("sa") + F.col("sb") - F.col("n_inter")), 6
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
 def minhash_candidate_prob(
     jaccard: float, num_bands: int, rows_per_band: int
 ) -> float:

@@ -1,0 +1,207 @@
+"""Lexical retrieval over the `documents` table: BM25 ranked top-k
+and positional phrase search — the text-side complement to the
+embedding ANN family (`operators/similarity.py`). A 100 TB corpus
+engine needs both retrieval modalities: vector search for semantic
+neighbors, term/phrase search for exact lexical recall (grepping a
+pretraining corpus for a benchmark string, auditing PII hits,
+retrieving citations).
+
+Everything is declarative DataFrame ops over the shared tokenizer
+(`textprep.words` — identical to the dedup/surprisal family, with the
+same DuckDB twin), so both queries carry exact oracles.
+
+Scale notes (100 TB):
+- BM25 prunes at the SCAN: tokens are filtered to the query's terms
+  before any shuffle, so corpus-wide work is one tokenize pass plus a
+  doc-length aggregation (map-side combined). The per-(doc, term)
+  frequency table that actually shuffles is bounded by the query
+  terms' posting sizes, not the corpus.
+- Phrase search runs on the positional postings relation
+  (term, doc_id, pos) — the inverted-index shape. Adjacency is an
+  equi-join on (doc_id, pos±j), never a string scan. For a standing
+  corpus you'd persist `build_postings` bucketed by term
+  (`operators/scale.py::write_bucketed`) so every phrase query prunes
+  to its terms' buckets; here the postings are built inline from the
+  same scan-side term filter.
+- Corpus scalars (N, avgdl) are one-row aggregates broadcast into the
+  scoring join — the standard tiny-side crossJoin(broadcast(...))
+  discipline used repo-wide.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .textprep import words
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_K = 10
+
+# Fixed benchmark queries (registry + oracle twins are generated from
+# this same dict). Terms are drawn from the fixture vocabulary so the
+# queries exercise real posting lists.
+BM25_QUERIES: dict[str, str] = {
+    "q1": "table scan fast",
+    "q2": "window merge sort",
+    "q3": "customer order value",
+}
+
+PHRASE = "table scan"
+
+
+def query_term_pairs(qs: dict[str, str]) -> list[tuple[str, str]]:
+    """Distinct (query_id, term) pairs, sorted — the one tokenization
+    of the query set, shared by the Spark plan AND the oracle-SQL
+    generator so both engines score the identical term multiset."""
+    return sorted({(qid, t) for qid, qtext in qs.items() for t in qtext.lower().split()})
+
+
+def _toks(documents: DataFrame) -> DataFrame:
+    """(doc_id, term) token stream — one tokenize pass, no shuffle."""
+    return documents.select(
+        "doc_id", F.explode(words("text")).alias("term")
+    )
+
+
+def bm25_topk(
+    documents: DataFrame,
+    queries: dict[str, str] | None = None,
+    k: int = BM25_K,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """BM25 top-k documents per query. Output: (query_id, doc_id,
+    score, rank), rank 1..k by (score desc, doc_id asc).
+
+    Uses the Lucene-style always-positive idf
+    ``ln(1 + (N - df + 0.5) / (df + 0.5))`` so stop-wordy query terms
+    degrade toward zero instead of going negative, and the standard
+    tf saturation ``tf·(k1+1) / (tf + k1·(1 - b + b·dl/avgdl))``
+    (Robertson/Spärck Jones; the exact formula Lucene ships).
+
+    Scores are rounded to 6 decimals BEFORE ranking so the ranking is
+    reproducible cross-engine (the oracle twin ranks the same rounded
+    value; float summation order may differ in the last ulp).
+
+    Per-query ranking is a window partitioned by query_id; its
+    partition holds only docs containing >= 1 query term (the
+    candidate set), which is posting-list-sized, not corpus-sized.
+    """
+    qs = queries or BM25_QUERIES
+    spark = documents.sparkSession
+    pairs = query_term_pairs(qs)
+    qterms = spark.createDataFrame(pairs, "query_id string, term string")
+    all_terms = sorted({t for _, t in pairs})
+
+    toks = _toks(documents)
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    corpus = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    tf = (
+        toks.filter(F.col("term").isin(all_terms))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_tbl = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    contrib = (
+        idf
+        * F.col("tf")
+        * F.lit(k1 + 1.0)
+        / (
+            F.col("tf")
+            + F.lit(k1)
+            * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    scored = (
+        tf.join(F.broadcast(qterms), "term")
+        .join(F.broadcast(df_tbl), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(corpus))
+        .groupBy("query_id", "doc_id")
+        .agg(F.round(F.sum(contrib), 6).alias("score"))
+    )
+    from pyspark.sql import Window
+
+    rank = F.row_number().over(
+        Window.partitionBy("query_id").orderBy(
+            F.col("score").desc(), F.col("doc_id")
+        )
+    )
+    return (
+        scored.withColumn("rank", rank)
+        .filter(F.col("rank") <= k)
+        .select("query_id", "doc_id", "score", "rank")
+    )
+
+
+def build_postings(documents: DataFrame) -> DataFrame:
+    """Positional postings (term, doc_id, pos), pos 1-based in token
+    order — the inverted-index relation. Zero shuffle: one tokenize
+    pass. Persist bucketed by term for a standing index."""
+    return documents.select(
+        "doc_id", F.posexplode(words("text")).alias("pos", "term")
+    ).select("term", "doc_id", (F.col("pos") + 1).alias("pos"))
+
+
+def phrase_search(documents: DataFrame, phrase: str = PHRASE) -> DataFrame:
+    """Exact phrase match via positional-postings adjacency joins.
+    Output: (doc_id, n_matches, first_pos) for docs containing the
+    phrase as consecutive tokens (overlapping occurrences counted).
+
+    The indexed path: postings are filtered to the phrase's terms AT
+    THE SCAN (predicate pushdown — the corpus never shuffles), then
+    occurrence positions of term j are aligned to the anchor via an
+    equi-join on (doc_id, pos - j). tests/test_retrieval.py proves
+    this equals the brute-force array scan (`phrase_scan`), the
+    index-equals-scan guarantee an index path owes its users.
+    """
+    terms = phrase.lower().split()
+    if not terms:
+        raise ValueError("phrase must contain at least one token")
+    post = build_postings(documents).filter(F.col("term").isin(sorted(set(terms))))
+    m = post.filter(F.col("term") == terms[0]).select("doc_id", "pos")
+    for j, t in enumerate(terms[1:], start=1):
+        pj = post.filter(F.col("term") == t).select(
+            "doc_id", (F.col("pos") - j).alias("pos")
+        )
+        m = m.join(pj, ["doc_id", "pos"])
+    return m.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_matches"),
+        F.min("pos").cast("int").alias("first_pos"),
+    )
+
+
+def phrase_scan(documents: DataFrame, phrase: str = PHRASE) -> DataFrame:
+    """Brute-force twin of phrase_search: per-row array scan, no
+    index. Same output schema. Exists to prove the indexed path exact
+    (and as the one-shot path when no postings are worth building)."""
+    terms = phrase.lower().split()
+    n = len(terms)
+    # positions are 1-based (matching the postings relation); Spark
+    # array subscripts are 0-based, hence the [i + j - 1]
+    cond = " AND ".join(
+        f"__ws[i + {j} - 1] = '{t}'" for j, t in enumerate(terms)
+    )
+    hits = F.expr(
+        f"filter(sequence(1, size(__ws) - {n - 1}), i -> {cond})"
+    )
+    return (
+        documents.select("doc_id", words("text").alias("__ws"))
+        .filter(F.size("__ws") >= n)
+        .select("doc_id", hits.alias("__hits"))
+        .filter(F.size("__hits") > 0)
+        .select(
+            "doc_id",
+            F.size("__hits").cast("long").alias("n_matches"),
+            F.array_min("__hits").cast("int").alias("first_pos"),
+        )
+    )

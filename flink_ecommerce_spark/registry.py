@@ -41,6 +41,7 @@ from .operators import (
     text,
 )
 from .operators import classifier as _classifier
+from .operators import retrieval
 from .operators import sketch as _sketch
 from .operators.sampling import (
     MIXTURE_WEIGHTS,
@@ -510,6 +511,18 @@ def _q_lsh_candidate_pairs(spark, sf):
 
 def _q_ngram_jaccard_pairs(spark, sf):
     return dedup.ngram_jaccard_pairs(_t("documents")(spark, sf))
+
+
+def _q_prefix_jaccard_pairs(spark, sf):
+    return dedup.prefix_jaccard_pairs(_t("documents")(spark, sf))
+
+
+def _q_bm25_topk(spark, sf):
+    return retrieval.bm25_topk(_t("documents")(spark, sf))
+
+
+def _q_phrase_search(spark, sf):
+    return retrieval.phrase_search(_t("documents")(spark, sf))
 
 
 def _q_simhash(spark, sf):
@@ -2146,6 +2159,48 @@ WITH sh AS (SELECT doc_id, {_SHINGLES} AS shingles FROM documents),
 {_CAPPED_JACCARD_CTES}
 SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= {dedup.JACCARD_THRESHOLD}
 """,
+    # prefix_jaccard_pairs is EXACT (prefix filtering is lossless), so
+    # its oracle is the pure uncapped brute-force Jaccard — the
+    # strongest correctness statement in the dedup family: the pruned
+    # plan must reproduce all-pairs truth, not a capped approximation.
+    "prefix_jaccard_pairs": f"""
+WITH sh AS (SELECT doc_id, {_SHINGLES} AS shingles FROM documents),
+{_JACCARD_CTES}
+SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= {dedup.JACCARD_THRESHOLD}
+""",
+    "bm25_topk": f"""
+WITH toks AS (SELECT doc_id, unnest({_WORDS}) AS term FROM documents),
+dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM toks GROUP BY 1),
+corpus AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, AVG(dl) AS avgdl FROM dl),
+q(query_id, term) AS (VALUES {", ".join(f"('{qid}', '{t}')" for qid, t in retrieval.query_term_pairs(retrieval.BM25_QUERIES))}),
+tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM toks
+       WHERE term IN ({", ".join(sorted({f"'{t}'" for _, t in retrieval.query_term_pairs(retrieval.BM25_QUERIES)}))})
+       GROUP BY 1, 2),
+dfq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+s AS (SELECT q.query_id, tf.doc_id,
+        ROUND(SUM(ln(1.0 + (corpus.n_docs - dfq.df + 0.5) / (dfq.df + 0.5))
+          * tf.tf * {retrieval.BM25_K1 + 1.0}
+          / (tf.tf + {retrieval.BM25_K1}
+             * ({1.0 - retrieval.BM25_B} + {retrieval.BM25_B} * dl.dl / corpus.avgdl))), 6) AS score
+      FROM tf JOIN q USING (term) JOIN dfq USING (term)
+      JOIN dl USING (doc_id) CROSS JOIN corpus
+      GROUP BY 1, 2)
+SELECT query_id, doc_id, score,
+       CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY score DESC, doc_id) AS INT) AS rank
+FROM s
+QUALIFY rank <= {retrieval.BM25_K}
+""",
+    "phrase_search": f"""
+WITH w AS (SELECT doc_id, {_WORDS} AS ws FROM documents),
+m AS (SELECT doc_id,
+        list_filter(generate_series(1, len(ws) - {len(retrieval.PHRASE.split()) - 1}),
+          i -> {" AND ".join(f"ws[i + {j}] = '{t}'" for j, t in enumerate(retrieval.PHRASE.lower().split()))}) AS hits
+      FROM w WHERE len(ws) >= {len(retrieval.PHRASE.split())})
+SELECT doc_id, CAST(len(hits) AS BIGINT) AS n_matches,
+       CAST(list_min(hits) AS INT) AS first_pos
+FROM m WHERE len(hits) > 0
+""",
     "simhash": f"""
 WITH {_SIMHASH_CTE}
 SELECT doc_id, simhash_hi, simhash_lo FROM sim
@@ -3014,6 +3069,11 @@ _SPEC_DEFS: dict[str, QuerySpec] = {
     "ngram_jaccard_pairs": QuerySpec(
         _q_ngram_jaccard_pairs, ORACLES["ngram_jaccard_pairs"]
     ),
+    "prefix_jaccard_pairs": QuerySpec(
+        _q_prefix_jaccard_pairs, ORACLES["prefix_jaccard_pairs"], bench=True
+    ),
+    "bm25_topk": QuerySpec(_q_bm25_topk, ORACLES["bm25_topk"], bench=True),
+    "phrase_search": QuerySpec(_q_phrase_search, ORACLES["phrase_search"]),
     "simhash": QuerySpec(_q_simhash, ORACLES["simhash"]),
     # bench: the iterative component loop is where wall-time surprises
     # live at scale — measure it every round, not just its LSH input
@@ -3195,6 +3255,9 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "budgeted_mixture",
     "shingle_novelty",
     # NEW this round — must be verified in its first round
+    "prefix_jaccard_pairs",
+    "bm25_topk",
+    "phrase_search",
     "incremental_fuzzy_dedup",
     "weighted_sample",
     "weighted_sample_by_source",
@@ -3244,15 +3307,13 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "q8_market_share",
     "q9_product_profit",
     "q10_returned_items",
-    "q11_important_parts",
-    "q12_priority_shipping",
-    "q13_order_distribution",
-    # q14_promo_revenue / q15_top_supplier / q16_part_supplier_counts / q17_small_quantity_revenue / q18_large_volume_customers / q19_disjunctive_revenue / q20_promotion_suppliers / q21_waiting_suppliers / q22_sales_opportunity / customer_order_totals / customers_without_orders / orders_with_big_lineitem / parts_by_brand_type / events_by_customer_segment / revenue_by_brand / top10_orders / top_users_per_event_type / daily_running_revenue / weekly_moving_avg / sales_rollup / event_type_cube / event_value_pivot / distinct_users_per_day / value_stats_per_type /
+    # q11_important_parts / q12_priority_shipping / q13_order_distribution / q14_promo_revenue / q15_top_supplier / q16_part_supplier_counts / q17_small_quantity_revenue / q18_large_volume_customers / q19_disjunctive_revenue / q20_promotion_suppliers / q21_waiting_suppliers / q22_sales_opportunity / customer_order_totals / customers_without_orders / orders_with_big_lineitem / parts_by_brand_type / events_by_customer_segment / revenue_by_brand / top10_orders / top_users_per_event_type / daily_running_revenue / weekly_moving_avg / sales_rollup / event_type_cube / event_value_pivot / distinct_users_per_day / value_stats_per_type /
     # session_window_stats / conversion_funnel / weekly_retention /
-    # approx_distinct_users rotate in r05 — displaced by the
-    # thirty-one queries NEW in r04 (new queries must certify in
-    # their first round; every displaced query keeps its prior-round
-    # row ledger-protected because its code is unchanged since)
+    # approx_distinct_users rotate next round — displaced by the
+    # never-yet-verified r04/r05 additions (new queries must certify
+    # in their first verified round; every displaced query keeps its
+    # prior-round row ledger-protected because its code is unchanged
+    # since, enforced by tests/test_certification_invariant.py)
 )
 assert set(_VERIFY_FIRST) <= set(_SPEC_DEFS), sorted(
     set(_VERIFY_FIRST) - set(_SPEC_DEFS)

@@ -1,0 +1,187 @@
+"""Lexical retrieval (operators/retrieval.py): the index-equals-scan
+guarantee for phrase search, BM25 ranking semantics, and the
+prefix-filter Jaccard join's exactness against uncapped brute force.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_ecommerce_spark import catalog
+from flink_ecommerce_spark.operators import dedup, retrieval
+
+from tests.conftest import SF_SMALL
+
+DOC_SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in rows], DOC_SCHEMA
+    )
+
+
+# ------------------------------------------------------------- phrase search
+
+
+def test_phrase_index_equals_scan_on_fixture(spark):
+    docs = catalog.table(spark, SF_SMALL, "documents")
+    idx = retrieval.phrase_search(docs).collect()
+    scan = retrieval.phrase_scan(docs).collect()
+    assert sorted(map(tuple, idx)) == sorted(map(tuple, scan))
+    assert len(idx) > 0  # the default phrase must actually exercise the path
+
+
+def test_phrase_three_terms_and_overlap(spark):
+    docs = _docs(
+        spark,
+        [
+            (1, "a b a b a"),  # "a b a" occurs at 1 and 3 (overlapping)
+            (2, "a b c a b a"),  # occurs at 4
+            (3, "b a b"),  # never
+            (4, "a b"),  # too short
+        ],
+    )
+    got = {
+        r["doc_id"]: (r["n_matches"], r["first_pos"])
+        for r in retrieval.phrase_search(docs, "a b a").collect()
+    }
+    assert got == {1: (2, 1), 2: (1, 4)}
+    scan = {
+        r["doc_id"]: (r["n_matches"], r["first_pos"])
+        for r in retrieval.phrase_scan(docs, "a b a").collect()
+    }
+    assert scan == got
+
+
+def test_phrase_absent_is_empty(spark):
+    docs = _docs(spark, [(1, "x y z"), (2, "y z x")])
+    assert retrieval.phrase_search(docs, "z y").count() == 0
+    assert retrieval.phrase_scan(docs, "z y").count() == 0
+
+
+def test_single_term_phrase_counts_occurrences(spark):
+    docs = _docs(spark, [(1, "w q w"), (2, "q")])
+    got = {
+        r["doc_id"]: (r["n_matches"], r["first_pos"])
+        for r in retrieval.phrase_search(docs, "w").collect()
+    }
+    assert got == {1: (2, 1)}
+
+
+# --------------------------------------------------------------------- BM25
+
+
+def test_bm25_rank_shape(spark):
+    docs = catalog.table(spark, SF_SMALL, "documents")
+    rows = retrieval.bm25_topk(docs).collect()
+    by_q: dict[str, list] = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == set(retrieval.BM25_QUERIES)
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= retrieval.BM25_K
+        scores = [r["score"] for r in rs]
+        assert scores == sorted(scores, reverse=True)
+        assert all(s > 0 for s in scores)  # Lucene idf is always positive
+
+
+def test_bm25_term_match_required(spark):
+    """Every returned doc contains at least one query term."""
+    docs = _docs(
+        spark,
+        [
+            (1, "alpha beta gamma"),
+            (2, "delta epsilon"),
+            (3, "alpha alpha delta"),
+            (4, "zeta eta theta"),
+        ],
+    )
+    rows = retrieval.bm25_topk(docs, {"q": "alpha delta"}).collect()
+    assert {r["doc_id"] for r in rows} == {1, 2, 3}
+    top = min(rows, key=lambda r: r["rank"])
+    assert top["doc_id"] == 3  # matches both terms, one of them twice
+
+
+def test_bm25_idf_prefers_rare_terms(spark):
+    """Two docs with equal length and tf: the one matching the RARER
+    term scores higher."""
+    filler = [(i, "filler common words here") for i in range(10, 30)]
+    # 'common' appears in many docs, 'rare' in one
+    docs = _docs(
+        spark,
+        [(1, "rare word pad"), (2, "common word pad"), *filler],
+    )
+    rows = retrieval.bm25_topk(docs, {"q": "rare common"}).collect()
+    score = {r["doc_id"]: r["score"] for r in rows}
+    assert score[1] > score[2]
+
+
+def test_bm25_length_normalization(spark):
+    """Same tf, shorter doc wins (b > 0)."""
+    docs = _docs(
+        spark,
+        [
+            (1, "hit miss"),
+            (2, "hit miss miss miss miss miss miss miss"),
+            (3, "pad pad pad"),
+        ],
+    )
+    rows = retrieval.bm25_topk(docs, {"q": "hit"}).collect()
+    score = {r["doc_id"]: r["score"] for r in rows}
+    assert set(score) == {1, 2}
+    assert score[1] > score[2]
+
+
+# ------------------------------------------------- prefix-filter Jaccard join
+
+
+@pytest.mark.parametrize("threshold", [0.2, 0.5, 0.8])
+def test_prefix_jaccard_exact_vs_bruteforce(spark, threshold):
+    """The exactness guarantee: prefix filtering must reproduce the
+    UNCAPPED all-shared-shingle brute force at every threshold
+    (ngram_jaccard_pairs with the df ceiling disabled)."""
+    docs = catalog.table(spark, SF_SMALL, "documents")
+    pruned = dedup.prefix_jaccard_pairs(docs, threshold=threshold).collect()
+    brute = dedup.ngram_jaccard_pairs(
+        docs, threshold=threshold, max_df_frac=1.1
+    ).collect()
+    assert sorted(map(tuple, pruned)) == sorted(map(tuple, brute))
+
+
+def test_prefix_jaccard_hot_shingle_correctness(spark):
+    """A shingle shared by EVERY doc (the hot-bucket case that forces
+    ngram_jaccard_pairs' df cap) must not break exactness: the hot
+    shingle sorts last in the df order, so it stays out of prefixes,
+    yet pairs whose similarity depends on it are still found."""
+    stop = "of the and"  # one shared shingle across all docs
+    rows = [
+        (1, f"{stop} alpha beta gamma delta"),
+        (2, f"{stop} alpha beta gamma epsilon"),
+        (3, f"{stop} zeta eta theta iota"),
+        (4, "totally different words entirely here now"),
+    ]
+    docs = _docs(spark, rows)
+    got = dedup.prefix_jaccard_pairs(docs, threshold=0.3).collect()
+    brute = dedup.ngram_jaccard_pairs(docs, threshold=0.3, max_df_frac=1.1).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, brute))
+    pairs = {(r["doc_a"], r["doc_b"]) for r in got}
+    assert (1, 2) in pairs  # near-dup pair found
+    assert (1, 4) not in pairs
+
+
+def test_prefix_jaccard_identical_docs(spark):
+    docs = _docs(
+        spark,
+        [(1, "p q r s t"), (2, "p q r s t"), (3, "u v w x y")],
+    )
+    got = dedup.prefix_jaccard_pairs(docs, threshold=0.9).collect()
+    assert [(r["doc_a"], r["doc_b"], r["jaccard"]) for r in got] == [(1, 2, 1.0)]
+
+
+def test_prefix_jaccard_short_docs_no_crash(spark):
+    docs = _docs(spark, [(1, "one two"), (2, "a"), (3, "")])
+    assert dedup.prefix_jaccard_pairs(docs).count() == 0
