@@ -143,6 +143,115 @@ def bm25_topk(
     )
 
 
+RRF_K = 60  # the standard reciprocal-rank-fusion damping constant
+HYBRID_M = 20  # per-modality shortlist depth fed into the fusion
+HYBRID_K = 10  # fused results returned per query
+
+
+def lexical_topk(
+    documents: DataFrame, n_queries: int = 10, m: int = HYBRID_M
+) -> DataFrame:
+    """More-like-this lexical ranking: for each query document
+    (doc_id < n_queries), the top-m corpus docs by word-shingle
+    Jaccard (self excluded). Output: (query_id, doc_id, jaccard,
+    lex_rk).
+
+    Scale: the query side is n_queries docs' shingles — broadcast-
+    sized — so the corpus shingle table is scanned once and joined
+    against a tiny build side; fan-out per query shingle is that
+    shingle's posting length."""
+    from pyspark.sql import Window
+
+    from .dedup import _doc_shingles
+
+    sh = _doc_shingles(documents)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    qs = sh.filter(F.col("doc_id") < n_queries).select(
+        F.col("doc_id").alias("query_id"), "shingle"
+    )
+    inter = (
+        sh.join(F.broadcast(qs), "shingle")
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sq = sizes.select(F.col("doc_id").alias("query_id"), F.col("n_sh").alias("sq"))
+    sd = sizes.select("doc_id", F.col("n_sh").alias("sd"))
+    scored = (
+        inter.join(F.broadcast(sq), "query_id")
+        .join(sd, "doc_id")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter") / (F.col("sq") + F.col("sd") - F.col("n_inter")),
+                6,
+            ),
+        )
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("query_id").orderBy(
+            F.col("jaccard").desc(), F.col("doc_id")
+        )
+    )
+    return (
+        scored.withColumn("lex_rk", rk)
+        .filter(F.col("lex_rk") <= m)
+        .select("query_id", "doc_id", "jaccard", "lex_rk")
+    )
+
+
+def hybrid_search_rrf(
+    documents: DataFrame,
+    embeddings: DataFrame,
+    k: int = HYBRID_K,
+    m: int = HYBRID_M,
+    rrf_k: int = RRF_K,
+) -> DataFrame:
+    """Hybrid retrieval: reciprocal-rank fusion (Cormack et al. 2009)
+    of the semantic shortlist (exact cosine kNN over embeddings) and
+    the lexical shortlist (word-shingle Jaccard), for the shared
+    query set (doc_id == vec_id < 10, the similarity family's
+    convention). Output: (query_id, doc_id, rrf_score, rank).
+
+    rrf(d) = Σ_modality 1/(rrf_k + rank_modality(d)) over the top-m of
+    each modality — rank fusion needs no score calibration between
+    cosine and Jaccard, which is exactly why RRF is the default fuser
+    in production hybrid search. A doc surfaced by BOTH modalities
+    outranks docs surfaced by one: vector recall catches paraphrase,
+    lexical recall catches exact terms — fusing them is the standard
+    retrieval stack for RAG/curation over a large corpus.
+
+    Scale: both shortlists are top-m per query (tiny); the fusion is
+    a full outer join of two (n_queries × m)-row tables."""
+    from .similarity import knn_bruteforce
+
+    sem = knn_bruteforce(embeddings, k=m).select(
+        "query_id",
+        F.col("neighbor_id").alias("doc_id"),
+        F.col("rk").alias("sem_rk"),
+    )
+    lex = lexical_topk(documents, m=m).select("query_id", "doc_id", "lex_rk")
+    fused = sem.join(lex, ["query_id", "doc_id"], "full")
+    rrf = F.round(
+        F.coalesce(F.lit(1.0) / (F.lit(rrf_k) + F.col("sem_rk")), F.lit(0.0))
+        + F.coalesce(F.lit(1.0) / (F.lit(rrf_k) + F.col("lex_rk")), F.lit(0.0)),
+        6,
+    )
+    from pyspark.sql import Window
+
+    rank = F.row_number().over(
+        Window.partitionBy("query_id").orderBy(
+            F.col("rrf_score").desc(), F.col("doc_id")
+        )
+    )
+    return (
+        fused.withColumn("rrf_score", rrf)
+        .withColumn("rank", rank)
+        .filter(F.col("rank") <= k)
+        .select("query_id", "doc_id", "rrf_score", "rank")
+    )
+
+
 def build_postings(documents: DataFrame) -> DataFrame:
     """Positional postings (term, doc_id, pos), pos 1-based in token
     order — the inverted-index relation. Zero shuffle: one tokenize

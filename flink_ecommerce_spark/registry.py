@@ -525,6 +525,12 @@ def _q_phrase_search(spark, sf):
     return retrieval.phrase_search(_t("documents")(spark, sf))
 
 
+def _q_hybrid_search_rrf(spark, sf):
+    return retrieval.hybrid_search_rrf(
+        _t("documents")(spark, sf), _t("embeddings")(spark, sf)
+    )
+
+
 def _q_simhash(spark, sf):
     return dedup.simhash(_t("documents")(spark, sf))
 
@@ -2191,6 +2197,51 @@ SELECT query_id, doc_id, score,
 FROM s
 QUALIFY rank <= {retrieval.BM25_K}
 """,
+    # hybrid_search_rrf: both modality shortlists in full (semantic =
+    # the knn_bruteforce CTE, lexical = query-doc shingle Jaccard),
+    # fused by reciprocal rank. 1.0/CAST(.. AS DOUBLE) keeps DuckDB in
+    # double arithmetic (a bare 1.0/(int) would be DECIMAL division).
+    "hybrid_search_rrf": f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb
+           FROM embeddings WHERE vec_id < {similarity.DEFAULT_N_QUERIES}),
+scored AS (SELECT q.query_id, e.vec_id AS doc_id,
+                  ROUND({sql_cosine('q.q_emb', 'e.embedding', similarity.EMB_DIM)}, 6) AS cos_sim
+           FROM embeddings e CROSS JOIN q
+           WHERE e.vec_id != q.query_id),
+sem AS (SELECT query_id, doc_id, rk AS sem_rk
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY cos_sim DESC, doc_id ASC) AS rk FROM scored)
+        WHERE rk <= {retrieval.HYBRID_M}),
+sh AS (SELECT doc_id, {_SHINGLES} AS shingles FROM documents),
+ds AS (SELECT DISTINCT doc_id, s AS shingle
+       FROM (SELECT doc_id, unnest(shingles) AS s FROM sh)),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM ds GROUP BY 1),
+qsh AS (SELECT doc_id AS query_id, shingle FROM ds
+        WHERE doc_id < {similarity.DEFAULT_N_QUERIES}),
+li AS (SELECT qsh.query_id, ds.doc_id, COUNT(*) AS n_inter
+       FROM ds JOIN qsh ON ds.shingle = qsh.shingle AND ds.doc_id != qsh.query_id
+       GROUP BY 1, 2),
+lex AS (SELECT query_id, doc_id, rk AS lex_rk
+        FROM (SELECT l.query_id, l.doc_id,
+                ROW_NUMBER() OVER (PARTITION BY l.query_id ORDER BY
+                  ROUND(l.n_inter / (sq.n_sh + sd.n_sh - l.n_inter), 6) DESC,
+                  l.doc_id) AS rk
+              FROM li l JOIN sizes sq ON sq.doc_id = l.query_id
+              JOIN sizes sd ON sd.doc_id = l.doc_id)
+        WHERE rk <= {retrieval.HYBRID_M}),
+f AS (SELECT COALESCE(sem.query_id, lex.query_id) AS query_id,
+             COALESCE(sem.doc_id, lex.doc_id) AS doc_id,
+             ROUND(COALESCE(1.0 / CAST({retrieval.RRF_K} + sem.sem_rk AS DOUBLE), 0.0)
+                 + COALESCE(1.0 / CAST({retrieval.RRF_K} + lex.lex_rk AS DOUBLE), 0.0), 6)
+               AS rrf_score
+      FROM sem FULL JOIN lex
+        ON sem.query_id = lex.query_id AND sem.doc_id = lex.doc_id)
+SELECT query_id, doc_id, rrf_score,
+       CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY rrf_score DESC, doc_id) AS INT) AS rank
+FROM f
+QUALIFY rank <= {retrieval.HYBRID_K}
+""",
     "phrase_search": f"""
 WITH w AS (SELECT doc_id, {_WORDS} AS ws FROM documents),
 m AS (SELECT doc_id,
@@ -3074,6 +3125,9 @@ _SPEC_DEFS: dict[str, QuerySpec] = {
     ),
     "bm25_topk": QuerySpec(_q_bm25_topk, ORACLES["bm25_topk"], bench=True),
     "phrase_search": QuerySpec(_q_phrase_search, ORACLES["phrase_search"]),
+    "hybrid_search_rrf": QuerySpec(
+        _q_hybrid_search_rrf, ORACLES["hybrid_search_rrf"], bench=True
+    ),
     "simhash": QuerySpec(_q_simhash, ORACLES["simhash"]),
     # bench: the iterative component loop is where wall-time surprises
     # live at scale — measure it every round, not just its LSH input
@@ -3258,6 +3312,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "prefix_jaccard_pairs",
     "bm25_topk",
     "phrase_search",
+    "hybrid_search_rrf",
     "incremental_fuzzy_dedup",
     "weighted_sample",
     "weighted_sample_by_source",
@@ -3306,8 +3361,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "q7_volume_shipping",
     "q8_market_share",
     "q9_product_profit",
-    "q10_returned_items",
-    # q11_important_parts / q12_priority_shipping / q13_order_distribution / q14_promo_revenue / q15_top_supplier / q16_part_supplier_counts / q17_small_quantity_revenue / q18_large_volume_customers / q19_disjunctive_revenue / q20_promotion_suppliers / q21_waiting_suppliers / q22_sales_opportunity / customer_order_totals / customers_without_orders / orders_with_big_lineitem / parts_by_brand_type / events_by_customer_segment / revenue_by_brand / top10_orders / top_users_per_event_type / daily_running_revenue / weekly_moving_avg / sales_rollup / event_type_cube / event_value_pivot / distinct_users_per_day / value_stats_per_type /
+    # q10_returned_items / q11_important_parts / q12_priority_shipping / q13_order_distribution / q14_promo_revenue / q15_top_supplier / q16_part_supplier_counts / q17_small_quantity_revenue / q18_large_volume_customers / q19_disjunctive_revenue / q20_promotion_suppliers / q21_waiting_suppliers / q22_sales_opportunity / customer_order_totals / customers_without_orders / orders_with_big_lineitem / parts_by_brand_type / events_by_customer_segment / revenue_by_brand / top10_orders / top_users_per_event_type / daily_running_revenue / weekly_moving_avg / sales_rollup / event_type_cube / event_value_pivot / distinct_users_per_day / value_stats_per_type /
     # session_window_stats / conversion_funnel / weekly_retention /
     # approx_distinct_users rotate next round — displaced by the
     # never-yet-verified r04/r05 additions (new queries must certify

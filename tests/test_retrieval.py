@@ -136,6 +136,77 @@ def test_bm25_length_normalization(spark):
     assert score[1] > score[2]
 
 
+# ------------------------------------------------------------ hybrid fusion
+
+
+def test_hybrid_rrf_fusion_semantics(spark):
+    """RRF fundamentals on the fixture: ranks contiguous, scores
+    monotone, and every fused score equals 1/(K+sem_rk) + 1/(K+lex_rk)
+    recomputed from the two modality shortlists."""
+    docs = catalog.table(spark, SF_SMALL, "documents")
+    emb = catalog.table(spark, SF_SMALL, "embeddings")
+    from flink_ecommerce_spark.operators.similarity import knn_bruteforce
+
+    fused = retrieval.hybrid_search_rrf(docs, emb).collect()
+    sem = {
+        (r["query_id"], r["neighbor_id"]): r["rk"]
+        for r in knn_bruteforce(emb, k=retrieval.HYBRID_M).collect()
+    }
+    lex = {
+        (r["query_id"], r["doc_id"]): r["lex_rk"]
+        for r in retrieval.lexical_topk(docs).collect()
+    }
+    assert fused
+    for r in fused:
+        key = (r["query_id"], r["doc_id"])
+        expect = 0.0
+        if key in sem:
+            expect += 1.0 / (retrieval.RRF_K + sem[key])
+        if key in lex:
+            expect += 1.0 / (retrieval.RRF_K + lex[key])
+        assert expect > 0  # every fused doc came from a shortlist
+        assert abs(r["rrf_score"] - expect) < 1e-6
+    by_q: dict = {}
+    for r in fused:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for rs in by_q.values():
+        rs.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1))
+        scores = [r["rrf_score"] for r in rs]
+        assert scores == sorted(scores, reverse=True)
+
+
+def test_hybrid_rrf_both_modalities_beat_one(spark):
+    """A doc on both shortlists at rank r outranks a doc holding rank
+    r on only one — the reason fusion exists."""
+    docs = catalog.table(spark, SF_SMALL, "documents")
+    emb = catalog.table(spark, SF_SMALL, "embeddings")
+    from flink_ecommerce_spark.operators.similarity import knn_bruteforce
+
+    sem = {
+        (r["query_id"], r["neighbor_id"]): r["rk"]
+        for r in knn_bruteforce(emb, k=retrieval.HYBRID_M).collect()
+    }
+    lex = {
+        (r["query_id"], r["doc_id"]): r["lex_rk"]
+        for r in retrieval.lexical_topk(docs).collect()
+    }
+    fused = {
+        (r["query_id"], r["doc_id"]): r["rrf_score"]
+        for r in retrieval.hybrid_search_rrf(docs, emb).collect()
+    }
+    both = [k for k in fused if k in sem and k in lex]
+    # structural check: any doc in both lists with ranks (ra, rb) beats
+    # a doc whose single rank is >= max(ra, rb)
+    for b in both:
+        rb = max(sem[b], lex[b])
+        for o in fused:
+            if (o in sem) != (o in lex):
+                ro = sem.get(o, lex.get(o))
+                if o[0] == b[0] and ro >= rb:
+                    assert fused[b] > fused[o]
+
+
 # ------------------------------------------------- prefix-filter Jaccard join
 
 
