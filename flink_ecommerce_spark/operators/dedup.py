@@ -865,8 +865,18 @@ def remove_spans(documents: DataFrame, spans: DataFrame) -> DataFrame:
     )
 
 
+# prefix filtering's default: the prefix is |x|·(1−t) shingles, so the
+# pruning power is proportional to the threshold — at 0.2 the "prefix"
+# is 80% of the doc and the join is nearly brute force (measured 7.9 s
+# vs 1.9 s at sf0.1); at 0.7 it's the rarest 30%. High thresholds are
+# also the join's semantic home: it is the exact NEAR-DUP finder. For
+# low-threshold sweeps, LSH candidates (probabilistic) or the df-capped
+# ngram join (approximate) are the right tools.
+PREFIX_JOIN_THRESHOLD = 0.7
+
+
 def prefix_jaccard_pairs(
-    documents: DataFrame, threshold: float = JACCARD_THRESHOLD
+    documents: DataFrame, threshold: float = PREFIX_JOIN_THRESHOLD
 ) -> DataFrame:
     """EXACT Jaccard >= threshold pairs via prefix filtering (the
     PPJoin family — Chaudhuri et al. 2006 "A Primitive Operator for
@@ -908,7 +918,11 @@ def prefix_jaccard_pairs(
     """
     from pyspark.sql import Window
 
-    sh = _doc_shingles(documents).localCheckpoint(eager=True)
+    from .scale import ensure_parallelism
+
+    # small-input fixup (no-op at scale): a single-file corpus scan
+    # would run the whole shingle explode on one core
+    sh = _doc_shingles(ensure_parallelism(documents)).localCheckpoint(eager=True)
     # global order: rare shingles first. The df table is shingle-keyed
     # (vocabulary-sized); joined back to the shingle table on its key.
     df_tbl = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))

@@ -23,6 +23,61 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def pagerank(
+    edges: DataFrame, iterations: int = 5, damping: float = 0.85
+) -> DataFrame:
+    """Fixed-iteration PageRank (Brin/Page 1998, power method) as a
+    driver loop of join+groupBy rounds — iterative algorithm #3 in
+    this module's family (k-means, connected components, PageRank).
+
+    ``edges``: (src, dst) directed. Every node must have >= 1
+    out-edge; feed a SYMMETRIZED edge set for undirected graphs
+    (which also eliminates dangling-mass bookkeeping — every node
+    that exists has out-degree >= 1). Returns (node, pagerank) with
+    pagerank rounded to 6dp; mass sums to 1.
+
+    Fixed iterations, not convergence-tested: makes the result a pure
+    deterministic function of the edge set, so it carries an EXACT
+    DuckDB oracle (registry unrolls the five rounds as chained CTEs —
+    no recursive-CTE aggregation needed, which engines prohibit).
+
+    Scale discipline (same as connected_components): the edge+degree
+    table is materialized once, pre-partitioned on the join key, so
+    the big side never reshuffles across rounds; ranks (one double
+    per node) checkpoint per round to truncate lineage. Per round:
+    one join edges⋈ranks on src, one groupBy dst with map-side
+    partial sums."""
+    e = edges.select("src", "dst").distinct()
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    ew = e.join(deg, "src").repartition("src").localCheckpoint(eager=True)
+    nodes = (
+        e.select(F.col("src").alias("node")).distinct().localCheckpoint(eager=True)
+    )
+    nn = nodes.agg(F.count(F.lit(1)).alias("n"))
+    ranks = nodes.crossJoin(F.broadcast(nn)).select(
+        "node", (F.lit(1.0) / F.col("n")).alias("rank")
+    ).localCheckpoint(eager=True)
+    for _ in range(iterations):
+        contribs = (
+            ew.join(ranks.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum(F.col("rank") / F.col("outdeg")).alias("c"))
+        )
+        ranks = (
+            nodes.join(contribs, "node", "left")
+            .crossJoin(F.broadcast(nn))
+            .select(
+                "node",
+                (
+                    F.lit(1.0 - damping) / F.col("n")
+                    + F.lit(damping) * F.coalesce("c", F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select("node", F.round("rank", 6).alias("pagerank"))
+
+
 def connected_components(
     pairs: DataFrame, max_rounds: int = 20
 ) -> DataFrame:

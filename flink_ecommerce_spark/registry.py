@@ -525,6 +525,32 @@ def _q_phrase_search(spark, sf):
     return retrieval.phrase_search(_t("documents")(spark, sf))
 
 
+def _q_supplier_pagerank(spark, sf):
+    """PageRank over the customer–supplier interaction graph
+    (customers and suppliers trade via orders⋈lineitem; supplier
+    nodes carry negated ids so the two key spaces can't collide).
+    Symmetrized edges — see operators/graph.pagerank."""
+    from .operators.graph import pagerank
+
+    orders = _t("orders")(spark, sf)
+    li = _t("lineitem")(spark, sf)
+    e0 = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("src"),
+            # -(suppkey+1): keys in both tables start at 0, and a bare
+            # negation collides supplier 0 with customer 0 (-0 == 0),
+            # manufacturing a self-loop
+            (-(F.col("l_suppkey") + 1)).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = e0.union(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    return pagerank(edges)
+
+
 def _q_hybrid_search_rrf(spark, sf):
     return retrieval.hybrid_search_rrf(
         _t("documents")(spark, sf), _t("embeddings")(spark, sf)
@@ -2172,7 +2198,8 @@ SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= {dedup.JACCARD_THRESHOLD}
     "prefix_jaccard_pairs": f"""
 WITH sh AS (SELECT doc_id, {_SHINGLES} AS shingles FROM documents),
 {_JACCARD_CTES}
-SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= {dedup.JACCARD_THRESHOLD}
+SELECT doc_a, doc_b, jaccard FROM jac
+WHERE jaccard >= {dedup.PREFIX_JOIN_THRESHOLD}
 """,
     "bm25_topk": f"""
 WITH toks AS (SELECT doc_id, unnest({_WORDS}) AS term FROM documents),
@@ -2197,6 +2224,38 @@ SELECT query_id, doc_id, score,
 FROM s
 QUALIFY rank <= {retrieval.BM25_K}
 """,
+    # supplier_pagerank: the five power-method rounds UNROLLED as
+    # chained CTEs (engines prohibit aggregation in a recursive CTE;
+    # fixed iterations make recursion unnecessary and the result an
+    # exact deterministic function of the edge set). CASTs keep DuckDB
+    # in double arithmetic — a bare high-precision literal would be
+    # DECIMAL.
+    "supplier_pagerank": (
+        lambda damping=0.85, iters=5: f"""
+WITH e0 AS (SELECT DISTINCT o.o_custkey AS src, -(l.l_suppkey + 1) AS dst
+            FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+deg AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY 1),
+ew AS (SELECT e.src, e.dst, deg.outdeg FROM e JOIN deg USING (src)),
+nodes AS (SELECT DISTINCT src AS node FROM e),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+r0 AS (SELECT node, CAST(1.0 AS DOUBLE) / nn.n AS rank
+       FROM nodes CROSS JOIN nn),
+"""
+        + ",\n".join(
+            f"""r{i} AS (SELECT n.node,
+        CAST({1.0 - damping} AS DOUBLE) / nn.n
+        + CAST({damping} AS DOUBLE) * COALESCE(c.c, CAST(0.0 AS DOUBLE)) AS rank
+      FROM nodes n CROSS JOIN nn
+      LEFT JOIN (SELECT ew.dst AS node, SUM(r.rank / ew.outdeg) AS c
+                 FROM ew JOIN r{i - 1} r ON r.node = ew.src GROUP BY 1) c
+        ON c.node = n.node)"""
+            for i in range(1, iters + 1)
+        )
+        + f"""
+SELECT node, ROUND(rank, 6) AS pagerank FROM r{iters}
+"""
+    )(),
     # hybrid_search_rrf: both modality shortlists in full (semantic =
     # the knn_bruteforce CTE, lexical = query-doc shingle Jaccard),
     # fused by reciprocal rank. 1.0/CAST(.. AS DOUBLE) keeps DuckDB in
@@ -3128,6 +3187,9 @@ _SPEC_DEFS: dict[str, QuerySpec] = {
     "hybrid_search_rrf": QuerySpec(
         _q_hybrid_search_rrf, ORACLES["hybrid_search_rrf"], bench=True
     ),
+    "supplier_pagerank": QuerySpec(
+        _q_supplier_pagerank, ORACLES["supplier_pagerank"]
+    ),
     "simhash": QuerySpec(_q_simhash, ORACLES["simhash"]),
     # bench: the iterative component loop is where wall-time surprises
     # live at scale — measure it every round, not just its LSH input
@@ -3313,6 +3375,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "bm25_topk",
     "phrase_search",
     "hybrid_search_rrf",
+    "supplier_pagerank",
     "incremental_fuzzy_dedup",
     "weighted_sample",
     "weighted_sample_by_source",
@@ -3360,8 +3423,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "q6_revenue_forecast",
     "q7_volume_shipping",
     "q8_market_share",
-    "q9_product_profit",
-    # q10_returned_items / q11_important_parts / q12_priority_shipping / q13_order_distribution / q14_promo_revenue / q15_top_supplier / q16_part_supplier_counts / q17_small_quantity_revenue / q18_large_volume_customers / q19_disjunctive_revenue / q20_promotion_suppliers / q21_waiting_suppliers / q22_sales_opportunity / customer_order_totals / customers_without_orders / orders_with_big_lineitem / parts_by_brand_type / events_by_customer_segment / revenue_by_brand / top10_orders / top_users_per_event_type / daily_running_revenue / weekly_moving_avg / sales_rollup / event_type_cube / event_value_pivot / distinct_users_per_day / value_stats_per_type /
+    # q9_product_profit / q10_returned_items / q11_important_parts / q12_priority_shipping / q13_order_distribution / q14_promo_revenue / q15_top_supplier / q16_part_supplier_counts / q17_small_quantity_revenue / q18_large_volume_customers / q19_disjunctive_revenue / q20_promotion_suppliers / q21_waiting_suppliers / q22_sales_opportunity / customer_order_totals / customers_without_orders / orders_with_big_lineitem / parts_by_brand_type / events_by_customer_segment / revenue_by_brand / top10_orders / top_users_per_event_type / daily_running_revenue / weekly_moving_avg / sales_rollup / event_type_cube / event_value_pivot / distinct_users_per_day / value_stats_per_type /
     # session_window_stats / conversion_funnel / weekly_retention /
     # approx_distinct_users rotate next round — displaced by the
     # never-yet-verified r04/r05 additions (new queries must certify

@@ -62,3 +62,60 @@ def test_entity_merge_groups_transitive(spark):
     assert got[2] == (1, False)
     assert got[3] == (1, False)
     assert got[9] == (9, True)
+
+
+# ------------------------------------------------------------------ pagerank
+
+
+def _sym(spark, pairs):
+    from pyspark.sql import functions as F
+
+    e = spark.createDataFrame(pairs, "src long, dst long")
+    return e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+
+
+def test_pagerank_matches_numpy_power_method(spark):
+    """Exact (to rounding) agreement with a dense NumPy power-method
+    reference on an undirected graph, fixed 5 iterations."""
+    import numpy as np
+
+    from flink_ecommerce_spark.operators.graph import pagerank
+
+    pairs = [(1, 2), (2, 3), (3, 4), (4, 1), (1, 3), (5, 1)]
+    got = {
+        r["node"]: r["pagerank"]
+        for r in pagerank(_sym(spark, pairs), iterations=5).collect()
+    }
+
+    nodes = sorted({n for p in pairs for n in p})
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    A = np.zeros((n, n))
+    for a, b in pairs:
+        A[idx[b], idx[a]] = 1.0
+        A[idx[a], idx[b]] = 1.0
+    M = A / A.sum(axis=0, keepdims=True)
+    r = np.full(n, 1.0 / n)
+    for _ in range(5):
+        r = 0.15 / n + 0.85 * (M @ r)
+    for node in nodes:
+        assert abs(got[node] - r[idx[node]]) < 1e-6
+
+
+def test_pagerank_mass_and_symmetry(spark):
+    """Rank mass sums to ~1; a vertex-transitive graph (cycle) gets
+    uniform ranks; the star center outranks its leaves."""
+    from flink_ecommerce_spark.operators.graph import pagerank
+
+    cycle = [(i, (i + 1) % 6) for i in range(6)]
+    ranks = {
+        r["node"]: r["pagerank"]
+        for r in pagerank(_sym(spark, cycle)).collect()
+    }
+    assert abs(sum(ranks.values()) - 1.0) < 1e-4
+    assert len(set(ranks.values())) == 1  # uniform on the cycle
+
+    star = [(0, i) for i in range(1, 7)]
+    sr = {r["node"]: r["pagerank"] for r in pagerank(_sym(spark, star)).collect()}
+    assert all(sr[0] > sr[i] for i in range(1, 7))
+    assert len({sr[i] for i in range(1, 7)}) == 1  # leaves interchangeable
