@@ -133,3 +133,46 @@ def test_budgeted_mixture_bucket_decomposition_identity(docs, decimals):
             within += n
             decomposed[i] = offset + within
     assert decomposed == global_prefix
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    corpus=st.lists(
+        st.sets(st.integers(min_value=0, max_value=30), min_size=1, max_size=25),
+        min_size=2,
+        max_size=12,
+    ),
+    threshold=st.sampled_from([0.2, 0.3, 0.5, 0.7, 0.8, 0.9]),
+)
+def test_prefix_filter_lemma_is_lossless(corpus, threshold):
+    """The pruning rule prefix_jaccard_pairs relies on, replayed in
+    plain Python with the SAME prefix-length arithmetic as the Spark
+    expression (ceil(t·n − 1e-9) — the epsilon guards against binary
+    noise like 0.7·10 = 7.000000000000001 SHRINKING the prefix):
+    every pair with true Jaccard ≥ t must (a) share a prefix token
+    under the global df-ascending order and (b) pass the size filter.
+    """
+    import math
+
+    df: dict[int, int] = {}
+    for s in corpus:
+        for tok in s:
+            df[tok] = df.get(tok, 0) + 1
+    order = lambda tok: (df[tok], tok)  # noqa: E731
+
+    def prefix(s):
+        n = len(s)
+        L = n - math.ceil(threshold * n - 1e-9) + 1
+        return set(sorted(s, key=order)[:L])
+
+    for i in range(len(corpus)):
+        for j in range(i + 1, len(corpus)):
+            a, b = corpus[i], corpus[j]
+            jac = len(a & b) / len(a | b)
+            if jac >= threshold:
+                assert prefix(a) & prefix(b), (
+                    f"prefix filter dropped a true pair: {a} {b} "
+                    f"jac={jac} t={threshold}"
+                )
+                assert threshold * len(a) <= len(b)
+                assert threshold * len(b) <= len(a)
