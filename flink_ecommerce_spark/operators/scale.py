@@ -90,3 +90,50 @@ def repartition_for_join(df: DataFrame, key: str, n: int | None = None) -> DataF
     """Pre-partition by the join key so several subsequent operations
     (join + groupBy on the same key) reuse one Exchange."""
     return df.repartition(n, key) if n else df.repartition(key)
+
+
+def key_skew_topk(df: DataFrame, key: str, top_k: int = 10) -> DataFrame:
+    """The heaviest keys of a prospective join/groupBy key, with their
+    row share — the pre-flight check before keying a 100 TB shuffle
+    (a key holding >> 1/partitions of the rows means salting,
+    `salted_join`, or an AQE skew split). Output: (key, n_rows,
+    share, rank). One groupBy on the key; the total is a broadcast
+    one-row aggregate; the top-k itself is orderBy+limit —
+    TakeOrderedAndProject, a per-partition heap + driver merge —
+    NEVER a global row_number window, which would sort all n_keys
+    rows through one task. Ranks are assigned after the limit, over
+    top_k rows."""
+    from pyspark.sql import Window
+
+    counts = df.groupBy(key).agg(F.count(F.lit(1)).alias("n_rows"))
+    total = counts.agg(F.sum("n_rows").alias("__total"))
+    top = (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            key,
+            "n_rows",
+            F.round(F.col("n_rows") / F.col("__total"), 6).alias("share"),
+        )
+        .orderBy(F.col("n_rows").desc(), F.col(key))
+        .limit(top_k)
+    )
+    rank = F.row_number().over(
+        Window.orderBy(F.col("n_rows").desc(), F.col(key))
+    )
+    return top.withColumn("rank", rank)
+
+
+def key_skew_summary(df: DataFrame, key: str) -> DataFrame:
+    """One-row distribution summary of per-key cardinality: how skewed
+    is this key, in numbers a planner can threshold on. skew_ratio =
+    max/avg (1.0 = perfectly even; >> partitions = one hot key owns
+    the shuffle)."""
+    counts = df.groupBy(key).agg(F.count(F.lit(1)).alias("n_rows"))
+    return counts.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("n_rows").alias("max_rows"),
+        F.round(F.avg("n_rows"), 6).alias("avg_rows"),
+        F.round(F.expr("percentile(n_rows, 0.5)"), 6).alias("p50_rows"),
+        F.round(F.expr("percentile(n_rows, 0.99)"), 6).alias("p99_rows"),
+        F.round(F.max("n_rows") / F.avg("n_rows"), 6).alias("skew_ratio"),
+    )

@@ -525,6 +525,18 @@ def _q_phrase_search(spark, sf):
     return retrieval.phrase_search(_t("documents")(spark, sf))
 
 
+def _q_event_user_skew_topk(spark, sf):
+    from .operators.scale import key_skew_topk
+
+    return key_skew_topk(_t("events")(spark, sf), "user_id")
+
+
+def _q_event_user_skew_summary(spark, sf):
+    from .operators.scale import key_skew_summary
+
+    return key_skew_summary(_t("events")(spark, sf), "user_id")
+
+
 def _q_supplier_pagerank(spark, sf):
     """PageRank over the customer–supplier interaction graph
     (customers and suppliers trade via orders⋈lineitem; supplier
@@ -2224,6 +2236,26 @@ SELECT query_id, doc_id, score,
 FROM s
 QUALIFY rank <= {retrieval.BM25_K}
 """,
+    "event_user_skew_topk": """
+WITH counts AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_rows
+                FROM events GROUP BY 1),
+tot AS (SELECT CAST(SUM(n_rows) AS BIGINT) AS total FROM counts)
+SELECT user_id, n_rows, ROUND(n_rows / tot.total, 6) AS share,
+       CAST(ROW_NUMBER() OVER (ORDER BY n_rows DESC, user_id) AS INT) AS rank
+FROM counts CROSS JOIN tot
+QUALIFY rank <= 10
+""",
+    "event_user_skew_summary": """
+WITH counts AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_rows
+                FROM events GROUP BY 1)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+       CAST(MAX(n_rows) AS BIGINT) AS max_rows,
+       ROUND(AVG(n_rows), 6) AS avg_rows,
+       ROUND(quantile_cont(n_rows, 0.5), 6) AS p50_rows,
+       ROUND(quantile_cont(n_rows, 0.99), 6) AS p99_rows,
+       ROUND(MAX(n_rows) / AVG(n_rows), 6) AS skew_ratio
+FROM counts
+""",
     # supplier_pagerank: the five power-method rounds UNROLLED as
     # chained CTEs (engines prohibit aggregation in a recursive CTE;
     # fixed iterations make recursion unnecessary and the result an
@@ -3190,6 +3222,12 @@ _SPEC_DEFS: dict[str, QuerySpec] = {
     "supplier_pagerank": QuerySpec(
         _q_supplier_pagerank, ORACLES["supplier_pagerank"]
     ),
+    "event_user_skew_topk": QuerySpec(
+        _q_event_user_skew_topk, ORACLES["event_user_skew_topk"]
+    ),
+    "event_user_skew_summary": QuerySpec(
+        _q_event_user_skew_summary, ORACLES["event_user_skew_summary"]
+    ),
     "simhash": QuerySpec(_q_simhash, ORACLES["simhash"]),
     # bench: the iterative component loop is where wall-time surprises
     # live at scale — measure it every round, not just its LSH input
@@ -3376,6 +3414,8 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "phrase_search",
     "hybrid_search_rrf",
     "supplier_pagerank",
+    "event_user_skew_topk",
+    "event_user_skew_summary",
     "incremental_fuzzy_dedup",
     "weighted_sample",
     "weighted_sample_by_source",
@@ -3421,9 +3461,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "q4_order_priority",
     "q5_regional_revenue",
     "q6_revenue_forecast",
-    "q7_volume_shipping",
-    "q8_market_share",
-    # q9_product_profit / q10_returned_items / q11_important_parts / q12_priority_shipping / q13_order_distribution / q14_promo_revenue / q15_top_supplier / q16_part_supplier_counts / q17_small_quantity_revenue / q18_large_volume_customers / q19_disjunctive_revenue / q20_promotion_suppliers / q21_waiting_suppliers / q22_sales_opportunity / customer_order_totals / customers_without_orders / orders_with_big_lineitem / parts_by_brand_type / events_by_customer_segment / revenue_by_brand / top10_orders / top_users_per_event_type / daily_running_revenue / weekly_moving_avg / sales_rollup / event_type_cube / event_value_pivot / distinct_users_per_day / value_stats_per_type /
+    # q7_volume_shipping / q8_market_share / q9_product_profit / q10_returned_items / q11_important_parts / q12_priority_shipping / q13_order_distribution / q14_promo_revenue / q15_top_supplier / q16_part_supplier_counts / q17_small_quantity_revenue / q18_large_volume_customers / q19_disjunctive_revenue / q20_promotion_suppliers / q21_waiting_suppliers / q22_sales_opportunity / customer_order_totals / customers_without_orders / orders_with_big_lineitem / parts_by_brand_type / events_by_customer_segment / revenue_by_brand / top10_orders / top_users_per_event_type / daily_running_revenue / weekly_moving_avg / sales_rollup / event_type_cube / event_value_pivot / distinct_users_per_day / value_stats_per_type /
     # session_window_stats / conversion_funnel / weekly_retention /
     # approx_distinct_users rotate next round — displaced by the
     # never-yet-verified r04/r05 additions (new queries must certify

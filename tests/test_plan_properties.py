@@ -181,3 +181,11 @@ def test_ivf_pq_no_embedding_past_adc_exchange(spark):
     for line in plan.splitlines():
         if "Exchange hashpartitioning" in line and "adc_u" in line:
             assert "embedding" not in line, line
+
+
+def test_key_skew_topk_is_take_ordered_not_global_window(spark):
+    """The heavy-key probe must heap-merge its top-k
+    (TakeOrderedAndProject), never sort all n_keys rows through one
+    task — the rank window runs only on the already-limited rows."""
+    plan = _plan(spark, "event_user_skew_topk")
+    assert "TakeOrderedAndProject" in plan
