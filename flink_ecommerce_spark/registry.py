@@ -525,6 +525,10 @@ def _q_phrase_search(spark, sf):
     return retrieval.phrase_search(_t("documents")(spark, sf))
 
 
+def _q_lsh_recall_report(spark, sf):
+    return dedup.lsh_recall_report(_t("documents")(spark, sf))
+
+
 def _q_event_user_skew_topk(spark, sf):
     from .operators.scale import key_skew_topk
 
@@ -2236,6 +2240,29 @@ SELECT query_id, doc_id, score,
 FROM s
 QUALIFY rank <= {retrieval.BM25_K}
 """,
+    # lsh_recall_report: truth (uncapped exact Jaccard) and the LSH
+    # path share the one shingle CTE; recall = n_hit/n_true in double
+    "lsh_recall_report": f"""
+WITH {_SIG_CTE},
+bands AS ({_BANDS_SELECTS}),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM bands a JOIN bands b
+           ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+{_JACCARD_CTES},
+truth AS (SELECT doc_a, doc_b FROM jac
+          WHERE jaccard >= {dedup.PREFIX_JOIN_THRESHOLD}),
+lsh AS (SELECT c.doc_a, c.doc_b
+        FROM cand c JOIN jac j ON j.doc_a = c.doc_a AND j.doc_b = c.doc_b
+        WHERE j.jaccard >= {dedup.PREFIX_JOIN_THRESHOLD}),
+hit AS (SELECT t.doc_a, t.doc_b FROM truth t
+        WHERE EXISTS (SELECT 1 FROM lsh l
+                      WHERE l.doc_a = t.doc_a AND l.doc_b = t.doc_b))
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS n_true,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM lsh) AS n_lsh,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM hit) AS n_hit,
+       ROUND((SELECT COUNT(*) FROM hit) / (SELECT COUNT(*) FROM truth), 6)
+         AS recall
+""",
     "event_user_skew_topk": """
 WITH counts AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_rows
                 FROM events GROUP BY 1),
@@ -3222,6 +3249,9 @@ _SPEC_DEFS: dict[str, QuerySpec] = {
     "supplier_pagerank": QuerySpec(
         _q_supplier_pagerank, ORACLES["supplier_pagerank"]
     ),
+    "lsh_recall_report": QuerySpec(
+        _q_lsh_recall_report, ORACLES["lsh_recall_report"]
+    ),
     "event_user_skew_topk": QuerySpec(
         _q_event_user_skew_topk, ORACLES["event_user_skew_topk"]
     ),
@@ -3414,6 +3444,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "phrase_search",
     "hybrid_search_rrf",
     "supplier_pagerank",
+    "lsh_recall_report",
     "event_user_skew_topk",
     "event_user_skew_summary",
     "incremental_fuzzy_dedup",
@@ -3460,8 +3491,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "q3_shipping_priority",
     "q4_order_priority",
     "q5_regional_revenue",
-    "q6_revenue_forecast",
-    # q7_volume_shipping / q8_market_share / q9_product_profit / q10_returned_items / q11_important_parts / q12_priority_shipping / q13_order_distribution / q14_promo_revenue / q15_top_supplier / q16_part_supplier_counts / q17_small_quantity_revenue / q18_large_volume_customers / q19_disjunctive_revenue / q20_promotion_suppliers / q21_waiting_suppliers / q22_sales_opportunity / customer_order_totals / customers_without_orders / orders_with_big_lineitem / parts_by_brand_type / events_by_customer_segment / revenue_by_brand / top10_orders / top_users_per_event_type / daily_running_revenue / weekly_moving_avg / sales_rollup / event_type_cube / event_value_pivot / distinct_users_per_day / value_stats_per_type /
+    # q6_revenue_forecast / q7_volume_shipping / q8_market_share / q9_product_profit / q10_returned_items / q11_important_parts / q12_priority_shipping / q13_order_distribution / q14_promo_revenue / q15_top_supplier / q16_part_supplier_counts / q17_small_quantity_revenue / q18_large_volume_customers / q19_disjunctive_revenue / q20_promotion_suppliers / q21_waiting_suppliers / q22_sales_opportunity / customer_order_totals / customers_without_orders / orders_with_big_lineitem / parts_by_brand_type / events_by_customer_segment / revenue_by_brand / top10_orders / top_users_per_event_type / daily_running_revenue / weekly_moving_avg / sales_rollup / event_type_cube / event_value_pivot / distinct_users_per_day / value_stats_per_type /
     # session_window_stats / conversion_funnel / weekly_retention /
     # approx_distinct_users rotate next round — displaced by the
     # never-yet-verified r04/r05 additions (new queries must certify
