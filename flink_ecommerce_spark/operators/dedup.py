@@ -1026,7 +1026,11 @@ def lsh_recall_report(
             "n_true",
             "n_lsh",
             "n_hit",
-            F.round(F.col("n_hit") / F.col("n_true"), 6).alias("recall"),
+            # try_divide: an empty corpus has no truth to recall —
+            # NULL, not an ANSI divide-by-zero error
+            F.round(F.try_divide(F.col("n_hit"), F.col("n_true")), 6).alias(
+                "recall"
+            ),
         )
     )
 

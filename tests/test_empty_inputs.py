@@ -146,3 +146,42 @@ def test_pq_jl_bpe_on_empty(spark):
     empty_docs = spark.createDataFrame([], DOCUMENTS_SCHEMA)
     assert bpe.bpe_train(empty_docs, num_merges=5) == []
     assert bpe.bpe_apply(empty_docs, []).collect() == []
+
+
+def test_retrieval_on_empty_docs(spark, empty_docs):
+    from flink_ecommerce_spark.operators import retrieval
+
+    assert retrieval.bm25_topk(empty_docs).collect() == []
+    assert retrieval.phrase_search(empty_docs).collect() == []
+    assert retrieval.phrase_scan(empty_docs).collect() == []
+    assert retrieval.build_postings(empty_docs).collect() == []
+    assert retrieval.lexical_topk(empty_docs).collect() == []
+
+
+def test_prefix_jaccard_and_recall_report_on_empty_docs(spark, empty_docs):
+    from flink_ecommerce_spark.operators import dedup as dd
+
+    assert dd.prefix_jaccard_pairs(empty_docs).collect() == []
+    report = dd.lsh_recall_report(empty_docs).collect()
+    assert len(report) == 1
+    r = report[0]
+    assert (r["n_true"], r["n_lsh"], r["n_hit"]) == (0, 0, 0)
+    assert r["recall"] is None  # 0/0 — no truth to recall
+
+
+def test_pagerank_on_empty_edges(spark):
+    from flink_ecommerce_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame([], "src long, dst long")
+    assert pagerank(edges).collect() == []
+
+
+def test_key_skew_on_empty_events(spark, empty_events):
+    from flink_ecommerce_spark.operators.scale import (
+        key_skew_summary,
+        key_skew_topk,
+    )
+
+    assert key_skew_topk(empty_events, "user_id").collect() == []
+    s = key_skew_summary(empty_events, "user_id").collect()
+    assert len(s) == 1 and s[0]["n_keys"] == 0
