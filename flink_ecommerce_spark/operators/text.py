@@ -437,6 +437,51 @@ def unigram_surprisal(documents: DataFrame) -> DataFrame:
     )
 
 
+def cross_corpus_surprisal(
+    new: DataFrame, history: DataFrame
+) -> DataFrame:
+    """Score a NEW batch against a reference corpus's unigram LM —
+    the CCNet-style admission filter: train cheap LM statistics on
+    the trusted corpus, rank incoming documents by how surprising
+    they look under it. Output per new doc: (doc_id, n_words, n_oov,
+    avg_surprisal).
+
+    Add-one smoothing over the history vocabulary:
+    p(w) = (count_hist(w) + 1) / (total_hist + V + 1), with every
+    out-of-vocabulary word sharing the single +1 unseen class — so
+    OOV-heavy docs score high instead of dividing by zero, and the
+    whole model is an exact deterministic function of the history
+    (oracle-checkable, unlike a trained KenLM).
+
+    Scale: the history pays one tokenize + one term-keyed count (the
+    LM *is* that frequency table — vocabulary-sized, broadcastable);
+    the new batch pays one tokenize + the term join + one
+    groupBy(doc_id). Incremental by construction: the history table
+    can be a maintained aggregate, not a rescan."""
+    htoks = history.select(F.explode(words("text")).alias("term"))
+    tf = htoks.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = tf.agg(
+        F.sum("cnt").alias("total"), F.count(F.lit(1)).alias("v")
+    )
+    ntoks = new.select("doc_id", F.explode(words("text")).alias("term"))
+    surprisal = -F.log(
+        (F.coalesce("cnt", F.lit(0)) + F.lit(1))
+        / (F.col("total") + F.col("v") + F.lit(1))
+    )
+    return (
+        ntoks.join(tf, "term", "left")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum(
+                F.when(F.col("cnt").isNull(), F.lit(1)).otherwise(F.lit(0))
+            ).alias("n_oov"),
+            F.round(F.avg(surprisal), 6).alias("avg_surprisal"),
+        )
+    )
+
+
 def bigram_surprisal(documents: DataFrame) -> DataFrame:
     """Conditional bigram surprisal per document: mean of
     -ln p(w2 | w1) with p = corpus bigram count / corpus count of the

@@ -525,6 +525,16 @@ def _q_phrase_search(spark, sf):
     return retrieval.phrase_search(_t("documents")(spark, sf))
 
 
+def _q_cross_corpus_surprisal(spark, sf):
+    """Same fixture split as incremental_dedup: doc_id % 5 == 0 is
+    the incoming batch, scored against the rest as the trusted-LM
+    history."""
+    docs = _t("documents")(spark, sf)
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    history = docs.filter(F.col("doc_id") % 5 != 0)
+    return text.cross_corpus_surprisal(new, history)
+
+
 def _q_lsh_recall_report(spark, sf):
     return dedup.lsh_recall_report(_t("documents")(spark, sf))
 
@@ -2240,6 +2250,22 @@ SELECT query_id, doc_id, score,
 FROM s
 QUALIFY rank <= {retrieval.BM25_K}
 """,
+    "cross_corpus_surprisal": """
+WITH hist AS (SELECT text FROM documents WHERE doc_id % 5 <> 0),
+newb AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+htoks AS (SELECT unnest({w}) AS term FROM hist),
+tf AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt FROM htoks GROUP BY 1),
+tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total,
+               CAST(COUNT(*) AS BIGINT) AS v FROM tf),
+ntoks AS (SELECT doc_id, unnest({w}) AS term FROM newb)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(CASE WHEN tf.term IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_oov,
+       ROUND(AVG(-ln((COALESCE(cnt, 0) + 1) / (tot.total + tot.v + 1))), 6)
+         AS avg_surprisal
+FROM ntoks LEFT JOIN tf USING (term) CROSS JOIN tot
+GROUP BY doc_id
+""".format(w=sql_words("text")),
     # lsh_recall_report: truth (uncapped exact Jaccard) and the LSH
     # path share the one shingle CTE; recall = n_hit/n_true in double
     "lsh_recall_report": f"""
@@ -3252,6 +3278,9 @@ _SPEC_DEFS: dict[str, QuerySpec] = {
     "lsh_recall_report": QuerySpec(
         _q_lsh_recall_report, ORACLES["lsh_recall_report"]
     ),
+    "cross_corpus_surprisal": QuerySpec(
+        _q_cross_corpus_surprisal, ORACLES["cross_corpus_surprisal"]
+    ),
     "event_user_skew_topk": QuerySpec(
         _q_event_user_skew_topk, ORACLES["event_user_skew_topk"]
     ),
@@ -3445,6 +3474,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "hybrid_search_rrf",
     "supplier_pagerank",
     "lsh_recall_report",
+    "cross_corpus_surprisal",
     "event_user_skew_topk",
     "event_user_skew_summary",
     "incremental_fuzzy_dedup",
@@ -3490,8 +3520,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "q2_min_cost_supplier",
     "q3_shipping_priority",
     "q4_order_priority",
-    "q5_regional_revenue",
-    # q6_revenue_forecast / q7_volume_shipping / q8_market_share / q9_product_profit / q10_returned_items / q11_important_parts / q12_priority_shipping / q13_order_distribution / q14_promo_revenue / q15_top_supplier / q16_part_supplier_counts / q17_small_quantity_revenue / q18_large_volume_customers / q19_disjunctive_revenue / q20_promotion_suppliers / q21_waiting_suppliers / q22_sales_opportunity / customer_order_totals / customers_without_orders / orders_with_big_lineitem / parts_by_brand_type / events_by_customer_segment / revenue_by_brand / top10_orders / top_users_per_event_type / daily_running_revenue / weekly_moving_avg / sales_rollup / event_type_cube / event_value_pivot / distinct_users_per_day / value_stats_per_type /
+    # q5_regional_revenue / q6_revenue_forecast / q7_volume_shipping / q8_market_share / q9_product_profit / q10_returned_items / q11_important_parts / q12_priority_shipping / q13_order_distribution / q14_promo_revenue / q15_top_supplier / q16_part_supplier_counts / q17_small_quantity_revenue / q18_large_volume_customers / q19_disjunctive_revenue / q20_promotion_suppliers / q21_waiting_suppliers / q22_sales_opportunity / customer_order_totals / customers_without_orders / orders_with_big_lineitem / parts_by_brand_type / events_by_customer_segment / revenue_by_brand / top10_orders / top_users_per_event_type / daily_running_revenue / weekly_moving_avg / sales_rollup / event_type_cube / event_value_pivot / distinct_users_per_day / value_stats_per_type /
     # session_window_stats / conversion_funnel / weekly_retention /
     # approx_distinct_users rotate next round — displaced by the
     # never-yet-verified r04/r05 additions (new queries must certify

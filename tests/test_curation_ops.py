@@ -219,3 +219,32 @@ def _docs_df(spark, rows):
     from flink_ecommerce_spark.schemas import DOCUMENTS_SCHEMA
 
     return spark.createDataFrame(rows, DOCUMENTS_SCHEMA)
+
+
+def test_cross_corpus_surprisal_semantics(spark):
+    """OOV-heavy incoming docs score higher than in-distribution ones
+    under the history LM; OOV words are counted; add-one smoothing
+    keeps every score finite."""
+    from flink_ecommerce_spark.operators.text import cross_corpus_surprisal
+
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    history = spark.createDataFrame(
+        [(100 + i, "alpha beta gamma delta epsilon", "en", "s", 30) for i in range(10)],
+        schema,
+    )
+    new = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma", "en", "s", 16),      # fully in-vocab
+            (2, "zeta theta iota", "en", "s", 15),       # fully OOV
+            (3, "alpha zeta beta", "en", "s", 15),       # mixed
+        ],
+        schema,
+    )
+    got = {
+        r["doc_id"]: r for r in cross_corpus_surprisal(new, history).collect()
+    }
+    assert got[1]["n_oov"] == 0
+    assert got[2]["n_oov"] == 3
+    assert got[3]["n_oov"] == 1
+    assert got[1]["avg_surprisal"] < got[3]["avg_surprisal"] < got[2]["avg_surprisal"]
+    assert all(r["avg_surprisal"] is not None for r in got.values())
