@@ -209,3 +209,27 @@ def resize_thumbnails(with_payload: DataFrame, max_px: int = 64) -> DataFrame:
     return with_payload.select("doc_id", "payload").mapInPandas(
         resize, schema=THUMB_SCHEMA
     )
+
+
+def media_dedup(with_payload: DataFrame) -> DataFrame:
+    """Exact duplicate groups over the OPAQUE binary payload — the
+    multimodal twin of dedup_exact. md5 runs over raw bytes, so it
+    needs no codec at all: identical images/audio dedup byte-for-byte
+    before any decode is attempted (the cheap first pass every media
+    pipeline runs before perceptual hashing). Shuffles (hash, doc_id)
+    pairs only; payloads never leave their scan partition."""
+    return (
+        with_payload.select(
+            F.md5("payload").alias("payload_hash"),
+            "doc_id",
+            F.length("payload").cast("long").alias("__bytes"),
+        )
+        .groupBy("payload_hash")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+            # identical payloads have identical size, so the dedup
+            # saving is (copies - 1) x that size
+            ((F.count(F.lit(1)) - 1) * F.max("__bytes")).alias("dup_bytes"),
+        )
+    )

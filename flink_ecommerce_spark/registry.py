@@ -525,6 +525,12 @@ def _q_phrase_search(spark, sf):
     return retrieval.phrase_search(_t("documents")(spark, sf))
 
 
+def _q_media_dedup(spark, sf):
+    from .operators.multimodal import attach_fake_payload, media_dedup
+
+    return media_dedup(attach_fake_payload(_t("documents")(spark, sf)))
+
+
 def _q_cross_corpus_surprisal(spark, sf):
     """Same fixture split as incremental_dedup: doc_id % 5 == 0 is
     the incoming batch, scored against the rest as the trusted-LM
@@ -2250,6 +2256,17 @@ SELECT query_id, doc_id, score,
 FROM s
 QUALIFY rank <= {retrieval.BM25_K}
 """,
+    # media_dedup: the fake payload is the text's UTF-8 bytes, so
+    # md5(payload) == md5(text) — both engines hash the same bytes
+    "media_dedup": """
+WITH p AS (SELECT doc_id, md5(text) AS payload_hash,
+                  octet_length(encode(text)) AS n_bytes
+           FROM documents)
+SELECT payload_hash, MIN(doc_id) AS keep_doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_copies,
+       CAST((COUNT(*) - 1) * MAX(n_bytes) AS BIGINT) AS dup_bytes
+FROM p GROUP BY 1
+""",
     "cross_corpus_surprisal": """
 WITH hist AS (SELECT text FROM documents WHERE doc_id % 5 <> 0),
 newb AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
@@ -3281,6 +3298,7 @@ _SPEC_DEFS: dict[str, QuerySpec] = {
     "cross_corpus_surprisal": QuerySpec(
         _q_cross_corpus_surprisal, ORACLES["cross_corpus_surprisal"]
     ),
+    "media_dedup": QuerySpec(_q_media_dedup, ORACLES["media_dedup"]),
     "event_user_skew_topk": QuerySpec(
         _q_event_user_skew_topk, ORACLES["event_user_skew_topk"]
     ),
@@ -3475,6 +3493,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "supplier_pagerank",
     "lsh_recall_report",
     "cross_corpus_surprisal",
+    "media_dedup",
     "event_user_skew_topk",
     "event_user_skew_summary",
     "incremental_fuzzy_dedup",
@@ -3519,8 +3538,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "q1_pricing_summary",
     "q2_min_cost_supplier",
     "q3_shipping_priority",
-    "q4_order_priority",
-    # q5_regional_revenue / q6_revenue_forecast / q7_volume_shipping / q8_market_share / q9_product_profit / q10_returned_items / q11_important_parts / q12_priority_shipping / q13_order_distribution / q14_promo_revenue / q15_top_supplier / q16_part_supplier_counts / q17_small_quantity_revenue / q18_large_volume_customers / q19_disjunctive_revenue / q20_promotion_suppliers / q21_waiting_suppliers / q22_sales_opportunity / customer_order_totals / customers_without_orders / orders_with_big_lineitem / parts_by_brand_type / events_by_customer_segment / revenue_by_brand / top10_orders / top_users_per_event_type / daily_running_revenue / weekly_moving_avg / sales_rollup / event_type_cube / event_value_pivot / distinct_users_per_day / value_stats_per_type /
+    # q4_order_priority / q5_regional_revenue / q6_revenue_forecast / q7_volume_shipping / q8_market_share / q9_product_profit / q10_returned_items / q11_important_parts / q12_priority_shipping / q13_order_distribution / q14_promo_revenue / q15_top_supplier / q16_part_supplier_counts / q17_small_quantity_revenue / q18_large_volume_customers / q19_disjunctive_revenue / q20_promotion_suppliers / q21_waiting_suppliers / q22_sales_opportunity / customer_order_totals / customers_without_orders / orders_with_big_lineitem / parts_by_brand_type / events_by_customer_segment / revenue_by_brand / top10_orders / top_users_per_event_type / daily_running_revenue / weekly_moving_avg / sales_rollup / event_type_cube / event_value_pivot / distinct_users_per_day / value_stats_per_type /
     # session_window_stats / conversion_funnel / weekly_retention /
     # approx_distinct_users rotate next round — displaced by the
     # never-yet-verified r04/r05 additions (new queries must certify
