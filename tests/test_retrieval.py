@@ -256,3 +256,25 @@ def test_prefix_jaccard_identical_docs(spark):
 def test_prefix_jaccard_short_docs_no_crash(spark):
     docs = _docs(spark, [(1, "one two"), (2, "a"), (3, "")])
     assert dedup.prefix_jaccard_pairs(docs).count() == 0
+
+
+def test_book_length_doc_survives_shingle_paths(spark):
+    """A 20k-word document must flow through the shingle-based ops in
+    one piece — the zip_with shingle builder is O(w) per row, never
+    O(words²) (the transform-with-slice antipattern), so book-length
+    docs are linear work."""
+    import random
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(500)]
+    book = " ".join(rng.choice(vocab) for _ in range(20_000))
+    docs = _docs(
+        spark,
+        [(1, book), (2, book), (3, "a short unrelated document here")],
+    )
+    pairs = dedup.prefix_jaccard_pairs(docs, threshold=0.9).collect()
+    assert [(r["doc_a"], r["doc_b"], r["jaccard"]) for r in pairs] == [(1, 2, 1.0)]
+    sigs = dedup.minhash_signatures(docs).collect()
+    assert len(sigs) == 3
+    hits = retrieval.phrase_search(docs, book.split()[0] + " " + book.split()[1])
+    assert hits.count() >= 1
