@@ -15,7 +15,12 @@ five-stage corpus_funnel report), Count-Min frequency sketches,
 sequence packing / chunking / LPT-balanced shards, temporal joins
 (both as-of directions, interval, band), multimodal plumbing,
 sampling/splits/weighted sampling without replacement (global and
-per-source A-Res), entity resolution, CDC, profiling — each with a
+per-source A-Res), entity resolution, CDC, profiling, lexical
+retrieval (BM25 top-k, positional phrase search, hybrid RRF fusion
+with the cosine kNN), the lossless prefix-filter Jaccard join with
+its LSH recall meter, fixed-iteration PageRank (unrolled-CTE exact
+oracle), cross-corpus LM admission scoring, payload-hash media
+dedup, and key-skew diagnostics — each with a
 DuckDB oracle twin (COVERAGE.md is the full map; non-query machinery
 — continuous aggregates, Z-order layout, streaming
 sinks/packing/dedup/fuzzy-admission, BPE tokenizer train/apply — is
