@@ -438,7 +438,9 @@ def unigram_surprisal(documents: DataFrame) -> DataFrame:
 
 
 def cross_corpus_surprisal(
-    new: DataFrame, history: DataFrame
+    new: DataFrame,
+    history: DataFrame | None = None,
+    history_tf: DataFrame | None = None,
 ) -> DataFrame:
     """Score a NEW batch against a reference corpus's unigram LM —
     the CCNet-style admission filter: train cheap LM statistics on
@@ -456,10 +458,12 @@ def cross_corpus_surprisal(
     Scale: the history pays one tokenize + one term-keyed count (the
     LM *is* that frequency table — vocabulary-sized, broadcastable);
     the new batch pays one tokenize + the term join + one
-    groupBy(doc_id). Incremental by construction: the history table
-    can be a maintained aggregate, not a rescan."""
-    htoks = history.select(F.explode(words("text")).alias("term"))
-    tf = htoks.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    groupBy(doc_id). Incremental by construction: pass the maintained
+    (term, cnt) aggregate as ``history_tf`` (see
+    ``merge_term_frequencies``) instead of rescanning history."""
+    if (history is None) == (history_tf is None):
+        raise ValueError("pass exactly one of history / history_tf")
+    tf = history_tf if history_tf is not None else term_frequencies(history)
     tot = tf.agg(
         F.sum("cnt").alias("total"), F.count(F.lit(1)).alias("v")
     )
@@ -479,6 +483,33 @@ def cross_corpus_surprisal(
             ).alias("n_oov"),
             F.round(F.avg(surprisal), 6).alias("avg_surprisal"),
         )
+    )
+
+
+def term_frequencies(documents: DataFrame) -> DataFrame:
+    """The unigram LM state: (term, cnt) over a corpus — the table
+    `cross_corpus_surprisal` trains on. Vocabulary-sized."""
+    return (
+        documents.select(F.explode(words("text")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def merge_term_frequencies(
+    history_tf: DataFrame, new_docs: DataFrame
+) -> DataFrame:
+    """Incremental LM maintenance: fold a new batch's term counts into
+    the stored frequency table instead of rescanning history — union
+    of two (term, cnt) tables + one groupBy-sum, cost proportional to
+    the BATCH's vocabulary, not the corpus. Equivalence to the full
+    rescan is pinned in tests (counts are associative), so the
+    admission pipeline can run cross_corpus_surprisal against a
+    maintained aggregate forever."""
+    return (
+        history_tf.unionByName(term_frequencies(new_docs))
+        .groupBy("term")
+        .agg(F.sum("cnt").alias("cnt"))
     )
 
 

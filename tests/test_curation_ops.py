@@ -248,3 +248,35 @@ def test_cross_corpus_surprisal_semantics(spark):
     assert got[3]["n_oov"] == 1
     assert got[1]["avg_surprisal"] < got[3]["avg_surprisal"] < got[2]["avg_surprisal"]
     assert all(r["avg_surprisal"] is not None for r in got.values())
+
+
+def test_term_frequency_merge_equals_rescan(spark):
+    """Incremental LM maintenance: folding batch counts into the
+    stored table == retraining on the full corpus, and scoring against
+    the maintained aggregate == scoring against a history rescan."""
+    from flink_ecommerce_spark import catalog
+    from flink_ecommerce_spark.operators.text import (
+        cross_corpus_surprisal,
+        merge_term_frequencies,
+        term_frequencies,
+    )
+    from pyspark.sql import functions as F
+    from tests.conftest import SF_SMALL
+
+    docs = catalog.table(spark, SF_SMALL, "documents")
+    part1 = docs.filter(F.col("doc_id") % 3 != 0)
+    part2 = docs.filter(F.col("doc_id") % 3 == 0)
+
+    maintained = merge_term_frequencies(term_frequencies(part1), part2)
+    rescan = term_frequencies(docs)
+    assert sorted(map(tuple, maintained.collect())) == sorted(
+        map(tuple, rescan.collect())
+    )
+
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    hist = docs.filter(F.col("doc_id") % 5 != 0)
+    via_tf = cross_corpus_surprisal(
+        new, history_tf=term_frequencies(hist)
+    ).collect()
+    via_docs = cross_corpus_surprisal(new, hist).collect()
+    assert sorted(map(tuple, via_tf)) == sorted(map(tuple, via_docs))
