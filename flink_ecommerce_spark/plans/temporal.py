@@ -180,6 +180,77 @@ def value_percentiles(events: DataFrame) -> DataFrame:
     )
 
 
+HIST_BUCKETS = 256
+
+
+def value_percentiles_hist(
+    events: DataFrame, buckets: int = HIST_BUCKETS
+) -> DataFrame:
+    """Bounded-memory percentiles: the 100 TB path that
+    ``value_percentiles``' docstring promises. Exact `percentile()`
+    holds every group's values in the aggregation state; this
+    histogram sketch holds exactly ``buckets`` counters no matter how
+    many rows flow — one scan with map-side-combined bucket counts,
+    then percentile selection over a ``buckets``-row table (the only
+    single-partition step is over those 256 rows, bounded by
+    construction).
+
+    Estimates are each bucket's UPPER edge — deterministic, error
+    bounded by one bucket width (reported as ``bucket_width``), and a
+    pure function of (min, max, counts), so it carries an exact
+    DuckDB oracle, unlike t-digest/percentile_approx whose sketch
+    internals are engine-specific. Output: one row
+    (p50_est, p90_est, p99_est, bucket_width)."""
+    from pyspark.sql import Window
+
+    b = events.agg(
+        F.min("value").alias("vmin"),
+        F.max("value").alias("vmax"),
+        F.count("value").alias("n"),
+    )
+    # degenerate corpus (all values equal): width 1.0 puts everything
+    # in bucket 0 and the estimate collapses to vmin + width... guard
+    # by clamping estimates to vmax at the end instead.
+    w = F.when(
+        F.col("vmax") > F.col("vmin"),
+        (F.col("vmax") - F.col("vmin")) / F.lit(float(buckets)),
+    ).otherwise(F.lit(1.0))
+    idx = F.least(
+        F.lit(buckets - 1),
+        F.floor((F.col("value") - F.col("vmin")) / w),
+    ).alias("idx")
+    hist = (
+        events.select("value")
+        .crossJoin(F.broadcast(b))
+        .select(idx)
+        .groupBy("idx")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    cum = hist.select(
+        "idx",
+        F.sum("cnt")
+        .over(Window.orderBy("idx").rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cum"),
+    )
+    sel = cum.crossJoin(F.broadcast(b)).agg(
+        *[
+            F.min(
+                F.when(F.col("cum") >= F.lit(p) * F.col("n"), F.col("idx"))
+            ).alias(f"i{tag}")
+            for p, tag in ((0.5, "50"), (0.9, "90"), (0.99, "99"))
+        ]
+    )
+    est = lambda i: F.round(  # noqa: E731
+        F.least(F.col("vmin") + w * (F.col(i) + 1), F.col("vmax")), 6
+    )
+    return sel.crossJoin(F.broadcast(b)).select(
+        est("i50").alias("p50_est"),
+        est("i90").alias("p90_est"),
+        est("i99").alias("p99_est"),
+        F.round(w, 6).alias("bucket_width"),
+    )
+
+
 def event_metrics_long(events: DataFrame) -> DataFrame:
     """Unpivot (wide->long): per event_type metrics in long format via
     stack()."""

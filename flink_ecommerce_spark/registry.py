@@ -525,6 +525,10 @@ def _q_phrase_search(spark, sf):
     return retrieval.phrase_search(_t("documents")(spark, sf))
 
 
+def _q_value_percentiles_hist(spark, sf):
+    return temporal.value_percentiles_hist(_t("events")(spark, sf))
+
+
 def _q_media_dedup(spark, sf):
     from .operators.multimodal import attach_fake_payload, media_dedup
 
@@ -2256,6 +2260,33 @@ SELECT query_id, doc_id, score,
 FROM s
 QUALIFY rank <= {retrieval.BM25_K}
 """,
+    # value_percentiles_hist: every threshold and width is CAST to
+    # DOUBLE so both engines run the identical float comparisons (a
+    # bare 0.99 * n would be DECIMAL in DuckDB and can flip a >= at
+    # an exact-integer cum boundary)
+    "value_percentiles_hist": f"""
+WITH b AS (SELECT MIN(value) AS vmin, MAX(value) AS vmax,
+                  CAST(COUNT(value) AS BIGINT) AS n FROM events),
+w AS (SELECT *, CASE WHEN vmax > vmin
+                     THEN (vmax - vmin) / CAST({temporal.HIST_BUCKETS} AS DOUBLE)
+                     ELSE CAST(1.0 AS DOUBLE) END AS wd FROM b),
+hist AS (SELECT LEAST({temporal.HIST_BUCKETS - 1},
+                      CAST(FLOOR((value - w.vmin) / w.wd) AS BIGINT)) AS idx,
+                CAST(COUNT(*) AS BIGINT) AS cnt
+         FROM events CROSS JOIN w GROUP BY 1),
+cum AS (SELECT idx, SUM(cnt) OVER (ORDER BY idx ROWS UNBOUNDED PRECEDING) AS cum
+        FROM hist),
+sel AS (SELECT
+          MIN(CASE WHEN cum >= CAST(0.5 AS DOUBLE) * w.n THEN idx END) AS i50,
+          MIN(CASE WHEN cum >= CAST(0.9 AS DOUBLE) * w.n THEN idx END) AS i90,
+          MIN(CASE WHEN cum >= CAST(0.99 AS DOUBLE) * w.n THEN idx END) AS i99
+        FROM cum CROSS JOIN w)
+SELECT ROUND(LEAST(w.vmin + w.wd * (i50 + 1), w.vmax), 6) AS p50_est,
+       ROUND(LEAST(w.vmin + w.wd * (i90 + 1), w.vmax), 6) AS p90_est,
+       ROUND(LEAST(w.vmin + w.wd * (i99 + 1), w.vmax), 6) AS p99_est,
+       ROUND(w.wd, 6) AS bucket_width
+FROM sel CROSS JOIN w
+""",
     # media_dedup: the fake payload is the text's UTF-8 bytes, so
     # md5(payload) == md5(text) — both engines hash the same bytes
     "media_dedup": """
@@ -3299,6 +3330,9 @@ _SPEC_DEFS: dict[str, QuerySpec] = {
         _q_cross_corpus_surprisal, ORACLES["cross_corpus_surprisal"]
     ),
     "media_dedup": QuerySpec(_q_media_dedup, ORACLES["media_dedup"]),
+    "value_percentiles_hist": QuerySpec(
+        _q_value_percentiles_hist, ORACLES["value_percentiles_hist"]
+    ),
     "event_user_skew_topk": QuerySpec(
         _q_event_user_skew_topk, ORACLES["event_user_skew_topk"]
     ),
@@ -3494,6 +3528,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "lsh_recall_report",
     "cross_corpus_surprisal",
     "media_dedup",
+    "value_percentiles_hist",
     "event_user_skew_topk",
     "event_user_skew_summary",
     "incremental_fuzzy_dedup",
@@ -3537,8 +3572,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     # approx_distinct_users, whose driver row is rows-only by design)
     "q1_pricing_summary",
     "q2_min_cost_supplier",
-    "q3_shipping_priority",
-    # q4_order_priority / q5_regional_revenue / q6_revenue_forecast / q7_volume_shipping / q8_market_share / q9_product_profit / q10_returned_items / q11_important_parts / q12_priority_shipping / q13_order_distribution / q14_promo_revenue / q15_top_supplier / q16_part_supplier_counts / q17_small_quantity_revenue / q18_large_volume_customers / q19_disjunctive_revenue / q20_promotion_suppliers / q21_waiting_suppliers / q22_sales_opportunity / customer_order_totals / customers_without_orders / orders_with_big_lineitem / parts_by_brand_type / events_by_customer_segment / revenue_by_brand / top10_orders / top_users_per_event_type / daily_running_revenue / weekly_moving_avg / sales_rollup / event_type_cube / event_value_pivot / distinct_users_per_day / value_stats_per_type /
+    # q3_shipping_priority / q4_order_priority / q5_regional_revenue / q6_revenue_forecast / q7_volume_shipping / q8_market_share / q9_product_profit / q10_returned_items / q11_important_parts / q12_priority_shipping / q13_order_distribution / q14_promo_revenue / q15_top_supplier / q16_part_supplier_counts / q17_small_quantity_revenue / q18_large_volume_customers / q19_disjunctive_revenue / q20_promotion_suppliers / q21_waiting_suppliers / q22_sales_opportunity / customer_order_totals / customers_without_orders / orders_with_big_lineitem / parts_by_brand_type / events_by_customer_segment / revenue_by_brand / top10_orders / top_users_per_event_type / daily_running_revenue / weekly_moving_avg / sales_rollup / event_type_cube / event_value_pivot / distinct_users_per_day / value_stats_per_type /
     # session_window_stats / conversion_funnel / weekly_retention /
     # approx_distinct_users rotate next round — displaced by the
     # never-yet-verified r04/r05 additions (new queries must certify

@@ -127,3 +127,32 @@ def test_fuzzy_block_cap_drops_only_hot_blocks(spark):
     assert uncapped.count() > 100
     got = {(r["custkey_1"], r["custkey_2"]) for r in capped.collect()}
     assert got == {(100, 101)}
+
+
+def test_hist_percentiles_within_one_bucket_of_exact(spark):
+    """The bounded-memory sketch's error contract: every estimate
+    lands within one bucket_width ABOVE the exact interpolated
+    percentile (upper-edge estimates never undershoot)."""
+    from flink_ecommerce_spark import catalog
+    from flink_ecommerce_spark.plans.temporal import value_percentiles_hist
+    from tests.conftest import SF_SMALL
+
+    events = catalog.table(spark, SF_SMALL, "events")
+    got = value_percentiles_hist(events).collect()[0]
+    exact = events.selectExpr(
+        "percentile(value, 0.5) AS p50",
+        "percentile(value, 0.9) AS p90",
+        "percentile(value, 0.99) AS p99",
+    ).collect()[0]
+    w = got["bucket_width"]
+    for tag in ("50", "90", "99"):
+        est, true = got[f"p{tag}_est"], exact[f"p{tag}"]
+        assert true - 1e-9 <= est <= true + w + 1e-9, (tag, est, true, w)
+
+
+def test_hist_percentiles_degenerate_all_equal(spark):
+    from flink_ecommerce_spark.plans.temporal import value_percentiles_hist
+
+    df = spark.createDataFrame([(7.5,)] * 20, "value double")
+    r = value_percentiles_hist(df).collect()[0]
+    assert r["p50_est"] == r["p90_est"] == r["p99_est"] == 7.5
