@@ -302,6 +302,12 @@ def phrase_scan(documents: DataFrame, phrase: str = PHRASE) -> DataFrame:
     (and as the one-shot path when no postings are worth building)."""
     terms = phrase.lower().split()
     n = len(terms)
+    for t in terms:
+        # terms are interpolated into an expression string (unlike
+        # phrase_search's isin, which binds values safely) — reject
+        # anything that could terminate the literal
+        if "'" in t or "\\" in t:
+            raise ValueError(f"phrase term {t!r} contains a quote/backslash")
     # positions are 1-based (matching the postings relation); Spark
     # array subscripts are 0-based, hence the [i + j - 1]
     cond = " AND ".join(

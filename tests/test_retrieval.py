@@ -278,3 +278,9 @@ def test_book_length_doc_survives_shingle_paths(spark):
     assert len(sigs) == 3
     hits = retrieval.phrase_search(docs, book.split()[0] + " " + book.split()[1])
     assert hits.count() >= 1
+
+
+def test_phrase_scan_rejects_quote_terms(spark):
+    docs = _docs(spark, [(1, "x y")])
+    with pytest.raises(ValueError, match="quote"):
+        retrieval.phrase_scan(docs, "it's here")
