@@ -53,7 +53,9 @@ def pagerank(
     nodes = (
         e.select(F.col("src").alias("node")).distinct().localCheckpoint(eager=True)
     )
-    nn = nodes.agg(F.count(F.lit(1)).alias("n"))
+    # one-row node count, materialized once — otherwise each round's
+    # broadcast recounts the node table
+    nn = nodes.agg(F.count(F.lit(1)).alias("n")).localCheckpoint(eager=True)
     ranks = nodes.crossJoin(F.broadcast(nn)).select(
         "node", (F.lit(1.0) / F.col("n")).alias("rank")
     ).localCheckpoint(eager=True)
