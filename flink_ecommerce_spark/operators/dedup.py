@@ -991,6 +991,58 @@ def prefix_jaccard_pairs(
     )
 
 
+def corpus_growth(documents: DataFrame, bucket_size: int = 100) -> DataFrame:
+    """The data-scaling question in one table: as the corpus grows (in
+    doc_id order, bucketed every ``bucket_size`` docs), how much NEW
+    content does each increment bring? Output per bucket:
+    (bucket, n_docs, n_pairs, n_novel, novelty_rate, cum_vocab) —
+    n_pairs = distinct (doc, shingle) occurrences in the bucket,
+    n_novel = shingles whose global first occurrence is in this
+    bucket, novelty_rate = n_novel / n_pairs, cum_vocab = distinct
+    shingles seen up to and including the bucket. A flattening
+    cum_vocab / falling novelty_rate says more of the same crawl adds
+    redundancy, not information — the curve that decides whether to
+    buy more data or dedup harder.
+
+    Scale: one shingle pass; first-occurrence is a min aggregation on
+    shingle (map-side combined); per-bucket rollups shuffle bucket
+    keys only. The cumulative-vocabulary window runs over
+    corpus_size/bucket_size rows — thousands, not billions."""
+    from pyspark.sql import Window
+
+    from .scale import ensure_parallelism
+
+    sh = _doc_shingles(ensure_parallelism(documents)).select(
+        # floor division, NOT a double cast: Spark's double->long cast
+        # truncates while DuckDB's rounds — floor is the one spelling
+        # both engines agree on
+        F.floor(F.col("doc_id") / bucket_size).alias("bucket"),
+        "doc_id",
+        "shingle",
+    ).localCheckpoint(eager=True)
+    per_bucket = sh.groupBy("bucket").agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_pairs"),
+    )
+    first = sh.groupBy("shingle").agg(F.min("bucket").alias("bucket"))
+    novel = first.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_novel"))
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        per_bucket.join(novel, "bucket", "left")
+        .select(
+            "bucket",
+            "n_docs",
+            "n_pairs",
+            F.coalesce("n_novel", F.lit(0)).alias("n_novel"),
+        )
+        .withColumn(
+            "novelty_rate",
+            F.round(F.col("n_novel") / F.col("n_pairs"), 6),
+        )
+        .withColumn("cum_vocab", F.sum("n_novel").over(w))
+    )
+
+
 def lsh_recall_report(
     documents: DataFrame, threshold: float = PREFIX_JOIN_THRESHOLD
 ) -> DataFrame:

@@ -545,6 +545,10 @@ def _q_cross_corpus_surprisal(spark, sf):
     return text.cross_corpus_surprisal(new, history)
 
 
+def _q_corpus_growth(spark, sf):
+    return dedup.corpus_growth(_t("documents")(spark, sf))
+
+
 def _q_lsh_recall_report(spark, sf):
     return dedup.lsh_recall_report(_t("documents")(spark, sf))
 
@@ -2314,6 +2318,23 @@ SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
 FROM ntoks LEFT JOIN tf USING (term) CROSS JOIN tot
 GROUP BY doc_id
 """.format(w=sql_words("text")),
+    "corpus_growth": f"""
+WITH sh0 AS (SELECT doc_id, {_SHINGLES} AS shingles FROM documents),
+ds AS (SELECT DISTINCT doc_id, s AS shingle
+       FROM (SELECT doc_id, unnest(shingles) AS s FROM sh0)),
+sb AS (SELECT CAST(FLOOR(doc_id / 100) AS BIGINT) AS bucket, doc_id, shingle
+       FROM ds),
+pb AS (SELECT bucket, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+              CAST(COUNT(*) AS BIGINT) AS n_pairs FROM sb GROUP BY 1),
+fs AS (SELECT shingle, MIN(bucket) AS bucket FROM sb GROUP BY 1),
+nv AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_novel FROM fs GROUP BY 1)
+SELECT pb.bucket, n_docs, n_pairs,
+       CAST(COALESCE(nv.n_novel, 0) AS BIGINT) AS n_novel,
+       ROUND(COALESCE(nv.n_novel, 0) / n_pairs, 6) AS novelty_rate,
+       CAST(SUM(COALESCE(nv.n_novel, 0)) OVER (ORDER BY pb.bucket
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_vocab
+FROM pb LEFT JOIN nv USING (bucket)
+""",
     # lsh_recall_report: truth (uncapped exact Jaccard) and the LSH
     # path share the one shingle CTE; recall = n_hit/n_true in double
     "lsh_recall_report": f"""
@@ -3326,6 +3347,7 @@ _SPEC_DEFS: dict[str, QuerySpec] = {
     "lsh_recall_report": QuerySpec(
         _q_lsh_recall_report, ORACLES["lsh_recall_report"]
     ),
+    "corpus_growth": QuerySpec(_q_corpus_growth, ORACLES["corpus_growth"]),
     "cross_corpus_surprisal": QuerySpec(
         _q_cross_corpus_surprisal, ORACLES["cross_corpus_surprisal"]
     ),
@@ -3526,6 +3548,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "hybrid_search_rrf",
     "supplier_pagerank",
     "lsh_recall_report",
+    "corpus_growth",
     "cross_corpus_surprisal",
     "media_dedup",
     "value_percentiles_hist",
@@ -3571,8 +3594,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     # stays <= 2 rounds old; the one r01 holdover left for r05 is
     # approx_distinct_users, whose driver row is rows-only by design)
     "q1_pricing_summary",
-    "q2_min_cost_supplier",
-    # q3_shipping_priority / q4_order_priority / q5_regional_revenue / q6_revenue_forecast / q7_volume_shipping / q8_market_share / q9_product_profit / q10_returned_items / q11_important_parts / q12_priority_shipping / q13_order_distribution / q14_promo_revenue / q15_top_supplier / q16_part_supplier_counts / q17_small_quantity_revenue / q18_large_volume_customers / q19_disjunctive_revenue / q20_promotion_suppliers / q21_waiting_suppliers / q22_sales_opportunity / customer_order_totals / customers_without_orders / orders_with_big_lineitem / parts_by_brand_type / events_by_customer_segment / revenue_by_brand / top10_orders / top_users_per_event_type / daily_running_revenue / weekly_moving_avg / sales_rollup / event_type_cube / event_value_pivot / distinct_users_per_day / value_stats_per_type /
+    # q2_min_cost_supplier / q3_shipping_priority / q4_order_priority / q5_regional_revenue / q6_revenue_forecast / q7_volume_shipping / q8_market_share / q9_product_profit / q10_returned_items / q11_important_parts / q12_priority_shipping / q13_order_distribution / q14_promo_revenue / q15_top_supplier / q16_part_supplier_counts / q17_small_quantity_revenue / q18_large_volume_customers / q19_disjunctive_revenue / q20_promotion_suppliers / q21_waiting_suppliers / q22_sales_opportunity / customer_order_totals / customers_without_orders / orders_with_big_lineitem / parts_by_brand_type / events_by_customer_segment / revenue_by_brand / top10_orders / top_users_per_event_type / daily_running_revenue / weekly_moving_avg / sales_rollup / event_type_cube / event_value_pivot / distinct_users_per_day / value_stats_per_type /
     # session_window_stats / conversion_funnel / weekly_retention /
     # approx_distinct_users rotate next round — displaced by the
     # never-yet-verified r04/r05 additions (new queries must certify
