@@ -101,6 +101,50 @@ def scd2_merge(
     )
 
 
+def pit_join(
+    facts: DataFrame,
+    dim: DataFrame,
+    key: str,
+    fact_ts: str,
+    attrs: list[str] | None = None,
+) -> DataFrame:
+    """Point-in-time enrichment: attach to each fact row the dimension
+    version whose validity interval ``[valid_from, valid_to)`` contains
+    the fact's timestamp (open rows have NULL valid_to). Facts that
+    predate the key's first version — or whose key has no dimension row
+    at all — keep NULL attributes (left join).
+
+    SCD2 intervals are disjoint per key, so at most one version matches
+    and fact cardinality is preserved.
+
+    Scale notes: this is an EQUI-join on ``key`` with the interval
+    containment as a residual predicate — Catalyst plans a broadcast
+    hash join when the dimension fits (the normal case: dimensions are
+    orders of magnitude smaller than the fact stream) and a single
+    key-shuffle otherwise. The residual evaluates per matched (key)
+    group, which is bounded by the key's version count — no window over
+    the fact table, no range-join blowup.
+    """
+    if attrs is None:
+        attrs = [
+            c
+            for c in dim.columns
+            if c not in (key, "valid_from", "valid_to", "is_current")
+        ]
+    f_ = facts.alias("f")
+    d = dim.alias("d")
+    cond = (
+        (F.col(f"f.{key}") == F.col(f"d.{key}"))
+        & (F.col(f"f.{fact_ts}") >= F.col("d.valid_from"))
+        & (F.col("d.valid_to").isNull() | (F.col(f"f.{fact_ts}") < F.col("d.valid_to")))
+    )
+    return f_.join(d, cond, "left").select(
+        *[F.col(f"f.{c}") for c in facts.columns],
+        *[F.col(f"d.{a}").alias(a) for a in attrs],
+        F.col("d.valid_from").alias("version_from"),
+    )
+
+
 def empty_scd2(updates: DataFrame, key: str, attrs: list[str], ts_col: str = "effective_ts") -> DataFrame:
     """Bootstrap an SCD2 table from an initial snapshot."""
     return updates.select(

@@ -445,6 +445,27 @@ def _q_scd2_user_segments(spark, sf):
     return scd2_merge(dim, upd, "user_id", ["segment"])
 
 
+def _q_pit_enriched_events(spark, sf):
+    """Point-in-time enrichment: every event joined to the SCD2
+    segment version valid AT the event's timestamp (operators/
+    cdc.py::pit_join) — the temporal companion to scd2_user_segments,
+    which answers "what is each user's segment now"; this answers
+    "what was it when the event happened". Events that predate the
+    user's first version keep NULL segment."""
+    from .operators.cdc import pit_join
+
+    ev = _t("events")(spark, sf).select("event_id", "user_id", "ts", "event_type")
+    dim = _q_scd2_user_segments(spark, sf)
+    out = pit_join(ev, dim, "user_id", "ts", ["segment"])
+    return out.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "segment",
+        F.col("version_from").alias("segment_from"),
+    )
+
+
 # ---------------------------------------------------------------- dedup/text
 
 
@@ -2086,6 +2107,46 @@ untouched AS (SELECT c.user_id, c.segment, c.valid_from,
 SELECT * FROM untouched UNION ALL SELECT * FROM closed_now
 UNION ALL SELECT * FROM inserts
 """,
+    # NOTE: the CTE chain below mirrors the scd2_user_segments oracle
+    # above verbatim (kept duplicated so editing one never silently
+    # re-certifies the other); only the final SELECT differs — the
+    # SCD2 output becomes a dimension and every event left-joins the
+    # version whose [valid_from, valid_to) interval contains its ts.
+    "pit_enriched_events": f"""
+WITH ranked_before AS (
+  SELECT user_id, event_type AS segment, ts,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rk
+  FROM events WHERE ts < TIMESTAMP '{_SCD2_CUTOFF}'),
+cur AS (SELECT user_id, segment, ts AS valid_from FROM ranked_before WHERE rk = 1),
+ranked_after AS (
+  SELECT user_id, event_type AS segment, ts,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rk
+  FROM events WHERE ts >= TIMESTAMP '{_SCD2_CUTOFF}'),
+upd AS (SELECT user_id, segment, ts FROM ranked_after WHERE rk = 1),
+j AS (SELECT u.user_id AS u_user, u.segment AS u_seg, u.ts AS u_ts,
+             c.user_id AS c_user, c.segment AS c_seg, c.valid_from AS c_from
+      FROM upd u LEFT JOIN cur c ON u.user_id = c.user_id),
+fresh AS (SELECT * FROM j
+          WHERE c_user IS NULL OR ((u_seg IS DISTINCT FROM c_seg) AND u_ts > c_from)),
+inserts AS (SELECT u_user AS user_id, u_seg AS segment, u_ts AS valid_from,
+                   CAST(NULL AS TIMESTAMP) AS valid_to, TRUE AS is_current
+            FROM fresh),
+closed_now AS (SELECT c.user_id, c.segment, c.valid_from, f.u_ts AS valid_to,
+                      FALSE AS is_current
+               FROM cur c JOIN (SELECT u_user, u_ts FROM fresh WHERE c_user IS NOT NULL) f
+                 ON c.user_id = f.u_user),
+untouched AS (SELECT c.user_id, c.segment, c.valid_from,
+                     CAST(NULL AS TIMESTAMP) AS valid_to, TRUE AS is_current
+              FROM cur c
+              WHERE NOT EXISTS (SELECT 1 FROM fresh f WHERE f.c_user = c.user_id)),
+scd2_dim AS (SELECT * FROM untouched UNION ALL SELECT * FROM closed_now
+             UNION ALL SELECT * FROM inserts)
+SELECT e.event_id, e.user_id, e.event_type, d.segment,
+       d.valid_from AS segment_from
+FROM events e LEFT JOIN scd2_dim d
+  ON e.user_id = d.user_id AND e.ts >= d.valid_from
+ AND (d.valid_to IS NULL OR e.ts < d.valid_to)
+""",
     "grouping_sets_sales": """
 SELECT event_type, CAST(dayofweek(ts) + 1 AS INT) AS dow,
        ROUND(SUM(value), 2) AS total_sales
@@ -3477,6 +3538,9 @@ _SPEC_DEFS: dict[str, QuerySpec] = {
     "grouping_sets_sales": QuerySpec(
         _q_grouping_sets, ORACLES["grouping_sets_sales"]
     ),
+    "pit_enriched_events": QuerySpec(
+        _q_pit_enriched_events, ORACLES["pit_enriched_events"]
+    ),
     "scd2_user_segments": QuerySpec(
         _q_scd2_user_segments, ORACLES["scd2_user_segments"]
     ),
@@ -3589,11 +3653,12 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "ivf_ann_topk",
     "embedding_near_dup_pairs",
     "embedding_quantize_int8",
-    # (2) longest-stale certifications (r01 rows, code unchanged
-    # since — rotated back through the window so every ledger row
-    # stays <= 2 rounds old; the one r01 holdover left for r05 is
-    # approx_distinct_users, whose driver row is rows-only by design)
-    "q1_pricing_summary",
+    # NEW in r05 (late addition) — takes the one backfill slot
+    # q1_pricing_summary held (q1 keeps its r01 certification: its
+    # plan is unchanged since, fingerprint-checked by
+    # tests/test_certification_invariant.py; new queries MUST
+    # certify in their first round, staleness rotation can wait)
+    "pit_enriched_events",
     # q2_min_cost_supplier / q3_shipping_priority / q4_order_priority / q5_regional_revenue / q6_revenue_forecast / q7_volume_shipping / q8_market_share / q9_product_profit / q10_returned_items / q11_important_parts / q12_priority_shipping / q13_order_distribution / q14_promo_revenue / q15_top_supplier / q16_part_supplier_counts / q17_small_quantity_revenue / q18_large_volume_customers / q19_disjunctive_revenue / q20_promotion_suppliers / q21_waiting_suppliers / q22_sales_opportunity / customer_order_totals / customers_without_orders / orders_with_big_lineitem / parts_by_brand_type / events_by_customer_segment / revenue_by_brand / top10_orders / top_users_per_event_type / daily_running_revenue / weekly_moving_avg / sales_rollup / event_type_cube / event_value_pivot / distinct_users_per_day / value_stats_per_type /
     # session_window_stats / conversion_funnel / weekly_retention /
     # approx_distinct_users rotate next round — displaced by the

@@ -71,6 +71,41 @@ def test_scd2_null_attr_change_detection(spark):
     assert scd2_merge(dim2, upd2, "user_id", ["segment"]).count() == 1
 
 
+def test_pit_join_picks_version_valid_at_fact_ts(spark):
+    from flink_ecommerce_spark.operators.cdc import pit_join
+
+    snap = spark.createDataFrame([(1, "bronze", _t(2))], SCHEMA)
+    dim = scd2_merge(
+        empty_scd2(snap, "user_id", ["segment"]),
+        spark.createDataFrame([(1, "gold", _t(8))], SCHEMA),
+        "user_id",
+        ["segment"],
+    )  # versions: bronze [2,8), gold [8, NULL)
+    facts = spark.createDataFrame(
+        [
+            (100, 1, _t(1)),   # predates first version -> NULL
+            (101, 1, _t(2)),   # boundary: valid_from inclusive -> bronze
+            (102, 1, _t(5)),   # inside the closed interval -> bronze
+            (103, 1, _t(8)),   # boundary: valid_to exclusive -> gold
+            (104, 1, _t(12)),  # open row -> gold
+            (105, 2, _t(5)),   # unknown key -> NULL
+        ],
+        "event_id long, user_id long, ts timestamp",
+    )
+    out = pit_join(facts, dim, "user_id", "ts", ["segment"])
+    got = {r["event_id"]: r["segment"] for r in out.collect()}
+    assert got == {
+        100: None,
+        101: "bronze",
+        102: "bronze",
+        103: "gold",
+        104: "gold",
+        105: None,
+    }
+    # disjoint intervals -> fact cardinality preserved
+    assert out.count() == facts.count()
+
+
 def test_daily_gapfill_fills_and_carries(spark):
     """Crafted gaps: missing (type, day) cells appear with NULL raw
     revenue, the LOCF column carries the last seen value, zero-fill
