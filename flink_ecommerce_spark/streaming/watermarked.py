@@ -39,6 +39,39 @@ def windowed_sales(
     )
 
 
+def session_sales(
+    stream: DataFrame,
+    key_col: str = "customerId",
+    ts_col: str = "transactionDate",
+    amount_col: str = "totalAmount",
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Event-time SESSION windows per key (F.session_window — gap-based
+    dynamic windows, the streaming twin of the batch
+    ``plans/analytics.py::session_window_stats``). A session closes
+    once the watermark passes its end + gap, the closed window emits in
+    append mode, and its state is dropped — so state is O(open
+    sessions), not O(history). Two events of one key merge into one
+    session iff they are within ``gap``; the engine merges sessions
+    that late (but in-watermark) events bridge."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(ts_col, gap).alias("w"), key_col)
+        .agg(
+            F.count("*").alias("n_txn"),
+            F.round(F.sum(amount_col), 2).alias("session_spend"),
+        )
+        .select(
+            F.col(key_col).alias("key"),
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_txn",
+            "session_spend",
+        )
+    )
+
+
 def dedup_stream(
     stream: DataFrame,
     key_cols: list[str] | None = None,

@@ -86,3 +86,60 @@ def test_dedup_stream_suppresses_duplicates(spark, tmp_path):
     q.stop()
     ids = [r["transactionId"] for r in spark.sql("SELECT * FROM dedup_out").collect()]
     assert sorted(ids) == ["x", "y", "z"], ids
+
+
+def _utxn(tid, user, ts, amount):
+    return (
+        tid, "product1", "laptop", "electronic", 10.0, 1, "apple",
+        amount, "USD", user, ts, "credit_card",
+    )
+
+
+def test_session_sales_merges_within_gap_and_closes(spark, tmp_path):
+    from flink_ecommerce_spark.streaming.watermarked import session_sales
+
+    src = str(tmp_path / "src3")
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+    # u1: two txns 10 min apart (one session), then one 2h later (new
+    # session); u2: a single txn. A far-future row advances the
+    # watermark so every earlier session closes and emits.
+    _write(
+        spark,
+        src,
+        [_utxn("a", "u1", t0, 10.0), _utxn("b", "u1", t0 + dt.timedelta(minutes=10), 5.0)],
+        0,
+    )
+    _write(
+        spark,
+        src,
+        [_utxn("c", "u1", t0 + dt.timedelta(hours=2), 7.0), _utxn("d", "u2", t0, 1.0)],
+        1,
+    )
+    _write(spark, src, [_utxn("e", "u3", t0 + dt.timedelta(days=2), 2.0)], 2)
+
+    stream = (
+        spark.readStream.schema(TRANSACTION_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/chunk=*")
+    )
+    q = (
+        session_sales(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sess_sales")
+        .option("checkpointLocation", str(tmp_path / "ck3"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    rows = {
+        (r["key"], r["session_start"]): (r["n_txn"], r["session_spend"])
+        for r in spark.sql("SELECT * FROM sess_sales").collect()
+    }
+    # u1's first two txns merged into one session (gap 30m > 10m apart)
+    assert rows[("u1", t0)] == (2, 15.0)
+    # the 2h-later txn started a NEW session
+    assert rows[("u1", t0 + dt.timedelta(hours=2))] == (1, 7.0)
+    assert rows[("u2", t0)] == (1, 1.0)
+    # u3's far-future session is still open -> not emitted in append mode
+    assert not any(k == "u3" for k, _ in rows)
