@@ -270,6 +270,40 @@ def repetition_scores(documents: DataFrame) -> DataFrame:
     )
 
 
+def char_entropy(documents: DataFrame, max_chars: int = 2000) -> DataFrame:
+    """Shannon entropy (nats) of the character distribution over the
+    first ``max_chars`` characters of each document, plus the sampled
+    length and distinct-character count. Low entropy flags repetitive
+    / low-information text (padding, keyboard mashing, base64-free
+    boilerplate) — the character-level complement of the word-level
+    ``repetition_scores``; pipelines that gate on compression ratio
+    use this as the deterministic, engine-portable stand-in.
+
+    Scale: the explode is capped at ``max_chars`` per document (the
+    entropy estimate saturates long before 2k chars), so shuffled
+    volume is bounded per doc regardless of document length; both
+    aggregations key on doc_id with map-side combine. H is computed
+    as ln(N) − Σ n·ln(n) / N from a single aggregate pass over the
+    (doc, char) frequencies."""
+    chars = documents.filter(F.length("text") > 0).select(
+        "doc_id",
+        F.explode(F.split(F.substring("text", 1, max_chars), "")).alias("c"),
+    )
+    freq = chars.groupBy("doc_id", "c").agg(F.count(F.lit(1)).alias("n"))
+    n = F.col("n").cast("double")
+    # + 0.0 normalizes IEEE -0.0 (single-char docs land exactly on 0)
+    return freq.groupBy("doc_id").agg(
+        F.sum("n").alias("n_chars_sampled"),
+        F.count(F.lit(1)).alias("n_unique_chars"),
+        (
+            F.round(
+                F.log(F.sum(n)) - F.sum(n * F.log(n)) / F.sum(n), 6
+            )
+            + 0.0
+        ).alias("char_entropy"),
+    )
+
+
 def decontaminate(documents: DataFrame, eval_mod: int = 20) -> DataFrame:
     """Benchmark decontamination: for every training document, the
     fraction of its distinct word-3-gram shingles that also occur in

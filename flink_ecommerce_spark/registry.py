@@ -756,6 +756,10 @@ def _q_repetition_scores(spark, sf):
     return text.repetition_scores(_t("documents")(spark, sf))
 
 
+def _q_char_entropy(spark, sf):
+    return text.char_entropy(_t("documents")(spark, sf))
+
+
 def _q_curated_corpus(spark, sf):
     return text.curated_corpus(_t("documents")(spark, sf))
 
@@ -2828,6 +2832,17 @@ SELECT doc_id,
                   ELSE 0.0 END, 6) AS dup_3gram_frac
 FROM t
 """,
+    "char_entropy": """
+WITH ch AS (
+  SELECT doc_id, unnest(string_split(substr(text, 1, 2000), '')) AS c
+  FROM documents WHERE length(text) > 0),
+f AS (SELECT doc_id, c, COUNT(*) AS n FROM ch GROUP BY 1, 2)
+SELECT doc_id,
+       SUM(n) AS n_chars_sampled,
+       COUNT(*) AS n_unique_chars,
+       ROUND(LN(SUM(n)) - SUM(n * LN(n)) / SUM(n), 6) + 0.0 AS char_entropy
+FROM f GROUP BY doc_id
+""",
     "contamination_report": f"""
 WITH ev AS (SELECT DISTINCT doc_id AS eval_doc_id, s AS sh
             FROM (SELECT doc_id, unnest(list_distinct({_SHINGLES})) AS s
@@ -3476,6 +3491,7 @@ _SPEC_DEFS: dict[str, QuerySpec] = {
     "token_counts": QuerySpec(_q_token_counts, ORACLES["token_counts"]),
     "lang_id": QuerySpec(_q_lang_id, ORACLES["lang_id"]),
     "quality_scores": QuerySpec(_q_quality_scores, ORACLES["quality_scores"]),
+    "char_entropy": QuerySpec(_q_char_entropy, ORACLES["char_entropy"]),
     "repetition_scores": QuerySpec(
         _q_repetition_scores, ORACLES["repetition_scores"]
     ),

@@ -71,6 +71,21 @@ def test_repetition_scores_flags_degenerate_docs(spark):
     assert clean["dup_3gram_frac"] == 0.0
 
 
+def test_char_entropy_known_values(spark):
+    import math
+
+    df = _docs(spark, ["aaaa", "ab", "abcd", "aabb"])
+    got = {r["doc_id"]: r for r in text.char_entropy(df).collect()}
+    assert got[0]["char_entropy"] == 0.0  # degenerate: one symbol
+    assert got[1]["char_entropy"] == round(math.log(2), 6)
+    assert got[2]["char_entropy"] == round(math.log(4), 6)  # uniform 4
+    assert got[3]["char_entropy"] == round(math.log(2), 6)
+    assert got[2]["n_unique_chars"] == 4 and got[2]["n_chars_sampled"] == 4
+    # prefix cap bounds the shuffled volume per doc
+    long = _docs(spark, ["x" * 5000])
+    assert text.char_entropy(long).collect()[0]["n_chars_sampled"] == 2000
+
+
 def test_decontaminate_scores_overlap(spark):
     # doc 0 (doc_id % 20 == 0) is the eval doc; doc 21 copies half of it,
     # doc 22 shares nothing.
