@@ -447,6 +447,63 @@ def label_centroids(embeddings: DataFrame) -> DataFrame:
     )
 
 
+def embedding_drift(old: DataFrame, new: DataFrame) -> DataFrame:
+    """Per-label distribution drift between two embedding snapshots:
+    row counts, and the cosine similarity + L2 distance between the
+    snapshots' per-label centroids. The dataset-monitoring view for a
+    training pipeline — a label whose centroid rotates (cos << 1) or
+    whose volume collapses signals upstream drift (scraper change,
+    encoder version bump, source mix shift) before a model sees it.
+    Labels present in only one snapshot surface with NULL geometry.
+
+    Scale: one posexplode per side aggregated on (label, dim) with
+    map-side combine — the shuffle carries labels × d partial sums,
+    never vectors; the final per-label reduction is over d rows.
+    """
+    def centroids(df, side):
+        return (
+            df.select("label", F.posexplode("embedding").alias("dim", "v"))
+            .groupBy("label", "dim")
+            .agg(F.avg(F.col("v").cast("double")).alias(f"c_{side}"))
+        )
+
+    def counts(df, side):
+        return df.groupBy("label").agg(F.count(F.lit(1)).alias(f"n_{side}"))
+
+    geom = (
+        centroids(old, "old")
+        .join(centroids(new, "new"), ["label", "dim"])
+        .groupBy("label")
+        .agg(
+            F.sum(F.col("c_old") * F.col("c_new")).alias("dot"),
+            F.sum(F.col("c_old") * F.col("c_old")).alias("no"),
+            F.sum(F.col("c_new") * F.col("c_new")).alias("nn"),
+            F.sum(F.pow(F.col("c_old") - F.col("c_new"), 2)).alias("sq"),
+        )
+        .select(
+            "label",
+            # try_divide -> NULL (not NaN) for a degenerate all-zero
+            # centroid, matching the SQL oracle's NULLIF guard
+            (
+                F.round(
+                    F.try_divide(
+                        F.col("dot"), F.sqrt(F.col("no")) * F.sqrt(F.col("nn"))
+                    ),
+                    6,
+                )
+                + 0.0
+            ).alias("centroid_cos"),
+            (F.round(F.sqrt("sq"), 6) + 0.0).alias("centroid_l2"),
+        )
+    )
+    return (
+        counts(old, "old")
+        .join(counts(new, "new"), "label", "full_outer")
+        .join(geom, "label", "left")
+        .select("label", "n_old", "n_new", "centroid_cos", "centroid_l2")
+    )
+
+
 def embedding_near_dup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.95,

@@ -1051,6 +1051,14 @@ def _q_label_centroids(spark, sf):
     return similarity.label_centroids(_t("embeddings")(spark, sf))
 
 
+def _q_embedding_drift(spark, sf):
+    """Fixture snapshots: even vec_ids = old export, odd = new."""
+    emb = _t("embeddings")(spark, sf)
+    return similarity.embedding_drift(
+        emb.filter(F.col("vec_id") % 2 == 0), emb.filter(F.col("vec_id") % 2 == 1)
+    )
+
+
 def _q_ivf_topk(spark, sf):
     return similarity.ivf_topk(_t("embeddings")(spark, sf))
 
@@ -3017,6 +3025,32 @@ FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
       FROM scored)
 WHERE rk <= {similarity.DEFAULT_K}
 """,
+    "embedding_drift": """
+WITH o AS (SELECT * FROM embeddings WHERE vec_id % 2 = 0),
+n AS (SELECT * FROM embeddings WHERE vec_id % 2 = 1),
+co AS (SELECT label, dim, AVG(CAST(v AS DOUBLE)) AS c
+       FROM (SELECT label, unnest(embedding) AS v,
+                    generate_subscripts(embedding, 1) AS dim FROM o)
+       GROUP BY 1, 2),
+cn AS (SELECT label, dim, AVG(CAST(v AS DOUBLE)) AS c
+       FROM (SELECT label, unnest(embedding) AS v,
+                    generate_subscripts(embedding, 1) AS dim FROM n)
+       GROUP BY 1, 2),
+geom AS (SELECT co.label,
+                SUM(co.c * cn.c) AS dot,
+                SUM(co.c * co.c) AS no_,
+                SUM(cn.c * cn.c) AS nn_,
+                SUM((co.c - cn.c) * (co.c - cn.c)) AS sq
+         FROM co JOIN cn ON co.label = cn.label AND co.dim = cn.dim
+         GROUP BY 1),
+oc AS (SELECT label, COUNT(*) AS n_old FROM o GROUP BY 1),
+nc AS (SELECT label, COUNT(*) AS n_new FROM n GROUP BY 1)
+SELECT COALESCE(oc.label, nc.label) AS label, oc.n_old, nc.n_new,
+       ROUND(g.dot / NULLIF(SQRT(g.no_) * SQRT(g.nn_), 0), 6) + 0.0 AS centroid_cos,
+       ROUND(SQRT(g.sq), 6) + 0.0 AS centroid_l2
+FROM oc FULL OUTER JOIN nc ON oc.label = nc.label
+LEFT JOIN geom g ON COALESCE(oc.label, nc.label) = g.label
+""",
     "label_centroids": """
 SELECT label, CAST(dim AS INT) AS dim,
        ROUND(AVG(CAST(v AS DOUBLE)), 6) AS centroid
@@ -3570,6 +3604,7 @@ _SPEC_DEFS: dict[str, QuerySpec] = {
     "ivf_ann_topk": QuerySpec(_q_ivf_topk, ORACLES["ivf_ann_topk"]),
     "kmeans_cluster_sizes": QuerySpec(_q_kmeans_sizes, None),
     "label_centroids": QuerySpec(_q_label_centroids, ORACLES["label_centroids"]),
+    "embedding_drift": QuerySpec(_q_embedding_drift, ORACLES["embedding_drift"]),
     "embedding_near_dup_pairs": QuerySpec(
         _q_embedding_near_dup, ORACLES["embedding_near_dup_pairs"]
     ),

@@ -266,3 +266,33 @@ def test_ivf_pq_recall_and_routing(spark):
     ]
     assert sum(recalls) / len(recalls) >= 0.2
     assert all(len(v) <= similarity.DEFAULT_K for v in got.values())
+
+
+def test_embedding_drift_detects_rotation_and_volume(spark):
+    """Identical snapshots: cos=1, l2=0. A negated (180°-rotated)
+    label: cos=-1. A label missing from one side: NULL geometry,
+    NULL count on the absent side."""
+    rows = [
+        (1, [1.0, 0.0, 2.0], 0),
+        (2, [0.0, 1.0, 2.0], 0),
+        (3, [3.0, 4.0, 0.0], 1),
+        (4, [1.0, 1.0, 1.0], 2),
+    ]
+    schema = "vec_id long, embedding array<float>, label int"
+    old = spark.createDataFrame(rows, schema)
+    same = similarity.embedding_drift(old, old)
+    for r in same.collect():
+        assert r["centroid_cos"] == 1.0 and r["centroid_l2"] == 0.0
+        assert r["n_old"] == r["n_new"]
+
+    flipped = [
+        (10, [-1.0, 0.0, -2.0], 0),
+        (11, [0.0, -1.0, -2.0], 0),
+        (12, [3.0, 4.0, 0.0], 1),
+    ]  # label 2 vanished in the new snapshot
+    new = spark.createDataFrame(flipped, schema)
+    got = {r["label"]: r for r in similarity.embedding_drift(old, new).collect()}
+    assert got[0]["centroid_cos"] == -1.0
+    assert got[1]["centroid_cos"] == 1.0 and got[1]["centroid_l2"] == 0.0
+    assert got[2]["n_new"] is None and got[2]["centroid_cos"] is None
+    assert got[2]["n_old"] == 1
