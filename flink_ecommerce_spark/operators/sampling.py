@@ -263,3 +263,101 @@ SELECT doc_id, source, weight, sample_score, CAST(rk AS INT) AS rk FROM (
   WHERE CAST({weight_col} AS DOUBLE) > 0)
 WHERE rk <= {k_per_source}
 """
+
+
+TEMP_TARGET_FRAC = 0.5
+TEMP_BUCKETS = 1_000_000
+
+
+def _temperature_rates(documents: DataFrame, target_frac: float) -> DataFrame:
+    """Per-source keep thresholds for ``temperature_mixture``: source
+    s gets quota ∝ sqrt(n_s) (α = 0.5), clamped to its own size.
+
+    α is FIXED at 0.5 so the weight uses sqrt — correctly rounded
+    under IEEE-754 in every engine — instead of pow, whose libm
+    implementations differ by ulps across engines and would make the
+    keep decision non-portable. The fractional rate becomes an
+    integer threshold in a 1e6 bucket space (rounded, so ulp noise
+    from the sum's addition order collapses)."""
+    counts = documents.groupBy("source").agg(F.count(F.lit(1)).alias("n_s"))
+    tot = counts.agg(
+        F.sum("n_s").alias("n_total"),
+        F.sum(F.sqrt(F.col("n_s").cast("double"))).alias("z"),
+    )
+    quota = (
+        F.lit(float(target_frac))
+        * F.col("n_total")
+        * (F.sqrt(F.col("n_s").cast("double")) / F.col("z"))
+    )
+    rate = F.least(F.lit(1.0), quota / F.col("n_s"))
+    return counts.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_s",
+        (F.round(rate * TEMP_BUCKETS, 0)).cast("int").alias("thr"),
+    )
+
+
+def temperature_mixture(
+    documents: DataFrame,
+    target_frac: float = TEMP_TARGET_FRAC,
+    salt: str = "temp",
+) -> DataFrame:
+    """Temperature-based source rebalancing (the α-sampling recipe of
+    multilingual LM pipelines): keep quotas proportional to n_s^α
+    with α = 0.5, so small sources are over-represented relative to
+    their raw share and giant sources are capped — without any
+    hand-written per-source weights (contrast ``mixture_sample``,
+    which needs an explicit recipe). Keeps are deterministic
+    hash-threshold decisions: reproducible on any engine or
+    partitioning.
+
+    Scale: two tiny aggregates (per-source counts, a 1-row total)
+    broadcast back; the keep decision is a per-row filter expression
+    on the scan — 100 TB runs at read speed."""
+    rates = _temperature_rates(documents, target_frac)
+    b = _bucket(F.col("doc_id"), salt, TEMP_BUCKETS)
+    return (
+        documents.join(F.broadcast(rates), "source")
+        .select("doc_id", "source", (b < F.col("thr")).alias("kept"))
+    )
+
+
+def temperature_mixture_summary(
+    documents: DataFrame,
+    target_frac: float = TEMP_TARGET_FRAC,
+    salt: str = "temp",
+) -> DataFrame:
+    """The recipe view: per source, raw share vs temperature share —
+    n_docs, the effective keep rate, and realized kept counts."""
+    kept = temperature_mixture(documents, target_frac, salt)
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("kept").cast("long")).alias("n_kept"),
+        )
+        .join(F.broadcast(_temperature_rates(documents, target_frac)), "source")
+        .select(
+            "source",
+            "n_docs",
+            "n_kept",
+            (F.round(F.col("thr") / F.lit(float(TEMP_BUCKETS)), 6) + 0.0).alias(
+                "keep_rate"
+            ),
+        )
+    )
+
+
+def sql_temperature_rates(target_frac: float = TEMP_TARGET_FRAC) -> str:
+    """DuckDB CTE body computing (source, n_s, thr) exactly like
+    ``_temperature_rates`` (sqrt weights, rounded 1e6 threshold)."""
+    return f"""
+counts AS (SELECT source, COUNT(*) AS n_s FROM documents GROUP BY 1),
+tot AS (SELECT SUM(n_s) AS n_total, SUM(SQRT(CAST(n_s AS DOUBLE))) AS z
+        FROM counts),
+rates AS (SELECT source, n_s,
+                 CAST(ROUND(LEAST(1.0,
+                        {target_frac} * n_total
+                        * (SQRT(CAST(n_s AS DOUBLE)) / z) / n_s)
+                      * {TEMP_BUCKETS}, 0) AS INT) AS thr
+          FROM counts, tot)"""

@@ -662,6 +662,14 @@ def _q_mixture_sample(spark, sf):
     return sampling.mixture_sample(_t("documents")(spark, sf))
 
 
+def _q_temperature_mixture(spark, sf):
+    return sampling.temperature_mixture(_t("documents")(spark, sf))
+
+
+def _q_temperature_mixture_summary(spark, sf):
+    return sampling.temperature_mixture_summary(_t("documents")(spark, sf))
+
+
 def _q_weighted_sample(spark, sf):
     return sampling.weighted_sample(_t("documents")(spark, sf))
 
@@ -2565,6 +2573,26 @@ FROM documents
         bucket=sql_bucket("doc_id", "mix"),
         rate=sql_rate_case("source", MIXTURE_WEIGHTS),
     ),
+    "temperature_mixture": """
+WITH {rates}
+SELECT d.doc_id, d.source, ({bucket}) < r.thr AS kept
+FROM documents d JOIN rates r ON d.source = r.source
+""".format(
+        rates=sampling.sql_temperature_rates(),
+        bucket=sql_bucket("d.doc_id", "temp", sampling.TEMP_BUCKETS),
+    ),
+    "temperature_mixture_summary": """
+WITH {rates}
+SELECT d.source, COUNT(*) AS n_docs,
+       SUM(CASE WHEN ({bucket}) < r.thr THEN 1 ELSE 0 END) AS n_kept,
+       ROUND(r.thr / {buckets}.0, 6) + 0.0 AS keep_rate
+FROM documents d JOIN rates r ON d.source = r.source
+GROUP BY d.source, r.thr
+""".format(
+        rates=sampling.sql_temperature_rates(),
+        bucket=sql_bucket("d.doc_id", "temp", sampling.TEMP_BUCKETS),
+        buckets=sampling.TEMP_BUCKETS,
+    ),
     "weighted_sample": sampling.sql_weighted_sample(),
     "weighted_sample_by_source": sampling.sql_weighted_sample_by_source(),
     "countmin_sketch": _sketch.sql_countmin_sketch(),
@@ -3487,6 +3515,12 @@ _SPEC_DEFS: dict[str, QuerySpec] = {
         _q_stratified_sample, ORACLES["stratified_sample"]
     ),
     "mixture_sample": QuerySpec(_q_mixture_sample, ORACLES["mixture_sample"]),
+    "temperature_mixture": QuerySpec(
+        _q_temperature_mixture, ORACLES["temperature_mixture"]
+    ),
+    "temperature_mixture_summary": QuerySpec(
+        _q_temperature_mixture_summary, ORACLES["temperature_mixture_summary"]
+    ),
     "weighted_sample": QuerySpec(_q_weighted_sample, ORACLES["weighted_sample"]),
     "weighted_sample_by_source": QuerySpec(
         _q_weighted_sample_by_source, ORACLES["weighted_sample_by_source"]

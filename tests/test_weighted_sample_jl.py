@@ -171,3 +171,44 @@ def test_countmin_strict_overestimate_under_forced_collisions(spark):
 
 def _docs_text(spark, rows):
     return spark.createDataFrame(rows, DOCUMENTS_SCHEMA)
+
+
+def test_temperature_mixture_rebalances_toward_small_sources(spark):
+    from flink_ecommerce_spark.operators.sampling import (
+        temperature_mixture,
+        temperature_mixture_summary,
+    )
+
+    # 100 small-source docs vs 400 big-source docs, target_frac 0.5:
+    # z = sqrt(100) + sqrt(400) = 30; rates = 0.5*500*(10/30)/100 and
+    # 0.5*500*(20/30)/400 -> small keeps at 0.833333, big at 0.416667
+    rows = [(i, "small" if i < 100 else "big", 10) for i in range(500)]
+    d = _docs(spark, rows)
+    summary = {r["source"]: r for r in temperature_mixture_summary(d).collect()}
+    assert summary["small"]["keep_rate"] == 0.833333
+    assert summary["big"]["keep_rate"] == 0.416667
+    # raw share of small = 0.2; temperature share strictly larger
+    kept = temperature_mixture(d)
+    small_kept = summary["small"]["n_kept"]
+    total_kept = small_kept + summary["big"]["n_kept"]
+    assert small_kept / total_kept > 0.2
+    # keep decision is a pure row function: rerun agrees exactly
+    a = {(r["doc_id"], r["kept"]) for r in kept.collect()}
+    b = {(r["doc_id"], r["kept"]) for r in temperature_mixture(d).collect()}
+    assert a == b
+
+
+def test_temperature_mixture_rate_clamps_at_one(spark):
+    from flink_ecommerce_spark.operators.sampling import (
+        temperature_mixture_summary,
+    )
+
+    # tiny source next to a giant one: quota exceeds the source size,
+    # rate clamps to 1.0 (never oversamples without replacement)
+    rows = [(i, "tiny" if i < 4 else "giant", 10) for i in range(1000)]
+    summary = {
+        r["source"]: r
+        for r in temperature_mixture_summary(_docs(spark, rows)).collect()
+    }
+    assert summary["tiny"]["keep_rate"] == 1.0
+    assert summary["tiny"]["n_kept"] == 4
