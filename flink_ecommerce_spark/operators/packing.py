@@ -300,3 +300,41 @@ def shard_balance(
             ).alias("token_share"),
         )
     )
+
+
+def shard_manifest(
+    documents: DataFrame, n_shards: int = N_SHARDS, id_bucket_bits: int = 0
+) -> DataFrame:
+    """Per-shard integrity manifest: document count, token total,
+    doc_id range, and an ORDER-INDEPENDENT content checksum (the sum
+    of each member's portable 32-bit hash of md5(text)). This is the
+    attestation a training job checks before streaming a shard — and
+    what makes two exports provably identical without comparing
+    bytes: same docs in any order ⇒ same checksum; one changed or
+    missing document ⇒ different checksum (mod-2³² collisions aside).
+
+    Scale: the shard assignment ships narrow rows (ids + tokens); the
+    md5 is computed at the documents scan and reduced to 32 bits
+    before the doc_id-keyed join, so text never shuffles; the final
+    aggregate is n_shards rows with map-side combine. Integer sums
+    are exact and commutative — executor scheduling can't change the
+    checksum."""
+    from ..functions.portable import hash32
+
+    assign = balanced_shards(
+        documents, n_shards=n_shards, id_bucket_bits=id_bucket_bits
+    ).select("doc_id", "n_tokens", "shard")
+    content = documents.select(
+        "doc_id", hash32(F.md5("text"), salt="manifest").alias("__h")
+    )
+    return (
+        assign.join(content, "doc_id")
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+            F.sum("__h").alias("content_checksum"),
+        )
+    )

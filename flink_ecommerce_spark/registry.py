@@ -1017,6 +1017,10 @@ def _q_shard_balance(spark, sf):
     return packing.shard_balance(_t("documents")(spark, sf))
 
 
+def _q_shard_manifest(spark, sf):
+    return packing.shard_manifest(_t("documents")(spark, sf))
+
+
 def _q_grouping_sets(spark, sf):
     _t("events")(spark, sf).createOrReplaceTempView("events_v")
     return spark.sql(
@@ -3287,6 +3291,24 @@ SELECT shard, n_docs, total_tokens,
          AS token_share
 FROM tot
 """,
+    "shard_manifest": f"""
+WITH t AS (SELECT doc_id,
+                  CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens
+           FROM documents),
+r AS (SELECT doc_id, n_tokens,
+             ROW_NUMBER() OVER (ORDER BY n_tokens DESC, doc_id ASC) AS rank
+      FROM t),
+a AS (SELECT doc_id, n_tokens, CAST((rank - 1) % {packing.N_SHARDS} AS INT) AS shard
+      FROM r),
+m AS (SELECT doc_id, {sql_hash32("md5(text)", salt="manifest")} AS h
+      FROM documents)
+SELECT a.shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(a.n_tokens) AS BIGINT) AS total_tokens,
+       MIN(a.doc_id) AS min_doc_id, MAX(a.doc_id) AS max_doc_id,
+       CAST(SUM(m.h) AS BIGINT) AS content_checksum
+FROM a JOIN m ON a.doc_id = m.doc_id
+GROUP BY a.shard
+""",
     "multimodal_thumbnails": """
 WITH d AS (SELECT doc_id, CAST(strlen(text) AS BIGINT) AS nb,
                   16 + (strlen(text) * 7) % 624 AS w,
@@ -3671,6 +3693,7 @@ _SPEC_DEFS: dict[str, QuerySpec] = {
         _q_balanced_shards, ORACLES["balanced_shards"]
     ),
     "shard_balance": QuerySpec(_q_shard_balance, ORACLES["shard_balance"]),
+    "shard_manifest": QuerySpec(_q_shard_manifest, ORACLES["shard_manifest"]),
 }
 
 # The external correctness driver verifies the registry IN ITERATION

@@ -160,3 +160,32 @@ def test_bigram_surprisal_hand_computed(spark):
     assert abs(out[0]["avg_bigram_surprisal"] - round(exp0, 6)) < 1e-6
     assert abs(out[1]["avg_bigram_surprisal"] - round(-math.log(p_ab), 6)) < 1e-6
     assert 2 not in out  # single-word doc has no bigrams
+
+
+def test_shard_manifest_order_independent_and_change_sensitive(spark):
+    from flink_ecommerce_spark.operators.packing import shard_manifest
+
+    rows = [(i, f"doc body number {i} " + "w " * (i % 17), "s") for i in range(40)]
+    d = _docs(spark, rows)
+    base = {r["shard"]: r.asDict() for r in shard_manifest(d).collect()}
+
+    # partitioning / row order cannot change any manifest field
+    scrambled = d.repartition(7).sortWithinPartitions(F.desc("doc_id"))
+    assert {r["shard"]: r.asDict() for r in shard_manifest(scrambled).collect()} == base
+
+    # editing ONE doc's text flips its shard's checksum and nothing else
+    edited = d.withColumn(
+        "text",
+        # prepend glued to the first token: content changes, token
+        # count (and hence shard assignment) does not
+        F.when(F.col("doc_id") == 3, F.concat(F.lit("!"), F.col("text"))).otherwise(
+            F.col("text")
+        ),
+    )
+    after = {r["shard"]: r.asDict() for r in shard_manifest(edited).collect()}
+    changed = [
+        s for s in base if after[s]["content_checksum"] != base[s]["content_checksum"]
+    ]
+    assert len(changed) == 1
+    for s in base:
+        assert after[s]["n_docs"] == base[s]["n_docs"]
