@@ -10,6 +10,8 @@ and still do partial aggregation map-side.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -371,4 +373,97 @@ def daily_anomaly_scores(events: DataFrame) -> DataFrame:
         F.round(
             F.when(sd > 0, (F.col("day_value") - mu) / sd), 6
         ).alias("z_score"),
+    )
+
+
+def rfm_segments(events: DataFrame) -> DataFrame:
+    """RFM customer segmentation over purchase events: per-user
+    recency (days since last purchase, anchored to the corpus's last
+    purchase day so the result is a pure function of the data),
+    frequency, and monetary total, each scored 1-4 against the exact
+    quartile boundaries of the user population. Best = recent (small
+    recency), frequent, high-spend; ``rfm`` packs the three scores
+    into one sortable integer (444 = champions).
+
+    Scale: one groupBy(user_id) over purchases; the anchor and the
+    nine quartile boundaries are 1-row aggregates broadcast back —
+    scoring is then a per-row expression, no global sort and no
+    window. Monetary rounds to 2dp BEFORE the quantile/threshold
+    math so both the thresholds and the comparisons see identical
+    doubles on any engine or partitioning."""
+    per_user = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.max(F.to_date("ts")).alias("last_day"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.round(F.sum("value"), 2).alias("monetary"),
+        )
+    )
+    anchor = per_user.agg(F.max("last_day").alias("__anchor"))
+    per_user = per_user.crossJoin(F.broadcast(anchor)).select(
+        "user_id",
+        F.datediff("__anchor", "last_day").alias("recency_days"),
+        "frequency",
+        "monetary",
+    )
+    qs = per_user.agg(
+        *[
+            F.expr(f"percentile({c}, {p})").alias(f"__{c}_{i}")
+            for c in ("recency_days", "frequency", "monetary")
+            for i, p in ((1, 0.25), (2, 0.5), (3, 0.75))
+        ]
+    )
+
+    def score(c):
+        above = sum(
+            (F.col(c).cast("double") > F.col(f"__{c}_{i}")).cast("int")
+            for i in (1, 2, 3)
+        )
+        # recency: smaller is better -> invert the bucket
+        return (4 - above) if c == "recency_days" else (1 + above)
+
+    return per_user.crossJoin(F.broadcast(qs)).select(
+        "user_id",
+        "recency_days",
+        "frequency",
+        "monetary",
+        score("recency_days").alias("r_score"),
+        score("frequency").alias("f_score"),
+        score("monetary").alias("m_score"),
+        (
+            score("recency_days") * 100
+            + score("frequency") * 10
+            + score("monetary")
+        ).alias("rfm"),
+    )
+
+
+def decayed_user_value(events: DataFrame, half_life_days: float = 7.0) -> DataFrame:
+    """Exponentially time-decayed purchase value per user — the
+    recency-weighted feature a ranking or churn model consumes
+    (yesterday's purchase counts ~2x one a week old at the default
+    7-day half-life). Anchored to the corpus's latest purchase
+    timestamp so the output is a pure function of the data.
+
+    Scale: anchor is a 1-row broadcast; the decay weight is a per-row
+    expression folded into one groupBy(user_id) with map-side
+    combine — the events table is scanned once, nothing else
+    shuffles."""
+    p = events.filter(F.col("event_type") == "purchase")
+    anchor = p.agg(F.max(F.expr("unix_micros(cast(ts as timestamp))")).alias("__a"))
+    age_days = (F.col("__a") - F.expr("unix_micros(cast(ts as timestamp))")) / F.lit(
+        86400.0 * 1e6
+    )
+    lam = float(math.log(2.0) / half_life_days)
+    return (
+        p.crossJoin(F.broadcast(anchor))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.round(F.sum("value"), 2).alias("raw_value"),
+            F.round(F.sum(F.col("value") * F.exp(-F.lit(lam) * age_days)), 6).alias(
+                "decayed_value"
+            ),
+        )
     )

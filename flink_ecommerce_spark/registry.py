@@ -22,6 +22,7 @@ Conventions (driver contract, __spark_entry__.py):
 
 from __future__ import annotations
 
+import math
 from collections.abc import Callable
 from dataclasses import dataclass
 
@@ -995,6 +996,14 @@ def _q_bpe_merge_candidates(spark, sf):
 
 def _q_daily_anomaly_scores(spark, sf):
     return analytics.daily_anomaly_scores(_t("events")(spark, sf))
+
+
+def _q_rfm_segments(spark, sf):
+    return analytics.rfm_segments(_t("events")(spark, sf))
+
+
+def _q_decayed_user_value(spark, sf):
+    return analytics.decayed_user_value(_t("events")(spark, sf))
 
 
 def _q_semantic_dedup(spark, sf):
@@ -3181,6 +3190,48 @@ FROM p GROUP BY pair
 ORDER BY n DESC, pair ASC
 LIMIT 20
 """,
+    # lam interpolated from the SAME Python float the Spark plan uses
+    "decayed_user_value": f"""
+WITH p AS (SELECT user_id, value, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+           FROM events WHERE event_type = 'purchase'),
+a AS (SELECT MAX(us) AS aus FROM p)
+SELECT user_id, COUNT(*) AS n_purchases, ROUND(SUM(value), 2) AS raw_value,
+       ROUND(SUM(value * EXP(-({math.log(2.0) / 7.0!r})
+                             * ((aus - us) / 86400000000.0))), 6) AS decayed_value
+FROM p, a GROUP BY user_id
+""",
+    "rfm_segments": """
+WITH p AS (SELECT user_id, MAX(CAST(ts AS DATE)) AS last_day,
+                  CAST(COUNT(*) AS BIGINT) AS frequency,
+                  ROUND(SUM(value), 2) AS monetary
+           FROM events WHERE event_type = 'purchase' GROUP BY 1),
+a AS (SELECT MAX(last_day) AS anchor FROM p),
+u AS (SELECT user_id, CAST(datediff('day', last_day, anchor) AS INT) AS recency_days,
+             frequency, monetary FROM p, a),
+q AS (SELECT quantile_cont(CAST(recency_days AS DOUBLE), 0.25) AS r1,
+             quantile_cont(CAST(recency_days AS DOUBLE), 0.5) AS r2,
+             quantile_cont(CAST(recency_days AS DOUBLE), 0.75) AS r3,
+             quantile_cont(CAST(frequency AS DOUBLE), 0.25) AS f1,
+             quantile_cont(CAST(frequency AS DOUBLE), 0.5) AS f2,
+             quantile_cont(CAST(frequency AS DOUBLE), 0.75) AS f3,
+             quantile_cont(monetary, 0.25) AS m1,
+             quantile_cont(monetary, 0.5) AS m2,
+             quantile_cont(monetary, 0.75) AS m3
+      FROM u),
+s AS (SELECT user_id, recency_days, frequency, monetary,
+             CAST(4 - ((CAST(recency_days AS DOUBLE) > r1)::INT
+                       + (CAST(recency_days AS DOUBLE) > r2)::INT
+                       + (CAST(recency_days AS DOUBLE) > r3)::INT) AS INT) AS r_score,
+             CAST(1 + ((CAST(frequency AS DOUBLE) > f1)::INT
+                       + (CAST(frequency AS DOUBLE) > f2)::INT
+                       + (CAST(frequency AS DOUBLE) > f3)::INT) AS INT) AS f_score,
+             CAST(1 + ((monetary > m1)::INT + (monetary > m2)::INT
+                       + (monetary > m3)::INT) AS INT) AS m_score
+      FROM u, q)
+SELECT user_id, recency_days, frequency, monetary, r_score, f_score, m_score,
+       CAST(r_score * 100 + f_score * 10 + m_score AS INT) AS rfm
+FROM s
+""",
     "daily_anomaly_scores": """
 WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d,
                       ROUND(SUM(value), 2) AS day_value
@@ -3681,6 +3732,10 @@ _SPEC_DEFS: dict[str, QuerySpec] = {
     ),
     "bpe_merge_candidates": QuerySpec(
         _q_bpe_merge_candidates, ORACLES["bpe_merge_candidates"]
+    ),
+    "rfm_segments": QuerySpec(_q_rfm_segments, ORACLES["rfm_segments"]),
+    "decayed_user_value": QuerySpec(
+        _q_decayed_user_value, ORACLES["decayed_user_value"]
     ),
     "daily_anomaly_scores": QuerySpec(
         _q_daily_anomaly_scores, ORACLES["daily_anomaly_scores"]
