@@ -470,3 +470,37 @@ SELECT user_id, view_ts, click_ts, purchase_ts,
          AS seconds_to_convert
 FROM p
 """
+
+
+def event_transitions(events: DataFrame) -> DataFrame:
+    """First-order Markov transition matrix between event types: for
+    each (current, next) pair within a user's event-time-ordered
+    stream, the transition count and conditional probability
+    P(next | current). The product-analytics "what happens after a
+    click" view, and the input to journey simulation.
+
+    Scale: one window keyed user_id (per-user partitions are bounded
+    by a user's own event count), then a types×types aggregation with
+    map-side combine; the probability denominator joins back on the
+    tiny current-type margin, broadcast."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    steps = (
+        events.select(
+            F.col("event_type").alias("cur_type"),
+            F.lead("event_type").over(w).alias("next_type"),
+        )
+        .filter(F.col("next_type").isNotNull())
+        .groupBy("cur_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+    margin = steps.groupBy("cur_type").agg(
+        F.sum("n_transitions").alias("__n_cur")
+    )
+    return steps.join(F.broadcast(margin), "cur_type").select(
+        "cur_type",
+        "next_type",
+        "n_transitions",
+        (
+            F.round(F.col("n_transitions") / F.col("__n_cur"), 6) + 0.0
+        ).alias("p_next"),
+    )

@@ -899,3 +899,65 @@ def q21_waiting_suppliers(
         .orderBy(F.desc("numwait"), F.asc("s_name"))
         .limit(k)
     )
+
+
+def copurchase_pairs(lineitem: DataFrame, min_support: int = 2, k: int = 100) -> DataFrame:
+    """Market-basket analysis over order line items: part pairs that
+    co-occur in the same order, with support (co-occurrence count)
+    and lift (observed co-occurrence vs independence). The retail
+    "frequently bought together" primitive.
+
+    Scale: the pair generation is a self-join on l_orderkey — safe
+    because an order's distinct-part count is bounded (≤ 7 in
+    TPC-H-shaped data; a basket is small by nature), so the join is
+    linear in orders, not quadratic in parts. Per-part margins and
+    the order total are small aggregates broadcast into the lift
+    expression; top-k compiles to TakeOrderedAndProject, never a
+    global sort."""
+    op = lineitem.select("l_orderkey", "l_partkey").distinct()
+    n_orders = op.agg(
+        F.countDistinct("l_orderkey").alias("__n_orders")
+    )
+    part_n = op.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("__n_part"))
+    a = op.alias("a")
+    b = op.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= min_support)
+    )
+    na = part_n.select(
+        F.col("l_partkey").alias("part_a"), F.col("__n_part").alias("__n_a")
+    )
+    nb = part_n.select(
+        F.col("l_partkey").alias("part_b"), F.col("__n_part").alias("__n_b")
+    )
+    return (
+        pairs.join(na, "part_a")
+        .join(nb, "part_b")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "part_a",
+            "part_b",
+            "support",
+            (
+                F.round(
+                    F.col("support").cast("double")
+                    * F.col("__n_orders")
+                    / (F.col("__n_a") * F.col("__n_b")),
+                    6,
+                )
+                + 0.0
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("support"), F.asc("part_a"), F.asc("part_b"))
+        .limit(k)
+    )

@@ -998,6 +998,14 @@ def _q_daily_anomaly_scores(spark, sf):
     return analytics.daily_anomaly_scores(_t("events")(spark, sf))
 
 
+def _q_event_transitions(spark, sf):
+    return temporal.event_transitions(_t("events")(spark, sf))
+
+
+def _q_copurchase_pairs(spark, sf):
+    return tpch.copurchase_pairs(_t("lineitem")(spark, sf))
+
+
 def _q_rfm_segments(spark, sf):
     return analytics.rfm_segments(_t("events")(spark, sf))
 
@@ -3190,6 +3198,37 @@ FROM p GROUP BY pair
 ORDER BY n DESC, pair ASC
 LIMIT 20
 """,
+    "event_transitions": """
+WITH s AS (SELECT event_type AS cur_type,
+                  LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                    AS next_type
+           FROM events),
+t AS (SELECT cur_type, next_type, CAST(COUNT(*) AS BIGINT) AS n_transitions
+      FROM s WHERE next_type IS NOT NULL GROUP BY 1, 2),
+m AS (SELECT cur_type, SUM(n_transitions) AS n_cur FROM t GROUP BY 1)
+SELECT t.cur_type, t.next_type, t.n_transitions,
+       ROUND(CAST(t.n_transitions AS DOUBLE) / m.n_cur, 6) + 0.0 AS p_next
+FROM t JOIN m ON t.cur_type = m.cur_type
+""",
+    "copurchase_pairs": """
+WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM op),
+pn AS (SELECT l_partkey, COUNT(*) AS n_part FROM op GROUP BY 1),
+pr AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+              CAST(COUNT(*) AS BIGINT) AS support
+       FROM op a JOIN op b
+         ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       GROUP BY 1, 2
+       HAVING COUNT(*) >= 2)
+SELECT part_a, part_b, support,
+       ROUND(CAST(support AS DOUBLE) * n.n_orders
+             / (na.n_part * nb.n_part), 6) + 0.0 AS lift
+FROM pr JOIN pn na ON pr.part_a = na.l_partkey
+        JOIN pn nb ON pr.part_b = nb.l_partkey
+        CROSS JOIN n
+ORDER BY support DESC, part_a ASC, part_b ASC
+LIMIT 100
+""",
     # lam interpolated from the SAME Python float the Spark plan uses
     "decayed_user_value": f"""
 WITH p AS (SELECT user_id, value, epoch_us(CAST(ts AS TIMESTAMP)) AS us
@@ -3732,6 +3771,12 @@ _SPEC_DEFS: dict[str, QuerySpec] = {
     ),
     "bpe_merge_candidates": QuerySpec(
         _q_bpe_merge_candidates, ORACLES["bpe_merge_candidates"]
+    ),
+    "event_transitions": QuerySpec(
+        _q_event_transitions, ORACLES["event_transitions"]
+    ),
+    "copurchase_pairs": QuerySpec(
+        _q_copurchase_pairs, ORACLES["copurchase_pairs"]
     ),
     "rfm_segments": QuerySpec(_q_rfm_segments, ORACLES["rfm_segments"]),
     "decayed_user_value": QuerySpec(

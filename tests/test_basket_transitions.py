@@ -1,0 +1,62 @@
+"""Market-basket pairs and event-transition matrix on crafted rows:
+support/lift arithmetic, min-support gate, and transition
+probabilities that sum to 1 per current type."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from flink_ecommerce_spark.plans.temporal import event_transitions
+from flink_ecommerce_spark.plans.tpch import copurchase_pairs
+
+
+def test_copurchase_support_and_lift(spark):
+    rows = [
+        (1, 101), (1, 102), (1, 103),   # order 1: A B C
+        (2, 101), (2, 102),             # order 2: A B
+        (3, 101),                       # order 3: A
+        (3, 101),                       # duplicate line: same part twice
+    ]
+    li = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    got = {(r["part_a"], r["part_b"]): r for r in copurchase_pairs(li).collect()}
+    # only (A, B) reaches min_support 2; duplicate lines don't inflate
+    assert set(got) == {(101, 102)}
+    r = got[(101, 102)]
+    assert r["support"] == 2
+    # lift = support * n_orders / (n_A * n_B) = 2*3 / (3*2) = 1.0
+    assert r["lift"] == 1.0
+
+
+def test_event_transitions_probabilities(spark):
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, t0, 1, "click", 0.0, "{}"),
+        (2, t0 + dt.timedelta(minutes=1), 1, "view", 0.0, "{}"),
+        (3, t0 + dt.timedelta(minutes=2), 1, "click", 0.0, "{}"),
+        (4, t0 + dt.timedelta(minutes=3), 1, "purchase", 0.0, "{}"),
+        (5, t0, 2, "click", 0.0, "{}"),
+        (6, t0 + dt.timedelta(minutes=1), 2, "view", 0.0, "{}"),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    got = {
+        (r["cur_type"], r["next_type"]): r for r in event_transitions(ev).collect()
+    }
+    # click -> view twice (u1 first step, u2), click -> purchase once
+    assert got[("click", "view")]["n_transitions"] == 2
+    assert got[("click", "purchase")]["n_transitions"] == 1
+    assert got[("click", "view")]["p_next"] == 0.666667
+    assert got[("click", "purchase")]["p_next"] == 0.333333
+    # transitions never cross users: u2's 'view' has no successor
+    assert ("view", "view") not in got
+    # per-current-type probabilities sum to ~1
+    from collections import defaultdict
+
+    sums = defaultdict(float)
+    for (cur, _), r in got.items():
+        sums[cur] += r["p_next"]
+    for cur, s in sums.items():
+        assert abs(s - 1.0) < 1e-5, (cur, s)
