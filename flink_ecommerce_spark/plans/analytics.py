@@ -467,3 +467,54 @@ def decayed_user_value(events: DataFrame, half_life_days: float = 7.0) -> DataFr
             ),
         )
     )
+
+
+def top_session_paths(
+    events: DataFrame, gap_minutes: int = 30, max_steps: int = 10, k: int = 20
+) -> DataFrame:
+    """Most common session journeys: the ordered event-type path of
+    each gap-based session (same sessionization as ``user_sessions``),
+    truncated to ``max_steps``, counted across all sessions, top-k.
+    The "how do users actually move through the product" view that
+    transition matrices (``event_transitions``) marginalize away.
+
+    Scale: sessions are bounded (a user's events within one gap
+    horizon), so the per-session collect_list is small by
+    construction and capped at max_steps anyway; path counting is a
+    hash aggregation on the path string and top-k compiles to
+    TakeOrderedAndProject."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    micros = F.expr("unix_micros(cast(ts as timestamp))")
+    gap = micros - F.lag(micros).over(w)
+    sess = events.withColumn(
+        "new_sess",
+        F.when(
+            gap.isNull() | (gap > gap_minutes * 60 * 1_000_000), F.lit(1)
+        ).otherwise(F.lit(0)),
+    ).withColumn(
+        "sess_id",
+        F.sum("new_sess").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    paths = sess.groupBy("user_id", "sess_id").agg(
+        F.concat_ws(
+            ">",
+            F.slice(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct("ts", "event_id", "event_type"))
+                    ),
+                    lambda s: s["event_type"],
+                ),
+                1,
+                max_steps,
+            ),
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), F.asc("path"))
+        .limit(k)
+    )

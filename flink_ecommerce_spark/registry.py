@@ -1002,6 +1002,10 @@ def _q_event_transitions(spark, sf):
     return temporal.event_transitions(_t("events")(spark, sf))
 
 
+def _q_top_session_paths(spark, sf):
+    return analytics.top_session_paths(_t("events")(spark, sf))
+
+
 def _q_copurchase_pairs(spark, sf):
     return tpch.copurchase_pairs(_t("lineitem")(spark, sf))
 
@@ -3198,6 +3202,30 @@ FROM p GROUP BY pair
 ORDER BY n DESC, pair ASC
 LIMIT 20
 """,
+    "top_session_paths": """
+WITH flagged AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN (epoch_us(ts) - LAG(epoch_us(ts)) OVER w) IS NULL
+                OR (epoch_us(ts) - LAG(epoch_us(ts)) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+with_sess AS (
+  SELECT user_id, ts, event_id, event_type,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+  FROM flagged),
+paths AS (
+  SELECT user_id, sess_id,
+         array_to_string(
+           list_slice(list(event_type ORDER BY ts, event_id), 1, 10),
+           '>') AS path
+  FROM with_sess GROUP BY 1, 2)
+SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
+FROM paths GROUP BY path
+ORDER BY n_sessions DESC, path ASC
+LIMIT 20
+""",
     "event_transitions": """
 WITH s AS (SELECT event_type AS cur_type,
                   LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
@@ -3774,6 +3802,9 @@ _SPEC_DEFS: dict[str, QuerySpec] = {
     ),
     "event_transitions": QuerySpec(
         _q_event_transitions, ORACLES["event_transitions"]
+    ),
+    "top_session_paths": QuerySpec(
+        _q_top_session_paths, ORACLES["top_session_paths"]
     ),
     "copurchase_pairs": QuerySpec(
         _q_copurchase_pairs, ORACLES["copurchase_pairs"]

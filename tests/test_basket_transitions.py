@@ -60,3 +60,33 @@ def test_event_transitions_probabilities(spark):
         sums[cur] += r["p_next"]
     for cur, s in sums.items():
         assert abs(s - 1.0) < 1e-5, (cur, s)
+
+
+def test_top_session_paths_truncation_and_counting(spark):
+    from flink_ecommerce_spark.plans.analytics import top_session_paths
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    # two users with the identical click>view session; a 2h gap then a
+    # lone purchase session for user 1
+    for u in (1, 2):
+        for j, et in enumerate(["click", "view"]):
+            eid += 1
+            rows.append((eid, t0 + dt.timedelta(minutes=j), u, et, 0.0, "{}"))
+    eid += 1
+    rows.append((eid, t0 + dt.timedelta(hours=2), 1, "purchase", 0.0, "{}"))
+    # user 3: a 12-step session -> path truncates at 10 steps
+    for j in range(12):
+        eid += 1
+        rows.append((eid, t0 + dt.timedelta(minutes=j), 3, "click", 0.0, "{}"))
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    got = {r["path"]: r["n_sessions"] for r in top_session_paths(ev).collect()}
+    assert got["click>view"] == 2
+    assert got["purchase"] == 1
+    assert got[">".join(["click"] * 10)] == 1  # truncated, not 12 steps
+    assert ">".join(["click"] * 12) not in got
