@@ -3807,9 +3807,11 @@ _SPEC_DEFS: dict[str, QuerySpec] = {
         _q_top_session_paths, ORACLES["top_session_paths"]
     ),
     "copurchase_pairs": QuerySpec(
-        _q_copurchase_pairs, ORACLES["copurchase_pairs"]
+        _q_copurchase_pairs, ORACLES["copurchase_pairs"], bench=True
     ),
-    "rfm_segments": QuerySpec(_q_rfm_segments, ORACLES["rfm_segments"]),
+    "rfm_segments": QuerySpec(
+        _q_rfm_segments, ORACLES["rfm_segments"], bench=True
+    ),
     "decayed_user_value": QuerySpec(
         _q_decayed_user_value, ORACLES["decayed_user_value"]
     ),
