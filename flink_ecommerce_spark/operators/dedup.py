@@ -1133,3 +1133,32 @@ def minhash_plan_for(
         n *= 2
     assert best is not None
     return best[1], best[2]
+
+
+def dup_rate_by_source(documents: DataFrame) -> DataFrame:
+    """Which source is feeding the corpus duplicates: per source, the
+    count and share of documents whose exact content (md5) already
+    appears under a smaller doc_id ANYWHERE in the corpus. Cross-
+    source copies count against the later-arriving source — the
+    scraper-health view that tells you where to spend dedup effort.
+
+    Scale: text reduces to md5 at the scan; the group table carries
+    (hash, min doc_id) only; one hash-keyed join back and an
+    n_sources-row aggregate. Same shapes as dedup_exact."""
+    hashed = documents.select("source", "doc_id", F.md5("text").alias("__h"))
+    keep = hashed.groupBy("__h").agg(F.min("doc_id").alias("__keep"))
+    return (
+        hashed.join(keep, "__h")
+        .select("source", (F.col("doc_id") != F.col("__keep")).alias("__dup"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("__dup").cast("long")).alias("n_dupes"),
+            (
+                F.round(
+                    F.sum(F.col("__dup").cast("long")) / F.count(F.lit(1)), 6
+                )
+                + 0.0
+            ).alias("dup_rate"),
+        )
+    )

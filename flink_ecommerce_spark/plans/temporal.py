@@ -504,3 +504,26 @@ def event_transitions(events: DataFrame) -> DataFrame:
             F.round(F.col("n_transitions") / F.col("__n_cur"), 6) + 0.0
         ).alias("p_next"),
     )
+
+
+def sliding_event_counts(events: DataFrame) -> DataFrame:
+    """Sliding-window event rate: per event type, counts in 1-hour
+    windows sliding every 15 minutes (each event lands in exactly 4
+    overlapping windows). The smoothed operational rate view a
+    tumbling hourly count staircases over.
+
+    Scale: F.window with a slide expands each row to
+    window/slide = 4 window assignments BEFORE the shuffle (Expand),
+    then aggregates with map-side combine — state is windows × types,
+    the events table is scanned once."""
+    w = F.window("ts", "1 hour", "15 minutes")
+    return (
+        events.groupBy(w.alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+        )
+    )

@@ -1006,6 +1006,14 @@ def _q_top_session_paths(spark, sf):
     return analytics.top_session_paths(_t("events")(spark, sf))
 
 
+def _q_sliding_event_counts(spark, sf):
+    return temporal.sliding_event_counts(_t("events")(spark, sf))
+
+
+def _q_dup_rate_by_source(spark, sf):
+    return dedup.dup_rate_by_source(_t("documents")(spark, sf))
+
+
 def _q_copurchase_pairs(spark, sf):
     return tpch.copurchase_pairs(_t("lineitem")(spark, sf))
 
@@ -3202,6 +3210,27 @@ FROM p GROUP BY pair
 ORDER BY n DESC, pair ASC
 LIMIT 20
 """,
+    "sliding_event_counts": """
+WITH e AS (SELECT event_type,
+                  time_bucket(INTERVAL '15 minutes', ts) AS b
+           FROM events),
+x AS (SELECT event_type,
+             b - (k * INTERVAL '15 minutes') AS window_start
+      FROM e, (SELECT unnest(generate_series(0, 3)) AS k) ks)
+SELECT window_start, window_start + INTERVAL '1 hour' AS window_end,
+       event_type, CAST(COUNT(*) AS BIGINT) AS n_events
+FROM x GROUP BY 1, 2, 3
+""",
+    "dup_rate_by_source": """
+WITH h AS (SELECT source, doc_id, md5(text) AS hh FROM documents),
+k AS (SELECT hh, MIN(doc_id) AS keep FROM h GROUP BY 1)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN h.doc_id != k.keep THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dupes,
+       ROUND(SUM(CASE WHEN h.doc_id != k.keep THEN 1 ELSE 0 END)
+             / CAST(COUNT(*) AS DOUBLE), 6) + 0.0 AS dup_rate
+FROM h JOIN k ON h.hh = k.hh GROUP BY source
+""",
     "top_session_paths": """
 WITH flagged AS (
   SELECT user_id, ts, event_id, event_type,
@@ -3805,6 +3834,12 @@ _SPEC_DEFS: dict[str, QuerySpec] = {
     ),
     "top_session_paths": QuerySpec(
         _q_top_session_paths, ORACLES["top_session_paths"]
+    ),
+    "sliding_event_counts": QuerySpec(
+        _q_sliding_event_counts, ORACLES["sliding_event_counts"]
+    ),
+    "dup_rate_by_source": QuerySpec(
+        _q_dup_rate_by_source, ORACLES["dup_rate_by_source"]
     ),
     "copurchase_pairs": QuerySpec(
         _q_copurchase_pairs, ORACLES["copurchase_pairs"], bench=True

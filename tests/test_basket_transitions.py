@@ -90,3 +90,45 @@ def test_top_session_paths_truncation_and_counting(spark):
     assert got["purchase"] == 1
     assert got[">".join(["click"] * 10)] == 1  # truncated, not 12 steps
     assert ">".join(["click"] * 12) not in got
+
+
+def test_sliding_event_counts_four_windows_per_event(spark):
+    from flink_ecommerce_spark.plans.temporal import sliding_event_counts
+
+    ev = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1, 10, 7, 0), 1, "click", 0.0, "{}")],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    rows = sliding_event_counts(ev).collect()
+    # 1h window / 15m slide -> exactly 4 windows contain the event
+    assert len(rows) == 4
+    starts = sorted(r["window_start"] for r in rows)
+    assert starts == [
+        dt.datetime(2024, 1, 1, 9, 15),
+        dt.datetime(2024, 1, 1, 9, 30),
+        dt.datetime(2024, 1, 1, 9, 45),
+        dt.datetime(2024, 1, 1, 10, 0),
+    ]
+    assert all(r["n_events"] == 1 for r in rows)
+    assert all(
+        (r["window_end"] - r["window_start"]) == dt.timedelta(hours=1) for r in rows
+    )
+
+
+def test_dup_rate_by_source_blames_later_arrival(spark):
+    from flink_ecommerce_spark.operators.dedup import dup_rate_by_source
+    from flink_ecommerce_spark.schemas import DOCUMENTS_SCHEMA
+
+    rows = [
+        (1, "same text", "en", "a", 9),
+        (2, "same text", "en", "b", 9),   # cross-source copy -> blames b
+        (3, "unique 1", "en", "a", 8),
+        (4, "other", "en", "b", 5),
+        (5, "other", "en", "b", 5),       # within-b copy
+    ]
+    d = spark.createDataFrame(rows, DOCUMENTS_SCHEMA)
+    got = {r["source"]: r for r in dup_rate_by_source(d).collect()}
+    assert got["a"]["n_dupes"] == 0 and got["a"]["dup_rate"] == 0.0
+    assert got["b"]["n_dupes"] == 2
+    assert got["b"]["dup_rate"] == round(2 / 3, 6)
