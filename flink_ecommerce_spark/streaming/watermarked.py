@@ -39,6 +39,37 @@ def windowed_sales(
     )
 
 
+def sliding_sales(
+    stream: DataFrame,
+    ts_col: str = "transactionDate",
+    amount_col: str = "totalAmount",
+    window: str = "1 hour",
+    slide: str = "15 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Sliding event-time windows (the streaming twin of the batch
+    ``plans/temporal.py::sliding_event_counts``): each transaction
+    lands in window/slide overlapping windows, closed windows emit in
+    append mode once the watermark passes, and their state drops — so
+    state is O(open windows), with window/slide concurrently open per
+    key space. Completes the window-family matrix: tumbling, session,
+    and sliding each exist batch-side and stream-side."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window, slide).alias("w"))
+        .agg(
+            F.count("*").alias("n_txn"),
+            F.round(F.sum(amount_col), 2).alias("total_sales"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n_txn",
+            "total_sales",
+        )
+    )
+
+
 def session_sales(
     stream: DataFrame,
     key_col: str = "customerId",

@@ -143,3 +143,42 @@ def test_session_sales_merges_within_gap_and_closes(spark, tmp_path):
     assert rows[("u2", t0)] == (1, 1.0)
     # u3's far-future session is still open -> not emitted in append mode
     assert not any(k == "u3" for k, _ in rows)
+
+
+def test_sliding_sales_overlapping_windows_close(spark, tmp_path):
+    from flink_ecommerce_spark.streaming.watermarked import sliding_sales
+
+    src = str(tmp_path / "src4")
+    t0 = dt.datetime(2024, 1, 1, 10, 7, 0)
+    _write(spark, src, [_txn("a", t0, 10.0)], 0)
+    # far-future row advances the watermark so t0's windows all close
+    _write(spark, src, [_txn("b", t0 + dt.timedelta(days=2), 1.0)], 1)
+
+    stream = (
+        spark.readStream.schema(TRANSACTION_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/chunk=*")
+    )
+    q = (
+        sliding_sales(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("slide_sales")
+        .option("checkpointLocation", str(tmp_path / "ck4"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    rows = [
+        r
+        for r in spark.sql("SELECT * FROM slide_sales").collect()
+        if r["total_sales"] == 10.0
+    ]
+    # the 10:07 transaction closed in exactly its 4 overlapping windows
+    assert sorted(r["window_start"] for r in rows) == [
+        dt.datetime(2024, 1, 1, 9, 15),
+        dt.datetime(2024, 1, 1, 9, 30),
+        dt.datetime(2024, 1, 1, 9, 45),
+        dt.datetime(2024, 1, 1, 10, 0),
+    ]
+    assert all(r["n_txn"] == 1 for r in rows)
