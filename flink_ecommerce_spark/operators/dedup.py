@@ -1162,3 +1162,34 @@ def dup_rate_by_source(documents: DataFrame) -> DataFrame:
             ).alias("dup_rate"),
         )
     )
+
+
+def documents_deduped_best(documents: DataFrame) -> DataFrame:
+    """Quality-aware dedup end product: one representative per
+    near-dup cluster, chosen as the BEST-quality member
+    (operators/text.py::quality_scores composite; ties -> min doc_id)
+    — real pipelines keep the best-written copy, not the
+    first-crawled one (contrast the min-id rule of the
+    documents_deduped registry query).
+
+    Scale: clusters and per-doc quality are narrow (ids + one
+    double); the winner per cluster is a max-struct aggregation with
+    map-side combine, so the only cost over the min-id variant is one
+    hash-keyed join and an agg over ids+scores."""
+    from .text import quality_scores
+
+    clusters = dedup_clusters(documents)
+    q = quality_scores(documents).select("doc_id", "quality")
+    best = (
+        clusters.join(q, "doc_id")
+        .groupBy("cluster_id")
+        .agg(
+            F.max(
+                F.struct(F.col("quality"), (-F.col("doc_id")).alias("neg_id"))
+            ).alias("m")
+        )
+        .select("cluster_id", (-F.col("m.neg_id")).alias("doc_id"))
+    )
+    return documents.join(best, "doc_id").select(
+        "doc_id", "cluster_id", "lang", "source", "n_chars"
+    )

@@ -637,6 +637,12 @@ def _q_documents_deduped(spark, sf):
     )
 
 
+def _q_documents_deduped_best(spark, sf):
+    """Quality-aware dedup end product — see
+    operators/dedup.py::documents_deduped_best."""
+    return dedup.documents_deduped_best(_t("documents")(spark, sf))
+
+
 def _q_sample_events(spark, sf):
     from .operators.sampling import sample_events
 
@@ -2787,6 +2793,42 @@ SELECT d.doc_id, d.lang, d.source, d.n_chars
 FROM documents d JOIN cl ON cl.doc_id = d.doc_id
 WHERE cl.cluster_id = cl.doc_id
 """,
+    "documents_deduped_best": f"""
+WITH RECURSIVE {_SIG_CTE},
+bands AS ({_BANDS_SELECTS}),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM bands a JOIN bands b
+           ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+{_JACCARD_CTES},
+pairs AS (SELECT c.doc_a, c.doc_b
+          FROM cand c JOIN jac j ON j.doc_a = c.doc_a AND j.doc_b = c.doc_b
+          WHERE j.jaccard >= {dedup.JACCARD_THRESHOLD}),
+edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+          UNION SELECT doc_b, doc_a FROM pairs),
+walk(a, b) AS (SELECT doc_id, doc_id FROM documents
+               UNION
+               SELECT w.a, e.dst FROM walk w JOIN edges e ON w.b = e.src),
+cl AS (SELECT a AS doc_id, MIN(b) AS cluster_id FROM walk GROUP BY a),
+qm AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '\\S+')) AS DOUBLE) AS n_tok,
+         CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS DOUBLE) AS n_punct,
+         CAST(len(list_filter({_WORDS}, w -> w IN ({_EN_SW}))) AS DOUBLE) AS n_stop,
+         CAST(length(text) AS DOUBLE) AS n_chars
+  FROM documents),
+q AS (SELECT doc_id,
+             ROUND(1.0 / (1.0 + exp(-(-2.0 + 0.02 * n_tok + 4.0 * (n_stop / n_tok)
+                   - 8.0 * (n_punct / n_chars)
+                   - 0.1 * abs((n_chars - (n_tok - 1)) / n_tok - 5.0)))), 6) AS quality
+      FROM qm),
+best AS (SELECT cluster_id, doc_id FROM (
+           SELECT cl.cluster_id, cl.doc_id,
+                  ROW_NUMBER() OVER (PARTITION BY cl.cluster_id
+                                     ORDER BY q.quality DESC, cl.doc_id ASC) AS rk
+           FROM cl JOIN q ON cl.doc_id = q.doc_id) WHERE rk = 1)
+SELECT d.doc_id, b.cluster_id, d.lang, d.source, d.n_chars
+FROM documents d JOIN best b ON d.doc_id = b.doc_id
+""",
     "simhash_near_pairs": f"""
 WITH {_SIMHASH_CTE},
 bands AS ({_SIMHASH_BAND_SELECTS})
@@ -3673,6 +3715,9 @@ _SPEC_DEFS: dict[str, QuerySpec] = {
     # live at scale — measure it every round, not just its LSH input
     "dedup_clusters": QuerySpec(
         _q_dedup_clusters, ORACLES["dedup_clusters"], bench=True
+    ),
+    "documents_deduped_best": QuerySpec(
+        _q_documents_deduped_best, ORACLES["documents_deduped_best"]
     ),
     "documents_deduped": QuerySpec(
         _q_documents_deduped, ORACLES["documents_deduped"]

@@ -513,3 +513,30 @@ def test_incremental_fuzzy_dedup_threshold_monotone(spark):
     }
     assert kept[0.3] <= kept[0.7] <= kept[0.95]
     assert 12 in kept[0.3]  # unrelated content always admitted
+
+
+def test_documents_deduped_best_keeps_highest_quality_member(spark):
+    from flink_ecommerce_spark.operators.dedup import documents_deduped_best
+    from flink_ecommerce_spark.operators.text import quality_scores
+
+    # doc 1 is a near-dup of doc 0 but longer/better-formed; the
+    # min-id rule would keep 0, the quality rule must keep whichever
+    # scores higher — asserted against quality_scores itself.
+    richer = BASE + " extra"
+    docs = spark.createDataFrame(
+        [
+            (0, BASE + " !!!!", "en", "s", len(BASE) + 5),
+            (1, richer, "en", "s", len(richer)),
+            (2, "completely different text about spark query engines "
+                "and distributed columnar execution at large scale", "en", "s", 100),
+        ],
+        DOCUMENTS_SCHEMA,
+    )
+    q = {r["doc_id"]: r["quality"] for r in quality_scores(docs).collect()}
+    kept = {r["doc_id"]: r["cluster_id"] for r in documents_deduped_best(docs).collect()}
+    # docs 0 and 1 cluster together; exactly one survives, plus doc 2
+    assert len(kept) == 2 and 2 in kept
+    winner = (set(kept) - {2}).pop()
+    loser = ({0, 1} - {winner}).pop()
+    assert q[winner] >= q[loser]
+    assert winner == (0 if q[0] > q[1] else 1 if q[1] > q[0] else 0)
