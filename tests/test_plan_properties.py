@@ -189,3 +189,51 @@ def test_key_skew_topk_is_take_ordered_not_global_window(spark):
     task — the rank window runs only on the already-limited rows."""
     plan = _plan(spark, "event_user_skew_topk")
     assert "TakeOrderedAndProject" in plan
+
+
+def test_pit_enrichment_fact_side_never_shuffles(spark):
+    """pit_enriched_events: the SCD2 dimension broadcasts and the
+    interval containment rides as the join residual — the events
+    (fact) scan must reach the final join with no Exchange above it.
+    The plan string lists the streamed side's lineage between the
+    final join and its BroadcastExchange: no hash/range Exchange may
+    appear there."""
+    plan = _plan(spark, "pit_enriched_events")
+    head = plan.split("BroadcastExchange")[0]
+    assert "BroadcastHashJoin" in head
+    assert "Exchange hashpartitioning" not in head
+    assert "Exchange rangepartitioning" not in head
+
+
+def test_temperature_mixture_keep_is_broadcast_filter(spark):
+    """The keep decision must be a broadcast join of the tiny rates
+    table onto the documents scan — the corpus itself never hash-
+    shuffles (the only Exchanges belong to the n_sources-row rate
+    aggregates)."""
+    plan = _plan(spark, "temperature_mixture")
+    head = plan.split("BroadcastExchange")[0]
+    assert "BroadcastHashJoin" in head
+    assert "Exchange hashpartitioning" not in head
+
+
+def test_shard_manifest_text_never_shuffles(spark):
+    """Text reduces to md5/hash32 at the scan; no Exchange may carry
+    the text column."""
+    plan = _plan(spark, "shard_manifest")
+    for chunk in plan.split("\n"):
+        if "Exchange" in chunk:
+            assert "text#" not in chunk, chunk
+
+
+def test_rfm_scoring_has_no_window_or_sort(spark):
+    """rfm_segments scores against broadcast percentile boundaries —
+    the plan must contain no Window operator and no global sort."""
+    plan = _plan(spark, "rfm_segments")
+    assert "Window" not in plan
+    assert "rangepartitioning" not in plan
+
+
+def test_copurchase_margins_broadcast_topk_take_ordered(spark):
+    plan = _plan(spark, "copurchase_pairs")
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("BroadcastHashJoin") >= 3  # two margins + total
