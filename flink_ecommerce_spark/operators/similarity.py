@@ -28,6 +28,41 @@ EMB_DIM = 64
 N_PLANES = 8  # default LSH hyperplanes → 2^8 buckets
 DEFAULT_K = 5
 DEFAULT_N_QUERIES = 10
+TOPK_BUCKETS = 32
+
+
+def topk_per_key(
+    scored: DataFrame,
+    key: str,
+    order: list,
+    k: int,
+    salt_col: str,
+    n_buckets: int = TOPK_BUCKETS,
+) -> DataFrame:
+    """EXACT per-key top-k without funneling each key's full candidate
+    set through one window task. A plain
+    ``row_number() OVER (PARTITION BY key)`` gives only n_keys
+    partitions — with 10 queries against a corpus-sized candidate set,
+    ten tasks each sort millions of rows (the 10× rehearsal measured
+    pq_ann_topk at 43 s on exactly this shape). Two phases fix the
+    parallelism: bucket candidates by ``salt_col % n_buckets`` and
+    take top-k within each (key, bucket) — key × bucket parallel
+    sorts over 1/n_buckets of the rows — then rank the surviving
+    ≤ keys × buckets × k rows in the final (tiny) per-key window.
+    Identical output to the single-window form: every global top-k
+    row is necessarily inside its own bucket's top-k, and the
+    ordering (with its deterministic tie-break) is unchanged."""
+    w1 = Window.partitionBy(key, "__b").orderBy(*order)
+    pre = (
+        scored.withColumn("__b", F.pmod(F.col(salt_col), F.lit(n_buckets)))
+        .withColumn("__rk1", F.row_number().over(w1))
+        .filter(F.col("__rk1") <= k)
+        .drop("__b", "__rk1")
+    )
+    w2 = Window.partitionBy(key).orderBy(*order)
+    return pre.withColumn("rk", F.row_number().over(w2)).filter(
+        F.col("rk") <= k
+    )
 
 
 def plane_weight(p: int, d: int) -> float:
@@ -101,14 +136,13 @@ def knn_bruteforce(
             ).alias("cos_sim"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("cos_sim"), F.asc("neighbor_id")
-    )
-    return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= k)
-        .select("query_id", "neighbor_id", "cos_sim", "rk")
-    )
+    return topk_per_key(
+        scored,
+        "query_id",
+        [F.desc("cos_sim"), F.asc("neighbor_id")],
+        k,
+        salt_col="neighbor_id",
+    ).select("query_id", "neighbor_id", "cos_sim", "rk")
 
 
 def _lsh_bucket(
@@ -1031,14 +1065,13 @@ def pq_ann_topk(
             F.round(F.sum("d2u") / F.lit(1e6), 6).alias("adc_d2")
         )
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.asc("adc_d2"), F.asc("neighbor_id")
-    )
-    return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= k)
-        .select("query_id", "neighbor_id", "adc_d2", "rk")
-    )
+    return topk_per_key(
+        scored,
+        "query_id",
+        [F.asc("adc_d2"), F.asc("neighbor_id")],
+        k,
+        salt_col="neighbor_id",
+    ).select("query_id", "neighbor_id", "adc_d2", "rk")
 
 
 PQ_RERANK = 50  # ADC shortlist size for the re-rank stage
