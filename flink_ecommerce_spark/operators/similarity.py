@@ -309,18 +309,35 @@ def knn_bruteforce_pandas(
 
     def score(batches):
         ids, qn = bc.value
+        k_local = k
         for pdf in batches:
             c = np.array(list(pdf["embedding"]), dtype=np.float64)
             cn = c / np.maximum(
                 np.linalg.norm(c, axis=1, keepdims=True), 1e-12
             )
-            sims = cn @ qn.T  # (batch, n_queries)
-            n_b, n_q = sims.shape
+            sims = np.round(cn @ qn.T, 6)  # (batch, n_queries)
+            vec_ids = pdf["vec_id"].values
+            # per-batch EXACT top-k under the final total order
+            # (cos desc, neighbor_id asc): only batch-winners cross
+            # the Arrow boundary — batches x queries x k rows instead
+            # of batch x queries. Same two-phase argument as
+            # topk_per_key: every global winner wins its batch.
+            out_q, out_n, out_s = [], [], []
+            for qi in range(sims.shape[1]):
+                # self-exclusion must happen BEFORE the batch top-k:
+                # filtered afterwards, the self row would burn one of
+                # the k slots and could evict a global winner
+                mask = vec_ids != ids[qi]
+                v, s = vec_ids[mask], sims[mask, qi]
+                order = np.lexsort((v, -s))[:k_local]
+                out_q.append(np.full(len(order), ids[qi]))
+                out_n.append(v[order])
+                out_s.append(s[order])
             yield pd.DataFrame(
                 {
-                    "query_id": np.repeat(ids, n_b),
-                    "neighbor_id": np.tile(pdf["vec_id"].values, n_q),
-                    "cos_sim": np.round(sims.T.ravel(), 6),
+                    "query_id": np.concatenate(out_q),
+                    "neighbor_id": np.concatenate(out_n),
+                    "cos_sim": np.concatenate(out_s),
                 }
             )
 
@@ -674,14 +691,13 @@ def knn_int8(
             6,
         ).alias("cos_sim_q8"),
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("cos_sim_q8"), F.asc("neighbor_id")
-    )
-    return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= k)
-        .select("query_id", "neighbor_id", "cos_sim_q8", "rk")
-    )
+    return topk_per_key(
+        scored,
+        "query_id",
+        [F.desc("cos_sim_q8"), F.asc("neighbor_id")],
+        k,
+        salt_col="neighbor_id",
+    ).select("query_id", "neighbor_id", "cos_sim_q8", "rk")
 
 
 SEMDEDUP_THRESHOLD = 0.95
@@ -845,14 +861,13 @@ def hard_negatives(
             6,
         ).alias("cos_sim"),
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("cos_sim"), F.asc("neighbor_id")
-    )
-    return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= k)
-        .select("query_id", "neighbor_id", "neighbor_label", "cos_sim", "rk")
-    )
+    return topk_per_key(
+        scored,
+        "query_id",
+        [F.desc("cos_sim"), F.asc("neighbor_id")],
+        k,
+        salt_col="neighbor_id",
+    ).select("query_id", "neighbor_id", "neighbor_label", "cos_sim", "rk")
 
 
 JL_DIM_OUT = 16
