@@ -518,3 +518,40 @@ def top_session_paths(
         .orderBy(F.desc("n_sessions"), F.asc("path"))
         .limit(k)
     )
+
+
+def rolling_active_users(events: DataFrame, window_days: int = 7) -> DataFrame:
+    """DAU + trailing-WAU: per day, distinct active users that day and
+    across the trailing ``window_days`` (the growth-dashboard pair).
+    Exact rolling DISTINCT — not a sum of daily counts, which
+    double-counts users active on several days.
+
+    Scale: the classic trick for exact windowed distinct without a
+    per-day re-scan: reduce to distinct (user, day) first, then each
+    such row contributes to ``window_days`` target days (a bounded
+    explode — ×7, known at plan time), and one countDistinct per
+    target day finishes it. Shuffles carry (user, day) pairs, never
+    raw events; days beyond the corpus's last day are clipped so
+    every reported day aggregates a full window's contributions."""
+    ud = events.select(
+        "user_id", F.to_date("ts").alias("d")
+    ).distinct()
+    dau = ud.groupBy("d").agg(F.countDistinct("user_id").alias("dau"))
+    bounds = ud.agg(F.max("d").alias("__max_d"))
+    contrib = (
+        ud.select(
+            "user_id",
+            F.explode(
+                F.sequence(F.lit(0), F.lit(window_days - 1))
+            ).alias("__off"),
+            "d",
+        )
+        .select("user_id", F.date_add("d", F.col("__off")).alias("d"))
+    )
+    wau = (
+        contrib.crossJoin(F.broadcast(bounds))
+        .filter(F.col("d") <= F.col("__max_d"))
+        .groupBy("d")
+        .agg(F.countDistinct("user_id").alias("wau"))
+    )
+    return dau.join(wau, "d").select("d", "dau", "wau")

@@ -1012,6 +1012,10 @@ def _q_top_session_paths(spark, sf):
     return analytics.top_session_paths(_t("events")(spark, sf))
 
 
+def _q_rolling_active_users(spark, sf):
+    return analytics.rolling_active_users(_t("events")(spark, sf))
+
+
 def _q_sliding_event_counts(spark, sf):
     return temporal.sliding_event_counts(_t("events")(spark, sf))
 
@@ -3252,6 +3256,17 @@ FROM p GROUP BY pair
 ORDER BY n DESC, pair ASC
 LIMIT 20
 """,
+    "rolling_active_users": """
+WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+dau AS (SELECT d, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS dau
+        FROM ud GROUP BY 1),
+b AS (SELECT MAX(d) AS max_d FROM ud),
+contrib AS (SELECT user_id, d + CAST(k AS INT) AS d
+            FROM ud, (SELECT unnest(generate_series(0, 6)) AS k) ks),
+wau AS (SELECT d, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau
+        FROM contrib, b WHERE d <= max_d GROUP BY 1)
+SELECT dau.d, dau.dau, wau.wau FROM dau JOIN wau ON dau.d = wau.d
+""",
     "sliding_event_counts": """
 WITH e AS (SELECT event_type,
                   time_bucket(INTERVAL '15 minutes', ts) AS b
@@ -3879,6 +3894,9 @@ _SPEC_DEFS: dict[str, QuerySpec] = {
     ),
     "top_session_paths": QuerySpec(
         _q_top_session_paths, ORACLES["top_session_paths"]
+    ),
+    "rolling_active_users": QuerySpec(
+        _q_rolling_active_users, ORACLES["rolling_active_users"]
     ),
     "sliding_event_counts": QuerySpec(
         _q_sliding_event_counts, ORACLES["sliding_event_counts"]

@@ -132,3 +132,32 @@ def test_dup_rate_by_source_blames_later_arrival(spark):
     assert got["a"]["n_dupes"] == 0 and got["a"]["dup_rate"] == 0.0
     assert got["b"]["n_dupes"] == 2
     assert got["b"]["dup_rate"] == round(2 / 3, 6)
+
+
+def test_rolling_active_users_exact_distinct(spark):
+    from flink_ecommerce_spark.plans.analytics import rolling_active_users
+
+    d0 = dt.datetime(2024, 1, 1, 12, 0)
+
+    def ev(eid, day, user):
+        return (eid, d0 + dt.timedelta(days=day), user, "click", 0.0, "{}")
+
+    # user 1 active on days 0 and 3 (must count ONCE in the 7-day
+    # window); user 2 only day 0; user 3 only day 8 (outside day 0..6)
+    rows = [ev(1, 0, 1), ev(2, 3, 1), ev(3, 0, 2), ev(4, 8, 3)]
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    got = {r["d"]: r for r in rolling_active_users(events).collect()}
+    day = lambda k: dt.date(2024, 1, 1) + dt.timedelta(days=k)
+    assert got[day(0)]["dau"] == 2
+    assert got[day(3)]["dau"] == 1
+    # trailing-7 window ending day 3 saw users {1, 2}: user 1 twice
+    # but counted once — a rolling SUM of daus would say 3
+    assert got[day(3)]["wau"] == 2
+    # window days 2..8 contains user 1 (active day 3) and user 3 (day 8)
+    assert got[day(8)]["wau"] == 2
+    # days with no events are absent (dau is the anchor)
+    assert day(1) not in got
