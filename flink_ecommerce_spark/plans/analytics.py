@@ -555,3 +555,26 @@ def rolling_active_users(events: DataFrame, window_days: int = 7) -> DataFrame:
         .agg(F.countDistinct("user_id").alias("wau"))
     )
     return dau.join(wau, "d").select("d", "dau", "wau")
+
+
+def retention_rates(events: DataFrame, anchor: str = "2024-01-01") -> DataFrame:
+    """The consumed form of the retention matrix: each cohort's
+    week-k active count normalized by the cohort's size. Offset 0
+    contains every cohort member by construction (the first-seen day
+    is itself in week 0), so the denominator is the matrix's own
+    offset-0 row — no separate size scan.
+
+    Scale: weekly_retention's two aggregations plus one join against
+    the cohorts-sized offset-0 slice (broadcast)."""
+    m = weekly_retention(events, anchor)
+    sizes = m.filter(F.col("week_offset") == 0).select(
+        "cohort_week", F.col("n_users").alias("__size")
+    )
+    return m.join(F.broadcast(sizes), "cohort_week").select(
+        "cohort_week",
+        "week_offset",
+        "n_users",
+        (
+            F.round(F.col("n_users") / F.col("__size"), 6) + 0.0
+        ).alias("retention"),
+    )

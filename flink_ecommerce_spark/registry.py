@@ -345,6 +345,10 @@ def _q_weekly_retention(spark, sf):
     return analytics.weekly_retention(_t("events")(spark, sf))
 
 
+def _q_retention_rates(spark, sf):
+    return analytics.retention_rates(_t("events")(spark, sf))
+
+
 def _q_event_type_cube(spark, sf):
     return analytics.event_type_cube(_t("events")(spark, sf))
 
@@ -1848,6 +1852,21 @@ SELECT CAST((CAST(d0 - DATE '2024-01-01' AS BIGINT)) // 7 AS INT) AS cohort_week
        COUNT(DISTINCT user_id) AS n_users
 FROM activity JOIN first_seen USING (user_id)
 GROUP BY 1, 2
+""",
+    "retention_rates": """
+WITH first_seen AS (SELECT user_id, MIN(CAST(ts AS DATE)) AS d0
+                    FROM events GROUP BY 1),
+activity AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+m AS (
+  SELECT CAST((CAST(d0 - DATE '2024-01-01' AS BIGINT)) // 7 AS INT) AS cohort_week,
+         CAST((CAST(d - d0 AS BIGINT)) // 7 AS INT) AS week_offset,
+         COUNT(DISTINCT user_id) AS n_users
+  FROM activity JOIN first_seen USING (user_id)
+  GROUP BY 1, 2),
+sizes AS (SELECT cohort_week, n_users AS sz FROM m WHERE week_offset = 0)
+SELECT m.cohort_week, m.week_offset, m.n_users,
+       ROUND(CAST(m.n_users AS DOUBLE) / s.sz, 6) + 0.0 AS retention
+FROM m JOIN sizes s ON m.cohort_week = s.cohort_week
 """,
     "user_value_quartiles": """
 WITH per_user AS (SELECT user_id, ROUND(SUM(value), 2) AS total_value
@@ -3626,6 +3645,9 @@ _SPEC_DEFS: dict[str, QuerySpec] = {
     ),
     "weekly_retention": QuerySpec(
         _q_weekly_retention, ORACLES["weekly_retention"]
+    ),
+    "retention_rates": QuerySpec(
+        _q_retention_rates, ORACLES["retention_rates"]
     ),
     "event_type_cube": QuerySpec(_q_event_type_cube, ORACLES["event_type_cube"]),
     "distinct_users_per_day": QuerySpec(
