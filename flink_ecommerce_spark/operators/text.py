@@ -304,6 +304,48 @@ def char_entropy(documents: DataFrame, max_chars: int = 2000) -> DataFrame:
     )
 
 
+SENTS_PER_CHUNK = 3
+
+
+def sentence_chunks(
+    documents: DataFrame, sents_per_chunk: int = SENTS_PER_CHUNK
+) -> DataFrame:
+    """Sentence-boundary RAG chunks: split each document into
+    sentences (portable `[^.!?]+[.!?]?` extraction — RE2 has no
+    lookbehind, so the boundary pattern keeps its punctuation inside
+    the sentence) and group consecutive sentences ``sents_per_chunk``
+    at a time. The semantic-boundary companion to the token-window
+    ``doc_chunks``: chunks never split mid-sentence, at the cost of
+    variable token width.
+
+    Scale: per-row split + one posexplode bounded by the doc's own
+    sentence count, then a (doc, chunk) aggregation whose in-chunk
+    order is restored by sorting the (idx, sentence) structs —
+    map-side combinable, no window."""
+    sents = documents.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(r"regexp_extract_all(text, '[^.!?]+[.!?]?', 0)")
+        ).alias("idx", "sent"),
+    ).withColumn("sent", F.trim("sent")).filter(F.length("sent") > 0)
+    return (
+        sents.groupBy(
+            "doc_id",
+            F.floor(F.col("idx") / sents_per_chunk).cast("int").alias("chunk_id"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_sentences"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("idx", "sent"))),
+                    lambda s: s["sent"],
+                ),
+            ).alias("chunk_text"),
+        )
+    )
+
+
 def decontaminate(documents: DataFrame, eval_mod: int = 20) -> DataFrame:
     """Benchmark decontamination: for every training document, the
     fraction of its distinct word-3-gram shingles that also occur in

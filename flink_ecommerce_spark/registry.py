@@ -779,6 +779,10 @@ def _q_char_entropy(spark, sf):
     return text.char_entropy(_t("documents")(spark, sf))
 
 
+def _q_sentence_chunks(spark, sf):
+    return text.sentence_chunks(_t("documents")(spark, sf))
+
+
 def _q_curated_corpus(spark, sf):
     return text.curated_corpus(_t("documents")(spark, sf))
 
@@ -2966,6 +2970,17 @@ SELECT doc_id,
                   ELSE 0.0 END, 6) AS dup_3gram_frac
 FROM t
 """,
+    "sentence_chunks": """
+WITH s0 AS (SELECT doc_id,
+                   unnest(regexp_extract_all(text, '[^.!?]+[.!?]?')) AS sent,
+                   generate_subscripts(regexp_extract_all(text, '[^.!?]+[.!?]?'), 1) AS i
+            FROM documents),
+s AS (SELECT doc_id, CAST((i - 1) // 3 AS INT) AS chunk_id, i, trim(sent) AS sent
+      FROM s0 WHERE length(trim(sent)) > 0)
+SELECT doc_id, chunk_id, CAST(COUNT(*) AS BIGINT) AS n_sentences,
+       string_agg(sent, ' ' ORDER BY i) AS chunk_text
+FROM s GROUP BY 1, 2
+""",
     "char_entropy": """
 WITH ch AS (
   SELECT doc_id, unnest(string_split(substr(text, 1, 2000), '')) AS c
@@ -3811,6 +3826,9 @@ _SPEC_DEFS: dict[str, QuerySpec] = {
     "lang_id": QuerySpec(_q_lang_id, ORACLES["lang_id"]),
     "quality_scores": QuerySpec(_q_quality_scores, ORACLES["quality_scores"]),
     "char_entropy": QuerySpec(_q_char_entropy, ORACLES["char_entropy"]),
+    "sentence_chunks": QuerySpec(
+        _q_sentence_chunks, ORACLES["sentence_chunks"]
+    ),
     "repetition_scores": QuerySpec(
         _q_repetition_scores, ORACLES["repetition_scores"]
     ),

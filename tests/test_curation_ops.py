@@ -295,3 +295,22 @@ def test_term_frequency_merge_equals_rescan(spark):
     ).collect()
     via_docs = cross_corpus_surprisal(new, hist).collect()
     assert sorted(map(tuple, via_tf)) == sorted(map(tuple, via_docs))
+
+
+def test_sentence_chunks_boundaries_and_grouping(spark):
+    df = _docs(
+        spark,
+        ["One. Two! Three? Four. Five.", "No terminal punctuation here"],
+    )
+    got = {
+        (r["doc_id"], r["chunk_id"]): r
+        for r in text.sentence_chunks(df).collect()
+    }
+    # chunks never split mid-sentence; punctuation stays attached
+    assert got[(0, 0)]["chunk_text"] == "One. Two! Three?"
+    assert got[(0, 0)]["n_sentences"] == 3
+    assert got[(0, 1)]["chunk_text"] == "Four. Five."
+    assert got[(0, 1)]["n_sentences"] == 2
+    # a doc without terminal punctuation is one whole sentence
+    assert got[(1, 0)]["chunk_text"] == "No terminal punctuation here"
+    assert len(got) == 3
