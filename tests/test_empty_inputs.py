@@ -185,3 +185,54 @@ def test_key_skew_on_empty_events(spark, empty_events):
     assert key_skew_topk(empty_events, "user_id").collect() == []
     s = key_skew_summary(empty_events, "user_id").collect()
     assert len(s) == 1 and s[0]["n_keys"] == 0
+
+
+def test_late_r05_ops_on_empty(spark, empty_events, empty_docs):
+    from flink_ecommerce_spark.operators.cdc import pit_join
+    from flink_ecommerce_spark.operators.dedup import (
+        documents_deduped_best,
+        dup_rate_by_source,
+    )
+    from flink_ecommerce_spark.operators.packing import shard_manifest
+    from flink_ecommerce_spark.operators.sampling import (
+        temperature_mixture,
+        temperature_mixture_summary,
+    )
+    from flink_ecommerce_spark.plans.analytics import (
+        retention_rates,
+        rfm_segments,
+        rolling_active_users,
+        top_session_paths,
+    )
+    from flink_ecommerce_spark.plans.temporal import (
+        event_transitions,
+        sliding_event_counts,
+    )
+
+    assert rfm_segments(empty_events).collect() == []
+    assert rolling_active_users(empty_events).collect() == []
+    assert retention_rates(empty_events).collect() == []
+    assert event_transitions(empty_events).collect() == []
+    assert sliding_event_counts(empty_events).collect() == []
+    assert top_session_paths(empty_events).collect() == []
+    assert text.char_entropy(empty_docs).collect() == []
+    assert text.sentence_chunks(empty_docs).collect() == []
+    assert temperature_mixture(empty_docs).collect() == []
+    assert temperature_mixture_summary(empty_docs).collect() == []
+    assert dup_rate_by_source(empty_docs).collect() == []
+    assert documents_deduped_best(empty_docs).collect() == []
+    assert shard_manifest(empty_docs).collect() == []
+    # pit_join: empty dim keeps fact cardinality with NULL attrs
+    import datetime as dt
+
+    facts = spark.createDataFrame(
+        [(1, 7, dt.datetime(2024, 1, 1))],
+        "event_id long, user_id long, ts timestamp",
+    )
+    empty_dim = spark.createDataFrame(
+        [],
+        "user_id long, segment string, valid_from timestamp, "
+        "valid_to timestamp, is_current boolean",
+    )
+    out = pit_join(facts, empty_dim, "user_id", "ts", ["segment"]).collect()
+    assert len(out) == 1 and out[0]["segment"] is None
