@@ -1231,3 +1231,54 @@ def ivf_pq_topk(
         .filter(F.col("rk") <= k)
         .select("query_id", "neighbor_id", "cos_sim", "rk")
     )
+
+
+def corpus_diversity(embeddings: DataFrame) -> DataFrame:
+    """Exact mean pairwise cosine per label WITHOUT materializing any
+    pair: for unit vectors u_i, Σ_{i≠j} u_i·u_j = ||Σ u_i||² − n, so
+    mean pairwise cosine = (||Σ u_i||² − n) / (n(n−1)). One corpus
+    scan and a labels × d aggregation replace the O(n²) self-join —
+    the algebra that turns a corpus-redundancy diagnostic (high mean
+    cosine = semantically collapsed data, the SemDeDup-era signal)
+    into a 100 TB-safe aggregate. NULL for single-member labels
+    (no pairs).
+
+    Output: (label, n_vectors, mean_pairwise_cos, mean_norm)."""
+    norm = l2_norm(F.col("embedding"))
+    unit = embeddings.select(
+        "label",
+        norm.alias("__norm"),
+        F.posexplode(
+            F.transform(
+                F.col("embedding"),
+                lambda x: x.cast("double")
+                / F.greatest(norm, F.lit(1e-12)),
+            )
+        ).alias("dim", "u"),
+    )
+    sums = unit.groupBy("label", "dim").agg(
+        F.sum("u").alias("s"),
+        # count + norm repeat per dim; dim 0 carries them once
+        F.count(F.lit(1)).alias("__n"),
+        F.sum("__norm").alias("__norm_sum"),
+    )
+    per_label = sums.groupBy("label").agg(
+        F.sum(F.col("s") * F.col("s")).alias("ss"),
+        F.max("__n").alias("n"),
+        (F.max("__norm_sum") / F.max("__n")).alias("__mean_norm"),
+    )
+    n = F.col("n").cast("double")
+    return per_label.select(
+        "label",
+        F.col("n").alias("n_vectors"),
+        (
+            F.round(
+                F.when(
+                    F.col("n") >= 2, (F.col("ss") - n) / (n * (n - 1))
+                ),
+                6,
+            )
+            + 0.0
+        ).alias("mean_pairwise_cos"),
+        (F.round(F.col("__mean_norm"), 6) + 0.0).alias("mean_norm"),
+    )

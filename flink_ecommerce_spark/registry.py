@@ -1110,6 +1110,10 @@ def _q_label_centroids(spark, sf):
     return similarity.label_centroids(_t("embeddings")(spark, sf))
 
 
+def _q_corpus_diversity(spark, sf):
+    return similarity.corpus_diversity(_t("embeddings")(spark, sf))
+
+
 def _q_embedding_drift(spark, sf):
     """Fixture snapshots: even vec_ids = old export, odd = new."""
     emb = _t("embeddings")(spark, sf)
@@ -3166,6 +3170,26 @@ FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
       FROM scored)
 WHERE rk <= {similarity.DEFAULT_K}
 """,
+    "corpus_diversity": f"""
+WITH base AS (SELECT label, {sql_l2_norm("embedding", similarity.EMB_DIM)} AS nrm,
+                     embedding
+              FROM embeddings),
+unit AS (SELECT label, nrm,
+                unnest(list_transform(embedding,
+                       x -> CAST(x AS DOUBLE) / GREATEST(nrm, 1e-12))) AS u,
+                generate_subscripts(embedding, 1) AS dim
+         FROM base),
+sums AS (SELECT label, dim, SUM(u) AS s, COUNT(*) AS n, SUM(nrm) AS norm_sum
+         FROM unit GROUP BY 1, 2),
+pl AS (SELECT label, SUM(s * s) AS ss, MAX(n) AS n,
+              MAX(norm_sum) / MAX(n) AS mean_norm
+       FROM sums GROUP BY 1)
+SELECT label, CAST(n AS BIGINT) AS n_vectors,
+       ROUND(CASE WHEN n >= 2 THEN (ss - n) / (n * (n - 1.0)) END, 6) + 0.0
+         AS mean_pairwise_cos,
+       ROUND(mean_norm, 6) + 0.0 AS mean_norm
+FROM pl
+""",
     "embedding_drift": """
 WITH o AS (SELECT * FROM embeddings WHERE vec_id % 2 = 0),
 n AS (SELECT * FROM embeddings WHERE vec_id % 2 = 1),
@@ -3908,6 +3932,9 @@ _SPEC_DEFS: dict[str, QuerySpec] = {
     "kmeans_cluster_sizes": QuerySpec(_q_kmeans_sizes, None),
     "label_centroids": QuerySpec(_q_label_centroids, ORACLES["label_centroids"]),
     "embedding_drift": QuerySpec(_q_embedding_drift, ORACLES["embedding_drift"]),
+    "corpus_diversity": QuerySpec(
+        _q_corpus_diversity, ORACLES["corpus_diversity"]
+    ),
     "embedding_near_dup_pairs": QuerySpec(
         _q_embedding_near_dup, ORACLES["embedding_near_dup_pairs"]
     ),

@@ -296,3 +296,32 @@ def test_embedding_drift_detects_rotation_and_volume(spark):
     assert got[1]["centroid_cos"] == 1.0 and got[1]["centroid_l2"] == 0.0
     assert got[2]["n_new"] is None and got[2]["centroid_cos"] is None
     assert got[2]["n_old"] == 1
+
+
+def test_corpus_diversity_matches_literal_pairwise_mean(spark):
+    """The closed form (||Σu||² − n)/(n(n−1)) must equal the literal
+    mean over all ordered pairs' cosines, computed in NumPy."""
+    import numpy as np
+
+    rng = [
+        [1.0, 0.0, 0.0],
+        [0.8, 0.6, 0.0],
+        [0.0, 1.0, 0.0],
+        [0.5, 0.5, 0.70710678],
+    ]
+    rows = [(i, v, 0) for i, v in enumerate(rng)] + [(10, [2.0, 0.0, 0.0], 1)]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    got = {r["label"]: r for r in similarity.corpus_diversity(emb).collect()}
+
+    m = np.array(rng, dtype=np.float64)
+    u = m / np.linalg.norm(m, axis=1, keepdims=True)
+    sims = u @ u.T
+    n = len(u)
+    literal = (sims.sum() - np.trace(sims)) / (n * (n - 1))
+    assert abs(got[0]["mean_pairwise_cos"] - literal) < 1e-5
+    assert got[0]["n_vectors"] == 4
+    # single-member label: no pairs -> NULL
+    assert got[1]["mean_pairwise_cos"] is None
+    assert got[1]["n_vectors"] == 1 and got[1]["mean_norm"] == 2.0
