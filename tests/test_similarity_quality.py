@@ -325,3 +325,40 @@ def test_corpus_diversity_matches_literal_pairwise_mean(spark):
     # single-member label: no pairs -> NULL
     assert got[1]["mean_pairwise_cos"] is None
     assert got[1]["n_vectors"] == 1 and got[1]["mean_norm"] == 2.0
+
+
+def test_topk_per_key_equals_single_window(spark):
+    """Bucketed two-phase top-k must be row-identical to the plain
+    per-key window under the same total order — including rounded-
+    score TIES at the k boundary (engineered below: every score is
+    drawn from 5 distinct values, so ties abound)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    rng = random.Random(7)
+    rows = [
+        (q, n, round(rng.choice([0.1, 0.2, 0.3, 0.4, 0.5]), 6))
+        for q in range(4)
+        for n in rng.sample(range(1000), 200)
+    ]
+    scored = spark.createDataFrame(
+        rows, "query_id long, neighbor_id long, cos_sim double"
+    )
+    order = [F.desc("cos_sim"), F.asc("neighbor_id")]
+    got = {
+        tuple(r)
+        for r in similarity.topk_per_key(
+            scored, "query_id", order, 5, salt_col="neighbor_id"
+        ).select("query_id", "neighbor_id", "cos_sim", "rk").collect()
+    }
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(*order)
+    ref = {
+        tuple(r)
+        for r in scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .collect()
+    }
+    assert got == ref
