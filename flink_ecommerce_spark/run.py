@@ -56,13 +56,17 @@ def resolve(spark: SparkSession, sf: str, args: argparse.Namespace):
         yield name, registry.SPECS[name].fn(spark, sf)
 
 
-def emit(name: str, df: DataFrame, args: argparse.Namespace) -> None:
+def emit(
+    name: str, df: DataFrame, args: argparse.Namespace, multi: bool = False
+) -> None:
     if args.explain:
         print(f"== {name}")
         df.explain("formatted")
         return
     if args.out:
-        path = args.out if len(args.queries) <= 1 else f"{args.out}/{name}"
+        # one result -> exactly --out; several (names and/or --sql)
+        # -> per-result subdirectories so nothing overwrites
+        path = f"{args.out}/{name}" if multi else args.out
         df.write.mode("overwrite").parquet(path)
         print(f"{name}: wrote {path}")
         return
@@ -94,8 +98,9 @@ def main(argv: list[str] | None = None) -> None:
         .getOrCreate()
     )
     try:
-        for name, df in resolve(spark, args.sf, args):
-            emit(name, df, args)
+        results = list(resolve(spark, args.sf, args))
+        for name, df in results:
+            emit(name, df, args, multi=len(results) > 1)
     finally:
         spark.stop()
 
