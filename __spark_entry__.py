@@ -20,7 +20,15 @@ retrieval (BM25 top-k, positional phrase search, hybrid RRF fusion
 with the cosine kNN), the lossless prefix-filter Jaccard join with
 its LSH recall meter, fixed-iteration PageRank (unrolled-CTE exact
 oracle), cross-corpus LM admission scoring, payload-hash media
-dedup, and key-skew diagnostics — each with a
+dedup, and key-skew diagnostics — plus the late-r05 block: the
+point-in-time SCD2 enrichment join, temperature (α=0.5) source
+rebalancing, per-shard integrity manifests, RFM segmentation and
+decayed user value, Markov event transitions / session paths /
+basket support+lift, sliding windows, DAU/WAU rolling actives and
+normalized cohort retention, character entropy, sentence-boundary
+RAG chunks, per-source duplicate health, quality-aware dedup
+representatives, snapshot embedding drift, and the closed-form
+corpus-diversity diagnostic — each with a
 DuckDB oracle twin (COVERAGE.md is the full map; non-query machinery
 — continuous aggregates, Z-order layout, streaming
 sinks/packing/dedup/fuzzy-admission, BPE tokenizer train/apply — is
