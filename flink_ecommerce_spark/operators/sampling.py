@@ -328,15 +328,25 @@ def temperature_mixture_summary(
     salt: str = "temp",
 ) -> DataFrame:
     """The recipe view: per source, raw share vs temperature share —
-    n_docs, the effective keep rate, and realized kept counts."""
-    kept = temperature_mixture(documents, target_frac, salt)
+    n_docs, the effective keep rate, and realized kept counts.
+
+    Builds the rates table ONCE and carries thr through the keep
+    aggregation (grouping on (source, thr) — thr is functionally
+    determined by source), so the corpus is scanned exactly twice:
+    once for the per-source counts inside the rates aggregate, once
+    for the keep decisions. Re-deriving rates for the keep_rate
+    column would be a third full read at 100 TB."""
+    rates = _temperature_rates(documents, target_frac)
+    b = _bucket(F.col("doc_id"), salt, TEMP_BUCKETS)
+    kept = documents.join(F.broadcast(rates), "source").select(
+        "source", "thr", (b < F.col("thr")).alias("kept")
+    )
     return (
-        kept.groupBy("source")
+        kept.groupBy("source", "thr")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum(F.col("kept").cast("long")).alias("n_kept"),
         )
-        .join(F.broadcast(_temperature_rates(documents, target_frac)), "source")
         .select(
             "source",
             "n_docs",

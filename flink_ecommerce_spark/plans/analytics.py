@@ -49,19 +49,20 @@ def daily_running_revenue(events: DataFrame) -> DataFrame:
     )
 
 
-def user_sessions(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
-    """Sessionization via lag + gap-cumsum (the batch equivalent of a
-    session window): new session when the gap to the previous event of
-    the same user exceeds `gap_minutes`. Output: per-user session
-    count and average session length (events per session)."""
+def _sessionized(events: DataFrame, gap_minutes: int) -> DataFrame:
+    """Gap-based sessionization frame shared by user_sessions and
+    top_session_paths: the input plus (new_sess, sess_id) columns.
+    New session when the gap to the user's previous event exceeds
+    ``gap_minutes``.
+
+    cast: unix_micros rejects TIMESTAMP_NTZ, and the fixture's ts
+    arrives as NTZ or TZ depending on how the parquet was written;
+    the session timezone is pinned UTC (catalog.table) so the cast
+    is deterministic either way."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    # cast: unix_micros rejects TIMESTAMP_NTZ, and the fixture's ts
-    # arrives as NTZ or TZ depending on how the parquet was written;
-    # the session timezone is pinned UTC (catalog.table) so the cast
-    # is deterministic either way.
     micros = F.expr("unix_micros(cast(ts as timestamp))")
     gap = micros - F.lag(micros).over(w)
-    sess = events.withColumn(
+    return events.withColumn(
         "new_sess",
         F.when(gap.isNull() | (gap > gap_minutes * 60 * 1_000_000), F.lit(1)).otherwise(
             F.lit(0)
@@ -72,9 +73,16 @@ def user_sessions(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
             w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
         ),
     )
-    per_session = sess.groupBy("user_id", "sess_id").agg(
-        F.count(F.lit(1)).alias("n_events")
-    )
+
+
+def user_sessions(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Sessionization via lag + gap-cumsum (the batch equivalent of a
+    session window): new session when the gap to the previous event of
+    the same user exceeds `gap_minutes`. Output: per-user session
+    count and average session length (events per session)."""
+    per_session = _sessionized(events, gap_minutes).groupBy(
+        "user_id", "sess_id"
+    ).agg(F.count(F.lit(1)).alias("n_events"))
     return per_session.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_sessions"),
         F.round(F.avg("n_events"), 6).alias("avg_events_per_session"),
@@ -483,21 +491,7 @@ def top_session_paths(
     construction and capped at max_steps anyway; path counting is a
     hash aggregation on the path string and top-k compiles to
     TakeOrderedAndProject."""
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    micros = F.expr("unix_micros(cast(ts as timestamp))")
-    gap = micros - F.lag(micros).over(w)
-    sess = events.withColumn(
-        "new_sess",
-        F.when(
-            gap.isNull() | (gap > gap_minutes * 60 * 1_000_000), F.lit(1)
-        ).otherwise(F.lit(0)),
-    ).withColumn(
-        "sess_id",
-        F.sum("new_sess").over(
-            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        ),
-    )
-    paths = sess.groupBy("user_id", "sess_id").agg(
+    paths = _sessionized(events, gap_minutes).groupBy("user_id", "sess_id").agg(
         F.concat_ws(
             ">",
             F.slice(

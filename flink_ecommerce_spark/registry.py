@@ -4062,8 +4062,12 @@ _VERIFY_FIRST: tuple[str, ...] = (
     # NEW in r05 (late addition) — takes the one backfill slot
     # q1_pricing_summary held (q1 keeps its r01 certification: its
     # plan is unchanged since, fingerprint-checked by
-    # tests/test_certification_invariant.py; new queries MUST
-    # certify in their first round, staleness rotation can wait)
+    # tests/test_certification_invariant.py). The OTHER late-r05
+    # queries arrived after the window filled: they sit at the
+    # registry tail with sf0.01 mini-driver green runs only, their
+    # ledger fingerprints track HEAD (nothing certified to protect),
+    # and they go FIRST into the r06 window — see COVERAGE.md
+    # "Verification rotation".
     "pit_enriched_events",
     # q2_min_cost_supplier / q3_shipping_priority / q4_order_priority / q5_regional_revenue / q6_revenue_forecast / q7_volume_shipping / q8_market_share / q9_product_profit / q10_returned_items / q11_important_parts / q12_priority_shipping / q13_order_distribution / q14_promo_revenue / q15_top_supplier / q16_part_supplier_counts / q17_small_quantity_revenue / q18_large_volume_customers / q19_disjunctive_revenue / q20_promotion_suppliers / q21_waiting_suppliers / q22_sales_opportunity / customer_order_totals / customers_without_orders / orders_with_big_lineitem / parts_by_brand_type / events_by_customer_segment / revenue_by_brand / top10_orders / top_users_per_event_type / daily_running_revenue / weekly_moving_avg / sales_rollup / event_type_cube / event_value_pivot / distinct_users_per_day / value_stats_per_type /
     # session_window_stats / conversion_funnel / weekly_retention /

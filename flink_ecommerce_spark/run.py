@@ -71,8 +71,10 @@ def emit(
         print(f"{name}: wrote {path}")
         return
     if args.json:
+        # several results -> wrap each line with its query name so
+        # the consumer can attribute rows (schemas may collide)
         for row in df.toJSON().toLocalIterator():
-            print(row)
+            print(f'{{"query": "{name}", "row": {row}}}' if multi else row)
         return
     print(f"== {name}")
     df.show(args.limit, truncate=False)
