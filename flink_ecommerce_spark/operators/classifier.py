@@ -130,10 +130,19 @@ def _nb_model(
 def _nb_score(
     doc_tokens: DataFrame, loglik: DataFrame, prior: DataFrame
 ) -> DataFrame:
+    # Term frequencies FIRST: Σ ll_u over occurrences == Σ n_w·ll_u
+    # over distinct words (exact long arithmetic), so the model join
+    # fans out distinct (doc, word) pairs — several-fold fewer rows
+    # than raw token occurrences on natural text — and the groupBy
+    # behind it shrinks identically. The tf aggregation itself is
+    # map-side combinable on the scan.
+    tf = doc_tokens.groupBy("doc_id", "word").agg(
+        F.count(F.lit(1)).alias("n_w")
+    )
     scored = (
-        doc_tokens.join(loglik, "word")  # fan each token out per class
+        tf.join(loglik, "word")  # fan each distinct word out per class
         .groupBy("doc_id", "model_lang")
-        .agg(F.sum("ll_u").alias("sum_u"))
+        .agg(F.sum(F.col("n_w") * F.col("ll_u")).alias("sum_u"))
         .join(F.broadcast(prior), "model_lang")
         .select(
             "doc_id",
