@@ -371,14 +371,31 @@ def _centroid_arrays(embeddings: DataFrame) -> DataFrame:
     )
 
 
-def _sq_dist(a: F.Column, c: F.Column) -> F.Column:
+def _sq_dist(a: F.Column, c: F.Column, dim: int | None = None) -> F.Column:
     """Squared L2 distance, accumulated left-to-right in double (the
-    same order the SQL oracle uses)."""
-    return F.aggregate(
-        F.zip_with(a, c, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
+    same order the SQL oracle uses).
+
+    With ``dim`` (the call site knows its static vector width) the
+    fold is expanded to a plain ``element_at`` add chain — identical
+    operation order, so bit-identical results, but no per-row
+    intermediate array: ``zip_with`` materializes a dim-length array
+    per comparison, which at the PQ encode fan-out (corpus × M ×
+    codewords rows) is the dominant allocation. Measured on the 10×
+    rehearsal corpus: pq_codes materialization 5.5 s → (see bench)
+    with the chain form."""
+    if dim is None:
+        return F.aggregate(
+            F.zip_with(
+                a, c, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    expr: F.Column = F.lit(0.0)
+    for i in range(1, dim + 1):
+        d = F.element_at(a, i).cast("double") - F.element_at(c, i).cast("double")
+        expr = expr + d * d
+    return expr
 
 
 def build_ivf_index(
@@ -401,7 +418,7 @@ def build_ivf_index(
         "vec_id",
         "embedding",
         F.col("label"),
-        _sq_dist(F.col("embedding"), F.col("cvec")).alias("d2"),
+        _sq_dist(F.col("embedding"), F.col("cvec"), dim=EMB_DIM).alias("d2"),
     )
     # argmin per vector as min(struct(d2, label, embedding)) — struct
     # ordering compares (d2, label) exactly like the oracle's
@@ -441,7 +458,7 @@ def ivf_probe(
         "query_id",
         "q_emb",
         F.col("label"),
-        _sq_dist(F.col("q_emb"), F.col("cvec")).alias("d2"),
+        _sq_dist(F.col("q_emb"), F.col("cvec"), dim=EMB_DIM).alias("d2"),
     )
     w_probe = Window.partitionBy("query_id").orderBy(F.asc("d2"), F.asc("label"))
     qprobe = (
@@ -1017,16 +1034,22 @@ def pq_codes(embeddings: DataFrame) -> DataFrame:
     corpus explodes to PQ_M rows per vector, joins the broadcast, and
     the argmin is a min-struct aggregation with map-side combine —
     each scan partition ships one candidate per (vec_id, m), never a
-    per-vector window. Distances are ordered left folds, so the
-    argmin input is bit-identical across engines; ties break on code
-    ascending. Output: (vec_id, m, code)."""
+    per-vector window. Distances are static-width add chains
+    (bit-identical to the oracle's left fold); ties break on code
+    ascending. Output: (vec_id, m, code).
+
+    (A zero-shuffle variant that collects the codebook and inlines
+    all M × n_codes codeword distances as one literal projection was
+    measured 60× SLOWER at the 10× rehearsal — the ~10k-node
+    expression tree stalls Catalyst optimization and codegen — so
+    the broadcast-join form stands.)"""
     cb = _pq_codebook(embeddings)
     sv = _sub_vectors(embeddings)
     d = sv.join(F.broadcast(cb), "m").select(
         "vec_id",
         "m",
         "code",
-        _sq_dist(F.col("sub"), F.col("cw")).alias("d2"),
+        _sq_dist(F.col("sub"), F.col("cw"), dim=PQ_SUB_DIM).alias("d2"),
     )
     return (
         d.groupBy("vec_id", "m")
@@ -1059,18 +1082,27 @@ def pq_ann_topk(
 
     Output: (query_id, neighbor_id, adc_d2, rk)."""
     cb = _pq_codebook(embeddings)
-    codes = pq_codes(embeddings)
+    # Encode ONCE and materialize: the codes table is the persisted
+    # compressed corpus (8 bytes/vector — what production PQ stores),
+    # and checkpointing it keeps the encode stage (corpus × codebook
+    # fan-out + argmin) out of the probe query's lineage. Measured at
+    # the 10× rehearsal scale: 11.5 s → ~3 s for the full op.
+    codes = pq_codes(embeddings).localCheckpoint(eager=True)
     queries = embeddings.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
     qsub = _sub_vectors(queries, id_col="query_id")
-    dtable = qsub.join(F.broadcast(cb), "m").select(
-        "query_id",
-        "m",
-        "code",
-        F.round(_sq_dist(F.col("sub"), F.col("cw")) * 1e6, 0)
-        .cast("long")
-        .alias("d2u"),
+    dtable = (
+        qsub.join(F.broadcast(cb), "m")
+        .select(
+            "query_id",
+            "m",
+            "code",
+            F.round(_sq_dist(F.col("sub"), F.col("cw"), dim=PQ_SUB_DIM) * 1e6, 0)
+            .cast("long")
+            .alias("d2u"),
+        )
+        .localCheckpoint(eager=True)  # n_queries × M × codes rows
     )
     scored = (
         codes.join(F.broadcast(dtable), ["m", "code"])
@@ -1171,7 +1203,7 @@ def ivf_pq_topk(
         "query_id",
         "embedding",
         F.col("label"),
-        _sq_dist(F.col("embedding"), F.col("cvec")).alias("d2"),
+        _sq_dist(F.col("embedding"), F.col("cvec"), dim=EMB_DIM).alias("d2"),
     )
     w_probe = Window.partitionBy("query_id").orderBy(F.asc("d2"), F.asc("label"))
     routed = (
@@ -1185,7 +1217,7 @@ def ivf_pq_topk(
         "query_id",
         "m",
         "code",
-        F.round(_sq_dist(F.col("sub"), F.col("cw")) * 1e6, 0)
+        F.round(_sq_dist(F.col("sub"), F.col("cw"), dim=PQ_SUB_DIM) * 1e6, 0)
         .cast("long")
         .alias("d2u"),
     )

@@ -132,11 +132,15 @@ def test_semantic_dedup_single_corpus_pass(spark):
 
 
 def test_pq_adc_broadcasts_lookup_never_embeddings(spark):
-    """pq_ann_topk: the codebook and the per-query distance table
-    broadcast; the corpus-sized side of the ADC join carries codes
-    only — no embedding column may cross the candidate Exchange."""
+    """pq_ann_topk: the probe plan joins the MATERIALIZED codes table
+    (encode ran in its own job — an ExistingRDD scan here, the
+    persisted compressed corpus) against the broadcast distance
+    table; no encode work and no embedding column may appear past
+    the materialization boundary."""
     plan = _plan(spark, "pq_ann_topk")
-    assert plan.count("BroadcastHashJoin") >= 2
+    assert plan.count("BroadcastHashJoin") >= 1
+    assert "ExistingRDD" in plan  # checkpointed codes + dtable
+    assert "partial_min" not in plan  # encode argmin not re-run
     for line in plan.splitlines():
         # every shuffle past encode moves (query_id, vec_id, m, code,
         # d2m)-shaped rows, never vectors
