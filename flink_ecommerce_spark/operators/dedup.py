@@ -795,6 +795,16 @@ def repeated_substring_spans(
         .select("__h")
     )
     hits = sh.join(rep, "__h").select("doc_id", "pos")
+    return _merge_pos_islands(hits, k, min_tokens)
+
+
+def _merge_pos_islands(hits: DataFrame, k: int, min_tokens: int) -> DataFrame:
+    """(doc_id, pos) shingle-start hits → merged maximal spans
+    (doc_id, start_tok, end_tok, span_tokens): consecutive starts
+    coalesce (gaps-and-islands per doc, bounded by the doc's own
+    length), a run of m starts covers m + k - 1 tokens, spans under
+    ``min_tokens`` drop. Shared by repeated_substring_spans and
+    substr_dedup_spans."""
     from pyspark.sql import Window
 
     w_doc = Window.partitionBy("doc_id").orderBy("pos")
@@ -826,6 +836,69 @@ def repeated_substring_spans(
         .filter(F.col("span_tokens") >= min_tokens)
         .select("doc_id", "start_tok", "end_tok", "span_tokens")
     )
+
+
+def substr_dedup_spans(
+    documents: DataFrame, k: int = 8, min_tokens: int = 16
+) -> DataFrame:
+    """The KEEP-ONE half of exact-substring dedup: spans covering
+    every repeated k-shingle occurrence EXCEPT the corpus-first one
+    (first = smallest (doc_id, pos) — deterministic, order-free).
+    ``repeated_substring_spans`` marks ALL occurrences of repeated
+    content; composing THESE spans with ``remove_spans`` implements
+    Lee et al.'s keep-one policy (ACL 2022 §4.2: one copy of each
+    duplicated substring survives) — the policy the
+    ``remove_spans`` docstring previously left as a caller recipe.
+
+    Scale: identical shape to repeated_substring_spans plus one
+    min-struct aggregate — the per-hash first occurrence is
+    min(struct(doc_id, pos)), map-side combinable, so a content
+    repeated millions of times still ships one candidate per scan
+    partition, never a per-hash window sort. Output: (doc_id,
+    start_tok, end_tok, span_tokens)."""
+    ws = documents.select("doc_id", words("text").alias("__words"))
+    sh = ws.select(
+        "doc_id",
+        F.posexplode(shingles_from_words(F.col("__words"), k)).alias(
+            "pos", "__sh"
+        ),
+    ).select("doc_id", "pos", F.md5("__sh").alias("__h"))
+    firsts = (
+        sh.groupBy("__h")
+        .agg(
+            F.count(F.lit(1)).alias("__c"),
+            F.min(F.struct("doc_id", "pos")).alias("__first"),
+        )
+        .filter(F.col("__c") >= 2)
+        .select(
+            "__h",
+            F.col("__first.doc_id").alias("__fd"),
+            F.col("__first.pos").alias("__fp"),
+        )
+    )
+    hits = (
+        sh.join(firsts, "__h")
+        .filter(
+            ~(
+                (F.col("doc_id") == F.col("__fd"))
+                & (F.col("pos") == F.col("__fp"))
+            )
+        )
+        .select("doc_id", "pos")
+    )
+    return _merge_pos_islands(hits, k, min_tokens)
+
+
+def documents_substr_deduped(
+    documents: DataFrame, k: int = 8, min_tokens: int = 16
+) -> DataFrame:
+    """Exact-substring-deduped corpus, keep-one policy end-to-end:
+    every duplicated >= ``min_tokens``-token substring keeps its
+    corpus-first occurrence and is removed everywhere else; text is
+    rebuilt over the normalized (lowercased, whitespace-split)
+    tokens. Output schema matches the documents table: (doc_id,
+    text, lang, source, n_chars) with n_chars recomputed."""
+    return remove_spans(documents, substr_dedup_spans(documents, k, min_tokens))
 
 
 def remove_spans(documents: DataFrame, spans: DataFrame) -> DataFrame:

@@ -647,6 +647,12 @@ def _q_documents_deduped_best(spark, sf):
     return dedup.documents_deduped_best(_t("documents")(spark, sf))
 
 
+def _q_documents_substr_deduped(spark, sf):
+    """Keep-one exact-substring dedup end product — see
+    operators/dedup.py::documents_substr_deduped."""
+    return dedup.documents_substr_deduped(_t("documents")(spark, sf))
+
+
 def _q_sample_events(spark, sf):
     from .operators.sampling import sample_events
 
@@ -2294,6 +2300,44 @@ SELECT doc_id, MIN(pos) AS start_tok,
        CAST(MAX(pos) + 7 - MIN(pos) + 1 AS BIGINT) AS span_tokens
 FROM isl GROUP BY doc_id, gid
 HAVING CAST(MAX(pos) + 7 - MIN(pos) + 1 AS BIGINT) >= 16
+""",
+    # keep-one policy: rk 1 per hash (ordered by doc_id, pos) is the
+    # kept corpus-first occurrence == Spark's min(struct(doc_id, pos))
+    "documents_substr_deduped": f"""
+WITH w AS (SELECT doc_id, lang, source, {_WORDS} AS ws FROM documents),
+s0 AS (SELECT doc_id, unnest(generate_series(1, len(ws) - 7)) AS i, ws
+       FROM w WHERE len(ws) >= 8),
+s AS (SELECT doc_id, CAST(i - 1 AS INT) AS pos,
+             md5(array_to_string(list_slice(ws, i, i + 7), ' ')) AS h
+      FROM s0),
+r AS (SELECT doc_id, pos,
+             ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rk,
+             COUNT(*) OVER (PARTITION BY h) AS c
+      FROM s),
+m AS (SELECT doc_id, pos FROM r WHERE c >= 2 AND rk >= 2),
+g AS (SELECT doc_id, pos,
+        CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) = 1
+             THEN 0 ELSE 1 END AS brk
+      FROM m),
+isl AS (SELECT doc_id, pos,
+          SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                         ROWS UNBOUNDED PRECEDING) AS gid
+        FROM g),
+sp AS (SELECT doc_id, MIN(pos) AS st, MAX(pos) + 7 AS en
+       FROM isl GROUP BY doc_id, gid
+       HAVING MAX(pos) + 7 - MIN(pos) + 1 >= 16),
+tok AS (SELECT doc_id, CAST(i - 1 AS INT) AS pos, ws[i] AS word
+        FROM (SELECT doc_id, unnest(generate_series(1, len(ws))) AS i, ws
+              FROM w)),
+kept AS (SELECT t.doc_id, t.pos, t.word FROM tok t
+         WHERE NOT EXISTS (SELECT 1 FROM sp
+                           WHERE sp.doc_id = t.doc_id
+                             AND t.pos BETWEEN sp.st AND sp.en)),
+txt AS (SELECT doc_id, COALESCE(string_agg(word, ' ' ORDER BY pos), '') AS t2
+        FROM kept GROUP BY doc_id)
+SELECT w.doc_id, COALESCE(t.t2, '') AS text, w.lang, w.source,
+       CAST(length(COALESCE(t.t2, '')) AS BIGINT) AS n_chars
+FROM w LEFT JOIN txt t USING (doc_id)
 """,
     "shingle_novelty": f"""
 WITH sh AS (SELECT doc_id, {_SHINGLES} AS shingles FROM documents),
@@ -3992,6 +4036,9 @@ _SPEC_DEFS: dict[str, QuerySpec] = {
     ),
     "shard_balance": QuerySpec(_q_shard_balance, ORACLES["shard_balance"]),
     "shard_manifest": QuerySpec(_q_shard_manifest, ORACLES["shard_manifest"]),
+    "documents_substr_deduped": QuerySpec(
+        _q_documents_substr_deduped, ORACLES["documents_substr_deduped"]
+    ),
 }
 
 # The external correctness driver verifies the registry IN ITERATION

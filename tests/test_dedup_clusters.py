@@ -367,6 +367,46 @@ def test_remove_spans_strips_only_covered_tokens(spark):
     assert kept[1] == "x1 y1 z1 w1 v1"
 
 
+def test_documents_substr_deduped_keep_one(spark):
+    """End-to-end keep-one policy: a passage shared by three docs
+    survives ONLY at its corpus-first occurrence (smallest
+    (doc_id, pos)); unique docs pass through normalized; a within-doc
+    repeat keeps its first copy and loses the second."""
+    from flink_ecommerce_spark.operators.dedup import (
+        documents_substr_deduped,
+        substr_dedup_spans,
+    )
+
+    shared = " ".join(f"p{i}" for i in range(20))
+    phrase = " ".join(f"q{i}" for i in range(16))
+    rows = [
+        (0, f"a0 b0 c0 {shared} z0", "en", "s", 1),
+        (1, f"{shared} x1 y1 z1 w1 v1", "en", "s", 1),
+        (2, "entirely unique text with no repeats here at all", "en", "s", 1),
+        (3, f"{phrase} mid1 mid2 mid3 {phrase}", "en", "s", 1),
+    ]
+    docs = spark.createDataFrame(rows, DOCUMENTS_SCHEMA)
+
+    spans = {
+        (r["doc_id"], r["start_tok"], r["end_tok"])
+        for r in substr_dedup_spans(docs, k=8, min_tokens=16).collect()
+    }
+    # doc 0 holds the corpus-first copy (doc_id 0 < 1): only doc 1's
+    # copy and doc 3's SECOND phrase occurrence are marked
+    assert spans == {(1, 0, 19), (3, 19, 34)}
+
+    out = {
+        r["doc_id"]: (r["text"], r["n_chars"])
+        for r in documents_substr_deduped(docs, k=8, min_tokens=16).collect()
+    }
+    assert out[0][0] == f"a0 b0 c0 {shared} z0"
+    assert out[1][0] == "x1 y1 z1 w1 v1"
+    assert out[2][0] == "entirely unique text with no repeats here at all"
+    assert out[3][0] == f"{phrase} mid1 mid2 mid3"
+    for doc_id, (text, n_chars) in out.items():
+        assert n_chars == len(text)
+
+
 def test_minhash_plan_for_sizing():
     from flink_ecommerce_spark.operators import dedup
 

@@ -222,6 +222,13 @@ def test_late_r05_ops_on_empty(spark, empty_events, empty_docs):
     assert dup_rate_by_source(empty_docs).collect() == []
     assert documents_deduped_best(empty_docs).collect() == []
     assert shard_manifest(empty_docs).collect() == []
+    from flink_ecommerce_spark.operators.dedup import (
+        documents_substr_deduped,
+        substr_dedup_spans,
+    )
+
+    assert substr_dedup_spans(empty_docs).collect() == []
+    assert documents_substr_deduped(empty_docs).collect() == []
     # pit_join: empty dim keeps fact cardinality with NULL attrs
     import datetime as dt
 
