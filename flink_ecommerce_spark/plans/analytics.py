@@ -572,3 +572,68 @@ def retention_rates(events: DataFrame, anchor: str = "2024-01-01") -> DataFrame:
             F.round(F.col("n_users") / F.col("__size"), 6) + 0.0
         ).alias("retention"),
     )
+
+
+def event_type_correlations(events: DataFrame) -> DataFrame:
+    """Daily co-movement matrix: Pearson correlation of the daily
+    event-count series for every event-type pair (type_a < type_b) —
+    the monitoring view behind "purchases and errors spike together".
+    Days where either type is absent are treated as missing for that
+    pair (inner join on day), not as zero — a silent outage day
+    would otherwise manufacture correlation.
+
+    Engine determinism: correlation is computed from the six exact
+    long aggregates (n, Σx, Σy, Σxy, Σx², Σy²), each cast to double
+    ONCE and combined with the identical expression in the oracle —
+    not via the engines' own ``corr()``, whose single-pass update
+    order differs between engines in the last bits. NULL when either
+    variance term is non-positive (constant series carry no signal).
+
+    Scale: the corpus-sized table is touched once by the (day, type)
+    pre-aggregation (days × types rows, map-side combine); the pair
+    join and the six-sum aggregate run on that tiny frame. Long
+    intermediates are exact up to ~2^63 in the raw sums; the
+    products happen in double."""
+    daily = events.groupBy(
+        F.to_date("ts").alias("d"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    a = daily.select(
+        "d", F.col("event_type").alias("type_a"), F.col("n").alias("x")
+    )
+    b = daily.select(
+        "d", F.col("event_type").alias("type_b"), F.col("n").alias("y")
+    )
+    g = (
+        a.join(b, "d")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+            F.sum(F.col("y") * F.col("y")).alias("syy"),
+        )
+    )
+    nd = F.col("n_days").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    vx = nd * sxx - sx * sx
+    vy = nd * syy - sy * sy
+    return g.select(
+        "type_a",
+        "type_b",
+        "n_days",
+        (
+            F.round(
+                F.when(
+                    (vx > 0) & (vy > 0),
+                    (nd * sxy - sx * sy) / F.sqrt(vx * vy),
+                ),
+                6,
+            )
+            + 0.0
+        ).alias("corr_daily_counts"),
+    )

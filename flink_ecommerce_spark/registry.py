@@ -1018,6 +1018,10 @@ def _q_daily_anomaly_scores(spark, sf):
     return analytics.daily_anomaly_scores(_t("events")(spark, sf))
 
 
+def _q_event_type_correlations(spark, sf):
+    return analytics.event_type_correlations(_t("events")(spark, sf))
+
+
 def _q_event_transitions(spark, sf):
     return temporal.event_transitions(_t("events")(spark, sf))
 
@@ -3487,6 +3491,31 @@ SELECT user_id, recency_days, frequency, monetary, r_score, f_score, m_score,
        CAST(r_score * 100 + f_score * 10 + m_score AS INT) AS rfm
 FROM s
 """,
+    # six exact long sums cast to double once, combined with the
+    # identical expression as the Spark side (never engine corr())
+    "event_type_correlations": """
+WITH daily AS (SELECT CAST(ts AS DATE) AS d, event_type, COUNT(*) AS n
+               FROM events GROUP BY 1, 2),
+g AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+             COUNT(*) AS n_days,
+             SUM(a.n) AS sx, SUM(b.n) AS sy, SUM(a.n * b.n) AS sxy,
+             SUM(a.n * a.n) AS sxx, SUM(b.n * b.n) AS syy
+      FROM daily a JOIN daily b ON a.d = b.d AND a.event_type < b.event_type
+      GROUP BY 1, 2)
+SELECT type_a, type_b, CAST(n_days AS BIGINT) AS n_days,
+       ROUND(CASE WHEN CAST(n_days AS DOUBLE) * CAST(sxx AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+                   AND CAST(n_days AS DOUBLE) * CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0
+            THEN (CAST(n_days AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / SQRT((CAST(n_days AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                        * (CAST(n_days AS DOUBLE) * CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+            END, 6) + 0.0 AS corr_daily_counts
+FROM g
+""",
     "daily_anomaly_scores": """
 WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d,
                       ROUND(SUM(value), 2) AS day_value
@@ -4038,6 +4067,9 @@ _SPEC_DEFS: dict[str, QuerySpec] = {
     "shard_manifest": QuerySpec(_q_shard_manifest, ORACLES["shard_manifest"]),
     "documents_substr_deduped": QuerySpec(
         _q_documents_substr_deduped, ORACLES["documents_substr_deduped"]
+    ),
+    "event_type_correlations": QuerySpec(
+        _q_event_type_correlations, ORACLES["event_type_correlations"]
     ),
 }
 

@@ -161,3 +161,46 @@ def test_rolling_active_users_exact_distinct(spark):
     assert got[day(8)]["wau"] == 2
     # days with no events are absent (dau is the anchor)
     assert day(1) not in got
+
+
+def test_event_type_correlations_crafted_signal(spark):
+    """Perfectly co-moving daily counts -> 1.0; perfectly opposed ->
+    -1.0; a constant series (zero variance) -> NULL; a day where one
+    type is absent drops from that pair (missing, not zero)."""
+    from flink_ecommerce_spark.plans.analytics import event_type_correlations
+
+    d0 = dt.datetime(2024, 1, 1, 12, 0)
+    rows = []
+    eid = 0
+
+    def burst(day, etype, n):
+        nonlocal eid
+        for _ in range(n):
+            eid += 1
+            rows.append(
+                (eid, d0 + dt.timedelta(days=day), 1, etype, 0.0, "{}")
+            )
+
+    # a and b co-move (1, 2, 3); c is anti (3, 2, 1); k constant (2, 2, 2)
+    for day, (na, nc) in enumerate([(1, 3), (2, 2), (3, 1)]):
+        burst(day, "a", na)
+        burst(day, "b", na)  # identical series to a
+        burst(day, "c", nc)
+        burst(day, "k", 2)
+    # d appears only on day 0 — every pair with d has a 1-day overlap
+    burst(0, "d", 5)
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    got = {
+        (r["type_a"], r["type_b"]): r
+        for r in event_type_correlations(events).collect()
+    }
+    assert got[("a", "b")]["corr_daily_counts"] == 1.0
+    assert got[("a", "c")]["corr_daily_counts"] == -1.0
+    assert got[("a", "k")]["corr_daily_counts"] is None  # k has no variance
+    assert got[("a", "d")]["n_days"] == 1  # missing days drop, not zero
+    assert got[("a", "d")]["corr_daily_counts"] is None  # 1 day: no variance
+    assert all(r["n_days"] == 3 for (p, r) in got.items() if "d" not in p)
