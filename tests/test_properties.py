@@ -176,3 +176,52 @@ def test_prefix_filter_lemma_is_lossless(corpus, threshold):
                 )
                 assert threshold * len(a) <= len(b)
                 assert threshold * len(b) <= len(a)
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    docs=st.lists(
+        st.frozensets(st.integers(min_value=0, max_value=30), min_size=1, max_size=20),
+        min_size=2,
+        max_size=8,
+    ),
+    t=st.sampled_from([0.5, 0.6, 0.7, 0.8, 0.9]),
+)
+def test_prefix_join_filters_never_prune_a_true_pair(docs, t):
+    """The exactness contract of prefix_jaccard_pairs
+    (operators/dedup.py): under the global (df, shingle) order, every
+    pair with Jaccard >= t must survive the conjunction of the prefix
+    filter, the size filter, and the PPJoin positional filter — on at
+    least one shared shingle inside both prefixes. Mirrors the Spark
+    join condition literally (including the 1e-9 slack direction)."""
+    import math
+
+    df = {}
+    for s in docs:
+        for x in s:
+            df[x] = df.get(x, 0) + 1
+    order = {x: i for i, x in enumerate(sorted(df, key=lambda x: (df[x], x)))}
+
+    def prefix(s):
+        ordered = sorted(s, key=lambda x: order[x])
+        n = len(s)
+        plen = n - math.ceil(t * n - 1e-9) + 1
+        # rank is 1-based over the full ordered doc, as in the op
+        return {x: i + 1 for i, x in enumerate(ordered[: max(plen, 0)])}
+
+    pres = [prefix(s) for s in docs]
+    for i in range(len(docs)):
+        for j in range(i + 1, len(docs)):
+            a, b = docs[i], docs[j]
+            inter = len(a & b)
+            jac = inter / len(a | b)
+            if jac < t:
+                continue  # filters may do anything to non-pairs
+            na, nb = len(a), len(b)
+            assert t * na <= nb and t * nb <= na  # size filter holds
+            req = math.ceil(t / (1 + t) * (na + nb) - 1e-9)
+            survives = any(
+                1 + min(na - pres[i][x], nb - pres[j][x]) >= req
+                for x in pres[i].keys() & pres[j].keys()
+            )
+            assert survives, (sorted(a), sorted(b), t)
