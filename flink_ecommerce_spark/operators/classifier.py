@@ -68,11 +68,13 @@ def nb_lang_scores(documents: DataFrame) -> DataFrame:
     nb_classify (shared token frame, so the text splits once).
 
     Dataflow: tokens → per-(class, word) counts → smoothed
-    micro-nat log-likelihood table (one row per class-word) →
-    token-level join back → per-(doc, class) long sum + class prior
+    micro-nat log-likelihood table (one row per class-word); scoring
+    aggregates term frequencies per (doc, word) first, joins the
+    model on the distinct words, and sums n_w·ll_u per (doc, class)
     → max-struct argmax. The model table is vocab x classes rows —
-    broadcastable for any real vocabulary cap; the only
-    corpus-sized shuffles carry (doc_id, class, partial long)."""
+    broadcastable for any real vocabulary cap; the corpus-sized
+    shuffles carry (doc_id, word, n) and (doc_id, class, partial
+    long), never text."""
     tokens = documents.select(
         "doc_id", "lang", F.explode(words("text")).alias("word")
     ).localCheckpoint(eager=True)  # feeds model AND scoring below

@@ -782,12 +782,7 @@ def repeated_substring_spans(
     window per (doc_id) over ONLY the repeated positions — bounded by
     each document's own length, not the corpus."""
     ws = documents.select("doc_id", words("text").alias("__words"))
-    sh = ws.select(
-        "doc_id",
-        F.posexplode(shingles_from_words(F.col("__words"), k)).alias(
-            "pos", "__sh"
-        ),
-    ).select("doc_id", "pos", F.md5("__sh").alias("__h"))
+    sh = _shingle_pos_hashes(ws, k)
     rep = (
         sh.groupBy("__h")
         .agg(F.count(F.lit(1)).alias("__c"))
@@ -796,6 +791,20 @@ def repeated_substring_spans(
     )
     hits = sh.join(rep, "__h").select("doc_id", "pos")
     return _merge_pos_islands(hits, k, min_tokens)
+
+
+def _shingle_pos_hashes(ws: DataFrame, k: int) -> DataFrame:
+    """(doc_id, pos, __h) — md5 of each k-token shingle with its
+    0-based start position, from a pre-split (doc_id, __words)
+    frame. Shared by repeated_substring_spans and
+    substr_dedup_spans so their tokenization/hashing can never
+    desynchronize."""
+    return ws.select(
+        "doc_id",
+        F.posexplode(shingles_from_words(F.col("__words"), k)).alias(
+            "pos", "__sh"
+        ),
+    ).select("doc_id", "pos", F.md5("__sh").alias("__h"))
 
 
 def _merge_pos_islands(hits: DataFrame, k: int, min_tokens: int) -> DataFrame:
@@ -857,12 +866,14 @@ def substr_dedup_spans(
     partition, never a per-hash window sort. Output: (doc_id,
     start_tok, end_tok, span_tokens)."""
     ws = documents.select("doc_id", words("text").alias("__words"))
-    sh = ws.select(
-        "doc_id",
-        F.posexplode(shingles_from_words(F.col("__words"), k)).alias(
-            "pos", "__sh"
-        ),
-    ).select("doc_id", "pos", F.md5("__sh").alias("__h"))
+    return _substr_dedup_spans_from_hashes(
+        _shingle_pos_hashes(ws, k), k, min_tokens
+    )
+
+
+def _substr_dedup_spans_from_hashes(
+    sh: DataFrame, k: int, min_tokens: int
+) -> DataFrame:
     firsts = (
         sh.groupBy("__h")
         .agg(
@@ -897,8 +908,27 @@ def documents_substr_deduped(
     corpus-first occurrence and is removed everywhere else; text is
     rebuilt over the normalized (lowercased, whitespace-split)
     tokens. Output schema matches the documents table: (doc_id,
-    text, lang, source, n_chars) with n_chars recomputed."""
-    return remove_spans(documents, substr_dedup_spans(documents, k, min_tokens))
+    text, lang, source, n_chars) with n_chars recomputed.
+
+    One caveat the "keep-one" shorthand glosses over: spans are
+    per-shingle-OCCURRENCE, so when a passage's first copy itself
+    overlaps content duplicated from even earlier in the corpus, the
+    kept copy is the first occurrence of each SHINGLE, which can be
+    split across documents — every repeated shingle survives exactly
+    once, but not necessarily as one contiguous passage (Lee et al.
+    share this property: their keep-one is per duplicated substring,
+    not per enclosing passage).
+
+    The corpus text is split ONCE: span detection and text rebuild
+    both read the same checkpointed (doc_id, __words) frame rather
+    than re-running the regex tokenization scan."""
+    ws = documents.select(
+        "doc_id", "lang", "source", words("text").alias("__words")
+    ).localCheckpoint(eager=True)
+    spans = _substr_dedup_spans_from_hashes(
+        _shingle_pos_hashes(ws, k), k, min_tokens
+    )
+    return _remove_spans_from_ws(ws, spans)
 
 
 def remove_spans(documents: DataFrame, spans: DataFrame) -> DataFrame:
@@ -913,11 +943,18 @@ def remove_spans(documents: DataFrame, spans: DataFrame) -> DataFrame:
     indexed ``filter`` over the words array drops covered positions
     and ``concat_ws`` rejoins — no explode, no second shuffle beyond
     the span join. Docs without spans pass through unchanged."""
-    per_doc = spans.groupBy("doc_id").agg(
-        F.collect_list(F.struct("start_tok", "end_tok")).alias("__spans")
-    )
     ws = documents.select(
         "doc_id", "lang", "source", words("text").alias("__words")
+    )
+    return _remove_spans_from_ws(ws, spans)
+
+
+def _remove_spans_from_ws(ws: DataFrame, spans: DataFrame) -> DataFrame:
+    """remove_spans over a pre-split (doc_id, lang, source, __words)
+    frame — lets compositions that already paid the tokenization scan
+    (documents_substr_deduped) reuse it instead of re-splitting."""
+    per_doc = spans.groupBy("doc_id").agg(
+        F.collect_list(F.struct("start_tok", "end_tok")).alias("__spans")
     )
     joined = ws.join(per_doc, "doc_id", "left")
     covered = lambda i: F.exists(  # noqa: E731 — readable inline predicate

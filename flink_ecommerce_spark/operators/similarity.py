@@ -375,14 +375,19 @@ def _sq_dist(a: F.Column, c: F.Column, dim: int | None = None) -> F.Column:
     """Squared L2 distance, accumulated left-to-right in double (the
     same order the SQL oracle uses).
 
-    With ``dim`` (the call site knows its static vector width) the
-    fold is expanded to a plain ``element_at`` add chain — identical
-    operation order, so bit-identical results, but no per-row
-    intermediate array: ``zip_with`` materializes a dim-length array
-    per comparison, which at the PQ encode fan-out (corpus × M ×
-    codewords rows) is the dominant allocation. Measured on the 10×
-    rehearsal corpus: pq_codes materialization 5.5 s → (see bench)
-    with the chain form."""
+    With ``dim`` (the call site's expected vector width) the fold is
+    expanded to a plain add chain — identical operation order, so
+    bit-identical results, but no per-row intermediate array:
+    ``zip_with`` materializes a dim-length array per comparison,
+    which at the PQ encode fan-out (corpus × M × codewords rows) is
+    the dominant allocation (pq_ann_topk end-to-end 11.5 s → 3.8 s
+    at the 10× rehearsal together with the staged encode). Arrays
+    SHORTER than ``dim`` (e.g. low-dim unit-test vectors) are safe
+    and match the fold exactly: ``try_element_at`` + coalesce makes
+    missing tails contribute +0.0, which cannot change a
+    non-negative double sum — plain element_at would THROW here even
+    under a when() guard, because whole-stage codegen's
+    common-subexpression elimination evaluates it eagerly."""
     if dim is None:
         return F.aggregate(
             F.zip_with(
@@ -393,7 +398,9 @@ def _sq_dist(a: F.Column, c: F.Column, dim: int | None = None) -> F.Column:
         )
     expr: F.Column = F.lit(0.0)
     for i in range(1, dim + 1):
-        d = F.element_at(a, i).cast("double") - F.element_at(c, i).cast("double")
+        d = F.coalesce(
+            F.try_element_at(a, F.lit(i)).cast("double"), F.lit(0.0)
+        ) - F.coalesce(F.try_element_at(c, F.lit(i)).cast("double"), F.lit(0.0))
         expr = expr + d * d
     return expr
 
@@ -1086,7 +1093,7 @@ def pq_ann_topk(
     # compressed corpus (8 bytes/vector — what production PQ stores),
     # and checkpointing it keeps the encode stage (corpus × codebook
     # fan-out + argmin) out of the probe query's lineage. Measured at
-    # the 10× rehearsal scale: 11.5 s → ~3 s for the full op.
+    # the 10× rehearsal scale: 11.5 s → 3.8 s for the full op.
     codes = pq_codes(embeddings).localCheckpoint(eager=True)
     queries = embeddings.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), "embedding"

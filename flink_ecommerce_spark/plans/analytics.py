@@ -582,26 +582,35 @@ def event_type_correlations(events: DataFrame) -> DataFrame:
     pair (inner join on day), not as zero — a silent outage day
     would otherwise manufacture correlation.
 
-    Engine determinism: correlation is computed from the six exact
-    long aggregates (n, Σx, Σy, Σxy, Σx², Σy²), each cast to double
-    ONCE and combined with the identical expression in the oracle —
-    not via the engines' own ``corr()``, whose single-pass update
-    order differs between engines in the last bits. NULL when either
-    variance term is non-positive (constant series carry no signal).
+    Engine determinism: correlation is computed from six sums (n,
+    Σx, Σy, Σxy, Σx², Σy²) combined with the identical expression in
+    the oracle — not via the engines' own ``corr()``, whose
+    single-pass update order differs between engines in the last
+    bits. NULL when either variance term is non-positive (constant
+    series carry no signal).
 
     Scale: the corpus-sized table is touched once by the (day, type)
     pre-aggregation (days × types rows, map-side combine); the pair
-    join and the six-sum aggregate run on that tiny frame. Long
-    intermediates are exact up to ~2^63 in the raw sums; the
-    products happen in double."""
+    join and the six-sum aggregate run on that tiny frame. The
+    product sums accumulate in DOUBLE, not long: integer-valued
+    doubles are exact below 2^53 (so bit-identical to the oracle in
+    any fold order at certification scale), and beyond that they
+    lose relative precision ~1e-16 GRACEFULLY — a long Σx² would
+    silently WRAP at ~2^63 (≈3 days of 2e9-events/day counts) and
+    return garbage while DuckDB's BIGINT sum promotes to HUGEINT,
+    breaking the equivalence exactly when counts get big."""
     daily = events.groupBy(
         F.to_date("ts").alias("d"), "event_type"
     ).agg(F.count(F.lit(1)).alias("n"))
     a = daily.select(
-        "d", F.col("event_type").alias("type_a"), F.col("n").alias("x")
+        "d",
+        F.col("event_type").alias("type_a"),
+        F.col("n").cast("double").alias("x"),
     )
     b = daily.select(
-        "d", F.col("event_type").alias("type_b"), F.col("n").alias("y")
+        "d",
+        F.col("event_type").alias("type_b"),
+        F.col("n").cast("double").alias("y"),
     )
     g = (
         a.join(b, "d")
@@ -617,9 +626,9 @@ def event_type_correlations(events: DataFrame) -> DataFrame:
         )
     )
     nd = F.col("n_days").cast("double")
-    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
-    sxy = F.col("sxy").cast("double")
-    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    sx, sy = F.col("sx"), F.col("sy")
+    sxy = F.col("sxy")
+    sxx, syy = F.col("sxx"), F.col("syy")
     vx = nd * sxx - sx * sx
     vy = nd * syy - sy * sy
     return g.select(

@@ -3491,10 +3491,13 @@ SELECT user_id, recency_days, frequency, monetary, r_score, f_score, m_score,
        CAST(r_score * 100 + f_score * 10 + m_score AS INT) AS rfm
 FROM s
 """,
-    # six exact long sums cast to double once, combined with the
-    # identical expression as the Spark side (never engine corr())
+    # six sums accumulated in DOUBLE exactly like the Spark side
+    # (exact below 2^53; a BIGINT product sum would wrap in Spark and
+    # promote to HUGEINT here — divergence at scale), combined with
+    # the identical expression (never engine corr())
     "event_type_correlations": """
-WITH daily AS (SELECT CAST(ts AS DATE) AS d, event_type, COUNT(*) AS n
+WITH daily AS (SELECT CAST(ts AS DATE) AS d, event_type,
+                      CAST(COUNT(*) AS DOUBLE) AS n
                FROM events GROUP BY 1, 2),
 g AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
              COUNT(*) AS n_days,
@@ -3503,16 +3506,11 @@ g AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
       FROM daily a JOIN daily b ON a.d = b.d AND a.event_type < b.event_type
       GROUP BY 1, 2)
 SELECT type_a, type_b, CAST(n_days AS BIGINT) AS n_days,
-       ROUND(CASE WHEN CAST(n_days AS DOUBLE) * CAST(sxx AS DOUBLE)
-                       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
-                   AND CAST(n_days AS DOUBLE) * CAST(syy AS DOUBLE)
-                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0
-            THEN (CAST(n_days AS DOUBLE) * CAST(sxy AS DOUBLE)
-                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-                 / SQRT((CAST(n_days AS DOUBLE) * CAST(sxx AS DOUBLE)
-                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-                        * (CAST(n_days AS DOUBLE) * CAST(syy AS DOUBLE)
-                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+       ROUND(CASE WHEN CAST(n_days AS DOUBLE) * sxx - sx * sx > 0
+                   AND CAST(n_days AS DOUBLE) * syy - sy * sy > 0
+            THEN (CAST(n_days AS DOUBLE) * sxy - sx * sy)
+                 / SQRT((CAST(n_days AS DOUBLE) * sxx - sx * sx)
+                        * (CAST(n_days AS DOUBLE) * syy - sy * sy))
             END, 6) + 0.0 AS corr_daily_counts
 FROM g
 """,
