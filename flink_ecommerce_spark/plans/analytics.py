@@ -265,6 +265,58 @@ def value_stats_per_type(events: DataFrame) -> DataFrame:
     )
 
 
+def robust_value_stats(events: DataFrame, mad_k: float = 3.0) -> DataFrame:
+    """Median / MAD / outlier screen per event type — the robust
+    twin of value_stats_per_type: outliers are values whose absolute
+    deviation from the type's median exceeds ``mad_k`` × MAD (median
+    absolute deviation). Robust statistics resist exactly the skewed
+    heavy-tail value distributions where mean/stddev screens
+    (daily_anomaly_scores' z-score) stop working; MAD = 0 (at least
+    half the values identical) degenerates to flagging every value
+    that differs from the median — deterministic in both engines.
+    Callers wanting the normal-consistent sigma multiply MAD by
+    1.4826 themselves.
+
+    Exact robust stats are inherently multi-pass: three narrow scans
+    of (event_type, value) — median, MAD over deviations, then the
+    outlier count with both tiny per-type tables broadcast. At
+    100 TB swap the exact medians for percentile_approx and the
+    passes collapse; kept exact here for oracle parity (same choice
+    as value_stats_per_type). Output: (event_type, median_value,
+    mad, n_outliers, n_rows)."""
+    med = (
+        events.groupBy("event_type")
+        .agg(F.expr("median(value)").alias("__m"))
+        .localCheckpoint(eager=True)
+    )
+    dev = events.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        F.abs(F.col("value") - F.col("__m")).alias("__ad"),
+        "__m",
+    )
+    mad = (
+        dev.groupBy("event_type")
+        .agg(F.expr("median(__ad)").alias("__mad"))
+        .localCheckpoint(eager=True)
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            (F.round(F.min("__m"), 6) + 0.0).alias("median_value"),
+            (F.round(F.min("__mad"), 6) + 0.0).alias("mad"),
+            F.sum(
+                F.when(
+                    F.col("__ad") > F.lit(mad_k) * F.col("__mad"), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_outliers"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
 def event_value_pivot(events: DataFrame) -> DataFrame:
     """Manual pivot (CASE-WHEN aggregation) of value by event_type per
     day — expressed as conditional aggregation so the oracle SQL is

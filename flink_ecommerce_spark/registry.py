@@ -1022,6 +1022,10 @@ def _q_event_type_correlations(spark, sf):
     return analytics.event_type_correlations(_t("events")(spark, sf))
 
 
+def _q_robust_value_stats(spark, sf):
+    return analytics.robust_value_stats(_t("events")(spark, sf))
+
+
 def _q_event_transitions(spark, sf):
     return temporal.event_transitions(_t("events")(spark, sf))
 
@@ -1922,6 +1926,21 @@ GROUP BY CUBE (event_type, dow)
 SELECT CAST(ts AS DATE) AS d, COUNT(DISTINCT user_id) AS n_users,
        COUNT(*) AS n_events
 FROM events GROUP BY 1
+""",
+    # exact median / MAD twin of the Spark three-pass plan; the
+    # outlier predicate compares the same doubles both engines compute
+    "robust_value_stats": """
+WITH med AS (SELECT event_type, median(value) AS m FROM events GROUP BY 1),
+dev AS (SELECT e.event_type, ABS(e.value - med.m) AS ad, med.m AS m
+        FROM events e JOIN med USING (event_type)),
+mad AS (SELECT event_type, median(ad) AS mad FROM dev GROUP BY 1)
+SELECT d.event_type,
+       ROUND(MIN(d.m), 6) + 0.0 AS median_value,
+       ROUND(MIN(mad.mad), 6) + 0.0 AS mad,
+       CAST(SUM(CASE WHEN d.ad > 3.0 * mad.mad THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_outliers,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM dev d JOIN mad USING (event_type) GROUP BY 1
 """,
     "value_stats_per_type": """
 SELECT event_type, ROUND(median(value), 6) AS median_value,
@@ -4068,6 +4087,9 @@ _SPEC_DEFS: dict[str, QuerySpec] = {
     ),
     "event_type_correlations": QuerySpec(
         _q_event_type_correlations, ORACLES["event_type_correlations"]
+    ),
+    "robust_value_stats": QuerySpec(
+        _q_robust_value_stats, ORACLES["robust_value_stats"]
     ),
 }
 

@@ -204,3 +204,33 @@ def test_event_type_correlations_crafted_signal(spark):
     assert got[("a", "d")]["n_days"] == 1  # missing days drop, not zero
     assert got[("a", "d")]["corr_daily_counts"] is None  # 1 day: no variance
     assert all(r["n_days"] == 3 for (p, r) in got.items() if "d" not in p)
+
+
+def test_robust_value_stats_crafted_outliers(spark):
+    """Median/MAD arithmetic on a hand-checkable series, the
+    mad_k screen, and the MAD=0 degenerate case."""
+    from flink_ecommerce_spark.plans.analytics import robust_value_stats
+
+    d0 = dt.datetime(2024, 1, 1, 12, 0)
+    rows = []
+    # type "t": values 1..7 plus one wild outlier 100
+    #   median = 4.5 of [1..7,100]? -> sorted [1,2,3,4,5,6,7,100],
+    #   median = 4.5; deviations [3.5,2.5,1.5,.5,.5,1.5,2.5,95.5],
+    #   MAD = median = 2.0; threshold 3*2=6 -> only 95.5 flags
+    for i, v in enumerate([1, 2, 3, 4, 5, 6, 7, 100]):
+        rows.append((i, d0, 1, "t", float(v), "{}"))
+    # type "k": constant values -> MAD 0; one off value flags
+    for i, v in enumerate([5, 5, 5, 9]):
+        rows.append((100 + i, d0, 1, "k", float(v), "{}"))
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    got = {r["event_type"]: r for r in robust_value_stats(events).collect()}
+    t = got["t"]
+    assert (t["median_value"], t["mad"]) == (4.5, 2.0)
+    assert (t["n_outliers"], t["n_rows"]) == (1, 8)
+    k = got["k"]
+    assert (k["median_value"], k["mad"]) == (5.0, 0.0)
+    assert (k["n_outliers"], k["n_rows"]) == (1, 4)

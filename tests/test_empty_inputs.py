@@ -229,9 +229,13 @@ def test_late_r05_ops_on_empty(spark, empty_events, empty_docs):
 
     assert substr_dedup_spans(empty_docs).collect() == []
     assert documents_substr_deduped(empty_docs).collect() == []
-    from flink_ecommerce_spark.plans.analytics import event_type_correlations
+    from flink_ecommerce_spark.plans.analytics import (
+        event_type_correlations,
+        robust_value_stats,
+    )
 
     assert event_type_correlations(empty_events).collect() == []
+    assert robust_value_stats(empty_events).collect() == []
     # pit_join: empty dim keeps fact cardinality with NULL attrs
     import datetime as dt
 
