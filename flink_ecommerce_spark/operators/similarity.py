@@ -380,14 +380,20 @@ def _sq_dist(a: F.Column, c: F.Column, dim: int | None = None) -> F.Column:
     bit-identical results, but no per-row intermediate array:
     ``zip_with`` materializes a dim-length array per comparison,
     which at the PQ encode fan-out (corpus × M × codewords rows) is
-    the dominant allocation (pq_ann_topk end-to-end 11.5 s → 3.8 s
+    the dominant allocation (pq_ann_topk end-to-end 11.5 s → 4.6 s
     at the 10× rehearsal together with the staged encode). Arrays
     SHORTER than ``dim`` (e.g. low-dim unit-test vectors) are safe
     and match the fold exactly: ``try_element_at`` + coalesce makes
     missing tails contribute +0.0, which cannot change a
     non-negative double sum — plain element_at would THROW here even
     under a when() guard, because whole-stage codegen's
-    common-subexpression elimination evaluates it eagerly."""
+    common-subexpression elimination evaluates it eagerly.
+
+    Pass ``dim`` only for SMALL widths (the PQ subspaces): the
+    per-term null-check is what the safety costs, and at 64 dims
+    128 of them erase the allocation win — measured slightly WORSE
+    than the fold — so the full-width IVF/centroid distances keep
+    the fold form."""
     if dim is None:
         return F.aggregate(
             F.zip_with(
@@ -425,7 +431,7 @@ def build_ivf_index(
         "vec_id",
         "embedding",
         F.col("label"),
-        _sq_dist(F.col("embedding"), F.col("cvec"), dim=EMB_DIM).alias("d2"),
+        _sq_dist(F.col("embedding"), F.col("cvec")).alias("d2"),
     )
     # argmin per vector as min(struct(d2, label, embedding)) — struct
     # ordering compares (d2, label) exactly like the oracle's
@@ -465,7 +471,7 @@ def ivf_probe(
         "query_id",
         "q_emb",
         F.col("label"),
-        _sq_dist(F.col("q_emb"), F.col("cvec"), dim=EMB_DIM).alias("d2"),
+        _sq_dist(F.col("q_emb"), F.col("cvec")).alias("d2"),
     )
     w_probe = Window.partitionBy("query_id").orderBy(F.asc("d2"), F.asc("label"))
     qprobe = (
@@ -1210,7 +1216,7 @@ def ivf_pq_topk(
         "query_id",
         "embedding",
         F.col("label"),
-        _sq_dist(F.col("embedding"), F.col("cvec"), dim=EMB_DIM).alias("d2"),
+        _sq_dist(F.col("embedding"), F.col("cvec")).alias("d2"),
     )
     w_probe = Window.partitionBy("query_id").orderBy(F.asc("d2"), F.asc("label"))
     routed = (
