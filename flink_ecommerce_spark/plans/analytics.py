@@ -265,6 +265,50 @@ def value_stats_per_type(events: DataFrame) -> DataFrame:
     )
 
 
+def seasonal_daily_decompose(events: DataFrame) -> DataFrame:
+    """Classical moving-average seasonal decomposition of the daily
+    revenue series per event type — day_value = trend + seasonal +
+    residual, the decomposition monitoring reads before calling a
+    Monday dip an anomaly (daily_anomaly_scores' z-score has no
+    notion of weekly shape; this is its seasonality-aware
+    companion). trend = centered 7-day average (RANGE frame on
+    days-since-epoch, so calendar gaps shrink the window); seasonal
+    = mean detrended value per weekly phase; residual = what
+    neither explains.
+
+    The weekly phase is ``day_num % 7`` (days since epoch), not the
+    engines' dayofweek(): Spark numbers Sunday=1..7, DuckDB
+    Sunday=0..6 — the modulo is the same integer everywhere and the
+    phase label is arbitrary for decomposition purposes.
+
+    Scale: one corpus scan into the (type, day) aggregate; both
+    windows run over the days × types frame (the trend window per
+    type, the seasonal mean per (type, phase))."""
+    daily = events.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(F.round(F.sum("value"), 2).alias("day_value"))
+    daily = daily.withColumn(
+        "day_num", F.datediff("d", F.lit("1970-01-01"))
+    )
+    w_trend = (
+        Window.partitionBy("event_type").orderBy("day_num").rangeBetween(-3, 3)
+    )
+    t = daily.withColumn("__trend", F.avg("day_value").over(w_trend))
+    t = t.withColumn("__det", F.col("day_value") - F.col("__trend"))
+    w_season = Window.partitionBy("event_type", F.pmod(F.col("day_num"), F.lit(7)))
+    t = t.withColumn("__seasonal", F.avg("__det").over(w_season))
+    return t.select(
+        "event_type",
+        "d",
+        "day_value",
+        (F.round("__trend", 6) + 0.0).alias("trend"),
+        (F.round("__seasonal", 6) + 0.0).alias("seasonal"),
+        (F.round(F.col("__det") - F.col("__seasonal"), 6) + 0.0).alias(
+            "residual"
+        ),
+    )
+
+
 def robust_value_stats(events: DataFrame, mad_k: float = 3.0) -> DataFrame:
     """Median / MAD / outlier screen per event type — the robust
     twin of value_stats_per_type: outliers are values whose absolute

@@ -1026,6 +1026,10 @@ def _q_robust_value_stats(spark, sf):
     return analytics.robust_value_stats(_t("events")(spark, sf))
 
 
+def _q_seasonal_daily_decompose(spark, sf):
+    return analytics.seasonal_daily_decompose(_t("events")(spark, sf))
+
+
 def _q_event_transitions(spark, sf):
     return temporal.event_transitions(_t("events")(spark, sf))
 
@@ -1929,6 +1933,25 @@ FROM events GROUP BY 1
 """,
     # exact median / MAD twin of the Spark three-pass plan; the
     # outlier predicate compares the same doubles both engines compute
+    # identical centered-7-day trend + day_num%7 seasonal windows
+    "seasonal_daily_decompose": """
+WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d,
+                      ROUND(SUM(value), 2) AS day_value
+               FROM events GROUP BY 1, 2),
+n AS (SELECT *, CAST(d - DATE '1970-01-01' AS BIGINT) AS day_num FROM daily),
+t AS (SELECT *, AVG(day_value) OVER (PARTITION BY event_type ORDER BY day_num
+                    RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS trend
+      FROM n),
+de AS (SELECT *, day_value - trend AS det FROM t),
+se AS (SELECT *, AVG(det) OVER (PARTITION BY event_type, day_num % 7)
+                   AS seasonal
+       FROM de)
+SELECT event_type, d, day_value,
+       ROUND(trend, 6) + 0.0 AS trend,
+       ROUND(seasonal, 6) + 0.0 AS seasonal,
+       ROUND(det - seasonal, 6) + 0.0 AS residual
+FROM se
+""",
     "robust_value_stats": """
 WITH med AS (SELECT event_type, median(value) AS m FROM events GROUP BY 1),
 dev AS (SELECT e.event_type, ABS(e.value - med.m) AS ad, med.m AS m
@@ -4090,6 +4113,9 @@ _SPEC_DEFS: dict[str, QuerySpec] = {
     ),
     "robust_value_stats": QuerySpec(
         _q_robust_value_stats, ORACLES["robust_value_stats"]
+    ),
+    "seasonal_daily_decompose": QuerySpec(
+        _q_seasonal_daily_decompose, ORACLES["seasonal_daily_decompose"]
     ),
 }
 

@@ -234,3 +234,49 @@ def test_robust_value_stats_crafted_outliers(spark):
     k = got["k"]
     assert (k["median_value"], k["mad"]) == (5.0, 0.0)
     assert (k["n_outliers"], k["n_rows"]) == (1, 4)
+
+
+def test_seasonal_decompose_additive_identity_and_flat_series(spark):
+    """trend + seasonal + residual must reconstruct day_value (up to
+    6dp rounding), and a perfectly flat series decomposes to
+    trend = value, seasonal = residual = 0."""
+    from flink_ecommerce_spark.plans.analytics import seasonal_daily_decompose
+
+    d0 = dt.datetime(2024, 1, 1, 12, 0)
+    rows = []
+    # flat series: 10.0 every day for 21 days
+    for day in range(21):
+        rows.append((day, d0 + dt.timedelta(days=day), 1, "flat", 10.0, "{}"))
+    # weekly pattern: phase p contributes 100 + p (exactly periodic)
+    for day in range(21):
+        rows.append(
+            (100 + day, d0 + dt.timedelta(days=day), 1, "weekly",
+             100.0 + (day % 7), "{}")
+        )
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    out = seasonal_daily_decompose(events).collect()
+    assert len(out) == 42
+    for r in out:
+        assert abs(r["day_value"] - (r["trend"] + r["seasonal"] + r["residual"])) < 2e-6
+    flat = [r for r in out if r["event_type"] == "flat"]
+    assert all(r["trend"] == 10.0 and r["seasonal"] == 0.0 and r["residual"] == 0.0
+               for r in flat)
+    # interior rows of the periodic series: full 7-day window -> the
+    # trend is the weekly mean. Residuals are small but NOT exactly
+    # zero: each phase's seasonal mean also averages over edge days
+    # whose truncated trend window biases the detrended value (the
+    # classical decomposition edge effect).
+    weekly = {(r["d"] - dt.date(2024, 1, 1)).days: r for r in out
+              if r["event_type"] == "weekly"}
+    for day in range(3, 18):
+        r = weekly[day]
+        assert r["trend"] == 103.0
+        assert abs(r["residual"]) < 0.6
+    # the seasonal component recovers the weekly shape: strictly
+    # increasing across phases (true gaps are 1.0, edge bias < 0.5)
+    seas = [weekly[7 + p]["seasonal"] for p in range(7)]  # phases 0..6
+    assert all(a < b for a, b in zip(seas, seas[1:]))

@@ -232,10 +232,12 @@ def test_late_r05_ops_on_empty(spark, empty_events, empty_docs):
     from flink_ecommerce_spark.plans.analytics import (
         event_type_correlations,
         robust_value_stats,
+        seasonal_daily_decompose,
     )
 
     assert event_type_correlations(empty_events).collect() == []
     assert robust_value_stats(empty_events).collect() == []
+    assert seasonal_daily_decompose(empty_events).collect() == []
     # pit_join: empty dim keeps fact cardinality with NULL attrs
     import datetime as dt
 
