@@ -27,8 +27,12 @@ decayed user value, Markov event transitions / session paths /
 basket support+lift, sliding windows, DAU/WAU rolling actives and
 normalized cohort retention, character entropy, sentence-boundary
 RAG chunks, per-source duplicate health, quality-aware dedup
-representatives, snapshot embedding drift, and the closed-form
-corpus-diversity diagnostic — each with a
+representatives, snapshot embedding drift, the closed-form
+corpus-diversity diagnostic, keep-one exact-substring dedup
+(ExactSubstr spans composed with span removal, single text scan),
+daily event-type co-movement correlations, median/MAD robust
+outlier screens, and seasonal trend/phase/residual decomposition —
+each with a
 DuckDB oracle twin (COVERAGE.md is the full map; non-query machinery
 — continuous aggregates, Z-order layout, streaming
 sinks/packing/dedup/fuzzy-admission, BPE tokenizer train/apply — is
