@@ -692,9 +692,10 @@ def event_type_correlations(events: DataFrame) -> DataFrame:
     doubles are exact below 2^53 (so bit-identical to the oracle in
     any fold order at certification scale), and beyond that they
     lose relative precision ~1e-16 GRACEFULLY — a long Σx² would
-    silently WRAP at ~2^63 (≈3 days of 2e9-events/day counts) and
-    return garbage while DuckDB's BIGINT sum promotes to HUGEINT,
-    breaking the equivalence exactly when counts get big."""
+    overflow at ~2^63 (≈3 days of 2e9-events/day counts), which
+    under this session's ANSI mode kills the query (and DuckDB
+    would instead promote to HUGEINT): either way the monitoring
+    job breaks exactly when counts get big."""
     daily = events.groupBy(
         F.to_date("ts").alias("d"), "event_type"
     ).agg(F.count(F.lit(1)).alias("n"))
