@@ -1026,7 +1026,18 @@ def _funnel_flags(
 ) -> DataFrame:
     """Per-document stage-survival flags shared by corpus_funnel and
     corpus_funnel_by_source (see corpus_funnel for the stage
-    semantics and scale argument)."""
+    semantics and scale argument).
+
+    The scan gets the SIZE-GATED parallelism fixup (no-op at scale):
+    the base frame's per-row work — quality metrics, gopher word
+    stats, the normalization md5 — is CPU-heavy, so a large
+    single-file corpus must not run it on one core; but for a tiny
+    corpus the repartition shuffle costs more than it buys, so the
+    fixup fires only past a bytes-per-partition floor (measured both
+    ways in scale.py::ensure_parallelism_for_heavy_scan)."""
+    from .scale import ensure_parallelism_for_heavy_scan
+
+    documents = ensure_parallelism_for_heavy_scan(documents)
     nt = F.size(F.expr("regexp_extract_all(text, '\\\\S+', 0)")).cast("long")
     norm_hash = F.md5(F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " "))
     b0 = documents.select(
