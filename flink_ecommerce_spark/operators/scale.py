@@ -98,17 +98,23 @@ def ensure_parallelism_for_heavy_scan(
     work. Measured on corpus_funnel: a 0.6 MB single-file corpus is
     FASTER un-repartitioned (3.2 s vs 5.5 s — shuffle overhead beats
     the parallelism win), a 10× single-partition corpus is 2.4×
-    faster repartitioned (17 s → 7 s). Unknown estimates (e.g. a
-    checkpointed RDD reports the default huge sizeInBytes) err
-    toward repartitioning — the case that degrades without it."""
+    faster repartitioned (17 s → 7 s).
+
+    The size estimate is trusted only for FILE-backed plans (real
+    bytes on disk). RDD-backed frames (localCheckpoint) estimate
+    strings at a fixed ~18 bytes regardless of content — a 10 MB
+    text corpus reports ~1 MB — so those err toward repartitioning:
+    over-shuffling a genuinely tiny frame costs milliseconds, while
+    single-core-scanning a heavy one costs the 2.4×."""
     target = df.sparkSession.sparkContext.defaultParallelism
     parts = df.rdd.getNumPartitions()
     if parts >= target:
         return df
     try:
-        size = int(
-            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
-        )
+        plan = df._jdf.queryExecution().optimizedPlan()
+        size: int | None = int(plan.stats().sizeInBytes())
+        if "LogicalRDD" in plan.toString():
+            size = None  # string payloads not in the estimate
     except Exception:  # stats unavailable — assume heavy
         size = None
     if size is not None and size // parts < min_bytes_per_partition:

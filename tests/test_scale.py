@@ -156,3 +156,41 @@ def test_hist_percentiles_degenerate_all_equal(spark):
     df = spark.createDataFrame([(7.5,)] * 20, "value double")
     r = value_percentiles_hist(df).collect()[0]
     assert r["p50_est"] == r["p90_est"] == r["p99_est"] == 7.5
+
+
+def test_heavy_scan_fixup_gates_on_size(spark, tmp_path):
+    """ensure_parallelism_for_heavy_scan: a tiny single-file scan is
+    left alone (the shuffle would cost more than it buys), an
+    unknown-stats single-partition frame repartitions to full width,
+    and an already-parallel frame passes through untouched."""
+    from flink_ecommerce_spark.operators.scale import (
+        ensure_parallelism_for_heavy_scan,
+    )
+
+    # tiny parquet scan: size estimate well under the floor -> no-op
+    path = str(tmp_path / "tiny")
+    spark.range(100).selectExpr("id", "repeat('x', 10) AS text").coalesce(
+        1
+    ).write.parquet(path)
+    scan = spark.read.parquet(path)
+    assert scan.rdd.getNumPartitions() == 1
+    assert (
+        ensure_parallelism_for_heavy_scan(scan).rdd.getNumPartitions() == 1
+    )
+
+    # RDD-backed frame: the estimate ignores string payloads (a
+    # fixed ~18 bytes/string), so it is NOT trusted -> assume heavy
+    # and repartition to full width
+    ckpt = (
+        spark.range(60_000)
+        .selectExpr("id", "repeat('x', 200) AS text")
+        .coalesce(1)
+        .localCheckpoint(eager=True)
+    )
+    target = spark.sparkContext.defaultParallelism
+    fixed = ensure_parallelism_for_heavy_scan(ckpt)
+    assert fixed.rdd.getNumPartitions() == target
+
+    # already parallel: untouched (identity, not just same count)
+    wide = spark.range(1000).repartition(target)
+    assert ensure_parallelism_for_heavy_scan(wide) is wide
