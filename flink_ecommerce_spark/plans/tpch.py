@@ -901,6 +901,59 @@ def q21_waiting_suppliers(
     )
 
 
+def copurchase_components(
+    lineitem: DataFrame, min_support: int = 2
+) -> DataFrame:
+    """Product COMMUNITIES: connected components over the co-purchase
+    graph (edges = part pairs bought together in >= ``min_support``
+    orders) — the step after ``copurchase_pairs``\' pair list, when
+    the merchandising question is "which products form a basket
+    family", not "which pair co-occurs". Every part in the lineitem
+    gets a community (parts with no qualifying edge are their own
+    singleton). Output: (part_id, community_id), community_id = the
+    smallest reachable part id.
+
+    Scale: the edge build is copurchase_pairs' basket-bounded
+    self-join (linear in orders); the component labels come from
+    ``operators.graph.connected_components`` — the same
+    edge-touched-only min-label propagation dedup_clusters runs, so
+    per-round state is |parts with an edge|, not |catalog|. Exact
+    oracle: the recursive-CTE reachability walk (dedup_clusters'
+    pattern)."""
+    from ..operators.graph import connected_components
+
+    op = (
+        lineitem.select("l_orderkey", "l_partkey")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    a, b = op.alias("a"), op.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("doc_a"),
+            F.col("b.l_partkey").alias("doc_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("__support"))
+        .filter(F.col("__support") >= min_support)
+        .select("doc_a", "doc_b")
+    )
+    labels = connected_components(edges)
+    parts = op.select(F.col("l_partkey").alias("part_id")).distinct()
+    return parts.join(
+        labels.select(F.col("doc_id").alias("part_id"), "cluster_id"),
+        "part_id",
+        "left",
+    ).select(
+        "part_id",
+        F.coalesce("cluster_id", F.col("part_id")).alias("community_id"),
+    )
+
+
 def copurchase_pairs(lineitem: DataFrame, min_support: int = 2, k: int = 100) -> DataFrame:
     """Market-basket analysis over order line items: part pairs that
     co-occur in the same order, with support (co-occurrence count)

@@ -1054,6 +1054,10 @@ def _q_copurchase_pairs(spark, sf):
     return tpch.copurchase_pairs(_t("lineitem")(spark, sf))
 
 
+def _q_copurchase_components(spark, sf):
+    return tpch.copurchase_components(_t("lineitem")(spark, sf))
+
+
 def _q_rfm_segments(spark, sf):
     return analytics.rfm_segments(_t("events")(spark, sf))
 
@@ -3472,6 +3476,21 @@ SELECT t.cur_type, t.next_type, t.n_transitions,
        ROUND(CAST(t.n_transitions AS DOUBLE) / m.n_cur, 6) + 0.0 AS p_next
 FROM t JOIN m ON t.cur_type = m.cur_type
 """,
+    # reachability walk = exact connected components, the
+    # dedup_clusters recursive-CTE pattern over co-purchase edges
+    "copurchase_components": """
+WITH RECURSIVE op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pr AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb
+       FROM op a JOIN op b
+         ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+edges AS (SELECT pa AS src, pb AS dst FROM pr UNION SELECT pb, pa FROM pr),
+parts AS (SELECT DISTINCT l_partkey AS part_id FROM op),
+walk(a, b) AS (SELECT part_id, part_id FROM parts
+               UNION
+               SELECT w.a, e.dst FROM walk w JOIN edges e ON w.b = e.src)
+SELECT a AS part_id, MIN(b) AS community_id FROM walk GROUP BY a
+""",
     "copurchase_pairs": """
 WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
 n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM op),
@@ -4116,6 +4135,9 @@ _SPEC_DEFS: dict[str, QuerySpec] = {
     ),
     "seasonal_daily_decompose": QuerySpec(
         _q_seasonal_daily_decompose, ORACLES["seasonal_daily_decompose"]
+    ),
+    "copurchase_components": QuerySpec(
+        _q_copurchase_components, ORACLES["copurchase_components"]
     ),
 }
 

@@ -119,3 +119,24 @@ def test_pagerank_mass_and_symmetry(spark):
     sr = {r["node"]: r["pagerank"] for r in pagerank(_sym(spark, star)).collect()}
     assert all(sr[0] > sr[i] for i in range(1, 7))
     assert len({sr[i] for i in range(1, 7)}) == 1  # leaves interchangeable
+
+
+def test_copurchase_components_chain_and_singletons(spark):
+    """Two pairs sharing a part chain into ONE community; a part
+    co-bought only once (below min_support) stays a singleton."""
+    from flink_ecommerce_spark.plans.tpch import copurchase_components
+
+    rows = []
+    # parts 1-2 co-occur in orders 10, 11; parts 2-3 in orders 12, 13
+    # -> {1,2,3} is one community labeled 1
+    for ok, pair in [(10, (1, 2)), (11, (1, 2)), (12, (2, 3)), (13, (2, 3))]:
+        for pk in pair:
+            rows.append((ok, pk))
+    # parts 4-5 co-occur only ONCE -> below min_support, both singleton
+    rows += [(14, 4), (14, 5)]
+    li = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    got = {
+        r["part_id"]: r["community_id"]
+        for r in copurchase_components(li).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 5}
