@@ -100,3 +100,60 @@ def test_streaming_scores_match_reference_across_batches(spark, tmp_path):
     assert rows[("a", 11)]["baseline_n"] == 6
     # key "b" never reaches MIN_BASELINE: emitted with NULL score
     assert rows[("b", 0)]["z_score"] is None
+
+
+def test_anomaly_state_survives_restart(spark, tmp_path):
+    """Kill the stream after batch 1, start a NEW query on the same
+    checkpoint: the Welford baseline continues from the state store
+    (the spike's z uses batch 1's five observations), instead of
+    resetting to no-baseline NULLs."""
+    base = dt.datetime(2024, 1, 1, 10, 0, 0)
+
+    def ev(i, v):
+        return ("a", base + dt.timedelta(seconds=i), i, float(v))
+
+    a_vals1 = [10.0, 11.0, 9.0, 10.0, 10.5]
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    _write_chunk(spark, src, [ev(i, v) for i, v in enumerate(a_vals1)], 1)
+
+    out = str(tmp_path / "out")
+
+    def start():
+        stream = (
+            spark.readStream.schema(
+                "event_type string, ts timestamp, event_id long, value double"
+            )
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{src}/chunk=*")
+        )
+        return (
+            streaming_anomaly_scores(stream)
+            .writeStream.outputMode("append")
+            .format("parquet")  # memory sink cannot recover from a checkpoint
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    q1 = start()
+    q1.processAllAvailable()
+    q1.stop()
+
+    _write_chunk(spark, src, [ev(10, 50.0)], 2)
+    q2 = start()
+    q2.processAllAvailable()
+    q2.stop()
+
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == 6  # batch 1's five + the spike, no re-emits
+    spike = max(rows, key=lambda r: r["event_id"])
+    assert spike["baseline_n"] == 5  # batch 1's state survived
+    ref, *_ = welford_score_and_update([50.0], *_state_after(a_vals1))
+    assert spike["z_score"] == ref[0]
+    assert spike["z_score"] > 10
+
+
+def _state_after(vals):
+    _, n, mean, m2 = welford_score_and_update(vals, 0, 0.0, 0.0, MIN_BASELINE)
+    return n, mean, m2, MIN_BASELINE
