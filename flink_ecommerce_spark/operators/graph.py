@@ -92,7 +92,11 @@ def connected_components(
 
     ``max_rounds`` bounds the loop at the component-diameter budget;
     near-dup / entity-merge graphs are shallow so the default is
-    generous."""
+    generous. If the labels have NOT converged when the budget runs
+    out the function RAISES rather than returning silently wrong
+    intermediate labels — min-label propagation needs O(diameter)
+    rounds, so a long-chain graph (e.g. a basket-family chain) must
+    be run with a bigger budget, not truncated."""
     edges = pairs.select("doc_a", "doc_b").union(
         pairs.select(
             F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
@@ -132,4 +136,10 @@ def connected_components(
         labels = updated.drop("__chg")
         if changed == 0:
             break
+    else:
+        raise RuntimeError(
+            f"connected_components: labels still changing after "
+            f"{max_rounds} rounds — component diameter exceeds the "
+            f"budget; call with a larger max_rounds"
+        )
     return labels

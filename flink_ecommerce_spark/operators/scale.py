@@ -108,7 +108,10 @@ def ensure_parallelism_for_heavy_scan(
     single-core-scanning a heavy one costs the 2.4×."""
     target = df.sparkSession.sparkContext.defaultParallelism
     parts = df.rdd.getNumPartitions()
-    if parts >= target:
+    # 0 partitions = the optimizer proved the frame empty (LocalRelation
+    # from filter(lit(false)) / limit(0)); nothing to spread, and the
+    # size//parts gate below would divide by zero.
+    if parts == 0 or parts >= target:
         return df
     try:
         plan = df._jdf.queryExecution().optimizedPlan()

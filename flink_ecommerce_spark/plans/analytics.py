@@ -33,6 +33,22 @@ def top_users_per_event_type(events: DataFrame, k: int = 5) -> DataFrame:
     )
 
 
+def _daily_values(events: DataFrame) -> DataFrame:
+    """The shared (event_type, d, day_value, day_num) daily-revenue
+    frame under weekly_moving_avg / daily_anomaly_scores /
+    seasonal_daily_decompose: one corpus scan with map-side combine
+    into days × types rows, day_value rounded to 2dp (what both
+    engines then window over), day_num = days since epoch (the RANGE
+    frame / weekly-phase key). Shared so the three companions can
+    never silently disagree on what a "day value" is."""
+    daily = events.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(F.round(F.sum("value"), 2).alias("day_value"))
+    return daily.withColumn(
+        "day_num", F.datediff("d", F.lit("1970-01-01"))
+    )
+
+
 def daily_running_revenue(events: DataFrame) -> DataFrame:
     """Cumulative revenue per event_type over days (running total
     window frame — unbounded preceding to current row)."""
@@ -111,10 +127,7 @@ def weekly_moving_avg(events: DataFrame) -> DataFrame:
     RANGE window frame keyed on days-since-epoch, so gaps in the
     calendar are handled by value (a missing day still shrinks the
     window) rather than by row position."""
-    daily = events.groupBy(
-        "event_type", F.to_date("ts").alias("d")
-    ).agg(F.round(F.sum("value"), 2).alias("day_value"))
-    daily = daily.withColumn("day_num", F.datediff("d", F.lit("1970-01-01")))
+    daily = _daily_values(events)
     w = (
         Window.partitionBy("event_type")
         .orderBy("day_num")
@@ -283,13 +296,11 @@ def seasonal_daily_decompose(events: DataFrame) -> DataFrame:
 
     Scale: one corpus scan into the (type, day) aggregate; both
     windows run over the days × types frame (the trend window per
-    type, the seasonal mean per (type, phase))."""
-    daily = events.groupBy(
-        "event_type", F.to_date("ts").alias("d")
-    ).agg(F.round(F.sum("value"), 2).alias("day_value"))
-    daily = daily.withColumn(
-        "day_num", F.datediff("d", F.lit("1970-01-01"))
-    )
+    type, the seasonal mean per (type, phase)). The daily frame is
+    ``_daily_values`` — shared with daily_anomaly_scores so the
+    z-screen and its seasonality-aware companion always agree on
+    what a "day value" is."""
+    daily = _daily_values(events)
     w_trend = (
         Window.partitionBy("event_type").orderBy("day_num").rangeBetween(-3, 3)
     )
@@ -457,11 +468,9 @@ def daily_anomaly_scores(events: DataFrame) -> DataFrame:
 
     Scale: one (event_type, day) pre-aggregation with map-side
     combine (days × types rows), then a range window over that tiny
-    frame — the corpus-sized events table is touched exactly once."""
-    daily = events.groupBy(
-        "event_type", F.to_date("ts").alias("d")
-    ).agg(F.round(F.sum("value"), 2).alias("day_value"))
-    daily = daily.withColumn("day_num", F.datediff("d", F.lit("1970-01-01")))
+    frame — the corpus-sized events table is touched exactly once
+    (the (type, day) frame itself is the shared ``_daily_values``)."""
+    daily = _daily_values(events)
     w = (
         Window.partitionBy("event_type")
         .orderBy("day_num")

@@ -901,8 +901,46 @@ def q21_waiting_suppliers(
     )
 
 
+def _copurchase_support_pairs(
+    lineitem: DataFrame, min_support: int
+) -> tuple[DataFrame, DataFrame]:
+    """Shared edge build for ``copurchase_pairs`` /
+    ``copurchase_components``: the distinct (order, part) basket
+    table and the support-filtered part pairs (part_a < part_b,
+    support = co-occurrence count >= min_support).
+
+    The basket table is localCheckpoint'd once — it feeds multiple
+    branches in both consumers (join sides, margins, order total /
+    the singleton rejoin); without it every branch re-scans lineitem
+    and re-runs the distinct shuffle (measured 9.7 s → 2.4 s warm at
+    sf0.1). The self-join is safe at scale because an order's
+    distinct-part count is bounded (≤ 7 in TPC-H-shaped data; a
+    basket is small by nature), so it is linear in orders, not
+    quadratic in parts."""
+    op = (
+        lineitem.select("l_orderkey", "l_partkey")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    a, b = op.alias("a"), op.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= min_support)
+    )
+    return op, pairs
+
+
 def copurchase_components(
-    lineitem: DataFrame, min_support: int = 2
+    lineitem: DataFrame, min_support: int = 2, max_rounds: int = 20
 ) -> DataFrame:
     """Product COMMUNITIES: connected components over the co-purchase
     graph (edges = part pairs bought together in >= ``min_support``
@@ -913,36 +951,23 @@ def copurchase_components(
     singleton). Output: (part_id, community_id), community_id = the
     smallest reachable part id.
 
-    Scale: the edge build is copurchase_pairs' basket-bounded
-    self-join (linear in orders); the component labels come from
+    Scale: the edge build is ``_copurchase_support_pairs`` — the
+    basket-bounded self-join shared with copurchase_pairs (linear in
+    orders); the component labels come from
     ``operators.graph.connected_components`` — the same
     edge-touched-only min-label propagation dedup_clusters runs, so
-    per-round state is |parts with an edge|, not |catalog|. Exact
-    oracle: the recursive-CTE reachability walk (dedup_clusters'
-    pattern)."""
+    per-round state is |parts with an edge|, not |catalog|. Basket
+    families can chain longer than near-dup clusters, so
+    ``max_rounds`` is exposed; connected_components RAISES rather
+    than truncating if the diameter exceeds it. Exact oracle: the
+    recursive-CTE reachability walk (dedup_clusters' pattern)."""
     from ..operators.graph import connected_components
 
-    op = (
-        lineitem.select("l_orderkey", "l_partkey")
-        .distinct()
-        .localCheckpoint(eager=True)
+    op, pairs = _copurchase_support_pairs(lineitem, min_support)
+    edges = pairs.select(
+        F.col("part_a").alias("doc_a"), F.col("part_b").alias("doc_b")
     )
-    a, b = op.alias("a"), op.alias("b")
-    edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("doc_a"),
-            F.col("b.l_partkey").alias("doc_b"),
-        )
-        .agg(F.count(F.lit(1)).alias("__support"))
-        .filter(F.col("__support") >= min_support)
-        .select("doc_a", "doc_b")
-    )
-    labels = connected_components(edges)
+    labels = connected_components(edges, max_rounds=max_rounds)
     parts = op.select(F.col("l_partkey").alias("part_id")).distinct()
     return parts.join(
         labels.select(F.col("doc_id").alias("part_id"), "cluster_id"),
@@ -960,40 +985,18 @@ def copurchase_pairs(lineitem: DataFrame, min_support: int = 2, k: int = 100) ->
     and lift (observed co-occurrence vs independence). The retail
     "frequently bought together" primitive.
 
-    Scale: the pair generation is a self-join on l_orderkey — safe
-    because an order's distinct-part count is bounded (≤ 7 in
-    TPC-H-shaped data; a basket is small by nature), so the join is
-    linear in orders, not quadratic in parts. The distinct
-    (order, part) table feeds FOUR branches (both join sides, the
-    part margins, the order total), so it is localCheckpoint'd once —
-    without it every branch re-scans lineitem and re-runs the
-    distinct shuffle (measured 9.7 s → 2.4 s warm at sf0.1). Margins are
-    part-catalog-sized and broadcast into the lift expression; top-k
-    compiles to TakeOrderedAndProject, never a global sort."""
-    op = (
-        lineitem.select("l_orderkey", "l_partkey")
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    Scale: the pair generation and checkpointed basket table are
+    ``_copurchase_support_pairs`` (shared with
+    copurchase_components); see its docstring for the
+    basket-bounded-join and single-materialization arguments.
+    Margins are part-catalog-sized and broadcast into the lift
+    expression; top-k compiles to TakeOrderedAndProject, never a
+    global sort."""
+    op, pairs = _copurchase_support_pairs(lineitem, min_support)
     n_orders = op.agg(
         F.countDistinct("l_orderkey").alias("__n_orders")
     )
     part_n = op.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("__n_part"))
-    a = op.alias("a")
-    b = op.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("part_a"),
-            F.col("b.l_partkey").alias("part_b"),
-        )
-        .agg(F.count(F.lit(1)).alias("support"))
-        .filter(F.col("support") >= min_support)
-    )
     na = part_n.select(
         F.col("l_partkey").alias("part_a"), F.col("__n_part").alias("__n_a")
     )

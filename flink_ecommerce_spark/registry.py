@@ -1935,8 +1935,6 @@ SELECT CAST(ts AS DATE) AS d, COUNT(DISTINCT user_id) AS n_users,
        COUNT(*) AS n_events
 FROM events GROUP BY 1
 """,
-    # exact median / MAD twin of the Spark three-pass plan; the
-    # outlier predicate compares the same doubles both engines compute
     # identical centered-7-day trend + day_num%7 seasonal windows
     "seasonal_daily_decompose": """
 WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d,
@@ -1956,6 +1954,8 @@ SELECT event_type, d, day_value,
        ROUND(det - seasonal, 6) + 0.0 AS residual
 FROM se
 """,
+    # exact median / MAD twin of the Spark three-pass plan; the
+    # outlier predicate compares the same doubles both engines compute
     "robust_value_stats": """
 WITH med AS (SELECT event_type, median(value) AS m FROM events GROUP BY 1),
 dev AS (SELECT e.event_type, ABS(e.value - med.m) AS ad, med.m AS m

@@ -69,12 +69,21 @@ ANOMALY_STATE_SCHEMA = StructType(
 
 def welford_score_and_update(
     values: list[float], n: int, mean: float, m2: float, min_baseline: int
-) -> tuple[list[float | None], int, float, float]:
+) -> tuple[list[float | None], list[int], int, float, float]:
     """Pure-Python core (also the test reference): score each value
-    against the state BEFORE it, then fold it in. Returns (scores,
-    n, mean, m2)."""
+    against the state BEFORE it, then fold it in. Non-finite values
+    (a NULL ``value`` column reaches pandas as NaN) score None and
+    are NOT folded — one bad event must never poison the baseline
+    forever (the batch twin ``daily_anomaly_scores`` likewise ignores
+    NULLs via F.sum). Returns (scores, base_ns, n, mean, m2), where
+    base_ns[i] is the baseline size each score was computed against."""
     scores: list[float | None] = []
+    base_ns: list[int] = []
     for v in values:
+        base_ns.append(n)
+        if not math.isfinite(v):
+            scores.append(None)
+            continue
         if n >= min_baseline and m2 > 0:
             sd = math.sqrt(m2 / (n - 1))
             scores.append(round((v - mean) / sd, 6) + 0.0)
@@ -84,7 +93,7 @@ def welford_score_and_update(
         delta = v - mean
         mean += delta / n
         m2 += delta * (v - mean)
-    return scores, n, mean, m2
+    return scores, base_ns, n, mean, m2
 
 
 def _score_group(
@@ -95,8 +104,7 @@ def _score_group(
     parts = list(pdfs)
     if parts:
         pdf = pd.concat(parts).sort_values(["ts", "event_id"])
-        base_ns = [n + i for i in range(len(pdf))]
-        scores, n, mean, m2 = welford_score_and_update(
+        scores, base_ns, n, mean, m2 = welford_score_and_update(
             [float(v) for v in pdf["value"]], n, mean, m2, MIN_BASELINE
         )
         state.update((int(n), float(mean), float(m2)))

@@ -194,3 +194,11 @@ def test_heavy_scan_fixup_gates_on_size(spark, tmp_path):
     # already parallel: untouched (identity, not just same count)
     wide = spark.range(1000).repartition(target)
     assert ensure_parallelism_for_heavy_scan(wide) is wide
+
+    # optimizer-proven-empty frames have ZERO partitions (LocalRelation
+    # from filter(false)/limit(0)) — must pass through, not divide by 0
+    from pyspark.sql import functions as F
+
+    for empty in (scan.filter(F.lit(False)), scan.limit(0)):
+        assert ensure_parallelism_for_heavy_scan(empty) is empty
+        assert empty.count() == 0

@@ -20,7 +20,8 @@ def test_welford_reference_matches_batch_stats():
     import numpy as np
 
     vals = [3.0, 1.0, 4.0, 1.0, 5.0, 9.0, 2.0, 6.0]
-    scores, n, mean, m2 = welford_score_and_update(vals, 0, 0.0, 0.0, 3)
+    scores, base_ns, n, mean, m2 = welford_score_and_update(vals, 0, 0.0, 0.0, 3)
+    assert base_ns == list(range(len(vals)))
     assert n == len(vals)
     assert abs(mean - np.mean(vals)) < 1e-12
     assert abs(m2 - np.sum((np.array(vals) - np.mean(vals)) ** 2)) < 1e-9
@@ -51,7 +52,10 @@ def test_streaming_scores_match_reference_across_batches(spark, tmp_path):
     a_vals2 = [10.0, 50.0]
     chunk1 = [ev("a", i, v) for i, v in enumerate(a_vals1)]
     chunk1.append(ev("b", 0, 1.0))  # second key: never reaches baseline
-    chunk2 = [ev("a", 10 + i, v) for i, v in enumerate(a_vals2)]
+    # a NULL value must score NULL and NOT fold into (or poison) the
+    # baseline — the later real spike still gets its >10 z-score
+    chunk2 = [("a", base + dt.timedelta(seconds=9), 9, None)]
+    chunk2 += [ev("a", 10 + i, v) for i, v in enumerate(a_vals2)]
 
     src = str(tmp_path / "src")
     _write_chunk(spark, src, chunk1, 1)
@@ -82,10 +86,10 @@ def test_streaming_scores_match_reference_across_batches(spark, tmp_path):
     assert len(rows) == len(chunk1) + len(chunk2)
 
     # reference: same arrival order (ts order within each batch)
-    ref1, n, mean, m2 = welford_score_and_update(
+    ref1, _, n, mean, m2 = welford_score_and_update(
         a_vals1, 0, 0.0, 0.0, MIN_BASELINE
     )
-    ref2, n, mean, m2 = welford_score_and_update(
+    ref2, _, n, mean, m2 = welford_score_and_update(
         a_vals2, n, mean, m2, MIN_BASELINE
     )
     got_a = [rows[("a", i)]["z_score"] for i in range(5)] + [
@@ -95,7 +99,11 @@ def test_streaming_scores_match_reference_across_batches(spark, tmp_path):
     # the spike is loud, the normal value is quiet
     assert rows[("a", 11)]["z_score"] > 10
     assert abs(rows[("a", 10)]["z_score"]) < 1
-    # baseline_n counts observations BEFORE each event, across batches
+    # the NULL event is emitted unscored and left out of the baseline
+    assert rows[("a", 9)]["z_score"] is None
+    # baseline_n counts observations BEFORE each event, across batches;
+    # the NULL at event 9 did not increment it
+    assert rows[("a", 9)]["baseline_n"] == 5
     assert rows[("a", 10)]["baseline_n"] == 5
     assert rows[("a", 11)]["baseline_n"] == 6
     # key "b" never reaches MIN_BASELINE: emitted with NULL score
@@ -155,5 +163,5 @@ def test_anomaly_state_survives_restart(spark, tmp_path):
 
 
 def _state_after(vals):
-    _, n, mean, m2 = welford_score_and_update(vals, 0, 0.0, 0.0, MIN_BASELINE)
+    _, _, n, mean, m2 = welford_score_and_update(vals, 0, 0.0, 0.0, MIN_BASELINE)
     return n, mean, m2, MIN_BASELINE
