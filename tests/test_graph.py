@@ -39,6 +39,25 @@ def test_long_chain_within_round_budget(spark):
     assert set(got.values()) == {0}
 
 
+def test_budget_overrun_raises_not_truncates(spark):
+    """A diameter that exceeds max_rounds must RAISE — silently
+    returning the intermediate labels would hand callers wrong
+    communities (min-label propagation is only exact at
+    convergence)."""
+    import pytest
+
+    from flink_ecommerce_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(8)], "doc_a long, doc_b long"
+    )
+    with pytest.raises(RuntimeError, match="max_rounds"):
+        connected_components(edges, max_rounds=1)
+    # the same chain converges with an adequate budget
+    ok = connected_components(edges, max_rounds=20)
+    assert set(r["cluster_id"] for r in ok.collect()) == {0}
+
+
 def test_entity_merge_groups_transitive(spark):
     """A~B and B~C merge all three even when A and C themselves are
     over the distance cutoff; unrelated names stay singletons."""
