@@ -65,3 +65,15 @@ def sql_hash32(expr: str, salt: str | None = None, half: int = 0) -> str:
         for i, p in enumerate(_POW16)
     )
     return f"({digits})"
+
+
+def sql_hash32_from_digest(expr: str, half: int = 0) -> str:
+    """DuckDB SQL: 32-bit value from an already-computed md5 hex
+    digest expression (the oracle twin of ``hash32_from_digest``).
+    Use when the digest lives in a CTE column so the oracle, like the
+    Spark plan, hashes once and slices halves."""
+    digits = " + ".join(
+        f"(strpos('{_HEX}', substr({expr}, {8 * half + i + 1}, 1)) - 1) * {p}"
+        for i, p in enumerate(_POW16)
+    )
+    return f"({digits})"

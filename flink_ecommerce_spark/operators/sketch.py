@@ -147,3 +147,166 @@ SELECT term, n_true, n_est FROM est
 ORDER BY n_true DESC, term ASC
 LIMIT {k}
 """
+
+
+# ---------------------------------------------------------------- bloom
+
+BLOOM_BITS = 8192
+BLOOM_HASHES = 4
+
+# Normalization shared with dedup_exact(normalized=True) /
+# incremental_dedup: the Bloom admission gate answers the SAME
+# membership question those ops answer exactly, at O(m) state.
+_BLOOM_SALT = "bloom"
+
+
+def _bloom_halves(text: F.Column) -> tuple[F.Column, F.Column]:
+    """(h1, h2): two independent 32-bit hashes from ONE md5 of the
+    whitespace-normalized text (Kirsch-Mitzenmacher double hashing —
+    position j is (h1 + j*h2) mod m, giving k independent-enough
+    probes from a single digest; Kirsch & Mitzenmacher 2006)."""
+    from ..functions.portable import hash32_from_digest, salted_md5
+
+    norm = F.regexp_replace(F.trim(F.lower(text)), r"\s+", " ")
+    d = salted_md5(norm, salt=_BLOOM_SALT)
+    return hash32_from_digest(d, 0), hash32_from_digest(d, 1)
+
+
+def _bloom_positions(
+    text: F.Column, n_bits: int, n_hashes: int
+) -> F.Column:
+    """array<int> of the doc's n_hashes bit positions (may repeat
+    when probes collide; callers dedupe with array_distinct)."""
+    h1, h2 = _bloom_halves(text)
+    return F.array(
+        *[
+            ((h1 + F.lit(j) * h2) % n_bits).cast("int")
+            for j in range(n_hashes)
+        ]
+    )
+
+
+def bloom_bits(
+    documents: DataFrame,
+    n_bits: int = BLOOM_BITS,
+    n_hashes: int = BLOOM_HASHES,
+) -> DataFrame:
+    """(pos) — the SET bit positions of a Bloom filter over the
+    corpus's normalized-text membership (Bloom 1970). Bounded at
+    n_bits rows regardless of corpus size, mergeable across
+    shards/days by distinct-union, and the admission side
+    (``bloom_admission``) broadcasts it — the history a new batch is
+    screened against is a few KB, not the corpus.
+
+    Sizing: false-positive rate ~ (1 - e^(-k*n/m))^k; the shipped
+    (m=8192, k=4) is a test-scale fixture — at 100 TB you size m from
+    the corpus cardinality (e.g. 10 bits/key for ~1% fp) and keep the
+    same plan shape. No false NEGATIVES ever: a key whose positions
+    were all set reports seen; one that was inserted cannot miss."""
+    return (
+        documents.select(
+            F.explode(
+                _bloom_positions(F.col("text"), n_bits, n_hashes)
+            ).alias("pos")
+        )
+        .distinct()
+    )
+
+
+def bloom_admission(
+    new_batch: DataFrame,
+    corpus: DataFrame,
+    n_bits: int = BLOOM_BITS,
+    n_hashes: int = BLOOM_HASHES,
+) -> DataFrame:
+    """(doc_id, maybe_seen) — screen a new batch against the corpus
+    Bloom filter: maybe_seen=true iff ALL the doc's probe positions
+    are set. Guaranteed no false negatives (an exact duplicate of any
+    corpus doc always reports true); false positives at the filter's
+    designed rate get caught by the exact path behind the gate
+    (``incremental_dedup``) — the sketch exists so 100 TB of history
+    costs m bits to consult, with the exact check paying only for the
+    (tiny) maybe-seen fraction.
+
+    Plan shape: the filter builds with one explode+distinct bounded
+    at n_bits rows, broadcasts to the batch side, and the verdict is
+    a per-doc count compare — the new batch never shuffles."""
+    bits = bloom_bits(corpus, n_bits, n_hashes)
+    probes = new_batch.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                _bloom_positions(F.col("text"), n_bits, n_hashes)
+            )
+        ).alias("pos"),
+    )
+    verdict = (
+        probes.join(F.broadcast(bits).withColumn("hit", F.lit(1)), "pos", "left")
+        .groupBy("doc_id")
+        .agg(
+            (F.count(F.lit(1)) == F.count("hit")).alias("maybe_seen")
+        )
+    )
+    return verdict.select("doc_id", "maybe_seen")
+
+
+def _sql_bloom_pos_cte(
+    source_sql: str, n_bits: int, n_hashes: int, prefix: str = ""
+) -> str:
+    """CTE fragment: (doc_id, pos) DISTINCT probe positions for every
+    row of ``source_sql`` (which must expose doc_id and text). CTE
+    names are ``{prefix}dg/{prefix}hh/{prefix}pos`` so two instances
+    can coexist in one WITH clause."""
+    from ..functions.portable import sql_hash32_from_digest
+
+    norm = r"regexp_replace(trim(lower(text)), '\s+', ' ', 'g')"
+    digest = f"md5(concat('{_BLOOM_SALT}:', {norm}))"
+    h1 = sql_hash32_from_digest("d", 0)
+    h2 = sql_hash32_from_digest("d", 1)
+    p = prefix
+    return f"""
+{p}dg AS (SELECT doc_id, {digest} AS d FROM ({source_sql})),
+{p}hh AS (SELECT doc_id, {h1} AS h1, {h2} AS h2 FROM {p}dg),
+{p}pos AS (SELECT DISTINCT doc_id,
+               CAST((h1 + j * h2) % {n_bits} AS INT) AS pos
+        FROM {p}hh, UNNEST({list(range(n_hashes))}) AS t(j))
+"""
+
+
+def sql_bloom_bits(
+    n_bits: int = BLOOM_BITS, n_hashes: int = BLOOM_HASHES
+) -> str:
+    """DuckDB oracle for ``bloom_bits`` over the documents view."""
+    cte = _sql_bloom_pos_cte("SELECT doc_id, text FROM documents", n_bits, n_hashes)
+    return f"""
+WITH {cte}
+SELECT DISTINCT pos FROM pos
+"""
+
+
+def sql_bloom_admission(
+    n_bits: int = BLOOM_BITS, n_hashes: int = BLOOM_HASHES
+) -> str:
+    """DuckDB oracle for ``bloom_admission`` with the registry's
+    fixture split (doc_id % 5 = 0 is the new batch)."""
+    new_cte = _sql_bloom_pos_cte(
+        "SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0",
+        n_bits,
+        n_hashes,
+        prefix="new_",
+    )
+    corpus_cte = _sql_bloom_pos_cte(
+        "SELECT doc_id, text FROM documents WHERE doc_id % 5 != 0",
+        n_bits,
+        n_hashes,
+    )
+    return f"""
+WITH {corpus_cte},
+bits AS (SELECT DISTINCT pos FROM pos),
+{new_cte.strip().rstrip(',')},
+verdict AS (SELECT p.doc_id,
+                   COUNT(*) = COUNT(b.pos) AS maybe_seen
+            FROM new_pos p LEFT JOIN bits b ON b.pos = p.pos
+            GROUP BY 1)
+SELECT doc_id, maybe_seen FROM verdict
+"""

@@ -1193,3 +1193,109 @@ def bpe_merge_candidates(documents: DataFrame, k: int = 20) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("pair"))
         .limit(k)
     )
+
+
+def pmi_collocations(
+    documents: DataFrame, k: int = 30, min_count: int = 5
+) -> DataFrame:
+    """(w1, w2, n_pair, pmi) — top-k word collocations by pointwise
+    mutual information, pmi = ln(p(w1,w2) / (p(w1)·p(w2))) (Church &
+    Hanks 1990): the pairs that co-occur far above chance — phrase
+    candidates a tokenizer or stopword list should know about, and
+    the classic complement to raw-frequency ``top_bigrams`` (which
+    surfaces "of the"; PMI surfaces named entities and terms of art).
+
+    min_count floors the bigram count first — PMI's known failure
+    mode is hapax pairs of rare words scoring ln(N); the floor is
+    applied BEFORE the unigram joins, so at 100 TB the vocabulary
+    table joins against the (small) surviving-pair table, not the
+    full bigram stream, and AQE broadcasts the lighter side. One
+    words-projection feeds both the unigram and bigram counts (one
+    regex split per doc); totals are single-row broadcast joins.
+
+    Ordering is on the ROUNDED pmi (both engines round before the
+    sort) with (w1, w2) tie-break, so float last-bit noise cannot
+    reorder the top-k across engines."""
+    from .textprep import shingles_from_words, words
+
+    ws = documents.select(words("text").alias("ws"))
+    toks = ws.select(F.explode("ws").alias("term"))
+    uni = toks.groupBy("term").agg(F.count(F.lit(1)).alias("n_term"))
+    n_tokens = uni.agg(F.sum("n_term").alias("n_tokens"))
+    bg = ws.select(
+        F.explode(shingles_from_words(F.col("ws"), 2)).alias("bigram")
+    )
+    n_bigrams = bg.agg(F.count(F.lit(1)).alias("n_bigrams"))
+    bgc = (
+        bg.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .filter(F.col("n_pair") >= min_count)
+        .select(
+            F.split("bigram", " ").getItem(0).alias("w1"),
+            F.split("bigram", " ").getItem(1).alias("w2"),
+            "n_pair",
+        )
+    )
+    j = (
+        bgc.join(
+            uni.select(
+                F.col("term").alias("w1"), F.col("n_term").alias("n_w1")
+            ),
+            "w1",
+        )
+        .join(
+            uni.select(
+                F.col("term").alias("w2"), F.col("n_term").alias("n_w2")
+            ),
+            "w2",
+        )
+        .crossJoin(F.broadcast(n_tokens))
+        .crossJoin(F.broadcast(n_bigrams))
+    )
+    # + 0.0 after ROUND: a score rounding to zero must be +0.0 in
+    # both engines (IEEE -0.0 strings differently and breaks the
+    # driver's multiset compare)
+    pmi = (
+        F.round(
+            F.log(
+                (F.col("n_pair") / F.col("n_bigrams"))
+                / (
+                    (F.col("n_w1") / F.col("n_tokens"))
+                    * (F.col("n_w2") / F.col("n_tokens"))
+                )
+            ),
+            6,
+        )
+        + F.lit(0.0)
+    )
+    return (
+        j.select("w1", "w2", "n_pair", pmi.alias("pmi"))
+        .orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2"))
+        .limit(k)
+    )
+
+
+def sql_pmi_collocations(k: int = 30, min_count: int = 5) -> str:
+    """DuckDB oracle for ``pmi_collocations``."""
+    from .textprep import sql_word_shingles, sql_words
+
+    return f"""
+WITH toks AS (SELECT unnest({sql_words('text')}) AS term FROM documents),
+uni AS (SELECT term, COUNT(*) AS n_term FROM toks GROUP BY 1),
+nt AS (SELECT SUM(n_term) AS n_tokens FROM uni),
+bg AS (SELECT unnest({sql_word_shingles('text', 2)}) AS bigram FROM documents),
+nb AS (SELECT COUNT(*) AS n_bigrams FROM bg),
+bgc AS (SELECT string_split(bigram, ' ')[1] AS w1,
+               string_split(bigram, ' ')[2] AS w2,
+               COUNT(*) AS n_pair
+        FROM bg GROUP BY 1, 2 HAVING COUNT(*) >= {min_count}),
+j AS (SELECT b.w1, b.w2, b.n_pair,
+             ROUND(ln((CAST(b.n_pair AS DOUBLE) / nb.n_bigrams) /
+                      ((CAST(u1.n_term AS DOUBLE) / nt.n_tokens) *
+                       (CAST(u2.n_term AS DOUBLE) / nt.n_tokens))), 6) + 0.0 AS pmi
+      FROM bgc b
+      JOIN uni u1 ON u1.term = b.w1
+      JOIN uni u2 ON u2.term = b.w2, nt, nb)
+SELECT w1, w2, CAST(n_pair AS BIGINT) AS n_pair, pmi
+FROM j ORDER BY pmi DESC, w1 ASC, w2 ASC LIMIT {k}
+"""

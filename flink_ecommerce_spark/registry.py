@@ -1058,6 +1058,24 @@ def _q_copurchase_components(spark, sf):
     return tpch.copurchase_components(_t("lineitem")(spark, sf))
 
 
+def _q_pmi_collocations(spark, sf):
+    return text.pmi_collocations(_t("documents")(spark, sf))
+
+
+def _q_bloom_bits(spark, sf):
+    return _sketch.bloom_bits(_t("documents")(spark, sf))
+
+
+def _q_bloom_admission(spark, sf):
+    """Same fixture split as incremental_dedup (doc_id % 5 == 0 is
+    the new batch): the Bloom gate screens the batch against an
+    m-bit summary of the corpus instead of the corpus itself."""
+    docs = _t("documents")(spark, sf)
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    return _sketch.bloom_admission(new, corpus)
+
+
 def _q_rfm_segments(spark, sf):
     return analytics.rfm_segments(_t("events")(spark, sf))
 
@@ -3727,6 +3745,10 @@ FROM documents
 """,
 }
 
+ORACLES["pmi_collocations"] = text.sql_pmi_collocations()
+ORACLES["bloom_bits"] = _sketch.sql_bloom_bits()
+ORACLES["bloom_admission"] = _sketch.sql_bloom_admission()
+
 ORACLES["curation_scores"] = f"""
 WITH q AS (SELECT doc_id, quality FROM ({ORACLES['quality_scores']})),
 n AS (SELECT vec_id AS doc_id, ROUND({sql_l2_norm('embedding', similarity.EMB_DIM)}, 6) AS l2_norm
@@ -4138,6 +4160,13 @@ _SPEC_DEFS: dict[str, QuerySpec] = {
     ),
     "copurchase_components": QuerySpec(
         _q_copurchase_components, ORACLES["copurchase_components"]
+    ),
+    "pmi_collocations": QuerySpec(
+        _q_pmi_collocations, ORACLES["pmi_collocations"]
+    ),
+    "bloom_bits": QuerySpec(_q_bloom_bits, ORACLES["bloom_bits"]),
+    "bloom_admission": QuerySpec(
+        _q_bloom_admission, ORACLES["bloom_admission"]
     ),
 }
 

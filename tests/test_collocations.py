@@ -1,0 +1,56 @@
+"""PMI collocations: crafted-signal ranking (always-together pair
+beats frequent-but-independent pair), the min_count hapax guard, and
+short-doc robustness."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from flink_ecommerce_spark.operators.text import pmi_collocations
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+def test_pmi_ranks_bound_pair_above_independent_pair(spark):
+    """"new york" appears only together; "the"/"cat" are frequent but
+    combine with everything — PMI must rank the bound pair first even
+    though the independent pair co-occurs more often in raw count."""
+    texts = []
+    for i in range(10):
+        texts.append("new york " + " ".join(["the cat", "cat the", "the dog"][i % 3] for _ in range(5)))
+    rows = pmi_collocations(_docs(spark, texts), k=50, min_count=5).collect()
+    by_pair = {(r["w1"], r["w2"]): r["pmi"] for r in rows}
+    assert ("new", "york") in by_pair
+    assert by_pair[("new", "york")] > by_pair[("the", "cat")]
+    top = max(rows, key=lambda r: r["pmi"])
+    assert (top["w1"], top["w2"]) == ("new", "york")
+
+
+def test_pmi_min_count_drops_hapax_pairs(spark):
+    """A pair seen once (PMI's classic false positive) must not
+    appear when min_count > 1."""
+    texts = ["unique singleton"] + ["common words common words"] * 10
+    rows = pmi_collocations(_docs(spark, texts), k=50, min_count=2).collect()
+    pairs = {(r["w1"], r["w2"]) for r in rows}
+    assert ("unique", "singleton") not in pairs
+
+
+def test_pmi_handles_sub_bigram_docs(spark):
+    """Docs with <2 words contribute no bigrams and must not crash
+    or skew totals."""
+    texts = ["solo", "", "pair here pair here pair here pair here pair here"]
+    rows = pmi_collocations(_docs(spark, texts), k=10, min_count=2).collect()
+    assert all(r["n_pair"] >= 2 for r in rows)
+
+
+def test_pmi_counts_match_bigram_frequency(spark):
+    """n_pair in the output is the exact bigram frequency."""
+    texts = ["a b a b a b a b a b"] * 3  # "a b" x5 per doc, "b a" x4
+    rows = pmi_collocations(_docs(spark, texts), k=10, min_count=2).collect()
+    n = {(r["w1"], r["w2"]): r["n_pair"] for r in rows}
+    assert n[("a", "b")] == 15
+    assert n[("b", "a")] == 12
