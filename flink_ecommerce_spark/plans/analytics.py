@@ -752,3 +752,79 @@ def event_type_correlations(events: DataFrame) -> DataFrame:
             + 0.0
         ).alias("corr_daily_counts"),
     )
+
+
+def value_psi_by_type(
+    events: DataFrame, n_buckets: int = 10, bucket_width: float = 10.0
+) -> DataFrame:
+    """(event_type, n_baseline, n_current, psi) — Population
+    Stability Index of the value distribution per event type between
+    the first and second half of the observed date range: the
+    standard ML-monitoring drift score (psi = Σ (q−p)·ln(q/p) over
+    fixed value buckets; rule of thumb <0.1 stable, >0.25 shifted).
+    Completes the monitoring family: z-scores catch spikes
+    (daily_anomaly_scores), MAD catches outliers
+    (robust_value_stats), seasonal decomposition catches periodicity
+    — PSI catches the slow distribution slide none of those flag.
+
+    Engine-portable determinism: buckets are FIXED-width (a quantile
+    binning would tie-break differently per engine), both halves are
+    Laplace-smoothed (+0.5 per bucket) so empty buckets contribute a
+    finite, identical term, and the 10-term sum is rounded with -0.0
+    normalized away. The full type × bucket grid is enumerated so
+    bucket sets match exactly across engines.
+
+    Scale: two narrow aggregations (type×bucket counts, then the
+    bucket-grid join against a types-sized frame) — state is
+    #types × n_buckets regardless of event volume; the date midpoint
+    is a one-row broadcast."""
+    d = F.to_date("ts")
+    bounds = events.agg(F.min(d).alias("dmin"), F.max(d).alias("dmax"))
+    mid = F.date_add(
+        F.col("dmin"), F.floor(F.datediff("dmax", "dmin") / 2).cast("int")
+    )
+    ev = events.crossJoin(F.broadcast(bounds)).select(
+        "event_type",
+        F.when(d < mid, F.lit(1)).otherwise(F.lit(0)).alias("is_base"),
+        F.least(
+            F.lit(n_buckets - 1),
+            F.greatest(F.lit(0), F.floor(F.col("value") / bucket_width)),
+        )
+        .cast("int")
+        .alias("bucket"),
+    )
+    counts = ev.groupBy("event_type", "bucket").agg(
+        F.sum("is_base").alias("nb"),
+        (F.count(F.lit(1)) - F.sum("is_base")).alias("nc"),
+    )
+    grid = (
+        events.select("event_type")
+        .distinct()
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence(F.lit(0), F.lit(n_buckets - 1))
+            ).alias("bucket"),
+        )
+    )
+    full = (
+        grid.join(counts, ["event_type", "bucket"], "left")
+        .fillna(0, ["nb", "nc"])
+    )
+    tot = full.groupBy("event_type").agg(
+        F.sum("nb").alias("tb"), F.sum("nc").alias("tc")
+    )
+    sm = float(0.5 * n_buckets)
+    j = full.join(F.broadcast(tot), "event_type")
+    p = (F.col("nb") + 0.5) / (F.col("tb") + sm)
+    q = (F.col("nc") + 0.5) / (F.col("tc") + sm)
+    term = (q - p) * F.log(q / p)
+    return (
+        j.groupBy("event_type")
+        .agg(
+            F.max("tb").alias("n_baseline"),
+            F.max("tc").alias("n_current"),
+            (F.round(F.sum(term), 6) + F.lit(0.0)).alias("psi"),
+        )
+        .select("event_type", "n_baseline", "n_current", "psi")
+    )

@@ -1058,6 +1058,10 @@ def _q_copurchase_components(spark, sf):
     return tpch.copurchase_components(_t("lineitem")(spark, sf))
 
 
+def _q_value_psi_by_type(spark, sf):
+    return analytics.value_psi_by_type(_t("events")(spark, sf))
+
+
 def _q_pmi_collocations(spark, sf):
     return text.pmi_collocations(_t("documents")(spark, sf))
 
@@ -3745,6 +3749,37 @@ FROM documents
 """,
 }
 
+ORACLES["value_psi_by_type"] = """
+WITH b AS (SELECT MIN(CAST(ts AS DATE)) AS dmin, MAX(CAST(ts AS DATE)) AS dmax
+           FROM events),
+ev AS (SELECT event_type,
+              CASE WHEN CAST(ts AS DATE) < dmin + CAST((dmax - dmin) // 2 AS INT)
+                   THEN 1 ELSE 0 END AS is_base,
+              CAST(LEAST(9, GREATEST(0, FLOOR(value / 10.0))) AS INT) AS bucket
+       FROM events, b),
+counts AS (SELECT event_type, bucket, SUM(is_base) AS nb,
+                  COUNT(*) - SUM(is_base) AS nc
+           FROM ev GROUP BY 1, 2),
+grid AS (SELECT event_type, CAST(g AS INT) AS bucket
+         FROM (SELECT DISTINCT event_type FROM events),
+              UNNEST(generate_series(0, 9)) AS t(g)),
+filled AS (SELECT g.event_type, g.bucket,
+                  COALESCE(c.nb, 0) AS nb, COALESCE(c.nc, 0) AS nc
+           FROM grid g LEFT JOIN counts c
+             ON c.event_type = g.event_type AND c.bucket = g.bucket),
+tot AS (SELECT event_type, SUM(nb) AS tb, SUM(nc) AS tc
+        FROM filled GROUP BY 1),
+terms AS (SELECT f.event_type, t.tb, t.tc,
+                 ((f.nc + 0.5) / (t.tc + 5.0) - (f.nb + 0.5) / (t.tb + 5.0)) *
+                 ln(((f.nc + 0.5) / (t.tc + 5.0)) /
+                    ((f.nb + 0.5) / (t.tb + 5.0))) AS term
+          FROM filled f JOIN tot t ON t.event_type = f.event_type)
+SELECT event_type, CAST(MAX(tb) AS BIGINT) AS n_baseline,
+       CAST(MAX(tc) AS BIGINT) AS n_current,
+       ROUND(SUM(term), 6) + 0.0 AS psi
+FROM terms GROUP BY event_type
+"""
+
 ORACLES["pmi_collocations"] = text.sql_pmi_collocations()
 ORACLES["bloom_bits"] = _sketch.sql_bloom_bits()
 ORACLES["bloom_admission"] = _sketch.sql_bloom_admission()
@@ -4160,6 +4195,9 @@ _SPEC_DEFS: dict[str, QuerySpec] = {
     ),
     "copurchase_components": QuerySpec(
         _q_copurchase_components, ORACLES["copurchase_components"]
+    ),
+    "value_psi_by_type": QuerySpec(
+        _q_value_psi_by_type, ORACLES["value_psi_by_type"]
     ),
     "pmi_collocations": QuerySpec(
         _q_pmi_collocations, ORACLES["pmi_collocations"]

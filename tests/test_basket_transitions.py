@@ -280,3 +280,57 @@ def test_seasonal_decompose_additive_identity_and_flat_series(spark):
     # increasing across phases (true gaps are 1.0, edge bias < 0.5)
     seas = [weekly[7 + p]["seasonal"] for p in range(7)]  # phases 0..6
     assert all(a < b for a, b in zip(seas, seas[1:]))
+
+
+def test_value_psi_crafted_drift(spark):
+    """PSI separates stable from shifted distributions: a type whose
+    value distribution is identical in both date halves scores ~0; a
+    type that moves mass two buckets up scores > 0.25 (the standard
+    'shifted' threshold); grid smoothing keeps every score finite."""
+    import math
+
+    from flink_ecommerce_spark.plans.analytics import value_psi_by_type
+
+    d_early = dt.datetime(2024, 1, 2, 12, 0)
+    d_late = dt.datetime(2024, 1, 9, 12, 0)  # range 1/2..1/9, mid 1/5
+    rows = []
+    eid = 0
+    # "stable": same 20-value profile both halves
+    for d in (d_early, d_late):
+        for v in [5.0] * 10 + [25.0] * 10:
+            rows.append((eid, d, 1, "stable", v, "{}")); eid += 1
+    # "shifted": mass moves from bucket 0 to bucket 5
+    for v in [5.0] * 20:
+        rows.append((eid, d_early, 1, "shifted", v, "{}")); eid += 1
+    for v in [55.0] * 20:
+        rows.append((eid, d_late, 1, "shifted", v, "{}")); eid += 1
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    got = {r["event_type"]: r for r in value_psi_by_type(events).collect()}
+    assert got["stable"]["psi"] == 0.0
+    assert got["shifted"]["psi"] > 0.25
+    assert all(math.isfinite(r["psi"]) for r in got.values())
+    assert (got["shifted"]["n_baseline"], got["shifted"]["n_current"]) == (20, 20)
+
+
+def test_value_psi_clamps_out_of_range_values(spark):
+    """Values below 0 / above the top edge land in the edge buckets
+    (no dropped rows, no extra buckets): totals always equal row
+    counts."""
+    from flink_ecommerce_spark.plans.analytics import value_psi_by_type
+
+    rows = [
+        (0, dt.datetime(2024, 1, 1), 1, "t", -5.0, "{}"),
+        (1, dt.datetime(2024, 1, 1), 1, "t", 5000.0, "{}"),
+        (2, dt.datetime(2024, 1, 8), 1, "t", 50.0, "{}"),
+    ]
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    r = value_psi_by_type(events).collect()[0]
+    assert r["n_baseline"] + r["n_current"] == 3
