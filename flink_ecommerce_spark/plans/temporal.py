@@ -527,3 +527,73 @@ def sliding_event_counts(events: DataFrame) -> DataFrame:
             "n_events",
         )
     )
+
+
+def linear_attribution(events: DataFrame, window_hours: int = 1) -> DataFrame:
+    """(channel, n_touches, attributed_value) — multi-touch LINEAR
+    revenue attribution: each purchase's value splits equally across
+    every click/view by the same user in the ``window_hours`` before
+    it (strictly earlier); purchases with no preceding touch
+    attribute whole to the 'direct' channel. The multi-touch
+    complement to ``asof_last_click`` (last-touch) — linear is the
+    standard baseline marketing-mix model.
+
+    Shape: one equi-join on user_id with the range predicate running
+    inside the join (same interval-join shape as
+    ``interval_join_click_purchase``), then two aggregations keyed by
+    purchase — the per-purchase touch split is a window SUM over the
+    already-aggregated (purchase, channel) frame, so the wide event
+    rows never sort, only the counts do. Money rounded to 2dp at the
+    final aggregate only."""
+    touches = events.filter(
+        F.col("event_type").isin("click", "view")
+    ).select(
+        F.col("user_id").alias("t_user"),
+        F.col("ts").alias("t_ts"),
+        F.col("event_type").alias("channel"),
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("p_id"),
+        F.col("ts").alias("p_ts"),
+        F.col("value").alias("p_value"),
+    )
+    j = purchases.join(
+        touches,
+        (purchases.user_id == touches.t_user)
+        & (F.col("t_ts") < F.col("p_ts"))
+        & (
+            F.col("t_ts")
+            >= F.col("p_ts") - F.expr(f"INTERVAL {window_hours} HOURS")
+        ),
+        "left",
+    )
+    per = j.groupBy("p_id", "p_value", "channel").agg(
+        F.count("t_ts").alias("nc")
+    )
+    w = Window.partitionBy("p_id")
+    per = per.withColumn("nt", F.sum("nc").over(w))
+    attr = F.when(F.col("nt") == 0, F.col("p_value")).otherwise(
+        F.col("p_value") * F.col("nc") / F.col("nt")
+    )
+    # integer micro-money units before the cross-purchase sum: float
+    # addition is order-dependent and Spark/DuckDB aggregate in
+    # different orders — a double sum landed exactly on a .005
+    # rounding boundary at sf0.001. Per-row quantization is computed
+    # identically in both engines; the long sum is exact. (Same
+    # discipline as the NB micro-nat and PQ micro-unit sums.)
+    attr_u = F.round(attr * 1_000_000).cast("long")
+    return (
+        per.select(
+            F.coalesce("channel", F.lit("direct")).alias("channel"),
+            "nc",
+            attr_u.alias("attr_u"),
+        )
+        .groupBy("channel")
+        .agg(
+            F.sum("nc").alias("n_touches"),
+            (F.round(F.sum("attr_u") / 1_000_000.0, 2) + F.lit(0.0)).alias(
+                "attributed_value"
+            ),
+        )
+    )

@@ -1058,6 +1058,10 @@ def _q_copurchase_components(spark, sf):
     return tpch.copurchase_components(_t("lineitem")(spark, sf))
 
 
+def _q_linear_attribution(spark, sf):
+    return temporal.linear_attribution(_t("events")(spark, sf))
+
+
 def _q_value_psi_by_type(spark, sf):
     return analytics.value_psi_by_type(_t("events")(spark, sf))
 
@@ -3749,6 +3753,29 @@ FROM documents
 """,
 }
 
+ORACLES["linear_attribution"] = """
+WITH t AS (SELECT user_id, ts AS t_ts, event_type AS channel
+           FROM events WHERE event_type IN ('click', 'view')),
+p AS (SELECT user_id, event_id AS p_id, ts AS p_ts, value AS p_value
+      FROM events WHERE event_type = 'purchase'),
+j AS (SELECT p.p_id, p.p_value, t.channel, t.t_ts
+      FROM p LEFT JOIN t
+        ON t.user_id = p.user_id
+       AND t.t_ts < p.p_ts
+       AND t.t_ts >= p.p_ts - INTERVAL 1 HOUR),
+per AS (SELECT p_id, p_value, channel, COUNT(t_ts) AS nc
+        FROM j GROUP BY 1, 2, 3),
+tot AS (SELECT p_id, SUM(nc) AS nt FROM per GROUP BY 1),
+sel AS (SELECT COALESCE(per.channel, 'direct') AS channel, per.nc,
+               CAST(ROUND((CASE WHEN tot.nt = 0 THEN per.p_value
+                    ELSE per.p_value * per.nc / tot.nt END) * 1000000)
+                    AS BIGINT) AS attr_u
+        FROM per JOIN tot ON tot.p_id = per.p_id)
+SELECT channel, CAST(SUM(nc) AS BIGINT) AS n_touches,
+       ROUND(SUM(attr_u) / 1000000.0, 2) + 0.0 AS attributed_value
+FROM sel GROUP BY channel
+"""
+
 ORACLES["value_psi_by_type"] = """
 WITH b AS (SELECT MIN(CAST(ts AS DATE)) AS dmin, MAX(CAST(ts AS DATE)) AS dmax
            FROM events),
@@ -4195,6 +4222,9 @@ _SPEC_DEFS: dict[str, QuerySpec] = {
     ),
     "copurchase_components": QuerySpec(
         _q_copurchase_components, ORACLES["copurchase_components"]
+    ),
+    "linear_attribution": QuerySpec(
+        _q_linear_attribution, ORACLES["linear_attribution"]
     ),
     "value_psi_by_type": QuerySpec(
         _q_value_psi_by_type, ORACLES["value_psi_by_type"]

@@ -334,3 +334,67 @@ def test_value_psi_clamps_out_of_range_values(spark):
     )
     r = value_psi_by_type(events).collect()[0]
     assert r["n_baseline"] + r["n_current"] == 3
+
+
+def test_linear_attribution_splits_and_windows(spark):
+    """Hand-checkable splits: 2 clicks + 1 view inside the hour
+    share a 30.0 purchase equally (click 20, view 10); a touch
+    outside the window and a touch AT the purchase timestamp are
+    excluded; a touch-free purchase goes whole to 'direct'; another
+    user's touches never leak in."""
+    from flink_ecommerce_spark.plans.temporal import linear_attribution
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    m = dt.timedelta(minutes=1)
+    rows = [
+        # user 1: 2 clicks + 1 view in-window, 1 click too early,
+        # 1 view exactly at purchase ts (excluded: strictly before)
+        (0, t0 - 90 * m, 1, "click", 0.0, "{}"),
+        (1, t0 - 30 * m, 1, "click", 0.0, "{}"),
+        (2, t0 - 20 * m, 1, "click", 0.0, "{}"),
+        (3, t0 - 10 * m, 1, "view", 0.0, "{}"),
+        (4, t0, 1, "view", 0.0, "{}"),
+        (5, t0, 1, "purchase", 30.0, "{}"),
+        # user 2: purchase with no touches -> direct
+        (6, t0, 2, "purchase", 7.5, "{}"),
+        # user 3: touches but no purchase -> nothing attributed
+        (7, t0 - 5 * m, 3, "click", 0.0, "{}"),
+    ]
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    got = {r["channel"]: r for r in linear_attribution(events).collect()}
+    assert got["click"]["attributed_value"] == 20.0
+    assert got["click"]["n_touches"] == 2
+    assert got["view"]["attributed_value"] == 10.0
+    assert got["view"]["n_touches"] == 1
+    assert got["direct"]["attributed_value"] == 7.5
+    assert got["direct"]["n_touches"] == 0
+    # conservation: attributed totals == purchase totals
+    assert sum(r["attributed_value"] for r in got.values()) == 37.5
+
+
+def test_linear_attribution_thirds_stay_conserved(spark):
+    """A value that does NOT split evenly in binary (10.0 / 3) must
+    still conserve total revenue after micro-unit quantization."""
+    from flink_ecommerce_spark.plans.temporal import linear_attribution
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    m = dt.timedelta(minutes=1)
+    rows = [
+        (0, t0 - 3 * m, 1, "click", 0.0, "{}"),
+        (1, t0 - 2 * m, 1, "view", 0.0, "{}"),
+        (2, t0 - 1 * m, 1, "view", 0.0, "{}"),
+        (3, t0, 1, "purchase", 10.0, "{}"),
+    ]
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    got = {r["channel"]: r for r in linear_attribution(events).collect()}
+    assert got["click"]["attributed_value"] == 3.33
+    assert got["view"]["attributed_value"] == 6.67
+    assert abs(sum(r["attributed_value"] for r in got.values()) - 10.0) < 0.011
