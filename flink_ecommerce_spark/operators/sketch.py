@@ -310,3 +310,146 @@ verdict AS (SELECT p.doc_id,
             GROUP BY 1)
 SELECT doc_id, maybe_seen FROM verdict
 """
+
+
+# ---------------------------------------------------------------- hll
+
+HLL_P = 8  # 2^p = 256 registers; std error ~ 1.04/sqrt(m) ~ 6.5%
+
+
+def _hll_alpha_m2(m: int) -> float:
+    """alpha_m * m^2 (Flajolet et al. 2007, bias-correction constant
+    for m >= 128). Computed once in Python and embedded as the SAME
+    decimal literal in the Spark plan and the oracle SQL, so both
+    engines parse the identical double."""
+    return (0.7213 / (1.0 + 1.079 / m)) * m * m
+
+
+def hll_registers(events: DataFrame, p: int = HLL_P) -> DataFrame:
+    """(bucket, max_rank) — the populated registers of a HyperLogLog
+    sketch over user_id (Flajolet-Furet-Gandouet-Meunier 2007).
+    Fixed at 2^p rows no matter how many events or users flow
+    through, and mergeable across shards/days by per-bucket MAX —
+    the distinct-count analog of the Count-Min/Bloom tables above.
+
+    Unlike the engine-native ``approx_count_distinct`` (whose sketch
+    internals are Spark-specific, hence that query is rows-only),
+    these registers come from the portable md5 family: bucket = the
+    first 32 hash bits mod m, rank = leading-zero count of the
+    second 32 bits + 1 via the bin()-string trick both engines
+    evaluate identically — so the sketch itself is oracle-exact."""
+    from ..functions.portable import hash32_from_digest, salted_md5
+
+    m = 1 << p
+    d = salted_md5(F.col("user_id").cast("string"), salt="hll")
+    h1 = hash32_from_digest(d, 0)
+    h2 = hash32_from_digest(d, 1)
+    bucket = (h1 % m).cast("int")
+    rank = (
+        F.lit(33) - F.length(F.regexp_replace(F.bin(h2), "^0+", ""))
+    ).cast("int")
+    return (
+        events.select(bucket.alias("bucket"), rank.alias("rank"))
+        .groupBy("bucket")
+        .agg(F.max("rank").alias("max_rank"))
+    )
+
+
+def hll_distinct_users(events: DataFrame, p: int = HLL_P) -> DataFrame:
+    """(n_exact, n_hll, rel_err) — the HLL estimate next to the true
+    distinct count (the audit view, like countmin_estimates; a
+    production pipeline ships only the 2^p-row register table).
+
+    Determinism discipline: the harmonic-mean denominator is an
+    INTEGER sum (Σ 2^(33-rank) — each term a long shift, total
+    ≤ 2^41, exact in both engines), divided by 2^33 once; the
+    small-range (linear-counting) branch fires on exact integer
+    comparisons. No float accumulates across rows anywhere."""
+    m = 1 << p
+    regs = hll_registers(events, p)
+    grid = events.agg(F.lit(1).alias("__one")).select(
+        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("bucket")
+    )
+    filled = grid.join(regs, "bucket", "left").fillna(0, ["max_rank"])
+    s = filled.agg(
+        F.sum(
+            F.expr("shiftleft(CAST(1 AS BIGINT), 33 - max_rank)")
+        ).alias("sum_int"),
+        F.sum(
+            F.when(F.col("max_rank") == 0, 1).otherwise(0)
+        ).alias("zeros"),
+    )
+    ex = events.agg(F.countDistinct("user_id").alias("n_exact"))
+    alpha_m2 = _hll_alpha_m2(m)
+    z = F.col("sum_int") / F.lit(float(1 << 33))
+    e_raw = F.lit(alpha_m2) / z
+    e = F.when(
+        (e_raw <= F.lit(2.5 * m)) & (F.col("zeros") > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("zeros")),
+    ).otherwise(e_raw)
+    return (
+        s.crossJoin(F.broadcast(ex))
+        .select(
+            "n_exact",
+            (F.round(e, 2) + F.lit(0.0)).alias("n_hll"),
+            F.when(F.col("n_exact") == 0, F.lit(0.0))
+            .otherwise(
+                F.round(
+                    F.abs(e - F.col("n_exact")) / F.col("n_exact"), 6
+                )
+                + F.lit(0.0)
+            )
+            .alias("rel_err"),
+        )
+    )
+
+
+def _sql_hll_regs_cte(p: int = HLL_P) -> str:
+    from ..functions.portable import sql_hash32_from_digest
+
+    m = 1 << p
+    h1 = sql_hash32_from_digest("d", 0)
+    h2 = sql_hash32_from_digest("d", 1)
+    return f"""
+dg AS (SELECT md5(concat('hll:', CAST(user_id AS VARCHAR))) AS d FROM events),
+hh AS (SELECT {h1} AS h1, {h2} AS h2 FROM dg),
+br AS (SELECT CAST(h1 % {m} AS INT) AS bucket,
+              CAST(33 - length(regexp_replace(bin(h2), '^0+', '')) AS INT) AS rank
+       FROM hh),
+regs AS (SELECT bucket, MAX(rank) AS max_rank FROM br GROUP BY 1)
+"""
+
+
+def sql_hll_registers(p: int = HLL_P) -> str:
+    """DuckDB oracle for ``hll_registers``."""
+    return f"""
+WITH {_sql_hll_regs_cte(p)}
+SELECT bucket, max_rank FROM regs
+"""
+
+
+def sql_hll_distinct_users(p: int = HLL_P) -> str:
+    """DuckDB oracle for ``hll_distinct_users``."""
+    m = 1 << p
+    alpha_m2 = _hll_alpha_m2(m)
+    return f"""
+WITH {_sql_hll_regs_cte(p)},
+grid AS (SELECT CAST(g AS INT) AS bucket
+         FROM UNNEST(generate_series(0, {m - 1})) AS t(g)),
+filled AS (SELECT g.bucket, COALESCE(r.max_rank, 0) AS max_rank
+           FROM grid g LEFT JOIN regs r ON r.bucket = g.bucket),
+s AS (SELECT SUM(CAST(1 AS BIGINT) << (33 - max_rank)) AS sum_int,
+             SUM(CASE WHEN max_rank = 0 THEN 1 ELSE 0 END) AS zeros
+      FROM filled),
+ex AS (SELECT COUNT(DISTINCT user_id) AS n_exact FROM events),
+est AS (SELECT CASE WHEN {alpha_m2!r} / (sum_int / {float(1 << 33)!r}) <= {2.5 * m}
+                     AND zeros > 0
+                    THEN {float(m)!r} * ln({float(m)!r} / zeros)
+                    ELSE {alpha_m2!r} / (sum_int / {float(1 << 33)!r}) END AS e
+       FROM s)
+SELECT CAST(ex.n_exact AS BIGINT) AS n_exact,
+       ROUND(est.e, 2) + 0.0 AS n_hll,
+       CASE WHEN ex.n_exact = 0 THEN 0.0
+            ELSE ROUND(abs(est.e - ex.n_exact) / ex.n_exact, 6) + 0.0 END AS rel_err
+FROM est, ex
+"""

@@ -1058,6 +1058,14 @@ def _q_copurchase_components(spark, sf):
     return tpch.copurchase_components(_t("lineitem")(spark, sf))
 
 
+def _q_hll_registers(spark, sf):
+    return _sketch.hll_registers(_t("events")(spark, sf))
+
+
+def _q_hll_distinct_users(spark, sf):
+    return _sketch.hll_distinct_users(_t("events")(spark, sf))
+
+
 def _q_linear_attribution(spark, sf):
     return temporal.linear_attribution(_t("events")(spark, sf))
 
@@ -3753,6 +3761,9 @@ FROM documents
 """,
 }
 
+ORACLES["hll_registers"] = _sketch.sql_hll_registers()
+ORACLES["hll_distinct_users"] = _sketch.sql_hll_distinct_users()
+
 ORACLES["linear_attribution"] = """
 WITH t AS (SELECT user_id, ts AS t_ts, event_type AS channel
            FROM events WHERE event_type IN ('click', 'view')),
@@ -4225,6 +4236,10 @@ _SPEC_DEFS: dict[str, QuerySpec] = {
     ),
     "linear_attribution": QuerySpec(
         _q_linear_attribution, ORACLES["linear_attribution"]
+    ),
+    "hll_registers": QuerySpec(_q_hll_registers, ORACLES["hll_registers"]),
+    "hll_distinct_users": QuerySpec(
+        _q_hll_distinct_users, ORACLES["hll_distinct_users"]
     ),
     "value_psi_by_type": QuerySpec(
         _q_value_psi_by_type, ORACLES["value_psi_by_type"]
