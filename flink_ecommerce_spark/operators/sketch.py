@@ -338,21 +338,31 @@ def hll_registers(events: DataFrame, p: int = HLL_P) -> DataFrame:
     first 32 hash bits mod m, rank = leading-zero count of the
     second 32 bits + 1 via the bin()-string trick both engines
     evaluate identically — so the sketch itself is oracle-exact."""
+    bucket, rank = _hll_bucket_rank(F.col("user_id").cast("string"), p)
+    return (
+        events.select(bucket.alias("bucket"), rank.alias("rank"))
+        .groupBy("bucket")
+        .agg(F.max("rank").alias("max_rank"))
+    )
+
+
+def _hll_bucket_rank(
+    key: F.Column, p: int = HLL_P
+) -> tuple[F.Column, F.Column]:
+    """(bucket, rank) columns for one key — shared by the batch
+    registers and the streaming sketch so both build bit-identical
+    state."""
     from ..functions.portable import hash32_from_digest, salted_md5
 
     m = 1 << p
-    d = salted_md5(F.col("user_id").cast("string"), salt="hll")
+    d = salted_md5(key, salt="hll")
     h1 = hash32_from_digest(d, 0)
     h2 = hash32_from_digest(d, 1)
     bucket = (h1 % m).cast("int")
     rank = (
         F.lit(33) - F.length(F.regexp_replace(F.bin(h2), "^0+", ""))
     ).cast("int")
-    return (
-        events.select(bucket.alias("bucket"), rank.alias("rank"))
-        .groupBy("bucket")
-        .agg(F.max("rank").alias("max_rank"))
-    )
+    return bucket, rank
 
 
 def hll_distinct_users(events: DataFrame, p: int = HLL_P) -> DataFrame:

@@ -43,3 +43,30 @@ def streaming_countmin(
             F.col("c.j").alias("j"), F.col("c.bucket").alias("bucket")
         ).agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+def streaming_hll(
+    documents_or_events: DataFrame,
+    key_col: str = "user_id",
+    p: int = 8,
+) -> DataFrame:
+    """Key stream → running HyperLogLog registers (bucket, max_rank).
+    The cardinality twin of ``streaming_countmin``: a streaming
+    groupBy on bucket whose state can never exceed 2^p rows no
+    matter how many distinct keys flow, because per-bucket MAX — like
+    the Count-Min sum — commutes with micro-batching. The emitted
+    register table equals the batch ``hll_registers`` over the same
+    rows (pinned in tests) and feeds the same estimator / merge
+    path."""
+    from ..operators.sketch import _hll_bucket_rank
+
+    bucket, rank = _hll_bucket_rank(
+        F.col(key_col).cast("string"), p
+    )
+    return (
+        documents_or_events.select(
+            bucket.alias("bucket"), rank.alias("rank")
+        )
+        .groupBy("bucket")
+        .agg(F.max("rank").alias("max_rank"))
+    )
