@@ -1024,3 +1024,80 @@ def copurchase_pairs(lineitem: DataFrame, min_support: int = 2, k: int = 100) ->
         .orderBy(F.desc("support"), F.asc("part_a"), F.asc("part_b"))
         .limit(k)
     )
+
+
+def copurchase_graph_stats(
+    lineitem: DataFrame, min_support: int = 2
+) -> DataFrame:
+    """(n_parts, n_edges, n_wedges, n_triangles, global_clustering)
+    — triangle census of the support-thresholded co-purchase graph:
+    the graph-density / community-strength summary (global clustering
+    coefficient = 3·triangles / wedges) that complements
+    copurchase_components (who is connected) with HOW tightly.
+
+    Scale shape — degree-ordered triangle counting (Schank-Wagner;
+    the MapReduce formulation is Cohen 2009): every edge is oriented
+    from its lower-(degree, id) endpoint to the higher one, making
+    the edge set a DAG in which each triangle {x≺y≺z} appears as
+    exactly one wedge x→y→z closed by x→z. Orientation bounds
+    out-degree at O(√m) REGARDLESS of hub degree — a part in half
+    the baskets contributes wedges only toward its few
+    higher-degree peers, so the wedge join is O(m^1.5) worst-case
+    instead of Σd² (which a hub makes quadratic). The close check is
+    a semi-join against the oriented edges; counts stay integers to
+    the end (the coefficient divides once, rounded)."""
+    _, pairs = _copurchase_support_pairs(lineitem, min_support)
+    edges = pairs.select("part_a", "part_b").localCheckpoint(eager=True)
+    deg = (
+        edges.select(F.col("part_a").alias("p"))
+        .unionAll(edges.select(F.col("part_b").alias("p")))
+        .groupBy("p")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    da = deg.select(F.col("p").alias("part_a"), F.col("d").alias("__da"))
+    db = deg.select(F.col("p").alias("part_b"), F.col("d").alias("__db"))
+    ed = edges.join(da, "part_a").join(db, "part_b")
+    fwd = (F.col("__da") < F.col("__db")) | (
+        (F.col("__da") == F.col("__db"))
+        & (F.col("part_a") < F.col("part_b"))
+    )
+    e = ed.select(
+        F.when(fwd, F.col("part_a")).otherwise(F.col("part_b")).alias("src"),
+        F.when(fwd, F.col("part_b")).otherwise(F.col("part_a")).alias("dst"),
+    ).localCheckpoint(eager=True)  # feeds both wedge sides + the close
+    e1, e2 = e.alias("e1"), e.alias("e2")
+    wedges = e1.join(e2, F.col("e1.dst") == F.col("e2.src")).select(
+        F.col("e1.src").alias("x"), F.col("e2.dst").alias("z")
+    )
+    closed = wedges.join(
+        e.select(F.col("src").alias("x"), F.col("dst").alias("z")),
+        ["x", "z"],
+        "leftsemi",
+    )
+    tri = closed.agg(F.count(F.lit(1)).alias("n_triangles"))
+    np_ = deg.agg(F.count(F.lit(1)).alias("n_parts"))
+    ne = edges.agg(F.count(F.lit(1)).alias("n_edges"))
+    nw = deg.agg(
+        F.coalesce(
+            F.sum((F.col("d") * (F.col("d") - 1) / 2).cast("long")),
+            F.lit(0).cast("long"),
+        ).alias("n_wedges")
+    )
+    cc = F.when(F.col("n_wedges") > 0,
+        F.round(
+            F.lit(3.0) * F.col("n_triangles") / F.col("n_wedges"), 6
+        )
+        + F.lit(0.0),
+    ).otherwise(F.lit(0.0))
+    return (
+        np_.crossJoin(F.broadcast(ne))
+        .crossJoin(F.broadcast(nw))
+        .crossJoin(F.broadcast(tri))
+        .select(
+            "n_parts",
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            cc.alias("global_clustering"),
+        )
+    )

@@ -1058,6 +1058,10 @@ def _q_copurchase_components(spark, sf):
     return tpch.copurchase_components(_t("lineitem")(spark, sf))
 
 
+def _q_copurchase_graph_stats(spark, sf):
+    return tpch.copurchase_graph_stats(_t("lineitem")(spark, sf))
+
+
 def _q_hll_registers(spark, sf):
     return _sketch.hll_registers(_t("events")(spark, sf))
 
@@ -3761,6 +3765,37 @@ FROM documents
 """,
 }
 
+ORACLES["copurchase_graph_stats"] = """
+WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pr AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb
+       FROM op a JOIN op b
+         ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+deg AS (SELECT p, COUNT(*) AS d
+        FROM (SELECT pa AS p FROM pr UNION ALL SELECT pb FROM pr)
+        GROUP BY 1),
+e AS (SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND pr.pa < pr.pb)
+                  THEN pr.pa ELSE pr.pb END AS src,
+             CASE WHEN da.d < db.d OR (da.d = db.d AND pr.pa < pr.pb)
+                  THEN pr.pb ELSE pr.pa END AS dst
+      FROM pr JOIN deg da ON da.p = pr.pa JOIN deg db ON db.p = pr.pb),
+tri AS (SELECT COUNT(*) AS n_triangles
+        FROM e e1 JOIN e e2 ON e2.src = e1.dst
+        WHERE EXISTS (SELECT 1 FROM e e3
+                      WHERE e3.src = e1.src AND e3.dst = e2.dst)),
+w AS (SELECT COALESCE(SUM(d * (d - 1) // 2), 0) AS n_wedges FROM deg),
+np AS (SELECT COUNT(*) AS n_parts FROM deg),
+ne AS (SELECT COUNT(*) AS n_edges FROM pr)
+SELECT CAST(np.n_parts AS BIGINT) AS n_parts,
+       CAST(ne.n_edges AS BIGINT) AS n_edges,
+       CAST(w.n_wedges AS BIGINT) AS n_wedges,
+       CAST(tri.n_triangles AS BIGINT) AS n_triangles,
+       CASE WHEN w.n_wedges > 0
+            THEN ROUND(3.0 * tri.n_triangles / w.n_wedges, 6) + 0.0
+            ELSE 0.0 END AS global_clustering
+FROM np, ne, w, tri
+"""
+
 ORACLES["hll_registers"] = _sketch.sql_hll_registers()
 ORACLES["hll_distinct_users"] = _sketch.sql_hll_distinct_users()
 
@@ -4236,6 +4271,9 @@ _SPEC_DEFS: dict[str, QuerySpec] = {
     ),
     "linear_attribution": QuerySpec(
         _q_linear_attribution, ORACLES["linear_attribution"]
+    ),
+    "copurchase_graph_stats": QuerySpec(
+        _q_copurchase_graph_stats, ORACLES["copurchase_graph_stats"]
     ),
     "hll_registers": QuerySpec(_q_hll_registers, ORACLES["hll_registers"]),
     "hll_distinct_users": QuerySpec(

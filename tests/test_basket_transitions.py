@@ -398,3 +398,58 @@ def test_linear_attribution_thirds_stay_conserved(spark):
     assert got["click"]["attributed_value"] == 3.33
     assert got["view"]["attributed_value"] == 6.67
     assert abs(sum(r["attributed_value"] for r in got.values()) - 10.0) < 0.011
+
+
+def test_copurchase_graph_stats_triangle_census(spark):
+    """Hand-checkable graph: a triangle {1,2,3} plus a pendant edge
+    (3,4). Degrees 2,2,3,1 -> wedges 1+1+3+0 = 5; one triangle;
+    clustering 3*1/5 = 0.6."""
+    from flink_ecommerce_spark.plans.tpch import copurchase_graph_stats
+
+    rows = []
+    oid = 0
+    for _ in range(2):  # each basket twice => every pair support 2
+        oid += 1
+        rows += [(oid, 1), (oid, 2), (oid, 3)]
+    for _ in range(2):
+        oid += 1
+        rows += [(oid, 3), (oid, 4)]
+    li = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    r = copurchase_graph_stats(li).collect()[0]
+    assert (r["n_parts"], r["n_edges"]) == (4, 4)
+    assert (r["n_wedges"], r["n_triangles"]) == (5, 1)
+    assert r["global_clustering"] == 0.6
+
+
+def test_copurchase_graph_stats_star_has_no_triangles(spark):
+    """A hub with 3 leaves: 3 wedges, 0 triangles — the degree-
+    ordered orientation must not fabricate closures through the
+    hub."""
+    from flink_ecommerce_spark.plans.tpch import copurchase_graph_stats
+
+    rows = []
+    oid = 0
+    for leaf in (11, 12, 13):
+        for _ in range(2):
+            oid += 1
+            rows += [(oid, 1), (oid, leaf)]
+    li = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    r = copurchase_graph_stats(li).collect()[0]
+    assert (r["n_parts"], r["n_edges"]) == (4, 3)
+    assert (r["n_wedges"], r["n_triangles"]) == (3, 0)
+    assert r["global_clustering"] == 0.0
+
+
+def test_copurchase_graph_stats_empty_graph(spark):
+    """No pair reaches min_support: all-zero census, coefficient 0
+    (not NULL/NaN)."""
+    from flink_ecommerce_spark.plans.tpch import copurchase_graph_stats
+
+    li = spark.createDataFrame(
+        [(1, 101), (2, 102)], "l_orderkey long, l_partkey long"
+    )
+    r = copurchase_graph_stats(li).collect()[0]
+    assert (r["n_parts"], r["n_edges"], r["n_wedges"], r["n_triangles"]) == (
+        0, 0, 0, 0,
+    )
+    assert r["global_clustering"] == 0.0
