@@ -1299,3 +1299,63 @@ j AS (SELECT b.w1, b.w2, b.n_pair,
 SELECT w1, w2, CAST(n_pair AS BIGINT) AS n_pair, pmi
 FROM j ORDER BY pmi DESC, w1 ASC, w2 ASC LIMIT {k}
 """
+
+
+KANON_K = 5  # release-gate group-size floor; oracle generated from this
+
+
+def k_anonymity_violations(
+    documents: DataFrame, k: int = KANON_K
+) -> DataFrame:
+    """(lang, source, n) — quasi-identifier groups with fewer than k
+    members (Sweeney 2002): the release-blocking list. A record in a
+    group of size < k is re-identifiable by its quasi-identifiers
+    alone; training-data releases either generalize these groups or
+    drop them. One hash aggregation on the quasi-identifier key —
+    the count table is #groups-sized regardless of corpus size."""
+    return (
+        documents.groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") < k)
+    )
+
+
+def k_anonymity_report(documents: DataFrame, k: int = KANON_K) -> DataFrame:
+    """(k, n_groups, n_violating_groups, n_rows_at_risk,
+    frac_rows_at_risk) — the one-row release-gate summary over the
+    (lang, source) quasi-identifier: how many equivalence classes
+    fall below k and what fraction of the corpus sits in them. The
+    privacy companion to ``pii_scrub`` (content-level) — this is the
+    STRUCTURE-level check: scrubbed text in a singleton
+    (lang, source) class is still linkable."""
+    g = documents.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    viol = F.when(F.col("n") < k, 1).otherwise(0)
+    agg = g.agg(
+        F.lit(k).alias("k"),
+        F.count(F.lit(1)).alias("n_groups"),
+        F.coalesce(F.sum(viol), F.lit(0)).cast("long").alias(
+            "n_violating_groups"
+        ),
+        F.coalesce(
+            F.sum(F.when(F.col("n") < k, F.col("n")).otherwise(F.lit(0))),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("n_rows_at_risk"),
+        F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias("__total"),
+    )
+    return agg.select(
+        "k",
+        "n_groups",
+        "n_violating_groups",
+        "n_rows_at_risk",
+        F.when(
+            F.col("__total") > 0,
+            F.round(F.col("n_rows_at_risk") / F.col("__total"), 6)
+            + F.lit(0.0),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("frac_rows_at_risk"),
+    )

@@ -1058,6 +1058,14 @@ def _q_copurchase_components(spark, sf):
     return tpch.copurchase_components(_t("lineitem")(spark, sf))
 
 
+def _q_k_anonymity_violations(spark, sf):
+    return text.k_anonymity_violations(_t("documents")(spark, sf))
+
+
+def _q_k_anonymity_report(spark, sf):
+    return text.k_anonymity_report(_t("documents")(spark, sf))
+
+
 def _q_copurchase_graph_stats(spark, sf):
     return tpch.copurchase_graph_stats(_t("lineitem")(spark, sf))
 
@@ -3765,6 +3773,28 @@ FROM documents
 """,
 }
 
+ORACLES["k_anonymity_violations"] = f"""
+SELECT lang, source, COUNT(*) AS n
+FROM documents GROUP BY 1, 2 HAVING COUNT(*) < {text.KANON_K}
+"""
+
+ORACLES["k_anonymity_report"] = f"""
+WITH g AS (SELECT lang, source, COUNT(*) AS n
+           FROM documents GROUP BY 1, 2),
+a AS (SELECT COUNT(*) AS n_groups,
+             COALESCE(SUM(CASE WHEN n < {text.KANON_K} THEN 1 ELSE 0 END), 0) AS n_violating_groups,
+             COALESCE(SUM(CASE WHEN n < {text.KANON_K} THEN n ELSE 0 END), 0) AS n_rows_at_risk,
+             COALESCE(SUM(n), 0) AS total
+      FROM g)
+SELECT {text.KANON_K} AS k, CAST(n_groups AS BIGINT) AS n_groups,
+       CAST(n_violating_groups AS BIGINT) AS n_violating_groups,
+       CAST(n_rows_at_risk AS BIGINT) AS n_rows_at_risk,
+       CASE WHEN total > 0
+            THEN ROUND(CAST(n_rows_at_risk AS DOUBLE) / total, 6) + 0.0
+            ELSE 0.0 END AS frac_rows_at_risk
+FROM a
+"""
+
 ORACLES["copurchase_graph_stats"] = """
 WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
 pr AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb
@@ -4274,6 +4304,12 @@ _SPEC_DEFS: dict[str, QuerySpec] = {
     ),
     "copurchase_graph_stats": QuerySpec(
         _q_copurchase_graph_stats, ORACLES["copurchase_graph_stats"]
+    ),
+    "k_anonymity_violations": QuerySpec(
+        _q_k_anonymity_violations, ORACLES["k_anonymity_violations"]
+    ),
+    "k_anonymity_report": QuerySpec(
+        _q_k_anonymity_report, ORACLES["k_anonymity_report"]
     ),
     "hll_registers": QuerySpec(_q_hll_registers, ORACLES["hll_registers"]),
     "hll_distinct_users": QuerySpec(

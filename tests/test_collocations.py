@@ -54,3 +54,42 @@ def test_pmi_counts_match_bigram_frequency(spark):
     n = {(r["w1"], r["w2"]): r["n_pair"] for r in rows}
     assert n[("a", "b")] == 15
     assert n[("b", "a")] == 12
+
+
+def test_k_anonymity_crafted_groups(spark):
+    """Hand-checkable: a 6-member class passes k=5, a 2-member and a
+    singleton violate; rows-at-risk and fraction follow."""
+    from flink_ecommerce_spark.operators.text import (
+        k_anonymity_report,
+        k_anonymity_violations,
+    )
+
+    rows = (
+        [(i, "t", "en", "big", 1) for i in range(6)]
+        + [(10, "t", "en", "small", 1), (11, "t", "en", "small", 1)]
+        + [(12, "t", "fr", "solo", 1)]
+    )
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars int"
+    )
+    viol = {
+        (r["lang"], r["source"]): r["n"]
+        for r in k_anonymity_violations(docs, k=5).collect()
+    }
+    assert viol == {("en", "small"): 2, ("fr", "solo"): 1}
+    r = k_anonymity_report(docs, k=5).collect()[0]
+    assert (r["n_groups"], r["n_violating_groups"], r["n_rows_at_risk"]) == (3, 2, 3)
+    assert r["frac_rows_at_risk"] == round(3 / 9, 6)
+
+
+def test_k_anonymity_empty_corpus(spark):
+    from pyspark.sql import functions as F
+
+    from flink_ecommerce_spark.operators.text import k_anonymity_report
+
+    docs = spark.createDataFrame(
+        [], "doc_id long, text string, lang string, source string, n_chars int"
+    )
+    r = k_anonymity_report(docs).collect()[0]
+    assert (r["n_groups"], r["n_violating_groups"], r["n_rows_at_risk"]) == (0, 0, 0)
+    assert r["frac_rows_at_risk"] == 0.0
