@@ -252,3 +252,28 @@ def test_late_r05_ops_on_empty(spark, empty_events, empty_docs):
     )
     out = pit_join(facts, empty_dim, "user_id", "ts", ["segment"]).collect()
     assert len(out) == 1 and out[0]["segment"] is None
+
+
+def test_session_r06_ops_on_empty(spark, empty_docs, empty_events):
+    """The r06 additions: bloom / PMI / PSI / attribution / HLL /
+    triangle census / k-anonymity — all must survive empty inputs
+    with schema intact."""
+    from flink_ecommerce_spark.operators.sketch import (
+        bloom_admission,
+        bloom_bits,
+        hll_distinct_users,
+    )
+    from flink_ecommerce_spark.plans.temporal import linear_attribution
+    from flink_ecommerce_spark.plans.tpch import copurchase_graph_stats
+
+    assert bloom_bits(empty_docs).collect() == []
+    assert bloom_admission(empty_docs, empty_docs).collect() == []
+    assert text.pmi_collocations(empty_docs).collect() == []
+    assert analytics.value_psi_by_type(empty_events).collect() == []
+    assert linear_attribution(empty_events).collect() == []
+    r = hll_distinct_users(empty_events).collect()[0]
+    assert (r["n_exact"], r["n_hll"]) == (0, 0.0)
+    li = spark.createDataFrame([], "l_orderkey long, l_partkey long")
+    r = copurchase_graph_stats(li).collect()[0]
+    assert (r["n_edges"], r["n_triangles"]) == (0, 0)
+    assert text.k_anonymity_violations(empty_docs).collect() == []
