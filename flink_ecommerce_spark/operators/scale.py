@@ -176,3 +176,74 @@ def key_skew_summary(df: DataFrame, key: str) -> DataFrame:
         F.round(F.expr("percentile(n_rows, 0.99)"), 6).alias("p99_rows"),
         F.round(F.max("n_rows") / F.avg("n_rows"), 6).alias("skew_ratio"),
     )
+
+
+def bloom_prefilter(
+    fact: DataFrame,
+    keys: DataFrame,
+    fact_key: str,
+    keys_key: str | None = None,
+    n_bits: int = 8192,
+    n_hashes: int = 4,
+) -> DataFrame:
+    """Runtime-filter / sideways-information-passing: drop fact rows
+    that CANNOT join (their key misses the Bloom filter of the other
+    side's keys) BEFORE the join's shuffle — at 100 TB the win is
+    that non-joining fact rows die map-side in the scan stage instead
+    of riding the exchange. Spark's own runtime bloom filters do this
+    inside the optimizer when statistics cooperate; this operator is
+    the explicit, deterministic form for when they don't (e.g. the
+    filter side is itself the output of a complex subquery).
+
+    NO FALSE NEGATIVES: every fact row whose key exists on the keys
+    side passes, so `fact.join(keys, ...)` on the prefiltered fact
+    equals the unfiltered join exactly (property-tested). False
+    positives just ride along to the join, which stays correct.
+
+    Mechanics: the keys side reduces to ≤ n_bits set positions via
+    Kirsch-Mitzenmacher double hashing (one md5 per key); those pack
+    into n_bits/64 longs collected to the driver — a BOUNDED pull
+    (the sketch, never the keys) embedded as a literal bitmask, so
+    the membership test is a pure map-side expression: no join, no
+    shuffle, no broadcast table."""
+    from ..functions.portable import hash32_from_digest, salted_md5
+
+    kc = keys_key or fact_key
+
+    def halves(col):
+        d = salted_md5(F.col(col).cast("string"), salt="bloomjoin")
+        return hash32_from_digest(d, 0), hash32_from_digest(d, 1)
+
+    h1, h2 = halves(kc)
+    pos_rows = (
+        keys.select(
+            F.explode(
+                F.array(
+                    *[
+                        ((h1 + F.lit(j) * h2) % n_bits).cast("int")
+                        for j in range(n_hashes)
+                    ]
+                )
+            ).alias("pos")
+        )
+        .distinct()
+        .collect()
+    )
+    n_words = (n_bits + 63) // 64
+    mask = [0] * n_words
+    for r in pos_rows:
+        mask[r["pos"] // 64] |= 1 << (r["pos"] % 64)
+    # two's-complement fold into signed 64-bit for the long literal
+    mask = [w - (1 << 64) if w >= (1 << 63) else w for w in mask]
+    mask_col = F.array(*[F.lit(w).cast("long") for w in mask])
+
+    f1, f2 = halves(fact_key)
+    checks = []
+    for j in range(n_hashes):
+        p = (f1 + F.lit(j) * f2) % n_bits
+        word = F.element_at(mask_col, (p / 64).cast("int") + 1)
+        checks.append(F.getbit(word, (p % 64).cast("int")) == 1)
+    keep = checks[0]
+    for c in checks[1:]:
+        keep = keep & c
+    return fact.filter(keep)

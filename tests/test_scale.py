@@ -202,3 +202,62 @@ def test_heavy_scan_fixup_gates_on_size(spark, tmp_path):
     for empty in (scan.filter(F.lit(False)), scan.limit(0)):
         assert ensure_parallelism_for_heavy_scan(empty) is empty
         assert empty.count() == 0
+
+
+def test_bloom_prefilter_preserves_join_exactly(spark):
+    """The runtime-filter guarantee: joining after the prefilter
+    yields EXACTLY the unfiltered join (no false negatives), while
+    the scan-side row count drops."""
+    from flink_ecommerce_spark import catalog
+    from flink_ecommerce_spark.operators.scale import bloom_prefilter
+
+    from tests.conftest import SF_SMALL
+
+    orders = catalog.table(spark, SF_SMALL, "orders")
+    # a selective dim side: ~5% of customers
+    from pyspark.sql import functions as F
+
+    custs = (
+        catalog.table(spark, SF_SMALL, "customer")
+        .filter(F.col("c_custkey") % 20 == 0)
+        .select("c_custkey")
+    )
+    direct = orders.join(
+        custs, orders.o_custkey == custs.c_custkey
+    ).select("o_orderkey")
+    filtered_fact = bloom_prefilter(orders, custs, "o_custkey", "c_custkey")
+    via_bloom = filtered_fact.join(
+        custs, F.col("o_custkey") == custs.c_custkey
+    ).select("o_orderkey")
+    a = {r["o_orderkey"] for r in direct.collect()}
+    b = {r["o_orderkey"] for r in via_bloom.collect()}
+    assert a == b
+    n_all, n_kept = orders.count(), filtered_fact.count()
+    assert n_kept < n_all  # the filter actually prunes
+    assert n_kept >= len(a)  # and never below the true join support
+
+
+def test_bloom_prefilter_is_scan_shaped(spark):
+    """The membership test must compile to a map-side Filter: no
+    Exchange, no join operator anywhere in the filtered plan."""
+    from flink_ecommerce_spark import catalog
+    from flink_ecommerce_spark.operators.scale import bloom_prefilter
+
+    from pyspark.sql import functions as F
+
+    from tests.conftest import SF_SMALL
+
+    orders = catalog.table(spark, SF_SMALL, "orders")
+    custs = (
+        catalog.table(spark, SF_SMALL, "customer")
+        .filter(F.col("c_custkey") % 20 == 0)
+        .select("c_custkey")
+    )
+    plan = (
+        bloom_prefilter(orders, custs, "o_custkey", "c_custkey")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+    assert "Join" not in plan
