@@ -371,3 +371,52 @@ rates AS (SELECT source, n_s,
                         * (SQRT(CAST(n_s AS DOUBLE)) / z) / n_s)
                       * {TEMP_BUCKETS}, 0) AS INT) AS thr
           FROM counts, tot)"""
+
+
+def sample_k_per_group(
+    documents: DataFrame, k: int = 20, group_col: str = "lang"
+) -> DataFrame:
+    """(lang, doc_id, rk) — EXACTLY k docs per group, chosen by
+    portable-hash order (deterministic across runs, partitionings,
+    and engines): the eval-set builder when per-stratum QUOTAS matter
+    — rate-based `stratified_sample` keeps proportions but its
+    per-group counts float with the corpus; this pins them.
+
+    Scale: delegates to the shared two-phase ``topk_per_key``
+    primitive — bucketed pre-top-k then a tiny final window — so no
+    group's full membership funnels through one sort task; the hash
+    order makes "top k" mean "uniform k" (a hash-ordered prefix is a
+    uniform sample without replacement)."""
+    from ..functions.portable import hash32
+    from .similarity import topk_per_key
+
+    scored = documents.select(
+        F.col(group_col),
+        "doc_id",
+        hash32(F.col("doc_id").cast("string"), salt="groupk").alias(
+            "__h"
+        ),
+    )
+    out = topk_per_key(
+        scored,
+        key=group_col,
+        order=[F.asc("__h"), F.asc("doc_id")],
+        k=k,
+        salt_col="doc_id",
+    )
+    return out.select(group_col, "doc_id", "rk")
+
+
+def sql_sample_k_per_group(k: int = 20, group_col: str = "lang") -> str:
+    """DuckDB oracle for ``sample_k_per_group``."""
+    from ..functions.portable import sql_hash32
+
+    h = sql_hash32("CAST(doc_id AS VARCHAR)", salt="groupk")
+    return f"""
+WITH scored AS (SELECT {group_col}, doc_id, {h} AS h FROM documents),
+rk AS (SELECT {group_col}, doc_id,
+              CAST(ROW_NUMBER() OVER (PARTITION BY {group_col}
+                                      ORDER BY h, doc_id) AS INT) AS rk
+       FROM scored)
+SELECT {group_col}, doc_id, rk FROM rk WHERE rk <= {k}
+"""

@@ -1058,6 +1058,10 @@ def _q_copurchase_components(spark, sf):
     return tpch.copurchase_components(_t("lineitem")(spark, sf))
 
 
+def _q_sample_k_per_group(spark, sf):
+    return sampling.sample_k_per_group(_t("documents")(spark, sf))
+
+
 def _q_k_anonymity_violations(spark, sf):
     return text.k_anonymity_violations(_t("documents")(spark, sf))
 
@@ -3773,6 +3777,8 @@ FROM documents
 """,
 }
 
+ORACLES["sample_k_per_group"] = sampling.sql_sample_k_per_group()
+
 ORACLES["k_anonymity_violations"] = f"""
 SELECT lang, source, COUNT(*) AS n
 FROM documents GROUP BY 1, 2 HAVING COUNT(*) < {text.KANON_K}
@@ -4304,6 +4310,9 @@ _SPEC_DEFS: dict[str, QuerySpec] = {
     ),
     "copurchase_graph_stats": QuerySpec(
         _q_copurchase_graph_stats, ORACLES["copurchase_graph_stats"]
+    ),
+    "sample_k_per_group": QuerySpec(
+        _q_sample_k_per_group, ORACLES["sample_k_per_group"]
     ),
     "k_anonymity_violations": QuerySpec(
         _q_k_anonymity_violations, ORACLES["k_anonymity_violations"]

@@ -93,3 +93,26 @@ def test_k_anonymity_empty_corpus(spark):
     r = k_anonymity_report(docs).collect()[0]
     assert (r["n_groups"], r["n_violating_groups"], r["n_rows_at_risk"]) == (0, 0, 0)
     assert r["frac_rows_at_risk"] == 0.0
+
+
+def test_sample_k_per_group_quota_and_determinism(spark):
+    """Exactly min(k, group size) per group; membership identical
+    across repartitionings (the portable-hash order is data-only)."""
+    from flink_ecommerce_spark.operators.sampling import sample_k_per_group
+
+    rows = [(i, "t", "en" if i < 40 else "fr", "s", 1) for i in range(50)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars int"
+    )
+    out = sample_k_per_group(docs, k=15)
+    sizes = {
+        r["lang"]: r["n"]
+        for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    assert sizes == {"en": 15, "fr": 10}  # fr has only 10 docs
+    a = {(r["lang"], r["doc_id"]) for r in out.collect()}
+    b = {
+        (r["lang"], r["doc_id"])
+        for r in sample_k_per_group(docs.repartition(7), k=15).collect()
+    }
+    assert a == b
