@@ -597,3 +597,80 @@ def linear_attribution(events: DataFrame, window_hours: int = 1) -> DataFrame:
             ),
         )
     )
+
+
+def conversion_lag_stats(events: DataFrame) -> DataFrame:
+    """One-row lag distribution over the matched conversion episodes
+    (view → click → purchase, earliest-completion semantics of
+    ``first_conversion_episode``): episode count plus median / p90 of
+    each step lag and the total — the "HOW LONG does conversion
+    take" summary next to conversion_funnel's "how many convert".
+
+    Determinism: lags are computed in INTEGER microseconds and the
+    exact percentile interpolates those integers (both engines then
+    see bit-identical inputs); the seconds conversion divides once at
+    the end. Episode extraction is the three narrow per-user
+    aggregations of first_conversion_episode; the final reduce is a
+    single aggregate over the (small) episode table."""
+    ep = first_conversion_episode(events)
+
+    def us(c: str) -> F.Column:
+        return F.unix_micros(F.col(c).cast("timestamp"))
+
+    lagged = ep.select(
+        (us("click_ts") - us("view_ts")).alias("l_vc"),
+        (us("purchase_ts") - us("click_ts")).alias("l_cp"),
+        (us("purchase_ts") - us("view_ts")).alias("l_tot"),
+    )
+
+    def pct(col: str, p: float, alias: str) -> F.Column:
+        return (
+            F.round(F.expr(f"percentile({col}, {p})") / 1e6, 6)
+            + F.lit(0.0)
+        ).alias(alias)
+
+    return lagged.agg(
+        F.count(F.lit(1)).alias("n_episodes"),
+        pct("l_vc", 0.5, "median_view_to_click"),
+        pct("l_vc", 0.9, "p90_view_to_click"),
+        pct("l_cp", 0.5, "median_click_to_purchase"),
+        pct("l_cp", 0.9, "p90_click_to_purchase"),
+        pct("l_tot", 0.5, "median_total"),
+        pct("l_tot", 0.9, "p90_total"),
+    )
+
+
+def sql_conversion_lag_stats() -> str:
+    """DuckDB oracle for ``conversion_lag_stats`` (same v/c/p CTEs as
+    the episode oracle, integer-microsecond lags, quantile_cont)."""
+    pcts = ",\n       ".join(
+        f"ROUND(quantile_cont({col}, {p}) / 1000000.0, 6) + 0.0 AS {alias}"
+        for col, p, alias in [
+            ("l_vc", 0.5, "median_view_to_click"),
+            ("l_vc", 0.9, "p90_view_to_click"),
+            ("l_cp", 0.5, "median_click_to_purchase"),
+            ("l_cp", 0.9, "p90_click_to_purchase"),
+            ("l_tot", 0.5, "median_total"),
+            ("l_tot", 0.9, "p90_total"),
+        ]
+    )
+    return f"""
+WITH v AS (SELECT user_id, MIN(ts) AS view_ts FROM events
+           WHERE event_type = 'view' GROUP BY 1),
+c AS (SELECT e.user_id, v.view_ts, MIN(e.ts) AS click_ts
+      FROM events e JOIN v ON v.user_id = e.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.view_ts
+      GROUP BY 1, 2),
+p AS (SELECT e.user_id, c.view_ts, c.click_ts, MIN(e.ts) AS purchase_ts
+      FROM events e JOIN c ON c.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.click_ts
+      GROUP BY 1, 2, 3),
+lagged AS (SELECT
+    epoch_us(CAST(click_ts AS TIMESTAMP)) - epoch_us(CAST(view_ts AS TIMESTAMP)) AS l_vc,
+    epoch_us(CAST(purchase_ts AS TIMESTAMP)) - epoch_us(CAST(click_ts AS TIMESTAMP)) AS l_cp,
+    epoch_us(CAST(purchase_ts AS TIMESTAMP)) - epoch_us(CAST(view_ts AS TIMESTAMP)) AS l_tot
+  FROM p)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_episodes,
+       {pcts}
+FROM lagged
+"""

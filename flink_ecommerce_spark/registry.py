@@ -1058,6 +1058,10 @@ def _q_copurchase_components(spark, sf):
     return tpch.copurchase_components(_t("lineitem")(spark, sf))
 
 
+def _q_conversion_lag_stats(spark, sf):
+    return temporal.conversion_lag_stats(_t("events")(spark, sf))
+
+
 def _q_sample_k_per_group(spark, sf):
     return sampling.sample_k_per_group(_t("documents")(spark, sf))
 
@@ -3777,6 +3781,7 @@ FROM documents
 """,
 }
 
+ORACLES["conversion_lag_stats"] = temporal.sql_conversion_lag_stats()
 ORACLES["sample_k_per_group"] = sampling.sql_sample_k_per_group()
 
 ORACLES["k_anonymity_violations"] = f"""
@@ -4310,6 +4315,9 @@ _SPEC_DEFS: dict[str, QuerySpec] = {
     ),
     "copurchase_graph_stats": QuerySpec(
         _q_copurchase_graph_stats, ORACLES["copurchase_graph_stats"]
+    ),
+    "conversion_lag_stats": QuerySpec(
+        _q_conversion_lag_stats, ORACLES["conversion_lag_stats"]
     ),
     "sample_k_per_group": QuerySpec(
         _q_sample_k_per_group, ORACLES["sample_k_per_group"]

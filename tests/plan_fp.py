@@ -66,6 +66,36 @@ def load_ledger() -> dict[str, str]:
     return json.loads(LEDGER_PATH.read_text())
 
 
+def externally_certified() -> set[str]:
+    """Queries holding at least one green row in any round's external
+    CORRECTNESS artifact — the set whose ledger fingerprints protect a
+    real certification. Everything else is never-certified: its
+    fingerprint tracks HEAD until its first external green row."""
+    names: set[str] = set()
+    for p in sorted(Path(__file__).resolve().parent.parent.glob("CORRECTNESS_r*.json")):
+        try:
+            data = json.loads(p.read_text())
+        except (OSError, json.JSONDecodeError):
+            continue
+        for name, row in data.items():
+            if not isinstance(row, dict):
+                continue
+            green = (
+                row.get("rows_match")
+                and row.get("schema_match")
+                and row.get("hash_match")
+            )
+            # rows-only queries (no oracle) certify via the weaker
+            # rows-observed check: a row count was recorded, no error
+            rows_only_green = (
+                row.get("err") == "no_oracle"
+                and row.get("spark_rows") is not None
+            )
+            if green or rows_only_green:
+                names.add(name)
+    return names
+
+
 def main() -> None:
     import os
 
@@ -82,27 +112,34 @@ def main() -> None:
     )
     current = compute_all(spark)
     window = set(list(registry.SPECS)[:50])
+    certified = externally_certified()
     if LEDGER_PATH.exists():
-        # ONLY in-window entries refresh: an out-of-window query's
-        # certified fingerprint must never be overwritten by a regen —
-        # otherwise accidental drift could be laundered instead of
-        # failing test_certification_invariant until the query is
-        # rotated into the window
+        # ONLY in-window and never-certified entries refresh: an
+        # out-of-window query's CERTIFIED fingerprint must never be
+        # overwritten by a regen — otherwise accidental drift could be
+        # laundered instead of failing test_certification_invariant
+        # until the query is rotated into the window. A query with no
+        # green row in any CORRECTNESS_r*.json has no certification to
+        # protect yet — its ledger entry tracks HEAD by policy
+        # (COVERAGE.md "Verification rotation").
         old = load_ledger()
         ledger = {
             name: current[name]
-            if (name in window or name not in old)
+            if (name in window or name not in old or name not in certified)
             else old[name]
             for name in current
         }
         laundered = [
             n for n in current
-            if n not in window and n in old and old[n] != current[n]
+            if n not in window
+            and n in old
+            and n in certified
+            and old[n] != current[n]
         ]
         if laundered:
             print(
-                "NOT updating drifted out-of-window fingerprints "
-                f"(rotate into _VERIFY_FIRST instead): {laundered}"
+                "NOT updating drifted certified out-of-window "
+                f"fingerprints (rotate into _VERIFY_FIRST instead): {laundered}"
             )
     else:
         ledger = current

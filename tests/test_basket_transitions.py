@@ -453,3 +453,36 @@ def test_copurchase_graph_stats_empty_graph(spark):
         0, 0, 0, 0,
     )
     assert r["global_clustering"] == 0.0
+
+
+def test_conversion_lag_stats_hand_checked(spark):
+    """Two users with known step lags; exact medians/p90 over the
+    2-episode table, in seconds."""
+    from flink_ecommerce_spark.plans.temporal import conversion_lag_stats
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    s = dt.timedelta(seconds=1)
+    rows = [
+        # user 1: view +0, click +10s, purchase +30s
+        (0, t0, 1, "view", 0.0, "{}"),
+        (1, t0 + 10 * s, 1, "click", 0.0, "{}"),
+        (2, t0 + 30 * s, 1, "purchase", 5.0, "{}"),
+        # user 2: view +0, click +20s, purchase +100s
+        (3, t0, 2, "view", 0.0, "{}"),
+        (4, t0 + 20 * s, 2, "click", 0.0, "{}"),
+        (5, t0 + 100 * s, 2, "purchase", 5.0, "{}"),
+        # user 3: never converts
+        (6, t0, 3, "view", 0.0, "{}"),
+    ]
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    r = conversion_lag_stats(events).collect()[0]
+    assert r["n_episodes"] == 2
+    assert r["median_view_to_click"] == 15.0  # (10+20)/2
+    assert r["median_click_to_purchase"] == 50.0  # (20+80)/2
+    assert r["median_total"] == 65.0  # (30+100)/2
+    # p90 over [10, 20]: 10 + 0.9*(20-10) = 19
+    assert r["p90_view_to_click"] == 19.0
