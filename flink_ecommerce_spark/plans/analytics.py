@@ -828,3 +828,52 @@ def value_psi_by_type(
         )
         .select("event_type", "n_baseline", "n_current", "psi")
     )
+
+
+def ab_test_report(events: DataFrame) -> DataFrame:
+    """One-row two-proportion z-test on purchase conversion between
+    two user cohorts (variant = user_id % 2 — the deterministic
+    fixture split standing in for an assignment column): the
+    experiment-readout primitive (rates per variant, pooled z-score,
+    95% verdict) every product-analytics stack ships.
+
+    Determinism: conversion counts are integers off one per-user
+    aggregation; the z-score arithmetic is a fixed expression over
+    six integers, computed identically in both engines and rounded
+    once. Scale: one groupBy(user_id) with map-side combine (the
+    per-user frame carries two booleans), then a 2-row reduce."""
+    per_user = events.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("converted")
+    )
+    per_variant = per_user.groupBy(
+        (F.col("user_id") % 2).cast("int").alias("variant")
+    ).agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("converted").cast("long").alias("n_converted"),
+    )
+    a = per_variant.filter(F.col("variant") == 0).select(
+        F.col("n_users").alias("n_a"), F.col("n_converted").alias("c_a")
+    )
+    b = per_variant.filter(F.col("variant") == 1).select(
+        F.col("n_users").alias("n_b"), F.col("n_converted").alias("c_b")
+    )
+    j = a.crossJoin(F.broadcast(b))
+    ra = F.col("c_a") / F.col("n_a")
+    rb = F.col("c_b") / F.col("n_b")
+    pooled = (F.col("c_a") + F.col("c_b")) / (F.col("n_a") + F.col("n_b"))
+    se = F.sqrt(
+        pooled * (1 - pooled) * (1 / F.col("n_a") + 1 / F.col("n_b"))
+    )
+    z = F.when(se > 0, (ra - rb) / se).otherwise(F.lit(0.0))
+    return j.select(
+        "n_a",
+        "c_a",
+        "n_b",
+        "c_b",
+        (F.round(ra, 6) + F.lit(0.0)).alias("rate_a"),
+        (F.round(rb, 6) + F.lit(0.0)).alias("rate_b"),
+        (F.round(z, 6) + F.lit(0.0)).alias("z_score"),
+        (F.abs(z) > 1.959964).alias("significant_95"),
+    )

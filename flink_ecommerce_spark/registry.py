@@ -1058,6 +1058,10 @@ def _q_copurchase_components(spark, sf):
     return tpch.copurchase_components(_t("lineitem")(spark, sf))
 
 
+def _q_ab_test_report(spark, sf):
+    return analytics.ab_test_report(_t("events")(spark, sf))
+
+
 def _q_conversion_lag_stats(spark, sf):
     return temporal.conversion_lag_stats(_t("events")(spark, sf))
 
@@ -3781,6 +3785,36 @@ FROM documents
 """,
 }
 
+ORACLES["ab_test_report"] = """
+WITH pu AS (SELECT user_id,
+                   MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                     AS converted
+            FROM events GROUP BY 1),
+pv AS (SELECT CAST(user_id % 2 AS INT) AS variant,
+              COUNT(*) AS n_users, SUM(converted) AS n_converted
+       FROM pu GROUP BY 1),
+a AS (SELECT n_users AS n_a, n_converted AS c_a FROM pv WHERE variant = 0),
+b AS (SELECT n_users AS n_b, n_converted AS c_b FROM pv WHERE variant = 1),
+j AS (SELECT CAST(n_a AS BIGINT) AS n_a, CAST(c_a AS BIGINT) AS c_a,
+             CAST(n_b AS BIGINT) AS n_b, CAST(c_b AS BIGINT) AS c_b,
+             CAST(c_a AS DOUBLE) / n_a AS ra,
+             CAST(c_b AS DOUBLE) / n_b AS rb,
+             CAST(c_a + c_b AS DOUBLE) / (n_a + n_b) AS pooled
+      FROM a, b),
+z AS (SELECT *,
+             CASE WHEN pooled * (1 - pooled) * (1.0/n_a + 1.0/n_b) > 0
+                  THEN (ra - rb) / sqrt(pooled * (1 - pooled)
+                                        * (1.0/n_a + 1.0/n_b))
+                  ELSE 0.0 END AS zs
+      FROM j)
+SELECT n_a, c_a, n_b, c_b,
+       ROUND(ra, 6) + 0.0 AS rate_a,
+       ROUND(rb, 6) + 0.0 AS rate_b,
+       ROUND(zs, 6) + 0.0 AS z_score,
+       ABS(zs) > 1.959964 AS significant_95
+FROM z
+"""
+
 ORACLES["conversion_lag_stats"] = temporal.sql_conversion_lag_stats()
 ORACLES["sample_k_per_group"] = sampling.sql_sample_k_per_group()
 
@@ -4315,6 +4349,9 @@ _SPEC_DEFS: dict[str, QuerySpec] = {
     ),
     "copurchase_graph_stats": QuerySpec(
         _q_copurchase_graph_stats, ORACLES["copurchase_graph_stats"]
+    ),
+    "ab_test_report": QuerySpec(
+        _q_ab_test_report, ORACLES["ab_test_report"]
     ),
     "conversion_lag_stats": QuerySpec(
         _q_conversion_lag_stats, ORACLES["conversion_lag_stats"]

@@ -486,3 +486,51 @@ def test_conversion_lag_stats_hand_checked(spark):
     assert r["median_total"] == 65.0  # (30+100)/2
     # p90 over [10, 20]: 10 + 0.9*(20-10) = 19
     assert r["p90_view_to_click"] == 19.0
+
+
+def test_ab_test_report_crafted_rates(spark):
+    """60 even-id users convert 50/60, 60 odd-id users convert 20/60:
+    z = (0.8333..-0.3333..)/sqrt(p(1-p)(2/60)) with pooled p=70/120 —
+    hand-computed ~5.58, significant at 95%."""
+    import math
+
+    from flink_ecommerce_spark.plans.analytics import ab_test_report
+
+    rows = []
+    eid = 0
+    d0 = dt.datetime(2024, 1, 1, 12, 0)
+    for u in range(120):
+        rows.append((eid, d0, u, "view", 1.0, "{}")); eid += 1
+        converted = (u % 2 == 0 and u < 100) or (u % 2 == 1 and u < 40)
+        if converted:
+            rows.append((eid, d0, u, "purchase", 5.0, "{}")); eid += 1
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    r = ab_test_report(events).collect()[0]
+    assert (r["n_a"], r["c_a"], r["n_b"], r["c_b"]) == (60, 50, 60, 20)
+    p = 70 / 120
+    z = (50 / 60 - 20 / 60) / math.sqrt(p * (1 - p) * (2 / 60))
+    assert r["z_score"] == round(z, 6)
+    assert r["significant_95"] is True
+
+
+def test_ab_test_zero_variance_is_flat_zero(spark):
+    """Everyone converts: pooled variance 0 must yield z=0, not
+    NaN/NULL."""
+    from flink_ecommerce_spark.plans.analytics import ab_test_report
+
+    rows = []
+    d0 = dt.datetime(2024, 1, 1, 12, 0)
+    for u in range(10):
+        rows.append((u, d0, u, "purchase", 5.0, "{}"))
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    r = ab_test_report(events).collect()[0]
+    assert r["z_score"] == 0.0
+    assert r["significant_95"] is False
