@@ -32,6 +32,13 @@ corpus-diversity diagnostic, keep-one exact-substring dedup
 (ExactSubstr spans composed with span removal, single text scan),
 daily event-type co-movement correlations, median/MAD robust
 outlier screens, and seasonal trend/phase/residual decomposition —
+and the r06 block: Bloom membership sketches (corpus filter bits +
+batch admission gate), the portable oracle-exact HyperLogLog
+(registers + audited estimate, streaming twin), PMI collocations,
+PSI distribution-drift monitoring, multi-touch linear revenue
+attribution, the degree-ordered co-purchase triangle census,
+k-anonymity release gates, exact per-group quota sampling,
+conversion lag distributions, and the two-proportion A/B z-test —
 each with a
 DuckDB oracle twin (COVERAGE.md is the full map; non-query machinery
 — continuous aggregates, Z-order layout, streaming

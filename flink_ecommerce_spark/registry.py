@@ -4348,7 +4348,7 @@ _SPEC_DEFS: dict[str, QuerySpec] = {
         _q_linear_attribution, ORACLES["linear_attribution"]
     ),
     "copurchase_graph_stats": QuerySpec(
-        _q_copurchase_graph_stats, ORACLES["copurchase_graph_stats"]
+        _q_copurchase_graph_stats, ORACLES["copurchase_graph_stats"], bench=True
     ),
     "ab_test_report": QuerySpec(
         _q_ab_test_report, ORACLES["ab_test_report"]
@@ -4367,7 +4367,7 @@ _SPEC_DEFS: dict[str, QuerySpec] = {
     ),
     "hll_registers": QuerySpec(_q_hll_registers, ORACLES["hll_registers"]),
     "hll_distinct_users": QuerySpec(
-        _q_hll_distinct_users, ORACLES["hll_distinct_users"]
+        _q_hll_distinct_users, ORACLES["hll_distinct_users"], bench=True
     ),
     "value_psi_by_type": QuerySpec(
         _q_value_psi_by_type, ORACLES["value_psi_by_type"]
@@ -4377,7 +4377,7 @@ _SPEC_DEFS: dict[str, QuerySpec] = {
     ),
     "bloom_bits": QuerySpec(_q_bloom_bits, ORACLES["bloom_bits"]),
     "bloom_admission": QuerySpec(
-        _q_bloom_admission, ORACLES["bloom_admission"]
+        _q_bloom_admission, ORACLES["bloom_admission"], bench=True
     ),
 }
 
