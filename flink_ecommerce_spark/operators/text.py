@@ -1359,3 +1359,96 @@ def k_anonymity_report(documents: DataFrame, k: int = KANON_K) -> DataFrame:
         .otherwise(F.lit(0.0))
         .alias("frac_rows_at_risk"),
     )
+
+
+ZIPF_TOP_N = 100
+
+
+def zipf_fit(documents: DataFrame, top_n: int = ZIPF_TOP_N) -> DataFrame:
+    """(n_terms_used, slope, intercept, r2) — OLS fit of
+    ln(frequency) on ln(rank) over the top-N vocabulary: natural
+    language tracks Zipf's law with slope ≈ −1, and deviation is a
+    cheap corpus-health smell (template/synthetic text flattens the
+    curve; boilerplate floods steepen the head). A standard
+    one-number diagnostic next to char_entropy / vocabulary.
+
+    Shape: one term-count aggregation (vocabulary-keyed, map-side
+    combined), a TakeOrderedAndProject for the top-N (never a global
+    sort), then closed-form OLS over the N-row frame. Ranking is
+    deterministic ((n desc, term asc) is a total order). The fitted
+    sums are doubles over ≤ N rows of ln-magnitude values — the same
+    bounded-float-sum class as corpus_diversity."""
+    terms = (
+        documents.select(F.explode(words("text")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("term"))
+        .limit(top_n)
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("n"), F.asc("term"))
+    xy = terms.select(
+        F.log(F.row_number().over(w).cast("double")).alias("x"),
+        F.log(F.col("n").cast("double")).alias("y"),
+    )
+    agg = xy.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    k = F.col("k").cast("double")
+    cov = F.col("sxy") - F.col("sx") * F.col("sy") / k
+    varx = F.col("sxx") - F.col("sx") * F.col("sx") / k
+    vary = F.col("syy") - F.col("sy") * F.col("sy") / k
+    slope = cov / varx
+    intercept = (F.col("sy") - slope * F.col("sx")) / k
+    r2 = F.when(
+        (varx > 0) & (vary > 0), (cov * cov) / (varx * vary)
+    ).otherwise(F.lit(0.0))
+    return agg.select(
+        F.col("k").alias("n_terms_used"),
+        F.when(varx > 0, F.round(slope, 6) + F.lit(0.0))
+        .otherwise(F.lit(0.0))
+        .alias("slope"),
+        F.when(varx > 0, F.round(intercept, 6) + F.lit(0.0))
+        .otherwise(F.lit(0.0))
+        .alias("intercept"),
+        (F.round(r2, 6) + F.lit(0.0)).alias("r2"),
+    )
+
+
+def sql_zipf_fit(top_n: int = ZIPF_TOP_N) -> str:
+    """DuckDB oracle for ``zipf_fit``."""
+    from .textprep import sql_words
+
+    return f"""
+WITH toks AS (SELECT unnest({sql_words('text')}) AS term FROM documents),
+tc AS (SELECT term, COUNT(*) AS n FROM toks GROUP BY 1
+       ORDER BY n DESC, term ASC LIMIT {top_n}),
+xy AS (SELECT ln(CAST(ROW_NUMBER() OVER (ORDER BY n DESC, term ASC)
+                      AS DOUBLE)) AS x,
+              ln(CAST(n AS DOUBLE)) AS y
+       FROM tc),
+a AS (SELECT CAST(COUNT(*) AS BIGINT) AS k, SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
+      FROM xy),
+f AS (SELECT k,
+             sxy - sx * sy / k AS cov,
+             sxx - sx * sx / k AS varx,
+             syy - sy * sy / k AS vary,
+             sx, sy
+      FROM a)
+SELECT k AS n_terms_used,
+       CASE WHEN varx > 0 THEN ROUND(cov / varx, 6) + 0.0 ELSE 0.0 END AS slope,
+       CASE WHEN varx > 0
+            THEN ROUND((sy - (cov / varx) * sx) / k, 6) + 0.0
+            ELSE 0.0 END AS intercept,
+       CASE WHEN varx > 0 AND vary > 0
+            THEN ROUND(cov * cov / (varx * vary), 6) + 0.0
+            ELSE 0.0 END AS r2
+FROM f
+"""

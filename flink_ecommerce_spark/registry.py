@@ -1058,6 +1058,10 @@ def _q_copurchase_components(spark, sf):
     return tpch.copurchase_components(_t("lineitem")(spark, sf))
 
 
+def _q_zipf_fit(spark, sf):
+    return text.zipf_fit(_t("documents")(spark, sf))
+
+
 def _q_ab_test_report(spark, sf):
     return analytics.ab_test_report(_t("events")(spark, sf))
 
@@ -3785,6 +3789,8 @@ FROM documents
 """,
 }
 
+ORACLES["zipf_fit"] = text.sql_zipf_fit()
+
 ORACLES["ab_test_report"] = """
 WITH pu AS (SELECT user_id,
                    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
@@ -4350,6 +4356,7 @@ _SPEC_DEFS: dict[str, QuerySpec] = {
     "copurchase_graph_stats": QuerySpec(
         _q_copurchase_graph_stats, ORACLES["copurchase_graph_stats"], bench=True
     ),
+    "zipf_fit": QuerySpec(_q_zipf_fit, ORACLES["zipf_fit"]),
     "ab_test_report": QuerySpec(
         _q_ab_test_report, ORACLES["ab_test_report"]
     ),

@@ -116,3 +116,37 @@ def test_sample_k_per_group_quota_and_determinism(spark):
         for r in sample_k_per_group(docs.repartition(7), k=15).collect()
     }
     assert a == b
+
+
+def test_zipf_fit_recovers_power_law(spark):
+    """A corpus with exact freq ∝ 1/rank term counts must fit slope
+    ≈ −1 with r² ≈ 1; the fixture's template text (tested in the
+    oracle gate) sits far from it — that contrast is the point of
+    the diagnostic."""
+    from flink_ecommerce_spark.operators.text import zipf_fit
+
+    # term_i appears round(120/i) times, i = 1..30
+    tokens = []
+    for i in range(1, 31):
+        tokens += [f"w{i:02d}"] * round(120 / i)
+    texts = [" ".join(tokens)]
+    docs = spark.createDataFrame(
+        [(0, texts[0])], "doc_id long, text string"
+    )
+    r = zipf_fit(docs, top_n=30).collect()[0]
+    assert r["n_terms_used"] == 30
+    assert -1.1 < r["slope"] < -0.9
+    assert r["r2"] > 0.98
+
+
+def test_zipf_fit_degenerate_single_term(spark):
+    """One distinct term: zero x-variance must yield flat zeros, not
+    NaN."""
+    from flink_ecommerce_spark.operators.text import zipf_fit
+
+    docs = spark.createDataFrame(
+        [(0, "same same same")], "doc_id long, text string"
+    )
+    r = zipf_fit(docs).collect()[0]
+    assert r["n_terms_used"] == 1
+    assert (r["slope"], r["intercept"], r["r2"]) == (0.0, 0.0, 0.0)
