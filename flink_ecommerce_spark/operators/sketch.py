@@ -390,13 +390,7 @@ def hll_distinct_users(events: DataFrame, p: int = HLL_P) -> DataFrame:
         ).alias("zeros"),
     )
     ex = events.agg(F.countDistinct("user_id").alias("n_exact"))
-    alpha_m2 = _hll_alpha_m2(m)
-    z = F.col("sum_int") / F.lit(float(1 << 33))
-    e_raw = F.lit(alpha_m2) / z
-    e = F.when(
-        (e_raw <= F.lit(2.5 * m)) & (F.col("zeros") > 0),
-        F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("zeros")),
-    ).otherwise(e_raw)
+    e = _hll_estimate(F.col("sum_int"), F.col("zeros"), m)
     return (
         s.crossJoin(F.broadcast(ex))
         .select(
@@ -462,4 +456,115 @@ SELECT CAST(ex.n_exact AS BIGINT) AS n_exact,
        CASE WHEN ex.n_exact = 0 THEN 0.0
             ELSE ROUND(abs(est.e - ex.n_exact) / ex.n_exact, 6) + 0.0 END AS rel_err
 FROM est, ex
+"""
+
+
+def _hll_estimate(sum_int: F.Column, zeros: F.Column, m: int) -> F.Column:
+    """The FFGM estimate as a Column from the integer harmonic-mean
+    numerator (Σ 2^(33-rank)) and the empty-register count — shared
+    by the global and per-window estimators so the formula can't
+    drift between them."""
+    alpha_m2 = _hll_alpha_m2(m)
+    z = sum_int / F.lit(float(1 << 33))
+    e_raw = F.lit(alpha_m2) / z
+    return F.when(
+        (e_raw <= F.lit(2.5 * m)) & (zeros > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros),
+    ).otherwise(e_raw)
+
+
+def daily_distinct_users_hll(events: DataFrame, p: int = HLL_P) -> DataFrame:
+    """(d, n_exact, n_hll, rel_err) — per-DAY distinct users, exact
+    next to the HLL estimate: the windowed form of
+    ``hll_distinct_users``. This is the shape that matters at 100 TB
+    — exact daily distincts shuffle every (day, user) pair, while
+    the sketch shuffles at most days × 2^p register rows and each
+    day's registers remain mergeable into weekly/monthly rollups by
+    the same per-bucket MAX. The exact column exists as the audit
+    (drop it in production and the plan never touches user
+    cardinality)."""
+    m = 1 << p
+    d = F.to_date("ts").alias("d")
+    bucket, rank = _hll_bucket_rank(F.col("user_id").cast("string"), p)
+    regs = (
+        events.select(d, bucket.alias("bucket"), rank.alias("rank"))
+        .groupBy("d", "bucket")
+        .agg(F.max("rank").alias("max_rank"))
+    )
+    days = events.select(d).distinct()
+    grid = days.select(
+        "d",
+        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("bucket"),
+    )
+    filled = grid.join(regs, ["d", "bucket"], "left").fillna(
+        0, ["max_rank"]
+    )
+    s = filled.groupBy("d").agg(
+        F.sum(
+            F.expr("shiftleft(CAST(1 AS BIGINT), 33 - max_rank)")
+        ).alias("sum_int"),
+        F.sum(F.when(F.col("max_rank") == 0, 1).otherwise(0)).alias(
+            "zeros"
+        ),
+    )
+    exact = events.groupBy(F.to_date("ts").alias("d")).agg(
+        F.countDistinct("user_id").alias("n_exact")
+    )
+    e = _hll_estimate(F.col("sum_int"), F.col("zeros"), m)
+    return (
+        s.join(exact, "d")
+        .select(
+            "d",
+            "n_exact",
+            (F.round(e, 2) + F.lit(0.0)).alias("n_hll"),
+            F.when(F.col("n_exact") == 0, F.lit(0.0))
+            .otherwise(
+                F.round(F.abs(e - F.col("n_exact")) / F.col("n_exact"), 6)
+                + F.lit(0.0)
+            )
+            .alias("rel_err"),
+        )
+    )
+
+
+def sql_daily_distinct_users_hll(p: int = HLL_P) -> str:
+    """DuckDB oracle for ``daily_distinct_users_hll``."""
+    from ..functions.portable import sql_hash32_from_digest
+
+    m = 1 << p
+    alpha_m2 = _hll_alpha_m2(m)
+    h1 = sql_hash32_from_digest("dg", 0)
+    h2 = sql_hash32_from_digest("dg", 1)
+    return f"""
+WITH base AS (SELECT CAST(ts AS DATE) AS d,
+                     md5(concat('hll:', CAST(user_id AS VARCHAR))) AS dg
+              FROM events),
+br AS (SELECT d, CAST({h1} % {m} AS INT) AS bucket,
+              CAST(33 - length(regexp_replace(bin({h2}), '^0+', '')) AS INT)
+                AS rank
+       FROM base),
+regs AS (SELECT d, bucket, MAX(rank) AS max_rank FROM br GROUP BY 1, 2),
+days AS (SELECT DISTINCT d FROM base),
+grid AS (SELECT days.d, CAST(g AS INT) AS bucket
+         FROM days, UNNEST(generate_series(0, {m - 1})) AS t(g)),
+filled AS (SELECT g.d, g.bucket, COALESCE(r.max_rank, 0) AS max_rank
+           FROM grid g LEFT JOIN regs r
+             ON r.d = g.d AND r.bucket = g.bucket),
+s AS (SELECT d, SUM(CAST(1 AS BIGINT) << (33 - max_rank)) AS sum_int,
+             SUM(CASE WHEN max_rank = 0 THEN 1 ELSE 0 END) AS zeros
+      FROM filled GROUP BY 1),
+ex AS (SELECT CAST(ts AS DATE) AS d, COUNT(DISTINCT user_id) AS n_exact
+       FROM events GROUP BY 1),
+est AS (SELECT s.d,
+               CASE WHEN {alpha_m2!r} / (sum_int / {float(1 << 33)!r}) <= {2.5 * m}
+                     AND zeros > 0
+                    THEN {float(m)!r} * ln({float(m)!r} / zeros)
+                    ELSE {alpha_m2!r} / (sum_int / {float(1 << 33)!r}) END AS e
+        FROM s)
+SELECT est.d, CAST(ex.n_exact AS BIGINT) AS n_exact,
+       ROUND(est.e, 2) + 0.0 AS n_hll,
+       CASE WHEN ex.n_exact = 0 THEN 0.0
+            ELSE ROUND(abs(est.e - ex.n_exact) / ex.n_exact, 6) + 0.0 END
+         AS rel_err
+FROM est JOIN ex ON ex.d = est.d
 """

@@ -1058,6 +1058,10 @@ def _q_copurchase_components(spark, sf):
     return tpch.copurchase_components(_t("lineitem")(spark, sf))
 
 
+def _q_daily_distinct_users_hll(spark, sf):
+    return _sketch.daily_distinct_users_hll(_t("events")(spark, sf))
+
+
 def _q_zipf_fit(spark, sf):
     return text.zipf_fit(_t("documents")(spark, sf))
 
@@ -3789,6 +3793,7 @@ FROM documents
 """,
 }
 
+ORACLES["daily_distinct_users_hll"] = _sketch.sql_daily_distinct_users_hll()
 ORACLES["zipf_fit"] = text.sql_zipf_fit()
 
 ORACLES["ab_test_report"] = """
@@ -4355,6 +4360,9 @@ _SPEC_DEFS: dict[str, QuerySpec] = {
     ),
     "copurchase_graph_stats": QuerySpec(
         _q_copurchase_graph_stats, ORACLES["copurchase_graph_stats"], bench=True
+    ),
+    "daily_distinct_users_hll": QuerySpec(
+        _q_daily_distinct_users_hll, ORACLES["daily_distinct_users_hll"]
     ),
     "zipf_fit": QuerySpec(_q_zipf_fit, ORACLES["zipf_fit"]),
     "ab_test_report": QuerySpec(

@@ -82,3 +82,48 @@ def test_hll_empty_stream(spark):
     ev = _events(spark, []).filter(F.lit(False))
     r = hll_distinct_users(ev).collect()[0]
     assert (r["n_exact"], r["n_hll"], r["rel_err"]) == (0, 0.0, 0.0)
+
+
+def test_daily_hll_matches_global_on_single_day(spark):
+    """A stream confined to one day: the daily estimate must equal
+    the global estimator on the same keys (shared formula)."""
+    import datetime as dt
+
+    from flink_ecommerce_spark.operators.sketch import (
+        daily_distinct_users_hll,
+    )
+
+    d0 = dt.datetime(2024, 3, 1, 10, 0)
+    ev = spark.createDataFrame(
+        [(i, d0, i % 123) for i in range(400)],
+        "event_id long, ts timestamp, user_id long",
+    )
+    daily = daily_distinct_users_hll(ev).collect()
+    assert len(daily) == 1
+    glob = hll_distinct_users(ev).collect()[0]
+    assert daily[0]["n_hll"] == glob["n_hll"]
+    assert daily[0]["n_exact"] == 123
+
+
+def test_daily_hll_days_are_independent(spark):
+    """Each day's registers summarize only that day: the same users
+    on two days give two identical per-day estimates (no cross-day
+    bleed)."""
+    import datetime as dt
+
+    from flink_ecommerce_spark.operators.sketch import (
+        daily_distinct_users_hll,
+    )
+
+    rows = []
+    for day in (1, 2):
+        d0 = dt.datetime(2024, 3, day, 10, 0)
+        rows += [(day * 1000 + i, d0, i % 50) for i in range(200)]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long"
+    )
+    daily = {r["d"].isoformat(): r for r in daily_distinct_users_hll(ev).collect()}
+    assert len(daily) == 2
+    a, b = daily["2024-03-01"], daily["2024-03-02"]
+    assert a["n_exact"] == b["n_exact"] == 50
+    assert a["n_hll"] == b["n_hll"]
