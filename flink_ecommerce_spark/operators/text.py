@@ -1452,3 +1452,32 @@ SELECT k AS n_terms_used,
             ELSE 0.0 END AS r2
 FROM f
 """
+
+
+LDIV_L = 3  # sensitive-attribute diversity floor; oracle uses this
+
+
+def l_diversity_report(documents: DataFrame, l: int = LDIV_L) -> DataFrame:
+    """(source, n_rows, n_distinct_langs, meets_l) — l-diversity
+    audit (Machanavajjhala et al. 2007): k-anonymity's complement.
+    A quasi-identifier class can be large (k-anonymous) yet still
+    leak if everyone in it shares the sensitive value — the
+    homogeneity attack. Here each source's rows must span at least
+    ``l`` distinct values of the sensitive attribute (lang).
+    One aggregation; per-class distinct state is bounded by the
+    sensitive attribute's domain, not the corpus."""
+    return documents.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("lang").alias("n_distinct_langs"),
+        (F.countDistinct("lang") >= l).alias("meets_l"),
+    )
+
+
+def sql_l_diversity_report(l: int = LDIV_L) -> str:
+    """DuckDB oracle for ``l_diversity_report``."""
+    return f"""
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_distinct_langs,
+       COUNT(DISTINCT lang) >= {l} AS meets_l
+FROM documents GROUP BY source
+"""

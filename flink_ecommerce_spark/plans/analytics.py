@@ -877,3 +877,71 @@ def ab_test_report(events: DataFrame) -> DataFrame:
         (F.round(z, 6) + F.lit(0.0)).alias("z_score"),
         (F.abs(z) > 1.959964).alias("significant_95"),
     )
+
+
+def daily_changepoint(events: DataFrame) -> DataFrame:
+    """(event_type, n_days, change_day, shift_stat, mean_before,
+    mean_after) — at-most-one-change level-shift detection on the
+    daily revenue series per event type: the CUSUM change-point
+    STATISTIC D_t = S_t − (t/n)·S_n maximized over candidate split
+    days (argmax = the most likely change point, |D| = its
+    magnitude). Completes the monitoring set: z-scores flag single
+    days, PSI flags distribution slide, seasonal decompose explains
+    periodicity — this one localizes WHEN a persistent level shift
+    happened.
+
+    Pure window algebra — no recursion: one daily aggregation, a
+    running cumulative sum (order-defined, so both engines compute
+    the identical float sequence), the per-type total from an
+    unbounded frame, and an (|D| desc, day asc) row_number pick.
+    Types with a single day have no candidate split and are absent.
+    At 100× the state is days × types rows — calendar-bounded."""
+    daily = _daily_values(events)
+    w_run = (
+        Window.partitionBy("event_type")
+        .orderBy("day_num")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("event_type").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cur = (
+        daily.withColumn("s_t", F.sum("day_value").over(w_run))
+        .withColumn(
+            "t",
+            F.row_number().over(
+                Window.partitionBy("event_type").orderBy("day_num")
+            ),
+        )
+        .withColumn("n_days", F.count(F.lit(1)).over(w_all))
+        .withColumn("s_n", F.sum("day_value").over(w_all))
+        .filter(F.col("t") < F.col("n_days"))
+    )
+    d_stat = F.abs(
+        F.col("s_t") - F.col("t") / F.col("n_days") * F.col("s_n")
+    )
+    scored = cur.select(
+        "event_type",
+        "n_days",
+        F.col("d").alias("change_day"),
+        (F.round(d_stat, 6) + F.lit(0.0)).alias("shift_stat"),
+        (F.round(F.col("s_t") / F.col("t"), 6) + F.lit(0.0)).alias(
+            "mean_before"
+        ),
+        (
+            F.round(
+                (F.col("s_n") - F.col("s_t"))
+                / (F.col("n_days") - F.col("t")),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("mean_after"),
+    )
+    w_pick = Window.partitionBy("event_type").orderBy(
+        F.desc("shift_stat"), F.asc("change_day")
+    )
+    return (
+        scored.withColumn("__rk", F.row_number().over(w_pick))
+        .filter(F.col("__rk") == 1)
+        .drop("__rk")
+    )

@@ -1058,6 +1058,14 @@ def _q_copurchase_components(spark, sf):
     return tpch.copurchase_components(_t("lineitem")(spark, sf))
 
 
+def _q_l_diversity_report(spark, sf):
+    return text.l_diversity_report(_t("documents")(spark, sf))
+
+
+def _q_daily_changepoint(spark, sf):
+    return analytics.daily_changepoint(_t("events")(spark, sf))
+
+
 def _q_daily_distinct_users_hll(spark, sf):
     return _sketch.daily_distinct_users_hll(_t("events")(spark, sf))
 
@@ -3793,6 +3801,35 @@ FROM documents
 """,
 }
 
+ORACLES["l_diversity_report"] = text.sql_l_diversity_report()
+
+ORACLES["daily_changepoint"] = """
+WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d,
+                      ROUND(SUM(value), 2) AS day_value
+               FROM events GROUP BY 1, 2),
+cur AS (SELECT event_type, d,
+               SUM(day_value) OVER (PARTITION BY event_type ORDER BY d
+                                    ROWS UNBOUNDED PRECEDING) AS s_t,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d) AS t,
+               COUNT(*) OVER (PARTITION BY event_type) AS n_days,
+               SUM(day_value) OVER (PARTITION BY event_type) AS s_n
+        FROM daily),
+scored AS (SELECT event_type, CAST(n_days AS BIGINT) AS n_days,
+                  d AS change_day,
+                  ROUND(ABS(s_t - CAST(t AS DOUBLE) / n_days * s_n), 6) + 0.0
+                    AS shift_stat,
+                  ROUND(s_t / t, 6) + 0.0 AS mean_before,
+                  ROUND((s_n - s_t) / (n_days - t), 6) + 0.0 AS mean_after
+           FROM cur WHERE t < n_days),
+pick AS (SELECT *,
+                ROW_NUMBER() OVER (PARTITION BY event_type
+                                   ORDER BY shift_stat DESC,
+                                            change_day ASC) AS rk
+         FROM scored)
+SELECT event_type, n_days, change_day, shift_stat, mean_before, mean_after
+FROM pick WHERE rk = 1
+"""
+
 ORACLES["daily_distinct_users_hll"] = _sketch.sql_daily_distinct_users_hll()
 ORACLES["zipf_fit"] = text.sql_zipf_fit()
 
@@ -4360,6 +4397,12 @@ _SPEC_DEFS: dict[str, QuerySpec] = {
     ),
     "copurchase_graph_stats": QuerySpec(
         _q_copurchase_graph_stats, ORACLES["copurchase_graph_stats"], bench=True
+    ),
+    "l_diversity_report": QuerySpec(
+        _q_l_diversity_report, ORACLES["l_diversity_report"]
+    ),
+    "daily_changepoint": QuerySpec(
+        _q_daily_changepoint, ORACLES["daily_changepoint"]
     ),
     "daily_distinct_users_hll": QuerySpec(
         _q_daily_distinct_users_hll, ORACLES["daily_distinct_users_hll"]

@@ -534,3 +534,61 @@ def test_ab_test_zero_variance_is_flat_zero(spark):
     r = ab_test_report(events).collect()[0]
     assert r["z_score"] == 0.0
     assert r["significant_95"] is False
+
+
+def test_daily_changepoint_localizes_level_shift(spark):
+    """10 days at 10.0 then 10 days at 50.0: the argmax split must
+    land on day 10 with mean_before 10 / mean_after 50."""
+    from flink_ecommerce_spark.plans.analytics import daily_changepoint
+
+    rows = []
+    eid = 0
+    for day in range(1, 21):
+        v = 10.0 if day <= 10 else 50.0
+        rows.append((eid, dt.datetime(2024, 1, day, 12), 1, "t", v, "{}"))
+        eid += 1
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    r = daily_changepoint(events).collect()[0]
+    assert r["change_day"].isoformat() == "2024-01-10"
+    assert (r["mean_before"], r["mean_after"]) == (10.0, 50.0)
+    # |S_10 - 10/20 * S_20| = |100 - 300| = 200
+    assert r["shift_stat"] == 200.0
+
+
+def test_daily_changepoint_single_day_type_absent(spark):
+    """A type with one day has no candidate split: absent, not
+    div-by-zero."""
+    from flink_ecommerce_spark.plans.analytics import daily_changepoint
+
+    rows = [
+        (0, dt.datetime(2024, 1, 1, 12), 1, "solo", 5.0, "{}"),
+        (1, dt.datetime(2024, 1, 1, 12), 1, "pair", 5.0, "{}"),
+        (2, dt.datetime(2024, 1, 2, 12), 1, "pair", 9.0, "{}"),
+    ]
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    got = {r["event_type"] for r in daily_changepoint(events).collect()}
+    assert got == {"pair"}
+
+
+def test_l_diversity_crafted(spark):
+    from flink_ecommerce_spark.operators.text import l_diversity_report
+
+    rows = (
+        [(i, "t", ["en", "fr", "de"][i % 3], "varied", 1) for i in range(9)]
+        + [(10 + i, "t", "en", "mono", 1) for i in range(5)]
+    )
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars int"
+    )
+    got = {r["source"]: r for r in l_diversity_report(docs, l=3).collect()}
+    assert got["varied"]["meets_l"] is True
+    assert got["mono"]["meets_l"] is False
+    assert got["mono"]["n_distinct_langs"] == 1
