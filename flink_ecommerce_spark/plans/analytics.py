@@ -786,19 +786,41 @@ def value_psi_by_type(
     ev = events.crossJoin(F.broadcast(bounds)).select(
         "event_type",
         F.when(d < mid, F.lit(1)).otherwise(F.lit(0)).alias("is_base"),
-        F.least(
-            F.lit(n_buckets - 1),
-            F.greatest(F.lit(0), F.floor(F.col("value") / bucket_width)),
-        )
-        .cast("int")
-        .alias("bucket"),
+        value_bucket(F.col("value"), n_buckets, bucket_width).alias(
+            "bucket"
+        ),
     )
     counts = ev.groupBy("event_type", "bucket").agg(
         F.sum("is_base").alias("nb"),
         (F.count(F.lit(1)) - F.sum("is_base")).alias("nc"),
     )
+    return psi_from_bucket_counts(counts, n_buckets)
+
+
+def value_bucket(value: F.Column, n_buckets: int = 10,
+                 bucket_width: float = 10.0) -> F.Column:
+    """The fixed-width PSI bucket index — shared by the batch split
+    and the streaming monitor so both sides bin identically."""
+    return (
+        F.least(
+            F.lit(n_buckets - 1),
+            F.greatest(F.lit(0), F.floor(value / bucket_width)),
+        )
+        .cast("int")
+    )
+
+
+def psi_from_bucket_counts(
+    counts: DataFrame, n_buckets: int = 10
+) -> DataFrame:
+    """PSI per event_type from a (event_type, bucket, nb, nc) count
+    table — the arithmetic core shared by ``value_psi_by_type`` (one
+    corpus, date-split) and the streaming monitor (static baseline vs
+    accumulated stream counts). Enumerates the full type × bucket
+    grid, Laplace-smooths both sides, rounds once with -0.0
+    normalized."""
     grid = (
-        events.select("event_type")
+        counts.select("event_type")
         .distinct()
         .select(
             "event_type",
