@@ -127,3 +127,15 @@ def test_daily_hll_days_are_independent(spark):
     a, b = daily["2024-03-01"], daily["2024-03-02"]
     assert a["n_exact"] == b["n_exact"] == 50
     assert a["n_hll"] == b["n_hll"]
+
+
+def test_hll_registers_match_pure_python_mirror(spark):
+    """Bridge: the Spark register table equals the pure-Python
+    hashlib mirror used by the hypothesis reference tests — ties the
+    engine implementation to the formula the properties pin."""
+    from tests.test_properties import _py_hll_registers
+
+    ids = list(range(300)) + [7, 7, 42]
+    ev = _events(spark, ids)
+    got = {r["bucket"]: r["max_rank"] for r in hll_registers(ev).collect()}
+    assert got == _py_hll_registers(ids)

@@ -225,3 +225,118 @@ def test_prefix_join_filters_never_prune_a_true_pair(docs, t):
                 for x in pres[i].keys() & pres[j].keys()
             )
             assert survives, (sorted(a), sorted(b), t)
+
+
+def _py_hll_registers(ids, p=8):
+    """Pure-Python mirror of the HLL register construction (same
+    md5 salt, same bucket/rank slicing) — the independent reference
+    the Spark/DuckDB twins are both checked against."""
+    import hashlib
+
+    m = 1 << p
+    regs = {}
+    for uid in ids:
+        d = hashlib.md5(f"hll:{uid}".encode()).hexdigest()
+        h1 = int(d[:8], 16)
+        h2 = int(d[8:16], 16)
+        bucket = h1 % m
+        rank = 33 - h2.bit_length()  # bit_length(0) == 0 -> rank 33
+        regs[bucket] = max(regs.get(bucket, 0), rank)
+    return regs
+
+
+def _py_hll_estimate(regs, p=8):
+    import math
+
+    from flink_ecommerce_spark.operators.sketch import _hll_alpha_m2
+
+    m = 1 << p
+    sum_int = sum(
+        1 << (33 - regs.get(b, 0)) for b in range(m)
+    )
+    zeros = sum(1 for b in range(m) if regs.get(b, 0) == 0)
+    e = _hll_alpha_m2(m) / (sum_int / float(1 << 33))
+    if e <= 2.5 * m and zeros > 0:
+        e = m * math.log(m / zeros)
+    return e
+
+
+@settings(max_examples=100, deadline=None)
+@given(ids=st.lists(st.integers(min_value=0, max_value=10**9), min_size=0, max_size=400))
+def test_hll_reference_duplicate_invariance_and_merge(ids):
+    """The register table ignores duplicates and merges by per-bucket
+    MAX — on the pure-Python mirror, for arbitrary id multisets."""
+    regs_once = _py_hll_registers(ids)
+    regs_thrice = _py_hll_registers(ids * 3)
+    assert regs_once == regs_thrice
+    half_a = _py_hll_registers([i for i in ids if i % 2 == 0])
+    half_b = _py_hll_registers([i for i in ids if i % 2 == 1])
+    merged = dict(half_a)
+    for b, r in half_b.items():
+        merged[b] = max(merged.get(b, 0), r)
+    assert merged == regs_once
+
+
+@settings(max_examples=30, deadline=None)
+@given(n=st.integers(min_value=1, max_value=3000))
+def test_hll_reference_estimate_tracks_cardinality(n):
+    """On distinct ids 0..n-1 the estimate lands within the m=256
+    design error (±3 sigma of 1.04/16, plus linear-counting's tighter
+    regime) — pinned on the pure mirror so a constants drift in
+    either engine twin would diverge from this reference."""
+    regs = _py_hll_registers(range(n))
+    e = _py_hll_estimate(regs)
+    assert abs(e - n) / n < 0.25
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    base=st.lists(st.integers(min_value=0, max_value=9), min_size=1, max_size=200),
+    cur=st.lists(st.integers(min_value=0, max_value=9), min_size=1, max_size=200),
+)
+def test_psi_reference_symmetry_and_zero(base, cur):
+    """PSI's term (q-p)·ln(q/p) is symmetric under swapping the two
+    distributions, and identical distributions score exactly zero —
+    on a pure mirror of the smoothed formula (10 buckets, +0.5
+    Laplace), for arbitrary bucketized samples."""
+    import math
+
+    def psi(b_counts, c_counts):
+        nb = [b_counts.count(i) for i in range(10)]
+        nc = [c_counts.count(i) for i in range(10)]
+        tb, tc = sum(nb), sum(nc)
+        total = 0.0
+        for i in range(10):
+            p = (nb[i] + 0.5) / (tb + 5.0)
+            q = (nc[i] + 0.5) / (tc + 5.0)
+            total += (q - p) * math.log(q / p)
+        return total
+
+    assert abs(psi(base, cur) - psi(cur, base)) < 1e-12
+    assert psi(base, base) == 0.0
+    assert psi(base, cur) >= 0.0  # PSI is a (symmetrized) divergence
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    series=st.lists(
+        st.floats(min_value=-100, max_value=100, allow_nan=False),
+        min_size=2,
+        max_size=60,
+    )
+)
+def test_changepoint_statistic_identity(series):
+    """D_t = S_t − (t/n)·S_n equals t(n−t)/n · (mean_before −
+    mean_after) for every split — the algebraic identity that makes
+    the cumsum form a mean-separation localizer."""
+    n = len(series)
+    s_n = sum(series)
+    s_t = 0.0
+    for t in range(1, n):
+        s_t += series[t - 1]
+        d = s_t - t / n * s_n
+        m_b = s_t / t
+        m_a = (s_n - s_t) / (n - t)
+        assert abs(d - t * (n - t) / n * (m_b - m_a)) < 1e-6 * max(
+            1.0, abs(s_n)
+        )
