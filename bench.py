@@ -388,7 +388,13 @@ def _scale_rehearsal(spark, sf_dir: str) -> dict:
         chain[name] = round(time.perf_counter() - t0, 3)
         print(f"rehearsal {name}: {chain[name]}s", file=sys.stderr)
 
+    from flink_ecommerce_spark.operators import sketch as _sk
+
     timed("dedup_exact", lambda: dedup.dedup_exact(docs).count())
+    # the bounded-state sketches: wall time must stay flat-ish with
+    # corpus size because the shuffle is capped at the sketch size
+    timed("bloom_bits", lambda: _sk.bloom_bits(docs).count())
+    timed("countmin_sketch", lambda: _sk.countmin_sketch(docs).count())
     timed("minhash_signatures", lambda: dedup.minhash_signatures(docs).count())
     timed("lsh_candidate_pairs", lambda: dedup.lsh_candidate_pairs(docs).count())
     timed("dedup_clusters", lambda: dedup.dedup_clusters(docs).count())
