@@ -277,3 +277,21 @@ def test_session_r06_ops_on_empty(spark, empty_docs, empty_events):
     r = copurchase_graph_stats(li).collect()[0]
     assert (r["n_edges"], r["n_triangles"]) == (0, 0)
     assert text.k_anonymity_violations(empty_docs).collect() == []
+
+
+def test_session_r06_aggregate_ops_on_empty(spark, empty_docs, empty_events):
+    """Aggregate-shaped r06 ops on empty inputs: one-row summaries
+    keep NULL/zero discipline identical to their oracles."""
+    from flink_ecommerce_spark.operators.text import zipf_fit
+    from flink_ecommerce_spark.plans.analytics import (
+        ab_test_report,
+        daily_changepoint,
+    )
+    from flink_ecommerce_spark.plans.temporal import conversion_lag_stats
+
+    r = conversion_lag_stats(empty_events).collect()[0]
+    assert r["n_episodes"] == 0 and r["median_total"] is None
+    z = zipf_fit(empty_docs).collect()[0]
+    assert (z["n_terms_used"], z["slope"], z["r2"]) == (0, 0.0, 0.0)
+    assert daily_changepoint(empty_events).collect() == []
+    assert ab_test_report(empty_events).collect() == []
