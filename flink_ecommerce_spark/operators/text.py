@@ -1481,3 +1481,43 @@ SELECT source, CAST(COUNT(*) AS BIGINT) AS n_rows,
        COUNT(DISTINCT lang) >= {l} AS meets_l
 FROM documents GROUP BY source
 """
+
+
+def quality_psi_by_source(
+    documents: DataFrame, n_buckets: int = 10
+) -> DataFrame:
+    """(source, n_baseline, n_current, psi) — PSI of the QUALITY
+    distribution between the already-ingested corpus and the
+    incoming batch, per source (fixture split doc_id % 5 == 0 = the
+    new batch, shared with incremental_dedup): the admission-side
+    drift gate. A source whose new batch scores like its history
+    admits quietly; one whose quality distribution slid (scraper
+    broke, spam flood, template change) alarms BEFORE the batch
+    pollutes the corpus — the distributional complement to the
+    per-document thresholds in corpus_funnel.
+
+    Buckets are the quality score's own [0,1] range in fixed 0.1
+    steps (engine-portable, no quantile estimation); the PSI
+    arithmetic is the shared ``psi_from_bucket_counts`` core, so
+    batch, streaming, and admission monitors all agree on what PSI
+    means. One text scan computes the score; state is
+    #sources × n_buckets."""
+    from ..plans.analytics import psi_from_bucket_counts
+
+    q = _quality_column()
+    bucket = (
+        F.least(
+            F.lit(n_buckets - 1),
+            F.greatest(F.lit(0), F.floor(q * n_buckets)),
+        )
+        .cast("int")
+    )
+    is_base = F.when(F.col("doc_id") % 5 != 0, 1).otherwise(0)
+    scored = documents.select(
+        "source", bucket.alias("bucket"), is_base.alias("is_base")
+    )
+    counts = scored.groupBy("source", "bucket").agg(
+        F.sum("is_base").alias("nb"),
+        (F.count(F.lit(1)) - F.sum("is_base")).alias("nc"),
+    )
+    return psi_from_bucket_counts(counts, n_buckets, key_col="source")

@@ -754,6 +754,9 @@ def event_type_correlations(events: DataFrame) -> DataFrame:
     )
 
 
+PSI_EPS = 1e-3  # share-smoothing epsilon (shared with every PSI oracle)
+
+
 def value_psi_by_type(
     events: DataFrame, n_buckets: int = 10, bucket_width: float = 10.0
 ) -> DataFrame:
@@ -811,44 +814,62 @@ def value_bucket(value: F.Column, n_buckets: int = 10,
 
 
 def psi_from_bucket_counts(
-    counts: DataFrame, n_buckets: int = 10
+    counts: DataFrame, n_buckets: int = 10, key_col: str = "event_type"
 ) -> DataFrame:
-    """PSI per event_type from a (event_type, bucket, nb, nc) count
-    table — the arithmetic core shared by ``value_psi_by_type`` (one
-    corpus, date-split) and the streaming monitor (static baseline vs
-    accumulated stream counts). Enumerates the full type × bucket
-    grid, Laplace-smooths both sides, rounds once with -0.0
+    """PSI per key from a (key_col, bucket, nb, nc) count table — the
+    arithmetic core shared by ``value_psi_by_type`` (one corpus,
+    date-split, keyed by event_type), the streaming monitor (static
+    baseline vs accumulated stream counts), and the quality-drift
+    admission view (keyed by source). Enumerates the full key ×
+    bucket grid, Laplace-smooths both sides, rounds once with -0.0
     normalized."""
     grid = (
-        counts.select("event_type")
+        counts.select(key_col)
         .distinct()
         .select(
-            "event_type",
+            key_col,
             F.explode(
                 F.sequence(F.lit(0), F.lit(n_buckets - 1))
             ).alias("bucket"),
         )
     )
     full = (
-        grid.join(counts, ["event_type", "bucket"], "left")
+        grid.join(counts, [key_col, "bucket"], "left")
         .fillna(0, ["nb", "nc"])
     )
-    tot = full.groupBy("event_type").agg(
+    tot = full.groupBy(key_col).agg(
         F.sum("nb").alias("tb"), F.sum("nc").alias("tc")
     )
-    sm = float(0.5 * n_buckets)
-    j = full.join(F.broadcast(tot), "event_type")
-    p = (F.col("nb") + 0.5) / (F.col("tb") + sm)
-    q = (F.col("nc") + 0.5) / (F.col("tc") + sm)
+    j = full.join(F.broadcast(tot), key_col)
+    # share-based epsilon smoothing, NOT additive count smoothing:
+    # (n + 0.5)/(total + 5) biases PSI upward whenever the two sides
+    # have different sizes (a 40-vs-10 split of IDENTICAL
+    # distributions scored 0.27); normalizing to shares first makes
+    # identical distributions score exactly 0 at any size ratio,
+    # while empty buckets still contribute finite terms.
+    eps = PSI_EPS
+    denom = 1.0 + n_buckets * eps
+    p = (
+        F.when(F.col("tb") > 0, F.col("nb") / F.col("tb")).otherwise(
+            F.lit(0.0)
+        )
+        + eps
+    ) / denom
+    q = (
+        F.when(F.col("tc") > 0, F.col("nc") / F.col("tc")).otherwise(
+            F.lit(0.0)
+        )
+        + eps
+    ) / denom
     term = (q - p) * F.log(q / p)
     return (
-        j.groupBy("event_type")
+        j.groupBy(key_col)
         .agg(
             F.max("tb").alias("n_baseline"),
             F.max("tc").alias("n_current"),
             (F.round(F.sum(term), 6) + F.lit(0.0)).alias("psi"),
         )
-        .select("event_type", "n_baseline", "n_current", "psi")
+        .select(key_col, "n_baseline", "n_current", "psi")
     )
 
 

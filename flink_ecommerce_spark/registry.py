@@ -1058,6 +1058,10 @@ def _q_copurchase_components(spark, sf):
     return tpch.copurchase_components(_t("lineitem")(spark, sf))
 
 
+def _q_quality_psi_by_source(spark, sf):
+    return text.quality_psi_by_source(_t("documents")(spark, sf))
+
+
 def _q_l_diversity_report(spark, sf):
     return text.l_diversity_report(_t("documents")(spark, sf))
 
@@ -3801,6 +3805,41 @@ FROM documents
 """,
 }
 
+ORACLES["quality_psi_by_source"] = f"""
+WITH q AS (SELECT doc_id, quality FROM ({ORACLES['quality_scores']})),
+sc AS (SELECT d.source,
+              CAST(LEAST(9, GREATEST(0, FLOOR(q.quality * 10))) AS INT)
+                AS bucket,
+              CASE WHEN d.doc_id % 5 != 0 THEN 1 ELSE 0 END AS is_base
+       FROM documents d JOIN q ON q.doc_id = d.doc_id),
+counts AS (SELECT source, bucket, SUM(is_base) AS nb,
+                  COUNT(*) - SUM(is_base) AS nc
+           FROM sc GROUP BY 1, 2),
+grid AS (SELECT source, CAST(g AS INT) AS bucket
+         FROM (SELECT DISTINCT source FROM counts),
+              UNNEST(generate_series(0, 9)) AS t(g)),
+filled AS (SELECT g.source, g.bucket,
+                  COALESCE(c.nb, 0) AS nb, COALESCE(c.nc, 0) AS nc
+           FROM grid g LEFT JOIN counts c
+             ON c.source = g.source AND c.bucket = g.bucket),
+tot AS (SELECT source, SUM(nb) AS tb, SUM(nc) AS tc
+        FROM filled GROUP BY 1),
+terms AS (SELECT f.source, t.tb, t.tc,
+                 (((CASE WHEN t.tc > 0 THEN CAST(f.nc AS DOUBLE) / t.tc
+                         ELSE 0.0 END + 0.001) / 1.01)
+                  - ((CASE WHEN t.tb > 0 THEN CAST(f.nb AS DOUBLE) / t.tb
+                          ELSE 0.0 END + 0.001) / 1.01)) *
+                 ln(((CASE WHEN t.tc > 0 THEN CAST(f.nc AS DOUBLE) / t.tc
+                           ELSE 0.0 END + 0.001) / 1.01) /
+                    ((CASE WHEN t.tb > 0 THEN CAST(f.nb AS DOUBLE) / t.tb
+                           ELSE 0.0 END + 0.001) / 1.01)) AS term
+          FROM filled f JOIN tot t ON t.source = f.source)
+SELECT source, CAST(MAX(tb) AS BIGINT) AS n_baseline,
+       CAST(MAX(tc) AS BIGINT) AS n_current,
+       ROUND(SUM(term), 6) + 0.0 AS psi
+FROM terms GROUP BY source
+"""
+
 ORACLES["l_diversity_report"] = text.sql_l_diversity_report()
 
 ORACLES["daily_changepoint"] = """
@@ -3966,9 +4005,14 @@ filled AS (SELECT g.event_type, g.bucket,
 tot AS (SELECT event_type, SUM(nb) AS tb, SUM(nc) AS tc
         FROM filled GROUP BY 1),
 terms AS (SELECT f.event_type, t.tb, t.tc,
-                 ((f.nc + 0.5) / (t.tc + 5.0) - (f.nb + 0.5) / (t.tb + 5.0)) *
-                 ln(((f.nc + 0.5) / (t.tc + 5.0)) /
-                    ((f.nb + 0.5) / (t.tb + 5.0))) AS term
+                 (((CASE WHEN t.tc > 0 THEN CAST(f.nc AS DOUBLE) / t.tc
+                         ELSE 0.0 END + 0.001) / 1.01)
+                  - ((CASE WHEN t.tb > 0 THEN CAST(f.nb AS DOUBLE) / t.tb
+                          ELSE 0.0 END + 0.001) / 1.01)) *
+                 ln(((CASE WHEN t.tc > 0 THEN CAST(f.nc AS DOUBLE) / t.tc
+                           ELSE 0.0 END + 0.001) / 1.01) /
+                    ((CASE WHEN t.tb > 0 THEN CAST(f.nb AS DOUBLE) / t.tb
+                           ELSE 0.0 END + 0.001) / 1.01)) AS term
           FROM filled f JOIN tot t ON t.event_type = f.event_type)
 SELECT event_type, CAST(MAX(tb) AS BIGINT) AS n_baseline,
        CAST(MAX(tc) AS BIGINT) AS n_current,
@@ -4397,6 +4441,9 @@ _SPEC_DEFS: dict[str, QuerySpec] = {
     ),
     "copurchase_graph_stats": QuerySpec(
         _q_copurchase_graph_stats, ORACLES["copurchase_graph_stats"], bench=True
+    ),
+    "quality_psi_by_source": QuerySpec(
+        _q_quality_psi_by_source, ORACLES["quality_psi_by_source"]
     ),
     "l_diversity_report": QuerySpec(
         _q_l_diversity_report, ORACLES["l_diversity_report"]

@@ -150,3 +150,28 @@ def test_zipf_fit_degenerate_single_term(spark):
     r = zipf_fit(docs).collect()[0]
     assert r["n_terms_used"] == 1
     assert (r["slope"], r["intercept"], r["r2"]) == (0.0, 0.0, 0.0)
+
+
+def test_quality_psi_by_source_flags_slid_batch(spark):
+    """A source whose batch rows (doc_id%5==0) carry garbage quality
+    alarms; a source whose batch matches its history stays near
+    zero. Texts control the quality score: long stopword-rich prose
+    scores high, punctuation soup scores low."""
+    from flink_ecommerce_spark.operators.text import quality_psi_by_source
+
+    good = "the quick brown fox and the lazy dog of the meadow is here " * 3
+    bad = "!!! ??? ;;; ### $$$ %%% ^^^ &&& *** ((( )))"
+    rows = []
+    # 'stable': history good, batch good (ids 0..49: batch = %5==0)
+    for i in range(50):
+        rows.append((i, good, "en", "stable", len(good)))
+    # 'slid': history good, batch garbage
+    for i in range(50, 100):
+        rows.append((i, bad if i % 5 == 0 else good, "en", "slid", 1))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars int"
+    )
+    got = {r["source"]: r for r in quality_psi_by_source(docs).collect()}
+    assert got["stable"]["psi"] < 0.05
+    assert got["slid"]["psi"] > 0.25
+    assert got["slid"]["n_baseline"] == 40 and got["slid"]["n_current"] == 10
