@@ -20,7 +20,7 @@ retrieval (BM25 top-k, positional phrase search, hybrid RRF fusion
 with the cosine kNN), the lossless prefix-filter Jaccard join with
 its LSH recall meter, fixed-iteration PageRank (unrolled-CTE exact
 oracle), cross-corpus LM admission scoring, payload-hash media
-dedup, and key-skew diagnostics — plus the late-r05 block: the
+dedup, and key-skew diagnostics — plus the later round-4 block: the
 point-in-time SCD2 enrichment join, temperature (α=0.5) source
 rebalancing, per-shard integrity manifests, RFM segmentation and
 decayed user value, Markov event transitions / session paths /
@@ -32,7 +32,7 @@ corpus-diversity diagnostic, keep-one exact-substring dedup
 (ExactSubstr spans composed with span removal, single text scan),
 daily event-type co-movement correlations, median/MAD robust
 outlier screens, and seasonal trend/phase/residual decomposition —
-and the r06 block: Bloom membership sketches (corpus filter bits +
+and the final round-4 block: Bloom membership sketches (corpus filter bits +
 batch admission gate), the portable oracle-exact HyperLogLog
 (registers + audited estimate, streaming twin), PMI collocations,
 PSI distribution-drift monitoring, multi-touch linear revenue
