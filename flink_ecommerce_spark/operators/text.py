@@ -1502,22 +1502,39 @@ def quality_psi_by_source(
     batch, streaming, and admission monitors all agree on what PSI
     means. One text scan computes the score; state is
     #sources × n_buckets."""
-    from ..plans.analytics import psi_from_bucket_counts
+    corpus = documents.filter(F.col("doc_id") % 5 != 0)
+    batch = documents.filter(F.col("doc_id") % 5 == 0)
+    return quality_psi_frames(batch, corpus, n_buckets)
 
+
+def _quality_bucket(n_buckets: int = 10) -> F.Column:
     q = _quality_column()
-    bucket = (
+    return (
         F.least(
             F.lit(n_buckets - 1),
             F.greatest(F.lit(0), F.floor(q * n_buckets)),
         )
         .cast("int")
     )
-    is_base = F.when(F.col("doc_id") % 5 != 0, 1).otherwise(0)
-    scored = documents.select(
-        "source", bucket.alias("bucket"), is_base.alias("is_base")
-    )
-    counts = scored.groupBy("source", "bucket").agg(
-        F.sum("is_base").alias("nb"),
-        (F.count(F.lit(1)) - F.sum("is_base")).alias("nc"),
+
+
+def quality_psi_frames(
+    batch: DataFrame, corpus: DataFrame, n_buckets: int = 10
+) -> DataFrame:
+    """The frame-explicit core of ``quality_psi_by_source``: PSI of
+    the batch's per-source quality distribution against an arbitrary
+    corpus frame — what the streaming admission pipeline calls per
+    micro-batch (the registry query fixes the fixture split)."""
+    from ..plans.analytics import psi_from_bucket_counts
+
+    bucket = _quality_bucket(n_buckets)
+    b = corpus.select("source", bucket.alias("bucket")).groupBy(
+        "source", "bucket"
+    ).agg(F.count(F.lit(1)).alias("nb"))
+    c = batch.select("source", bucket.alias("bucket")).groupBy(
+        "source", "bucket"
+    ).agg(F.count(F.lit(1)).alias("nc"))
+    counts = b.join(c, ["source", "bucket"], "full").fillna(
+        0, ["nb", "nc"]
     )
     return psi_from_bucket_counts(counts, n_buckets, key_col="source")

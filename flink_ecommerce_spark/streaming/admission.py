@@ -71,10 +71,17 @@ def make_admission_batch_fn(
     num_hashes: int = NUM_HASHES,
     num_bands: int = NUM_BANDS,
     verify: bool = True,
+    drift_dir: str | None = None,
 ) -> Callable[[DataFrame, int], None]:
     """foreachBatch function: admit the micro-batch against the
     accumulated history, then extend the history with the admits
-    (docs + their signatures). Empty batches short-circuit."""
+    (docs + their signatures). Empty batches short-circuit.
+
+    With ``drift_dir`` set, each batch also appends a per-source
+    quality-PSI row (epoch, source, n_baseline, n_current, psi) —
+    the distribution-drift gate running NEXT TO the dedup gate: a
+    source whose incoming quality slid (broken scraper, spam flood)
+    shows up in the drift log the same epoch its documents land."""
 
     def admit_batch(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
@@ -82,6 +89,16 @@ def make_admission_batch_fn(
         spark = batch_df.sparkSession
         history = spark.read.parquet(docs_dir)
         history_sigs = spark.read.parquet(sig_dir)
+        if drift_dir is not None:
+            from ..operators.text import quality_psi_frames
+            from pyspark.sql import functions as F
+
+            (
+                quality_psi_frames(batch_df, history)
+                .withColumn("epoch", F.lit(epoch_id))
+                .write.mode("append")
+                .parquet(drift_dir)
+            )
         admitted = incremental_fuzzy_dedup(
             batch_df,
             history,
@@ -109,6 +126,7 @@ def streaming_fuzzy_admission(
     num_hashes: int = NUM_HASHES,
     num_bands: int = NUM_BANDS,
     verify: bool = True,
+    drift_dir: str | None = None,
 ):
     """Start the admission stream: ``documents`` is a streaming
     DataFrame with the documents schema; admitted rows accumulate in
@@ -123,6 +141,7 @@ def streaming_fuzzy_admission(
                 num_hashes=num_hashes,
                 num_bands=num_bands,
                 verify=verify,
+                drift_dir=drift_dir,
             )
         )
         .outputMode("update")
@@ -156,6 +175,8 @@ def main(argv: list[str] | None = None):
     p.add_argument("--sig-dir", required=True)
     p.add_argument("--checkpoint", required=True)
     p.add_argument("--threshold", type=float, default=JACCARD_THRESHOLD)
+    p.add_argument("--drift-dir", default=None,
+                   help="append per-epoch per-source quality-PSI rows here")
     p.add_argument("--no-verify", action="store_true",
                    help="band-collision-only admission (no corpus text reads)")
     p.add_argument("--max-files-per-trigger", type=int, default=16)
@@ -196,6 +217,7 @@ def main(argv: list[str] | None = None):
         args.checkpoint,
         threshold=args.threshold,
         verify=not args.no_verify,
+        drift_dir=args.drift_dir,
     )
     if args.await_termination:
         q.awaitTermination()

@@ -169,3 +169,54 @@ def test_admission_cli_jsonl_incoming(spark, tmp_path):
     assert FRESH_1 in texts          # fresh admitted
     assert (BASE + " extra") not in texts  # repost rejected
     assert BASE in texts             # the seed
+
+
+def test_admission_drift_log(spark, tmp_path):
+    """With drift_dir set, every epoch appends per-source quality-PSI
+    rows computed against the history AS OF that epoch — a garbage
+    batch from a known-good source alarms in the same epoch its
+    documents arrive."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    docs_dir = str(tmp_path / "admitted")
+    sig_dir = str(tmp_path / "sigs")
+    drift_dir = str(tmp_path / "drift")
+    src = str(tmp_path / "incoming")
+
+    good = (
+        "the quick brown fox and the lazy dog of the meadow is here "
+        "with the other animals of the field today again " * 2
+    )
+    garbage = "!!! ??? ;;; ### $$$ %%% ^^^ &&& *** ((( )))"
+    corpus = spark.createDataFrame(
+        _doc_rows([(i, good + f" v{i}") for i in range(20)]),
+        DOCUMENTS_SCHEMA,
+    )
+    init_admission_history(corpus, docs_dir, sig_dir)
+
+    # epoch with a quality-slid batch from the same source
+    _write_chunk(spark, src, [(100 + i, garbage + f" g{i}") for i in range(10)], 1)
+    stream = (
+        spark.readStream.schema(DOCUMENTS_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/chunk=*")
+    )
+    q = streaming_fuzzy_admission(
+        stream,
+        docs_dir,
+        sig_dir,
+        str(tmp_path / "ckpt"),
+        drift_dir=drift_dir,
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    drift = spark.read.parquet(drift_dir).collect()
+    assert len(drift) >= 1
+    by_source = {r["source"]: r for r in drift}
+    r = by_source["s"]
+    assert r["n_baseline"] == 20 and r["n_current"] == 10
+    assert math.isfinite(r["psi"]) and r["psi"] > 0.25  # alarms
+    assert r["epoch"] == 0
