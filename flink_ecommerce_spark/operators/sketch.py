@@ -568,3 +568,130 @@ SELECT est.d, CAST(ex.n_exact AS BIGINT) AS n_exact,
          AS rel_err
 FROM est JOIN ex ON ex.d = est.d
 """
+
+
+def weekly_distinct_users_hll(
+    events: DataFrame, p: int = HLL_P
+) -> DataFrame:
+    """(week_start, n_exact, n_hll, rel_err) — weekly distinct users
+    ROLLED UP FROM THE DAILY REGISTERS by per-bucket MAX: the
+    mergeability claim as a live query. At 100 TB this is the whole
+    point of keeping register tables per day — a week (or month, or
+    quarter) costs one MAX-aggregation over days × 2^p rows, never a
+    rescan of the events; the exact audit column is the only thing
+    here that touches user cardinality again.
+
+    Weeks are the engine-portable integer index days//7 from epoch
+    (date_trunc('week') anchors differ subtly across engines and
+    versions); week_start reports the index as its first calendar
+    day."""
+    m = 1 << p
+    d = F.to_date("ts")
+    week = F.floor(F.datediff(d, F.lit("1970-01-01")) / 7).cast("long")
+    bucket, rank = _hll_bucket_rank(F.col("user_id").cast("string"), p)
+    daily = (
+        events.select(
+            d.alias("d"),
+            week.alias("week"),
+            bucket.alias("bucket"),
+            rank.alias("rank"),
+        )
+        .groupBy("d", "week", "bucket")
+        .agg(F.max("rank").alias("max_rank"))
+    )
+    # the roll-up: daily registers -> weekly registers by MAX
+    weekly = daily.groupBy("week", "bucket").agg(
+        F.max("max_rank").alias("max_rank")
+    )
+    weeks = weekly.select("week").distinct()
+    grid = weeks.select(
+        "week",
+        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("bucket"),
+    )
+    filled = grid.join(weekly, ["week", "bucket"], "left").fillna(
+        0, ["max_rank"]
+    )
+    s = filled.groupBy("week").agg(
+        F.sum(
+            F.expr("shiftleft(CAST(1 AS BIGINT), 33 - max_rank)")
+        ).alias("sum_int"),
+        F.sum(F.when(F.col("max_rank") == 0, 1).otherwise(0)).alias(
+            "zeros"
+        ),
+    )
+    exact = events.groupBy(
+        F.floor(
+            F.datediff(F.to_date("ts"), F.lit("1970-01-01")) / 7
+        )
+        .cast("long")
+        .alias("week")
+    ).agg(F.countDistinct("user_id").alias("n_exact"))
+    e = _hll_estimate(F.col("sum_int"), F.col("zeros"), m)
+    return (
+        s.join(exact, "week")
+        .select(
+            F.date_add(
+                F.lit("1970-01-01").cast("date"),
+                (F.col("week") * 7).cast("int"),
+            ).alias("week_start"),
+            "n_exact",
+            (F.round(e, 2) + F.lit(0.0)).alias("n_hll"),
+            F.when(F.col("n_exact") == 0, F.lit(0.0))
+            .otherwise(
+                F.round(F.abs(e - F.col("n_exact")) / F.col("n_exact"), 6)
+                + F.lit(0.0)
+            )
+            .alias("rel_err"),
+        )
+    )
+
+
+def sql_weekly_distinct_users_hll(p: int = HLL_P) -> str:
+    """DuckDB oracle for ``weekly_distinct_users_hll`` (same daily →
+    weekly MAX roll-up)."""
+    from ..functions.portable import sql_hash32_from_digest
+
+    m = 1 << p
+    alpha_m2 = _hll_alpha_m2(m)
+    h1 = sql_hash32_from_digest("dg", 0)
+    h2 = sql_hash32_from_digest("dg", 1)
+    return f"""
+WITH base AS (SELECT CAST(ts AS DATE) AS d,
+                     CAST((CAST(ts AS DATE) - DATE '1970-01-01') // 7
+                          AS BIGINT) AS week,
+                     md5(concat('hll:', CAST(user_id AS VARCHAR))) AS dg,
+                     user_id
+              FROM events),
+br AS (SELECT d, week, CAST({h1} % {m} AS INT) AS bucket,
+              CAST(33 - length(regexp_replace(bin({h2}), '^0+', '')) AS INT)
+                AS rank
+       FROM base),
+daily AS (SELECT d, week, bucket, MAX(rank) AS max_rank
+          FROM br GROUP BY 1, 2, 3),
+weekly AS (SELECT week, bucket, MAX(max_rank) AS max_rank
+           FROM daily GROUP BY 1, 2),
+weeks AS (SELECT DISTINCT week FROM weekly),
+grid AS (SELECT weeks.week, CAST(g AS INT) AS bucket
+         FROM weeks, UNNEST(generate_series(0, {m - 1})) AS t(g)),
+filled AS (SELECT g.week, g.bucket, COALESCE(w.max_rank, 0) AS max_rank
+           FROM grid g LEFT JOIN weekly w
+             ON w.week = g.week AND w.bucket = g.bucket),
+s AS (SELECT week, SUM(CAST(1 AS BIGINT) << (33 - max_rank)) AS sum_int,
+             SUM(CASE WHEN max_rank = 0 THEN 1 ELSE 0 END) AS zeros
+      FROM filled GROUP BY 1),
+ex AS (SELECT week, COUNT(DISTINCT user_id) AS n_exact
+       FROM base GROUP BY 1),
+est AS (SELECT s.week,
+               CASE WHEN {alpha_m2!r} / (sum_int / {float(1 << 33)!r}) <= {2.5 * m}
+                     AND zeros > 0
+                    THEN {float(m)!r} * ln({float(m)!r} / zeros)
+                    ELSE {alpha_m2!r} / (sum_int / {float(1 << 33)!r}) END AS e
+        FROM s)
+SELECT DATE '1970-01-01' + CAST(est.week * 7 AS INT) AS week_start,
+       CAST(ex.n_exact AS BIGINT) AS n_exact,
+       ROUND(est.e, 2) + 0.0 AS n_hll,
+       CASE WHEN ex.n_exact = 0 THEN 0.0
+            ELSE ROUND(abs(est.e - ex.n_exact) / ex.n_exact, 6) + 0.0 END
+         AS rel_err
+FROM est JOIN ex ON ex.week = est.week
+"""

@@ -1070,6 +1070,10 @@ def _q_daily_changepoint(spark, sf):
     return analytics.daily_changepoint(_t("events")(spark, sf))
 
 
+def _q_weekly_distinct_users_hll(spark, sf):
+    return _sketch.weekly_distinct_users_hll(_t("events")(spark, sf))
+
+
 def _q_daily_distinct_users_hll(spark, sf):
     return _sketch.daily_distinct_users_hll(_t("events")(spark, sf))
 
@@ -3870,6 +3874,7 @@ FROM pick WHERE rk = 1
 """
 
 ORACLES["daily_distinct_users_hll"] = _sketch.sql_daily_distinct_users_hll()
+ORACLES["weekly_distinct_users_hll"] = _sketch.sql_weekly_distinct_users_hll()
 ORACLES["zipf_fit"] = text.sql_zipf_fit()
 
 ORACLES["ab_test_report"] = """
@@ -4453,6 +4458,9 @@ _SPEC_DEFS: dict[str, QuerySpec] = {
     ),
     "daily_distinct_users_hll": QuerySpec(
         _q_daily_distinct_users_hll, ORACLES["daily_distinct_users_hll"]
+    ),
+    "weekly_distinct_users_hll": QuerySpec(
+        _q_weekly_distinct_users_hll, ORACLES["weekly_distinct_users_hll"]
     ),
     "zipf_fit": QuerySpec(_q_zipf_fit, ORACLES["zipf_fit"]),
     "ab_test_report": QuerySpec(

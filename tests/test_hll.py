@@ -139,3 +139,68 @@ def test_hll_registers_match_pure_python_mirror(spark):
     ev = _events(spark, ids)
     got = {r["bucket"]: r["max_rank"] for r in hll_registers(ev).collect()}
     assert got == _py_hll_registers(ids)
+
+
+def test_weekly_hll_rollup_equals_direct_build(spark):
+    """The daily→weekly MAX roll-up must equal building the weekly
+    registers straight from events — max is associative, so rolling
+    up can't lose or inflate (this is the query the mergeability
+    property exists for)."""
+    import datetime as dt
+
+    from flink_ecommerce_spark.operators.sketch import (
+        _hll_bucket_rank,
+        weekly_distinct_users_hll,
+    )
+
+    rows = []
+    eid = 0
+    for day in range(1, 15):  # two weeks
+        d0 = dt.datetime(2024, 1, day, 10, 0)
+        rows += [
+            (eid + i, d0, (day * 13 + i) % 200) for i in range(60)
+        ]
+        eid += 100
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long"
+    )
+    via_rollup = {
+        r["week_start"].isoformat(): r["n_hll"]
+        for r in weekly_distinct_users_hll(ev).collect()
+    }
+
+    # direct build: week -> registers -> estimate via the same path
+    week = F.floor(
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01")) / 7
+    ).cast("long")
+    bucket, rank = _hll_bucket_rank(F.col("user_id").cast("string"), 8)
+    direct = (
+        ev.select(week.alias("week"), bucket.alias("b"), rank.alias("r"))
+        .groupBy("week", "b")
+        .agg(F.max("r").alias("mr"))
+    )
+    from collections import defaultdict
+
+    want = defaultdict(dict)
+    for r in direct.collect():
+        want[r["week"]][r["b"]] = r["mr"]
+
+    # the roll-up path's weekly registers: daily MAX then weekly MAX
+    d = F.to_date("ts")
+    daily = (
+        ev.select(
+            d.alias("d"),
+            week.alias("week"),
+            bucket.alias("b"),
+            rank.alias("r"),
+        )
+        .groupBy("d", "week", "b")
+        .agg(F.max("r").alias("mr"))
+    )
+    rolled = defaultdict(dict)
+    for r in (
+        daily.groupBy("week", "b").agg(F.max("mr").alias("mr")).collect()
+    ):
+        rolled[r["week"]][r["b"]] = r["mr"]
+    assert rolled == want  # register-exact, not just estimate-close
+    assert len(via_rollup) == len(want) >= 2
