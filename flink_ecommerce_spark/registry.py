@@ -1070,6 +1070,32 @@ def _q_daily_changepoint(spark, sf):
     return analytics.daily_changepoint(_t("events")(spark, sf))
 
 
+def _q_bloom_filtered_join(spark, sf):
+    """Runtime-filter demo with an EXTERNAL correctness row: orders
+    of high-balance customers, with the fact side pre-pruned by
+    ``scale.bloom_prefilter`` before the join. Because the filter
+    has no false negatives, the result is EXACTLY the plain join —
+    which is what the oracle runs, so the driver's hash compare
+    certifies the runtime-filter's losslessness every round."""
+    from .operators.scale import bloom_prefilter
+
+    orders = _t("orders")(spark, sf)
+    custs = (
+        _t("customer")(spark, sf)
+        .filter(F.col("c_acctbal") > 9000)
+        .select("c_custkey", "c_name")
+    )
+    pre = bloom_prefilter(orders, custs, "o_custkey", "c_custkey")
+    return pre.join(
+        custs, pre.o_custkey == custs.c_custkey
+    ).select(
+        "o_orderkey",
+        "o_custkey",
+        "c_name",
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+    )
+
+
 def _q_weekly_distinct_users_hll(spark, sf):
     return _sketch.weekly_distinct_users_hll(_t("events")(spark, sf))
 
@@ -3875,6 +3901,16 @@ FROM pick WHERE rk = 1
 
 ORACLES["daily_distinct_users_hll"] = _sketch.sql_daily_distinct_users_hll()
 ORACLES["weekly_distinct_users_hll"] = _sketch.sql_weekly_distinct_users_hll()
+
+# plain join — the bloom prefilter is lossless, so the oracle IS the
+# unfiltered join (that equality is the property being certified)
+ORACLES["bloom_filtered_join"] = """
+SELECT o.o_orderkey, o.o_custkey, c.c_name,
+       ROUND(o.o_totalprice, 2) AS o_totalprice
+FROM orders o
+JOIN (SELECT c_custkey, c_name FROM customer WHERE c_acctbal > 9000) c
+  ON c.c_custkey = o.o_custkey
+"""
 ORACLES["zipf_fit"] = text.sql_zipf_fit()
 
 ORACLES["ab_test_report"] = """
@@ -4461,6 +4497,9 @@ _SPEC_DEFS: dict[str, QuerySpec] = {
     ),
     "weekly_distinct_users_hll": QuerySpec(
         _q_weekly_distinct_users_hll, ORACLES["weekly_distinct_users_hll"]
+    ),
+    "bloom_filtered_join": QuerySpec(
+        _q_bloom_filtered_join, ORACLES["bloom_filtered_join"]
     ),
     "zipf_fit": QuerySpec(_q_zipf_fit, ORACLES["zipf_fit"]),
     "ab_test_report": QuerySpec(
