@@ -4478,7 +4478,7 @@ _SPEC_DEFS: dict[str, QuerySpec] = {
         _q_copurchase_components, ORACLES["copurchase_components"]
     ),
     "linear_attribution": QuerySpec(
-        _q_linear_attribution, ORACLES["linear_attribution"]
+        _q_linear_attribution, ORACLES["linear_attribution"], bench=True
     ),
     "copurchase_graph_stats": QuerySpec(
         _q_copurchase_graph_stats, ORACLES["copurchase_graph_stats"], bench=True
@@ -4490,7 +4490,7 @@ _SPEC_DEFS: dict[str, QuerySpec] = {
         _q_l_diversity_report, ORACLES["l_diversity_report"]
     ),
     "daily_changepoint": QuerySpec(
-        _q_daily_changepoint, ORACLES["daily_changepoint"]
+        _q_daily_changepoint, ORACLES["daily_changepoint"], bench=True
     ),
     "daily_distinct_users_hll": QuerySpec(
         _q_daily_distinct_users_hll, ORACLES["daily_distinct_users_hll"]
@@ -4522,7 +4522,7 @@ _SPEC_DEFS: dict[str, QuerySpec] = {
         _q_hll_distinct_users, ORACLES["hll_distinct_users"], bench=True
     ),
     "value_psi_by_type": QuerySpec(
-        _q_value_psi_by_type, ORACLES["value_psi_by_type"]
+        _q_value_psi_by_type, ORACLES["value_psi_by_type"], bench=True
     ),
     "pmi_collocations": QuerySpec(
         _q_pmi_collocations, ORACLES["pmi_collocations"]
