@@ -179,6 +179,79 @@ def minhash_signatures(documents: DataFrame, num_hashes: int = NUM_HASHES) -> Da
     )
 
 
+def source_overlap_minhash(
+    documents: DataFrame, num_hashes: int = NUM_HASHES
+) -> DataFrame:
+    """(source_a, source_b, n_equal_slots, est_jaccard) — pairwise
+    shingle-set similarity BETWEEN SOURCES from per-source MinHash
+    signatures: the corpus-overlap report a mixture designer reads
+    before weighting sources (two crawls of the same site → high
+    overlap → their token budgets double-count; budgeted_mixture's
+    per-source quotas assume sources are distinct populations).
+
+    Scale shape: a source's MinHash signature is the element-wise MIN
+    over its shingles' hash values — a map-side-combinable aggregate,
+    so the shuffle carries (source, ``num_hashes`` longs) regardless
+    of corpus size (shingle text never moves), and a new batch's
+    signature MERGES into the stored one by the same MIN — the sketch
+    is mergeable across shards and across time, like the portable
+    HLL. The pair join runs over #sources rows (broadcast). Estimator:
+    slot-collision fraction, the textbook unbiased MinHash estimate
+    of Jaccard; ``n_equal_slots`` stays integer so the oracle
+    comparison is exact, not float-rounded. Same Carter-Wegman
+    derivation as ``minhash_signatures`` (one md5 per shingle
+    occurrence; duplicate occurrences cannot change a MIN)."""
+    from .scale import ensure_parallelism
+
+    sh = (
+        ensure_parallelism(documents)
+        .select("source", words("text").alias("__words"))
+        .select(
+            "source",
+            F.explode(shingles_from_words(F.col("__words"))).alias("shingle"),
+        )
+    )
+    hashed = sh.select(
+        "source", salted_md5(F.col("shingle"), salt="mh").alias("__d")
+    ).select(
+        "source",
+        hash32_from_digest("__d", half=0).alias("h1"),
+        hash32_from_digest("__d", half=1).alias("h2"),
+    )
+    sig = hashed.groupBy("source").agg(
+        *[
+            F.min((F.col("h1") + i * F.col("h2")) % MINHASH_PRIME).alias(f"mh{i}")
+            for i in range(num_hashes)
+        ]
+    )
+    a = sig.select(
+        F.col("source").alias("source_a"),
+        *[F.col(f"mh{i}").alias(f"a{i}") for i in range(num_hashes)],
+    )
+    b = sig.select(
+        F.col("source").alias("source_b"),
+        *[F.col(f"mh{i}").alias(f"b{i}") for i in range(num_hashes)],
+    )
+    n_eq = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        for i in range(num_hashes)
+    )
+    return (
+        a.join(F.broadcast(b), F.col("source_a") < F.col("source_b"))
+        .select(
+            "source_a",
+            "source_b",
+            n_eq.cast("int").alias("n_equal_slots"),
+            (
+                F.round(
+                    n_eq.cast("double") / F.lit(float(num_hashes)), 6
+                )
+                + 0.0
+            ).alias("est_jaccard"),
+        )
+    )
+
+
 def minhash_signature_array(text_col: F.Column, num_hashes: int = NUM_HASHES) -> F.Column:
     """Per-ROW MinHash signature as array<long> — the same values as
     ``minhash_signatures`` (same hash family/constants) computed with

@@ -376,7 +376,8 @@ rates AS (SELECT source, n_s,
 def sample_k_per_group(
     documents: DataFrame, k: int = 20, group_col: str = "lang"
 ) -> DataFrame:
-    """(lang, doc_id, rk) — EXACTLY k docs per group, chosen by
+    """(lang, doc_id, rk) — up to k docs per group (exactly k when the
+    group has ≥ k members; smaller groups return all rows), chosen by
     portable-hash order (deterministic across runs, partitionings,
     and engines): the eval-set builder when per-stratum QUOTAS matter
     — rate-based `stratified_sample` keeps proportions but its

@@ -178,6 +178,48 @@ def key_skew_summary(df: DataFrame, key: str) -> DataFrame:
     )
 
 
+def table_profile(df: DataFrame, cols: list[str]) -> DataFrame:
+    """(col_name, n_rows, n_nulls, null_frac, n_distinct) per profiled
+    column — the preflight a pipeline runs before trusting a new drop
+    of data (a key column that suddenly grew nulls, or a category
+    column whose cardinality exploded, breaks joins and aggregations
+    downstream in ways that surface much later).
+
+    Scale: ONE corpus scan — all per-column counters ride a single
+    aggregation (the multi-countDistinct expands via Expand but still
+    partial-aggregates map-side); the row-per-column shape is a
+    driver-free explode of a one-row frame. Counts are exact and
+    type-agnostic (distinctness is value-based, so the report is
+    engine-portable without string-casting numerics)."""
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        aggs.append(
+            F.sum(F.col(c).isNull().cast("long")).alias(f"__nulls_{c}")
+        )
+        aggs.append(F.countDistinct(c).alias(f"__dist_{c}"))
+    one = df.agg(*aggs)
+    structs = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.col("__n").alias("n_rows"),
+                F.col(f"__nulls_{c}").alias("n_nulls"),
+                (
+                    F.round(
+                        F.col(f"__nulls_{c}").cast("double") / F.col("__n"), 6
+                    )
+                    + 0.0
+                ).alias("null_frac"),
+                F.col(f"__dist_{c}").alias("n_distinct"),
+            )
+            for c in cols
+        ]
+    )
+    return one.select(F.explode(structs).alias("p")).select(
+        "p.col_name", "p.n_rows", "p.n_nulls", "p.null_frac", "p.n_distinct"
+    )
+
+
 def bloom_prefilter(
     fact: DataFrame,
     keys: DataFrame,
@@ -199,6 +241,15 @@ def bloom_prefilter(
     side passes, so `fact.join(keys, ...)` on the prefiltered fact
     equals the unfiltered join exactly (property-tested). False
     positives just ride along to the join, which stays correct.
+    NULL fact keys are KEPT (``keep`` coalesces to true): a NULL key
+    never equi-joins anyway, so passing it through is lossless for
+    the inner-join prefilter AND leaves null-preserving / outer-join
+    reuse of the filtered fact correct.
+
+    EAGER: building the mask runs the keys-side aggregation NOW (one
+    bounded .collect() of ≤ n_bits distinct positions — the sketch,
+    never the keys); constructing this plan is not free, unlike the
+    lazy operators around it.
 
     Mechanics: the keys side reduces to ≤ n_bits set positions via
     Kirsch-Mitzenmacher double hashing (one md5 per key); those pack
@@ -246,4 +297,7 @@ def bloom_prefilter(
     keep = checks[0]
     for c in checks[1:]:
         keep = keep & c
-    return fact.filter(keep)
+    # NULL fact key → hash comparisons are NULL → keep is NULL; a NULL
+    # key can't equi-join, so keeping the row is lossless and correct
+    # for outer-join / null-preserving reuse (ADVICE r04)
+    return fact.filter(F.coalesce(keep, F.lit(True)))

@@ -99,6 +99,39 @@ def lsh_plan_for(
     return n_planes, recall_bands if n_planes > N_PLANES else 1
 
 
+def ann_plan_for(
+    corpus_size: int,
+    n_queries: int = DEFAULT_N_QUERIES,
+    gemm_budget: int = 200_000_000,
+) -> dict:
+    """Strategy-level ANN planner — WHICH operator, not just its
+    knobs. The decision variable is the brute-force work n_queries ×
+    corpus_size (one GEMM pass over the corpus, zero index build,
+    recall exactly 1.0):
+
+    - under ``gemm_budget`` dot products: ``knn_bruteforce[_pandas]``.
+      Exact beats approximate whenever it's affordable — a 2k-vector
+      fixture or a 10-query probe of a 10M corpus are both GEMM
+      territory; every indexed method only subtracts recall there
+      (bench ann_grid: 8-plane LSH recalls 0.04 at 2k vectors).
+    - above it: two-stage PQ re-rank (``pq_ann_rerank``) — ADC over
+      8-byte codes shortlists, full-precision re-rank touches only
+      shortlist×queries rows. The advertised scale default: at any
+      corpus size its recall/cost frontier dominates single-probe LSH
+      (BENCH_DETAIL ann_grid), and its memory moves are codes-sized.
+    - ``ann_lsh_multiprobe``/``ann_lsh_topk`` remain the bucketed
+      alternative when an UNINDEXED one-shot pass must avoid even the
+      codebook build: planes from ``lsh_plan_for``.
+
+    Returns {"strategy", "n_planes", "n_bands"} — knobs meaningful
+    only for the lsh strategy but always present so callers can log
+    one shape."""
+    n_planes, n_bands = lsh_plan_for(corpus_size)
+    if n_queries * corpus_size <= gemm_budget:
+        return {"strategy": "bruteforce", "n_planes": n_planes, "n_bands": n_bands}
+    return {"strategy": "pq_rerank", "n_planes": n_planes, "n_bands": n_bands}
+
+
 def knn_bruteforce(
     embeddings: DataFrame,
     k: int = DEFAULT_K,
@@ -260,6 +293,209 @@ def ann_lsh_topk(
         .filter(F.col("rk") <= k)
         .select("query_id", "neighbor_id", "cos_sim", "rk")
     )
+
+
+def ann_lsh_multiprobe(
+    embeddings: DataFrame,
+    k: int = DEFAULT_K,
+    n_queries: int = DEFAULT_N_QUERIES,
+    n_planes: int = N_PLANES,
+) -> DataFrame:
+    """Multi-probe hyperplane LSH (Lv et al., VLDB'07 shape): each
+    query probes its own bucket PLUS every bucket at Hamming distance
+    1 — one plane bit flipped, so n_planes+1 probes. A true neighbor
+    that lands one hyperplane away (the dominant miss mode of
+    single-probe LSH: the pair straddles exactly one plane) is
+    recovered without a second corpus bucketing. Cost shape at scale:
+    the CORPUS is still hashed and shuffled ONCE (unlike n_bands > 1,
+    which re-buckets the corpus per band); only the tiny broadcast
+    query side fans out ×(n_planes+1), and each probe bucket holds
+    ~n/2^P rows, so a query reads ~(P+1)/2^P of the corpus. Probe
+    buckets are pairwise distinct, and every corpus row lives in
+    exactly one bucket, so candidate sets are disjoint — no dedup
+    stage. Exact cosine re-rank within candidates; deterministic
+    planes (portable hash), so the oracle reproduces it exactly."""
+    from .scale import ensure_parallelism
+
+    corpus = ensure_parallelism(embeddings)
+    bucketed = corpus.withColumn("bucket", _lsh_bucket("embedding", n_planes))
+    q = bucketed.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.explode(
+            F.array(
+                F.col("bucket"),
+                *[
+                    F.col("bucket").bitwiseXOR(F.lit(1 << p))
+                    for p in range(n_planes)
+                ],
+            )
+        ).alias("probe"),
+    )
+    scored = bucketed.join(
+        F.broadcast(q),
+        (F.col("bucket") == F.col("probe"))
+        & (F.col("vec_id") != F.col("query_id")),
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(cosine_sim(F.col("q_emb"), F.col("embedding")), 6).alias(
+            "cos_sim"
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rk")
+    )
+
+
+MMR_K = 5
+MMR_LAMBDA = 0.5
+
+
+def mmr_select(
+    embeddings: DataFrame, k: int = MMR_K, lam: float = MMR_LAMBDA
+) -> DataFrame:
+    """(step, vec_id, score) — greedy Maximal Marginal Relevance
+    (Carbonell & Goldstein '98) exemplar selection: step 1 takes the
+    vector most similar to the corpus centroid; each later step takes
+    argmax of λ·relevance − (1−λ)·max-cosine-to-already-selected.
+    The k-exemplar set that is both central AND mutually diverse —
+    few-shot/eval-seed selection where top-k-by-relevance returns k
+    near-duplicates.
+
+    Engine-portable determinism: centroid per-dim means, relevance,
+    pairwise cosines, and the combined score are each rounded to 6dp;
+    argmax ties fall to the lowest vec_id — so the greedy trajectory
+    is reproduced exactly by the unrolled CTE oracle
+    (``mmr_oracle_sql``), the kmeans/pagerank pattern.
+
+    Scale shape: greedy selection is inherently sequential in k, but
+    each step is ONE distributed corpus scan ending in a
+    TakeOrderedAndProject(1) — never a global sort — and the selected
+    set ships to executors as k×d literal doubles. Construction is
+    EAGER (k one-row collects + the centroid round, like
+    kmeans/user_value_quartiles); the returned plan unions the k
+    one-row argmax branches."""
+    cent_rows = (
+        embeddings.select(F.posexplode("embedding").alias("dim", "v"))
+        .groupBy("dim")
+        .agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("m"))
+        .collect()
+    )
+    cent = [r["m"] for r in sorted(cent_rows, key=lambda r: r["dim"])]
+    cent_col = F.array(*[F.lit(float(x)) for x in cent])
+    rel = embeddings.select(
+        "vec_id",
+        "embedding",
+        F.round(cosine_sim(F.col("embedding"), cent_col), 6).alias("rel"),
+    )
+    picks = []  # (step, plan) — unioned for the returned DataFrame
+    selected: list[tuple[int, list[float]]] = []
+    for step in range(1, k + 1):
+        cand = rel
+        if selected:
+            cand = cand.filter(
+                ~F.col("vec_id").isin([v for v, _ in selected])
+            )
+            msim = F.greatest(
+                *[
+                    F.round(
+                        cosine_sim(
+                            F.col("embedding"),
+                            F.array(*[F.lit(float(x)) for x in emb]),
+                        ),
+                        6,
+                    )
+                    for _, emb in selected
+                ]
+            ) if len(selected) > 1 else F.round(
+                cosine_sim(
+                    F.col("embedding"),
+                    F.array(*[F.lit(float(x)) for x in selected[0][1]]),
+                ),
+                6,
+            )
+            score = (
+                F.round(
+                    F.lit(lam) * F.col("rel") - F.lit(1.0 - lam) * msim, 6
+                )
+                + 0.0
+            )
+        else:
+            score = F.col("rel") + 0.0
+        pick_plan = (
+            cand.select(
+                F.lit(step).alias("step"),
+                "vec_id",
+                "embedding",
+                score.alias("score"),
+            )
+            .orderBy(F.desc("score"), F.asc("vec_id"))
+            .limit(1)
+        )
+        row = pick_plan.collect()
+        if not row:
+            break
+        selected.append((row[0]["vec_id"], list(row[0]["embedding"])))
+        picks.append(pick_plan.select("step", "vec_id", "score"))
+    out = picks[0]
+    for p in picks[1:]:
+        out = out.unionAll(p)
+    return out
+
+
+def mmr_oracle_sql(k: int = MMR_K, lam: float = MMR_LAMBDA) -> str:
+    """Unrolled DuckDB twin of ``mmr_select``: sel₀ = ∅; pickᵢ =
+    argmax over non-selected of the (rounded) MMR score against
+    selᵢ₋₁; selᵢ = selᵢ₋₁ ∪ pickᵢ. Ties to the lowest vec_id via the
+    ORDER BY, matching the Spark TakeOrdered."""
+    from ..functions.vector import sql_cosine
+
+    cos_cent = sql_cosine("r.e", "ca.c", EMB_DIM)
+    parts = [
+        "WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e"
+        " FROM embeddings),",
+        "cent AS (SELECT CAST(dim AS INT) AS dim,"
+        " ROUND(AVG(v), 6) AS m FROM"
+        " (SELECT unnest(e) AS v, generate_subscripts(e, 1) AS dim"
+        "  FROM emb) GROUP BY 1),",
+        "cent_arr AS (SELECT list(m ORDER BY dim) AS c FROM cent),",
+        "rel AS (SELECT r.vec_id, r.e,"
+        f" ROUND({cos_cent}, 6) AS rel FROM emb r CROSS JOIN cent_arr ca),",
+        "pick1 AS (SELECT 1 AS step, vec_id, e, rel + 0.0 AS score"
+        " FROM rel ORDER BY score DESC, vec_id ASC LIMIT 1),",
+        "sel1 AS (SELECT vec_id, e FROM pick1),",
+    ]
+    for i in range(2, k + 1):
+        prev = f"sel{i - 1}"
+        cos_sel = sql_cosine("r.e", "s.e", EMB_DIM)
+        parts.append(
+            f"ms{i} AS (SELECT r.vec_id,"
+            f" MAX(ROUND({cos_sel}, 6)) AS msim"
+            f" FROM rel r CROSS JOIN {prev} s"
+            f" WHERE r.vec_id NOT IN (SELECT vec_id FROM {prev})"
+            f" GROUP BY r.vec_id),"
+        )
+        parts.append(
+            f"pick{i} AS (SELECT {i} AS step, r.vec_id, r.e,"
+            f" ROUND({lam} * r.rel - {1.0 - lam} * m.msim, 6) + 0.0 AS score"
+            f" FROM rel r JOIN ms{i} m USING (vec_id)"
+            f" ORDER BY score DESC, vec_id ASC LIMIT 1),"
+        )
+        parts.append(
+            f"sel{i} AS (SELECT vec_id, e FROM {prev}"
+            f" UNION ALL SELECT vec_id, e FROM pick{i}),"
+        )
+    parts[-1] = parts[-1].rstrip(",")
+    union = "\nUNION ALL\n".join(
+        f"SELECT step, vec_id, score FROM pick{i}" for i in range(1, k + 1)
+    )
+    return "\n".join(parts) + "\n" + union
 
 
 def embedding_norms(embeddings: DataFrame) -> DataFrame:

@@ -258,10 +258,14 @@ def distinct_users_per_day(events: DataFrame) -> DataFrame:
 
 
 def approx_distinct_users(events: DataFrame, rsd: float = 0.02) -> DataFrame:
-    """HyperLogLog++ approximate distinct per event_type — the scale
-    path for 100 TB cardinality estimation (no exact-distinct
-    shuffle). Not oracle-comparable (different sketch than DuckDB's);
-    driver records a rows-only check."""
+    """HyperLogLog++ approximate distinct per event_type via Spark's
+    engine-native sketch. NOT in the registry: it is inherently
+    uncertifiable (a different sketch than any oracle engine's), and
+    the portable HLL (operators/sketch.py: hll_distinct_users) is the
+    oracle-exact, mergeable approx-distinct path this repo advertises.
+    Kept as a library demo of the built-in (on a real cluster the
+    native sketch is the cheapest option when cross-engine
+    reproducibility doesn't matter)."""
     return events.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", rsd).alias("approx_users")
     )
@@ -771,11 +775,12 @@ def value_psi_by_type(
     — PSI catches the slow distribution slide none of those flag.
 
     Engine-portable determinism: buckets are FIXED-width (a quantile
-    binning would tie-break differently per engine), both halves are
-    Laplace-smoothed (+0.5 per bucket) so empty buckets contribute a
-    finite, identical term, and the 10-term sum is rounded with -0.0
-    normalized away. The full type × bucket grid is enumerated so
-    bucket sets match exactly across engines.
+    binning would tie-break differently per engine), both halves'
+    bucket SHARES are epsilon-smoothed (each normalized share gets
+    +PSI_EPS=1e-3 — see ``psi_from_bucket_counts``) so empty buckets
+    contribute a finite, identical term, and the 10-term sum is
+    rounded with -0.0 normalized away. The full type × bucket grid is
+    enumerated so bucket sets match exactly across engines.
 
     Scale: two narrow aggregations (type×bucket counts, then the
     bucket-grid join against a types-sized frame) — state is

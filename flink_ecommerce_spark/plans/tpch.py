@@ -1047,7 +1047,13 @@ def copurchase_graph_stats(
     a semi-join against the oriented edges; counts stay integers to
     the end (the coefficient divides once, rounded)."""
     _, pairs = _copurchase_support_pairs(lineitem, min_support)
-    edges = pairs.select("part_a", "part_b").localCheckpoint(eager=True)
+    # lazy localCheckpoints: both the edge list and the oriented edges
+    # feed multiple consumers, but materialization waits for the first
+    # action — constructing the plan (registry enumeration, plan
+    # fingerprinting) must stay free of Spark jobs (ADVICE r04). Local
+    # checkpoint state is executor-local (lost on executor failure);
+    # on a real cluster prefer reliable checkpoint or persist+count.
+    edges = pairs.select("part_a", "part_b").localCheckpoint(eager=False)
     deg = (
         edges.select(F.col("part_a").alias("p"))
         .unionAll(edges.select(F.col("part_b").alias("p")))
@@ -1064,7 +1070,7 @@ def copurchase_graph_stats(
     e = ed.select(
         F.when(fwd, F.col("part_a")).otherwise(F.col("part_b")).alias("src"),
         F.when(fwd, F.col("part_b")).otherwise(F.col("part_a")).alias("dst"),
-    ).localCheckpoint(eager=True)  # feeds both wedge sides + the close
+    ).localCheckpoint(eager=False)  # feeds both wedge sides + the close
     e1, e2 = e.alias("e1"), e.alias("e2")
     wedges = e1.join(e2, F.col("e1.dst") == F.col("e2.src")).select(
         F.col("e1.src").alias("x"), F.col("e2.dst").alias("z")

@@ -357,10 +357,6 @@ def _q_distinct_users_per_day(spark, sf):
     return analytics.distinct_users_per_day(_t("events")(spark, sf))
 
 
-def _q_approx_distinct_users(spark, sf):
-    return analytics.approx_distinct_users(_t("events")(spark, sf))
-
-
 def _q_value_stats(spark, sf):
     return analytics.value_stats_per_type(_t("events")(spark, sf))
 
@@ -541,6 +537,10 @@ def _q_ngram_jaccard_pairs(spark, sf):
 
 def _q_prefix_jaccard_pairs(spark, sf):
     return dedup.prefix_jaccard_pairs(_t("documents")(spark, sf))
+
+
+def _q_source_overlap_minhash(spark, sf):
+    return dedup.source_overlap_minhash(_t("documents")(spark, sf))
 
 
 def _q_bm25_topk(spark, sf):
@@ -1222,6 +1222,23 @@ def _q_ann_lsh_topk(spark, sf):
     return similarity.ann_lsh_topk(_t("embeddings")(spark, sf))
 
 
+def _q_ann_lsh_multiprobe(spark, sf):
+    return similarity.ann_lsh_multiprobe(_t("embeddings")(spark, sf))
+
+
+def _q_mmr_select(spark, sf):
+    return similarity.mmr_select(_t("embeddings")(spark, sf))
+
+
+def _q_events_profile(spark, sf):
+    from .operators.scale import table_profile
+
+    return table_profile(
+        _t("events")(spark, sf),
+        ["event_id", "user_id", "event_type", "value"],
+    )
+
+
 def _q_ann_lsh_planned(spark, sf):
     """The scale path itself: (n_planes, n_bands) sized by
     lsh_plan_for from the actual corpus size (one count() job at
@@ -1257,9 +1274,11 @@ def _q_ivf_topk(spark, sf):
 
 
 def _q_kmeans_sizes(spark, sf):
-    """Iterative Lloyd k-means (deterministic init/iters) — no SQL
-    oracle (iterative algorithm; driver records rows-only). The exact
-    NumPy-reference equivalence lives in tests/test_kmeans.py."""
+    """Iterative Lloyd k-means with engine-portable determinism
+    (quantized centroids/distances) — certified against the unrolled
+    per-iteration CTE oracle (clustering.kmeans_oracle_sql), the same
+    pattern as supplier_pagerank. The NumPy-reference equivalence
+    lives in tests/test_kmeans.py."""
     from .operators.clustering import kmeans_sizes
 
     return kmeans_sizes(_t("embeddings")(spark, sf))
@@ -3309,6 +3328,26 @@ FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
       FROM scored)
 WHERE rk <= {similarity.DEFAULT_K}
 """,
+    "ann_lsh_multiprobe": f"""
+WITH bucketed AS (SELECT vec_id, embedding, {_bucket_sql('embedding')} AS bucket
+                  FROM embeddings),
+q AS (SELECT vec_id AS query_id, embedding AS q_emb, bucket AS q_bucket
+      FROM bucketed WHERE vec_id < {similarity.DEFAULT_N_QUERIES}),
+probes AS (SELECT query_id, q_emb,
+                  unnest(list_prepend(q_bucket,
+                    list_transform(generate_series(0, {similarity.N_PLANES - 1}),
+                                   p -> xor(q_bucket, 1 << p)))) AS probe
+           FROM q),
+scored AS (SELECT p.query_id, e.vec_id AS neighbor_id,
+                  ROUND({sql_cosine('p.q_emb', 'e.embedding', similarity.EMB_DIM)}, 6) AS cos_sim
+           FROM bucketed e JOIN probes p
+             ON e.bucket = p.probe AND e.vec_id != p.query_id)
+SELECT query_id, neighbor_id, cos_sim, CAST(rk AS INT) AS rk
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, neighbor_id ASC) AS rk
+      FROM scored)
+WHERE rk <= {similarity.DEFAULT_K}
+""",
     "knn_int8": f"""
 WITH qz AS (SELECT vec_id,
         list_transform(embedding,
@@ -3872,6 +3911,50 @@ FROM terms GROUP BY source
 
 ORACLES["l_diversity_report"] = text.sql_l_diversity_report()
 
+_PROFILE_COLS = ["event_id", "user_id", "event_type", "value"]
+ORACLES["events_profile"] = "\nUNION ALL\n".join(
+    f"""SELECT '{c}' AS col_name, COUNT(*) AS n_rows,
+       SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+       ROUND(CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) + 0.0 AS null_frac,
+       COUNT(DISTINCT {c}) AS n_distinct
+FROM events"""
+    for c in _PROFILE_COLS
+)
+
+
+ORACLES["source_overlap_minhash"] = f"""
+WITH sh AS (SELECT source, unnest({_SHINGLES}) AS s FROM documents),
+h AS (SELECT source, {sql_hash32('s', salt='mh', half=0)} AS h1,
+             {sql_hash32('s', salt='mh', half=1)} AS h2
+      FROM sh),
+sig AS (SELECT source,
+    MIN((h1 + 0 * h2) % {dedup.MINHASH_PRIME}) AS mh0,
+    MIN((h1 + 1 * h2) % {dedup.MINHASH_PRIME}) AS mh1,
+    MIN((h1 + 2 * h2) % {dedup.MINHASH_PRIME}) AS mh2,
+    MIN((h1 + 3 * h2) % {dedup.MINHASH_PRIME}) AS mh3,
+    MIN((h1 + 4 * h2) % {dedup.MINHASH_PRIME}) AS mh4,
+    MIN((h1 + 5 * h2) % {dedup.MINHASH_PRIME}) AS mh5,
+    MIN((h1 + 6 * h2) % {dedup.MINHASH_PRIME}) AS mh6,
+    MIN((h1 + 7 * h2) % {dedup.MINHASH_PRIME}) AS mh7,
+    MIN((h1 + 8 * h2) % {dedup.MINHASH_PRIME}) AS mh8,
+    MIN((h1 + 9 * h2) % {dedup.MINHASH_PRIME}) AS mh9,
+    MIN((h1 + 10 * h2) % {dedup.MINHASH_PRIME}) AS mh10,
+    MIN((h1 + 11 * h2) % {dedup.MINHASH_PRIME}) AS mh11,
+    MIN((h1 + 12 * h2) % {dedup.MINHASH_PRIME}) AS mh12,
+    MIN((h1 + 13 * h2) % {dedup.MINHASH_PRIME}) AS mh13,
+    MIN((h1 + 14 * h2) % {dedup.MINHASH_PRIME}) AS mh14,
+    MIN((h1 + 15 * h2) % {dedup.MINHASH_PRIME}) AS mh15
+  FROM h GROUP BY source),
+eq AS (SELECT a.source AS source_a, b.source AS source_b,
+    (CASE WHEN a.mh0 = b.mh0 THEN 1 ELSE 0 END) + (CASE WHEN a.mh1 = b.mh1 THEN 1 ELSE 0 END) + (CASE WHEN a.mh2 = b.mh2 THEN 1 ELSE 0 END) + (CASE WHEN a.mh3 = b.mh3 THEN 1 ELSE 0 END) + (CASE WHEN a.mh4 = b.mh4 THEN 1 ELSE 0 END) + (CASE WHEN a.mh5 = b.mh5 THEN 1 ELSE 0 END) + (CASE WHEN a.mh6 = b.mh6 THEN 1 ELSE 0 END) + (CASE WHEN a.mh7 = b.mh7 THEN 1 ELSE 0 END) + (CASE WHEN a.mh8 = b.mh8 THEN 1 ELSE 0 END) + (CASE WHEN a.mh9 = b.mh9 THEN 1 ELSE 0 END) + (CASE WHEN a.mh10 = b.mh10 THEN 1 ELSE 0 END) + (CASE WHEN a.mh11 = b.mh11 THEN 1 ELSE 0 END) + (CASE WHEN a.mh12 = b.mh12 THEN 1 ELSE 0 END) + (CASE WHEN a.mh13 = b.mh13 THEN 1 ELSE 0 END) + (CASE WHEN a.mh14 = b.mh14 THEN 1 ELSE 0 END) + (CASE WHEN a.mh15 = b.mh15 THEN 1 ELSE 0 END) AS n_eq
+  FROM sig a JOIN sig b ON a.source < b.source)
+SELECT source_a, source_b, CAST(n_eq AS INT) AS n_equal_slots,
+       ROUND(CAST(n_eq AS DOUBLE) / 16.0, 6) + 0.0 AS est_jaccard
+FROM eq
+"""
+
+
 ORACLES["daily_changepoint"] = """
 WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d,
                       ROUND(SUM(value), 2) AS day_value
@@ -4074,6 +4157,8 @@ SELECT q.doc_id, q.quality, n.l2_norm,
 FROM q JOIN n ON q.doc_id = n.doc_id
 """
 
+from .operators.clustering import kmeans_oracle_sql as _kmeans_oracle_sql
+
 _SPEC_DEFS: dict[str, QuerySpec] = {
     # parity (reference surface, SURVEY.md §2)
     "raw_transactions": QuerySpec(_q_raw_transactions, ORACLES["raw_transactions"]),
@@ -4162,7 +4247,6 @@ _SPEC_DEFS: dict[str, QuerySpec] = {
     "distinct_users_per_day": QuerySpec(
         _q_distinct_users_per_day, ORACLES["distinct_users_per_day"]
     ),
-    "approx_distinct_users": QuerySpec(_q_approx_distinct_users, None),
     "value_stats_per_type": QuerySpec(
         _q_value_stats, ORACLES["value_stats_per_type"]
     ),
@@ -4395,11 +4479,14 @@ _SPEC_DEFS: dict[str, QuerySpec] = {
         _q_distinct_user_event_pairs, ORACLES["distinct_user_event_pairs"]
     ),
     "ann_lsh_topk": QuerySpec(_q_ann_lsh_topk, ORACLES["ann_lsh_topk"]),
+    "ann_lsh_multiprobe": QuerySpec(
+        _q_ann_lsh_multiprobe, ORACLES["ann_lsh_multiprobe"]
+    ),
     "ann_lsh_topk_planned": QuerySpec(
         _q_ann_lsh_planned, ORACLES["ann_lsh_topk_planned"]
     ),
     "ivf_ann_topk": QuerySpec(_q_ivf_topk, ORACLES["ivf_ann_topk"]),
-    "kmeans_cluster_sizes": QuerySpec(_q_kmeans_sizes, None),
+    "kmeans_cluster_sizes": QuerySpec(_q_kmeans_sizes, _kmeans_oracle_sql()),
     "label_centroids": QuerySpec(_q_label_centroids, ORACLES["label_centroids"]),
     "embedding_drift": QuerySpec(_q_embedding_drift, ORACLES["embedding_drift"]),
     "corpus_diversity": QuerySpec(
@@ -4528,6 +4615,15 @@ _SPEC_DEFS: dict[str, QuerySpec] = {
         _q_pmi_collocations, ORACLES["pmi_collocations"]
     ),
     "bloom_bits": QuerySpec(_q_bloom_bits, ORACLES["bloom_bits"]),
+    "events_profile": QuerySpec(
+        _q_events_profile, ORACLES["events_profile"]
+    ),
+    "mmr_select": QuerySpec(
+        _q_mmr_select, similarity.mmr_oracle_sql()
+    ),
+    "source_overlap_minhash": QuerySpec(
+        _q_source_overlap_minhash, ORACLES["source_overlap_minhash"]
+    ),
     "bloom_admission": QuerySpec(
         _q_bloom_admission, ORACLES["bloom_admission"], bench=True
     ),
@@ -4544,77 +4640,73 @@ _SPEC_DEFS: dict[str, QuerySpec] = {
 # because their code is untouched; touching one moves it back into
 # the window.
 _VERIFY_FIRST: tuple[str, ...] = (
-    # (1) plan changed this round (r04) — MUST re-certify:
-    # zero-vector cosine/scale guard touched the whole similarity
-    # family; budgeted_mixture got the (source, quality-bucket)
-    # window decomposition; shingle_novelty got the structural df cap
-    "budgeted_mixture",
-    "shingle_novelty",
-    # NEW this round — must be verified in its first round
-    "prefix_jaccard_pairs",
-    "bm25_topk",
-    "phrase_search",
-    "hybrid_search_rrf",
-    "supplier_pagerank",
-    "lsh_recall_report",
-    "corpus_growth",
-    "cross_corpus_surprisal",
-    "media_dedup",
-    "value_percentiles_hist",
-    "event_user_skew_topk",
-    "event_user_skew_summary",
-    "incremental_fuzzy_dedup",
-    "weighted_sample",
-    "weighted_sample_by_source",
-    "countmin_sketch",
-    "countmin_estimates",
-    "nb_lang_scores",
-    "entity_merge_groups",
-    "daily_gapfill",
-    "first_conversion_episode",
-    "jl_project",
-    "pq_codes",
-    "pq_ann_topk",
-    "pq_ann_rerank",
-    "ivf_pq_topk",
-    "repeated_substring_spans",
-    "corpus_funnel",
-    "corpus_funnel_by_source",
-    "curation_drop_reasons",
-    "quality_thresholds",
-    "bpe_merge_candidates",
-    "daily_anomaly_scores",
-    "asof_next_purchase",
-    "semantic_dedup",
-    "hard_negatives",
-    "gopher_quality_flags",
-    "balanced_shards",
-    "shard_balance",
-    "knn_bruteforce",
-    "knn_bruteforce_pandas",
-    "knn_int8",
-    "ann_lsh_topk",
-    "ann_lsh_topk_planned",
-    "ivf_ann_topk",
-    "embedding_near_dup_pairs",
-    "embedding_quantize_int8",
-    # NEW in r05 (late addition) — takes the one backfill slot
-    # q1_pricing_summary held (q1 keeps its r01 certification: its
-    # plan is unchanged since, fingerprint-checked by
-    # tests/test_certification_invariant.py). The OTHER late-r05
-    # queries arrived after the window filled: they sit at the
-    # registry tail with sf0.01 mini-driver green runs only, their
-    # ledger fingerprints track HEAD (nothing certified to protect),
-    # and they go FIRST into the r06 window — see COVERAGE.md
-    # "Verification rotation".
-    "pit_enriched_events",
-    # q2_min_cost_supplier / q3_shipping_priority / q4_order_priority / q5_regional_revenue / q6_revenue_forecast / q7_volume_shipping / q8_market_share / q9_product_profit / q10_returned_items / q11_important_parts / q12_priority_shipping / q13_order_distribution / q14_promo_revenue / q15_top_supplier / q16_part_supplier_counts / q17_small_quantity_revenue / q18_large_volume_customers / q19_disjunctive_revenue / q20_promotion_suppliers / q21_waiting_suppliers / q22_sales_opportunity / customer_order_totals / customers_without_orders / orders_with_big_lineitem / parts_by_brand_type / events_by_customer_segment / revenue_by_brand / top10_orders / top_users_per_event_type / daily_running_revenue / weekly_moving_avg / sales_rollup / event_type_cube / event_value_pivot / distinct_users_per_day / value_stats_per_type /
-    # session_window_stats / conversion_funnel / weekly_retention /
-    # approx_distinct_users rotate next round — displaced by the
-    # never-yet-verified r04/r05 additions (new queries must certify
-    # in their first verified round; every displaced query keeps its
-    # prior-round row ledger-protected because its code is unchanged
-    # since, enforced by tests/test_certification_invariant.py)
+    # r05 window (VERDICT r04 #2). Composition:
+    # (1) the 43 never-externally-certified queries — the entire
+    #     late-r04 block (HLL family, PSI drift, Bloom admission +
+    #     runtime-filter join, PMI, attribution, copurchase/triangle
+    #     census, k-anonymity/l-diversity, changepoint, A/B test,
+    #     quota sampling, RFM, seasonal decompose, shard manifest,
+    #     substring dedup, diversity/drift tail) — internal
+    #     mini-driver green since they landed, now getting the hard
+    #     external signal. kmeans_cluster_sizes is in this set AND
+    #     plan-changed this round: it gained the unrolled-CTE DuckDB
+    #     oracle (portable quantization — clustering.py), ending its
+    #     rows-only status. bloom_filtered_join and
+    #     copurchase_graph_stats also plan-changed (NULL-keeping
+    #     bloom keep; lazy localCheckpoints) — both are in this set.
+    # (2) NEW in r05: ann_lsh_multiprobe (Hamming-1 probe LSH).
+    # (3) backfill: the 6 oldest r01-certified queries (q17–q22, rows
+    #     three rounds old), per COVERAGE.md's staleness rotation.
+    "retention_rates",
+    "documents_deduped_best",
+    "temperature_mixture",
+    "temperature_mixture_summary",
+    "char_entropy",
+    "sentence_chunks",
+    "kmeans_cluster_sizes",
+    "embedding_drift",
+    "corpus_diversity",
+    "event_transitions",
+    "top_session_paths",
+    "rolling_active_users",
+    "sliding_event_counts",
+    "dup_rate_by_source",
+    "copurchase_pairs",
+    "rfm_segments",
+    "decayed_user_value",
+    "shard_manifest",
+    "documents_substr_deduped",
+    "event_type_correlations",
+    "robust_value_stats",
+    "seasonal_daily_decompose",
+    "copurchase_components",
+    "linear_attribution",
+    "copurchase_graph_stats",
+    "quality_psi_by_source",
+    "l_diversity_report",
+    "daily_changepoint",
+    "daily_distinct_users_hll",
+    "weekly_distinct_users_hll",
+    "bloom_filtered_join",
+    "zipf_fit",
+    "ab_test_report",
+    "conversion_lag_stats",
+    "sample_k_per_group",
+    "k_anonymity_violations",
+    "k_anonymity_report",
+    "hll_registers",
+    "hll_distinct_users",
+    "value_psi_by_type",
+    "pmi_collocations",
+    "bloom_bits",
+    "bloom_admission",
+    "ann_lsh_multiprobe",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customers",
+    "q19_disjunctive_revenue",
+    "q20_promotion_suppliers",
+    "q21_waiting_suppliers",
+    "q22_sales_opportunity",
 )
 assert set(_VERIFY_FIRST) <= set(_SPEC_DEFS), sorted(
     set(_VERIFY_FIRST) - set(_SPEC_DEFS)

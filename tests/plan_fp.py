@@ -67,10 +67,15 @@ def load_ledger() -> dict[str, str]:
 
 
 def externally_certified() -> set[str]:
-    """Queries holding at least one green row in any round's external
-    CORRECTNESS artifact — the set whose ledger fingerprints protect a
-    real certification. Everything else is never-certified: its
-    fingerprint tracks HEAD until its first external green row."""
+    """Queries holding at least one VALUE-certified green row
+    (rows+schema+hash all matched) in any round's external CORRECTNESS
+    artifact — the only set whose ledger fingerprints protect a real
+    certification. Rows-only observations (``err == "no_oracle"``, a
+    row count recorded but nothing about values or schema validated)
+    deliberately do NOT count: anchoring the laundering guard on them
+    would pool a fingerprint that certifies nothing with the
+    hash-certified ones (ADVICE r04). Use ``rows_only_observed`` to
+    see that weaker set; its members' fingerprints track HEAD."""
     names: set[str] = set()
     for p in sorted(Path(__file__).resolve().parent.parent.glob("CORRECTNESS_r*.json")):
         try:
@@ -80,18 +85,32 @@ def externally_certified() -> set[str]:
         for name, row in data.items():
             if not isinstance(row, dict):
                 continue
-            green = (
+            if (
                 row.get("rows_match")
                 and row.get("schema_match")
                 and row.get("hash_match")
-            )
-            # rows-only queries (no oracle) certify via the weaker
-            # rows-observed check: a row count was recorded, no error
-            rows_only_green = (
-                row.get("err") == "no_oracle"
+            ):
+                names.add(name)
+    return names
+
+
+def rows_only_observed() -> set[str]:
+    """Queries whose only external signal is the weaker rows-observed
+    check (no oracle; a row count recorded without error). Tracked
+    separately from :func:`externally_certified` so the two are never
+    pooled."""
+    names: set[str] = set()
+    for p in sorted(Path(__file__).resolve().parent.parent.glob("CORRECTNESS_r*.json")):
+        try:
+            data = json.loads(p.read_text())
+        except (OSError, json.JSONDecodeError):
+            continue
+        for name, row in data.items():
+            if (
+                isinstance(row, dict)
+                and row.get("err") == "no_oracle"
                 and row.get("spark_rows") is not None
-            )
-            if green or rows_only_green:
+            ):
                 names.add(name)
     return names
 

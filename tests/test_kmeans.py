@@ -19,12 +19,14 @@ def _numpy_kmeans(X, ids, k, n_iter):
     cents = X[order[:k]].astype(np.float64).copy()
     assign = None
     for _ in range(n_iter):
-        d = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        # 9dp distance / 6dp centroid quantization mirrors the
+        # engine-portable determinism anchors in clustering.py
+        d = np.round(((X[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2), 9)
         assign = d.argmin(axis=1)  # first index on ties, like the Spark impl
         for c in range(k):
             pts = X[assign == c]
             if len(pts):
-                cents[c] = pts.mean(axis=0)
+                cents[c] = np.round(pts.mean(axis=0), 6)
     return assign
 
 

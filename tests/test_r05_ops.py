@@ -1,0 +1,182 @@
+"""Round-5 operators: multi-probe LSH, MMR selection, source-level
+MinHash overlap, table profiling, and the NULL-keeping bloom
+prefilter semantics."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from flink_ecommerce_spark import catalog
+from flink_ecommerce_spark.operators import similarity
+from flink_ecommerce_spark.operators.dedup import source_overlap_minhash
+from flink_ecommerce_spark.operators.scale import bloom_prefilter, table_profile
+
+from tests.conftest import SF_SMALL
+
+
+def _recall_vs_truth(spark, emb, rows):
+    truth: dict[int, set[int]] = {}
+    for r in similarity.knn_bruteforce(emb).collect():
+        truth.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    got: dict[int, set[int]] = {}
+    for r in rows:
+        got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    rc = [
+        len(got.get(q, set()) & nbrs) / len(nbrs)
+        for q, nbrs in truth.items()
+        if nbrs
+    ]
+    return sum(rc) / len(rc) if rc else 0.0
+
+
+def test_multiprobe_recall_dominates_single_probe(spark):
+    """Hamming-1 probing is a strict candidate-set superset of the
+    single-probe bucket, so recall can only go up."""
+    emb = catalog.table(spark, SF_SMALL, "embeddings")
+    single = _recall_vs_truth(
+        spark, emb, similarity.ann_lsh_topk(emb).collect()
+    )
+    multi = _recall_vs_truth(
+        spark, emb, similarity.ann_lsh_multiprobe(emb).collect()
+    )
+    assert multi >= single
+
+
+def test_multiprobe_candidates_superset(spark):
+    """Every single-probe result survives into the multiprobe
+    candidate pool (it may be out-ranked, but a query's top-1 from
+    the same bucket cannot disappear)."""
+    emb = catalog.table(spark, SF_SMALL, "embeddings")
+    single_top1 = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.ann_lsh_topk(emb, k=1).collect()
+    }
+    multi_scored = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.ann_lsh_multiprobe(
+            emb, k=similarity.DEFAULT_K
+        ).collect()
+    }
+    # the single-probe top-1 has the bucket's best cosine; multiprobe
+    # ranks it against more candidates but k=5 keeps at least the
+    # best few — top-1 by definition still ranks ≤ 5 only if fewer
+    # than 5 better candidates exist elsewhere, so assert on rank-1:
+    multi_top1 = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.ann_lsh_multiprobe(emb, k=1).collect()
+        if r["rk"] == 1
+    }
+    # multiprobe's top-1 cosine must be >= single-probe's top-1 cosine
+    s1 = {
+        r["query_id"]: r["cos_sim"]
+        for r in similarity.ann_lsh_topk(emb, k=1).collect()
+    }
+    m1 = {
+        r["query_id"]: r["cos_sim"]
+        for r in similarity.ann_lsh_multiprobe(emb, k=1).collect()
+    }
+    for q, sim in s1.items():
+        assert q in m1 and m1[q] >= sim
+    assert single_top1 and multi_top1 and multi_scored
+
+
+def test_mmr_select_shape_and_determinism(spark):
+    emb = catalog.table(spark, SF_SMALL, "embeddings")
+    rows = similarity.mmr_select(emb).collect()
+    assert [r["step"] for r in sorted(rows, key=lambda r: r["step"])] == [
+        1,
+        2,
+        3,
+        4,
+        5,
+    ]
+    assert len({r["vec_id"] for r in rows}) == 5
+    again = similarity.mmr_select(emb).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_mmr_first_pick_is_most_central(spark):
+    """Step 1 is pure relevance: the vector with max cosine to the
+    corpus centroid (ties to lowest vec_id)."""
+    emb = catalog.table(spark, SF_SMALL, "embeddings")
+    rows = {r["step"]: r for r in similarity.mmr_select(emb).collect()}
+    cent = (
+        emb.select(F.posexplode("embedding").alias("dim", "v"))
+        .groupBy("dim")
+        .agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("m"))
+        .collect()
+    )
+    cent_arr = F.array(
+        *[
+            F.lit(float(r["m"]))
+            for r in sorted(cent, key=lambda r: r["dim"])
+        ]
+    )
+    from flink_ecommerce_spark.functions.vector import cosine_sim
+
+    best = (
+        emb.select(
+            "vec_id",
+            F.round(cosine_sim(F.col("embedding"), cent_arr), 6).alias("rel"),
+        )
+        .orderBy(F.desc("rel"), F.asc("vec_id"))
+        .limit(1)
+        .collect()[0]
+    )
+    assert rows[1]["vec_id"] == best["vec_id"]
+    assert abs(rows[1]["score"] - best["rel"]) < 1e-9
+
+
+def test_source_overlap_identical_sources_hit_one(spark):
+    """A cloned source (same shingle set under a new name) must show
+    est_jaccard == 1.0 against its original — the signatures are
+    deterministic functions of the shingle set."""
+    docs = catalog.table(spark, SF_SMALL, "documents")
+    one = docs.filter(F.col("source") == docs.select("source").first()[0])
+    clone = one.withColumn("source", F.concat(F.col("source"), F.lit("_dup")))
+    out = {
+        (r["source_a"], r["source_b"]): r["est_jaccard"]
+        for r in source_overlap_minhash(one.unionAll(clone)).collect()
+    }
+    assert len(out) == 1
+    assert list(out.values())[0] == 1.0
+
+
+def test_source_overlap_bounds_and_pairs(spark):
+    docs = catalog.table(spark, SF_SMALL, "documents")
+    n_sources = docs.select("source").distinct().count()
+    rows = source_overlap_minhash(docs).collect()
+    assert len(rows) == n_sources * (n_sources - 1) // 2
+    for r in rows:
+        assert 0.0 <= r["est_jaccard"] <= 1.0
+        assert r["source_a"] < r["source_b"]
+
+
+def test_table_profile_counts(spark):
+    ev = catalog.table(spark, SF_SMALL, "events")
+    prof = {
+        r["col_name"]: r
+        for r in table_profile(ev, ["user_id", "event_type"]).collect()
+    }
+    n = ev.count()
+    assert prof["user_id"]["n_rows"] == n
+    assert prof["event_type"]["n_distinct"] == (
+        ev.select("event_type").distinct().count()
+    )
+    assert prof["user_id"]["n_nulls"] == ev.filter(
+        F.col("user_id").isNull()
+    ).count()
+
+
+def test_bloom_prefilter_keeps_null_keys(spark):
+    """NULL fact keys pass through (lossless for outer-join reuse);
+    the inner-join equivalence is already property-tested in
+    test_scale.py."""
+    fact = spark.createDataFrame(
+        [(1, "a"), (None, "b"), (2, "c")], "k int, v string"
+    )
+    keys = spark.createDataFrame([(1,)], "k int")
+    out = bloom_prefilter(fact, keys, "k").collect()
+    vs = {r["v"] for r in out}
+    assert "b" in vs  # NULL key kept
+    assert "a" in vs  # member kept
