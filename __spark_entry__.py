@@ -39,7 +39,16 @@ PSI distribution-drift monitoring, multi-touch linear revenue
 attribution, the degree-ordered co-purchase triangle census,
 k-anonymity release gates, exact per-group quota sampling,
 conversion lag distributions, and the two-proportion A/B z-test —
-each with a
+plus the round-5 block: the oracle-exact quantized Lloyd k-means
+(unrolled per-iteration CTE oracle — the registry now has ZERO
+rows-only entries), multi-probe hyperplane LSH (Hamming-1 probing,
+corpus hashed once), the ann_plan_for strategy planner
+(brute-force GEMM under the dot-product budget, two-stage PQ
+re-rank above), greedy MMR exemplar selection, source-level
+MinHash overlap (mergeable per-source signatures), Kneser-Ney
+bigram LM surprisal, one-scan column profiling, and the
+skew-salted join pattern carrying its own external correctness
+row — each with a
 DuckDB oracle twin (COVERAGE.md is the full map; non-query machinery
 — continuous aggregates, Z-order layout, streaming
 sinks/packing/dedup/fuzzy-admission, BPE tokenizer train/apply — is

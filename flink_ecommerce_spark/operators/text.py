@@ -513,6 +513,74 @@ def unigram_surprisal(documents: DataFrame) -> DataFrame:
     )
 
 
+KN_DISCOUNT = 0.75
+
+
+def kn_bigram_surprisal(
+    documents: DataFrame, d: float = KN_DISCOUNT
+) -> DataFrame:
+    """Per-document mean bigram surprisal under an interpolated
+    Kneser-Ney LM estimated from the corpus itself — the step up from
+    ``unigram_surprisal`` toward real model perplexity: KN's
+    continuation probability scores a word by how many CONTEXTS it
+    follows, not how often it occurs, which is what separates genuine
+    text from keyword-stuffed or template spam whose unigram profile
+    looks normal.
+
+        P(w2|w1) = (max(c(w1,w2)−d, 0) + d·N1+(w1,•)·P_cont(w2)) / c(w1)
+        P_cont(w2) = N1+(•,w2) / #bigram-types
+
+    Output: (doc_id, n_bigrams, avg_kn_surprisal) — mean −log₂P over
+    the document's bigram tokens, rounded 6dp; documents with < 2
+    words have no bigrams and drop out (identically in both engines).
+
+    Scale: bigram counts / context-type counts are vocabulary²-
+    bounded-by-observed aggregates with map-side combine; the type
+    total folds in as a one-row broadcast; the only corpus-sized
+    shuffle is the bigram-keyed join of the probability table back to
+    the document bigrams — the same shape as unigram_surprisal's
+    term join. Every count is an exact integer; the float expression
+    is written with the identical operation order in the DuckDB
+    oracle so both engines run the same IEEE sequence."""
+    toks = documents.select("doc_id", words("text").alias("__w"))
+    bi = toks.select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.expr("slice(__w, 1, size(__w) - 1)"),
+                F.expr("slice(__w, 2, size(__w) - 1)"),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.w1", "b.w2")
+    bc = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    c1 = bc.groupBy("w1").agg(
+        F.sum("c").alias("c1"), F.count(F.lit(1)).alias("n1f")
+    )
+    nb = bc.groupBy("w2").agg(F.count(F.lit(1)).alias("n1b"))
+    t = bc.agg(F.count(F.lit(1)).alias("t"))
+    pkn = (
+        F.greatest(F.col("c") - F.lit(d), F.lit(0.0))
+        + F.lit(d) * F.col("n1f") * F.col("n1b") / F.col("t")
+    ) / F.col("c1")
+    p = (
+        bc.join(c1, "w1")
+        .join(nb, "w2")
+        .crossJoin(F.broadcast(t))
+        .select("w1", "w2", pkn.alias("__p"))
+    )
+    return (
+        bi.join(p, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            (F.round(F.avg(-F.log2(F.col("__p"))), 6) + 0.0).alias(
+                "avg_kn_surprisal"
+            ),
+        )
+    )
+
+
 def cross_corpus_surprisal(
     new: DataFrame,
     history: DataFrame | None = None,

@@ -1230,6 +1230,34 @@ def _q_mmr_select(spark, sf):
     return similarity.mmr_select(_t("embeddings")(spark, sf))
 
 
+def _q_kn_bigram_surprisal(spark, sf):
+    return text.kn_bigram_surprisal(_t("documents")(spark, sf))
+
+
+def _q_salted_segment_revenue(spark, sf):
+    """The explicit skew-salting pattern carrying an external
+    correctness row: fact (events keyed by user) sprays across 8
+    salts, the customer dim replicates — output must equal the plain
+    join exactly (salt never appears in the result). At fixture scale
+    Catalyst would broadcast this dim anyway; the row certifies VALUE
+    equality of the pattern, the plan test in tests/test_scale.py
+    certifies its shape on a forced shuffle join."""
+    from .operators.scale import salted_join
+
+    ev = _t("events")(spark, sf).select(
+        F.col("user_id").alias("c_custkey"), "value"
+    )
+    cust = _t("customer")(spark, sf).select("c_custkey", "c_mktsegment")
+    return (
+        salted_join(ev, cust, "c_custkey", salt=8)
+        .groupBy("c_mktsegment")
+        .agg(
+            (F.round(F.sum("value"), 2) + 0.0).alias("total_value"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
 def _q_events_profile(spark, sf):
     from .operators.scale import table_profile
 
@@ -3911,6 +3939,32 @@ FROM terms GROUP BY source
 
 ORACLES["l_diversity_report"] = text.sql_l_diversity_report()
 
+ORACLES["kn_bigram_surprisal"] = f"""
+WITH toks AS (SELECT doc_id, {_WORDS} AS w FROM documents),
+bi AS (SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+       FROM toks, UNNEST(generate_series(1, len(w) - 1)) AS s(i)),
+bc AS (SELECT w1, w2, COUNT(*) AS c FROM bi GROUP BY 1, 2),
+c1 AS (SELECT w1, SUM(c) AS c1, COUNT(*) AS n1f FROM bc GROUP BY 1),
+nb AS (SELECT w2, COUNT(*) AS n1b FROM bc GROUP BY 1),
+t AS (SELECT COUNT(*) AS t FROM bc),
+p AS (SELECT bc.w1, bc.w2,
+             (GREATEST(bc.c - {text.KN_DISCOUNT}, 0.0)
+              + {text.KN_DISCOUNT} * c1.n1f * nb.n1b / t.t) / c1.c1 AS pkn
+      FROM bc JOIN c1 USING (w1) JOIN nb USING (w2) CROSS JOIN t)
+SELECT bi.doc_id, COUNT(*) AS n_bigrams,
+       ROUND(AVG(-log2(p.pkn)), 6) + 0.0 AS avg_kn_surprisal
+FROM bi JOIN p ON bi.w1 = p.w1 AND bi.w2 = p.w2
+GROUP BY 1
+"""
+
+ORACLES["salted_segment_revenue"] = """
+SELECT c.c_mktsegment, ROUND(SUM(e.value), 2) + 0.0 AS total_value,
+       COUNT(*) AS n_events
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1
+"""
+
+
 _PROFILE_COLS = ["event_id", "user_id", "event_type", "value"]
 ORACLES["events_profile"] = "\nUNION ALL\n".join(
     f"""SELECT '{c}' AS col_name, COUNT(*) AS n_rows,
@@ -4615,6 +4669,12 @@ _SPEC_DEFS: dict[str, QuerySpec] = {
         _q_pmi_collocations, ORACLES["pmi_collocations"]
     ),
     "bloom_bits": QuerySpec(_q_bloom_bits, ORACLES["bloom_bits"]),
+    "kn_bigram_surprisal": QuerySpec(
+        _q_kn_bigram_surprisal, ORACLES["kn_bigram_surprisal"]
+    ),
+    "salted_segment_revenue": QuerySpec(
+        _q_salted_segment_revenue, ORACLES["salted_segment_revenue"]
+    ),
     "events_profile": QuerySpec(
         _q_events_profile, ORACLES["events_profile"]
     ),
