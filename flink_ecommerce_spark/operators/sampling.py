@@ -421,3 +421,73 @@ rk AS (SELECT {group_col}, doc_id,
        FROM scored)
 SELECT {group_col}, doc_id, rk FROM rk WHERE rk <= {k}
 """
+
+
+QMATCH_RES = 1_000_000  # hash-threshold resolution for rate sampling
+
+
+def quality_matched_sample(
+    documents: DataFrame, salt: str = "qmatch"
+) -> DataFrame:
+    """(doc_id, source, bucket) — per-source importance resampling so
+    every source's QUALITY-SCORE DISTRIBUTION matches the corpus-wide
+    one (the CCNet-shaped distribution-matching step): within each
+    (source, quality-decile) cell, keep with rate min(1, corpus_share
+    / source_share), so an over-represented cell (a crawl dump that
+    is 80% bottom-decile boilerplate) downsamples toward the corpus
+    mix while under-represented cells keep everything. After this, a
+    per-source mixture weight changes VOLUME without dragging the
+    quality profile with it.
+
+    Determinism/portability: buckets come from the shared logistic
+    quality rounded 6dp then decile-floored (identical doubles in
+    both engines — the 6dp values already hash-match in
+    quality_scores); acceptance thresholds are integers
+    (round(rate·10⁶)) compared against the portable hash mod 10⁶, so
+    keep decisions are bit-exact across engines, reruns, and
+    partitionings.
+
+    Scale: one text scan computes (doc_id, source, bucket) — lazily
+    localCheckpoint'ed because both the cell-count aggregate and the
+    final filter consume it (one quality-regex pass, not two); the
+    rate table is sources × 10 rows (broadcast); the keep filter is a
+    pure per-row expression. No corpus-sized shuffle anywhere."""
+    from .text import _quality_column
+
+    scored = documents.select(
+        "doc_id",
+        "source",
+        F.least(
+            F.lit(9),
+            F.floor(F.round(_quality_column(), 6) * 10).cast("int"),
+        ).cast("int").alias("bucket"),
+    ).localCheckpoint(eager=False)
+    gb = scored.groupBy("source", "bucket").agg(
+        F.count(F.lit(1)).alias("n_gb")
+    )
+    g = gb.groupBy("source").agg(F.sum("n_gb").alias("n_g"))
+    b = gb.groupBy("bucket").agg(F.sum("n_gb").alias("n_b"))
+    n = gb.agg(F.sum("n_gb").alias("n"))
+    rate = F.least(
+        F.lit(1.0),
+        (F.col("n_b").cast("double") * F.col("n_g"))
+        / (F.col("n").cast("double") * F.col("n_gb")),
+    )
+    thr = (
+        gb.join(g, "source")
+        .join(b, "bucket")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "source",
+            "bucket",
+            F.round(rate * QMATCH_RES, 0).cast("long").alias("__thr"),
+        )
+    )
+    keep = (
+        hash32(F.col("doc_id").cast("string"), salt=salt) % QMATCH_RES
+    ) < F.col("__thr")
+    return (
+        scored.join(F.broadcast(thr), ["source", "bucket"])
+        .filter(keep)
+        .select("doc_id", "source", "bucket")
+    )

@@ -1258,6 +1258,12 @@ def _q_salted_segment_revenue(spark, sf):
     )
 
 
+def _q_quality_matched_sample(spark, sf):
+    from .operators.sampling import quality_matched_sample
+
+    return quality_matched_sample(_t("documents")(spark, sf))
+
+
 def _q_events_profile(spark, sf):
     from .operators.scale import table_profile
 
@@ -3939,6 +3945,38 @@ FROM terms GROUP BY source
 
 ORACLES["l_diversity_report"] = text.sql_l_diversity_report()
 
+ORACLES["quality_matched_sample"] = rf"""
+WITH m0 AS (
+  SELECT doc_id, source,
+         CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) AS n_tok,
+         CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) AS DOUBLE) AS n_punct,
+         CAST(len(list_filter({_WORDS}, w -> w IN ({_EN_SW}))) AS DOUBLE) AS n_stop,
+         CAST(length(text) AS DOUBLE) AS n_chars
+  FROM documents),
+sb AS (
+  SELECT doc_id, source,
+         CAST(LEAST(9, FLOOR(
+           ROUND(1.0 / (1.0 + exp(-(-2.0 + 0.02 * n_tok + 4.0 * (n_stop / n_tok)
+                 - 8.0 * (n_punct / n_chars)
+                 - 0.1 * abs((n_chars - (n_tok - 1)) / n_tok - 5.0)))), 6)
+           * 10)) AS INT) AS bucket
+  FROM m0),
+gb AS (SELECT source, bucket, COUNT(*) AS n_gb FROM sb GROUP BY 1, 2),
+g AS (SELECT source, SUM(n_gb) AS n_g FROM gb GROUP BY 1),
+b AS (SELECT bucket, SUM(n_gb) AS n_b FROM gb GROUP BY 1),
+n AS (SELECT SUM(n_gb) AS n FROM gb),
+r AS (SELECT gb.source, gb.bucket,
+             CAST(ROUND(LEAST(1.0,
+                 (CAST(b.n_b AS DOUBLE) * g.n_g)
+                 / (CAST(n.n AS DOUBLE) * gb.n_gb)) * 1000000, 0) AS BIGINT)
+               AS thr
+      FROM gb JOIN g USING (source) JOIN b USING (bucket) CROSS JOIN n)
+SELECT sb.doc_id, sb.source, sb.bucket
+FROM sb JOIN r ON sb.source = r.source AND sb.bucket = r.bucket
+WHERE {sql_hash32("CAST(sb.doc_id AS VARCHAR)", salt="qmatch")} % 1000000 < r.thr
+"""
+
+
 ORACLES["kn_bigram_surprisal"] = f"""
 WITH toks AS (SELECT doc_id, {_WORDS} AS w FROM documents),
 bi AS (SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
@@ -4674,6 +4712,9 @@ _SPEC_DEFS: dict[str, QuerySpec] = {
     ),
     "salted_segment_revenue": QuerySpec(
         _q_salted_segment_revenue, ORACLES["salted_segment_revenue"]
+    ),
+    "quality_matched_sample": QuerySpec(
+        _q_quality_matched_sample, ORACLES["quality_matched_sample"]
     ),
     "events_profile": QuerySpec(
         _q_events_profile, ORACLES["events_profile"]

@@ -70,3 +70,45 @@ def streaming_hll(
         .groupBy("bucket")
         .agg(F.max("rank").alias("max_rank"))
     )
+
+
+def streaming_source_minhash(
+    documents: DataFrame, num_hashes: int | None = None
+) -> DataFrame:
+    """Document stream → running per-source MinHash signatures
+    (source, mh0..mh{H-1}): the third structurally-bounded sketch —
+    state is ≤ #sources rows of H longs no matter how many documents
+    or shingles flow, because element-wise MIN, like Count-Min's sum
+    and HLL's max, commutes with micro-batching. The emitted
+    signature table equals the batch per-source signatures inside
+    ``operators.dedup.source_overlap_minhash`` over the same
+    documents (pinned in tests), so pairwise overlap estimates can be
+    read live off a stream — the mixture-design double-count check as
+    a monitoring surface, and a shard's streamed signature merges
+    into the fleet's stored one by the same MIN."""
+    from ..operators.dedup import MINHASH_PRIME, NUM_HASHES
+    from ..operators.textprep import shingles_from_words
+    from ..functions.portable import hash32_from_digest, salted_md5
+
+    h = num_hashes or NUM_HASHES
+    sh = documents.select(
+        "source",
+        F.explode(shingles_from_words(words(F.col("text")))).alias(
+            "shingle"
+        ),
+    )
+    hashed = sh.select(
+        "source", salted_md5(F.col("shingle"), salt="mh").alias("__d")
+    ).select(
+        "source",
+        hash32_from_digest("__d", half=0).alias("h1"),
+        hash32_from_digest("__d", half=1).alias("h2"),
+    )
+    return hashed.groupBy("source").agg(
+        *[
+            F.min((F.col("h1") + i * F.col("h2")) % MINHASH_PRIME).alias(
+                f"mh{i}"
+            )
+            for i in range(h)
+        ]
+    )

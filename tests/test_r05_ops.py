@@ -256,6 +256,54 @@ def test_kn_continuation_beats_burst_frequency(spark):
     assert out == again
 
 
+def test_quality_matched_sample_keeps_underrepresented_cells(spark):
+    """Distribution-matching invariant: a (source, bucket) cell whose
+    source share is at or below the corpus share has rate 1 — every
+    doc kept; over-represented cells shrink."""
+    from flink_ecommerce_spark.operators.sampling import (
+        quality_matched_sample,
+    )
+    from flink_ecommerce_spark.operators.text import _quality_column
+
+    docs = catalog.table(spark, SF_SMALL, "documents")
+    sb = docs.select(
+        "doc_id",
+        "source",
+        F.least(
+            F.lit(9),
+            F.floor(F.round(_quality_column(), 6) * 10).cast("int"),
+        ).cast("int").alias("bucket"),
+    )
+    cells = {
+        (r["source"], r["bucket"]): r["n"]
+        for r in sb.groupBy("source", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    n = sum(cells.values())
+    n_g = {}
+    n_b = {}
+    for (s, b), c in cells.items():
+        n_g[s] = n_g.get(s, 0) + c
+        n_b[b] = n_b.get(b, 0) + c
+    kept = {
+        (r["source"], r["bucket"]): r["n"]
+        for r in quality_matched_sample(docs)
+        .groupBy("source", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    saturated = 0
+    for (s, b), c in cells.items():
+        rate = min(1.0, (n_b[b] * n_g[s]) / (n * c))
+        if rate >= 1.0:
+            saturated += 1
+            assert kept.get((s, b), 0) == c, (s, b)
+        else:
+            assert kept.get((s, b), 0) <= c
+    assert saturated > 0  # the fixture must exercise the rate-1 branch
+
+
 def test_bloom_prefilter_keeps_null_keys(spark):
     """NULL fact keys pass through (lossless for outer-join reuse);
     the inner-join equivalence is already property-tested in

@@ -97,3 +97,82 @@ def test_streaming_hll_converges_to_batch(spark, tmp_path):
     }
     assert got == want
     assert len(got) <= 256
+
+
+def test_streaming_source_minhash_converges_to_batch(spark, tmp_path):
+    """Per-source MIN signatures commute with micro-batching: the
+    streamed final state equals the batch signature table, so live
+    overlap estimates match offline ones."""
+    from pyspark.sql import functions as F
+
+    from flink_ecommerce_spark.operators.dedup import (
+        MINHASH_PRIME,
+        NUM_HASHES,
+    )
+    from flink_ecommerce_spark.functions.portable import (
+        hash32_from_digest,
+        salted_md5,
+    )
+    from flink_ecommerce_spark.operators.textprep import (
+        shingles_from_words,
+        words,
+    )
+    from flink_ecommerce_spark.streaming.sketch import (
+        streaming_source_minhash,
+    )
+
+    rows = [
+        (0, "alpha beta gamma delta epsilon zeta", "en", "s1", 10),
+        (1, "beta gamma delta epsilon zeta eta", "en", "s2", 10),
+        (2, "totally different words over here now", "en", "s1", 10),
+        (3, "alpha beta gamma delta epsilon zeta", "en", "s2", 10),
+    ]
+    src = str(tmp_path / "docs")
+    _write_chunk(spark, src, rows[:2], 1)
+    _write_chunk(spark, src, rows[2:], 2)
+    stream = (
+        spark.readStream.schema(DOCUMENTS_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/chunk=*")
+    )
+    q = (
+        streaming_source_minhash(stream)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("smh_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt_smh"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        r["source"]: tuple(r[f"mh{i}"] for i in range(NUM_HASHES))
+        for r in spark.sql("SELECT * FROM smh_out").collect()
+    }
+    batch = spark.createDataFrame(rows, DOCUMENTS_SCHEMA)
+    sh = batch.select(
+        "source",
+        F.explode(shingles_from_words(words(F.col("text")))).alias("s"),
+    )
+    hashed = sh.select(
+        "source", salted_md5(F.col("s"), salt="mh").alias("__d")
+    ).select(
+        "source",
+        hash32_from_digest("__d", half=0).alias("h1"),
+        hash32_from_digest("__d", half=1).alias("h2"),
+    )
+    want = {
+        r["source"]: tuple(r[f"mh{i}"] for i in range(NUM_HASHES))
+        for r in hashed.groupBy("source")
+        .agg(
+            *[
+                F.min(
+                    (F.col("h1") + i * F.col("h2")) % MINHASH_PRIME
+                ).alias(f"mh{i}")
+                for i in range(NUM_HASHES)
+            ]
+        )
+        .collect()
+    }
+    assert got == want
+    assert len(got) == 2  # structural bound: one row per source
