@@ -674,3 +674,143 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_episodes,
        {pcts}
 FROM lagged
 """
+
+
+def conversion_survival(events: DataFrame) -> DataFrame:
+    """(t_days, n_risk, n_events, n_censored, survival) — Kaplan-Meier
+    survival curve of days-to-first-purchase after first view, with
+    right-censoring at the corpus horizon: the statistically honest
+    "X% still unconverted after t days" curve.
+    ``conversion_lag_stats`` summarizes only users who DID convert;
+    dropping the non-converters biases every lag statistic optimistic
+    — KM is the standard fix (each censored user contributes to the
+    at-risk denominator up to their observation end, never to the
+    event count).
+
+        S(t_i) = Π_{j ≤ i} (1 − d_j / n_j)
+
+    Engine-portable determinism: times are integer DAYS, d/n/c are
+    exact integer counts, and the product unrolls as
+    exp(Σ ln(1 − d/n)) over an ordered window — the identical IEEE
+    sequence in the DuckDB oracle — rounded 6dp. A day where every
+    remaining at-risk user converts (d = n) zeroes the curve; that
+    factor's ln is ±engine-dependent at 0, so a window MAX flag pins
+    survival to exactly 0.0 from that day on in both engines.
+
+    Scale: two narrow per-user aggregations (first view, first
+    subsequent purchase) shuffle user-keyed scalar pairs; everything
+    after is arithmetic over a ≤ #distinct-days table — the final
+    windows are deliberately tiny-global, like balanced_shards'
+    offset table."""
+    d = F.to_date("ts")
+    fv = (
+        events.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min(d).alias("view_d"))
+    )
+    fp = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min(d).alias("purchase_d"))
+    )
+    horizon = events.agg(F.max(d).alias("max_d"))
+    obs = (
+        fv.join(fp, "user_id", "left")
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            F.when(
+                F.col("purchase_d").isNotNull()
+                & (F.col("purchase_d") >= F.col("view_d")),
+                F.datediff("purchase_d", "view_d"),
+            )
+            .otherwise(F.datediff("max_d", "view_d"))
+            .cast("int")
+            .alias("t_days"),
+            (
+                F.col("purchase_d").isNotNull()
+                & (F.col("purchase_d") >= F.col("view_d"))
+            ).cast("int").alias("is_event"),
+        )
+    )
+    per_t = obs.groupBy("t_days").agg(
+        F.sum("is_event").alias("n_events"),
+        (F.count(F.lit(1)) - F.sum("is_event")).alias("n_censored"),
+    )
+    total = per_t.agg(
+        F.sum(F.col("n_events") + F.col("n_censored")).alias("__total")
+    )
+    w_prev = (
+        Window.orderBy("t_days")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_cum = Window.orderBy("t_days").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    at_risk = F.col("__total") - F.coalesce(
+        F.sum(F.col("n_events") + F.col("n_censored")).over(w_prev),
+        F.lit(0),
+    )
+    risked = per_t.crossJoin(F.broadcast(total)).withColumn(
+        "n_risk", at_risk.cast("long")
+    )
+    factor = 1.0 - F.col("n_events").cast("double") / F.col("n_risk")
+    dead = F.max((F.col("n_events") == F.col("n_risk")).cast("int")).over(
+        w_cum
+    )
+    log_sum = F.sum(
+        F.when(F.col("n_events") > 0, F.log(factor)).otherwise(F.lit(0.0))
+    ).over(w_cum)
+    survival = (
+        F.when(dead == 1, F.lit(0.0)).otherwise(
+            F.round(F.exp(log_sum), 6)
+        )
+        + 0.0
+    )
+    return risked.select(
+        "t_days",
+        "n_risk",
+        "n_events",
+        "n_censored",
+        survival.alias("survival"),
+    )
+
+
+def sql_conversion_survival() -> str:
+    """DuckDB twin of ``conversion_survival`` — identical counts,
+    window frames, and exp/ln sequence."""
+    return """
+WITH fv AS (SELECT user_id, MIN(CAST(ts AS DATE)) AS view_d
+            FROM events WHERE event_type = 'view' GROUP BY 1),
+fp AS (SELECT user_id, MIN(CAST(ts AS DATE)) AS purchase_d
+       FROM events WHERE event_type = 'purchase' GROUP BY 1),
+h AS (SELECT MAX(CAST(ts AS DATE)) AS max_d FROM events),
+obs AS (SELECT
+          CAST(CASE WHEN fp.purchase_d IS NOT NULL
+                     AND fp.purchase_d >= fv.view_d
+                    THEN datediff('day', fv.view_d, fp.purchase_d)
+                    ELSE datediff('day', fv.view_d, h.max_d) END AS INT)
+            AS t_days,
+          CASE WHEN fp.purchase_d IS NOT NULL
+                AND fp.purchase_d >= fv.view_d THEN 1 ELSE 0 END AS is_event
+        FROM fv LEFT JOIN fp USING (user_id) CROSS JOIN h),
+per_t AS (SELECT t_days, SUM(is_event) AS n_events,
+                 COUNT(*) - SUM(is_event) AS n_censored
+          FROM obs GROUP BY 1),
+risked AS (SELECT t_days, n_events, n_censored,
+  CAST((SELECT SUM(n_events + n_censored) FROM per_t)
+       - COALESCE(SUM(n_events + n_censored) OVER (ORDER BY t_days
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+    AS BIGINT) AS n_risk
+  FROM per_t)
+SELECT t_days, n_risk, n_events, n_censored,
+  (CASE WHEN MAX(CASE WHEN n_events = n_risk THEN 1 ELSE 0 END)
+          OVER (ORDER BY t_days ROWS BETWEEN UNBOUNDED PRECEDING
+                AND CURRENT ROW) = 1
+        THEN 0.0
+        ELSE ROUND(EXP(SUM(CASE WHEN n_events > 0
+                 THEN LN(1.0 - CAST(n_events AS DOUBLE) / n_risk)
+                 ELSE 0.0 END)
+               OVER (ORDER BY t_days ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW)), 6) END) + 0.0 AS survival
+FROM risked
+"""

@@ -1258,6 +1258,10 @@ def _q_salted_segment_revenue(spark, sf):
     )
 
 
+def _q_conversion_survival(spark, sf):
+    return temporal.conversion_survival(_t("events")(spark, sf))
+
+
 def _q_quality_matched_sample(spark, sf):
     from .operators.sampling import quality_matched_sample
 
@@ -3945,6 +3949,9 @@ FROM terms GROUP BY source
 
 ORACLES["l_diversity_report"] = text.sql_l_diversity_report()
 
+ORACLES["conversion_survival"] = temporal.sql_conversion_survival()
+
+
 ORACLES["quality_matched_sample"] = rf"""
 WITH m0 AS (
   SELECT doc_id, source,
@@ -4712,6 +4719,9 @@ _SPEC_DEFS: dict[str, QuerySpec] = {
     ),
     "salted_segment_revenue": QuerySpec(
         _q_salted_segment_revenue, ORACLES["salted_segment_revenue"]
+    ),
+    "conversion_survival": QuerySpec(
+        _q_conversion_survival, ORACLES["conversion_survival"]
     ),
     "quality_matched_sample": QuerySpec(
         _q_quality_matched_sample, ORACLES["quality_matched_sample"]

@@ -304,6 +304,59 @@ def test_quality_matched_sample_keeps_underrepresented_cells(spark):
     assert saturated > 0  # the fixture must exercise the rate-1 branch
 
 
+def test_conversion_survival_km_reference(spark):
+    """Hand-computed Kaplan-Meier on a synthetic cohort: 4 users view
+    on day 0; u1 converts day 1, u2 day 3, u3/u4 never (censored at
+    the horizon, day 5)."""
+    import datetime as dt
+
+    from flink_ecommerce_spark.plans.temporal import conversion_survival
+
+    def ts(day, hour=0):
+        return dt.datetime(2024, 1, 1 + day, hour)
+
+    rows = [
+        (1, ts(0), 1, "view", 1.0, "{}"),
+        (2, ts(0), 2, "view", 1.0, "{}"),
+        (3, ts(0), 3, "view", 1.0, "{}"),
+        (4, ts(0), 4, "view", 1.0, "{}"),
+        (5, ts(1), 1, "purchase", 5.0, "{}"),
+        (6, ts(3), 2, "purchase", 5.0, "{}"),
+        (7, ts(5), 9, "click", 0.0, "{}"),  # sets the horizon, no view
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    got = {
+        r["t_days"]: (r["n_risk"], r["n_events"], r["n_censored"], r["survival"])
+        for r in conversion_survival(ev).collect()
+    }
+    # day 1: 4 at risk, 1 event -> S = 3/4; day 3: 3 at risk, 1 event
+    # -> S = 3/4 * 2/3 = 1/2; day 5: 2 censored, S unchanged
+    assert got[1] == (4, 1, 0, 0.75)
+    assert got[3] == (3, 1, 0, 0.5)
+    assert got[5] == (2, 0, 2, 0.5)
+
+
+def test_conversion_survival_monotone(spark):
+    from flink_ecommerce_spark.plans.temporal import conversion_survival
+
+    ev = catalog.table(spark, SF_SMALL, "events")
+    rows = sorted(
+        conversion_survival(ev).collect(), key=lambda r: r["t_days"]
+    )
+    assert rows, "fixture produced no cohort"
+    last_s, last_n = 1.0 + 1e-9, None
+    for r in rows:
+        assert r["survival"] <= last_s + 1e-9
+        assert 0.0 <= r["survival"] <= 1.0
+        if last_n is not None:
+            assert r["n_risk"] <= last_n
+        last_s, last_n = r["survival"], r["n_risk"]
+
+
 def test_bloom_prefilter_keeps_null_keys(spark):
     """NULL fact keys pass through (lossless for outer-join reuse);
     the inner-join equivalence is already property-tested in
