@@ -695,3 +695,76 @@ SELECT DATE '1970-01-01' + CAST(est.week * 7 AS INT) AS week_start,
          AS rel_err
 FROM est JOIN ex ON ex.week = est.week
 """
+
+
+KMV_K = 256
+KMV_PROBS = (0.25, 0.5, 0.75, 0.9, 0.99)
+
+
+def kmv_sample(
+    events: DataFrame, k: int = KMV_K, salt: str = "kmv"
+) -> DataFrame:
+    """The k rows with the smallest portable hash of their event_id —
+    a deterministic uniform sample without replacement (a hash-ordered
+    prefix of a uniform permutation), and the KMV/bottom-k sketch
+    primitive: min-k of a union is the min-k of the parts' min-k
+    sets, so per-shard samples MERGE into the global one exactly
+    (pinned in tests). Hash ties break on event_id.
+
+    Scale: orderBy+limit compiles to TakeOrderedAndProject —
+    per-partition k-row heaps, one k-row collect — never a global
+    sort. 100 TB in, k rows out, one pass."""
+    from ..functions.portable import hash32
+
+    return (
+        events.select(
+            "event_id",
+            "value",
+            hash32(F.col("event_id").cast("string"), salt=salt).alias("__h"),
+        )
+        .orderBy(F.asc("__h"), F.asc("event_id"))
+        .limit(k)
+    )
+
+
+def kmv_value_quantiles(
+    events: DataFrame, k: int = KMV_K, salt: str = "kmv"
+) -> DataFrame:
+    """One-row approximate value quantiles from the KMV bottom-k
+    sample — the 100 TB quantile path: an exact percentile() needs
+    the full sorted column; this reads k rows chosen by hash order
+    (error ~ O(1/√k), and because the sample is DETERMINISTIC the
+    estimate is reproducible across engines, reruns, partitionings —
+    unlike percentile_approx, whose sketch is engine-private like the
+    native HLL this repo retired). Mergeable via ``kmv_sample``:
+    per-shard bottom-k sets union → re-take bottom-k → identical
+    estimate. Exact interpolated percentile over the sample matches
+    DuckDB's quantile_cont (the certified idiom)."""
+    s = kmv_sample(events, k, salt)
+    aggs = [F.count(F.lit(1)).alias("n_sampled")]
+    for p in KMV_PROBS:
+        name = f"p{int(p * 100)}"
+        aggs.append(
+            (F.round(F.expr(f"percentile(value, {p})"), 6) + 0.0).alias(name)
+        )
+    return s.agg(*aggs)
+
+
+def sql_kmv_value_quantiles(k: int = KMV_K, salt: str = "kmv") -> str:
+    """DuckDB twin of ``kmv_value_quantiles`` — identical hash order,
+    tie-break, and interpolation."""
+    from ..functions.portable import sql_hash32
+
+    h = sql_hash32("CAST(event_id AS VARCHAR)", salt=salt)
+    qs = ",\n       ".join(
+        f"ROUND(quantile_cont(value, {p}), 6) + 0.0 AS p{int(p * 100)}"
+        for p in KMV_PROBS
+    )
+    return f"""
+WITH s AS (SELECT value FROM (
+  SELECT event_id, value, {h} AS h FROM events
+  ORDER BY h ASC, event_id ASC LIMIT {k}))
+SELECT COUNT(*) AS n_sampled,
+       {qs}
+FROM s
+"""

@@ -1258,6 +1258,10 @@ def _q_salted_segment_revenue(spark, sf):
     )
 
 
+def _q_kmv_value_quantiles(spark, sf):
+    return _sketch.kmv_value_quantiles(_t("events")(spark, sf))
+
+
 def _q_conversion_survival(spark, sf):
     return temporal.conversion_survival(_t("events")(spark, sf))
 
@@ -3951,6 +3955,8 @@ ORACLES["l_diversity_report"] = text.sql_l_diversity_report()
 
 ORACLES["conversion_survival"] = temporal.sql_conversion_survival()
 
+ORACLES["kmv_value_quantiles"] = _sketch.sql_kmv_value_quantiles()
+
 
 ORACLES["quality_matched_sample"] = rf"""
 WITH m0 AS (
@@ -4719,6 +4725,9 @@ _SPEC_DEFS: dict[str, QuerySpec] = {
     ),
     "salted_segment_revenue": QuerySpec(
         _q_salted_segment_revenue, ORACLES["salted_segment_revenue"]
+    ),
+    "kmv_value_quantiles": QuerySpec(
+        _q_kmv_value_quantiles, ORACLES["kmv_value_quantiles"]
     ),
     "conversion_survival": QuerySpec(
         _q_conversion_survival, ORACLES["conversion_survival"]

@@ -357,6 +357,45 @@ def test_conversion_survival_monotone(spark):
         last_s, last_n = r["survival"], r["n_risk"]
 
 
+def test_kmv_sample_merges_exactly(spark):
+    """min-k of a union == min-k over the parts' min-k sets: the
+    property that lets per-shard samples roll up without a corpus
+    rescan."""
+    from flink_ecommerce_spark.operators.sketch import KMV_K, kmv_sample
+
+    ev = catalog.table(spark, SF_SMALL, "events")
+    half_a = ev.filter(F.col("event_id") % 2 == 0)
+    half_b = ev.filter(F.col("event_id") % 2 == 1)
+    merged = kmv_sample(
+        kmv_sample(half_a).unionAll(kmv_sample(half_b)).select(
+            "event_id", "value"
+        ),
+        KMV_K,
+    )
+    direct = {r["event_id"] for r in kmv_sample(ev).collect()}
+    got = {r["event_id"] for r in merged.collect()}
+    assert got == direct
+
+
+def test_kmv_quantiles_near_exact(spark):
+    """The bottom-k estimate lands near the exact quantiles (the
+    sample is uniform; k=256 of ~6k rows → a few percent of the value
+    spread)."""
+    from flink_ecommerce_spark.operators.sketch import kmv_value_quantiles
+
+    ev = catalog.table(spark, SF_SMALL, "events")
+    est = kmv_value_quantiles(ev).collect()[0]
+    exact = ev.agg(
+        F.expr("percentile(value, 0.5)").alias("p50"),
+        F.expr("percentile(value, 0.9)").alias("p90"),
+    ).collect()[0]
+    spread = (
+        ev.agg(F.max("value") - F.min("value")).collect()[0][0] or 1.0
+    )
+    assert abs(est["p50"] - exact["p50"]) / spread < 0.1
+    assert abs(est["p90"] - exact["p90"]) / spread < 0.1
+
+
 def test_bloom_prefilter_keeps_null_keys(spark):
     """NULL fact keys pass through (lossless for outer-join reuse);
     the inner-join equivalence is already property-tested in
