@@ -4722,19 +4722,19 @@ _SPEC_DEFS: dict[str, QuerySpec] = {
     "bloom_bits": QuerySpec(_q_bloom_bits, ORACLES["bloom_bits"]),
     "kn_bigram_surprisal": QuerySpec(
         _q_kn_bigram_surprisal, ORACLES["kn_bigram_surprisal"]
-    ),
+    , bench=True),
     "salted_segment_revenue": QuerySpec(
         _q_salted_segment_revenue, ORACLES["salted_segment_revenue"]
     ),
     "kmv_value_quantiles": QuerySpec(
         _q_kmv_value_quantiles, ORACLES["kmv_value_quantiles"]
-    ),
+    , bench=True),
     "conversion_survival": QuerySpec(
         _q_conversion_survival, ORACLES["conversion_survival"]
-    ),
+    , bench=True),
     "quality_matched_sample": QuerySpec(
         _q_quality_matched_sample, ORACLES["quality_matched_sample"]
-    ),
+    , bench=True),
     "events_profile": QuerySpec(
         _q_events_profile, ORACLES["events_profile"]
     ),
@@ -4743,7 +4743,7 @@ _SPEC_DEFS: dict[str, QuerySpec] = {
     ),
     "source_overlap_minhash": QuerySpec(
         _q_source_overlap_minhash, ORACLES["source_overlap_minhash"]
-    ),
+    , bench=True),
     "bloom_admission": QuerySpec(
         _q_bloom_admission, ORACLES["bloom_admission"], bench=True
     ),
@@ -4777,6 +4777,12 @@ _VERIFY_FIRST: tuple[str, ...] = (
     # (2) NEW in r05: ann_lsh_multiprobe (Hamming-1 probe LSH).
     # (3) backfill: the 6 oldest r01-certified queries (q17–q22, rows
     #     three rounds old), per COVERAGE.md's staleness rotation.
+    # Queries added late in r05 AFTER this window filled — mmr_select,
+    # source_overlap_minhash, events_profile, kn_bigram_surprisal,
+    # salted_segment_revenue, quality_matched_sample,
+    # conversion_survival, kmv_value_quantiles — sit at the registry
+    # tail with sf0.01 mini-driver green runs, ledger fingerprints
+    # tracking HEAD, and go FIRST into the r06 window.
     "retention_rates",
     "documents_deduped_best",
     "temperature_mixture",
