@@ -387,6 +387,10 @@ def mmr_select(
         .agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("m"))
         .collect()
     )
+    if not cent_rows:  # empty corpus: empty result, schema preserved
+        return embeddings.sparkSession.createDataFrame(
+            [], "step int, vec_id long, score double"
+        )
     cent = [r["m"] for r in sorted(cent_rows, key=lambda r: r["dim"])]
     cent_col = F.array(*[F.lit(float(x)) for x in cent])
     rel = embeddings.select(

@@ -295,3 +295,32 @@ def test_session_r06_aggregate_ops_on_empty(spark, empty_docs, empty_events):
     assert (z["n_terms_used"], z["slope"], z["r2"]) == (0, 0.0, 0.0)
     assert daily_changepoint(empty_events).collect() == []
     assert ab_test_report(empty_events).collect() == []
+
+
+def test_r05_ops_on_empty(spark, empty_events, empty_docs):
+    from flink_ecommerce_spark.operators.dedup import source_overlap_minhash
+    from flink_ecommerce_spark.operators.sampling import (
+        quality_matched_sample,
+    )
+    from flink_ecommerce_spark.operators.scale import table_profile
+    from flink_ecommerce_spark.operators.similarity import (
+        ann_lsh_multiprobe,
+        mmr_select,
+    )
+    from flink_ecommerce_spark.operators.sketch import kmv_value_quantiles
+    from flink_ecommerce_spark.operators.text import kn_bigram_surprisal
+    from flink_ecommerce_spark.plans.temporal import conversion_survival
+    from flink_ecommerce_spark.schemas import EMBEDDINGS_SCHEMA
+
+    empty_emb = spark.createDataFrame([], EMBEDDINGS_SCHEMA)
+    assert source_overlap_minhash(empty_docs).collect() == []
+    assert quality_matched_sample(empty_docs).collect() == []
+    assert kn_bigram_surprisal(empty_docs).collect() == []
+    assert conversion_survival(empty_events).collect() == []
+    assert mmr_select(empty_emb).collect() == []
+    assert ann_lsh_multiprobe(empty_emb).collect() == []
+    # one-row aggregate shape: n_sampled 0, percentiles NULL
+    row = kmv_value_quantiles(empty_events).collect()
+    assert len(row) == 1 and row[0]["n_sampled"] == 0
+    prof = table_profile(empty_events, ["user_id"]).collect()
+    assert len(prof) == 1 and prof[0]["n_rows"] == 0
