@@ -447,6 +447,68 @@ def weekly_retention(events: DataFrame, anchor: str = "2024-01-01") -> DataFrame
     )
 
 
+def cohort_ltv(events: DataFrame, anchor: str = "2024-01-01") -> DataFrame:
+    """(cohort_week, week_offset, n_purchasers, revenue, cum_revenue
+    _per_cohort_user) — the LTV triangle: purchase revenue per
+    first-seen-week cohort by weeks-since-first-seen, plus the
+    running per-user cumulative — the growth-accounting view next to
+    ``weekly_retention``'s activity matrix (retention says who came
+    back; this says what they were worth when they did).
+
+    Same week-index convention as weekly_retention (anchored floor
+    datediff/7, engine-portable integers). Cohort size counts ALL
+    first-seen users (not only purchasers) so cum_revenue is true
+    per-cohort-user LTV. Scale: one user-keyed aggregation for first
+    seen, one (cohort, offset) aggregation of purchases joined by
+    user, a cohort-sized broadcast for denominators, and a window
+    over the ≤ cohorts × offsets triangle."""
+    first_seen = events.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("d0")
+    )
+    cohort_of = F.floor(F.datediff("d0", F.lit(anchor)) / 7).cast("int")
+    sized = first_seen.select("user_id", cohort_of.alias("cohort_week"))
+    cohort_sizes = sized.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("__n_cohort")
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select("user_id", F.to_date("ts").alias("d"), "value")
+        .join(first_seen, "user_id")
+        .select(
+            "user_id",
+            cohort_of.alias("cohort_week"),
+            F.floor(F.datediff("d", F.col("d0")) / 7).cast("int").alias(
+                "week_offset"
+            ),
+            "value",
+        )
+    )
+    cell = purchases.groupBy("cohort_week", "week_offset").agg(
+        F.countDistinct("user_id").alias("n_purchasers"),
+        (F.round(F.sum("value"), 2) + 0.0).alias("revenue"),
+    )
+    w = (
+        Window.partitionBy("cohort_week")
+        .orderBy("week_offset")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        cell.join(F.broadcast(cohort_sizes), "cohort_week")
+        .select(
+            "cohort_week",
+            "week_offset",
+            "n_purchasers",
+            "revenue",
+            (
+                F.round(
+                    F.sum("revenue").over(w) / F.col("__n_cohort"), 6
+                )
+                + 0.0
+            ).alias("cum_revenue_per_cohort_user"),
+        )
+    )
+
+
 def purchasers_also_errored(events: DataFrame) -> DataFrame:
     """INTERSECT of user sets (set op coverage)."""
     a = events.filter(F.col("event_type") == "purchase").select("user_id")

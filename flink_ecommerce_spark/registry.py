@@ -1258,6 +1258,10 @@ def _q_salted_segment_revenue(spark, sf):
     )
 
 
+def _q_cohort_ltv(spark, sf):
+    return analytics.cohort_ltv(_t("events")(spark, sf))
+
+
 def _q_kmv_value_quantiles(spark, sf):
     return _sketch.kmv_value_quantiles(_t("events")(spark, sf))
 
@@ -3955,6 +3959,32 @@ ORACLES["l_diversity_report"] = text.sql_l_diversity_report()
 
 ORACLES["conversion_survival"] = temporal.sql_conversion_survival()
 
+ORACLES["cohort_ltv"] = """
+WITH fs AS (SELECT user_id, MIN(CAST(ts AS DATE)) AS d0 FROM events GROUP BY 1),
+sized AS (SELECT user_id,
+            CAST(FLOOR(datediff('day', DATE '2024-01-01', d0) / 7.0) AS INT)
+              AS cohort_week
+          FROM fs),
+cs AS (SELECT cohort_week, COUNT(*) AS n_cohort FROM sized GROUP BY 1),
+p AS (SELECT e.user_id,
+        CAST(FLOOR(datediff('day', DATE '2024-01-01', fs.d0) / 7.0) AS INT)
+          AS cohort_week,
+        CAST(FLOOR(datediff('day', fs.d0, CAST(e.ts AS DATE)) / 7.0) AS INT)
+          AS week_offset,
+        e.value
+      FROM events e JOIN fs USING (user_id) WHERE e.event_type = 'purchase'),
+cell AS (SELECT cohort_week, week_offset,
+                COUNT(DISTINCT user_id) AS n_purchasers,
+                ROUND(SUM(value), 2) + 0.0 AS revenue
+         FROM p GROUP BY 1, 2)
+SELECT c.cohort_week, c.week_offset, c.n_purchasers, c.revenue,
+       ROUND(SUM(c.revenue) OVER (PARTITION BY c.cohort_week
+               ORDER BY c.week_offset
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             / cs.n_cohort, 6) + 0.0 AS cum_revenue_per_cohort_user
+FROM cell c JOIN cs USING (cohort_week)
+"""
+
 ORACLES["kmv_value_quantiles"] = _sketch.sql_kmv_value_quantiles()
 
 
@@ -4726,6 +4756,7 @@ _SPEC_DEFS: dict[str, QuerySpec] = {
     "salted_segment_revenue": QuerySpec(
         _q_salted_segment_revenue, ORACLES["salted_segment_revenue"]
     ),
+    "cohort_ltv": QuerySpec(_q_cohort_ltv, ORACLES["cohort_ltv"]),
     "kmv_value_quantiles": QuerySpec(
         _q_kmv_value_quantiles, ORACLES["kmv_value_quantiles"]
     , bench=True),

@@ -396,6 +396,30 @@ def test_kmv_quantiles_near_exact(spark):
     assert abs(est["p90"] - exact["p90"]) / spread < 0.1
 
 
+def test_cohort_ltv_cumulative_monotone(spark):
+    """Within a cohort the per-user cumulative revenue never
+    decreases, and revenue totals reconcile with the raw purchases."""
+    from flink_ecommerce_spark.plans.analytics import cohort_ltv
+
+    ev = catalog.table(spark, SF_SMALL, "events")
+    rows = cohort_ltv(ev).collect()
+    assert rows
+    by_cohort: dict[int, list] = {}
+    for r in rows:
+        by_cohort.setdefault(r["cohort_week"], []).append(r)
+    for cw, rs in by_cohort.items():
+        rs.sort(key=lambda r: r["week_offset"])
+        last = -1.0
+        for r in rs:
+            assert r["cum_revenue_per_cohort_user"] >= last - 1e-9, cw
+            last = r["cum_revenue_per_cohort_user"]
+    total_rev = round(sum(r["revenue"] for r in rows), 2)
+    raw = ev.filter(F.col("event_type") == "purchase").agg(
+        F.round(F.sum("value"), 2)
+    ).collect()[0][0]
+    assert abs(total_rev - raw) < 0.05  # per-cell 2dp rounding drift
+
+
 def test_bloom_prefilter_keeps_null_keys(spark):
     """NULL fact keys pass through (lossless for outer-join reuse);
     the inner-join equivalence is already property-tested in
