@@ -1567,3 +1567,66 @@ def corpus_diversity(embeddings: DataFrame) -> DataFrame:
         ).alias("mean_pairwise_cos"),
         (F.round(F.col("__mean_norm"), 6) + 0.0).alias("mean_norm"),
     )
+
+
+OUTLIER_Z = 2.0
+
+
+def embedding_outliers(
+    embeddings: DataFrame, z_threshold: float = OUTLIER_Z
+) -> DataFrame:
+    """(vec_id, label, d2, z) — vectors anomalously far from their own
+    label's centroid (z-score of squared distance > threshold): the
+    embedding-table quality screen that surfaces mislabeled rows,
+    corrupt vectors, and encoder glitches before they poison a
+    centroid, an IVF cell routing, or a semantic-dedup decision.
+
+    Determinism: centroids are the 6dp-quantized per-(label, dim)
+    means (label_centroids' convention); each vector's d2 rounds to
+    6dp BEFORE the per-label moment sums, and z rounds to 6dp before
+    the threshold compare — so the survivor set is identical across
+    engines. Variance uses the explicit sum formula (never engine
+    stddev), population convention.
+
+    Scale: the shuffle carries (label, dim) partial sums for the
+    centroids and (vec_id, partial d2) for distances — the same
+    decomposed shape as ivf_ann_topk's build; per-label moments are a
+    labels-sized broadcast."""
+    ex = embeddings.select(
+        "vec_id", "label", F.posexplode("embedding").alias("dim", "v")
+    ).select(
+        "vec_id", "label", "dim", F.col("v").cast("double").alias("v")
+    )
+    cent = ex.groupBy("label", "dim").agg(
+        F.round(F.avg("v"), 6).alias("c")
+    )
+    d2 = (
+        ex.join(cent, ["label", "dim"])
+        .groupBy("vec_id", "label")
+        .agg(
+            F.round(
+                F.sum((F.col("v") - F.col("c")) * (F.col("v") - F.col("c"))),
+                6,
+            ).alias("d2")
+        )
+    )
+    mom = d2.groupBy("label").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum("d2").alias("__sx"),
+        F.sum(F.col("d2") * F.col("d2")).alias("__sxx"),
+    )
+    mean = F.col("__sx") / F.col("__n")
+    var = F.greatest(
+        F.col("__sxx") / F.col("__n") - mean * mean, F.lit(0.0)
+    )
+    z = (
+        F.round(
+            (F.col("d2") - mean) / F.greatest(F.sqrt(var), F.lit(1e-12)), 6
+        )
+        + 0.0
+    )
+    return (
+        d2.join(F.broadcast(mom), "label")
+        .select("vec_id", "label", "d2", z.alias("z"))
+        .filter(F.col("z") > z_threshold)
+    )

@@ -814,3 +814,72 @@ SELECT t_days, n_risk, n_events, n_censored,
                      AND CURRENT ROW)), 6) END) + 0.0 AS survival
 FROM risked
 """
+
+
+def position_attribution(events: DataFrame, window_hours: int = 1) -> DataFrame:
+    """(channel, n_touches, attributed_value) — POSITION-BASED
+    (U-shaped) multi-touch attribution: 40% of each purchase's value
+    to the first touch in the window, 40% to the last, 20% split
+    equally across the middle; 1 touch takes 100%, 2 touches split
+    50/50, no touch attributes to 'direct'. The standard
+    first-and-last-weighted complement to ``linear_attribution``
+    (equal split) and ``asof_last_click`` (last-touch).
+
+    Shape: the same user-keyed interval join as linear_attribution;
+    positions come from a per-purchase window ordered by (touch ts,
+    touch event_id) — deterministic under timestamp ties — whose
+    partitions are bounded by the touches one user makes in
+    ``window_hours``, never corpus-sized. Money quantizes to integer
+    micro-units per row before the cross-purchase sum (the float-
+    order discipline every attribution op here shares)."""
+    touches = events.filter(
+        F.col("event_type").isin("click", "view")
+    ).select(
+        F.col("user_id").alias("t_user"),
+        F.col("event_id").alias("t_id"),
+        F.col("ts").alias("t_ts"),
+        F.col("event_type").alias("channel"),
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("p_id"),
+        F.col("ts").alias("p_ts"),
+        F.col("value").alias("p_value"),
+    )
+    j = purchases.join(
+        touches,
+        (purchases.user_id == touches.t_user)
+        & (F.col("t_ts") < F.col("p_ts"))
+        & (
+            F.col("t_ts")
+            >= F.col("p_ts") - F.expr(f"INTERVAL {window_hours} HOURS")
+        ),
+        "left",
+    )
+    w_all = Window.partitionBy("p_id")
+    w_pos = Window.partitionBy("p_id").orderBy(
+        F.col("t_ts").asc_nulls_first(), F.col("t_id").asc_nulls_first()
+    )
+    nt = F.count("t_ts").over(w_all)
+    pos = F.row_number().over(w_pos)
+    weight = (
+        F.when(nt <= 1, F.lit(1.0))
+        .when(nt == 2, F.lit(0.5))
+        .otherwise(
+            F.when((pos == 1) | (pos == nt), F.lit(0.4)).otherwise(
+                F.lit(0.2) / (nt - 2)
+            )
+        )
+    )
+    attr_u = F.round(F.col("p_value") * weight * 1_000_000).cast("long")
+    per = j.select(
+        F.coalesce("channel", F.lit("direct")).alias("channel"),
+        F.col("t_ts").isNotNull().cast("long").alias("__is_touch"),
+        attr_u.alias("__attr_u"),
+    )
+    return per.groupBy("channel").agg(
+        F.sum("__is_touch").alias("n_touches"),
+        (F.round(F.sum("__attr_u") / 1_000_000.0, 2) + F.lit(0.0)).alias(
+            "attributed_value"
+        ),
+    )

@@ -1258,6 +1258,14 @@ def _q_salted_segment_revenue(spark, sf):
     )
 
 
+def _q_position_attribution(spark, sf):
+    return temporal.position_attribution(_t("events")(spark, sf))
+
+
+def _q_embedding_outliers(spark, sf):
+    return similarity.embedding_outliers(_t("embeddings")(spark, sf))
+
+
 def _q_cohort_ltv(spark, sf):
     return analytics.cohort_ltv(_t("events")(spark, sf))
 
@@ -3959,6 +3967,64 @@ ORACLES["l_diversity_report"] = text.sql_l_diversity_report()
 
 ORACLES["conversion_survival"] = temporal.sql_conversion_survival()
 
+ORACLES["position_attribution"] = """
+WITH t AS (SELECT user_id, event_id AS t_id, ts AS t_ts,
+                  event_type AS channel
+           FROM events WHERE event_type IN ('click', 'view')),
+p AS (SELECT user_id, event_id AS p_id, ts AS p_ts, value AS p_value
+      FROM events WHERE event_type = 'purchase'),
+j AS (SELECT p.p_id, p.p_value, t.channel, t.t_ts, t.t_id
+      FROM p LEFT JOIN t
+        ON t.user_id = p.user_id
+       AND t.t_ts < p.p_ts
+       AND t.t_ts >= p.p_ts - INTERVAL 1 HOUR),
+pos AS (SELECT p_id, p_value, channel, t_ts,
+               COUNT(t_ts) OVER (PARTITION BY p_id) AS nt,
+               ROW_NUMBER() OVER (PARTITION BY p_id
+                 ORDER BY t_ts ASC NULLS FIRST, t_id ASC NULLS FIRST) AS pos
+        FROM j),
+wt AS (SELECT p_id, p_value, channel, t_ts,
+              CASE WHEN nt <= 1 THEN 1.0
+                   WHEN nt = 2 THEN 0.5
+                   WHEN pos = 1 OR pos = nt THEN 0.4
+                   ELSE 0.2 / (nt - 2) END AS w
+       FROM pos),
+sel AS (SELECT COALESCE(channel, 'direct') AS channel,
+               CASE WHEN t_ts IS NOT NULL THEN 1 ELSE 0 END AS is_touch,
+               CAST(ROUND(p_value * w * 1000000) AS BIGINT) AS attr_u
+        FROM wt)
+SELECT channel, CAST(SUM(is_touch) AS BIGINT) AS n_touches,
+       ROUND(SUM(attr_u) / 1000000.0, 2) + 0.0 AS attributed_value
+FROM sel GROUP BY channel
+"""
+
+ORACLES["embedding_outliers"] = f"""
+WITH ex AS (SELECT vec_id, label, CAST(dim AS INT) AS dim,
+                   CAST(v AS DOUBLE) AS v
+            FROM (SELECT vec_id, label, unnest(embedding) AS v,
+                         generate_subscripts(embedding, 1) AS dim
+                  FROM embeddings)),
+cent AS (SELECT label, dim, ROUND(AVG(v), 6) AS c
+         FROM ex GROUP BY 1, 2),
+d2 AS (SELECT ex.vec_id, ex.label,
+              ROUND(SUM((ex.v - cent.c) * (ex.v - cent.c)), 6) AS d2
+       FROM ex JOIN cent ON ex.label = cent.label AND ex.dim = cent.dim
+       GROUP BY 1, 2),
+mom AS (SELECT label, COUNT(*) AS n, SUM(d2) AS sx,
+               SUM(d2 * d2) AS sxx
+        FROM d2 GROUP BY 1)
+SELECT d2.vec_id, d2.label, d2.d2,
+       ROUND((d2.d2 - mom.sx / mom.n)
+             / GREATEST(SQRT(GREATEST(mom.sxx / mom.n
+                 - (mom.sx / mom.n) * (mom.sx / mom.n), 0.0)), 1e-12), 6)
+         + 0.0 AS z
+FROM d2 JOIN mom ON d2.label = mom.label
+WHERE ROUND((d2.d2 - mom.sx / mom.n)
+            / GREATEST(SQRT(GREATEST(mom.sxx / mom.n
+                - (mom.sx / mom.n) * (mom.sx / mom.n), 0.0)), 1e-12), 6)
+      > {similarity.OUTLIER_Z}
+"""
+
 ORACLES["cohort_ltv"] = """
 WITH fs AS (SELECT user_id, MIN(CAST(ts AS DATE)) AS d0 FROM events GROUP BY 1),
 sized AS (SELECT user_id,
@@ -4757,6 +4823,12 @@ _SPEC_DEFS: dict[str, QuerySpec] = {
         _q_salted_segment_revenue, ORACLES["salted_segment_revenue"]
     ),
     "cohort_ltv": QuerySpec(_q_cohort_ltv, ORACLES["cohort_ltv"]),
+    "position_attribution": QuerySpec(
+        _q_position_attribution, ORACLES["position_attribution"]
+    ),
+    "embedding_outliers": QuerySpec(
+        _q_embedding_outliers, ORACLES["embedding_outliers"]
+    ),
     "kmv_value_quantiles": QuerySpec(
         _q_kmv_value_quantiles, ORACLES["kmv_value_quantiles"]
     , bench=True),

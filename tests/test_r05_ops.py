@@ -420,6 +420,65 @@ def test_cohort_ltv_cumulative_monotone(spark):
     assert abs(total_rev - raw) < 0.05  # per-cell 2dp rounding drift
 
 
+def test_position_attribution_u_shape(spark):
+    """3 touches → 40/20/40 by position; value is conserved."""
+    import datetime as dt
+
+    from flink_ecommerce_spark.plans.temporal import position_attribution
+
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+    rows = [
+        (1, t0, 7, "view", 0.0, "{}"),
+        (2, t0 + dt.timedelta(minutes=10), 7, "click", 0.0, "{}"),
+        (3, t0 + dt.timedelta(minutes=20), 7, "view", 0.0, "{}"),
+        (4, t0 + dt.timedelta(minutes=30), 7, "purchase", 100.0, "{}"),
+        (5, t0, 8, "purchase", 50.0, "{}"),  # no touches -> direct
+    ]
+    ev = spark.createDataFrame(
+        [(r[0], r[1], r[2], r[3], r[4], r[5]) for r in rows],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    got = {
+        r["channel"]: (r["n_touches"], r["attributed_value"])
+        for r in position_attribution(ev).collect()
+    }
+    # first view 40 + middle click 20 + last view 40
+    assert got["view"] == (2, 80.0)
+    assert got["click"] == (1, 20.0)
+    assert got["direct"] == (0, 50.0)
+    assert round(sum(v for _, v in got.values()), 2) == 150.0
+
+
+def test_position_attribution_conserves_value(spark):
+    from flink_ecommerce_spark.plans.temporal import position_attribution
+
+    ev = catalog.table(spark, SF_SMALL, "events")
+    total_attr = sum(
+        r["attributed_value"]
+        for r in position_attribution(ev).collect()
+    )
+    total_rev = ev.filter(F.col("event_type") == "purchase").agg(
+        F.sum("value")
+    ).collect()[0][0]
+    assert abs(total_attr - total_rev) < 0.01 * max(1.0, total_rev / 1000)
+
+
+def test_embedding_outliers_flags_injected_vector(spark):
+    from flink_ecommerce_spark.operators.similarity import embedding_outliers
+
+    emb = catalog.table(spark, SF_SMALL, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    label = emb.select("label").first()[0]
+    weird = spark.createDataFrame(
+        [(999_999, [50.0] * dim, label)],
+        "vec_id long, embedding array<float>, label string",
+    ).select("vec_id", "embedding", "label")
+    out = embedding_outliers(emb.select("vec_id", "embedding", "label").unionByName(weird))
+    flagged = {r["vec_id"] for r in out.collect()}
+    assert 999_999 in flagged
+
+
 def test_bloom_prefilter_keeps_null_keys(spark):
     """NULL fact keys pass through (lossless for outer-join reuse);
     the inner-join equivalence is already property-tested in
