@@ -1055,3 +1055,51 @@ def daily_changepoint(events: DataFrame) -> DataFrame:
         .filter(F.col("__rk") == 1)
         .drop("__rk")
     )
+
+
+def rfm_migration(events: DataFrame) -> DataFrame:
+    """(seg_before, seg_after, n_users) — RFM segment transition
+    matrix between the first and second half of the purchase window:
+    each half is scored against ITS OWN population quartiles
+    (rfm_segments on the filtered events), then users join across
+    halves — 'new' marks users purchasing only in the second half,
+    'churned' only in the first. The user-base-shift monitor next to
+    the static ``rfm_segments`` snapshot: a drift of champions (444)
+    toward hibernating cells is visible here a quarter before revenue
+    shows it.
+
+    Scale: two rfm_segments passes over date-filtered purchases (each
+    is one user-keyed aggregation + 1-row broadcast quantiles), one
+    user-keyed full-outer join, and a segments²-bounded final count.
+    The midpoint folds in as a one-row broadcast, like
+    value_psi_by_type's."""
+    d = F.to_date("ts")
+    bounds = events.filter(F.col("event_type") == "purchase").agg(
+        F.min(d).alias("__dmin"), F.max(d).alias("__dmax")
+    )
+    mid = F.date_add(
+        F.col("__dmin"),
+        F.floor(F.datediff("__dmax", "__dmin") / 2).cast("int"),
+    )
+    tagged = events.crossJoin(F.broadcast(bounds))
+    before = tagged.filter(d < mid)
+    after = tagged.filter(d >= mid)
+    b = rfm_segments(before).select(
+        "user_id", F.col("rfm").alias("__rfm_b")
+    )
+    a = rfm_segments(after).select(
+        "user_id", F.col("rfm").alias("__rfm_a")
+    )
+    return (
+        b.join(a, "user_id", "full")
+        .select(
+            F.coalesce(F.col("__rfm_b").cast("string"), F.lit("new")).alias(
+                "seg_before"
+            ),
+            F.coalesce(
+                F.col("__rfm_a").cast("string"), F.lit("churned")
+            ).alias("seg_after"),
+        )
+        .groupBy("seg_before", "seg_after")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )

@@ -1107,3 +1107,72 @@ def copurchase_graph_stats(
             cc.alias("global_clustering"),
         )
     )
+
+
+def basket_rules(
+    lineitem: DataFrame, min_support: int = 2, k: int = 200
+) -> DataFrame:
+    """(antecedent, consequent, support, confidence, lift) — DIRECTED
+    association rules from the co-purchase pairs: confidence(a→b) =
+    support(a,b) / orders-containing-a, the asymmetric number
+    ``copurchase_pairs``' symmetric lift can't express ("batteries →
+    flashlight" can be near-certain while the reverse is rare). Each
+    surviving pair emits both directions; top-k by (support DESC,
+    antecedent, consequent).
+
+    Scale: reuses the checkpointed basket table and support-filtered
+    pair build of the copurchase family (a basket's distinct-part
+    count is bounded, so the self-join is linear in orders); the
+    direction fan-out doubles only the already-thresholded pair rows;
+    margins broadcast; TakeOrderedAndProject for the top-k."""
+    op, pairs = _copurchase_support_pairs(lineitem, min_support)
+    n_orders = op.select("l_orderkey").distinct().agg(
+        F.count(F.lit(1)).alias("__n_orders")
+    )
+    part_n = op.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("__n_part")
+    )
+    directed = pairs.select(
+        F.col("part_a").alias("antecedent"),
+        F.col("part_b").alias("consequent"),
+        "support",
+    ).unionAll(
+        pairs.select(
+            F.col("part_b").alias("antecedent"),
+            F.col("part_a").alias("consequent"),
+            "support",
+        )
+    )
+    na = part_n.select(
+        F.col("l_partkey").alias("antecedent"),
+        F.col("__n_part").alias("__n_a"),
+    )
+    nb = part_n.select(
+        F.col("l_partkey").alias("consequent"),
+        F.col("__n_part").alias("__n_b"),
+    )
+    return (
+        directed.join(F.broadcast(na), "antecedent")
+        .join(F.broadcast(nb), "consequent")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "antecedent",
+            "consequent",
+            "support",
+            (
+                F.round(F.col("support").cast("double") / F.col("__n_a"), 6)
+                + 0.0
+            ).alias("confidence"),
+            (
+                F.round(
+                    F.col("support").cast("double")
+                    * F.col("__n_orders")
+                    / (F.col("__n_a") * F.col("__n_b")),
+                    6,
+                )
+                + 0.0
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("support"), F.asc("antecedent"), F.asc("consequent"))
+        .limit(k)
+    )

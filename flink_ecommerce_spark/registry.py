@@ -1258,6 +1258,14 @@ def _q_salted_segment_revenue(spark, sf):
     )
 
 
+def _q_basket_rules(spark, sf):
+    return tpch.basket_rules(_t("lineitem")(spark, sf))
+
+
+def _q_rfm_migration(spark, sf):
+    return analytics.rfm_migration(_t("events")(spark, sf))
+
+
 def _q_position_attribution(spark, sf):
     return temporal.position_attribution(_t("events")(spark, sf))
 
@@ -3967,6 +3975,82 @@ ORACLES["l_diversity_report"] = text.sql_l_diversity_report()
 
 ORACLES["conversion_survival"] = temporal.sql_conversion_survival()
 
+
+def _rfm_sql_cte(sfx: str, where: str) -> str:
+    """The rfm_segments CTE chain parameterized by a name suffix and a
+    purchase-date predicate — rendered twice by the rfm_migration
+    oracle (each half scored against its own population, exactly like
+    the Spark side's rfm_segments over filtered events)."""
+    return f"""
+p{sfx} AS (SELECT user_id, MAX(CAST(ts AS DATE)) AS last_day,
+                  CAST(COUNT(*) AS BIGINT) AS frequency,
+                  ROUND(SUM(value), 2) AS monetary
+           FROM events WHERE event_type = 'purchase' AND {where}
+           GROUP BY 1),
+a{sfx} AS (SELECT MAX(last_day) AS anchor FROM p{sfx}),
+u{sfx} AS (SELECT user_id,
+                  CAST(datediff('day', last_day, anchor) AS INT) AS recency_days,
+                  frequency, monetary FROM p{sfx}, a{sfx}),
+q{sfx} AS (SELECT quantile_cont(CAST(recency_days AS DOUBLE), 0.25) AS r1,
+                  quantile_cont(CAST(recency_days AS DOUBLE), 0.5) AS r2,
+                  quantile_cont(CAST(recency_days AS DOUBLE), 0.75) AS r3,
+                  quantile_cont(CAST(frequency AS DOUBLE), 0.25) AS f1,
+                  quantile_cont(CAST(frequency AS DOUBLE), 0.5) AS f2,
+                  quantile_cont(CAST(frequency AS DOUBLE), 0.75) AS f3,
+                  quantile_cont(monetary, 0.25) AS m1,
+                  quantile_cont(monetary, 0.5) AS m2,
+                  quantile_cont(monetary, 0.75) AS m3
+           FROM u{sfx}),
+s{sfx} AS (SELECT user_id,
+                  CAST((4 - ((CAST(recency_days AS DOUBLE) > r1)::INT
+                             + (CAST(recency_days AS DOUBLE) > r2)::INT
+                             + (CAST(recency_days AS DOUBLE) > r3)::INT)) * 100
+                       + (1 + ((CAST(frequency AS DOUBLE) > f1)::INT
+                               + (CAST(frequency AS DOUBLE) > f2)::INT
+                               + (CAST(frequency AS DOUBLE) > f3)::INT)) * 10
+                       + (1 + ((monetary > m1)::INT + (monetary > m2)::INT
+                               + (monetary > m3)::INT)) AS INT) AS rfm
+           FROM u{sfx}, q{sfx})"""
+
+
+ORACLES["rfm_migration"] = f"""
+WITH bounds AS (SELECT MIN(CAST(ts AS DATE)) AS dmin,
+                       MAX(CAST(ts AS DATE)) AS dmax
+                FROM events WHERE event_type = 'purchase'),
+mid AS (SELECT dmin + CAST((dmax - dmin) // 2 AS INT) AS m FROM bounds),
+{_rfm_sql_cte('b', "CAST(ts AS DATE) < (SELECT m FROM mid)")},
+{_rfm_sql_cte('a', "CAST(ts AS DATE) >= (SELECT m FROM mid)")}
+SELECT COALESCE(CAST(sb.rfm AS VARCHAR), 'new') AS seg_before,
+       COALESCE(CAST(sa.rfm AS VARCHAR), 'churned') AS seg_after,
+       COUNT(*) AS n_users
+FROM sb FULL OUTER JOIN sa USING (user_id)
+GROUP BY 1, 2
+"""
+
+ORACLES["basket_rules"] = """
+WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM op),
+pn AS (SELECT l_partkey, COUNT(*) AS n_part FROM op GROUP BY 1),
+pr AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+              CAST(COUNT(*) AS BIGINT) AS support
+       FROM op a JOIN op b
+         ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       GROUP BY 1, 2
+       HAVING COUNT(*) >= 2),
+d AS (SELECT part_a AS antecedent, part_b AS consequent, support FROM pr
+      UNION ALL
+      SELECT part_b AS antecedent, part_a AS consequent, support FROM pr)
+SELECT d.antecedent, d.consequent, d.support,
+       ROUND(CAST(d.support AS DOUBLE) / na.n_part, 6) + 0.0 AS confidence,
+       ROUND(CAST(d.support AS DOUBLE) * n.n_orders
+             / (na.n_part * nb.n_part), 6) + 0.0 AS lift
+FROM d JOIN pn na ON d.antecedent = na.l_partkey
+       JOIN pn nb ON d.consequent = nb.l_partkey
+       CROSS JOIN n
+ORDER BY support DESC, antecedent ASC, consequent ASC
+LIMIT 200
+"""
+
 ORACLES["position_attribution"] = """
 WITH t AS (SELECT user_id, event_id AS t_id, ts AS t_ts,
                   event_type AS channel
@@ -4823,6 +4907,8 @@ _SPEC_DEFS: dict[str, QuerySpec] = {
         _q_salted_segment_revenue, ORACLES["salted_segment_revenue"]
     ),
     "cohort_ltv": QuerySpec(_q_cohort_ltv, ORACLES["cohort_ltv"]),
+    "basket_rules": QuerySpec(_q_basket_rules, ORACLES["basket_rules"]),
+    "rfm_migration": QuerySpec(_q_rfm_migration, ORACLES["rfm_migration"]),
     "position_attribution": QuerySpec(
         _q_position_attribution, ORACLES["position_attribution"]
     ),

@@ -479,6 +479,47 @@ def test_embedding_outliers_flags_injected_vector(spark):
     assert 999_999 in flagged
 
 
+def test_basket_rules_confidence_directionality(spark):
+    """confidence(a→b) = support/orders-containing-a: a one-sided
+    containment must give asymmetric confidences; lift is symmetric."""
+    from flink_ecommerce_spark.plans.tpch import basket_rules
+
+    # part 1 appears in 4 baskets, part 2 in 2 — both co-occurrences
+    rows = []
+    for o in range(1, 5):
+        rows.append((o, 1))
+    rows.append((1, 2))
+    rows.append((2, 2))
+    li = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    out = {
+        (r["antecedent"], r["consequent"]): r
+        for r in basket_rules(li).collect()
+    }
+    # support(1,2)=2; conf(1->2)=2/4=0.5, conf(2->1)=2/2=1.0
+    assert out[(1, 2)]["confidence"] == 0.5
+    assert out[(2, 1)]["confidence"] == 1.0
+    assert out[(1, 2)]["lift"] == out[(2, 1)]["lift"]
+
+
+def test_rfm_migration_conserves_users(spark):
+    """Every purchaser appears exactly once in the transition matrix
+    (new + churned + migrated = distinct purchasers overall)."""
+    from flink_ecommerce_spark.plans.analytics import rfm_migration
+
+    ev = catalog.table(spark, SF_SMALL, "events")
+    rows = rfm_migration(ev).collect()
+    total = sum(r["n_users"] for r in rows)
+    n_purchasers = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert total == n_purchasers
+    segs = {(r["seg_before"], r["seg_after"]) for r in rows}
+    assert not any(b == "new" and a == "churned" for b, a in segs)
+
+
 def test_bloom_prefilter_keeps_null_keys(spark):
     """NULL fact keys pass through (lossless for outer-join reuse);
     the inner-join equivalence is already property-tested in
