@@ -301,3 +301,41 @@ def bloom_prefilter(
     # key can't equi-join, so keeping the row is lossless and correct
     # for outer-join / null-preserving reuse (ADVICE r04)
     return fact.filter(F.coalesce(keep, F.lit(True)))
+
+
+def join_fanout_topk(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    k: int = 10,
+) -> DataFrame:
+    """(key, n_left, n_right, n_out_rows) for the k keys that would
+    produce the MOST output rows in an equi-join — the pre-flight a
+    pipeline runs before a fact-fact join at scale: per-key output is
+    the count PRODUCT, so one key with 10⁵ rows on each side emits
+    10¹⁰ rows and takes the job down. key_skew_* profile one side;
+    the fanout check is the two-sided number that actually predicts
+    the explosion.
+
+    Scale: two per-key count aggregates (map-side combined), an
+    equi-join of the two COUNT tables (inner: only keys present on
+    both sides produce join output), TakeOrderedAndProject for the
+    top-k. The inputs' wide rows never move — only (key, count)."""
+    lc = left.groupBy(F.col(left_key).alias("key")).agg(
+        F.count(F.lit(1)).alias("n_left")
+    )
+    rc = right.groupBy(F.col(right_key).alias("key")).agg(
+        F.count(F.lit(1)).alias("n_right")
+    )
+    return (
+        lc.join(rc, "key")
+        .select(
+            "key",
+            "n_left",
+            "n_right",
+            (F.col("n_left") * F.col("n_right")).alias("n_out_rows"),
+        )
+        .orderBy(F.desc("n_out_rows"), F.asc("key"))
+        .limit(k)
+    )

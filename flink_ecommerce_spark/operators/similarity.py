@@ -1630,3 +1630,44 @@ def embedding_outliers(
         .select("vec_id", "label", "d2", z.alias("z"))
         .filter(F.col("z") > z_threshold)
     )
+
+
+def ivf_recall_report(
+    embeddings: DataFrame,
+    k: int = DEFAULT_K,
+    n_queries: int = DEFAULT_N_QUERIES,
+) -> DataFrame:
+    """One row (n_true, n_ivf, n_hit, recall) — the IVF twin of
+    dedup.lsh_recall_report: how much of the exact brute-force top-k
+    does single-probe IVF routing surface? Routing loss (true
+    neighbors living in a non-probed cell) is THE failure mode of IVF
+    at low n_probe; an engine that ships approximate search ships its
+    own recall meter for each index family.
+
+    Both branches are the already-certified operators
+    (knn_bruteforce = truth, ivf_topk = candidate); pairs are unique
+    per branch so the hit count is a pair-keyed semi join. At 100 TB
+    this runs on a query SAMPLE — the exact branch is the expensive
+    one; the report shape is the point."""
+    truth = knn_bruteforce(embeddings, k=k, n_queries=n_queries).select(
+        "query_id", "neighbor_id"
+    ).localCheckpoint(eager=False)
+    ivf = ivf_topk(embeddings, k=k, n_queries=n_queries).select(
+        "query_id", "neighbor_id"
+    ).localCheckpoint(eager=False)
+    hit = truth.join(ivf, ["query_id", "neighbor_id"], "left_semi")
+    n_true = truth.agg(F.count(F.lit(1)).alias("n_true"))
+    n_ivf = ivf.agg(F.count(F.lit(1)).alias("n_ivf"))
+    n_hit = hit.agg(F.count(F.lit(1)).alias("n_hit"))
+    return (
+        n_true.crossJoin(F.broadcast(n_ivf))
+        .crossJoin(F.broadcast(n_hit))
+        .select(
+            "n_true",
+            "n_ivf",
+            "n_hit",
+            F.round(F.try_divide(F.col("n_hit"), F.col("n_true")), 6).alias(
+                "recall"
+            ),
+        )
+    )

@@ -1258,6 +1258,20 @@ def _q_salted_segment_revenue(spark, sf):
     )
 
 
+def _q_ivf_recall_report(spark, sf):
+    return similarity.ivf_recall_report(_t("embeddings")(spark, sf))
+
+
+def _q_join_fanout_topk(spark, sf):
+    """The two-sided fanout pre-flight on the events⋈events self-join
+    key (user_id is the only key here with real fanout on both
+    sides)."""
+    from .operators.scale import join_fanout_topk
+
+    ev = _t("events")(spark, sf)
+    return join_fanout_topk(ev, ev, "user_id", "user_id")
+
+
 def _q_basket_rules(spark, sf):
     return tpch.basket_rules(_t("lineitem")(spark, sf))
 
@@ -3975,6 +3989,32 @@ ORACLES["l_diversity_report"] = text.sql_l_diversity_report()
 
 ORACLES["conversion_survival"] = temporal.sql_conversion_survival()
 
+ORACLES["ivf_recall_report"] = f"""
+WITH truth AS (SELECT query_id, neighbor_id
+               FROM ({ORACLES["knn_bruteforce"]}) x),
+ivf AS (SELECT query_id, neighbor_id FROM ({ORACLES["ivf_ann_topk"]}) y),
+hit AS (SELECT t.query_id FROM truth t
+        JOIN ivf i ON t.query_id = i.query_id
+                  AND t.neighbor_id = i.neighbor_id)
+SELECT (SELECT COUNT(*) FROM truth) AS n_true,
+       (SELECT COUNT(*) FROM ivf) AS n_ivf,
+       (SELECT COUNT(*) FROM hit) AS n_hit,
+       ROUND(CAST((SELECT COUNT(*) FROM hit) AS DOUBLE)
+             / NULLIF((SELECT COUNT(*) FROM truth), 0), 6) AS recall
+"""
+
+ORACLES["join_fanout_topk"] = """
+WITH lc AS (SELECT user_id AS key, COUNT(*) AS n_left
+            FROM events GROUP BY 1),
+rc AS (SELECT user_id AS key, COUNT(*) AS n_right
+       FROM events GROUP BY 1)
+SELECT lc.key, lc.n_left, rc.n_right,
+       lc.n_left * rc.n_right AS n_out_rows
+FROM lc JOIN rc ON lc.key = rc.key
+ORDER BY n_out_rows DESC, lc.key ASC
+LIMIT 10
+"""
+
 
 def _rfm_sql_cte(sfx: str, where: str) -> str:
     """The rfm_segments CTE chain parameterized by a name suffix and a
@@ -4908,6 +4948,12 @@ _SPEC_DEFS: dict[str, QuerySpec] = {
     ),
     "cohort_ltv": QuerySpec(_q_cohort_ltv, ORACLES["cohort_ltv"]),
     "basket_rules": QuerySpec(_q_basket_rules, ORACLES["basket_rules"]),
+    "ivf_recall_report": QuerySpec(
+        _q_ivf_recall_report, ORACLES["ivf_recall_report"]
+    ),
+    "join_fanout_topk": QuerySpec(
+        _q_join_fanout_topk, ORACLES["join_fanout_topk"]
+    ),
     "rfm_migration": QuerySpec(_q_rfm_migration, ORACLES["rfm_migration"]),
     "position_attribution": QuerySpec(
         _q_position_attribution, ORACLES["position_attribution"]

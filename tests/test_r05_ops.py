@@ -520,6 +520,35 @@ def test_rfm_migration_conserves_users(spark):
     assert not any(b == "new" and a == "churned" for b, a in segs)
 
 
+def test_ivf_recall_report_invariants(spark):
+    """hit ⊆ truth and hit ⊆ ivf; recall in [0, 1]; the pair counts
+    equal k × n_queries when the corpus is big enough."""
+    from flink_ecommerce_spark.operators.similarity import (
+        DEFAULT_K,
+        DEFAULT_N_QUERIES,
+        ivf_recall_report,
+    )
+
+    emb = catalog.table(spark, SF_SMALL, "embeddings")
+    r = ivf_recall_report(emb).collect()[0]
+    assert r["n_true"] == DEFAULT_K * DEFAULT_N_QUERIES
+    assert r["n_hit"] <= r["n_true"] and r["n_hit"] <= r["n_ivf"]
+    assert 0.0 <= r["recall"] <= 1.0
+
+
+def test_join_fanout_topk_products(spark):
+    from flink_ecommerce_spark.operators.scale import join_fanout_topk
+
+    left = spark.createDataFrame(
+        [(1,), (1,), (1,), (2,), (3,)], "k int"
+    )
+    right = spark.createDataFrame([(1,), (1,), (2,), (4,)], "k int")
+    rows = join_fanout_topk(left, right, "k", "k", k=10).collect()
+    got = {r["key"]: r["n_out_rows"] for r in rows}
+    assert got == {1: 6, 2: 1}  # key 3 / 4 not on both sides
+    assert rows[0]["key"] == 1  # biggest fanout first
+
+
 def test_bloom_prefilter_keeps_null_keys(spark):
     """NULL fact keys pass through (lossless for outer-join reuse);
     the inner-join equivalence is already property-tested in
