@@ -1606,3 +1606,58 @@ def quality_psi_frames(
         0, ["nb", "nc"]
     )
     return psi_from_bucket_counts(counts, n_buckets, key_col="source")
+
+
+def corpus_datasheet(documents: DataFrame) -> DataFrame:
+    """(metric, value) long-format corpus datasheet — the one-page
+    "datasheet for datasets" summary a training-data release ships:
+    volume (docs, tokens, mean tokens/doc), composition (sources,
+    languages), hygiene (exact-duplicate rate), and the quality-score
+    quartiles. Single-query composition of the certified building
+    blocks so the datasheet can never disagree with the detailed
+    reports (same normalized-hash duplicate definition as
+    dedup_exact, same logistic quality as quality_scores).
+
+    Scale: ONE text scan computes every per-doc metric into a narrow
+    frame; the duplicate count is a hash-keyed distinct on that frame
+    (text never shuffles); quartiles run over the per-doc quality
+    column; output is a fixed list of metric rows unpivoted from a
+    one-row aggregate with stack()."""
+    n_tok = F.size(F.expr("regexp_extract_all(text, '\\\\S+', 0)"))
+    # same normalized-hash definition as dedup_exact(normalized=True)
+    norm_hash = F.md5(
+        F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
+    )
+    m = documents.select(
+        "doc_id",
+        "source",
+        "lang",
+        n_tok.cast("long").alias("__nt"),
+        norm_hash.alias("__h"),
+        F.round(_quality_column(), 6).alias("__q"),
+    )
+    one = m.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.sum("__nt").cast("double").alias("n_tokens"),
+        F.round(F.avg("__nt"), 6).alias("mean_tokens_per_doc"),
+        F.countDistinct("source").cast("double").alias("n_sources"),
+        F.countDistinct("lang").cast("double").alias("n_langs"),
+        F.countDistinct("__h").cast("double").alias("__n_uniq"),
+        (F.round(F.expr("percentile(__q, 0.25)"), 6) + 0.0).alias("q25"),
+        (F.round(F.expr("percentile(__q, 0.5)"), 6) + 0.0).alias("q50"),
+        (F.round(F.expr("percentile(__q, 0.75)"), 6) + 0.0).alias("q75"),
+    ).withColumn(
+        "dup_rate",
+        F.round(
+            (F.col("n_docs") - F.col("__n_uniq")) / F.col("n_docs"), 6
+        )
+        + 0.0,
+    )
+    stack = ", ".join(
+        f"'{name}', {name}"
+        for name in (
+            "n_docs", "n_tokens", "mean_tokens_per_doc", "n_sources",
+            "n_langs", "dup_rate", "q25", "q50", "q75",
+        )
+    )
+    return one.selectExpr(f"stack(9, {stack}) AS (metric, value)")

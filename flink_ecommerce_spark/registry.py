@@ -1258,6 +1258,10 @@ def _q_salted_segment_revenue(spark, sf):
     )
 
 
+def _q_corpus_datasheet(spark, sf):
+    return text.corpus_datasheet(_t("documents")(spark, sf))
+
+
 def _q_ivf_recall_report(spark, sf):
     return similarity.ivf_recall_report(_t("embeddings")(spark, sf))
 
@@ -3989,6 +3993,44 @@ ORACLES["l_diversity_report"] = text.sql_l_diversity_report()
 
 ORACLES["conversion_survival"] = temporal.sql_conversion_survival()
 
+ORACLES["corpus_datasheet"] = rf"""
+WITH m AS (
+  SELECT doc_id, source, lang,
+         CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS nt,
+         md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS h,
+         ROUND(1.0 / (1.0 + exp(-(-2.0
+               + 0.02 * CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE)
+               + 4.0 * (CAST(len(list_filter({_WORDS}, w -> w IN ({_EN_SW}))) AS DOUBLE)
+                        / CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE))
+               - 8.0 * (CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) AS DOUBLE)
+                        / CAST(length(text) AS DOUBLE))
+               - 0.1 * abs((CAST(length(text) AS DOUBLE)
+                            - (CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) - 1))
+                           / CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE)
+                           - 5.0)))), 6) AS q
+  FROM documents),
+one AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+         CAST(SUM(nt) AS DOUBLE) AS n_tokens,
+         ROUND(AVG(nt), 6) AS mean_tokens_per_doc,
+         CAST(COUNT(DISTINCT source) AS DOUBLE) AS n_sources,
+         CAST(COUNT(DISTINCT lang) AS DOUBLE) AS n_langs,
+         CAST(COUNT(DISTINCT h) AS DOUBLE) AS n_uniq,
+         ROUND(quantile_cont(q, 0.25), 6) + 0.0 AS q25,
+         ROUND(quantile_cont(q, 0.5), 6) + 0.0 AS q50,
+         ROUND(quantile_cont(q, 0.75), 6) + 0.0 AS q75
+  FROM m)
+SELECT 'n_docs' AS metric, n_docs AS value FROM one
+UNION ALL SELECT 'n_tokens', n_tokens FROM one
+UNION ALL SELECT 'mean_tokens_per_doc', mean_tokens_per_doc FROM one
+UNION ALL SELECT 'n_sources', n_sources FROM one
+UNION ALL SELECT 'n_langs', n_langs FROM one
+UNION ALL SELECT 'dup_rate', ROUND((n_docs - n_uniq) / n_docs, 6) + 0.0 FROM one
+UNION ALL SELECT 'q25', q25 FROM one
+UNION ALL SELECT 'q50', q50 FROM one
+UNION ALL SELECT 'q75', q75 FROM one
+"""
+
 ORACLES["ivf_recall_report"] = f"""
 WITH truth AS (SELECT query_id, neighbor_id
                FROM ({ORACLES["knn_bruteforce"]}) x),
@@ -4948,6 +4990,9 @@ _SPEC_DEFS: dict[str, QuerySpec] = {
     ),
     "cohort_ltv": QuerySpec(_q_cohort_ltv, ORACLES["cohort_ltv"]),
     "basket_rules": QuerySpec(_q_basket_rules, ORACLES["basket_rules"]),
+    "corpus_datasheet": QuerySpec(
+        _q_corpus_datasheet, ORACLES["corpus_datasheet"]
+    ),
     "ivf_recall_report": QuerySpec(
         _q_ivf_recall_report, ORACLES["ivf_recall_report"]
     ),

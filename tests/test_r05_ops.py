@@ -549,6 +549,27 @@ def test_join_fanout_topk_products(spark):
     assert rows[0]["key"] == 1  # biggest fanout first
 
 
+def test_corpus_datasheet_reconciles_with_parts(spark):
+    """The datasheet must agree with the detailed operators it
+    summarizes: dup_rate with dedup_exact(normalized=True), counts
+    with direct aggregation."""
+    from flink_ecommerce_spark.operators.dedup import dedup_exact
+    from flink_ecommerce_spark.operators.text import corpus_datasheet
+
+    docs = catalog.table(spark, SF_SMALL, "documents")
+    sheet = {
+        r["metric"]: r["value"] for r in corpus_datasheet(docs).collect()
+    }
+    n = docs.count()
+    assert sheet["n_docs"] == float(n)
+    n_uniq = dedup_exact(docs, normalized=True).count()
+    assert abs(sheet["dup_rate"] - round((n - n_uniq) / n, 6)) < 1e-9
+    assert sheet["n_sources"] == float(
+        docs.select("source").distinct().count()
+    )
+    assert sheet["q25"] <= sheet["q50"] <= sheet["q75"]
+
+
 def test_bloom_prefilter_keeps_null_keys(spark):
     """NULL fact keys pass through (lossless for outer-join reuse);
     the inner-join equivalence is already property-tested in
