@@ -768,3 +768,66 @@ SELECT COUNT(*) AS n_sampled,
        {qs}
 FROM s
 """
+
+
+KMV_GROUP_K = 128
+
+
+def kmv_value_quantiles_by_type(
+    events: DataFrame, k: int = KMV_GROUP_K, salt: str = "kmv"
+) -> DataFrame:
+    """(event_type, n_sampled, p50, p90) — the KMV bottom-k quantile
+    sketch PER GROUP: each event_type keeps its own k-smallest-hash
+    sample, so grouped percentile estimates stay reproducible and
+    mergeable per key (per-shard, per-day group samples union →
+    re-take bottom-k, exactly like the global ``kmv_sample``).
+
+    Scale: delegates to the shared two-phase ``topk_per_key``
+    primitive (bucketed pre-top-k, tiny final window) so no group's
+    full membership funnels through one sort task — the same
+    parallelism fix sample_k_per_group uses; the grouped percentile
+    then runs over ≤ groups × k rows."""
+    from ..functions.portable import hash32
+    from .similarity import topk_per_key
+
+    scored = events.select(
+        "event_type",
+        "event_id",
+        "value",
+        hash32(F.col("event_id").cast("string"), salt=salt).alias("__h"),
+    )
+    sample = topk_per_key(
+        scored,
+        "event_type",
+        [F.asc("__h"), F.asc("event_id")],
+        k,
+        salt_col="event_id",
+    )
+    return sample.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        (F.round(F.expr("percentile(value, 0.5)"), 6) + 0.0).alias("p50"),
+        (F.round(F.expr("percentile(value, 0.9)"), 6) + 0.0).alias("p90"),
+    )
+
+
+def sql_kmv_value_quantiles_by_type(
+    k: int = KMV_GROUP_K, salt: str = "kmv"
+) -> str:
+    """DuckDB twin — identical per-group hash order and
+    interpolation (a plain per-group ROW_NUMBER: the oracle engine
+    doesn't need the two-phase parallelism trick, the OUTPUT is
+    defined to be identical)."""
+    from ..functions.portable import sql_hash32
+
+    h = sql_hash32("CAST(event_id AS VARCHAR)", salt=salt)
+    return f"""
+WITH s AS (SELECT event_type, value FROM (
+  SELECT event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY {h} ASC, event_id ASC) AS rn
+  FROM events) WHERE rn <= {k})
+SELECT event_type, COUNT(*) AS n_sampled,
+       ROUND(quantile_cont(value, 0.5), 6) + 0.0 AS p50,
+       ROUND(quantile_cont(value, 0.9), 6) + 0.0 AS p90
+FROM s GROUP BY event_type
+"""

@@ -1258,6 +1258,10 @@ def _q_salted_segment_revenue(spark, sf):
     )
 
 
+def _q_kmv_quantiles_by_type(spark, sf):
+    return _sketch.kmv_value_quantiles_by_type(_t("events")(spark, sf))
+
+
 def _q_corpus_datasheet(spark, sf):
     return text.corpus_datasheet(_t("documents")(spark, sf))
 
@@ -4218,6 +4222,9 @@ FROM cell c JOIN cs USING (cohort_week)
 """
 
 ORACLES["kmv_value_quantiles"] = _sketch.sql_kmv_value_quantiles()
+ORACLES["kmv_value_quantiles_by_type"] = (
+    _sketch.sql_kmv_value_quantiles_by_type()
+)
 
 
 ORACLES["quality_matched_sample"] = rf"""
@@ -4990,6 +4997,9 @@ _SPEC_DEFS: dict[str, QuerySpec] = {
     ),
     "cohort_ltv": QuerySpec(_q_cohort_ltv, ORACLES["cohort_ltv"]),
     "basket_rules": QuerySpec(_q_basket_rules, ORACLES["basket_rules"]),
+    "kmv_value_quantiles_by_type": QuerySpec(
+        _q_kmv_quantiles_by_type, ORACLES["kmv_value_quantiles_by_type"]
+    ),
     "corpus_datasheet": QuerySpec(
         _q_corpus_datasheet, ORACLES["corpus_datasheet"]
     ),
