@@ -5067,12 +5067,16 @@ _VERIFY_FIRST: tuple[str, ...] = (
     # (2) NEW in r05: ann_lsh_multiprobe (Hamming-1 probe LSH).
     # (3) backfill: the 6 oldest r01-certified queries (q17–q22, rows
     #     three rounds old), per COVERAGE.md's staleness rotation.
-    # Queries added late in r05 AFTER this window filled — mmr_select,
-    # source_overlap_minhash, events_profile, kn_bigram_surprisal,
-    # salted_segment_revenue, quality_matched_sample,
-    # conversion_survival, kmv_value_quantiles — sit at the registry
-    # tail with sf0.01 mini-driver green runs, ledger fingerprints
-    # tracking HEAD, and go FIRST into the r06 window.
+    # Queries added late in r05 AFTER this window filled —
+    # mmr_select, source_overlap_minhash, events_profile,
+    # kn_bigram_surprisal, salted_segment_revenue, quality_matched_sample,
+    # conversion_survival, kmv_value_quantiles, cohort_ltv,
+    # position_attribution, embedding_outliers, basket_rules,
+    # rfm_migration, ivf_recall_report, join_fanout_topk,
+    # corpus_datasheet, kmv_value_quantiles_by_type —
+    # sit at the registry tail with sf0.01 mini-driver green runs,
+    # ledger fingerprints tracking HEAD, and go FIRST into the r06
+    # window.
     "retention_rates",
     "documents_deduped_best",
     "temperature_mixture",
