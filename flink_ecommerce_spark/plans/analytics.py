@@ -1103,3 +1103,67 @@ def rfm_migration(events: DataFrame) -> DataFrame:
         .groupBy("seg_before", "seg_after")
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+def time_of_week_profile(events: DataFrame) -> DataFrame:
+    """(dow, hour, n_events, avg_value) — the day-of-week × hour-of-day
+    activity heatmap: the time-of-week seasonality profile ops teams
+    read before alerting thresholds ("Monday 9am is always 3× Sunday
+    3am") and that seasonal_daily_decompose's weekly phase assumes.
+    dow is ISO (1=Monday); hour is the event's UTC hour (the session
+    timezone is pinned UTC, so both engines bucket identically).
+
+    Scale: one aggregation into at most 7 × 24 groups with map-side
+    combine — a fixed-size output regardless of event volume."""
+    ts = F.col("ts").cast("timestamp")
+    return (
+        events.groupBy(
+            F.dayofweek(ts).alias("__dw"), F.hour(ts).alias("hour")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.round(F.avg("value"), 6) + 0.0).alias("avg_value"),
+        )
+        .select(
+            # Spark dayofweek: 1=Sunday; shift to ISO 1=Monday
+            F.pmod(F.col("__dw") + 5, F.lit(7)).cast("int").alias("dow"),
+            "hour",
+            "n_events",
+            "avg_value",
+        )
+        .withColumn("dow", F.col("dow") + 1)
+    )
+
+
+def user_lifecycle_stages(
+    events: DataFrame, active_days: int = 7, at_risk_days: int = 21
+) -> DataFrame:
+    """(stage, n_users) — rule-based lifecycle segmentation by recency
+    against the corpus horizon: 'new' (first seen within
+    ``active_days``), 'active' (seen within ``active_days`` but not
+    new), 'at_risk' (quiet ``active_days``..``at_risk_days``),
+    'churned' (quieter than ``at_risk_days``). The coarse operational
+    complement to the quartile-scored ``rfm_segments`` — thresholds a
+    human set, so the stages mean the same thing week over week
+    (quartiles move with the population).
+
+    Scale: one user-keyed min/max aggregation, the horizon as a 1-row
+    broadcast, a 4-row output."""
+    d = F.to_date("ts")
+    per_user = events.groupBy("user_id").agg(
+        F.min(d).alias("first_d"), F.max(d).alias("last_d")
+    )
+    horizon = events.agg(F.max(d).alias("max_d"))
+    u = per_user.crossJoin(F.broadcast(horizon)).select(
+        F.datediff("max_d", "last_d").alias("since_last"),
+        F.datediff("max_d", "first_d").alias("since_first"),
+    )
+    stage = (
+        F.when(F.col("since_first") <= active_days, F.lit("new"))
+        .when(F.col("since_last") <= active_days, F.lit("active"))
+        .when(F.col("since_last") <= at_risk_days, F.lit("at_risk"))
+        .otherwise(F.lit("churned"))
+    )
+    return u.groupBy(stage.alias("stage")).agg(
+        F.count(F.lit(1)).alias("n_users")
+    )

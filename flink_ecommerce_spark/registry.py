@@ -1258,6 +1258,14 @@ def _q_salted_segment_revenue(spark, sf):
     )
 
 
+def _q_time_of_week_profile(spark, sf):
+    return analytics.time_of_week_profile(_t("events")(spark, sf))
+
+
+def _q_user_lifecycle_stages(spark, sf):
+    return analytics.user_lifecycle_stages(_t("events")(spark, sf))
+
+
 def _q_kmv_quantiles_by_type(spark, sf):
     return _sketch.kmv_value_quantiles_by_type(_t("events")(spark, sf))
 
@@ -3997,6 +4005,28 @@ ORACLES["l_diversity_report"] = text.sql_l_diversity_report()
 
 ORACLES["conversion_survival"] = temporal.sql_conversion_survival()
 
+ORACLES["time_of_week_profile"] = """
+SELECT CAST(isodow(CAST(ts AS TIMESTAMP)) AS INT) AS dow,
+       CAST(hour(CAST(ts AS TIMESTAMP)) AS INT) AS hour,
+       COUNT(*) AS n_events,
+       ROUND(AVG(value), 6) + 0.0 AS avg_value
+FROM events GROUP BY 1, 2
+"""
+
+ORACLES["user_lifecycle_stages"] = """
+WITH u AS (SELECT user_id, MIN(CAST(ts AS DATE)) AS first_d,
+                  MAX(CAST(ts AS DATE)) AS last_d
+           FROM events GROUP BY 1),
+h AS (SELECT MAX(CAST(ts AS DATE)) AS max_d FROM events),
+s AS (SELECT CASE
+        WHEN datediff('day', first_d, max_d) <= 7 THEN 'new'
+        WHEN datediff('day', last_d, max_d) <= 7 THEN 'active'
+        WHEN datediff('day', last_d, max_d) <= 21 THEN 'at_risk'
+        ELSE 'churned' END AS stage
+      FROM u, h)
+SELECT stage, COUNT(*) AS n_users FROM s GROUP BY 1
+"""
+
 ORACLES["corpus_datasheet"] = rf"""
 WITH m AS (
   SELECT doc_id, source, lang,
@@ -4997,6 +5027,12 @@ _SPEC_DEFS: dict[str, QuerySpec] = {
     ),
     "cohort_ltv": QuerySpec(_q_cohort_ltv, ORACLES["cohort_ltv"]),
     "basket_rules": QuerySpec(_q_basket_rules, ORACLES["basket_rules"]),
+    "time_of_week_profile": QuerySpec(
+        _q_time_of_week_profile, ORACLES["time_of_week_profile"]
+    ),
+    "user_lifecycle_stages": QuerySpec(
+        _q_user_lifecycle_stages, ORACLES["user_lifecycle_stages"]
+    ),
     "kmv_value_quantiles_by_type": QuerySpec(
         _q_kmv_quantiles_by_type, ORACLES["kmv_value_quantiles_by_type"]
     ),
@@ -5073,7 +5109,8 @@ _VERIFY_FIRST: tuple[str, ...] = (
     # conversion_survival, kmv_value_quantiles, cohort_ltv,
     # position_attribution, embedding_outliers, basket_rules,
     # rfm_migration, ivf_recall_report, join_fanout_topk,
-    # corpus_datasheet, kmv_value_quantiles_by_type —
+    # corpus_datasheet, kmv_value_quantiles_by_type,
+    # time_of_week_profile, user_lifecycle_stages —
     # sit at the registry tail with sf0.01 mini-driver green runs,
     # ledger fingerprints tracking HEAD, and go FIRST into the r06
     # window.

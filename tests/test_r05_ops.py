@@ -570,6 +570,46 @@ def test_corpus_datasheet_reconciles_with_parts(spark):
     assert sheet["q25"] <= sheet["q50"] <= sheet["q75"]
 
 
+def test_time_of_week_profile_conserves_events(spark):
+    from flink_ecommerce_spark.plans.analytics import time_of_week_profile
+
+    ev = catalog.table(spark, SF_SMALL, "events")
+    rows = time_of_week_profile(ev).collect()
+    assert len(rows) <= 7 * 24
+    assert sum(r["n_events"] for r in rows) == ev.count()
+    for r in rows:
+        assert 1 <= r["dow"] <= 7 and 0 <= r["hour"] <= 23
+
+
+def test_user_lifecycle_stages_conserves_users(spark):
+    import datetime as dt
+
+    from flink_ecommerce_spark.plans.analytics import user_lifecycle_stages
+
+    # synthetic horizon: day 60; users spanning all four stages
+    def ts(day):
+        return dt.datetime(2024, 1, 1) + dt.timedelta(days=day)
+
+    rows = [
+        (1, ts(58), 1, "view", 0.0, "{}"),   # first within 7d -> new
+        (2, ts(10), 2, "view", 0.0, "{}"),
+        (3, ts(59), 2, "view", 0.0, "{}"),   # old user, recent -> active
+        (4, ts(45), 3, "view", 0.0, "{}"),   # quiet 15d -> at_risk
+        (5, ts(5), 4, "view", 0.0, "{}"),    # quiet 55d -> churned
+        (6, ts(60), 9, "view", 0.0, "{}"),   # horizon setter (new)
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    got = {
+        r["stage"]: r["n_users"]
+        for r in user_lifecycle_stages(ev).collect()
+    }
+    assert got == {"new": 2, "active": 1, "at_risk": 1, "churned": 1}
+
+
 def test_bloom_prefilter_keeps_null_keys(spark):
     """NULL fact keys pass through (lossless for outer-join reuse);
     the inner-join equivalence is already property-tested in
