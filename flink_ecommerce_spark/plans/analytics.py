@@ -1167,3 +1167,53 @@ def user_lifecycle_stages(
     return u.groupBy(stage.alias("stage")).agg(
         F.count(F.lit(1)).alias("n_users")
     )
+
+
+def pareto_revenue_share(events: DataFrame) -> DataFrame:
+    """(top_pct, threshold_value, n_users, revenue, revenue_share) —
+    revenue concentration: how much purchase revenue the top 1/5/10/
+    20/50% of spenders carry (the "whales" report; 80/20 checks, LTV
+    risk, and the denominator for any per-user cap proposal).
+
+    "Top X%" is defined by the exact per-user-total percentile
+    threshold (ties INCLUDE everyone at the threshold — deterministic
+    and identical in both engines), not by a global rank — so the
+    plan needs no corpus-wide sort: one user-keyed aggregation, ONE
+    exact-percentile one-row broadcast, then conditional sums over
+    the per-user frame. Per-user totals round to 2dp before the
+    thresholds so comparisons see identical doubles on any engine."""
+    per_user = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.round(F.sum("value"), 2).alias("spend"))
+    )
+    pcts = [1, 5, 10, 20, 50]
+    qs = per_user.agg(
+        F.sum("spend").alias("__total"),
+        *[
+            F.expr(f"percentile(spend, {1.0 - p / 100.0})").alias(f"__t{p}")
+            for p in pcts
+        ],
+    )
+    u = per_user.crossJoin(F.broadcast(qs))
+    aggs = []
+    for p in pcts:
+        inc = F.col("spend") >= F.col(f"__t{p}")
+        aggs.append(F.sum(inc.cast("long")).alias(f"__n{p}"))
+        aggs.append(
+            F.sum(F.when(inc, F.col("spend")).otherwise(F.lit(0.0))).alias(
+                f"__r{p}"
+            )
+        )
+        aggs.append(F.max(F.col(f"__t{p}")).alias(f"__thr{p}"))
+        aggs.append(F.max("__total").alias(f"__tot{p}"))
+    one = u.agg(*aggs)
+    stack = ", ".join(
+        f"{p}, ROUND(__thr{p}, 6) + 0.0, __n{p}, ROUND(__r{p}, 2) + 0.0,"
+        f" ROUND(__r{p} / __tot{p}, 6) + 0.0"
+        for p in pcts
+    )
+    return one.selectExpr(
+        f"stack({len(pcts)}, {stack}) AS "
+        "(top_pct, threshold_value, n_users, revenue, revenue_share)"
+    )

@@ -1258,6 +1258,10 @@ def _q_salted_segment_revenue(spark, sf):
     )
 
 
+def _q_pareto_revenue_share(spark, sf):
+    return analytics.pareto_revenue_share(_t("events")(spark, sf))
+
+
 def _q_time_of_week_profile(spark, sf):
     return analytics.time_of_week_profile(_t("events")(spark, sf))
 
@@ -4005,6 +4009,43 @@ ORACLES["l_diversity_report"] = text.sql_l_diversity_report()
 
 ORACLES["conversion_survival"] = temporal.sql_conversion_survival()
 
+ORACLES["pareto_revenue_share"] = """
+WITH pu AS (SELECT user_id, ROUND(SUM(value), 2) AS spend
+            FROM events WHERE event_type = 'purchase' GROUP BY 1),
+q AS (SELECT SUM(spend) AS total,
+             quantile_cont(spend, 0.99) AS t1,
+             quantile_cont(spend, 0.95) AS t5,
+             quantile_cont(spend, 0.90) AS t10,
+             quantile_cont(spend, 0.80) AS t20,
+             quantile_cont(spend, 0.50) AS t50
+      FROM pu),
+g AS (SELECT
+        SUM(CASE WHEN spend >= t1 THEN 1 ELSE 0 END) AS n1,
+        SUM(CASE WHEN spend >= t1 THEN spend ELSE 0.0 END) AS r1,
+        SUM(CASE WHEN spend >= t5 THEN 1 ELSE 0 END) AS n5,
+        SUM(CASE WHEN spend >= t5 THEN spend ELSE 0.0 END) AS r5,
+        SUM(CASE WHEN spend >= t10 THEN 1 ELSE 0 END) AS n10,
+        SUM(CASE WHEN spend >= t10 THEN spend ELSE 0.0 END) AS r10,
+        SUM(CASE WHEN spend >= t20 THEN 1 ELSE 0 END) AS n20,
+        SUM(CASE WHEN spend >= t20 THEN spend ELSE 0.0 END) AS r20,
+        SUM(CASE WHEN spend >= t50 THEN 1 ELSE 0 END) AS n50,
+        SUM(CASE WHEN spend >= t50 THEN spend ELSE 0.0 END) AS r50,
+        MAX(t1) AS t1, MAX(t5) AS t5, MAX(t10) AS t10,
+        MAX(t20) AS t20, MAX(t50) AS t50, MAX(total) AS total
+      FROM pu, q)
+SELECT 1 AS top_pct, ROUND(t1, 6) + 0.0 AS threshold_value,
+       n1 AS n_users, ROUND(r1, 2) + 0.0 AS revenue,
+       ROUND(r1 / total, 6) + 0.0 AS revenue_share FROM g
+UNION ALL SELECT 5, ROUND(t5, 6) + 0.0, n5, ROUND(r5, 2) + 0.0,
+       ROUND(r5 / total, 6) + 0.0 FROM g
+UNION ALL SELECT 10, ROUND(t10, 6) + 0.0, n10, ROUND(r10, 2) + 0.0,
+       ROUND(r10 / total, 6) + 0.0 FROM g
+UNION ALL SELECT 20, ROUND(t20, 6) + 0.0, n20, ROUND(r20, 2) + 0.0,
+       ROUND(r20 / total, 6) + 0.0 FROM g
+UNION ALL SELECT 50, ROUND(t50, 6) + 0.0, n50, ROUND(r50, 2) + 0.0,
+       ROUND(r50 / total, 6) + 0.0 FROM g
+"""
+
 ORACLES["time_of_week_profile"] = """
 SELECT CAST(isodow(CAST(ts AS TIMESTAMP)) AS INT) AS dow,
        CAST(hour(CAST(ts AS TIMESTAMP)) AS INT) AS hour,
@@ -5027,6 +5068,9 @@ _SPEC_DEFS: dict[str, QuerySpec] = {
     ),
     "cohort_ltv": QuerySpec(_q_cohort_ltv, ORACLES["cohort_ltv"]),
     "basket_rules": QuerySpec(_q_basket_rules, ORACLES["basket_rules"]),
+    "pareto_revenue_share": QuerySpec(
+        _q_pareto_revenue_share, ORACLES["pareto_revenue_share"]
+    ),
     "time_of_week_profile": QuerySpec(
         _q_time_of_week_profile, ORACLES["time_of_week_profile"]
     ),
@@ -5110,7 +5154,8 @@ _VERIFY_FIRST: tuple[str, ...] = (
     # position_attribution, embedding_outliers, basket_rules,
     # rfm_migration, ivf_recall_report, join_fanout_topk,
     # corpus_datasheet, kmv_value_quantiles_by_type,
-    # time_of_week_profile, user_lifecycle_stages —
+    # time_of_week_profile, user_lifecycle_stages,
+    # pareto_revenue_share —
     # sit at the registry tail with sf0.01 mini-driver green runs,
     # ledger fingerprints tracking HEAD, and go FIRST into the r06
     # window.

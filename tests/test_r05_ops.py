@@ -622,3 +622,25 @@ def test_bloom_prefilter_keeps_null_keys(spark):
     vs = {r["v"] for r in out}
     assert "b" in vs  # NULL key kept
     assert "a" in vs  # member kept
+
+
+def test_pareto_revenue_share_monotone(spark):
+    from flink_ecommerce_spark.plans.analytics import pareto_revenue_share
+
+    ev = catalog.table(spark, SF_SMALL, "events")
+    rows = sorted(
+        pareto_revenue_share(ev).collect(), key=lambda r: r["top_pct"]
+    )
+    assert [r["top_pct"] for r in rows] == [1, 5, 10, 20, 50]
+    last_share, last_n, last_thr = -1.0, 0, float("inf")
+    for r in rows:
+        assert r["revenue_share"] >= last_share - 1e-9
+        assert r["n_users"] >= last_n
+        assert r["threshold_value"] <= last_thr + 1e-9
+        assert 0.0 <= r["revenue_share"] <= 1.0
+        last_share, last_n, last_thr = (
+            r["revenue_share"], r["n_users"], r["threshold_value"]
+        )
+    # concentration sanity: the top 1% can't carry less than 1% of
+    # revenue when everyone at/above the p99 threshold is included
+    assert rows[0]["revenue_share"] >= 0.01 - 1e-9
