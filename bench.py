@@ -660,16 +660,24 @@ def main() -> None:
     if len(line) > 1500:
         compact.pop("replay", None)
         line = json.dumps(compact, separators=(",", ":"))
-    while len(line) > 1500 and compact["queries"]:
+    while len(line) > 1500 and len(compact["queries"]) > 1:
         slowest = dict(
             sorted(timings.items(), key=lambda kv: -kv[1])[
                 : max(1, len(compact["queries"]) - 5)
             ]
         )
+        if slowest == compact["queries"]:
+            break  # no progress possible — fall through to headline-only
         compact["queries"] = slowest
         compact["queries_truncated_to_slowest"] = len(slowest)
         line = json.dumps(compact, separators=(",", ":"))
         timings = slowest
+    if len(line) > 1500:
+        # last resort: headline fields only (ADVICE r05 — the old
+        # loop had no progress guarantee at one remaining entry)
+        compact["queries"] = {}
+        compact["queries_truncated_to_slowest"] = 0
+        line = json.dumps(compact, separators=(",", ":"))
     print(line)
     spark.stop()
 

@@ -67,6 +67,29 @@ def sql_hash32(expr: str, salt: str | None = None, half: int = 0) -> str:
     return f"({digits})"
 
 
+def micro(col: Column, scale: int = 1_000_000) -> Column:
+    """Version-robust encoding of a final double column: integer
+    micro-units via floor(x·scale + 0.5) as BIGINT.
+
+    ROUND(double, n) emits a double whose half-way tie behavior has
+    drifted across oracle-engine releases (the only red-row signature
+    in round 5: rows+schema matched, hash didn't). floor(x + 0.5) is
+    pure IEEE arithmetic every engine evaluates bit-identically, and
+    an integer column hashes identically everywhere. The repo-wide
+    encoding rule (COVERAGE.md "Oracle encoding rule"): any query
+    whose FINAL output column is a rounded double ships it as
+    ``<name>_micro`` = micro(expr) instead, with ``sql_micro`` as the
+    oracle twin. Note floor(x+0.5) rounds half-UP for negatives too
+    (−0.5 → 0) — consistent on both sides, which is all that
+    matters."""
+    return F.floor(col * F.lit(float(scale)) + F.lit(0.5)).cast("long")
+
+
+def sql_micro(expr: str, scale: int = 1_000_000) -> str:
+    """DuckDB SQL twin of ``micro()``."""
+    return f"CAST(FLOOR(({expr}) * {scale} + 0.5) AS BIGINT)"
+
+
 def sql_hash32_from_digest(expr: str, half: int = 0) -> str:
     """DuckDB SQL: 32-bit value from an already-computed md5 hex
     digest expression (the oracle twin of ``hash32_from_digest``).

@@ -64,7 +64,7 @@ def kmeans_assign(
 
     corpus = embeddings.select("vec_id", "embedding")
     assigned = None
-    for _ in range(n_iter):
+    for it in range(n_iter):
         # distances quantized to 9dp: makes the argmin identical
         # across engines (see module docstring) — post-rounding ties
         # fall to the lowest cluster index below
@@ -81,6 +81,13 @@ def kmeans_assign(
             cluster = F.when(F.col(f"d{i}") == min_d, F.lit(i)).otherwise(cluster)
         assigned = with_d.select("vec_id", "embedding", cluster.alias("cluster"))
 
+        if it == n_iter - 1:
+            # the returned assignment uses the centroids from the
+            # START of this iteration (the oracle only assigns on
+            # round n_iter) — computing and discarding one more
+            # centroid update would waste a distributed aggregation
+            # + driver collect (ADVICE r05)
+            break
         new_rows = (
             assigned.select("cluster", F.posexplode("embedding").alias("dim", "v"))
             .groupBy("cluster", "dim")

@@ -32,7 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.portable import hash32, hash32_from_digest, salted_md5
+from ..functions.portable import hash32, hash32_from_digest, micro, salted_md5
 from .textprep import shingles_from_words, word_shingles, words
 
 NUM_HASHES = 16  # MinHash signature length
@@ -197,10 +197,11 @@ def source_overlap_minhash(
     is mergeable across shards and across time, like the portable
     HLL. The pair join runs over #sources rows (broadcast). Estimator:
     slot-collision fraction, the textbook unbiased MinHash estimate
-    of Jaccard; ``n_equal_slots`` stays integer so the oracle
-    comparison is exact, not float-rounded. Same Carter-Wegman
-    derivation as ``minhash_signatures`` (one md5 per shingle
-    occurrence; duplicate occurrences cannot change a MIN)."""
+    of Jaccard; ``n_equal_slots`` stays integer and est_jaccard ships
+    as integer micro-units so the oracle comparison is exact, not
+    float-rounded. Same Carter-Wegman derivation as
+    ``minhash_signatures`` (one md5 per shingle occurrence; duplicate
+    occurrences cannot change a MIN)."""
     from .scale import ensure_parallelism
 
     sh = (
@@ -242,12 +243,9 @@ def source_overlap_minhash(
             "source_a",
             "source_b",
             n_eq.cast("int").alias("n_equal_slots"),
-            (
-                F.round(
-                    n_eq.cast("double") / F.lit(float(num_hashes)), 6
-                )
-                + 0.0
-            ).alias("est_jaccard"),
+            micro(
+                n_eq.cast("double") / F.lit(float(num_hashes))
+            ).alias("est_jaccard_micro"),
         )
     )
 

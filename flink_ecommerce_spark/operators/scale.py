@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.portable import micro
+
 DEFAULT_SALT = 16
 
 
@@ -179,11 +181,13 @@ def key_skew_summary(df: DataFrame, key: str) -> DataFrame:
 
 
 def table_profile(df: DataFrame, cols: list[str]) -> DataFrame:
-    """(col_name, n_rows, n_nulls, null_frac, n_distinct) per profiled
-    column — the preflight a pipeline runs before trusting a new drop
-    of data (a key column that suddenly grew nulls, or a category
-    column whose cardinality exploded, breaks joins and aggregations
-    downstream in ways that surface much later).
+    """(col_name, n_rows, n_nulls, null_frac_micro, n_distinct) per
+    profiled column — the preflight a pipeline runs before trusting a
+    new drop of data (a key column that suddenly grew nulls, or a
+    category column whose cardinality exploded, breaks joins and
+    aggregations downstream in ways that surface much later).
+    null_frac ships as integer micro-units (COVERAGE.md "Oracle
+    encoding rule").
 
     Scale: ONE corpus scan — all per-column counters ride a single
     aggregation (the multi-countDistinct expands via Expand but still
@@ -204,19 +208,20 @@ def table_profile(df: DataFrame, cols: list[str]) -> DataFrame:
                 F.lit(c).alias("col_name"),
                 F.col("__n").alias("n_rows"),
                 F.col(f"__nulls_{c}").alias("n_nulls"),
-                (
-                    F.round(
-                        F.col(f"__nulls_{c}").cast("double") / F.col("__n"), 6
-                    )
-                    + 0.0
-                ).alias("null_frac"),
+                micro(
+                    F.col(f"__nulls_{c}").cast("double") / F.col("__n")
+                ).alias("null_frac_micro"),
                 F.col(f"__dist_{c}").alias("n_distinct"),
             )
             for c in cols
         ]
     )
     return one.select(F.explode(structs).alias("p")).select(
-        "p.col_name", "p.n_rows", "p.n_nulls", "p.null_frac", "p.n_distinct"
+        "p.col_name",
+        "p.n_rows",
+        "p.n_nulls",
+        "p.null_frac_micro",
+        "p.n_distinct",
     )
 
 

@@ -22,6 +22,7 @@ import hashlib
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.portable import micro
 from ..functions.vector import cosine_from_parts, cosine_sim, dot, l2_norm
 
 EMB_DIM = 64
@@ -360,7 +361,7 @@ MMR_LAMBDA = 0.5
 def mmr_select(
     embeddings: DataFrame, k: int = MMR_K, lam: float = MMR_LAMBDA
 ) -> DataFrame:
-    """(step, vec_id, score) — greedy Maximal Marginal Relevance
+    """(step, vec_id, score_micro) — greedy Maximal Marginal Relevance
     (Carbonell & Goldstein '98) exemplar selection: step 1 takes the
     vector most similar to the corpus centroid; each later step takes
     argmax of λ·relevance − (1−λ)·max-cosine-to-already-selected.
@@ -368,10 +369,13 @@ def mmr_select(
     few-shot/eval-seed selection where top-k-by-relevance returns k
     near-duplicates.
 
-    Engine-portable determinism: centroid per-dim means, relevance,
-    pairwise cosines, and the combined score are each rounded to 6dp;
-    argmax ties fall to the lowest vec_id — so the greedy trajectory
-    is reproduced exactly by the unrolled CTE oracle
+    Engine-portable determinism: the whole trajectory runs on the
+    INTEGER micro grid — relevance and pairwise cosines quantize to
+    floor(cos·10⁶ + 0.5) longs, the combined score is
+    floor(λ·rel_u − (1−λ)·msim_u + 0.5) — so the argmax compares
+    integers (never ROUND-sensitive doubles; COVERAGE.md "Oracle
+    encoding rule") with ties to the lowest vec_id, and the greedy
+    trajectory is reproduced exactly by the unrolled CTE oracle
     (``mmr_oracle_sql``), the kmeans/pagerank pattern.
 
     Scale shape: greedy selection is inherently sequential in k, but
@@ -384,19 +388,31 @@ def mmr_select(
     cent_rows = (
         embeddings.select(F.posexplode("embedding").alias("dim", "v"))
         .groupBy("dim")
-        .agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("m"))
+        .agg(
+            (
+                F.floor(
+                    F.avg(F.col("v").cast("double")) * F.lit(1e6)
+                    + F.lit(0.5)
+                )
+                / F.lit(1e6)
+            ).alias("m")
+        )
         .collect()
     )
     if not cent_rows:  # empty corpus: empty result, schema preserved
         return embeddings.sparkSession.createDataFrame(
-            [], "step int, vec_id long, score double"
+            [], "step int, vec_id long, score_micro long"
         )
     cent = [r["m"] for r in sorted(cent_rows, key=lambda r: r["dim"])]
     cent_col = F.array(*[F.lit(float(x)) for x in cent])
+
+    def u(col):  # cosine → integer micro grid
+        return F.floor(col * F.lit(1e6) + F.lit(0.5)).cast("long")
+
     rel = embeddings.select(
         "vec_id",
         "embedding",
-        F.round(cosine_sim(F.col("embedding"), cent_col), 6).alias("rel"),
+        u(cosine_sim(F.col("embedding"), cent_col)).alias("rel_u"),
     )
     picks = []  # (step, plan) — unioned for the returned DataFrame
     selected: list[tuple[int, list[float]]] = []
@@ -406,47 +422,38 @@ def mmr_select(
             cand = cand.filter(
                 ~F.col("vec_id").isin([v for v, _ in selected])
             )
-            msim = F.greatest(
-                *[
-                    F.round(
-                        cosine_sim(
-                            F.col("embedding"),
-                            F.array(*[F.lit(float(x)) for x in emb]),
-                        ),
-                        6,
+            sims = [
+                u(
+                    cosine_sim(
+                        F.col("embedding"),
+                        F.array(*[F.lit(float(x)) for x in emb]),
                     )
-                    for _, emb in selected
-                ]
-            ) if len(selected) > 1 else F.round(
-                cosine_sim(
-                    F.col("embedding"),
-                    F.array(*[F.lit(float(x)) for x in selected[0][1]]),
-                ),
-                6,
-            )
-            score = (
-                F.round(
-                    F.lit(lam) * F.col("rel") - F.lit(1.0 - lam) * msim, 6
                 )
-                + 0.0
-            )
+                for _, emb in selected
+            ]
+            msim_u = F.greatest(*sims) if len(sims) > 1 else sims[0]
+            score = F.floor(
+                F.lit(lam) * F.col("rel_u")
+                - F.lit(1.0 - lam) * msim_u
+                + F.lit(0.5)
+            ).cast("long")
         else:
-            score = F.col("rel") + 0.0
+            score = F.col("rel_u")
         pick_plan = (
             cand.select(
                 F.lit(step).alias("step"),
                 "vec_id",
                 "embedding",
-                score.alias("score"),
+                score.alias("score_micro"),
             )
-            .orderBy(F.desc("score"), F.asc("vec_id"))
+            .orderBy(F.desc("score_micro"), F.asc("vec_id"))
             .limit(1)
         )
         row = pick_plan.collect()
         if not row:
             break
         selected.append((row[0]["vec_id"], list(row[0]["embedding"])))
-        picks.append(pick_plan.select("step", "vec_id", "score"))
+        picks.append(pick_plan.select("step", "vec_id", "score_micro"))
     out = picks[0]
     for p in picks[1:]:
         out = out.unionAll(p)
@@ -455,7 +462,7 @@ def mmr_select(
 
 def mmr_oracle_sql(k: int = MMR_K, lam: float = MMR_LAMBDA) -> str:
     """Unrolled DuckDB twin of ``mmr_select``: sel₀ = ∅; pickᵢ =
-    argmax over non-selected of the (rounded) MMR score against
+    argmax over non-selected of the (integer-micro) MMR score against
     selᵢ₋₁; selᵢ = selᵢ₋₁ ∪ pickᵢ. Ties to the lowest vec_id via the
     ORDER BY, matching the Spark TakeOrdered."""
     from ..functions.vector import sql_cosine
@@ -465,14 +472,15 @@ def mmr_oracle_sql(k: int = MMR_K, lam: float = MMR_LAMBDA) -> str:
         "WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e"
         " FROM embeddings),",
         "cent AS (SELECT CAST(dim AS INT) AS dim,"
-        " ROUND(AVG(v), 6) AS m FROM"
+        " FLOOR(AVG(v) * 1000000 + 0.5) / 1000000 AS m FROM"
         " (SELECT unnest(e) AS v, generate_subscripts(e, 1) AS dim"
         "  FROM emb) GROUP BY 1),",
         "cent_arr AS (SELECT list(m ORDER BY dim) AS c FROM cent),",
         "rel AS (SELECT r.vec_id, r.e,"
-        f" ROUND({cos_cent}, 6) AS rel FROM emb r CROSS JOIN cent_arr ca),",
-        "pick1 AS (SELECT 1 AS step, vec_id, e, rel + 0.0 AS score"
-        " FROM rel ORDER BY score DESC, vec_id ASC LIMIT 1),",
+        f" CAST(FLOOR(({cos_cent}) * 1000000 + 0.5) AS BIGINT) AS rel_u"
+        " FROM emb r CROSS JOIN cent_arr ca),",
+        "pick1 AS (SELECT 1 AS step, vec_id, e, rel_u AS score_micro"
+        " FROM rel ORDER BY score_micro DESC, vec_id ASC LIMIT 1),",
         "sel1 AS (SELECT vec_id, e FROM pick1),",
     ]
     for i in range(2, k + 1):
@@ -480,16 +488,18 @@ def mmr_oracle_sql(k: int = MMR_K, lam: float = MMR_LAMBDA) -> str:
         cos_sel = sql_cosine("r.e", "s.e", EMB_DIM)
         parts.append(
             f"ms{i} AS (SELECT r.vec_id,"
-            f" MAX(ROUND({cos_sel}, 6)) AS msim"
+            f" MAX(CAST(FLOOR(({cos_sel}) * 1000000 + 0.5) AS BIGINT))"
+            f" AS msim_u"
             f" FROM rel r CROSS JOIN {prev} s"
             f" WHERE r.vec_id NOT IN (SELECT vec_id FROM {prev})"
             f" GROUP BY r.vec_id),"
         )
         parts.append(
             f"pick{i} AS (SELECT {i} AS step, r.vec_id, r.e,"
-            f" ROUND({lam} * r.rel - {1.0 - lam} * m.msim, 6) + 0.0 AS score"
+            f" CAST(FLOOR({lam} * r.rel_u - {1.0 - lam} * m.msim_u + 0.5)"
+            f" AS BIGINT) AS score_micro"
             f" FROM rel r JOIN ms{i} m USING (vec_id)"
-            f" ORDER BY score DESC, vec_id ASC LIMIT 1),"
+            f" ORDER BY score_micro DESC, vec_id ASC LIMIT 1),"
         )
         parts.append(
             f"sel{i} AS (SELECT vec_id, e FROM {prev}"
@@ -497,7 +507,8 @@ def mmr_oracle_sql(k: int = MMR_K, lam: float = MMR_LAMBDA) -> str:
         )
     parts[-1] = parts[-1].rstrip(",")
     union = "\nUNION ALL\n".join(
-        f"SELECT step, vec_id, score FROM pick{i}" for i in range(1, k + 1)
+        f"SELECT step, vec_id, score_micro FROM pick{i}"
+        for i in range(1, k + 1)
     )
     return "\n".join(parts) + "\n" + union
 
@@ -1575,18 +1586,21 @@ OUTLIER_Z = 2.0
 def embedding_outliers(
     embeddings: DataFrame, z_threshold: float = OUTLIER_Z
 ) -> DataFrame:
-    """(vec_id, label, d2, z) — vectors anomalously far from their own
-    label's centroid (z-score of squared distance > threshold): the
-    embedding-table quality screen that surfaces mislabeled rows,
-    corrupt vectors, and encoder glitches before they poison a
-    centroid, an IVF cell routing, or a semantic-dedup decision.
+    """(vec_id, label, d2_micro, z_micro) — vectors anomalously far
+    from their own label's centroid (z-score of squared distance >
+    threshold): the embedding-table quality screen that surfaces
+    mislabeled rows, corrupt vectors, and encoder glitches before
+    they poison a centroid, an IVF cell routing, or a semantic-dedup
+    decision.
 
-    Determinism: centroids are the 6dp-quantized per-(label, dim)
-    means (label_centroids' convention); each vector's d2 rounds to
-    6dp BEFORE the per-label moment sums, and z rounds to 6dp before
-    the threshold compare — so the survivor set is identical across
-    engines. Variance uses the explicit sum formula (never engine
-    stddev), population convention.
+    Determinism: centroids are the micro-quantized per-(label, dim)
+    means (floor(mean·10⁶ + 0.5)/10⁶ — pure IEEE, no ROUND); each
+    vector's d2 quantizes to integer micro-units BEFORE the per-label
+    moment sums, and z quantizes to integer micro-units before the
+    threshold compare — so the survivor set is identical across
+    engines and both output columns hash as integers. Variance uses
+    the explicit sum formula (never engine stddev), population
+    convention.
 
     Scale: the shuffle carries (label, dim) partial sums for the
     centroids and (vec_id, partial d2) for distances — the same
@@ -1598,37 +1612,34 @@ def embedding_outliers(
         "vec_id", "label", "dim", F.col("v").cast("double").alias("v")
     )
     cent = ex.groupBy("label", "dim").agg(
-        F.round(F.avg("v"), 6).alias("c")
+        (
+            F.floor(F.avg("v") * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+        ).alias("c")
     )
     d2 = (
         ex.join(cent, ["label", "dim"])
         .groupBy("vec_id", "label")
         .agg(
-            F.round(
-                F.sum((F.col("v") - F.col("c")) * (F.col("v") - F.col("c"))),
-                6,
-            ).alias("d2")
+            micro(
+                F.sum((F.col("v") - F.col("c")) * (F.col("v") - F.col("c")))
+            ).alias("d2_micro")
         )
     )
+    d2q = F.col("d2_micro").cast("double") / F.lit(1e6)
     mom = d2.groupBy("label").agg(
         F.count(F.lit(1)).alias("__n"),
-        F.sum("d2").alias("__sx"),
-        F.sum(F.col("d2") * F.col("d2")).alias("__sxx"),
+        F.sum("d2_micro").alias("__sx"),  # exact integer sum
+        F.sum(d2q * d2q).alias("__sxx"),
     )
-    mean = F.col("__sx") / F.col("__n")
+    mean = F.col("__sx").cast("double") / F.lit(1e6) / F.col("__n")
     var = F.greatest(
         F.col("__sxx") / F.col("__n") - mean * mean, F.lit(0.0)
     )
-    z = (
-        F.round(
-            (F.col("d2") - mean) / F.greatest(F.sqrt(var), F.lit(1e-12)), 6
-        )
-        + 0.0
-    )
+    z = micro((d2q - mean) / F.greatest(F.sqrt(var), F.lit(1e-12)))
     return (
         d2.join(F.broadcast(mom), "label")
-        .select("vec_id", "label", "d2", z.alias("z"))
-        .filter(F.col("z") > z_threshold)
+        .select("vec_id", "label", "d2_micro", z.alias("z_micro"))
+        .filter(F.col("z_micro") > int(z_threshold * 1_000_000))
     )
 
 
@@ -1637,7 +1648,7 @@ def ivf_recall_report(
     k: int = DEFAULT_K,
     n_queries: int = DEFAULT_N_QUERIES,
 ) -> DataFrame:
-    """One row (n_true, n_ivf, n_hit, recall) — the IVF twin of
+    """One row (n_true, n_ivf, n_hit, recall_micro) — the IVF twin of
     dedup.lsh_recall_report: how much of the exact brute-force top-k
     does single-probe IVF routing surface? Routing loss (true
     neighbors living in a non-probed cell) is THE failure mode of IVF
@@ -1666,8 +1677,8 @@ def ivf_recall_report(
             "n_true",
             "n_ivf",
             "n_hit",
-            F.round(F.try_divide(F.col("n_hit"), F.col("n_true")), 6).alias(
-                "recall"
+            micro(F.try_divide(F.col("n_hit"), F.col("n_true"))).alias(
+                "recall_micro"
             ),
         )
     )

@@ -741,12 +741,12 @@ def kmv_value_quantiles(
     estimate. Exact interpolated percentile over the sample matches
     DuckDB's quantile_cont (the certified idiom)."""
     s = kmv_sample(events, k, salt)
+    from ..functions.portable import micro
+
     aggs = [F.count(F.lit(1)).alias("n_sampled")]
     for p in KMV_PROBS:
-        name = f"p{int(p * 100)}"
-        aggs.append(
-            (F.round(F.expr(f"percentile(value, {p})"), 6) + 0.0).alias(name)
-        )
+        name = f"p{int(p * 100)}_micro"
+        aggs.append(micro(F.expr(f"percentile(value, {p})")).alias(name))
     return s.agg(*aggs)
 
 
@@ -756,8 +756,10 @@ def sql_kmv_value_quantiles(k: int = KMV_K, salt: str = "kmv") -> str:
     from ..functions.portable import sql_hash32
 
     h = sql_hash32("CAST(event_id AS VARCHAR)", salt=salt)
+    from ..functions.portable import sql_micro
+
     qs = ",\n       ".join(
-        f"ROUND(quantile_cont(value, {p}), 6) + 0.0 AS p{int(p * 100)}"
+        f"{sql_micro(f'quantile_cont(value, {p})')} AS p{int(p * 100)}_micro"
         for p in KMV_PROBS
     )
     return f"""
@@ -803,10 +805,12 @@ def kmv_value_quantiles_by_type(
         k,
         salt_col="event_id",
     )
+    from ..functions.portable import micro
+
     return sample.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_sampled"),
-        (F.round(F.expr("percentile(value, 0.5)"), 6) + 0.0).alias("p50"),
-        (F.round(F.expr("percentile(value, 0.9)"), 6) + 0.0).alias("p90"),
+        micro(F.expr("percentile(value, 0.5)")).alias("p50_micro"),
+        micro(F.expr("percentile(value, 0.9)")).alias("p90_micro"),
     )
 
 
@@ -827,7 +831,9 @@ WITH s AS (SELECT event_type, value FROM (
                             ORDER BY {h} ASC, event_id ASC) AS rn
   FROM events) WHERE rn <= {k})
 SELECT event_type, COUNT(*) AS n_sampled,
-       ROUND(quantile_cont(value, 0.5), 6) + 0.0 AS p50,
-       ROUND(quantile_cont(value, 0.9), 6) + 0.0 AS p90
+       CAST(FLOOR(quantile_cont(value, 0.5) * 1000000 + 0.5) AS BIGINT)
+         AS p50_micro,
+       CAST(FLOOR(quantile_cont(value, 0.9) * 1000000 + 0.5) AS BIGINT)
+         AS p90_micro
 FROM s GROUP BY event_type
 """

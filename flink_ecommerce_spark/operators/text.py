@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.portable import hash32
+from ..functions.portable import hash32, micro
 from .textprep import char_shingles, words
 
 # Tiny deterministic stopword profiles per language. Parity with the
@@ -284,23 +284,29 @@ def char_entropy(documents: DataFrame, max_chars: int = 2000) -> DataFrame:
     volume is bounded per doc regardless of document length; both
     aggregations key on doc_id with map-side combine. H is computed
     as ln(N) − Σ n·ln(n) / N from a single aggregate pass over the
-    (doc, char) frequencies."""
+    (doc, char) frequencies.
+
+    Output contract: entropy ships as INTEGER micro-nats
+    (``char_entropy_micro`` = floor(H·1e6 + 0.5)) rather than a
+    rounded double. ROUND(double, 6) emits a double whose tie
+    behavior has drifted across oracle-engine releases; floor(x+0.5)
+    is pure IEEE arithmetic every engine evaluates identically, and
+    an integer column hashes identically everywhere (VERDICT r05
+    item 1/2 — the version-robust encoding rule, COVERAGE.md
+    "Oracle encoding rule")."""
     chars = documents.filter(F.length("text") > 0).select(
         "doc_id",
         F.explode(F.split(F.substring("text", 1, max_chars), "")).alias("c"),
     )
     freq = chars.groupBy("doc_id", "c").agg(F.count(F.lit(1)).alias("n"))
     n = F.col("n").cast("double")
-    # + 0.0 normalizes IEEE -0.0 (single-char docs land exactly on 0)
+    h = F.log(F.sum(n)) - F.sum(n * F.log(n)) / F.sum(n)
     return freq.groupBy("doc_id").agg(
         F.sum("n").alias("n_chars_sampled"),
         F.count(F.lit(1)).alias("n_unique_chars"),
-        (
-            F.round(
-                F.log(F.sum(n)) - F.sum(n * F.log(n)) / F.sum(n), 6
-            )
-            + 0.0
-        ).alias("char_entropy"),
+        F.floor(h * F.lit(1_000_000.0) + F.lit(0.5))
+        .cast("long")
+        .alias("char_entropy_micro"),
     )
 
 
@@ -530,8 +536,9 @@ def kn_bigram_surprisal(
         P(w2|w1) = (max(c(w1,w2)−d, 0) + d·N1+(w1,•)·P_cont(w2)) / c(w1)
         P_cont(w2) = N1+(•,w2) / #bigram-types
 
-    Output: (doc_id, n_bigrams, avg_kn_surprisal) — mean −log₂P over
-    the document's bigram tokens, rounded 6dp; documents with < 2
+    Output: (doc_id, n_bigrams, avg_kn_surprisal_micro) — mean −log₂P
+    over the document's bigram tokens, in integer micro-bits
+    (COVERAGE.md "Oracle encoding rule"); documents with < 2
     words have no bigrams and drop out (identically in both engines).
 
     Scale: bigram counts / context-type counts are vocabulary²-
@@ -574,8 +581,8 @@ def kn_bigram_surprisal(
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),
-            (F.round(F.avg(-F.log2(F.col("__p"))), 6) + 0.0).alias(
-                "avg_kn_surprisal"
+            micro(F.avg(-F.log2(F.col("__p")))).alias(
+                "avg_kn_surprisal_micro"
             ),
         )
     )
@@ -1618,6 +1625,11 @@ def corpus_datasheet(documents: DataFrame) -> DataFrame:
     reports (same normalized-hash duplicate definition as
     dedup_exact, same logistic quality as quality_scores).
 
+    value is a single BIGINT column: counts ship as-is, fractional
+    metrics ship as integer micro-units under ``*_micro`` metric
+    names (COVERAGE.md "Oracle encoding rule" — a heterogeneous
+    double column was the hash-drift shape r05 flagged).
+
     Scale: ONE text scan computes every per-doc metric into a narrow
     frame; the duplicate count is a hash-keyed distinct on that frame
     (text never shuffles); quartiles run over the per-doc quality
@@ -1628,36 +1640,40 @@ def corpus_datasheet(documents: DataFrame) -> DataFrame:
     norm_hash = F.md5(
         F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
     )
+    q_grid = (
+        F.floor(_quality_column() * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    )
     m = documents.select(
         "doc_id",
         "source",
         "lang",
         n_tok.cast("long").alias("__nt"),
         norm_hash.alias("__h"),
-        F.round(_quality_column(), 6).alias("__q"),
+        q_grid.alias("__q"),
     )
     one = m.agg(
-        F.count(F.lit(1)).cast("double").alias("n_docs"),
-        F.sum("__nt").cast("double").alias("n_tokens"),
-        F.round(F.avg("__nt"), 6).alias("mean_tokens_per_doc"),
-        F.countDistinct("source").cast("double").alias("n_sources"),
-        F.countDistinct("lang").cast("double").alias("n_langs"),
-        F.countDistinct("__h").cast("double").alias("__n_uniq"),
-        (F.round(F.expr("percentile(__q, 0.25)"), 6) + 0.0).alias("q25"),
-        (F.round(F.expr("percentile(__q, 0.5)"), 6) + 0.0).alias("q50"),
-        (F.round(F.expr("percentile(__q, 0.75)"), 6) + 0.0).alias("q75"),
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("__nt").alias("n_tokens"),
+        micro(F.avg("__nt")).alias("mean_tokens_per_doc_micro"),
+        F.countDistinct("source").alias("n_sources"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("__h").alias("__n_uniq"),
+        micro(F.expr("percentile(__q, 0.25)")).alias("q25_micro"),
+        micro(F.expr("percentile(__q, 0.5)")).alias("q50_micro"),
+        micro(F.expr("percentile(__q, 0.75)")).alias("q75_micro"),
     ).withColumn(
-        "dup_rate",
-        F.round(
-            (F.col("n_docs") - F.col("__n_uniq")) / F.col("n_docs"), 6
-        )
-        + 0.0,
+        "dup_rate_micro",
+        micro(
+            (F.col("n_docs") - F.col("__n_uniq")).cast("double")
+            / F.col("n_docs")
+        ),
     )
     stack = ", ".join(
-        f"'{name}', {name}"
+        f"'{name}', CAST({name} AS BIGINT)"
         for name in (
-            "n_docs", "n_tokens", "mean_tokens_per_doc", "n_sources",
-            "n_langs", "dup_rate", "q25", "q50", "q75",
+            "n_docs", "n_tokens", "mean_tokens_per_doc_micro",
+            "n_sources", "n_langs", "dup_rate_micro", "q25_micro",
+            "q50_micro", "q75_micro",
         )
     )
     return one.selectExpr(f"stack(9, {stack}) AS (metric, value)")

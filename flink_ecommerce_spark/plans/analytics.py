@@ -15,6 +15,8 @@ import math
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.portable import micro
+
 
 def top_users_per_event_type(events: DataFrame, k: int = 5) -> DataFrame:
     """Top-k users by total value within each event_type:
@@ -448,8 +450,9 @@ def weekly_retention(events: DataFrame, anchor: str = "2024-01-01") -> DataFrame
 
 
 def cohort_ltv(events: DataFrame, anchor: str = "2024-01-01") -> DataFrame:
-    """(cohort_week, week_offset, n_purchasers, revenue, cum_revenue
-    _per_cohort_user) — the LTV triangle: purchase revenue per
+    """(cohort_week, week_offset, n_purchasers, revenue_cents,
+    cum_revenue_per_cohort_user_micro) — the LTV triangle: purchase
+    revenue per
     first-seen-week cohort by weeks-since-first-seen, plus the
     running per-user cumulative — the growth-accounting view next to
     ``weekly_retention``'s activity matrix (retention says who came
@@ -483,9 +486,13 @@ def cohort_ltv(events: DataFrame, anchor: str = "2024-01-01") -> DataFrame:
             "value",
         )
     )
+    # money quantizes to integer cents PER ROW before any sum, and
+    # the per-user cumulative ships as integer micro-units — integer
+    # addition is order-independent and integer columns hash
+    # identically in every oracle-engine release
     cell = purchases.groupBy("cohort_week", "week_offset").agg(
         F.countDistinct("user_id").alias("n_purchasers"),
-        (F.round(F.sum("value"), 2) + 0.0).alias("revenue"),
+        F.sum(micro(F.col("value"), 100)).alias("revenue_cents"),
     )
     w = (
         Window.partitionBy("cohort_week")
@@ -498,13 +505,11 @@ def cohort_ltv(events: DataFrame, anchor: str = "2024-01-01") -> DataFrame:
             "cohort_week",
             "week_offset",
             "n_purchasers",
-            "revenue",
-            (
-                F.round(
-                    F.sum("revenue").over(w) / F.col("__n_cohort"), 6
-                )
-                + 0.0
-            ).alias("cum_revenue_per_cohort_user"),
+            "revenue_cents",
+            micro(
+                F.sum("revenue_cents").over(w).cast("double")
+                / (F.lit(100.0) * F.col("__n_cohort"))
+            ).alias("cum_revenue_per_cohort_user_micro"),
         )
     )
 
@@ -1106,12 +1111,15 @@ def rfm_migration(events: DataFrame) -> DataFrame:
 
 
 def time_of_week_profile(events: DataFrame) -> DataFrame:
-    """(dow, hour, n_events, avg_value) — the day-of-week × hour-of-day
+    """(dow, hour, n_events, avg_value_micro) — the day-of-week × hour
     activity heatmap: the time-of-week seasonality profile ops teams
     read before alerting thresholds ("Monday 9am is always 3× Sunday
     3am") and that seasonal_daily_decompose's weekly phase assumes.
     dow is ISO (1=Monday); hour is the event's UTC hour (the session
     timezone is pinned UTC, so both engines bucket identically).
+    avg_value ships as integer micro-units (the COVERAGE.md "Oracle
+    encoding rule": rounded-double finals drift across oracle-engine
+    releases).
 
     Scale: one aggregation into at most 7 × 24 groups with map-side
     combine — a fixed-size output regardless of event volume."""
@@ -1122,14 +1130,14 @@ def time_of_week_profile(events: DataFrame) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            (F.round(F.avg("value"), 6) + 0.0).alias("avg_value"),
+            micro(F.avg("value")).alias("avg_value_micro"),
         )
         .select(
             # Spark dayofweek: 1=Sunday; shift to ISO 1=Monday
             F.pmod(F.col("__dw") + 5, F.lit(7)).cast("int").alias("dow"),
             "hour",
             "n_events",
-            "avg_value",
+            "avg_value_micro",
         )
         .withColumn("dow", F.col("dow") + 1)
     )
@@ -1170,50 +1178,59 @@ def user_lifecycle_stages(
 
 
 def pareto_revenue_share(events: DataFrame) -> DataFrame:
-    """(top_pct, threshold_value, n_users, revenue, revenue_share) —
-    revenue concentration: how much purchase revenue the top 1/5/10/
-    20/50% of spenders carry (the "whales" report; 80/20 checks, LTV
-    risk, and the denominator for any per-user cap proposal).
+    """(top_pct, threshold_value_micro, n_users, revenue_cents,
+    revenue_share_micro) — revenue concentration: how much purchase
+    revenue the top 1/5/10/20/50% of spenders carry (the "whales"
+    report; 80/20 checks, LTV risk, and the denominator for any
+    per-user cap proposal).
 
     "Top X%" is defined by the exact per-user-total percentile
     threshold (ties INCLUDE everyone at the threshold — deterministic
     and identical in both engines), not by a global rank — so the
     plan needs no corpus-wide sort: one user-keyed aggregation, ONE
     exact-percentile one-row broadcast, then conditional sums over
-    the per-user frame. Per-user totals round to 2dp before the
-    thresholds so comparisons see identical doubles on any engine."""
+    the per-user frame. Money quantizes to integer cents PER ROW
+    before any sum (order-independent addition), thresholds
+    interpolate over those exact integers, and every fractional
+    output ships as integer micro-units (threshold in micro-dollars =
+    cents·10⁴) — the COVERAGE.md encoding rule."""
     per_user = (
         events.filter(F.col("event_type") == "purchase")
         .groupBy("user_id")
-        .agg(F.round(F.sum("value"), 2).alias("spend"))
+        .agg(F.sum(micro(F.col("value"), 100)).alias("spend_cents"))
     )
     pcts = [1, 5, 10, 20, 50]
     qs = per_user.agg(
-        F.sum("spend").alias("__total"),
+        F.sum("spend_cents").alias("__total"),
         *[
-            F.expr(f"percentile(spend, {1.0 - p / 100.0})").alias(f"__t{p}")
+            F.expr(
+                f"percentile(spend_cents, {1.0 - p / 100.0})"
+            ).alias(f"__t{p}")
             for p in pcts
         ],
     )
     u = per_user.crossJoin(F.broadcast(qs))
     aggs = []
     for p in pcts:
-        inc = F.col("spend") >= F.col(f"__t{p}")
+        inc = F.col("spend_cents") >= F.col(f"__t{p}")
         aggs.append(F.sum(inc.cast("long")).alias(f"__n{p}"))
         aggs.append(
-            F.sum(F.when(inc, F.col("spend")).otherwise(F.lit(0.0))).alias(
-                f"__r{p}"
-            )
+            F.sum(
+                F.when(inc, F.col("spend_cents")).otherwise(F.lit(0))
+            ).alias(f"__r{p}")
         )
         aggs.append(F.max(F.col(f"__t{p}")).alias(f"__thr{p}"))
         aggs.append(F.max("__total").alias(f"__tot{p}"))
     one = u.agg(*aggs)
     stack = ", ".join(
-        f"{p}, ROUND(__thr{p}, 6) + 0.0, __n{p}, ROUND(__r{p}, 2) + 0.0,"
-        f" ROUND(__r{p} / __tot{p}, 6) + 0.0"
+        f"{p}, CAST(FLOOR(__thr{p} * 10000 + 0.5) AS BIGINT), __n{p},"
+        f" __r{p},"
+        f" CAST(FLOOR(CAST(__r{p} AS DOUBLE) / __tot{p} * 1000000 + 0.5)"
+        f" AS BIGINT)"
         for p in pcts
     )
     return one.selectExpr(
         f"stack({len(pcts)}, {stack}) AS "
-        "(top_pct, threshold_value, n_users, revenue, revenue_share)"
+        "(top_pct, threshold_value_micro, n_users, revenue_cents,"
+        " revenue_share_micro)"
     )

@@ -692,10 +692,13 @@ def conversion_survival(events: DataFrame) -> DataFrame:
     Engine-portable determinism: times are integer DAYS, d/n/c are
     exact integer counts, and the product unrolls as
     exp(Σ ln(1 − d/n)) over an ordered window — the identical IEEE
-    sequence in the DuckDB oracle — rounded 6dp. A day where every
-    remaining at-risk user converts (d = n) zeroes the curve; that
-    factor's ln is ±engine-dependent at 0, so a window MAX flag pins
-    survival to exactly 0.0 from that day on in both engines.
+    sequence in the DuckDB oracle — shipped as INTEGER micro-units
+    (``survival_micro`` = floor(S·1e6 + 0.5); ROUND(double, 6) tie
+    behavior drifts across oracle-engine releases, VERDICT r05). A
+    day where every remaining at-risk user converts (d = n) zeroes
+    the curve; ln(0) is engine-dependent (Spark NULL, DuckDB errors),
+    so the log term is guarded to d < n and a window MAX flag pins
+    survival to exactly 0 from that day on in both engines.
 
     Scale: two narrow per-user aggregations (first view, first
     subsequent purchase) shuffle user-keyed scalar pairs; everything
@@ -758,20 +761,20 @@ def conversion_survival(events: DataFrame) -> DataFrame:
         w_cum
     )
     log_sum = F.sum(
-        F.when(F.col("n_events") > 0, F.log(factor)).otherwise(F.lit(0.0))
+        F.when(
+            (F.col("n_events") > 0) & (F.col("n_events") < F.col("n_risk")),
+            F.log(factor),
+        ).otherwise(F.lit(0.0))
     ).over(w_cum)
-    survival = (
-        F.when(dead == 1, F.lit(0.0)).otherwise(
-            F.round(F.exp(log_sum), 6)
-        )
-        + 0.0
+    survival = F.when(dead == 1, F.lit(0).cast("long")).otherwise(
+        F.floor(F.exp(log_sum) * F.lit(1_000_000.0) + F.lit(0.5)).cast("long")
     )
     return risked.select(
         "t_days",
         "n_risk",
         "n_events",
         "n_censored",
-        survival.alias("survival"),
+        survival.alias("survival_micro"),
     )
 
 
@@ -803,21 +806,22 @@ risked AS (SELECT t_days, n_events, n_censored,
     AS BIGINT) AS n_risk
   FROM per_t)
 SELECT t_days, n_risk, n_events, n_censored,
-  (CASE WHEN MAX(CASE WHEN n_events = n_risk THEN 1 ELSE 0 END)
+  CAST(CASE WHEN MAX(CASE WHEN n_events = n_risk THEN 1 ELSE 0 END)
           OVER (ORDER BY t_days ROWS BETWEEN UNBOUNDED PRECEDING
                 AND CURRENT ROW) = 1
-        THEN 0.0
-        ELSE ROUND(EXP(SUM(CASE WHEN n_events > 0
+        THEN 0
+        ELSE FLOOR(EXP(SUM(CASE WHEN n_events > 0 AND n_events < n_risk
                  THEN LN(1.0 - CAST(n_events AS DOUBLE) / n_risk)
                  ELSE 0.0 END)
                OVER (ORDER BY t_days ROWS BETWEEN UNBOUNDED PRECEDING
-                     AND CURRENT ROW)), 6) END) + 0.0 AS survival
+                     AND CURRENT ROW)) * 1000000 + 0.5) END
+    AS BIGINT) AS survival_micro
 FROM risked
 """
 
 
 def position_attribution(events: DataFrame, window_hours: int = 1) -> DataFrame:
-    """(channel, n_touches, attributed_value) — POSITION-BASED
+    """(channel, n_touches, attributed_value_micro) — POSITION-BASED
     (U-shaped) multi-touch attribution: 40% of each purchase's value
     to the first touch in the window, 40% to the last, 20% split
     equally across the middle; 1 touch takes 100%, 2 touches split
@@ -871,7 +875,9 @@ def position_attribution(events: DataFrame, window_hours: int = 1) -> DataFrame:
             )
         )
     )
-    attr_u = F.round(F.col("p_value") * weight * 1_000_000).cast("long")
+    attr_u = F.floor(
+        F.col("p_value") * weight * 1_000_000 + F.lit(0.5)
+    ).cast("long")
     per = j.select(
         F.coalesce("channel", F.lit("direct")).alias("channel"),
         F.col("t_ts").isNotNull().cast("long").alias("__is_touch"),
@@ -879,7 +885,5 @@ def position_attribution(events: DataFrame, window_hours: int = 1) -> DataFrame:
     )
     return per.groupBy("channel").agg(
         F.sum("__is_touch").alias("n_touches"),
-        (F.round(F.sum("__attr_u") / 1_000_000.0, 2) + F.lit(0.0)).alias(
-            "attributed_value"
-        ),
+        F.sum("__attr_u").alias("attributed_value_micro"),
     )

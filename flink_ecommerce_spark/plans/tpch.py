@@ -16,6 +16,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.portable import micro
+
 
 def q1_pricing_summary(lineitem: DataFrame, ship_cutoff: str = "1998-09-02") -> DataFrame:
     """TPC-H Q1 shape: scan → pushed filter → one shuffle, 8 aggregates
@@ -1112,7 +1114,8 @@ def copurchase_graph_stats(
 def basket_rules(
     lineitem: DataFrame, min_support: int = 2, k: int = 200
 ) -> DataFrame:
-    """(antecedent, consequent, support, confidence, lift) — DIRECTED
+    """(antecedent, consequent, support, confidence_micro, lift_micro)
+    — DIRECTED
     association rules from the co-purchase pairs: confidence(a→b) =
     support(a,b) / orders-containing-a, the asymmetric number
     ``copurchase_pairs``' symmetric lift can't express ("batteries →
@@ -1159,19 +1162,14 @@ def basket_rules(
             "antecedent",
             "consequent",
             "support",
-            (
-                F.round(F.col("support").cast("double") / F.col("__n_a"), 6)
-                + 0.0
-            ).alias("confidence"),
-            (
-                F.round(
-                    F.col("support").cast("double")
-                    * F.col("__n_orders")
-                    / (F.col("__n_a") * F.col("__n_b")),
-                    6,
-                )
-                + 0.0
-            ).alias("lift"),
+            micro(
+                F.col("support").cast("double") / F.col("__n_a")
+            ).alias("confidence_micro"),
+            micro(
+                F.col("support").cast("double")
+                * F.col("__n_orders")
+                / (F.col("__n_a") * F.col("__n_b"))
+            ).alias("lift_micro"),
         )
         .orderBy(F.desc("support"), F.asc("antecedent"), F.asc("consequent"))
         .limit(k)

@@ -30,7 +30,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from . import catalog
-from .functions.portable import sql_hash32
+from .functions.portable import micro as pmicro
+from .functions.portable import sql_hash32, sql_micro
 from .functions.vector import sql_cosine, sql_l2_norm
 from .operators import (
     dedup,
@@ -1251,8 +1252,11 @@ def _q_salted_segment_revenue(spark, sf):
     return (
         salted_join(ev, cust, "c_custkey", salt=8)
         .groupBy("c_mktsegment")
+        # per-row cents BEFORE the sum: integer addition is order-
+        # independent, so the salted plan can never drift from the
+        # plain-join oracle by float addition order
         .agg(
-            (F.round(F.sum("value"), 2) + 0.0).alias("total_value"),
+            F.sum(pmicro(F.col("value"), 100)).alias("total_value_cents"),
             F.count(F.lit(1)).alias("n_events"),
         )
     )
@@ -2972,13 +2976,12 @@ FROM documents d JOIN rates r ON d.source = r.source
 WITH {rates}
 SELECT d.source, COUNT(*) AS n_docs,
        SUM(CASE WHEN ({bucket}) < r.thr THEN 1 ELSE 0 END) AS n_kept,
-       ROUND(r.thr / {buckets}.0, 6) + 0.0 AS keep_rate
+       CAST(r.thr AS BIGINT) AS keep_rate_ppm
 FROM documents d JOIN rates r ON d.source = r.source
 GROUP BY d.source, r.thr
 """.format(
         rates=sampling.sql_temperature_rates(),
         bucket=sql_bucket("d.doc_id", "temp", sampling.TEMP_BUCKETS),
-        buckets=sampling.TEMP_BUCKETS,
     ),
     "weighted_sample": sampling.sql_weighted_sample(),
     "weighted_sample_by_source": sampling.sql_weighted_sample_by_source(),
@@ -3304,13 +3307,15 @@ FROM s GROUP BY 1, 2
 """,
     "char_entropy": """
 WITH ch AS (
-  SELECT doc_id, unnest(string_split(substr(text, 1, 2000), '')) AS c
+  SELECT doc_id,
+         unnest(regexp_extract_all(substr(text, 1, 2000), '(?s).')) AS c
   FROM documents WHERE length(text) > 0),
 f AS (SELECT doc_id, c, COUNT(*) AS n FROM ch GROUP BY 1, 2)
 SELECT doc_id,
        SUM(n) AS n_chars_sampled,
        COUNT(*) AS n_unique_chars,
-       ROUND(LN(SUM(n)) - SUM(n * LN(n)) / SUM(n), 6) + 0.0 AS char_entropy
+       CAST(FLOOR((LN(SUM(n)) - SUM(n * LN(n)) / SUM(n)) * 1000000
+                  + 0.5) AS BIGINT) AS char_entropy_micro
 FROM f GROUP BY doc_id
 """,
     "contamination_report": f"""
@@ -4010,47 +4015,55 @@ ORACLES["l_diversity_report"] = text.sql_l_diversity_report()
 ORACLES["conversion_survival"] = temporal.sql_conversion_survival()
 
 ORACLES["pareto_revenue_share"] = """
-WITH pu AS (SELECT user_id, ROUND(SUM(value), 2) AS spend
+WITH pu AS (SELECT user_id,
+                   SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))
+                     AS spend_cents
             FROM events WHERE event_type = 'purchase' GROUP BY 1),
-q AS (SELECT SUM(spend) AS total,
-             quantile_cont(spend, 0.99) AS t1,
-             quantile_cont(spend, 0.95) AS t5,
-             quantile_cont(spend, 0.90) AS t10,
-             quantile_cont(spend, 0.80) AS t20,
-             quantile_cont(spend, 0.50) AS t50
+q AS (SELECT SUM(spend_cents) AS total,
+             quantile_cont(CAST(spend_cents AS DOUBLE), 0.99) AS t1,
+             quantile_cont(CAST(spend_cents AS DOUBLE), 0.95) AS t5,
+             quantile_cont(CAST(spend_cents AS DOUBLE), 0.90) AS t10,
+             quantile_cont(CAST(spend_cents AS DOUBLE), 0.80) AS t20,
+             quantile_cont(CAST(spend_cents AS DOUBLE), 0.50) AS t50
       FROM pu),
 g AS (SELECT
-        SUM(CASE WHEN spend >= t1 THEN 1 ELSE 0 END) AS n1,
-        SUM(CASE WHEN spend >= t1 THEN spend ELSE 0.0 END) AS r1,
-        SUM(CASE WHEN spend >= t5 THEN 1 ELSE 0 END) AS n5,
-        SUM(CASE WHEN spend >= t5 THEN spend ELSE 0.0 END) AS r5,
-        SUM(CASE WHEN spend >= t10 THEN 1 ELSE 0 END) AS n10,
-        SUM(CASE WHEN spend >= t10 THEN spend ELSE 0.0 END) AS r10,
-        SUM(CASE WHEN spend >= t20 THEN 1 ELSE 0 END) AS n20,
-        SUM(CASE WHEN spend >= t20 THEN spend ELSE 0.0 END) AS r20,
-        SUM(CASE WHEN spend >= t50 THEN 1 ELSE 0 END) AS n50,
-        SUM(CASE WHEN spend >= t50 THEN spend ELSE 0.0 END) AS r50,
+        SUM(CASE WHEN spend_cents >= t1 THEN 1 ELSE 0 END) AS n1,
+        SUM(CASE WHEN spend_cents >= t1 THEN spend_cents ELSE 0 END) AS r1,
+        SUM(CASE WHEN spend_cents >= t5 THEN 1 ELSE 0 END) AS n5,
+        SUM(CASE WHEN spend_cents >= t5 THEN spend_cents ELSE 0 END) AS r5,
+        SUM(CASE WHEN spend_cents >= t10 THEN 1 ELSE 0 END) AS n10,
+        SUM(CASE WHEN spend_cents >= t10 THEN spend_cents ELSE 0 END) AS r10,
+        SUM(CASE WHEN spend_cents >= t20 THEN 1 ELSE 0 END) AS n20,
+        SUM(CASE WHEN spend_cents >= t20 THEN spend_cents ELSE 0 END) AS r20,
+        SUM(CASE WHEN spend_cents >= t50 THEN 1 ELSE 0 END) AS n50,
+        SUM(CASE WHEN spend_cents >= t50 THEN spend_cents ELSE 0 END) AS r50,
         MAX(t1) AS t1, MAX(t5) AS t5, MAX(t10) AS t10,
         MAX(t20) AS t20, MAX(t50) AS t50, MAX(total) AS total
       FROM pu, q)
-SELECT 1 AS top_pct, ROUND(t1, 6) + 0.0 AS threshold_value,
-       n1 AS n_users, ROUND(r1, 2) + 0.0 AS revenue,
-       ROUND(r1 / total, 6) + 0.0 AS revenue_share FROM g
-UNION ALL SELECT 5, ROUND(t5, 6) + 0.0, n5, ROUND(r5, 2) + 0.0,
-       ROUND(r5 / total, 6) + 0.0 FROM g
-UNION ALL SELECT 10, ROUND(t10, 6) + 0.0, n10, ROUND(r10, 2) + 0.0,
-       ROUND(r10 / total, 6) + 0.0 FROM g
-UNION ALL SELECT 20, ROUND(t20, 6) + 0.0, n20, ROUND(r20, 2) + 0.0,
-       ROUND(r20 / total, 6) + 0.0 FROM g
-UNION ALL SELECT 50, ROUND(t50, 6) + 0.0, n50, ROUND(r50, 2) + 0.0,
-       ROUND(r50 / total, 6) + 0.0 FROM g
+SELECT 1 AS top_pct,
+       CAST(FLOOR(t1 * 10000 + 0.5) AS BIGINT) AS threshold_value_micro,
+       n1 AS n_users, r1 AS revenue_cents,
+       CAST(FLOOR(CAST(r1 AS DOUBLE) / total * 1000000 + 0.5) AS BIGINT)
+         AS revenue_share_micro FROM g
+UNION ALL SELECT 5, CAST(FLOOR(t5 * 10000 + 0.5) AS BIGINT), n5, r5,
+       CAST(FLOOR(CAST(r5 AS DOUBLE) / total * 1000000 + 0.5) AS BIGINT)
+       FROM g
+UNION ALL SELECT 10, CAST(FLOOR(t10 * 10000 + 0.5) AS BIGINT), n10, r10,
+       CAST(FLOOR(CAST(r10 AS DOUBLE) / total * 1000000 + 0.5) AS BIGINT)
+       FROM g
+UNION ALL SELECT 20, CAST(FLOOR(t20 * 10000 + 0.5) AS BIGINT), n20, r20,
+       CAST(FLOOR(CAST(r20 AS DOUBLE) / total * 1000000 + 0.5) AS BIGINT)
+       FROM g
+UNION ALL SELECT 50, CAST(FLOOR(t50 * 10000 + 0.5) AS BIGINT), n50, r50,
+       CAST(FLOOR(CAST(r50 AS DOUBLE) / total * 1000000 + 0.5) AS BIGINT)
+       FROM g
 """
 
 ORACLES["time_of_week_profile"] = """
 SELECT CAST(isodow(CAST(ts AS TIMESTAMP)) AS INT) AS dow,
        CAST(hour(CAST(ts AS TIMESTAMP)) AS INT) AS hour,
        COUNT(*) AS n_events,
-       ROUND(AVG(value), 6) + 0.0 AS avg_value
+       CAST(FLOOR(AVG(value) * 1000000 + 0.5) AS BIGINT) AS avg_value_micro
 FROM events GROUP BY 1, 2
 """
 
@@ -4073,7 +4086,7 @@ WITH m AS (
   SELECT doc_id, source, lang,
          CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS nt,
          md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS h,
-         ROUND(1.0 / (1.0 + exp(-(-2.0
+         FLOOR(1.0 / (1.0 + exp(-(-2.0
                + 0.02 * CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE)
                + 4.0 * (CAST(len(list_filter({_WORDS}, w -> w IN ({_EN_SW}))) AS DOUBLE)
                         / CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE))
@@ -4082,28 +4095,35 @@ WITH m AS (
                - 0.1 * abs((CAST(length(text) AS DOUBLE)
                             - (CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) - 1))
                            / CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE)
-                           - 5.0)))), 6) AS q
+                           - 5.0)))) * 1000000 + 0.5) / 1000000 AS q
   FROM documents),
 one AS (
-  SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
-         CAST(SUM(nt) AS DOUBLE) AS n_tokens,
-         ROUND(AVG(nt), 6) AS mean_tokens_per_doc,
-         CAST(COUNT(DISTINCT source) AS DOUBLE) AS n_sources,
-         CAST(COUNT(DISTINCT lang) AS DOUBLE) AS n_langs,
-         CAST(COUNT(DISTINCT h) AS DOUBLE) AS n_uniq,
-         ROUND(quantile_cont(q, 0.25), 6) + 0.0 AS q25,
-         ROUND(quantile_cont(q, 0.5), 6) + 0.0 AS q50,
-         ROUND(quantile_cont(q, 0.75), 6) + 0.0 AS q75
+  SELECT COUNT(*) AS n_docs,
+         SUM(nt) AS n_tokens,
+         CAST(FLOOR(AVG(nt) * 1000000 + 0.5) AS BIGINT)
+           AS mean_tokens_per_doc_micro,
+         COUNT(DISTINCT source) AS n_sources,
+         COUNT(DISTINCT lang) AS n_langs,
+         COUNT(DISTINCT h) AS n_uniq,
+         CAST(FLOOR(quantile_cont(q, 0.25) * 1000000 + 0.5) AS BIGINT)
+           AS q25_micro,
+         CAST(FLOOR(quantile_cont(q, 0.5) * 1000000 + 0.5) AS BIGINT)
+           AS q50_micro,
+         CAST(FLOOR(quantile_cont(q, 0.75) * 1000000 + 0.5) AS BIGINT)
+           AS q75_micro
   FROM m)
-SELECT 'n_docs' AS metric, n_docs AS value FROM one
-UNION ALL SELECT 'n_tokens', n_tokens FROM one
-UNION ALL SELECT 'mean_tokens_per_doc', mean_tokens_per_doc FROM one
-UNION ALL SELECT 'n_sources', n_sources FROM one
-UNION ALL SELECT 'n_langs', n_langs FROM one
-UNION ALL SELECT 'dup_rate', ROUND((n_docs - n_uniq) / n_docs, 6) + 0.0 FROM one
-UNION ALL SELECT 'q25', q25 FROM one
-UNION ALL SELECT 'q50', q50 FROM one
-UNION ALL SELECT 'q75', q75 FROM one
+SELECT 'n_docs' AS metric, CAST(n_docs AS BIGINT) AS value FROM one
+UNION ALL SELECT 'n_tokens', CAST(n_tokens AS BIGINT) FROM one
+UNION ALL SELECT 'mean_tokens_per_doc_micro', mean_tokens_per_doc_micro
+  FROM one
+UNION ALL SELECT 'n_sources', CAST(n_sources AS BIGINT) FROM one
+UNION ALL SELECT 'n_langs', CAST(n_langs AS BIGINT) FROM one
+UNION ALL SELECT 'dup_rate_micro',
+  CAST(FLOOR(CAST(n_docs - n_uniq AS DOUBLE) / n_docs * 1000000 + 0.5)
+    AS BIGINT) FROM one
+UNION ALL SELECT 'q25_micro', q25_micro FROM one
+UNION ALL SELECT 'q50_micro', q50_micro FROM one
+UNION ALL SELECT 'q75_micro', q75_micro FROM one
 """
 
 ORACLES["ivf_recall_report"] = f"""
@@ -4116,8 +4136,9 @@ hit AS (SELECT t.query_id FROM truth t
 SELECT (SELECT COUNT(*) FROM truth) AS n_true,
        (SELECT COUNT(*) FROM ivf) AS n_ivf,
        (SELECT COUNT(*) FROM hit) AS n_hit,
-       ROUND(CAST((SELECT COUNT(*) FROM hit) AS DOUBLE)
-             / NULLIF((SELECT COUNT(*) FROM truth), 0), 6) AS recall
+       CAST(FLOOR(CAST((SELECT COUNT(*) FROM hit) AS DOUBLE)
+             / NULLIF((SELECT COUNT(*) FROM truth), 0) * 1000000 + 0.5)
+         AS BIGINT) AS recall_micro
 """
 
 ORACLES["join_fanout_topk"] = """
@@ -4198,9 +4219,11 @@ d AS (SELECT part_a AS antecedent, part_b AS consequent, support FROM pr
       UNION ALL
       SELECT part_b AS antecedent, part_a AS consequent, support FROM pr)
 SELECT d.antecedent, d.consequent, d.support,
-       ROUND(CAST(d.support AS DOUBLE) / na.n_part, 6) + 0.0 AS confidence,
-       ROUND(CAST(d.support AS DOUBLE) * n.n_orders
-             / (na.n_part * nb.n_part), 6) + 0.0 AS lift
+       CAST(FLOOR(CAST(d.support AS DOUBLE) / na.n_part * 1000000 + 0.5)
+         AS BIGINT) AS confidence_micro,
+       CAST(FLOOR(CAST(d.support AS DOUBLE) * n.n_orders
+             / (na.n_part * nb.n_part) * 1000000 + 0.5)
+         AS BIGINT) AS lift_micro
 FROM d JOIN pn na ON d.antecedent = na.l_partkey
        JOIN pn nb ON d.consequent = nb.l_partkey
        CROSS JOIN n
@@ -4232,10 +4255,10 @@ wt AS (SELECT p_id, p_value, channel, t_ts,
        FROM pos),
 sel AS (SELECT COALESCE(channel, 'direct') AS channel,
                CASE WHEN t_ts IS NOT NULL THEN 1 ELSE 0 END AS is_touch,
-               CAST(ROUND(p_value * w * 1000000) AS BIGINT) AS attr_u
+               CAST(FLOOR(p_value * w * 1000000 + 0.5) AS BIGINT) AS attr_u
         FROM wt)
 SELECT channel, CAST(SUM(is_touch) AS BIGINT) AS n_touches,
-       ROUND(SUM(attr_u) / 1000000.0, 2) + 0.0 AS attributed_value
+       SUM(attr_u) AS attributed_value_micro
 FROM sel GROUP BY channel
 """
 
@@ -4245,25 +4268,27 @@ WITH ex AS (SELECT vec_id, label, CAST(dim AS INT) AS dim,
             FROM (SELECT vec_id, label, unnest(embedding) AS v,
                          generate_subscripts(embedding, 1) AS dim
                   FROM embeddings)),
-cent AS (SELECT label, dim, ROUND(AVG(v), 6) AS c
+cent AS (SELECT label, dim, FLOOR(AVG(v) * 1000000 + 0.5) / 1000000 AS c
          FROM ex GROUP BY 1, 2),
 d2 AS (SELECT ex.vec_id, ex.label,
-              ROUND(SUM((ex.v - cent.c) * (ex.v - cent.c)), 6) AS d2
+              CAST(FLOOR(SUM((ex.v - cent.c) * (ex.v - cent.c))
+                         * 1000000 + 0.5) AS BIGINT) AS d2_micro
        FROM ex JOIN cent ON ex.label = cent.label AND ex.dim = cent.dim
        GROUP BY 1, 2),
-mom AS (SELECT label, COUNT(*) AS n, SUM(d2) AS sx,
-               SUM(d2 * d2) AS sxx
-        FROM d2 GROUP BY 1)
-SELECT d2.vec_id, d2.label, d2.d2,
-       ROUND((d2.d2 - mom.sx / mom.n)
+mom AS (SELECT label, COUNT(*) AS n, SUM(d2_micro) AS sx,
+               SUM((CAST(d2_micro AS DOUBLE) / 1000000.0)
+                   * (CAST(d2_micro AS DOUBLE) / 1000000.0)) AS sxx
+        FROM d2 GROUP BY 1),
+zt AS (SELECT d2.vec_id, d2.label, d2.d2_micro,
+       CAST(FLOOR((CAST(d2.d2_micro AS DOUBLE) / 1000000.0
+              - CAST(mom.sx AS DOUBLE) / 1000000.0 / mom.n)
              / GREATEST(SQRT(GREATEST(mom.sxx / mom.n
-                 - (mom.sx / mom.n) * (mom.sx / mom.n), 0.0)), 1e-12), 6)
-         + 0.0 AS z
-FROM d2 JOIN mom ON d2.label = mom.label
-WHERE ROUND((d2.d2 - mom.sx / mom.n)
-            / GREATEST(SQRT(GREATEST(mom.sxx / mom.n
-                - (mom.sx / mom.n) * (mom.sx / mom.n), 0.0)), 1e-12), 6)
-      > {similarity.OUTLIER_Z}
+                 - (CAST(mom.sx AS DOUBLE) / 1000000.0 / mom.n)
+                   * (CAST(mom.sx AS DOUBLE) / 1000000.0 / mom.n), 0.0)),
+               1e-12) * 1000000 + 0.5) AS BIGINT) AS z_micro
+       FROM d2 JOIN mom ON d2.label = mom.label)
+SELECT vec_id, label, d2_micro, z_micro FROM zt
+WHERE z_micro > {int(similarity.OUTLIER_Z * 1_000_000)}
 """
 
 ORACLES["cohort_ltv"] = """
@@ -4282,13 +4307,15 @@ p AS (SELECT e.user_id,
       FROM events e JOIN fs USING (user_id) WHERE e.event_type = 'purchase'),
 cell AS (SELECT cohort_week, week_offset,
                 COUNT(DISTINCT user_id) AS n_purchasers,
-                ROUND(SUM(value), 2) + 0.0 AS revenue
+                SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))
+                  AS revenue_cents
          FROM p GROUP BY 1, 2)
-SELECT c.cohort_week, c.week_offset, c.n_purchasers, c.revenue,
-       ROUND(SUM(c.revenue) OVER (PARTITION BY c.cohort_week
-               ORDER BY c.week_offset
+SELECT c.cohort_week, c.week_offset, c.n_purchasers, c.revenue_cents,
+       CAST(FLOOR(CAST(SUM(c.revenue_cents) OVER (
+               PARTITION BY c.cohort_week ORDER BY c.week_offset
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-             / cs.n_cohort, 6) + 0.0 AS cum_revenue_per_cohort_user
+             AS DOUBLE) / (100.0 * cs.n_cohort) * 1000000 + 0.5)
+         AS BIGINT) AS cum_revenue_per_cohort_user_micro
 FROM cell c JOIN cs USING (cohort_week)
 """
 
@@ -4308,21 +4335,22 @@ WITH m0 AS (
   FROM documents),
 sb AS (
   SELECT doc_id, source,
-         CAST(LEAST(9, FLOOR(
-           ROUND(1.0 / (1.0 + exp(-(-2.0 + 0.02 * n_tok + 4.0 * (n_stop / n_tok)
+         CAST(LEAST(9,
+           CAST(FLOOR(1.0 / (1.0 + exp(-(-2.0 + 0.02 * n_tok
+                 + 4.0 * (n_stop / n_tok)
                  - 8.0 * (n_punct / n_chars)
-                 - 0.1 * abs((n_chars - (n_tok - 1)) / n_tok - 5.0)))), 6)
-           * 10)) AS INT) AS bucket
+                 - 0.1 * abs((n_chars - (n_tok - 1)) / n_tok - 5.0))))
+               * 1000000 + 0.5) AS BIGINT) // 100000) AS INT) AS bucket
   FROM m0),
 gb AS (SELECT source, bucket, COUNT(*) AS n_gb FROM sb GROUP BY 1, 2),
 g AS (SELECT source, SUM(n_gb) AS n_g FROM gb GROUP BY 1),
 b AS (SELECT bucket, SUM(n_gb) AS n_b FROM gb GROUP BY 1),
 n AS (SELECT SUM(n_gb) AS n FROM gb),
 r AS (SELECT gb.source, gb.bucket,
-             CAST(ROUND(LEAST(1.0,
+             CAST(FLOOR(LEAST(1.0,
                  (CAST(b.n_b AS DOUBLE) * g.n_g)
-                 / (CAST(n.n AS DOUBLE) * gb.n_gb)) * 1000000, 0) AS BIGINT)
-               AS thr
+                 / (CAST(n.n AS DOUBLE) * gb.n_gb)) * 1000000 + 0.5)
+               AS BIGINT) AS thr
       FROM gb JOIN g USING (source) JOIN b USING (bucket) CROSS JOIN n)
 SELECT sb.doc_id, sb.source, sb.bucket
 FROM sb JOIN r ON sb.source = r.source AND sb.bucket = r.bucket
@@ -4343,13 +4371,15 @@ p AS (SELECT bc.w1, bc.w2,
               + {text.KN_DISCOUNT} * c1.n1f * nb.n1b / t.t) / c1.c1 AS pkn
       FROM bc JOIN c1 USING (w1) JOIN nb USING (w2) CROSS JOIN t)
 SELECT bi.doc_id, COUNT(*) AS n_bigrams,
-       ROUND(AVG(-log2(p.pkn)), 6) + 0.0 AS avg_kn_surprisal
+       CAST(FLOOR(AVG(-log2(p.pkn)) * 1000000 + 0.5) AS BIGINT)
+         AS avg_kn_surprisal_micro
 FROM bi JOIN p ON bi.w1 = p.w1 AND bi.w2 = p.w2
 GROUP BY 1
 """
 
 ORACLES["salted_segment_revenue"] = """
-SELECT c.c_mktsegment, ROUND(SUM(e.value), 2) + 0.0 AS total_value,
+SELECT c.c_mktsegment,
+       SUM(CAST(FLOOR(e.value * 100 + 0.5) AS BIGINT)) AS total_value_cents,
        COUNT(*) AS n_events
 FROM events e JOIN customer c ON e.user_id = c.c_custkey
 GROUP BY 1
@@ -4360,44 +4390,46 @@ _PROFILE_COLS = ["event_id", "user_id", "event_type", "value"]
 ORACLES["events_profile"] = "\nUNION ALL\n".join(
     f"""SELECT '{c}' AS col_name, COUNT(*) AS n_rows,
        SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS n_nulls,
-       ROUND(CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
-             / COUNT(*), 6) + 0.0 AS null_frac,
+       {sql_micro(f"CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END)"
+                  " AS DOUBLE) / COUNT(*)")} AS null_frac_micro,
        COUNT(DISTINCT {c}) AS n_distinct
 FROM events"""
     for c in _PROFILE_COLS
 )
 
 
-ORACLES["source_overlap_minhash"] = f"""
+def _sql_source_overlap_minhash(num_hashes: int = dedup.NUM_HASHES) -> str:
+    """Oracle builder generated from the SAME ``num_hashes`` the
+    operator defaults to (ADVICE r05: the previous hand-unrolled
+    16-slot literal would silently desynchronize if NUM_HASHES
+    moved), mirroring the kmeans/mmr generated-oracle pattern."""
+    slots = ",\n    ".join(
+        f"MIN((h1 + {i} * h2) % {dedup.MINHASH_PRIME}) AS mh{i}"
+        for i in range(num_hashes)
+    )
+    eq = " + ".join(
+        f"(CASE WHEN a.mh{i} = b.mh{i} THEN 1 ELSE 0 END)"
+        for i in range(num_hashes)
+    )
+    jac = sql_micro(f"CAST(n_eq AS DOUBLE) / {num_hashes}.0")
+    return f"""
 WITH sh AS (SELECT source, unnest({_SHINGLES}) AS s FROM documents),
 h AS (SELECT source, {sql_hash32('s', salt='mh', half=0)} AS h1,
              {sql_hash32('s', salt='mh', half=1)} AS h2
       FROM sh),
 sig AS (SELECT source,
-    MIN((h1 + 0 * h2) % {dedup.MINHASH_PRIME}) AS mh0,
-    MIN((h1 + 1 * h2) % {dedup.MINHASH_PRIME}) AS mh1,
-    MIN((h1 + 2 * h2) % {dedup.MINHASH_PRIME}) AS mh2,
-    MIN((h1 + 3 * h2) % {dedup.MINHASH_PRIME}) AS mh3,
-    MIN((h1 + 4 * h2) % {dedup.MINHASH_PRIME}) AS mh4,
-    MIN((h1 + 5 * h2) % {dedup.MINHASH_PRIME}) AS mh5,
-    MIN((h1 + 6 * h2) % {dedup.MINHASH_PRIME}) AS mh6,
-    MIN((h1 + 7 * h2) % {dedup.MINHASH_PRIME}) AS mh7,
-    MIN((h1 + 8 * h2) % {dedup.MINHASH_PRIME}) AS mh8,
-    MIN((h1 + 9 * h2) % {dedup.MINHASH_PRIME}) AS mh9,
-    MIN((h1 + 10 * h2) % {dedup.MINHASH_PRIME}) AS mh10,
-    MIN((h1 + 11 * h2) % {dedup.MINHASH_PRIME}) AS mh11,
-    MIN((h1 + 12 * h2) % {dedup.MINHASH_PRIME}) AS mh12,
-    MIN((h1 + 13 * h2) % {dedup.MINHASH_PRIME}) AS mh13,
-    MIN((h1 + 14 * h2) % {dedup.MINHASH_PRIME}) AS mh14,
-    MIN((h1 + 15 * h2) % {dedup.MINHASH_PRIME}) AS mh15
+    {slots}
   FROM h GROUP BY source),
 eq AS (SELECT a.source AS source_a, b.source AS source_b,
-    (CASE WHEN a.mh0 = b.mh0 THEN 1 ELSE 0 END) + (CASE WHEN a.mh1 = b.mh1 THEN 1 ELSE 0 END) + (CASE WHEN a.mh2 = b.mh2 THEN 1 ELSE 0 END) + (CASE WHEN a.mh3 = b.mh3 THEN 1 ELSE 0 END) + (CASE WHEN a.mh4 = b.mh4 THEN 1 ELSE 0 END) + (CASE WHEN a.mh5 = b.mh5 THEN 1 ELSE 0 END) + (CASE WHEN a.mh6 = b.mh6 THEN 1 ELSE 0 END) + (CASE WHEN a.mh7 = b.mh7 THEN 1 ELSE 0 END) + (CASE WHEN a.mh8 = b.mh8 THEN 1 ELSE 0 END) + (CASE WHEN a.mh9 = b.mh9 THEN 1 ELSE 0 END) + (CASE WHEN a.mh10 = b.mh10 THEN 1 ELSE 0 END) + (CASE WHEN a.mh11 = b.mh11 THEN 1 ELSE 0 END) + (CASE WHEN a.mh12 = b.mh12 THEN 1 ELSE 0 END) + (CASE WHEN a.mh13 = b.mh13 THEN 1 ELSE 0 END) + (CASE WHEN a.mh14 = b.mh14 THEN 1 ELSE 0 END) + (CASE WHEN a.mh15 = b.mh15 THEN 1 ELSE 0 END) AS n_eq
+    {eq} AS n_eq
   FROM sig a JOIN sig b ON a.source < b.source)
 SELECT source_a, source_b, CAST(n_eq AS INT) AS n_equal_slots,
-       ROUND(CAST(n_eq AS DOUBLE) / 16.0, 6) + 0.0 AS est_jaccard
+       {jac} AS est_jaccard_micro
 FROM eq
 """
+
+
+ORACLES["source_overlap_minhash"] = _sql_source_overlap_minhash()
 
 
 ORACLES["daily_changepoint"] = """
@@ -5130,85 +5162,78 @@ _SPEC_DEFS: dict[str, QuerySpec] = {
 # because their code is untouched; touching one moves it back into
 # the window.
 _VERIFY_FIRST: tuple[str, ...] = (
-    # r05 window (VERDICT r04 #2). Composition:
-    # (1) the 43 never-externally-certified queries — the entire
-    #     late-r04 block (HLL family, PSI drift, Bloom admission +
-    #     runtime-filter join, PMI, attribution, copurchase/triangle
-    #     census, k-anonymity/l-diversity, changepoint, A/B test,
-    #     quota sampling, RFM, seasonal decompose, shard manifest,
-    #     substring dedup, diversity/drift tail) — internal
-    #     mini-driver green since they landed, now getting the hard
-    #     external signal. kmeans_cluster_sizes is in this set AND
-    #     plan-changed this round: it gained the unrolled-CTE DuckDB
-    #     oracle (portable quantization — clustering.py), ending its
-    #     rows-only status. bloom_filtered_join and
-    #     copurchase_graph_stats also plan-changed (NULL-keeping
-    #     bloom keep; lazy localCheckpoints) — both are in this set.
-    # (2) NEW in r05: ann_lsh_multiprobe (Hamming-1 probe LSH).
-    # (3) backfill: the 6 oldest r01-certified queries (q17–q22, rows
-    #     three rounds old), per COVERAGE.md's staleness rotation.
-    # Queries added late in r05 AFTER this window filled —
-    # mmr_select, source_overlap_minhash, events_profile,
-    # kn_bigram_surprisal, salted_segment_revenue, quality_matched_sample,
-    # conversion_survival, kmv_value_quantiles, cohort_ltv,
-    # position_attribution, embedding_outliers, basket_rules,
-    # rfm_migration, ivf_recall_report, join_fanout_topk,
-    # corpus_datasheet, kmv_value_quantiles_by_type,
-    # time_of_week_profile, user_lifecycle_stages,
-    # pareto_revenue_share —
-    # sit at the registry tail with sf0.01 mini-driver green runs,
-    # ledger fingerprints tracking HEAD, and go FIRST into the r06
-    # window.
-    "retention_rates",
-    "documents_deduped_best",
-    "temperature_mixture",
+    # r06 window (VERDICT r05 #1-#3). Composition:
+    # (1) the 22 never-externally-certified queries: the 20 late-r05
+    #     tail (COVERAGE.md §window named them) PLUS the two r05 hash
+    #     fails (temperature_mixture_summary, char_entropy) — all now
+    #     re-encoded under the integer "Oracle encoding rule"
+    #     (COVERAGE.md): final fractional columns ship as
+    #     floor(x*1e6+0.5) BIGINTs, money as per-row cents, because
+    #     ROUND(double, n) tie behavior drifts across oracle-engine
+    #     releases (the only r05 red-row signature). conversion_
+    #     survival additionally gained the d<n LN-guard (ADVICE r05)
+    #     and mmr_select/quality_matched_sample/embedding_outliers
+    #     moved their ENTIRE decision grids to integers.
+    # (2) temperature_mixture — plan-changed (thr now floor(x+0.5),
+    #     shared _temperature_rates with the summary).
+    # (3) backfill: 27 of the 34 oldest certifications (r01 rows,
+    #     five rounds stale by now) — the TPC-H family + the oldest
+    #     analytics windows, untouched since r01 so their code
+    #     matches the certified fingerprints. The remaining 7 r01
+    #     rows (conversion_funnel, weekly_retention, event_type_cube,
+    #     distinct_users_per_day, value_stats_per_type,
+    #     event_value_pivot, session_window_stats) go first into the
+    #     r07 backfill, then the r02 block.
     "temperature_mixture_summary",
     "char_entropy",
-    "sentence_chunks",
-    "kmeans_cluster_sizes",
-    "embedding_drift",
-    "corpus_diversity",
-    "event_transitions",
-    "top_session_paths",
-    "rolling_active_users",
-    "sliding_event_counts",
-    "dup_rate_by_source",
-    "copurchase_pairs",
-    "rfm_segments",
-    "decayed_user_value",
-    "shard_manifest",
-    "documents_substr_deduped",
-    "event_type_correlations",
-    "robust_value_stats",
-    "seasonal_daily_decompose",
-    "copurchase_components",
-    "linear_attribution",
-    "copurchase_graph_stats",
-    "quality_psi_by_source",
-    "l_diversity_report",
-    "daily_changepoint",
-    "daily_distinct_users_hll",
-    "weekly_distinct_users_hll",
-    "bloom_filtered_join",
-    "zipf_fit",
-    "ab_test_report",
-    "conversion_lag_stats",
-    "sample_k_per_group",
-    "k_anonymity_violations",
-    "k_anonymity_report",
-    "hll_registers",
-    "hll_distinct_users",
-    "value_psi_by_type",
-    "pmi_collocations",
-    "bloom_bits",
-    "bloom_admission",
-    "ann_lsh_multiprobe",
-    "q17_small_quantity_revenue",
-    "q18_large_volume_customers",
-    "q19_disjunctive_revenue",
-    "q20_promotion_suppliers",
-    "q21_waiting_suppliers",
-    "q22_sales_opportunity",
+    "kn_bigram_surprisal",
+    "salted_segment_revenue",
+    "cohort_ltv",
+    "basket_rules",
+    "pareto_revenue_share",
+    "time_of_week_profile",
+    "user_lifecycle_stages",
+    "kmv_value_quantiles_by_type",
+    "corpus_datasheet",
+    "ivf_recall_report",
+    "join_fanout_topk",
+    "rfm_migration",
+    "position_attribution",
+    "embedding_outliers",
+    "kmv_value_quantiles",
+    "conversion_survival",
+    "quality_matched_sample",
+    "events_profile",
+    "mmr_select",
+    "source_overlap_minhash",
+    "temperature_mixture",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_regional_revenue",
+    "customer_order_totals",
+    "top10_orders",
+    "customers_without_orders",
+    "orders_with_big_lineitem",
+    "parts_by_brand_type",
+    "q2_min_cost_supplier",
+    "q4_order_priority",
+    "q6_revenue_forecast",
+    "q7_volume_shipping",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q13_order_distribution",
+    "q14_promo_revenue",
+    "q8_market_share",
+    "q11_important_parts",
+    "q12_priority_shipping",
+    "q15_top_supplier",
+    "q16_part_supplier_counts",
+    "events_by_customer_segment",
+    "revenue_by_brand",
+    "top_users_per_event_type",
+    "daily_running_revenue",
+    "sales_rollup",
+    "weekly_moving_avg",
 )
 assert set(_VERIFY_FIRST) <= set(_SPEC_DEFS), sorted(
     set(_VERIFY_FIRST) - set(_SPEC_DEFS)

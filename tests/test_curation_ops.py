@@ -76,10 +76,11 @@ def test_char_entropy_known_values(spark):
 
     df = _docs(spark, ["aaaa", "ab", "abcd", "aabb"])
     got = {r["doc_id"]: r for r in text.char_entropy(df).collect()}
-    assert got[0]["char_entropy"] == 0.0  # degenerate: one symbol
-    assert got[1]["char_entropy"] == round(math.log(2), 6)
-    assert got[2]["char_entropy"] == round(math.log(4), 6)  # uniform 4
-    assert got[3]["char_entropy"] == round(math.log(2), 6)
+    # integer micro-nats: floor(H * 1e6 + 0.5)
+    assert got[0]["char_entropy_micro"] == 0  # degenerate: one symbol
+    assert got[1]["char_entropy_micro"] == math.floor(math.log(2) * 1e6 + 0.5)
+    assert got[2]["char_entropy_micro"] == math.floor(math.log(4) * 1e6 + 0.5)
+    assert got[3]["char_entropy_micro"] == math.floor(math.log(2) * 1e6 + 0.5)
     assert got[2]["n_unique_chars"] == 4 and got[2]["n_chars_sampled"] == 4
     # prefix cap bounds the shuffled volume per doc
     long = _docs(spark, ["x" * 5000])

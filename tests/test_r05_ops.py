@@ -103,7 +103,12 @@ def test_mmr_first_pick_is_most_central(spark):
     cent = (
         emb.select(F.posexplode("embedding").alias("dim", "v"))
         .groupBy("dim")
-        .agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("m"))
+        .agg(
+            (
+                F.floor(F.avg(F.col("v").cast("double")) * 1e6 + F.lit(0.5))
+                / 1e6
+            ).alias("m")
+        )
         .collect()
     )
     cent_arr = F.array(
@@ -117,14 +122,16 @@ def test_mmr_first_pick_is_most_central(spark):
     best = (
         emb.select(
             "vec_id",
-            F.round(cosine_sim(F.col("embedding"), cent_arr), 6).alias("rel"),
+            F.floor(cosine_sim(F.col("embedding"), cent_arr) * 1e6 + F.lit(0.5))
+            .cast("long")
+            .alias("rel_u"),
         )
-        .orderBy(F.desc("rel"), F.asc("vec_id"))
+        .orderBy(F.desc("rel_u"), F.asc("vec_id"))
         .limit(1)
         .collect()[0]
     )
     assert rows[1]["vec_id"] == best["vec_id"]
-    assert abs(rows[1]["score"] - best["rel"]) < 1e-9
+    assert rows[1]["score_micro"] == best["rel_u"]
 
 
 def test_source_overlap_identical_sources_hit_one(spark):
@@ -135,11 +142,11 @@ def test_source_overlap_identical_sources_hit_one(spark):
     one = docs.filter(F.col("source") == docs.select("source").first()[0])
     clone = one.withColumn("source", F.concat(F.col("source"), F.lit("_dup")))
     out = {
-        (r["source_a"], r["source_b"]): r["est_jaccard"]
+        (r["source_a"], r["source_b"]): r["est_jaccard_micro"]
         for r in source_overlap_minhash(one.unionAll(clone)).collect()
     }
     assert len(out) == 1
-    assert list(out.values())[0] == 1.0
+    assert list(out.values())[0] == 1_000_000
 
 
 def test_source_overlap_bounds_and_pairs(spark):
@@ -148,7 +155,7 @@ def test_source_overlap_bounds_and_pairs(spark):
     rows = source_overlap_minhash(docs).collect()
     assert len(rows) == n_sources * (n_sources - 1) // 2
     for r in rows:
-        assert 0.0 <= r["est_jaccard"] <= 1.0
+        assert 0 <= r["est_jaccard_micro"] <= 1_000_000
         assert r["source_a"] < r["source_b"]
 
 
@@ -211,16 +218,18 @@ def test_kn_bigram_surprisal_matches_python_reference(spark):
         if not bis:
             continue
         s = [-math.log2(pkn(w1, w2)) for w1, w2 in bis]
-        expected[did] = (len(bis), round(sum(s) / len(s), 6))
+        expected[did] = (
+            len(bis), math.floor(sum(s) / len(s) * 1e6 + 0.5)
+        )
 
     got = {
-        r["doc_id"]: (r["n_bigrams"], r["avg_kn_surprisal"])
+        r["doc_id"]: (r["n_bigrams"], r["avg_kn_surprisal_micro"])
         for r in kn_bigram_surprisal(docs).collect()
     }
     assert set(got) == set(expected)
     for did in expected:
         assert got[did][0] == expected[did][0]
-        assert abs(got[did][1] - expected[did][1]) < 1e-6, did
+        assert abs(got[did][1] - expected[did][1]) <= 1, did
 
 
 def test_kn_continuation_beats_burst_frequency(spark):
@@ -242,7 +251,7 @@ def test_kn_continuation_beats_burst_frequency(spark):
         rows, "doc_id long, text string, source string"
     )
     out = {
-        r["doc_id"]: r["avg_kn_surprisal"]
+        r["doc_id"]: r["avg_kn_surprisal_micro"]
         for r in kn_bigram_surprisal(docs).collect()
     }
     # the varied-context docs beat the repetitive one on avg bigram
@@ -250,7 +259,7 @@ def test_kn_continuation_beats_burst_frequency(spark):
     # shape are:
     assert set(out) == {1, 2, 3, 4}
     again = {
-        r["doc_id"]: r["avg_kn_surprisal"]
+        r["doc_id"]: r["avg_kn_surprisal_micro"]
         for r in kn_bigram_surprisal(docs).collect()
     }
     assert out == again
@@ -330,14 +339,20 @@ def test_conversion_survival_km_reference(spark):
         " value double, props string",
     )
     got = {
-        r["t_days"]: (r["n_risk"], r["n_events"], r["n_censored"], r["survival"])
+        r["t_days"]: (
+            r["n_risk"],
+            r["n_events"],
+            r["n_censored"],
+            r["survival_micro"],
+        )
         for r in conversion_survival(ev).collect()
     }
     # day 1: 4 at risk, 1 event -> S = 3/4; day 3: 3 at risk, 1 event
     # -> S = 3/4 * 2/3 = 1/2; day 5: 2 censored, S unchanged
-    assert got[1] == (4, 1, 0, 0.75)
-    assert got[3] == (3, 1, 0, 0.5)
-    assert got[5] == (2, 0, 2, 0.5)
+    # (integer micro-units: floor(S * 1e6 + 0.5))
+    assert got[1] == (4, 1, 0, 750000)
+    assert got[3] == (3, 1, 0, 500000)
+    assert got[5] == (2, 0, 2, 500000)
 
 
 def test_conversion_survival_monotone(spark):
@@ -348,13 +363,13 @@ def test_conversion_survival_monotone(spark):
         conversion_survival(ev).collect(), key=lambda r: r["t_days"]
     )
     assert rows, "fixture produced no cohort"
-    last_s, last_n = 1.0 + 1e-9, None
+    last_s, last_n = 1_000_000, None
     for r in rows:
-        assert r["survival"] <= last_s + 1e-9
-        assert 0.0 <= r["survival"] <= 1.0
+        assert r["survival_micro"] <= last_s
+        assert 0 <= r["survival_micro"] <= 1_000_000
         if last_n is not None:
             assert r["n_risk"] <= last_n
-        last_s, last_n = r["survival"], r["n_risk"]
+        last_s, last_n = r["survival_micro"], r["n_risk"]
 
 
 def test_kmv_sample_merges_exactly(spark):
@@ -392,8 +407,8 @@ def test_kmv_quantiles_near_exact(spark):
     spread = (
         ev.agg(F.max("value") - F.min("value")).collect()[0][0] or 1.0
     )
-    assert abs(est["p50"] - exact["p50"]) / spread < 0.1
-    assert abs(est["p90"] - exact["p90"]) / spread < 0.1
+    assert abs(est["p50_micro"] / 1e6 - exact["p50"]) / spread < 0.1
+    assert abs(est["p90_micro"] / 1e6 - exact["p90"]) / spread < 0.1
 
 
 def test_cohort_ltv_cumulative_monotone(spark):
@@ -409,15 +424,15 @@ def test_cohort_ltv_cumulative_monotone(spark):
         by_cohort.setdefault(r["cohort_week"], []).append(r)
     for cw, rs in by_cohort.items():
         rs.sort(key=lambda r: r["week_offset"])
-        last = -1.0
+        last = -1
         for r in rs:
-            assert r["cum_revenue_per_cohort_user"] >= last - 1e-9, cw
-            last = r["cum_revenue_per_cohort_user"]
-    total_rev = round(sum(r["revenue"] for r in rows), 2)
+            assert r["cum_revenue_per_cohort_user_micro"] >= last, cw
+            last = r["cum_revenue_per_cohort_user_micro"]
+    total_rev = sum(r["revenue_cents"] for r in rows) / 100.0
     raw = ev.filter(F.col("event_type") == "purchase").agg(
-        F.round(F.sum("value"), 2)
+        F.sum("value")
     ).collect()[0][0]
-    assert abs(total_rev - raw) < 0.05  # per-cell 2dp rounding drift
+    assert abs(total_rev - raw) < 0.05  # per-row cent rounding drift
 
 
 def test_position_attribution_u_shape(spark):
@@ -440,14 +455,14 @@ def test_position_attribution_u_shape(spark):
         " value double, props string",
     )
     got = {
-        r["channel"]: (r["n_touches"], r["attributed_value"])
+        r["channel"]: (r["n_touches"], r["attributed_value_micro"])
         for r in position_attribution(ev).collect()
     }
-    # first view 40 + middle click 20 + last view 40
-    assert got["view"] == (2, 80.0)
-    assert got["click"] == (1, 20.0)
-    assert got["direct"] == (0, 50.0)
-    assert round(sum(v for _, v in got.values()), 2) == 150.0
+    # first view 40 + middle click 20 + last view 40 (integer micro)
+    assert got["view"] == (2, 80_000_000)
+    assert got["click"] == (1, 20_000_000)
+    assert got["direct"] == (0, 50_000_000)
+    assert sum(v for _, v in got.values()) == 150_000_000
 
 
 def test_position_attribution_conserves_value(spark):
@@ -455,9 +470,9 @@ def test_position_attribution_conserves_value(spark):
 
     ev = catalog.table(spark, SF_SMALL, "events")
     total_attr = sum(
-        r["attributed_value"]
+        r["attributed_value_micro"]
         for r in position_attribution(ev).collect()
-    )
+    ) / 1e6
     total_rev = ev.filter(F.col("event_type") == "purchase").agg(
         F.sum("value")
     ).collect()[0][0]
@@ -496,9 +511,9 @@ def test_basket_rules_confidence_directionality(spark):
         for r in basket_rules(li).collect()
     }
     # support(1,2)=2; conf(1->2)=2/4=0.5, conf(2->1)=2/2=1.0
-    assert out[(1, 2)]["confidence"] == 0.5
-    assert out[(2, 1)]["confidence"] == 1.0
-    assert out[(1, 2)]["lift"] == out[(2, 1)]["lift"]
+    assert out[(1, 2)]["confidence_micro"] == 500_000
+    assert out[(2, 1)]["confidence_micro"] == 1_000_000
+    assert out[(1, 2)]["lift_micro"] == out[(2, 1)]["lift_micro"]
 
 
 def test_rfm_migration_conserves_users(spark):
@@ -533,7 +548,7 @@ def test_ivf_recall_report_invariants(spark):
     r = ivf_recall_report(emb).collect()[0]
     assert r["n_true"] == DEFAULT_K * DEFAULT_N_QUERIES
     assert r["n_hit"] <= r["n_true"] and r["n_hit"] <= r["n_ivf"]
-    assert 0.0 <= r["recall"] <= 1.0
+    assert 0 <= r["recall_micro"] <= 1_000_000
 
 
 def test_join_fanout_topk_products(spark):
@@ -561,13 +576,15 @@ def test_corpus_datasheet_reconciles_with_parts(spark):
         r["metric"]: r["value"] for r in corpus_datasheet(docs).collect()
     }
     n = docs.count()
-    assert sheet["n_docs"] == float(n)
+    import math
+
+    assert sheet["n_docs"] == n
     n_uniq = dedup_exact(docs, normalized=True).count()
-    assert abs(sheet["dup_rate"] - round((n - n_uniq) / n, 6)) < 1e-9
-    assert sheet["n_sources"] == float(
-        docs.select("source").distinct().count()
+    assert sheet["dup_rate_micro"] == math.floor(
+        (n - n_uniq) / n * 1e6 + 0.5
     )
-    assert sheet["q25"] <= sheet["q50"] <= sheet["q75"]
+    assert sheet["n_sources"] == docs.select("source").distinct().count()
+    assert sheet["q25_micro"] <= sheet["q50_micro"] <= sheet["q75_micro"]
 
 
 def test_time_of_week_profile_conserves_events(spark):
@@ -632,15 +649,17 @@ def test_pareto_revenue_share_monotone(spark):
         pareto_revenue_share(ev).collect(), key=lambda r: r["top_pct"]
     )
     assert [r["top_pct"] for r in rows] == [1, 5, 10, 20, 50]
-    last_share, last_n, last_thr = -1.0, 0, float("inf")
+    last_share, last_n, last_thr = -1, 0, float("inf")
     for r in rows:
-        assert r["revenue_share"] >= last_share - 1e-9
+        assert r["revenue_share_micro"] >= last_share
         assert r["n_users"] >= last_n
-        assert r["threshold_value"] <= last_thr + 1e-9
-        assert 0.0 <= r["revenue_share"] <= 1.0
+        assert r["threshold_value_micro"] <= last_thr
+        assert 0 <= r["revenue_share_micro"] <= 1_000_000
         last_share, last_n, last_thr = (
-            r["revenue_share"], r["n_users"], r["threshold_value"]
+            r["revenue_share_micro"],
+            r["n_users"],
+            r["threshold_value_micro"],
         )
     # concentration sanity: the top 1% can't carry less than 1% of
     # revenue when everyone at/above the p99 threshold is included
-    assert rows[0]["revenue_share"] >= 0.01 - 1e-9
+    assert rows[0]["revenue_share_micro"] >= 10_000

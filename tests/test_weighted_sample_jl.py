@@ -185,8 +185,8 @@ def test_temperature_mixture_rebalances_toward_small_sources(spark):
     rows = [(i, "small" if i < 100 else "big", 10) for i in range(500)]
     d = _docs(spark, rows)
     summary = {r["source"]: r for r in temperature_mixture_summary(d).collect()}
-    assert summary["small"]["keep_rate"] == 0.833333
-    assert summary["big"]["keep_rate"] == 0.416667
+    assert summary["small"]["keep_rate_ppm"] == 833333
+    assert summary["big"]["keep_rate_ppm"] == 416667
     # raw share of small = 0.2; temperature share strictly larger
     kept = temperature_mixture(d)
     small_kept = summary["small"]["n_kept"]
@@ -210,5 +210,5 @@ def test_temperature_mixture_rate_clamps_at_one(spark):
         r["source"]: r
         for r in temperature_mixture_summary(_docs(spark, rows)).collect()
     }
-    assert summary["tiny"]["keep_rate"] == 1.0
+    assert summary["tiny"]["keep_rate_ppm"] == 1_000_000
     assert summary["tiny"]["n_kept"] == 4
