@@ -367,6 +367,28 @@ def _ann_band_bench(
             + (" [recommended]" if row["recommended"] else ""),
             file=sys.stderr,
         )
+    # RECALL GATE (VERDICT r05 #4): BASELINE.md requires the planner's
+    # recommendation to measure recall@k >= 0.9 within budget — and so
+    # must the ABOVE-CROSSOVER strategy (pq_rerank), since that is
+    # what a 100 TB corpus would actually get. Fail the bench, not the
+    # narrative.
+    by_name = {r["strategy"]: r for r in grid if "strategy" in r}
+    rec_key = f"recall_at_{similarity.DEFAULT_K}"
+    for must in ("pq_rerank",):
+        got = by_name.get(must, {}).get(rec_key, 0.0)
+        if got < 0.9:
+            raise SystemExit(
+                f"ANN recall gate: {must} measured {rec_key}={got} < 0.9 "
+                "(the above-crossover recommendation must clear the "
+                "BASELINE.md bar — widen the PQ shortlist/codebook)"
+            )
+    rec_row = next((r for r in grid if r.get("recommended")), None)
+    if rec_row is not None and rec_row.get(rec_key, 0.0) < 0.9:
+        raise SystemExit(
+            f"ANN recall gate: recommended strategy "
+            f"{rec_row['strategy']} measured {rec_key}="
+            f"{rec_row.get(rec_key)} < 0.9"
+        )
     return grid
 
 
@@ -512,10 +534,24 @@ def _scale_rehearsal(spark, sf_dir: str) -> dict:
     # the portable HLL over 10x distinct users
     from flink_ecommerce_spark import registry as _registry
 
-    timed(
-        "prefix_jaccard_pairs",
-        lambda: dedup.prefix_jaccard_pairs(docs).count(),
-    )
+    # exact-pairs crossover (VERDICT r05 #5): the planner — not the
+    # bench author — decides whether the 10x corpus still gets the
+    # lossless prefix-filter join. At 50k docs it does NOT (measured
+    # 95.5 s in r05, ~80% of the stage budget, exponent ~1.5): the
+    # enforced strategy is lsh_candidate_pairs + the recall meter,
+    # both timed above/below. prefix_jaccard stays the sub-crossover
+    # answer and keeps its sf0.1 headline timing.
+    ep_plan10 = dedup.exact_pairs_plan_for(n_docs)
+    if ep_plan10["strategy"] == "prefix_jaccard":
+        timed(
+            "prefix_jaccard_pairs",
+            lambda: dedup.prefix_jaccard_pairs(docs).count(),
+        )
+    else:
+        timed(
+            "lsh_recall_report",
+            lambda: dedup.lsh_recall_report(docs).count(),
+        )
     timed(
         "supplier_pagerank",
         lambda: _registry.SPECS["supplier_pagerank"].fn(spark, stage).count(),
@@ -529,6 +565,23 @@ def _scale_rehearsal(spark, sf_dir: str) -> dict:
     timed(
         "hll_distinct_users",
         lambda: _registry.SPECS["hll_distinct_users"].fn(spark, stage).count(),
+    )
+    # r06 (VERDICT r05 #7): the KMV family and Kneser-Ney measured at
+    # 10x BEFORE their certification lands — KMV must stay ~flat (the
+    # shuffle is capped at k rows by TakeOrderedAndProject); KN is
+    # aggregate-shaped like nb_lang_scores.
+    ev10 = catalog.table(spark, stage, "events")
+    timed(
+        "kmv_value_quantiles",
+        lambda: _sk.kmv_value_quantiles(ev10).count(),
+    )
+    timed(
+        "kmv_value_quantiles_by_type",
+        lambda: _sk.kmv_value_quantiles_by_type(ev10).count(),
+    )
+    timed(
+        "kn_bigram_surprisal",
+        lambda: text.kn_bigram_surprisal(docs).count(),
     )
     print(
         f"rehearsal planners: lsh {plan01} -> {plan10}, "
@@ -546,6 +599,11 @@ def _scale_rehearsal(spark, sf_dir: str) -> dict:
             "lsh_rehearsal": list(plan10),
             "simhash_sf0.1": list(sim01),
             "simhash_rehearsal": list(sim10),
+            "exact_pairs_sf0.1": dedup.exact_pairs_plan_for(n_docs01)[
+                "strategy"
+            ],
+            "exact_pairs_rehearsal": ep_plan10["strategy"],
+            "exact_pairs_crossover_docs": ep_plan10["crossover"],
         },
     }
 

@@ -3019,7 +3019,7 @@ short AS (SELECT query_id, neighbor_id FROM (
             SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
                                          ORDER BY adc_d2 ASC, neighbor_id ASC) AS rk
             FROM scored)
-          WHERE rk <= {similarity.PQ_RERANK}),
+          WHERE rk <= {similarity.PQ_RERANK_WIDE}),
 rer AS (SELECT sh.query_id, sh.neighbor_id,
                ROUND({sql_cosine('q.embedding', 'e.embedding', similarity.EMB_DIM)}, 6) AS cos_sim
         FROM short sh
@@ -5176,11 +5176,15 @@ _VERIFY_FIRST: tuple[str, ...] = (
     #     moved their ENTIRE decision grids to integers.
     # (2) temperature_mixture — plan-changed (thr now floor(x+0.5),
     #     shared _temperature_rates with the summary).
-    # (3) backfill: 27 of the 34 oldest certifications (r01 rows,
+    # (3) backfill: 26 of the 34 oldest certifications (r01 rows,
     #     five rounds stale by now) — the TPC-H family + the oldest
     #     analytics windows, untouched since r01 so their code
-    #     matches the certified fingerprints. The remaining 7 r01
-    #     rows (conversion_funnel, weekly_retention, event_type_cube,
+    #     matches the certified fingerprints — PLUS pq_ann_rerank,
+    #     plan-changed this round (shortlist 50→400 via
+    #     PQ_RERANK_WIDE: the above-crossover recommendation must
+    #     measure recall@5 ≥ 0.9, VERDICT r05 #4 — bench.py now
+    #     gates it). The remaining 8 r01 rows (weekly_moving_avg,
+    #     conversion_funnel, weekly_retention, event_type_cube,
     #     distinct_users_per_day, value_stats_per_type,
     #     event_value_pivot, session_window_stats) go first into the
     #     r07 backfill, then the r02 block.
@@ -5233,7 +5237,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "top_users_per_event_type",
     "daily_running_revenue",
     "sales_rollup",
-    "weekly_moving_avg",
+    "pq_ann_rerank",
 )
 assert set(_VERIFY_FIRST) <= set(_SPEC_DEFS), sorted(
     set(_VERIFY_FIRST) - set(_SPEC_DEFS)

@@ -580,3 +580,25 @@ def test_documents_deduped_best_keeps_highest_quality_member(spark):
     loser = ({0, 1} - {winner}).pop()
     assert q[winner] >= q[loser]
     assert winner == (0 if q[0] > q[1] else 1 if q[1] > q[0] else 0)
+
+
+def test_exact_pairs_plan_crossover():
+    """The planner enforces the lossless→LSH crossover (VERDICT r05
+    #5): below EXACT_PAIRS_MAX_DOCS pipelines get the exact
+    prefix-filter join; above it they get banded candidates WITH the
+    recall meter named — the loss is explicit, never silent."""
+    from flink_ecommerce_spark.operators import dedup
+
+    lo = dedup.exact_pairs_plan_for(5_000)
+    assert lo["strategy"] == "prefix_jaccard" and lo["loss_meter"] is None
+    at = dedup.exact_pairs_plan_for(dedup.EXACT_PAIRS_MAX_DOCS)
+    assert at["strategy"] == "prefix_jaccard"
+    hi = dedup.exact_pairs_plan_for(50_000)
+    assert hi["strategy"] == "lsh_candidates"
+    assert hi["loss_meter"] == "lsh_recall_report"
+    # the 10x rehearsal corpus (50k docs) sits ABOVE the crossover —
+    # bench.py must route it to the LSH side
+    assert 50_000 > dedup.EXACT_PAIRS_MAX_DOCS
+    # both fixture scales stay on the exact side
+    for n in (500, 5_000):
+        assert dedup.exact_pairs_plan_for(n)["strategy"] == "prefix_jaccard"
