@@ -502,3 +502,115 @@ def quality_matched_sample(
         .filter(keep)
         .select("doc_id", "source", "bucket")
     )
+
+
+WATERFILL_TARGET_FRAC = 0.5
+
+
+def token_waterfill(
+    documents: DataFrame, target_frac: float = WATERFILL_TARGET_FRAC
+) -> DataFrame:
+    """(source, n_tokens, allocated_tokens, capped) — allocate a
+    global token budget B = floor(target_frac · total_tokens) across
+    sources by WATER-FILLING: every source below the water level T
+    keeps all its tokens, every source above is capped at floor(T),
+    and T is the unique level at which the allocations sum to ≤ B.
+    The max-min-fair budget split mixture designers reach for when
+    ``temperature_mixture``'s fixed α is too blunt: small sources are
+    never squeezed, and the cap lands exclusively on the giants.
+
+    Closed form, no iteration: with sources sorted by ascending token
+    count (ties by source name), source r fits fully iff
+    cum_{r-1} + n_r · (k - r + 1) ≤ B. Let i* be the largest such r;
+    T = (B − cum_{i*}) / (k − i*) for the remainder. All inputs are
+    exact integers, the single division is of two exactly-
+    representable values, and the shipped cap is floor(T) — the
+    engine-portable arithmetic discipline of the sampler family
+    (COVERAGE.md "Oracle encoding rule").
+
+    Scale: one corpus scan for per-source token counts (map-side
+    combine), then every remaining step — rank, cumulative sum,
+    feasibility, the i* aggregate — runs over the #sources-row table
+    (a deliberate tiny-global window, balanced_shards' offset-table
+    pattern). 100 TB of text, k rows of planning state."""
+    nt = F.size(F.expr("regexp_extract_all(text, '\\\\S+', 0)")).cast("long")
+    per_source = documents.select("source", nt.alias("__nt")).groupBy(
+        "source"
+    ).agg(F.sum("__nt").alias("n_tokens"))
+    from pyspark.sql import Window
+
+    w_rank = Window.orderBy(F.asc("n_tokens"), F.asc("source"))
+    w_cum = w_rank.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranked = per_source.select(
+        "source",
+        "n_tokens",
+        F.row_number().over(w_rank).alias("__r"),
+        F.sum("n_tokens").over(w_cum).alias("__cum"),
+    )
+    tot = ranked.agg(
+        F.max("__r").alias("__k"),
+        F.floor(
+            F.sum("n_tokens") * F.lit(float(target_frac))
+        ).cast("long").alias("__b"),
+    )
+    j = ranked.crossJoin(F.broadcast(tot))
+    feasible = (
+        (F.col("__cum") - F.col("n_tokens"))
+        + F.col("n_tokens") * (F.col("__k") - F.col("__r") + 1)
+    ) <= F.col("__b")
+    sel = j.agg(
+        F.coalesce(
+            F.max(F.when(feasible, F.col("__r"))), F.lit(0)
+        ).alias("__i_star"),
+        F.coalesce(
+            F.max(F.when(feasible, F.col("__cum"))), F.lit(0)
+        ).alias("__cum_star"),
+    )
+    out = j.crossJoin(F.broadcast(sel))
+    level = F.floor(
+        (F.col("__b") - F.col("__cum_star")).cast("double")
+        / (F.col("__k") - F.col("__i_star"))
+    ).cast("long")
+    allocated = F.when(F.col("__r") <= F.col("__i_star"), F.col("n_tokens")) \
+        .otherwise(F.least(F.col("n_tokens"), level))
+    return out.select(
+        "source",
+        "n_tokens",
+        allocated.alias("allocated_tokens"),
+        (allocated < F.col("n_tokens")).alias("capped"),
+    )
+
+
+def sql_token_waterfill(target_frac: float = WATERFILL_TARGET_FRAC) -> str:
+    """DuckDB twin of ``token_waterfill`` — identical rank order,
+    integer cumulative sums, feasibility rule, and floor(T) cap."""
+    return f"""
+WITH ps AS (SELECT source,
+                   SUM(CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT))
+                     AS n_tokens
+            FROM documents GROUP BY 1),
+rk AS (SELECT source, n_tokens,
+              ROW_NUMBER() OVER (ORDER BY n_tokens ASC, source ASC) AS r,
+              SUM(n_tokens) OVER (ORDER BY n_tokens ASC, source ASC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       FROM ps),
+tot AS (SELECT MAX(r) AS k,
+               CAST(FLOOR(SUM(n_tokens) * {target_frac}) AS BIGINT) AS b
+        FROM rk),
+sel AS (SELECT COALESCE(MAX(CASE WHEN (cum - n_tokens)
+                     + n_tokens * (k - r + 1) <= b THEN r END), 0) AS i_star,
+               COALESCE(MAX(CASE WHEN (cum - n_tokens)
+                     + n_tokens * (k - r + 1) <= b THEN cum END), 0)
+                 AS cum_star
+        FROM rk, tot)
+SELECT source, n_tokens,
+       CASE WHEN r <= i_star THEN n_tokens
+            ELSE LEAST(n_tokens,
+                   CAST(FLOOR(CAST(b - cum_star AS DOUBLE) / (k - i_star))
+                     AS BIGINT)) END AS allocated_tokens,
+       (CASE WHEN r <= i_star THEN n_tokens
+             ELSE LEAST(n_tokens,
+                    CAST(FLOOR(CAST(b - cum_star AS DOUBLE) / (k - i_star))
+                      AS BIGINT)) END) < n_tokens AS capped
+FROM rk, tot, sel
+"""

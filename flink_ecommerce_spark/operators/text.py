@@ -1677,3 +1677,116 @@ def corpus_datasheet(documents: DataFrame) -> DataFrame:
         )
     )
     return one.selectExpr(f"stack(9, {stack}) AS (metric, value)")
+
+
+BOILERPLATE_MIN_DOCS = 3
+
+
+def boilerplate_lines(
+    documents: DataFrame, min_docs: int = BOILERPLATE_MIN_DOCS
+) -> DataFrame:
+    """(line, n_docs, n_occurrences) — normalized sentences appearing
+    in at least ``min_docs`` DISTINCT documents: the boilerplate
+    census (cookie banners, nav text, license headers) that precedes
+    a C4-style line-level cleanup. Sentence granularity reuses
+    ``sentence_chunks``' portable splitter so "line" means the same
+    thing across the line family; normalization is lower+trim — the
+    same-text-different-whitespace collisions stay separate lines
+    here because sentence text IS the evidence a reviewer reads.
+
+    Scale: one text scan, per-row split, then a single hash
+    aggregation keyed on the normalized line with map-side combine
+    (count + distinct-doc count ride together); no window, no join.
+    The output is the high-df head of the line distribution —
+    tiny by construction."""
+    sents = documents.select(
+        "doc_id",
+        F.explode(
+            F.expr(r"regexp_extract_all(text, '[^.!?]+[.!?]?', 0)")
+        ).alias("sent"),
+    ).select(
+        "doc_id", F.lower(F.trim("sent")).alias("line")
+    ).filter(F.length("line") > 0)
+    return (
+        sents.groupBy("line")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+    )
+
+
+def line_dedup(documents: DataFrame) -> DataFrame:
+    """(doc_id, n_lines, n_kept, text_deduped) — C4-style GLOBAL
+    line-level deduplication: every normalized sentence survives in
+    exactly one place corpus-wide — its first occurrence by
+    (doc_id, position) — and later occurrences are struck from their
+    documents' reassembled text. The line-granularity complement to
+    doc-level ``dedup_exact`` and span-level
+    ``repeated_substring_spans``: it removes the boilerplate MASS
+    (nav bars, footers) that document hashes can't see because the
+    surrounding text differs.
+
+    Determinism: "first" is the lexicographically smallest
+    (doc_id, idx) struct per normalized line — a MIN aggregate, so
+    the winner is engine/partitioning-independent.
+
+    Scale: the first-occurrence table is groupBy(line).agg(min
+    (doc_id, idx)) — map-side combinable, so a boilerplate line that
+    appears a billion times collapses to per-partition partials and
+    NEVER concentrates in one window task (the naive
+    row_number-over-line formulation would). The keep decision joins
+    sentences back on (line, doc_id, idx) equality; reassembly is the
+    sentence_chunks sort-structs-in-aggregate idiom, keyed by doc_id.
+    Shuffle volume is bounded by the text itself."""
+    sents = (
+        documents.select(
+            "doc_id",
+            F.posexplode(
+                F.expr(r"regexp_extract_all(text, '[^.!?]+[.!?]?', 0)")
+            ).alias("idx", "sent"),
+        )
+        .withColumn("sent", F.trim("sent"))
+        .filter(F.length("sent") > 0)
+        .withColumn("line", F.lower(F.col("sent")))
+    )
+    first = sents.groupBy("line").agg(
+        F.min(F.struct("doc_id", "idx")).alias("__first")
+    ).select(
+        "line",
+        F.col("__first.doc_id").alias("doc_id"),
+        F.col("__first.idx").alias("idx"),
+        F.lit(True).alias("__keep"),
+    )
+    marked = sents.join(first, ["line", "doc_id", "idx"], "left")
+    per_doc = marked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.coalesce(F.col("__keep").cast("long"), F.lit(0))).alias(
+            "n_kept"
+        ),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sort_array(
+                    F.collect_list(
+                        F.when(
+                            F.col("__keep"),
+                            F.struct("idx", "sent"),
+                        )
+                    )
+                ),
+                lambda s: s["sent"],
+            ),
+        ).alias("text_deduped"),
+    )
+    return (
+        documents.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_lines", F.lit(0)).alias("n_lines"),
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.coalesce("text_deduped", F.lit("")).alias("text_deduped"),
+        )
+    )

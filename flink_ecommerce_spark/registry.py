@@ -1339,6 +1339,19 @@ def _q_events_profile(spark, sf):
     )
 
 
+
+def _q_boilerplate_lines(spark, sf):
+    return text.boilerplate_lines(_t("documents")(spark, sf))
+
+
+def _q_line_dedup(spark, sf):
+    return text.line_dedup(_t("documents")(spark, sf))
+
+
+def _q_token_waterfill(spark, sf):
+    return sampling.token_waterfill(_t("documents")(spark, sf))
+
+
 def _q_ann_lsh_planned(spark, sf):
     """The scale path itself: (n_planes, n_bands) sized by
     lsh_plan_for from the actual corpus size (one count() job at
@@ -4358,6 +4371,49 @@ WHERE {sql_hash32("CAST(sb.doc_id AS VARCHAR)", salt="qmatch")} % 1000000 < r.th
 """
 
 
+ORACLES["boilerplate_lines"] = """
+WITH s AS (SELECT doc_id,
+                  lower(trim(unnest(
+                    regexp_extract_all(text, '[^.!?]+[.!?]?')))) AS line
+           FROM documents)
+SELECT line, COUNT(DISTINCT doc_id) AS n_docs,
+       COUNT(*) AS n_occurrences
+FROM s WHERE length(line) > 0
+GROUP BY line HAVING COUNT(DISTINCT doc_id) >= 3
+"""
+
+ORACLES["line_dedup"] = """
+WITH s0 AS (SELECT doc_id,
+                   unnest(regexp_extract_all(text, '[^.!?]+[.!?]?')) AS sent,
+                   generate_subscripts(
+                     regexp_extract_all(text, '[^.!?]+[.!?]?'), 1) - 1 AS idx
+            FROM documents),
+s AS (SELECT doc_id, idx, trim(sent) AS sent, lower(trim(sent)) AS line
+      FROM s0 WHERE length(trim(sent)) > 0),
+first AS (SELECT line, doc_id, idx, TRUE AS keep FROM (
+            SELECT line, doc_id, idx,
+                   ROW_NUMBER() OVER (PARTITION BY line
+                                      ORDER BY doc_id ASC, idx ASC) AS rn
+            FROM s) WHERE rn = 1),
+m AS (SELECT s.doc_id, s.idx, s.sent, first.keep
+      FROM s LEFT JOIN first
+        ON s.line = first.line AND s.doc_id = first.doc_id
+       AND s.idx = first.idx),
+pd AS (SELECT doc_id, COUNT(*) AS n_lines,
+              SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS n_kept,
+              COALESCE(string_agg(CASE WHEN keep THEN sent END, ' '
+                                  ORDER BY idx), '') AS text_deduped
+       FROM m GROUP BY 1)
+SELECT d.doc_id,
+       COALESCE(pd.n_lines, 0) AS n_lines,
+       COALESCE(pd.n_kept, 0) AS n_kept,
+       COALESCE(pd.text_deduped, '') AS text_deduped
+FROM (SELECT doc_id FROM documents) d LEFT JOIN pd USING (doc_id)
+"""
+
+ORACLES["token_waterfill"] = sampling.sql_token_waterfill()
+
+
 ORACLES["kn_bigram_surprisal"] = f"""
 WITH toks AS (SELECT doc_id, {_WORDS} AS w FROM documents),
 bi AS (SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
@@ -5148,6 +5204,17 @@ _SPEC_DEFS: dict[str, QuerySpec] = {
     , bench=True),
     "bloom_admission": QuerySpec(
         _q_bloom_admission, ORACLES["bloom_admission"], bench=True
+    ),
+    # r06 additions — registry tail: mini-driver green now, first
+    # into the r07 window (COVERAGE.md verification rotation)
+    "boilerplate_lines": QuerySpec(
+        _q_boilerplate_lines, ORACLES["boilerplate_lines"], bench=True
+    ),
+    "line_dedup": QuerySpec(
+        _q_line_dedup, ORACLES["line_dedup"], bench=True
+    ),
+    "token_waterfill": QuerySpec(
+        _q_token_waterfill, ORACLES["token_waterfill"], bench=True
     ),
 }
 

@@ -1,0 +1,130 @@
+"""Round-6 operators: line-level dedup family (boilerplate census +
+C4-style global line dedup) and the water-filling token budget
+allocator."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from flink_ecommerce_spark import catalog
+from flink_ecommerce_spark.operators.sampling import token_waterfill
+from flink_ecommerce_spark.operators.text import boilerplate_lines, line_dedup
+from flink_ecommerce_spark.schemas import DOCUMENTS_SCHEMA
+
+from tests.conftest import SF_SMALL
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        [
+            (i, t, "en", s, len(t))
+            for i, (t, s) in enumerate(rows)
+        ],
+        DOCUMENTS_SCHEMA,
+    )
+
+
+def test_boilerplate_lines_census(spark):
+    banner = "Accept all cookies."
+    docs = _docs(
+        spark,
+        [
+            (f"{banner} Unique body one.", "a"),
+            (f"{banner} Unique body two.", "a"),
+            (f"{banner} {banner} Unique body three.", "b"),
+            ("No banner here at all.", "b"),
+        ],
+    )
+    got = {r["line"]: r for r in boilerplate_lines(docs, min_docs=3).collect()}
+    key = banner.lower()
+    assert set(got) == {key}
+    assert got[key]["n_docs"] == 3
+    # doc 2 contains it twice -> 4 occurrences across 3 docs
+    assert got[key]["n_occurrences"] == 4
+
+
+def test_line_dedup_keeps_first_occurrence_only(spark):
+    docs = _docs(
+        spark,
+        [
+            ("Shared line. Body alpha.", "a"),
+            ("Shared line. Body beta.", "a"),
+            ("Body beta. Tail gamma.", "b"),  # Body beta already in doc 1
+        ],
+    )
+    got = {r["doc_id"]: r for r in line_dedup(docs).collect()}
+    assert got[0]["text_deduped"] == "Shared line. Body alpha."
+    assert got[0]["n_lines"] == 2 and got[0]["n_kept"] == 2
+    # doc 1 loses "Shared line." (first seen in doc 0)
+    assert got[1]["text_deduped"] == "Body beta."
+    assert got[1]["n_lines"] == 2 and got[1]["n_kept"] == 1
+    # doc 2 loses "Body beta." (first seen in doc 1)
+    assert got[2]["text_deduped"] == "Tail gamma."
+    assert got[2]["n_kept"] == 1
+
+
+def test_line_dedup_conserves_distinct_lines(spark):
+    """Every distinct normalized line survives exactly once
+    corpus-wide, and a doc losing all lines still emits a row."""
+    docs = catalog.table(spark, SF_SMALL, "documents")
+    rows = line_dedup(docs).collect()
+    assert len(rows) == docs.count()  # row per doc, even fully-struck
+    total_kept = sum(r["n_kept"] for r in rows)
+    n_distinct = (
+        docs.select(
+            F.explode(
+                F.expr(r"regexp_extract_all(text, '[^.!?]+[.!?]?', 0)")
+            ).alias("s")
+        )
+        .select(F.lower(F.trim("s")).alias("line"))
+        .filter(F.length("line") > 0)
+        .distinct()
+        .count()
+    )
+    assert total_kept == n_distinct
+
+
+def test_token_waterfill_hand_computed(spark):
+    # sizes 10 / 20 / 100 tokens; frac 0.5 -> B = 65.
+    # sorted asc: r=1 (10): 0+10*3=30<=65 ok; r=2 (20): 10+20*2=50 ok;
+    # r=3 (100): 30+100=130 > 65 -> i*=2, T=(65-30)/1=35
+    docs = _docs(
+        spark,
+        [
+            (" ".join(["w"] * 10), "small"),
+            (" ".join(["w"] * 20), "mid"),
+            (" ".join(["w"] * 100), "big"),
+        ],
+    )
+    got = {r["source"]: r for r in token_waterfill(docs).collect()}
+    assert got["small"]["allocated_tokens"] == 10 and not got["small"]["capped"]
+    assert got["mid"]["allocated_tokens"] == 20 and not got["mid"]["capped"]
+    assert got["big"]["allocated_tokens"] == 35 and got["big"]["capped"]
+    assert sum(r["allocated_tokens"] for r in got.values()) == 65
+
+
+def test_token_waterfill_full_budget_caps_nothing(spark):
+    docs = _docs(
+        spark,
+        [(" ".join(["w"] * n), f"s{n}") for n in (5, 50, 500)],
+    )
+    got = token_waterfill(docs, target_frac=1.0).collect()
+    assert all(not r["capped"] for r in got)
+    assert all(r["allocated_tokens"] == r["n_tokens"] for r in got)
+
+
+def test_token_waterfill_budget_respected_on_fixture(spark):
+    docs = catalog.table(spark, SF_SMALL, "documents")
+    rows = token_waterfill(docs).collect()
+    total = docs.select(
+        F.sum(F.size(F.expr("regexp_extract_all(text, '\\\\S+', 0)")))
+    ).collect()[0][0]
+    b = int(total * 0.5)
+    assert sum(r["allocated_tokens"] for r in rows) <= b
+    # max-min fairness: every uncapped source is <= every cap level
+    caps = [r["allocated_tokens"] for r in rows if r["capped"]]
+    if caps:
+        level = min(caps)
+        for r in rows:
+            if not r["capped"]:
+                assert r["n_tokens"] <= level + 1
