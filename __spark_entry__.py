@@ -48,7 +48,13 @@ re-rank above), greedy MMR exemplar selection, source-level
 MinHash overlap (mergeable per-source signatures), Kneser-Ney
 bigram LM surprisal, one-scan column profiling, and the
 skew-salted join pattern carrying its own external correctness
-row — each with a
+row — plus the round-6 block: C4-style line-level dedup
+(boilerplate_lines census + line_dedup global first-occurrence
+keep), the water-filling token budget allocator, the
+exact-pairs→LSH crossover planner, PQ re-rank widened to the
+recall ≥ 0.9 bar with a bench gate, and the repo-wide integer
+"Oracle encoding rule" (COVERAGE.md) that replaced every
+ROUND(double)-final contract in the verify window — each with a
 DuckDB oracle twin (COVERAGE.md is the full map; non-query machinery
 — continuous aggregates, Z-order layout, streaming
 sinks/packing/dedup/fuzzy-admission, BPE tokenizer train/apply — is
