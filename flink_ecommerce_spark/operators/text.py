@@ -1790,3 +1790,38 @@ def line_dedup(documents: DataFrame) -> DataFrame:
             F.coalesce("text_deduped", F.lit("")).alias("text_deduped"),
         )
     )
+
+
+BOILERPLATE_SHINGLE_MIN_DOCS = 5
+
+
+def boilerplate_shingles(
+    documents: DataFrame, min_docs: int = BOILERPLATE_SHINGLE_MIN_DOCS
+) -> DataFrame:
+    """(shingle, n_docs, n_occurrences) — word 3-gram spans appearing
+    in at least ``min_docs`` DISTINCT documents: the sub-sentence
+    boilerplate census (RefinedWeb-style repeated-span detection)
+    that catches templated fragments ``boilerplate_lines`` misses
+    because the surrounding sentence varies ("all rights reserved
+    2023" vs "… 2024"). Shares the dedup family's shingle definition
+    (``textprep.word_shingles``) so a span flagged here is the same
+    unit LSH banded.
+
+    Scale: identical shape to boilerplate_lines — explode, one hash
+    aggregation on the shingle with map-side combine (distinct-doc
+    count + raw count together), high-df head out. The candidate
+    removal step is then a broadcast semi-join of this small table
+    against the corpus, never a self-join."""
+    from .textprep import word_shingles
+
+    sh = documents.select(
+        "doc_id", F.explode(word_shingles("text")).alias("shingle")
+    )
+    return (
+        sh.groupBy("shingle")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+    )

@@ -1352,6 +1352,11 @@ def _q_token_waterfill(spark, sf):
     return sampling.token_waterfill(_t("documents")(spark, sf))
 
 
+
+def _q_boilerplate_shingles(spark, sf):
+    return text.boilerplate_shingles(_t("documents")(spark, sf))
+
+
 def _q_ann_lsh_planned(spark, sf):
     """The scale path itself: (n_planes, n_bands) sized by
     lsh_plan_for from the actual corpus size (one count() job at
@@ -4414,6 +4419,14 @@ FROM (SELECT doc_id FROM documents) d LEFT JOIN pd USING (doc_id)
 ORACLES["token_waterfill"] = sampling.sql_token_waterfill()
 
 
+ORACLES["boilerplate_shingles"] = f"""
+WITH s AS (SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM documents)
+SELECT shingle, COUNT(DISTINCT doc_id) AS n_docs,
+       COUNT(*) AS n_occurrences
+FROM s GROUP BY shingle HAVING COUNT(DISTINCT doc_id) >= 5
+"""
+
+
 ORACLES["kn_bigram_surprisal"] = f"""
 WITH toks AS (SELECT doc_id, {_WORDS} AS w FROM documents),
 bi AS (SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
@@ -5215,6 +5228,9 @@ _SPEC_DEFS: dict[str, QuerySpec] = {
     ),
     "token_waterfill": QuerySpec(
         _q_token_waterfill, ORACLES["token_waterfill"], bench=True
+    ),
+    "boilerplate_shingles": QuerySpec(
+        _q_boilerplate_shingles, ORACLES["boilerplate_shingles"]
     ),
 }
 

@@ -128,3 +128,28 @@ def test_token_waterfill_budget_respected_on_fixture(spark):
         for r in rows:
             if not r["capped"]:
                 assert r["n_tokens"] <= level + 1
+
+
+def test_boilerplate_shingles_counts(spark):
+    from flink_ecommerce_spark.operators.text import boilerplate_shingles
+
+    span = "all rights reserved"
+    docs = _docs(
+        spark,
+        [
+            (f"Alpha text {span} year one.", "a"),
+            (f"Beta body {span} year two.", "a"),
+            (f"Gamma {span} gamma {span} tail.", "b"),
+            ("Nothing shared here whatsoever at all.", "b"),
+        ],
+    )
+    got = {
+        r["shingle"]: r
+        for r in boilerplate_shingles(docs, min_docs=3).collect()
+    }
+    assert span in got
+    assert got[span]["n_docs"] == 3
+    assert got[span]["n_occurrences"] == 4  # doc 2 repeats it
+    # fixture sanity: the census is non-empty at verify scale
+    fixture = catalog.table(spark, SF_SMALL, "documents")
+    assert boilerplate_shingles(fixture).count() > 0
