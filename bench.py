@@ -583,6 +583,23 @@ def _scale_rehearsal(spark, sf_dir: str) -> dict:
         "kn_bigram_surprisal",
         lambda: text.kn_bigram_surprisal(docs).count(),
     )
+    # r06 additions measured at 10x on arrival: the line family's
+    # MIN-struct anti-skew claim and waterfill's tiny-global windows
+    # must show flat-ish/linear curves here before certification
+    timed(
+        "line_dedup",
+        lambda: text.line_dedup(docs).count(),
+    )
+    timed(
+        "boilerplate_shingles",
+        lambda: text.boilerplate_shingles(docs).count(),
+    )
+    from flink_ecommerce_spark.operators import sampling as _samp
+
+    timed(
+        "token_waterfill",
+        lambda: _samp.token_waterfill(docs).count(),
+    )
     print(
         f"rehearsal planners: lsh {plan01} -> {plan10}, "
         f"simhash {sim01} -> {sim10}",

@@ -1699,7 +1699,9 @@ def boilerplate_lines(
     (count + distinct-doc count ride together); no window, no join.
     The output is the high-df head of the line distribution —
     tiny by construction."""
-    sents = documents.select(
+    from .scale import ensure_parallelism_for_heavy_scan
+
+    sents = ensure_parallelism_for_heavy_scan(documents).select(
         "doc_id",
         F.explode(
             F.expr(r"regexp_extract_all(text, '[^.!?]+[.!?]?', 0)")
@@ -1740,8 +1742,10 @@ def line_dedup(documents: DataFrame) -> DataFrame:
     sentences back on (line, doc_id, idx) equality; reassembly is the
     sentence_chunks sort-structs-in-aggregate idiom, keyed by doc_id.
     Shuffle volume is bounded by the text itself."""
+    from .scale import ensure_parallelism_for_heavy_scan
+
     sents = (
-        documents.select(
+        ensure_parallelism_for_heavy_scan(documents).select(
             "doc_id",
             F.posexplode(
                 F.expr(r"regexp_extract_all(text, '[^.!?]+[.!?]?', 0)")
@@ -1812,9 +1816,10 @@ def boilerplate_shingles(
     count + raw count together), high-df head out. The candidate
     removal step is then a broadcast semi-join of this small table
     against the corpus, never a self-join."""
+    from .scale import ensure_parallelism_for_heavy_scan
     from .textprep import word_shingles
 
-    sh = documents.select(
+    sh = ensure_parallelism_for_heavy_scan(documents).select(
         "doc_id", F.explode(word_shingles("text")).alias("shingle")
     )
     return (
