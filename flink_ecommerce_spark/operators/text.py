@@ -1830,3 +1830,70 @@ def boilerplate_shingles(
         )
         .filter(F.col("n_docs") >= min_docs)
     )
+
+
+def strip_boilerplate(
+    documents: DataFrame, min_docs: int = BOILERPLATE_MIN_DOCS
+) -> DataFrame:
+    """(doc_id, n_lines, n_struck, text_clean) — the C4 cleanup
+    ACTION the ``boilerplate_lines`` census plans for: strike every
+    line whose normalized form appears in ≥ ``min_docs`` distinct
+    documents from EVERY document (unlike ``line_dedup``, which
+    keeps the first copy — boilerplate is noise everywhere, not
+    content that deserves one survivor).
+
+    Scale: the census side reduces to (line, n_docs ≥ min_docs) —
+    the high-df head, tiny by construction — before joining back to
+    the sentence frame, so the join's build side is the boilerplate
+    set, not the corpus; reassembly is the shared sort-structs
+    aggregate. One text scan feeds both sides via the lazily
+    checkpointed sentence frame (no second regex pass)."""
+    from .scale import ensure_parallelism_for_heavy_scan
+
+    sents = (
+        ensure_parallelism_for_heavy_scan(documents)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.expr(r"regexp_extract_all(text, '[^.!?]+[.!?]?', 0)")
+            ).alias("idx", "sent"),
+        )
+        .withColumn("sent", F.trim("sent"))
+        .filter(F.length("sent") > 0)
+        .withColumn("line", F.lower(F.col("sent")))
+        .localCheckpoint(eager=False)
+    )
+    bp = (
+        sents.groupBy("line")
+        .agg(F.countDistinct("doc_id").alias("__nd"))
+        .filter(F.col("__nd") >= min_docs)
+        .select("line", F.lit(True).alias("__bp"))
+    )
+    marked = sents.join(F.broadcast(bp), "line", "left")
+    per_doc = marked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.coalesce(F.col("__bp").cast("long"), F.lit(0))).alias(
+            "n_struck"
+        ),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sort_array(
+                    F.collect_list(
+                        F.when(F.col("__bp").isNull(), F.struct("idx", "sent"))
+                    )
+                ),
+                lambda s: s["sent"],
+            ),
+        ).alias("text_clean"),
+    )
+    return (
+        documents.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_lines", F.lit(0)).alias("n_lines"),
+            F.coalesce("n_struck", F.lit(0)).alias("n_struck"),
+            F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+        )
+    )

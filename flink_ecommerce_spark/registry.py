@@ -1357,6 +1357,11 @@ def _q_boilerplate_shingles(spark, sf):
     return text.boilerplate_shingles(_t("documents")(spark, sf))
 
 
+
+def _q_strip_boilerplate(spark, sf):
+    return text.strip_boilerplate(_t("documents")(spark, sf))
+
+
 def _q_ann_lsh_planned(spark, sf):
     """The scale path itself: (n_planes, n_bands) sized by
     lsh_plan_for from the actual corpus size (one count() job at
@@ -4427,6 +4432,31 @@ FROM s GROUP BY shingle HAVING COUNT(DISTINCT doc_id) >= 5
 """
 
 
+ORACLES["strip_boilerplate"] = """
+WITH s0 AS (SELECT doc_id,
+                   unnest(regexp_extract_all(text, '[^.!?]+[.!?]?')) AS sent,
+                   generate_subscripts(
+                     regexp_extract_all(text, '[^.!?]+[.!?]?'), 1) - 1 AS idx
+            FROM documents),
+s AS (SELECT doc_id, idx, trim(sent) AS sent, lower(trim(sent)) AS line
+      FROM s0 WHERE length(trim(sent)) > 0),
+bp AS (SELECT line, TRUE AS is_bp FROM s
+       GROUP BY line HAVING COUNT(DISTINCT doc_id) >= 3),
+m AS (SELECT s.doc_id, s.idx, s.sent, bp.is_bp
+      FROM s LEFT JOIN bp USING (line)),
+pd AS (SELECT doc_id, COUNT(*) AS n_lines,
+              SUM(CASE WHEN is_bp THEN 1 ELSE 0 END) AS n_struck,
+              COALESCE(string_agg(CASE WHEN is_bp IS NULL THEN sent END, ' '
+                                  ORDER BY idx), '') AS text_clean
+       FROM m GROUP BY 1)
+SELECT d.doc_id,
+       COALESCE(pd.n_lines, 0) AS n_lines,
+       COALESCE(pd.n_struck, 0) AS n_struck,
+       COALESCE(pd.text_clean, '') AS text_clean
+FROM (SELECT doc_id FROM documents) d LEFT JOIN pd USING (doc_id)
+"""
+
+
 ORACLES["kn_bigram_surprisal"] = f"""
 WITH toks AS (SELECT doc_id, {_WORDS} AS w FROM documents),
 bi AS (SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
@@ -5231,6 +5261,9 @@ _SPEC_DEFS: dict[str, QuerySpec] = {
     ),
     "boilerplate_shingles": QuerySpec(
         _q_boilerplate_shingles, ORACLES["boilerplate_shingles"]
+    ),
+    "strip_boilerplate": QuerySpec(
+        _q_strip_boilerplate, ORACLES["strip_boilerplate"]
     ),
 }
 

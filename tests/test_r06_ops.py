@@ -153,3 +153,37 @@ def test_boilerplate_shingles_counts(spark):
     # fixture sanity: the census is non-empty at verify scale
     fixture = catalog.table(spark, SF_SMALL, "documents")
     assert boilerplate_shingles(fixture).count() > 0
+
+
+def test_strip_boilerplate_removes_everywhere(spark):
+    from flink_ecommerce_spark.operators.text import strip_boilerplate
+
+    banner = "Accept all cookies."
+    docs = _docs(
+        spark,
+        [
+            (f"{banner} Unique body one.", "a"),
+            (f"{banner} Unique body two.", "a"),
+            (f"Unique body three. {banner}", "b"),
+            ("No banner here.", "b"),
+        ],
+    )
+    got = {r["doc_id"]: r for r in strip_boilerplate(docs, min_docs=3).collect()}
+    # the banner dies in ALL docs — including the first occurrence
+    assert got[0]["text_clean"] == "Unique body one."
+    assert got[1]["text_clean"] == "Unique body two."
+    assert got[2]["text_clean"] == "Unique body three."
+    assert got[3]["text_clean"] == "No banner here."
+    assert got[0]["n_struck"] == 1 and got[3]["n_struck"] == 0
+
+
+def test_strip_boilerplate_identity_below_threshold(spark):
+    """On a corpus with no line repeated across min_docs docs the
+    operator is text-preserving (modulo sentence re-joining) — the
+    fixture case at verify scale."""
+    from flink_ecommerce_spark.operators.text import strip_boilerplate
+
+    docs = catalog.table(spark, SF_SMALL, "documents")
+    rows = strip_boilerplate(docs).collect()
+    assert len(rows) == docs.count()
+    assert all(r["n_struck"] == 0 for r in rows)
