@@ -324,3 +324,19 @@ def test_r05_ops_on_empty(spark, empty_events, empty_docs):
     assert len(row) == 1 and row[0]["n_sampled"] == 0
     prof = table_profile(empty_events, ["user_id"]).collect()
     assert len(prof) == 1 and prof[0]["n_rows"] == 0
+
+
+def test_r06_line_family_on_empty(spark, empty_docs):
+    from flink_ecommerce_spark.operators.sampling import token_waterfill
+    from flink_ecommerce_spark.operators.text import (
+        boilerplate_lines,
+        boilerplate_shingles,
+        line_dedup,
+        strip_boilerplate,
+    )
+
+    assert boilerplate_lines(empty_docs).collect() == []
+    assert boilerplate_shingles(empty_docs).collect() == []
+    assert line_dedup(empty_docs).collect() == []
+    assert strip_boilerplate(empty_docs).collect() == []
+    assert token_waterfill(empty_docs).collect() == []
