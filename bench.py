@@ -587,8 +587,12 @@ def _scale_rehearsal(spark, sf_dir: str) -> dict:
     # MIN-struct anti-skew claim and waterfill's tiny-global windows
     # must show flat-ish/linear curves here before certification
     timed(
+        # sum(n_kept) not count(): the final doc-preserving left join
+        # has a unique build key, so Catalyst ELIMINATES it (and the
+        # whole dedup) under a bare count() — the timing would
+        # measure nothing
         "line_dedup",
-        lambda: text.line_dedup(docs).count(),
+        lambda: text.line_dedup(docs).agg(F.sum("n_kept")).collect(),
     )
     timed(
         "boilerplate_shingles",
