@@ -1897,3 +1897,79 @@ def strip_boilerplate(
             F.coalesce("text_clean", F.lit("")).alias("text_clean"),
         )
     )
+
+
+def quality_ks_by_source(documents: DataFrame) -> DataFrame:
+    """(source, n_docs, d_stat_micro) — exact two-sample
+    Kolmogorov-Smirnov D between each source's quality distribution
+    and the whole corpus: D = sup over x of
+    |ECDF_source(x) − ECDF_corpus(x)|. The UNBINNED companion to
+    ``quality_psi_by_source``: PSI's fixed 0.1 buckets can hide a
+    shift that stays inside one bucket; the KS sup-norm sees any
+    distributional difference an ECDF can express, with no binning
+    choice to defend.
+
+    Exactness discipline: quality lands on the integer micro grid
+    first (floor(q·10⁶ + 0.5) — the encoding rule), so the ECDF step
+    points, the cumulative counts, and the final D arithmetic are
+    all integer-derived and engine-identical; D ships as micro
+    units. The sup is evaluated at every distinct corpus grid value
+    — sufficient, since both ECDFs only step there.
+
+    Scale: one text scan → (source, q_micro) counts (map-side
+    combine). The evaluation frame is #sources × #distinct grid
+    values (structurally capped at sources × 10⁶+1 — the same
+    grid-bounded-state argument as the HLL's 2^p registers); source
+    cumsums partition by source, and the single corpus cumsum is a
+    deliberate tiny-global window over the ≤10⁶+1-row grid, never
+    over documents."""
+    from pyspark.sql import Window
+
+    from .scale import ensure_parallelism_for_heavy_scan
+
+    qm = F.floor(
+        _quality_column() * F.lit(1_000_000.0) + F.lit(0.5)
+    ).cast("long")
+    scored = ensure_parallelism_for_heavy_scan(documents).select(
+        "source", qm.alias("qm")
+    )
+    sq = scored.groupBy("source", "qm").agg(
+        F.count(F.lit(1)).alias("c_s")
+    )
+    grid = sq.groupBy("qm").agg(F.sum("c_s").alias("c_all"))
+    w_corp = Window.orderBy("qm").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    grid_cum = grid.select(
+        "qm", F.sum("c_all").over(w_corp).alias("cum_all")
+    )
+    sources = sq.groupBy("source").agg(F.sum("c_s").alias("n_s"))
+    frame = sources.crossJoin(grid_cum).join(
+        sq, ["source", "qm"], "left"
+    ).select(
+        "source",
+        "qm",
+        "n_s",
+        "cum_all",
+        F.coalesce("c_s", F.lit(0)).alias("c_s"),
+    )
+    w_src = (
+        Window.partitionBy("source")
+        .orderBy("qm")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    total = grid.agg(F.sum("c_all").alias("n_all"))
+    diff = F.abs(
+        F.sum("c_s").over(w_src).cast("double") / F.col("n_s")
+        - F.col("cum_all").cast("double") / F.col("n_all")
+    )
+    return (
+        frame.crossJoin(F.broadcast(total))
+        .select("source", F.col("n_s").alias("n_docs"), diff.alias("__d"))
+        .groupBy("source", "n_docs")
+        .agg(
+            F.floor(F.max("__d") * F.lit(1_000_000.0) + F.lit(0.5))
+            .cast("long")
+            .alias("d_stat_micro")
+        )
+    )

@@ -1362,6 +1362,11 @@ def _q_strip_boilerplate(spark, sf):
     return text.strip_boilerplate(_t("documents")(spark, sf))
 
 
+
+def _q_quality_ks_by_source(spark, sf):
+    return text.quality_ks_by_source(_t("documents")(spark, sf))
+
+
 def _q_ann_lsh_planned(spark, sf):
     """The scale path itself: (n_planes, n_bands) sized by
     lsh_plan_for from the actual corpus size (one count() job at
@@ -4457,6 +4462,43 @@ FROM (SELECT doc_id FROM documents) d LEFT JOIN pd USING (doc_id)
 """
 
 
+ORACLES["quality_ks_by_source"] = rf"""
+WITH m AS (
+  SELECT source,
+         CAST(FLOOR(1.0 / (1.0 + exp(-(-2.0
+               + 0.02 * CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE)
+               + 4.0 * (CAST(len(list_filter({_WORDS}, w -> w IN ({_EN_SW}))) AS DOUBLE)
+                        / CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE))
+               - 8.0 * (CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) AS DOUBLE)
+                        / CAST(length(text) AS DOUBLE))
+               - 0.1 * abs((CAST(length(text) AS DOUBLE)
+                            - (CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) - 1))
+                           / CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE)
+                           - 5.0)))) * 1000000 + 0.5) AS BIGINT) AS qm
+  FROM documents),
+sq AS (SELECT source, qm, COUNT(*) AS c_s FROM m GROUP BY 1, 2),
+grid AS (SELECT qm, SUM(c_s) AS c_all FROM sq GROUP BY 1),
+gc AS (SELECT qm, SUM(c_all) OVER (ORDER BY qm
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_all
+       FROM grid),
+src AS (SELECT source, SUM(c_s) AS n_s FROM sq GROUP BY 1),
+tot AS (SELECT SUM(c_all) AS n_all FROM grid),
+fr AS (SELECT src.source, gc.qm, src.n_s, gc.cum_all,
+              COALESCE(sq.c_s, 0) AS c_s
+       FROM src CROSS JOIN gc
+       LEFT JOIN sq ON sq.source = src.source AND sq.qm = gc.qm),
+d AS (SELECT source, n_s,
+             ABS(CAST(SUM(c_s) OVER (PARTITION BY source ORDER BY qm
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS DOUBLE) / n_s
+                 - CAST(cum_all AS DOUBLE) / tot.n_all) AS dd
+      FROM fr, tot)
+SELECT source, n_s AS n_docs,
+       CAST(FLOOR(MAX(dd) * 1000000 + 0.5) AS BIGINT) AS d_stat_micro
+FROM d GROUP BY 1, 2
+"""
+
+
 ORACLES["kn_bigram_surprisal"] = f"""
 WITH toks AS (SELECT doc_id, {_WORDS} AS w FROM documents),
 bi AS (SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
@@ -5264,6 +5306,9 @@ _SPEC_DEFS: dict[str, QuerySpec] = {
     ),
     "strip_boilerplate": QuerySpec(
         _q_strip_boilerplate, ORACLES["strip_boilerplate"]
+    ),
+    "quality_ks_by_source": QuerySpec(
+        _q_quality_ks_by_source, ORACLES["quality_ks_by_source"], bench=True
     ),
 }
 

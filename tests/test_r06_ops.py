@@ -187,3 +187,35 @@ def test_strip_boilerplate_identity_below_threshold(spark):
     rows = strip_boilerplate(docs).collect()
     assert len(rows) == docs.count()
     assert all(r["n_struck"] == 0 for r in rows)
+
+
+def test_quality_ks_identical_distribution_is_zeroish(spark):
+    """A source that IS a uniform subsample of the corpus has D near
+    the sampling noise floor; a shifted source stands out. Built from
+    two copies of the same text population vs one shifted."""
+    from flink_ecommerce_spark.operators.text import quality_ks_by_source
+
+    base = [f"plain words body number {i} mostly the same shape." for i in range(80)]
+    shifted = ["!!! ??? ### $$$ %%% spam garbage !!!" for _ in range(80)]
+    rows = (
+        [(t, "a") for t in base]
+        + [(t, "b") for t in base]
+        + [(t, "noisy") for t in shifted]
+    )
+    docs = _docs(spark, rows)
+    got = {r["source"]: r["d_stat_micro"] for r in quality_ks_by_source(docs).collect()}
+    # a and b are identical populations; each differs from the corpus
+    # only via the noisy third — bounded by noisy's corpus share
+    assert got["a"] == got["b"]
+    assert got["noisy"] > got["a"]
+    assert got["noisy"] >= 600_000  # ~2/3 of the corpus is non-spam
+
+
+def test_quality_ks_bounds_and_coverage(spark):
+    from flink_ecommerce_spark.operators.text import quality_ks_by_source
+
+    docs = catalog.table(spark, SF_SMALL, "documents")
+    rows = quality_ks_by_source(docs).collect()
+    assert len(rows) == docs.select("source").distinct().count()
+    for r in rows:
+        assert 0 <= r["d_stat_micro"] <= 1_000_000
