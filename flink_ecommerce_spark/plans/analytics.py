@@ -1234,3 +1234,77 @@ def pareto_revenue_share(events: DataFrame) -> DataFrame:
         "(top_pct, threshold_value_micro, n_users, revenue_cents,"
         " revenue_share_micro)"
     )
+
+
+# Benford first-digit probabilities log10(1 + 1/d), hardcoded to the
+# exact double literals BOTH engines compare against — computing
+# log10 at runtime would let a last-ulp libm difference into the
+# deviation column (the encoding rule's libm discipline)
+BENFORD_P = {
+    1: 0.3010299956639812,
+    2: 0.17609125905568124,
+    3: 0.12493873660829993,
+    4: 0.09691001300805642,
+    5: 0.07918124604762482,
+    6: 0.06694678963061322,
+    7: 0.05799194697768673,
+    8: 0.05115252244738129,
+    9: 0.04575749056067514,
+}
+
+
+def value_benford_by_type(events: DataFrame) -> DataFrame:
+    """(event_type, digit, n, share_micro, benford_micro, dev_micro)
+    — first-significant-digit distribution of the money column per
+    event type against Benford's law: the classic fabricated-data /
+    broken-generator screen (hand-entered or templated amounts pile
+    onto favorite leading digits; organic multiplicative amounts
+    follow log10(1+1/d)).
+
+    Determinism: the first digit comes from the INTEGER cents string
+    (floor(v·100 + 0.5), the money convention) — never from
+    floor(log10(v)), whose last-ulp libm noise flips the digit when
+    v sits at a power-of-ten boundary (0.1's nearest double logs to
+    just under −1). Benford targets are hardcoded double literals;
+    shares and deviations ship as integer micro-units.
+
+    Scale: one scan → a #types × 9 aggregation with map-side
+    combine; the digit grid is enumerated so absent digits emit
+    explicit zero rows (a digit NEVER hit is itself the signal)."""
+    from ..functions.portable import micro
+
+    cents = F.floor(F.abs(F.col("value")) * 100 + F.lit(0.5)).cast("long")
+    digits = events.filter(F.col("value") != 0).select(
+        "event_type",
+        F.substring(cents.cast("string"), 1, 1).cast("int").alias("digit"),
+    ).filter(F.col("digit") >= 1)
+    counts = digits.groupBy("event_type", "digit").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    types = counts.select("event_type").distinct()
+    spark = events.sparkSession
+    bench_rows = [(d, p) for d, p in BENFORD_P.items()]
+    ben = spark.createDataFrame(bench_rows, "digit int, p double")
+    grid = types.crossJoin(F.broadcast(ben))
+    totals = counts.groupBy("event_type").agg(F.sum("n").alias("__tot"))
+    filled = (
+        grid.join(counts, ["event_type", "digit"], "left")
+        .join(F.broadcast(totals), "event_type")
+        .select(
+            "event_type",
+            "digit",
+            F.coalesce("n", F.lit(0)).alias("n"),
+            (
+                F.coalesce("n", F.lit(0)).cast("double") / F.col("__tot")
+            ).alias("__share"),
+            F.col("p").alias("__ben"),
+        )
+    )
+    return filled.select(
+        "event_type",
+        "digit",
+        "n",
+        micro(F.col("__share")).alias("share_micro"),
+        micro(F.col("__ben")).alias("benford_micro"),
+        micro(F.abs(F.col("__share") - F.col("__ben"))).alias("dev_micro"),
+    )

@@ -1367,6 +1367,11 @@ def _q_quality_ks_by_source(spark, sf):
     return text.quality_ks_by_source(_t("documents")(spark, sf))
 
 
+
+def _q_value_benford_by_type(spark, sf):
+    return analytics.value_benford_by_type(_t("events")(spark, sf))
+
+
 def _q_ann_lsh_planned(spark, sf):
     """The scale path itself: (n_planes, n_bands) sized by
     lsh_plan_for from the actual corpus size (one count() job at
@@ -4499,6 +4504,30 @@ FROM d GROUP BY 1, 2
 """
 
 
+ORACLES["value_benford_by_type"] = """
+WITH dg AS (SELECT event_type,
+                   CAST(substr(CAST(CAST(FLOOR(ABS(value) * 100 + 0.5)
+                     AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit
+            FROM events WHERE value != 0),
+c AS (SELECT event_type, digit, COUNT(*) AS n FROM dg
+      WHERE digit >= 1 GROUP BY 1, 2),
+ty AS (SELECT DISTINCT event_type FROM c),
+ben(digit, p) AS (VALUES (1, 0.3010299956639812), (2, 0.17609125905568124), (3, 0.12493873660829993), (4, 0.09691001300805642), (5, 0.07918124604762482), (6, 0.06694678963061322), (7, 0.05799194697768673), (8, 0.05115252244738129), (9, 0.04575749056067514)),
+tot AS (SELECT event_type, SUM(n) AS tt FROM c GROUP BY 1)
+SELECT ty.event_type, ben.digit, COALESCE(c.n, 0) AS n,
+       CAST(FLOOR(CAST(COALESCE(c.n, 0) AS DOUBLE) / tot.tt * 1000000
+            + 0.5) AS BIGINT) AS share_micro,
+       CAST(FLOOR(CAST(ben.p AS DOUBLE) * 1000000 + 0.5) AS BIGINT)
+         AS benford_micro,
+       CAST(FLOOR(ABS(CAST(COALESCE(c.n, 0) AS DOUBLE) / tot.tt
+            - CAST(ben.p AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)
+         AS dev_micro
+FROM ty CROSS JOIN ben
+LEFT JOIN c ON c.event_type = ty.event_type AND c.digit = ben.digit
+JOIN tot ON tot.event_type = ty.event_type
+"""
+
+
 ORACLES["kn_bigram_surprisal"] = f"""
 WITH toks AS (SELECT doc_id, {_WORDS} AS w FROM documents),
 bi AS (SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
@@ -5309,6 +5338,9 @@ _SPEC_DEFS: dict[str, QuerySpec] = {
     ),
     "quality_ks_by_source": QuerySpec(
         _q_quality_ks_by_source, ORACLES["quality_ks_by_source"], bench=True
+    ),
+    "value_benford_by_type": QuerySpec(
+        _q_value_benford_by_type, ORACLES["value_benford_by_type"]
     ),
 }
 

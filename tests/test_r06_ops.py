@@ -219,3 +219,47 @@ def test_quality_ks_bounds_and_coverage(spark):
     assert len(rows) == docs.select("source").distinct().count()
     for r in rows:
         assert 0 <= r["d_stat_micro"] <= 1_000_000
+
+
+def test_benford_organic_vs_templated(spark):
+    """Multiplicative (organic) amounts track Benford; a templated
+    constant amount piles 100% on one digit."""
+    import datetime as dt
+
+    from flink_ecommerce_spark.plans.analytics import (
+        BENFORD_P,
+        value_benford_by_type,
+    )
+
+    rows = []
+    v = 1.07
+    for i in range(300):  # geometric walk: Benford-ish by construction
+        v *= 1.057
+        if v > 1e6:
+            v /= 1e6
+        rows.append((i, dt.datetime(2024, 1, 1), 1, "organic", round(v, 2), "{}"))
+    for i in range(100):  # template: always 19.99
+        rows.append((1000 + i, dt.datetime(2024, 1, 1), 2, "tmpl", 19.99, "{}"))
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    got = {
+        (r["event_type"], r["digit"]): r
+        for r in value_benford_by_type(ev).collect()
+    }
+    # grid fully enumerated: 2 types x 9 digits
+    assert len(got) == 18
+    # the template's mass sits entirely on digit 1 (1999 cents)
+    assert got[("tmpl", 1)]["share_micro"] == 1_000_000
+    assert got[("tmpl", 7)]["n"] == 0
+    # organic max deviation well under the template's digit-1 blowout
+    dev_org = max(got[("organic", d)]["dev_micro"] for d in range(1, 10))
+    dev_tmpl = got[("tmpl", 1)]["dev_micro"]
+    assert dev_tmpl > 600_000 and dev_org < dev_tmpl
+    # benford targets are the hardcoded constants
+    import math
+    assert got[("organic", 1)]["benford_micro"] == math.floor(
+        BENFORD_P[1] * 1e6 + 0.5
+    )
