@@ -1253,6 +1253,73 @@ BENFORD_P = {
 }
 
 
+def digit_counts(events: DataFrame) -> DataFrame:
+    """(event_type, digit, n) — first-significant-digit counts of the
+    money column, the shared reduction under the batch Benford screen
+    and its streaming twin (``streaming.drift.streaming_digit_counts``):
+    counts sum, so the aggregation commutes with micro-batching and
+    the streaming state is capped at #types × 9 rows."""
+    cents = F.floor(F.abs(F.col("value")) * 100 + F.lit(0.5)).cast("long")
+    return (
+        events.filter(F.col("value") != 0)
+        .select(
+            "event_type",
+            F.substring(cents.cast("string"), 1, 1).cast("int").alias(
+                "digit"
+            ),
+        )
+        .filter(F.col("digit") >= 1)
+        .groupBy("event_type", "digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def benford_from_digit_counts(counts: DataFrame) -> DataFrame:
+    """The Benford arithmetic core over a (event_type, digit, n)
+    table — shared by batch and streaming so the two monitors cannot
+    disagree on what a deviation means. Every derived frame re-keys
+    through fresh aliases (et / bdigit / tt_et) so the type grid and
+    totals can join back to the SAME input relation (a streaming
+    memory-sink table included) without conflicting attribute ids."""
+    from ..functions.portable import micro
+
+    spark = counts.sparkSession
+    ben = spark.createDataFrame(
+        [(d, p) for d, p in BENFORD_P.items()], "bdigit int, p double"
+    )
+    types = counts.select(F.col("event_type").alias("et")).distinct()
+    grid = types.crossJoin(F.broadcast(ben))
+    totals = counts.groupBy(
+        F.col("event_type").alias("tt_et")
+    ).agg(F.sum("n").alias("__tot"))
+    filled = (
+        grid.join(
+            counts,
+            (F.col("et") == F.col("event_type"))
+            & (F.col("bdigit") == F.col("digit")),
+            "left",
+        )
+        .join(F.broadcast(totals), F.col("et") == F.col("tt_et"))
+        .select(
+            F.col("et"),
+            F.col("bdigit"),
+            F.coalesce("n", F.lit(0)).alias("__n"),
+            (
+                F.coalesce("n", F.lit(0)).cast("double") / F.col("__tot")
+            ).alias("__share"),
+            F.col("p").alias("__ben"),
+        )
+    )
+    return filled.select(
+        F.col("et").alias("event_type"),
+        F.col("bdigit").alias("digit"),
+        F.col("__n").alias("n"),
+        micro(F.col("__share")).alias("share_micro"),
+        micro(F.col("__ben")).alias("benford_micro"),
+        micro(F.abs(F.col("__share") - F.col("__ben"))).alias("dev_micro"),
+    )
+
+
 def value_benford_by_type(events: DataFrame) -> DataFrame:
     """(event_type, digit, n, share_micro, benford_micro, dev_micro)
     — first-significant-digit distribution of the money column per
@@ -1270,41 +1337,7 @@ def value_benford_by_type(events: DataFrame) -> DataFrame:
 
     Scale: one scan → a #types × 9 aggregation with map-side
     combine; the digit grid is enumerated so absent digits emit
-    explicit zero rows (a digit NEVER hit is itself the signal)."""
-    from ..functions.portable import micro
-
-    cents = F.floor(F.abs(F.col("value")) * 100 + F.lit(0.5)).cast("long")
-    digits = events.filter(F.col("value") != 0).select(
-        "event_type",
-        F.substring(cents.cast("string"), 1, 1).cast("int").alias("digit"),
-    ).filter(F.col("digit") >= 1)
-    counts = digits.groupBy("event_type", "digit").agg(
-        F.count(F.lit(1)).alias("n")
-    )
-    types = counts.select("event_type").distinct()
-    spark = events.sparkSession
-    bench_rows = [(d, p) for d, p in BENFORD_P.items()]
-    ben = spark.createDataFrame(bench_rows, "digit int, p double")
-    grid = types.crossJoin(F.broadcast(ben))
-    totals = counts.groupBy("event_type").agg(F.sum("n").alias("__tot"))
-    filled = (
-        grid.join(counts, ["event_type", "digit"], "left")
-        .join(F.broadcast(totals), "event_type")
-        .select(
-            "event_type",
-            "digit",
-            F.coalesce("n", F.lit(0)).alias("n"),
-            (
-                F.coalesce("n", F.lit(0)).cast("double") / F.col("__tot")
-            ).alias("__share"),
-            F.col("p").alias("__ben"),
-        )
-    )
-    return filled.select(
-        "event_type",
-        "digit",
-        "n",
-        micro(F.col("__share")).alias("share_micro"),
-        micro(F.col("__ben")).alias("benford_micro"),
-        micro(F.abs(F.col("__share") - F.col("__ben"))).alias("dev_micro"),
-    )
+    explicit zero rows (a digit NEVER hit is itself the signal).
+    Composition of the two shared pieces (``digit_counts`` +
+    ``benford_from_digit_counts``) the streaming twin reuses."""
+    return benford_from_digit_counts(digit_counts(events))

@@ -78,3 +78,27 @@ def psi_vs_baseline(
         0, ["nb", "nc"]
     )
     return psi_from_bucket_counts(counts, n_buckets)
+
+
+def streaming_digit_counts(events: DataFrame) -> DataFrame:
+    """Event stream → running (event_type, digit, n) first-digit
+    counts: the streaming half of the Benford integrity screen.
+    State is capped at #types × 9 rows BY CONSTRUCTION (digits are
+    1-9) no matter how many events flow, and counts sum, so the
+    aggregation commutes with micro-batching — the final table
+    equals the batch ``plans.analytics.digit_counts`` over the same
+    rows (pinned in tests)."""
+    from ..plans.analytics import digit_counts
+
+    return digit_counts(events)
+
+
+def benford_report(counts: DataFrame) -> DataFrame:
+    """Per-emission Benford report over the tiny accumulated count
+    table — the SAME arithmetic core as the batch
+    ``value_benford_by_type`` (shared ``benford_from_digit_counts``),
+    so the streaming and batch screens cannot disagree on what a
+    deviation means."""
+    from ..plans.analytics import benford_from_digit_counts
+
+    return benford_from_digit_counts(counts)

@@ -115,3 +115,53 @@ def test_psi_vs_baseline_handles_one_sided_types(spark):
     import math
 
     assert all(math.isfinite(r["psi"]) for r in got.values())
+
+
+def test_streaming_benford_converges_to_batch(spark, tmp_path):
+    """The replayed stream's final Benford table equals the batch
+    screen over the same rows (count addition commutes with
+    micro-batching); state is #types x 9 by construction."""
+    from flink_ecommerce_spark.plans.analytics import value_benford_by_type
+    from flink_ecommerce_spark.streaming.drift import (
+        benford_report,
+        streaming_digit_counts,
+    )
+
+    src = str(tmp_path / "bev")
+    chunk1 = _rows([19.99] * 20 + [34.5] * 10)
+    chunk2 = _rows([7.25] * 15 + [19.99] * 5, start_id=100)
+    spark.createDataFrame(chunk1, SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{src}/chunk=1")
+    spark.createDataFrame(chunk2, SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{src}/chunk=2")
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/chunk=*")
+    )
+    q = (
+        streaming_digit_counts(stream)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("benford_counts")
+        .option("checkpointLocation", str(tmp_path / "bckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    final_counts = spark.sql("SELECT * FROM benford_counts")
+    # bounded state: #types x 9 rows max
+    assert final_counts.count() <= 1 * 9
+    streamed = {
+        (r["event_type"], r["digit"]): tuple(r)
+        for r in benford_report(final_counts).collect()
+    }
+    batch = {
+        (r["event_type"], r["digit"]): tuple(r)
+        for r in value_benford_by_type(
+            spark.createDataFrame(chunk1 + chunk2, SCHEMA)
+        ).collect()
+    }
+    assert streamed == batch
