@@ -604,6 +604,16 @@ def _scale_rehearsal(spark, sf_dir: str) -> dict:
         "token_waterfill",
         lambda: _samp.token_waterfill(docs).count(),
     )
+    timed(
+        "quality_ks_by_source",
+        lambda: text.quality_ks_by_source(docs).count(),
+    )
+    timed(
+        # sum(n_struck) not count(): same unique-key left-join
+        # elimination as line_dedup under a bare count()
+        "strip_boilerplate",
+        lambda: text.strip_boilerplate(docs).agg(F.sum("n_struck")).collect(),
+    )
     print(
         f"rehearsal planners: lsh {plan01} -> {plan10}, "
         f"simhash {sim01} -> {sim10}",
