@@ -263,3 +263,30 @@ def test_benford_organic_vs_templated(spark):
     assert got[("organic", 1)]["benford_micro"] == math.floor(
         BENFORD_P[1] * 1e6 + 0.5
     )
+
+
+def test_conversion_survival_oracle_survives_total_conversion():
+    """ADVICE r05 (medium): the DuckDB oracle used to raise 'cannot
+    take logarithm of zero' whenever the last observed KM day had
+    n_events == n_risk (every at-risk user converts) — the window SUM
+    evaluated LN(1 - d/n) with d = n before the dead-flag CASE could
+    mask it. The d < n guard keeps the term out of the log entirely;
+    the dead flag still pins survival to 0. Pure-DuckDB regression on
+    the 2-user repro."""
+    import duckdb
+
+    from flink_ecommerce_spark.plans.temporal import sql_conversion_survival
+
+    con = duckdb.connect()
+    con.execute("""
+    CREATE TABLE events AS SELECT * FROM (VALUES
+      (1, TIMESTAMP '2024-01-01 10:00:00', 1, 'view', 1.0, '{}'),
+      (2, TIMESTAMP '2024-01-01 10:00:00', 2, 'view', 1.0, '{}'),
+      (3, TIMESTAMP '2024-01-02 10:00:00', 1, 'purchase', 5.0, '{}'),
+      (4, TIMESTAMP '2024-01-02 10:00:00', 2, 'purchase', 5.0, '{}')
+    ) t(event_id, ts, user_id, event_type, value, props)
+    """)
+    rows = con.execute(sql_conversion_survival()).fetchall()
+    con.close()
+    # one KM day: 2 at risk, 2 events, survival pinned to exactly 0
+    assert rows == [(1, 2, 2, 0, 0)]
