@@ -1341,3 +1341,75 @@ def value_benford_by_type(events: DataFrame) -> DataFrame:
     Composition of the two shared pieces (``digit_counts`` +
     ``benford_from_digit_counts``) the streaming twin reuses."""
     return benford_from_digit_counts(digit_counts(events))
+
+
+def value_ks_by_type(events: DataFrame) -> DataFrame:
+    """(event_type, n_baseline, n_current, d_stat_micro) — exact
+    two-sample Kolmogorov-Smirnov D between each event type's value
+    distribution in the FIRST half of the date range (baseline) and
+    the second half (current): the unbinned companion to
+    ``value_psi_by_type``, exactly as ``quality_ks_by_source``
+    complements the quality PSI — a shift that hides inside one
+    fixed-width PSI bucket still moves the ECDF sup-norm. Same
+    midpoint split convention as the PSI monitor, so the two
+    monitors read the same calendar.
+
+    Determinism: values land on the integer cents grid first (the
+    money convention), so step points and cumulative counts are
+    integer-derived; D ships micro. Scale: one scan → per
+    (type, cents) split counts with map-side combine; cumsums window
+    per type over that type's distinct cents — state bounded by the
+    value domain's cents grid, never by event volume."""
+    from ..functions.portable import micro
+
+    d = F.to_date("ts")
+    bounds = events.agg(
+        F.min(d).alias("__dmin"), F.max(d).alias("__dmax")
+    )
+    mid = F.date_add(
+        F.col("__dmin"),
+        F.floor(F.datediff("__dmax", "__dmin") / 2).cast("int"),
+    )
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    tagged = events.crossJoin(F.broadcast(bounds)).select(
+        "event_type",
+        cents.alias("cents"),
+        (d < mid).cast("long").alias("__is_base"),
+    )
+    counts = tagged.groupBy("event_type", "cents").agg(
+        F.sum("__is_base").alias("nb"),
+        (F.count(F.lit(1)) - F.sum("__is_base")).alias("nc"),
+    )
+    totals = counts.groupBy("event_type").agg(
+        F.sum("nb").alias("tb"), F.sum("nc").alias("tc")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # one-sided types (all events in a single half) guard to 0.0 on
+    # the empty side — D then climbs to exactly 1 at the last step,
+    # identically in both engines (never a division by zero)
+    ecdf_b = F.when(
+        F.col("tb") > 0, F.sum("nb").over(w).cast("double") / F.col("tb")
+    ).otherwise(F.lit(0.0))
+    ecdf_c = F.when(
+        F.col("tc") > 0, F.sum("nc").over(w).cast("double") / F.col("tc")
+    ).otherwise(F.lit(0.0))
+    diff = F.abs(ecdf_b - ecdf_c)
+    return (
+        counts.join(F.broadcast(totals), "event_type")
+        .select(
+            "event_type",
+            F.col("tb").alias("n_baseline"),
+            F.col("tc").alias("n_current"),
+            diff.alias("__d"),
+        )
+        .groupBy("event_type", "n_baseline", "n_current")
+        .agg(
+            F.floor(F.max("__d") * F.lit(1_000_000.0) + F.lit(0.5))
+            .cast("long")
+            .alias("d_stat_micro")
+        )
+    )

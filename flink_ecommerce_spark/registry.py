@@ -1372,6 +1372,11 @@ def _q_value_benford_by_type(spark, sf):
     return analytics.value_benford_by_type(_t("events")(spark, sf))
 
 
+
+def _q_value_ks_by_type(spark, sf):
+    return analytics.value_ks_by_type(_t("events")(spark, sf))
+
+
 def _q_ann_lsh_planned(spark, sf):
     """The scale path itself: (n_planes, n_bands) sized by
     lsh_plan_for from the actual corpus size (one count() job at
@@ -4528,6 +4533,36 @@ JOIN tot ON tot.event_type = ty.event_type
 """
 
 
+ORACLES["value_ks_by_type"] = """
+WITH b AS (SELECT MIN(CAST(ts AS DATE)) AS dmin, MAX(CAST(ts AS DATE)) AS dmax
+           FROM events),
+ev AS (SELECT event_type,
+              CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents,
+              CASE WHEN CAST(ts AS DATE)
+                        < dmin + CAST((dmax - dmin) // 2 AS INT)
+                   THEN 1 ELSE 0 END AS is_base
+       FROM events, b),
+c AS (SELECT event_type, cents, SUM(is_base) AS nb,
+             COUNT(*) - SUM(is_base) AS nc
+      FROM ev GROUP BY 1, 2),
+t AS (SELECT event_type, SUM(nb) AS tb, SUM(nc) AS tc FROM c GROUP BY 1),
+d AS (SELECT c.event_type, t.tb, t.tc,
+             ABS((CASE WHEN t.tb > 0 THEN
+                    CAST(SUM(c.nb) OVER (PARTITION BY c.event_type
+                      ORDER BY c.cents ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND CURRENT ROW) AS DOUBLE) / t.tb ELSE 0.0 END)
+                - (CASE WHEN t.tc > 0 THEN
+                    CAST(SUM(c.nc) OVER (PARTITION BY c.event_type
+                      ORDER BY c.cents ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND CURRENT ROW) AS DOUBLE) / t.tc ELSE 0.0 END))
+               AS dd
+      FROM c JOIN t USING (event_type))
+SELECT event_type, tb AS n_baseline, tc AS n_current,
+       CAST(FLOOR(MAX(dd) * 1000000 + 0.5) AS BIGINT) AS d_stat_micro
+FROM d GROUP BY 1, 2, 3
+"""
+
+
 ORACLES["kn_bigram_surprisal"] = f"""
 WITH toks AS (SELECT doc_id, {_WORDS} AS w FROM documents),
 bi AS (SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
@@ -5341,6 +5376,9 @@ _SPEC_DEFS: dict[str, QuerySpec] = {
     ),
     "value_benford_by_type": QuerySpec(
         _q_value_benford_by_type, ORACLES["value_benford_by_type"]
+    ),
+    "value_ks_by_type": QuerySpec(
+        _q_value_ks_by_type, ORACLES["value_ks_by_type"]
     ),
 }
 

@@ -290,3 +290,40 @@ def test_conversion_survival_oracle_survives_total_conversion():
     con.close()
     # one KM day: 2 at risk, 2 events, survival pinned to exactly 0
     assert rows == [(1, 2, 2, 0, 0)]
+
+
+def test_value_ks_by_type_shift_detection(spark):
+    """Identical halves score D = 0 exactly; a shifted second half
+    scores the exact ECDF gap. Split convention (shared with
+    value_psi_by_type): baseline is date < dmin + (dmax-dmin)//2 —
+    days 1-4 of a 10-day range — so the shifted type has 4 baseline
+    events (all 5.00) vs 6 current (one 5.00, five 500.00):
+    D = |4/4 - 1/6| = 5/6."""
+    import datetime as dt
+
+    from flink_ecommerce_spark.plans.analytics import value_ks_by_type
+
+    rows = []
+    eid = 0
+    # type 'stable': same values both halves
+    for day in (1, 2, 3, 4, 5, 6, 7, 8, 9, 10):
+        for v in (5.0, 10.0, 20.0):
+            rows.append((eid, dt.datetime(2024, 1, day), 1, "stable", v, "{}"))
+            eid += 1
+    # type 'shifted': small values first half, large second half
+    for day in (1, 2, 3, 4, 5):
+        rows.append((eid, dt.datetime(2024, 1, day), 2, "shifted", 5.0, "{}"))
+        eid += 1
+    for day in (6, 7, 8, 9, 10):
+        rows.append((eid, dt.datetime(2024, 1, day), 2, "shifted", 500.0, "{}"))
+        eid += 1
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    got = {r["event_type"]: r for r in value_ks_by_type(ev).collect()}
+    assert got["stable"]["d_stat_micro"] == 0
+    assert got["shifted"]["d_stat_micro"] == 833_333  # floor(5/6*1e6+.5)
+    assert got["shifted"]["n_baseline"] == 4
+    assert got["shifted"]["n_current"] == 6
