@@ -586,8 +586,8 @@ def sql_token_waterfill(target_frac: float = WATERFILL_TARGET_FRAC) -> str:
     integer cumulative sums, feasibility rule, and floor(T) cap."""
     return f"""
 WITH ps AS (SELECT source,
-                   SUM(CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT))
-                     AS n_tokens
+                   CAST(SUM(CAST(len(regexp_extract_all(text, '\\S+'))
+                                 AS BIGINT)) AS BIGINT) AS n_tokens
             FROM documents GROUP BY 1),
 rk AS (SELECT source, n_tokens,
               ROW_NUMBER() OVER (ORDER BY n_tokens ASC, source ASC) AS r,

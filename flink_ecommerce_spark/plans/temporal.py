@@ -796,8 +796,8 @@ obs AS (SELECT
           CASE WHEN fp.purchase_d IS NOT NULL
                 AND fp.purchase_d >= fv.view_d THEN 1 ELSE 0 END AS is_event
         FROM fv LEFT JOIN fp USING (user_id) CROSS JOIN h),
-per_t AS (SELECT t_days, SUM(is_event) AS n_events,
-                 COUNT(*) - SUM(is_event) AS n_censored
+per_t AS (SELECT t_days, CAST(SUM(is_event) AS BIGINT) AS n_events,
+                 CAST(COUNT(*) - SUM(is_event) AS BIGINT) AS n_censored
           FROM obs GROUP BY 1),
 risked AS (SELECT t_days, n_events, n_censored,
   CAST((SELECT SUM(n_events + n_censored) FROM per_t)

@@ -3013,7 +3013,8 @@ FROM documents d JOIN rates r ON d.source = r.source
     "temperature_mixture_summary": """
 WITH {rates}
 SELECT d.source, COUNT(*) AS n_docs,
-       SUM(CASE WHEN ({bucket}) < r.thr THEN 1 ELSE 0 END) AS n_kept,
+       CAST(SUM(CASE WHEN ({bucket}) < r.thr THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_kept,
        CAST(r.thr AS BIGINT) AS keep_rate_ppm
 FROM documents d JOIN rates r ON d.source = r.source
 GROUP BY d.source, r.thr
@@ -3350,7 +3351,7 @@ WITH ch AS (
   FROM documents WHERE length(text) > 0),
 f AS (SELECT doc_id, c, COUNT(*) AS n FROM ch GROUP BY 1, 2)
 SELECT doc_id,
-       SUM(n) AS n_chars_sampled,
+       CAST(SUM(n) AS BIGINT) AS n_chars_sampled,
        COUNT(*) AS n_unique_chars,
        CAST(FLOOR((LN(SUM(n)) - SUM(n * LN(n)) / SUM(n)) * 1000000
                   + 0.5) AS BIGINT) AS char_entropy_micro
@@ -4065,16 +4066,26 @@ q AS (SELECT SUM(spend_cents) AS total,
              quantile_cont(CAST(spend_cents AS DOUBLE), 0.50) AS t50
       FROM pu),
 g AS (SELECT
-        SUM(CASE WHEN spend_cents >= t1 THEN 1 ELSE 0 END) AS n1,
-        SUM(CASE WHEN spend_cents >= t1 THEN spend_cents ELSE 0 END) AS r1,
-        SUM(CASE WHEN spend_cents >= t5 THEN 1 ELSE 0 END) AS n5,
-        SUM(CASE WHEN spend_cents >= t5 THEN spend_cents ELSE 0 END) AS r5,
-        SUM(CASE WHEN spend_cents >= t10 THEN 1 ELSE 0 END) AS n10,
-        SUM(CASE WHEN spend_cents >= t10 THEN spend_cents ELSE 0 END) AS r10,
-        SUM(CASE WHEN spend_cents >= t20 THEN 1 ELSE 0 END) AS n20,
-        SUM(CASE WHEN spend_cents >= t20 THEN spend_cents ELSE 0 END) AS r20,
-        SUM(CASE WHEN spend_cents >= t50 THEN 1 ELSE 0 END) AS n50,
-        SUM(CASE WHEN spend_cents >= t50 THEN spend_cents ELSE 0 END) AS r50,
+        CAST(SUM(CASE WHEN spend_cents >= t1 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n1,
+        CAST(SUM(CASE WHEN spend_cents >= t1 THEN spend_cents ELSE 0 END)
+             AS BIGINT) AS r1,
+        CAST(SUM(CASE WHEN spend_cents >= t5 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n5,
+        CAST(SUM(CASE WHEN spend_cents >= t5 THEN spend_cents ELSE 0 END)
+             AS BIGINT) AS r5,
+        CAST(SUM(CASE WHEN spend_cents >= t10 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n10,
+        CAST(SUM(CASE WHEN spend_cents >= t10 THEN spend_cents ELSE 0 END)
+             AS BIGINT) AS r10,
+        CAST(SUM(CASE WHEN spend_cents >= t20 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n20,
+        CAST(SUM(CASE WHEN spend_cents >= t20 THEN spend_cents ELSE 0 END)
+             AS BIGINT) AS r20,
+        CAST(SUM(CASE WHEN spend_cents >= t50 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n50,
+        CAST(SUM(CASE WHEN spend_cents >= t50 THEN spend_cents ELSE 0 END)
+             AS BIGINT) AS r50,
         MAX(t1) AS t1, MAX(t5) AS t5, MAX(t10) AS t10,
         MAX(t20) AS t20, MAX(t50) AS t50, MAX(total) AS total
       FROM pu, q)
@@ -4296,7 +4307,7 @@ sel AS (SELECT COALESCE(channel, 'direct') AS channel,
                CAST(FLOOR(p_value * w * 1000000 + 0.5) AS BIGINT) AS attr_u
         FROM wt)
 SELECT channel, CAST(SUM(is_touch) AS BIGINT) AS n_touches,
-       SUM(attr_u) AS attributed_value_micro
+       CAST(SUM(attr_u) AS BIGINT) AS attributed_value_micro
 FROM sel GROUP BY channel
 """
 
@@ -4345,8 +4356,8 @@ p AS (SELECT e.user_id,
       FROM events e JOIN fs USING (user_id) WHERE e.event_type = 'purchase'),
 cell AS (SELECT cohort_week, week_offset,
                 COUNT(DISTINCT user_id) AS n_purchasers,
-                SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))
-                  AS revenue_cents
+                CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))
+                     AS BIGINT) AS revenue_cents
          FROM p GROUP BY 1, 2)
 SELECT c.cohort_week, c.week_offset, c.n_purchasers, c.revenue_cents,
        CAST(FLOOR(CAST(SUM(c.revenue_cents) OVER (
@@ -4431,7 +4442,7 @@ pd AS (SELECT doc_id, COUNT(*) AS n_lines,
        FROM m GROUP BY 1)
 SELECT d.doc_id,
        COALESCE(pd.n_lines, 0) AS n_lines,
-       COALESCE(pd.n_kept, 0) AS n_kept,
+       CAST(COALESCE(pd.n_kept, 0) AS BIGINT) AS n_kept,
        COALESCE(pd.text_deduped, '') AS text_deduped
 FROM (SELECT doc_id FROM documents) d LEFT JOIN pd USING (doc_id)
 """
@@ -4466,7 +4477,7 @@ pd AS (SELECT doc_id, COUNT(*) AS n_lines,
        FROM m GROUP BY 1)
 SELECT d.doc_id,
        COALESCE(pd.n_lines, 0) AS n_lines,
-       COALESCE(pd.n_struck, 0) AS n_struck,
+       CAST(COALESCE(pd.n_struck, 0) AS BIGINT) AS n_struck,
        COALESCE(pd.text_clean, '') AS text_clean
 FROM (SELECT doc_id FROM documents) d LEFT JOIN pd USING (doc_id)
 """
@@ -4503,7 +4514,7 @@ d AS (SELECT source, n_s,
                  AS DOUBLE) / n_s
                  - CAST(cum_all AS DOUBLE) / tot.n_all) AS dd
       FROM fr, tot)
-SELECT source, n_s AS n_docs,
+SELECT source, CAST(n_s AS BIGINT) AS n_docs,
        CAST(FLOOR(MAX(dd) * 1000000 + 0.5) AS BIGINT) AS d_stat_micro
 FROM d GROUP BY 1, 2
 """
@@ -4557,7 +4568,8 @@ d AS (SELECT c.event_type, t.tb, t.tc,
                       AND CURRENT ROW) AS DOUBLE) / t.tc ELSE 0.0 END))
                AS dd
       FROM c JOIN t USING (event_type))
-SELECT event_type, tb AS n_baseline, tc AS n_current,
+SELECT event_type, CAST(tb AS BIGINT) AS n_baseline,
+       CAST(tc AS BIGINT) AS n_current,
        CAST(FLOOR(MAX(dd) * 1000000 + 0.5) AS BIGINT) AS d_stat_micro
 FROM d GROUP BY 1, 2, 3
 """
@@ -4584,7 +4596,8 @@ GROUP BY 1
 
 ORACLES["salted_segment_revenue"] = """
 SELECT c.c_mktsegment,
-       SUM(CAST(FLOOR(e.value * 100 + 0.5) AS BIGINT)) AS total_value_cents,
+       CAST(SUM(CAST(FLOOR(e.value * 100 + 0.5) AS BIGINT))
+            AS BIGINT) AS total_value_cents,
        COUNT(*) AS n_events
 FROM events e JOIN customer c ON e.user_id = c.c_custkey
 GROUP BY 1
@@ -4594,7 +4607,8 @@ GROUP BY 1
 _PROFILE_COLS = ["event_id", "user_id", "event_type", "value"]
 ORACLES["events_profile"] = "\nUNION ALL\n".join(
     f"""SELECT '{c}' AS col_name, COUNT(*) AS n_rows,
-       SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+       CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_nulls,
        {sql_micro(f"CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END)"
                   " AS DOUBLE) / COUNT(*)")} AS null_frac_micro,
        COUNT(DISTINCT {c}) AS n_distinct

@@ -19,6 +19,8 @@ import sys
 
 import duckdb
 
+from flink_ecommerce_spark.typed_check import typed_mismatches
+
 SF = "/root/testdata/sf0.01"
 TABLES = (
     "region nation customer supplier part orders lineitem events "
@@ -59,6 +61,15 @@ def main() -> int:
         try:
             sdf = spec.fn(spark, SF)
             scols, srows = sdf.columns, sdf.collect()
+            # Typed gate (VERDICT r06 #2): fetch the oracle via Arrow
+            # and compare canonical column types against the Spark
+            # schema — catches DuckDB HUGEINT/DECIMAL drift that
+            # fetchall() collapses to indistinguishable Python ints.
+            otbl = con.execute(spec.oracle).arrow()
+            tmis = typed_mismatches(sdf.schema, otbl.schema)
+            if tmis:
+                fails.append((name, f"typed {tmis}"))
+                continue
             res = con.execute(spec.oracle)
             ocols = [d[0] for d in res.description]
             orows = res.fetchall()
