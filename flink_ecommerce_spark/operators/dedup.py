@@ -1292,6 +1292,80 @@ def lsh_recall_report(
     )
 
 
+RECALL_SAMPLE_TARGET_DOCS = 10_000
+
+
+def recall_sample_mod_for(
+    n_docs: int, target_docs: int = RECALL_SAMPLE_TARGET_DOCS
+) -> int:
+    """Deterministic 1-in-``mod`` sampling rate for the recall meter:
+    the smallest modulus that brings the exact-truth side under
+    ``target_docs`` documents. The exact prefix join's measured curve
+    is ≈ n^1.5 (exact_pairs_plan_for), so capping its INPUT caps the
+    meter's cost at any corpus size — the planner moves with the
+    corpus, the meter's budget doesn't."""
+    import math
+
+    return max(1, math.ceil(n_docs / max(1, target_docs)))
+
+
+def lsh_recall_sampled(
+    documents: DataFrame,
+    threshold: float = PREFIX_JOIN_THRESHOLD,
+    sample_mod: int = 2,
+) -> DataFrame:
+    """The recall meter that stays usable ABOVE the
+    ``exact_pairs_plan_for`` crossover: exact truth is computed only
+    over a deterministic portable-hash sample of documents
+    (hash32(doc_id) % sample_mod == 0 — the same hash-ordered
+    uniform-sampling primitive as ``kmv_sample``), so the meter's
+    super-linear exact branch runs on n/mod docs while the thing it
+    meters stays linear.
+
+    Unbiasedness: a pair becomes an LSH candidate iff some band of
+    the two docs' OWN signatures collides — candidacy is pairwise, so
+    restricting the corpus to the sample leaves within-sample
+    candidacy identical to the full run, and recall measured over
+    sampled pairs estimates corpus recall without bias. The report
+    carries its own evidence count (``n_true_sample``) so a consumer
+    can judge the estimate's weight; ``lsh_recall_report`` remains
+    the lossless test oracle below the crossover.
+
+    Output contract (COVERAGE.md encoding rule): one row
+    (n_docs_sampled, sample_mod, n_true_sample, n_lsh_sample,
+    n_hit_sample, recall_micro) — recall as floor(x·1e6+0.5) BIGINT,
+    NULL when the sample holds no true pair."""
+    from ..functions.portable import hash32, micro
+
+    sampled = documents.filter(
+        hash32(F.col("doc_id").cast("string"), salt="rs") % sample_mod == 0
+    )
+    truth = prefix_jaccard_pairs(sampled, threshold).select("doc_a", "doc_b")
+    lsh = lsh_candidate_pairs(sampled, threshold).select("doc_a", "doc_b")
+    truth = truth.localCheckpoint(eager=True)
+    lsh = lsh.localCheckpoint(eager=True)
+    hit = truth.join(lsh, ["doc_a", "doc_b"], "left_semi")
+    n_docs = sampled.agg(F.count(F.lit(1)).alias("n_docs_sampled"))
+    n_true = truth.agg(F.count(F.lit(1)).alias("n_true_sample"))
+    n_lsh = lsh.agg(F.count(F.lit(1)).alias("n_lsh_sample"))
+    n_hit = hit.agg(F.count(F.lit(1)).alias("n_hit_sample"))
+    return (
+        n_docs.crossJoin(n_true)
+        .crossJoin(n_lsh)
+        .crossJoin(n_hit)
+        .select(
+            "n_docs_sampled",
+            F.lit(sample_mod).cast("int").alias("sample_mod"),
+            "n_true_sample",
+            "n_lsh_sample",
+            "n_hit_sample",
+            micro(
+                F.try_divide(F.col("n_hit_sample"), F.col("n_true_sample"))
+            ).alias("recall_micro"),
+        )
+    )
+
+
 def minhash_candidate_prob(
     jaccard: float, num_bands: int, rows_per_band: int
 ) -> float:
@@ -1324,20 +1398,27 @@ def exact_pairs_plan_for(
     the planner's answer carries the meter's name.
 
     Returns {"strategy": "prefix_jaccard" | "lsh_candidates",
-    "n_docs", "crossover", "loss_meter"} — loss_meter is None on the
-    exact side."""
+    "n_docs", "crossover", "loss_meter", "meter_sample_mod"} —
+    loss_meter is None on the exact side. Above the crossover the
+    meter is the SAMPLED one: the lossless ``lsh_recall_report``'s
+    truth side is itself the exact prefix join, so at 100× the meter
+    would blow any budget while the thing it meters stays linear
+    (VERDICT r06 #5); ``lsh_recall_sampled`` pins the truth side to
+    ``recall_sample_mod_for(n_docs)`` docs instead."""
     if n_docs <= max_docs:
         return {
             "strategy": "prefix_jaccard",
             "n_docs": n_docs,
             "crossover": max_docs,
             "loss_meter": None,
+            "meter_sample_mod": None,
         }
     return {
         "strategy": "lsh_candidates",
         "n_docs": n_docs,
         "crossover": max_docs,
-        "loss_meter": "lsh_recall_report",
+        "loss_meter": "lsh_recall_sampled",
+        "meter_sample_mod": recall_sample_mod_for(n_docs),
     }
 
 

@@ -779,6 +779,24 @@ def label_centroids(embeddings: DataFrame) -> DataFrame:
     )
 
 
+def label_centroids_int(embeddings: DataFrame) -> DataFrame:
+    """``label_centroids`` under the integer output contract
+    (COVERAGE.md "Oracle encoding rule"): the per-dimension centroid
+    ships as ``centroid_micro`` = floor(AVG·1e6 + 0.5) BIGINT. Same
+    plan: one posexplode aggregated on (label, dim) with map-side
+    combine — the shuffle carries labels × d partial sums, never
+    vectors."""
+    from ..functions.portable import micro
+
+    return (
+        embeddings.select(
+            "label", F.posexplode("embedding").alias("pos", "v")
+        )
+        .groupBy("label", (F.col("pos") + 1).alias("dim"))
+        .agg(micro(F.avg(F.col("v").cast("double"))).alias("centroid_micro"))
+    )
+
+
 def embedding_drift(old: DataFrame, new: DataFrame) -> DataFrame:
     """Per-label distribution drift between two embedding snapshots:
     row counts, and the cosine similarity + L2 distance between the

@@ -74,9 +74,11 @@ def lang_id(documents: DataFrame) -> DataFrame:
     )
 
 
-def _quality_column() -> Column:
-    """The logistic quality score as a single per-row Column, shared
-    by quality_scores and curated_corpus (one projection, one scan)."""
+def _quality_raw_column() -> Column:
+    """The UNROUNDED logistic quality score as a per-row Column —
+    the shared arithmetic core; legacy (rounded-double) and integer
+    (micro) contracts both wrap this so the expression tree of the
+    legacy plan is unchanged by the refactor."""
     n_tok = _n_tokens(F.col("text")).cast("double")
     n_punct = F.size(F.expr("regexp_extract_all(text, '[^a-zA-Z0-9\\\\s]', 0)")).cast(
         "double"
@@ -98,24 +100,36 @@ def _quality_column() -> Column:
         - 8.0 * punct_ratio
         - 0.1 * F.abs(mean_tok_len - 5.0)
     )
-    return F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
+    return F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
 
 
-def _dup_3gram_column() -> Column:
-    """Duplicate word-3-gram fraction as a per-row Column (shared by
-    repetition_scores and curated_corpus)."""
+def _quality_column() -> Column:
+    """The logistic quality score as a single per-row Column, shared
+    by quality_scores and curated_corpus (one projection, one scan).
+    Legacy rounded-double contract — still referenced by certified
+    out-of-window queries (curation_scores, quality_psi_by_source,
+    quality-aware dedup); new contracts use micro(_quality_raw_column())."""
+    return F.round(_quality_raw_column(), 6)
+
+
+def _dup_3gram_raw_column() -> Column:
+    """Unrounded duplicate word-3-gram fraction (shared arithmetic
+    core for the legacy and integer contracts)."""
     from .textprep import word_shingles
 
     sh = word_shingles(F.col("text"))
     n_sh = F.size(sh)
-    return F.round(
-        F.when(
-            n_sh > 0,
-            1.0
-            - F.size(F.array_distinct(sh)).cast("double") / n_sh.cast("double"),
-        ).otherwise(F.lit(0.0)),
-        6,
-    )
+    return F.when(
+        n_sh > 0,
+        1.0 - F.size(F.array_distinct(sh)).cast("double") / n_sh.cast("double"),
+    ).otherwise(F.lit(0.0))
+
+
+def _dup_3gram_column() -> Column:
+    """Duplicate word-3-gram fraction as a per-row Column (shared by
+    repetition_scores and curated_corpus). Legacy rounded-double
+    contract."""
+    return F.round(_dup_3gram_raw_column(), 6)
 
 
 def quality_scores(documents: DataFrame) -> DataFrame:
@@ -143,6 +157,39 @@ def quality_scores(documents: DataFrame) -> DataFrame:
         F.round(punct_ratio, 6).alias("punct_ratio"),
         F.round(stop_ratio, 6).alias("stopword_ratio"),
         _quality_column().alias("quality"),
+    )
+
+
+def quality_scores_int(documents: DataFrame) -> DataFrame:
+    """``quality_scores`` under the integer output contract
+    (COVERAGE.md "Oracle encoding rule", r07 migration of the r02
+    block): every fractional column ships as ``*_micro`` =
+    floor(x·1e6 + 0.5) BIGINT instead of ROUND(double, 6), because
+    ROUND's half-way tie behavior drifts across oracle-engine
+    releases while floor(x+0.5) on IEEE doubles is bit-identical
+    everywhere. The legacy rounded-double ``quality_scores`` stays
+    for internal consumers whose certified plans embed it."""
+    from ..functions.portable import micro
+
+    n_tok = _n_tokens(F.col("text")).cast("double")
+    n_punct = F.size(F.expr("regexp_extract_all(text, '[^a-zA-Z0-9\\\\s]', 0)")).cast(
+        "double"
+    )
+    sw_list = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
+    n_stop = F.size(
+        F.expr(
+            f"filter(split(lower(trim(text)), '\\\\s+'), w -> w IN ({sw_list}))"
+        )
+    ).cast("double")
+    n_chars = F.length("text").cast("double")
+    mean_tok_len = (n_chars - (n_tok - 1)) / n_tok  # chars net of single spaces
+    return documents.select(
+        "doc_id",
+        n_tok.cast("long").alias("n_tokens"),
+        micro(mean_tok_len).alias("mean_token_len_micro"),
+        micro(n_punct / n_chars).alias("punct_ratio_micro"),
+        micro(n_stop / n_tok).alias("stopword_ratio_micro"),
+        micro(_quality_raw_column()).alias("quality_micro"),
     )
 
 
@@ -198,6 +245,42 @@ def tfidf_top_terms(documents: DataFrame, k: int = 3) -> DataFrame:
     )
 
 
+def tfidf_top_terms_int(documents: DataFrame, k: int = 3) -> DataFrame:
+    """``tfidf_top_terms`` under the integer output contract: the
+    score ships as ``tfidf_micro`` = floor(tfidf·1e6 + 0.5) BIGINT
+    and the per-doc rank orders on that integer (same 1e-6
+    granularity as the legacy ROUND ordering, so ties and rank are
+    engine-stable by construction). Same plan shape: two
+    hash-partitioned aggregations + broadcast joins + per-doc
+    row_number."""
+    from pyspark.sql import Window
+
+    from ..functions.portable import micro
+
+    toks = documents.select(
+        "doc_id", F.explode(words("text")).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = documents.select(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf_micro",
+            micro(F.col("tf") * F.log(F.col("n_docs") / F.col("df"))),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tfidf_micro"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("doc_id", "term", "tf", "tfidf_micro", F.col("rk").alias("rk"))
+    )
+
+
 def doc_fingerprints(documents: DataFrame) -> DataFrame:
     """Two fingerprints per document: full-content hash of the
     whitespace-normalized text, and a winnowing-style minimum over
@@ -234,9 +317,26 @@ def repetition_scores(documents: DataFrame) -> DataFrame:
     ws = words(F.col("text"))
     n_words = F.size(ws)
     n_distinct = F.size(F.array_distinct(ws))
-    # longest run of equal adjacent words in sorted order == max term
-    # frequency; accumulator carries (previous word, current run, best).
-    top_count = F.aggregate(
+    top_count = _top_run_count(ws)
+    return documents.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        F.round(
+            1.0 - n_distinct.cast("double") / n_words.cast("double"), 6
+        ).alias("dup_word_frac"),
+        F.round(top_count.cast("double") / n_words.cast("double"), 6).alias(
+            "top_word_share"
+        ),
+        _dup_3gram_column().alias("dup_3gram_frac"),
+    )
+
+
+def _top_run_count(ws: Column) -> Column:
+    """Max term frequency = longest run of equal adjacent words in
+    sorted order (one array_sort + one linear aggregate pass, O(w log
+    w) per row); accumulator carries (previous word, current run,
+    best). Shared by the legacy and integer repetition contracts."""
+    return F.aggregate(
         F.array_sort(ws),
         F.struct(
             F.lit(None).cast("string").alias("prev"),
@@ -257,16 +357,29 @@ def repetition_scores(documents: DataFrame) -> DataFrame:
         ),
         lambda acc: acc["best"],
     )
+
+
+def repetition_scores_int(documents: DataFrame) -> DataFrame:
+    """``repetition_scores`` under the integer output contract:
+    fractions ship as ``*_micro`` = floor(x·1e6 + 0.5) BIGINTs
+    (COVERAGE.md "Oracle encoding rule"). Same per-row-expression,
+    zero-shuffle plan as the legacy contract."""
+    from ..functions.portable import micro
+
+    ws = words(F.col("text"))
+    n_words = F.size(ws)
+    n_distinct = F.size(F.array_distinct(ws))
+    top_count = _top_run_count(ws)
     return documents.select(
         "doc_id",
         n_words.alias("n_words"),
-        F.round(
-            1.0 - n_distinct.cast("double") / n_words.cast("double"), 6
-        ).alias("dup_word_frac"),
-        F.round(top_count.cast("double") / n_words.cast("double"), 6).alias(
-            "top_word_share"
+        micro(1.0 - n_distinct.cast("double") / n_words.cast("double")).alias(
+            "dup_word_frac_micro"
         ),
-        _dup_3gram_column().alias("dup_3gram_frac"),
+        micro(top_count.cast("double") / n_words.cast("double")).alias(
+            "top_word_share_micro"
+        ),
+        micro(_dup_3gram_raw_column()).alias("dup_3gram_frac_micro"),
     )
 
 
@@ -395,6 +508,25 @@ def decontaminate(documents: DataFrame, eval_mod: int = 20) -> DataFrame:
     )
 
 
+def decontaminate_int(documents: DataFrame, eval_mod: int = 20) -> DataFrame:
+    """``decontaminate`` under the integer output contract: the
+    overlap fraction ships as ``contamination_frac_micro`` =
+    floor(x·1e6 + 0.5) BIGINT, recomputed from the integer counts the
+    legacy operator already emits — a projection on top, no plan
+    change below it."""
+    from ..functions.portable import micro
+
+    return decontaminate(documents, eval_mod=eval_mod).select(
+        "doc_id",
+        "n_shingles",
+        "n_contaminated",
+        micro(
+            F.col("n_contaminated").cast("double")
+            / F.col("n_shingles").cast("double")
+        ).alias("contamination_frac_micro"),
+    )
+
+
 PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 PII_PHONE = r"\+?[0-9][0-9() -]{6,}[0-9]"
 PII_DENYLIST = ("customer", "key")
@@ -486,6 +618,57 @@ def curated_corpus(
         .select(
             "doc_id", "source", "quality", "dup_3gram_frac",
             "contamination_frac", "rk",
+        )
+    )
+
+
+def curated_corpus_int(
+    documents: DataFrame,
+    min_quality_micro: int = 200_000,
+    max_dup3_micro: int = 900_000,
+    max_contamination_micro: int = 900_000,
+    per_source_k: int = 5,
+    eval_mod: int = 20,
+) -> DataFrame:
+    """``curated_corpus`` under the integer output contract: the
+    three fractional metrics ship (and threshold, and order) as
+    ``*_micro`` = floor(x·1e6 + 0.5) BIGINTs. Thresholds are the
+    legacy 0.2 / 0.9 / 0.9 at micro scale — micro(x) >= 200000 and
+    ROUND(x, 6) >= 0.2 select the identical raw range
+    (x >= 0.1999995), so the surviving row set is unchanged; the
+    per-source rank orders on the integer, making ties
+    engine-stable. Same plan: one metrics projection over one scan,
+    decontaminate's aggregation shuffle, and a per-source top-k
+    window over the already-thresholded survivors."""
+    from pyspark.sql import Window
+
+    from ..functions.portable import micro
+
+    metrics = documents.filter((F.col("doc_id") % eval_mod) != 0).select(
+        "doc_id",
+        "source",
+        micro(_quality_raw_column()).alias("quality_micro"),
+        micro(_dup_3gram_raw_column()).alias("dup_3gram_frac_micro"),
+    )
+    dec = decontaminate_int(documents, eval_mod=eval_mod).select(
+        "doc_id", "contamination_frac_micro"
+    )
+    survivors = metrics.join(dec, "doc_id").filter(
+        (F.col("quality_micro") >= min_quality_micro)
+        & (F.col("dup_3gram_frac_micro") <= max_dup3_micro)
+        & (F.col("contamination_frac_micro") <= max_contamination_micro)
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("source").orderBy(
+            F.desc("quality_micro"), F.asc("doc_id")
+        )
+    )
+    return (
+        survivors.withColumn("rk", rk)
+        .filter(F.col("rk") <= per_source_k)
+        .select(
+            "doc_id", "source", "quality_micro", "dup_3gram_frac_micro",
+            "contamination_frac_micro", "rk",
         )
     )
 

@@ -96,6 +96,44 @@ def interval_join_click_purchase(events: DataFrame, window_hours: int = 1) -> Da
     )
 
 
+def interval_join_click_purchase_cents(
+    events: DataFrame, window_hours: int = 1
+) -> DataFrame:
+    """``interval_join_click_purchase`` under the integer output
+    contract (COVERAGE.md "Oracle encoding rule"): the money column
+    ships as per-row integer cents (floor(value·100 + 0.5) BIGINT)
+    instead of ROUND(double, 2). Same one-shuffle equi-join with the
+    range predicate evaluated during the join."""
+    from ..functions.portable import micro
+
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("user_id"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    return clicks.join(
+        purchases,
+        (clicks.user_id == purchases.user_id)
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.expr(f"INTERVAL {window_hours} HOURS")
+        ),
+    ).select(
+        clicks.user_id.alias("user_id"),
+        "click_id",
+        "click_ts",
+        "purchase_id",
+        micro(F.col("purchase_value"), scale=100).alias("purchase_value_cents"),
+    )
+
+
 PRICE_BANDS: list[tuple[str, float, float]] = [
     ("budget", 0.0, 20000.0),
     ("mid", 20000.0, 60000.0),

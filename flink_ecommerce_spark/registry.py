@@ -390,7 +390,7 @@ def _q_price_bands(spark, sf):
 
 
 def _q_interval_join(spark, sf):
-    return temporal.interval_join_click_purchase(_t("events")(spark, sf))
+    return temporal.interval_join_click_purchase_cents(_t("events")(spark, sf))
 
 
 def _q_hourly_counts(spark, sf):
@@ -578,6 +578,14 @@ def _q_corpus_growth(spark, sf):
 
 def _q_lsh_recall_report(spark, sf):
     return dedup.lsh_recall_report(_t("documents")(spark, sf))
+
+
+def _q_lsh_recall_sampled(spark, sf):
+    """The above-crossover recall meter (VERDICT r06 #5): exact truth
+    over a deterministic 1-in-2 portable-hash document sample. The
+    fixed sample_mod=2 keeps the oracle SQL a closed form; production
+    pipelines take the mod from exact_pairs_plan_for."""
+    return dedup.lsh_recall_sampled(_t("documents")(spark, sf), sample_mod=2)
 
 
 def _q_event_user_skew_topk(spark, sf):
@@ -771,7 +779,7 @@ def _q_lang_id(spark, sf):
 
 
 def _q_quality_scores(spark, sf):
-    return text.quality_scores(_t("documents")(spark, sf))
+    return text.quality_scores_int(_t("documents")(spark, sf))
 
 
 def _q_doc_fingerprints(spark, sf):
@@ -779,7 +787,7 @@ def _q_doc_fingerprints(spark, sf):
 
 
 def _q_repetition_scores(spark, sf):
-    return text.repetition_scores(_t("documents")(spark, sf))
+    return text.repetition_scores_int(_t("documents")(spark, sf))
 
 
 def _q_char_entropy(spark, sf):
@@ -791,7 +799,7 @@ def _q_sentence_chunks(spark, sf):
 
 
 def _q_curated_corpus(spark, sf):
-    return text.curated_corpus(_t("documents")(spark, sf))
+    return text.curated_corpus_int(_t("documents")(spark, sf))
 
 
 def _q_source_overlap_matrix(spark, sf):
@@ -807,7 +815,7 @@ def _q_contamination_report(spark, sf):
 
 
 def _q_decontaminate(spark, sf):
-    return text.decontaminate(_t("documents")(spark, sf))
+    return text.decontaminate_int(_t("documents")(spark, sf))
 
 
 def _q_pii_scrub(spark, sf):
@@ -844,7 +852,7 @@ def _q_top_bigrams(spark, sf):
 
 
 def _q_tfidf_top_terms(spark, sf):
-    return text.tfidf_top_terms(_t("documents")(spark, sf))
+    return text.tfidf_top_terms_int(_t("documents")(spark, sf))
 
 
 def _q_bigram_surprisal(spark, sf):
@@ -1392,7 +1400,7 @@ def _q_ann_lsh_planned(spark, sf):
 
 
 def _q_label_centroids(spark, sf):
-    return similarity.label_centroids(_t("embeddings")(spark, sf))
+    return similarity.label_centroids_int(_t("embeddings")(spark, sf))
 
 
 def _q_corpus_diversity(spark, sf):
@@ -1447,6 +1455,17 @@ sig AS (SELECT doc_id,
   {_SIG_COLS}
 FROM hs)
 """
+
+# lsh_recall_sampled: identical signature pipeline, but the corpus is
+# first cut to the deterministic 1-in-2 portable-hash sample (the
+# sampled truth keeps the meter linear-budget above the
+# exact_pairs_plan_for crossover).
+_SAMPLE_PRED = (
+    f"{sql_hash32('CAST(doc_id AS VARCHAR)', salt='rs')} % 2 = 0"
+)
+_SIG_CTE_SAMPLED = _SIG_CTE.replace(
+    "FROM documents", f"FROM documents WHERE {_SAMPLE_PRED}"
+)
 
 _ROWS_PER_BAND = dedup.NUM_HASHES // dedup.NUM_BANDS
 _BANDS_SELECTS = "\nUNION ALL\n".join(
@@ -2293,7 +2312,8 @@ purchases AS (SELECT user_id, event_id AS purchase_id, ts AS purchase_ts,
                      value AS purchase_value
               FROM events WHERE event_type = 'purchase')
 SELECT c.user_id, c.click_id, c.click_ts, p.purchase_id,
-       ROUND(p.purchase_value, 2) AS purchase_value
+       CAST(FLOOR(p.purchase_value * 100 + 0.5) AS BIGINT)
+         AS purchase_value_cents
 FROM clicks c JOIN purchases p
   ON c.user_id = p.user_id
  AND p.purchase_ts >= c.click_ts
@@ -2355,11 +2375,12 @@ tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
 df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
 n AS (SELECT COUNT(*) AS n_docs FROM documents),
 scored AS (SELECT tf.doc_id, tf.term, tf.tf,
-                  ROUND(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS tfidf
+                  CAST(FLOOR((tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df))
+                             * 1000000 + 0.5) AS BIGINT) AS tfidf_micro
            FROM tf JOIN df USING (term) CROSS JOIN n)
-SELECT doc_id, term, tf, tfidf, CAST(rk AS INT) AS rk
+SELECT doc_id, term, tf, tfidf_micro, CAST(rk AS INT) AS rk
 FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
-                                   ORDER BY tfidf DESC, term ASC) AS rk
+                                   ORDER BY tfidf_micro DESC, term ASC) AS rk
       FROM scored)
 WHERE rk <= 3
 """.format(words=sql_words("text")),
@@ -2868,6 +2889,36 @@ SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS n_true,
        ROUND((SELECT COUNT(*) FROM hit) / (SELECT COUNT(*) FROM truth), 6)
          AS recall
 """,
+    # lsh_recall_sampled: same report over the deterministic 1-in-2
+    # hash sample; candidacy is pairwise (own signatures only), so
+    # within-sample candidacy is identical to the full run
+    "lsh_recall_sampled": f"""
+WITH {_SIG_CTE_SAMPLED},
+bands AS ({_BANDS_SELECTS}),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM bands a JOIN bands b
+           ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+{_JACCARD_CTES},
+truth AS (SELECT doc_a, doc_b FROM jac
+          WHERE jaccard >= {dedup.PREFIX_JOIN_THRESHOLD}),
+lsh AS (SELECT c.doc_a, c.doc_b
+        FROM cand c JOIN jac j ON j.doc_a = c.doc_a AND j.doc_b = c.doc_b
+        WHERE j.jaccard >= {dedup.PREFIX_JOIN_THRESHOLD}),
+hit AS (SELECT t.doc_a, t.doc_b FROM truth t
+        WHERE EXISTS (SELECT 1 FROM lsh l
+                      WHERE l.doc_a = t.doc_a AND l.doc_b = t.doc_b)),
+counts AS (SELECT
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM sh) AS n_docs_sampled,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS n_true_sample,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM lsh) AS n_lsh_sample,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM hit) AS n_hit_sample)
+SELECT n_docs_sampled, CAST(2 AS INT) AS sample_mod,
+       n_true_sample, n_lsh_sample, n_hit_sample,
+       CAST(FLOOR((CASE WHEN n_true_sample = 0 THEN NULL
+                        ELSE CAST(n_hit_sample AS DOUBLE) / n_true_sample END)
+                  * 1000000 + 0.5) AS BIGINT) AS recall_micro
+FROM counts
+""",
     "event_user_skew_topk": """
 WITH counts AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_rows
                 FROM events GROUP BY 1),
@@ -3284,6 +3335,11 @@ SELECT doc_id, source, quality, n_tokens, cum_tokens,
        cum_tokens <= 1000 AS kept
 FROM c
 """,
+    # r07 migration (COVERAGE.md encoding rule): fractional columns
+    # ship as *_micro = floor(x*1e6 + 0.5) BIGINTs. The legacy
+    # rounded-double SQL lives on as _QUALITY_SQL_LEGACY below for the
+    # certified out-of-window queries that embed it verbatim
+    # (quality_psi_by_source, curation_scores).
     "quality_scores": f"""
 WITH m AS (
   SELECT doc_id,
@@ -3294,12 +3350,16 @@ WITH m AS (
   FROM documents)
 SELECT doc_id,
        CAST(n_tok AS BIGINT) AS n_tokens,
-       ROUND((n_chars - (n_tok - 1)) / n_tok, 6) AS mean_token_len,
-       ROUND(n_punct / n_chars, 6) AS punct_ratio,
-       ROUND(n_stop / n_tok, 6) AS stopword_ratio,
-       ROUND(1.0 / (1.0 + exp(-(-2.0 + 0.02 * n_tok + 4.0 * (n_stop / n_tok)
+       CAST(FLOOR(((n_chars - (n_tok - 1)) / n_tok) * 1000000 + 0.5) AS BIGINT)
+         AS mean_token_len_micro,
+       CAST(FLOOR((n_punct / n_chars) * 1000000 + 0.5) AS BIGINT)
+         AS punct_ratio_micro,
+       CAST(FLOOR((n_stop / n_tok) * 1000000 + 0.5) AS BIGINT)
+         AS stopword_ratio_micro,
+       CAST(FLOOR((1.0 / (1.0 + exp(-(-2.0 + 0.02 * n_tok + 4.0 * (n_stop / n_tok)
              - 8.0 * (n_punct / n_chars)
-             - 0.1 * abs((n_chars - (n_tok - 1)) / n_tok - 5.0)))), 6) AS quality
+             - 0.1 * abs((n_chars - (n_tok - 1)) / n_tok - 5.0))))) * 1000000
+             + 0.5) AS BIGINT) AS quality_micro
 FROM m
 """,
     "doc_fingerprints": """
@@ -3322,15 +3382,18 @@ WITH t AS (
   FROM documents)
 SELECT doc_id,
        CAST(len(ws) AS INT) AS n_words,
-       ROUND(1.0 - CAST(len(list_distinct(ws)) AS DOUBLE)
-                   / CAST(len(ws) AS DOUBLE), 6) AS dup_word_frac,
-       ROUND(CAST(list_max(list_transform(list_distinct(ws),
+       CAST(FLOOR((1.0 - CAST(len(list_distinct(ws)) AS DOUBLE)
+                   / CAST(len(ws) AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)
+         AS dup_word_frac_micro,
+       CAST(FLOOR((CAST(list_max(list_transform(list_distinct(ws),
                   d -> len(list_filter(ws, w -> w = d)))) AS DOUBLE)
-             / CAST(len(ws) AS DOUBLE), 6) AS top_word_share,
-       ROUND(CASE WHEN len(sh) > 0
+             / CAST(len(ws) AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)
+         AS top_word_share_micro,
+       CAST(FLOOR((CASE WHEN len(sh) > 0
                   THEN 1.0 - CAST(len(list_distinct(sh)) AS DOUBLE)
                              / CAST(len(sh) AS DOUBLE)
-                  ELSE 0.0 END, 6) AS dup_3gram_frac
+                  ELSE 0.0 END) * 1000000 + 0.5) AS BIGINT)
+         AS dup_3gram_frac_micro
 FROM t
 """,
     "sentence_chunks": """
@@ -3382,15 +3445,21 @@ SELECT train.doc_id AS doc_id,
        COUNT(*) AS n_shingles,
        CAST(SUM(CASE WHEN e.s IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
          AS n_contaminated,
-       ROUND(CAST(SUM(CASE WHEN e.s IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
-             / CAST(COUNT(*) AS DOUBLE), 6) AS contamination_frac
+       CAST(FLOOR((CAST(SUM(CASE WHEN e.s IS NOT NULL THEN 1 ELSE 0 END)
+                        AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)
+         AS contamination_frac_micro
 FROM train LEFT JOIN eval_sh e ON train.s = e.s
 GROUP BY 1
 """,
+    # r07 migration: metrics threshold, order, and ship at micro
+    # scale; micro(x) >= 200000 and the legacy ROUND(x,6) >= 0.2
+    # select the identical raw range, so the survivor set matches the
+    # legacy contract.
     "curated_corpus": f"""
 WITH metrics AS (
   SELECT doc_id, source,
-         ROUND(1.0 / (1.0 + exp(-(-2.0
+         CAST(FLOOR((1.0 / (1.0 + exp(-(-2.0
            + 0.02 * CAST(len(regexp_extract_all(text, '\\S+')) AS DOUBLE)
            + 4.0 * (CAST(len(list_filter({sql_words('text')}, w -> w IN ({{en_sw}}))) AS DOUBLE)
                     / CAST(len(regexp_extract_all(text, '\\S+')) AS DOUBLE))
@@ -3398,12 +3467,12 @@ WITH metrics AS (
                     / CAST(length(text) AS DOUBLE))
            - 0.1 * abs((CAST(length(text) AS DOUBLE)
                         - (CAST(len(regexp_extract_all(text, '\\S+')) AS DOUBLE) - 1))
-                       / CAST(len(regexp_extract_all(text, '\\S+')) AS DOUBLE) - 5.0)))),
-               6) AS quality,
-         ROUND(CASE WHEN len({sql_word_shingles('text')}) > 0
+                       / CAST(len(regexp_extract_all(text, '\\S+')) AS DOUBLE) - 5.0)))))
+               * 1000000 + 0.5) AS BIGINT) AS quality_micro,
+         CAST(FLOOR((CASE WHEN len({sql_word_shingles('text')}) > 0
                     THEN 1.0 - CAST(len(list_distinct({sql_word_shingles('text')})) AS DOUBLE)
                                / CAST(len({sql_word_shingles('text')}) AS DOUBLE)
-                    ELSE 0.0 END, 6) AS dup_3gram_frac
+                    ELSE 0.0 END) * 1000000 + 0.5) AS BIGINT) AS dup_3gram_frac_micro
   FROM documents WHERE doc_id % 20 <> 0),
 sh_tbl AS (
   SELECT doc_id, list_distinct({sql_word_shingles('text')}) AS sh
@@ -3414,19 +3483,23 @@ train AS (
   SELECT doc_id, unnest(sh) AS s FROM sh_tbl WHERE doc_id % 20 <> 0),
 dec AS (
   SELECT train.doc_id AS doc_id,
-         ROUND(CAST(SUM(CASE WHEN e.s IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
-               / CAST(COUNT(*) AS DOUBLE), 6) AS contamination_frac
+         CAST(FLOOR((CAST(SUM(CASE WHEN e.s IS NOT NULL THEN 1 ELSE 0 END)
+                          AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)
+           AS contamination_frac_micro
   FROM train LEFT JOIN eval_sh e ON train.s = e.s
   GROUP BY 1),
 surv AS (
-  SELECT m.doc_id, m.source, m.quality, m.dup_3gram_frac, d.contamination_frac
+  SELECT m.doc_id, m.source, m.quality_micro, m.dup_3gram_frac_micro,
+         d.contamination_frac_micro
   FROM metrics m JOIN dec d ON m.doc_id = d.doc_id
-  WHERE m.quality >= 0.2 AND m.dup_3gram_frac <= 0.9
-    AND d.contamination_frac <= 0.9)
-SELECT doc_id, source, quality, dup_3gram_frac, contamination_frac,
+  WHERE m.quality_micro >= 200000 AND m.dup_3gram_frac_micro <= 900000
+    AND d.contamination_frac_micro <= 900000)
+SELECT doc_id, source, quality_micro, dup_3gram_frac_micro,
+       contamination_frac_micro,
        CAST(rk AS INT) AS rk
 FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY source
-                                   ORDER BY quality DESC, doc_id ASC) AS rk
+                                   ORDER BY quality_micro DESC, doc_id ASC) AS rk
       FROM surv)
 WHERE rk <= 5
 """.replace("{en_sw}", _EN_SW),
@@ -3599,7 +3672,8 @@ LEFT JOIN geom g ON COALESCE(oc.label, nc.label) = g.label
 """,
     "label_centroids": """
 SELECT label, CAST(dim AS INT) AS dim,
-       ROUND(AVG(CAST(v AS DOUBLE)), 6) AS centroid
+       CAST(FLOOR(AVG(CAST(v AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)
+         AS centroid_micro
 FROM (SELECT label, unnest(embedding) AS v,
              generate_subscripts(embedding, 1) AS dim
       FROM embeddings)
@@ -4014,8 +4088,32 @@ FROM documents
 """,
 }
 
+# The PRE-r07 quality_scores oracle, byte-identical to what the
+# certified quality_psi_by_source / curation_scores oracles embedded
+# at their green rounds: those two queries' Spark plans still compose
+# the legacy rounded-double quality operator, so their embedded
+# oracle SQL must not follow the quality_scores contract migration.
+_QUALITY_SQL_LEGACY = f"""
+WITH m AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '\\S+')) AS DOUBLE) AS n_tok,
+         CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS DOUBLE) AS n_punct,
+         CAST(len(list_filter({_WORDS}, w -> w IN ({_EN_SW}))) AS DOUBLE) AS n_stop,
+         CAST(length(text) AS DOUBLE) AS n_chars
+  FROM documents)
+SELECT doc_id,
+       CAST(n_tok AS BIGINT) AS n_tokens,
+       ROUND((n_chars - (n_tok - 1)) / n_tok, 6) AS mean_token_len,
+       ROUND(n_punct / n_chars, 6) AS punct_ratio,
+       ROUND(n_stop / n_tok, 6) AS stopword_ratio,
+       ROUND(1.0 / (1.0 + exp(-(-2.0 + 0.02 * n_tok + 4.0 * (n_stop / n_tok)
+             - 8.0 * (n_punct / n_chars)
+             - 0.1 * abs((n_chars - (n_tok - 1)) / n_tok - 5.0)))), 6) AS quality
+FROM m
+"""
+
 ORACLES["quality_psi_by_source"] = f"""
-WITH q AS (SELECT doc_id, quality FROM ({ORACLES['quality_scores']})),
+WITH q AS (SELECT doc_id, quality FROM ({_QUALITY_SQL_LEGACY})),
 sc AS (SELECT d.source,
               CAST(LEAST(9, GREATEST(0, FLOOR(q.quality * 10))) AS INT)
                 AS bucket,
@@ -4845,7 +4943,7 @@ ORACLES["bloom_bits"] = _sketch.sql_bloom_bits()
 ORACLES["bloom_admission"] = _sketch.sql_bloom_admission()
 
 ORACLES["curation_scores"] = f"""
-WITH q AS (SELECT doc_id, quality FROM ({ORACLES['quality_scores']})),
+WITH q AS (SELECT doc_id, quality FROM ({_QUALITY_SQL_LEGACY})),
 n AS (SELECT vec_id AS doc_id, ROUND({sql_l2_norm('embedding', similarity.EMB_DIM)}, 6) AS l2_norm
       FROM embeddings)
 SELECT q.doc_id, q.quality, n.l2_norm,
@@ -5018,6 +5116,9 @@ _SPEC_DEFS: dict[str, QuerySpec] = {
     ),
     "supplier_pagerank": QuerySpec(
         _q_supplier_pagerank, ORACLES["supplier_pagerank"]
+    ),
+    "lsh_recall_sampled": QuerySpec(
+        _q_lsh_recall_sampled, ORACLES["lsh_recall_sampled"]
     ),
     "lsh_recall_report": QuerySpec(
         _q_lsh_recall_report, ORACLES["lsh_recall_report"]
@@ -5407,82 +5508,75 @@ _SPEC_DEFS: dict[str, QuerySpec] = {
 # because their code is untouched; touching one moves it back into
 # the window.
 _VERIFY_FIRST: tuple[str, ...] = (
-    # r06 window (VERDICT r05 #1-#3). Composition:
-    # (1) the 22 never-externally-certified queries: the 20 late-r05
-    #     tail (COVERAGE.md §window named them) PLUS the two r05 hash
-    #     fails (temperature_mixture_summary, char_entropy) — all now
-    #     re-encoded under the integer "Oracle encoding rule"
-    #     (COVERAGE.md): final fractional columns ship as
-    #     floor(x*1e6+0.5) BIGINTs, money as per-row cents, because
-    #     ROUND(double, n) tie behavior drifts across oracle-engine
-    #     releases (the only r05 red-row signature). conversion_
-    #     survival additionally gained the d<n LN-guard (ADVICE r05)
-    #     and mmr_select/quality_matched_sample/embedding_outliers
-    #     moved their ENTIRE decision grids to integers.
-    # (2) temperature_mixture — plan-changed (thr now floor(x+0.5),
-    #     shared _temperature_rates with the summary).
-    # (3) backfill: 26 of the 34 oldest certifications (r01 rows,
-    #     five rounds stale by now) — the TPC-H family + the oldest
-    #     analytics windows, untouched since r01 so their code
-    #     matches the certified fingerprints — PLUS pq_ann_rerank,
-    #     plan-changed this round (shortlist 50→400 via
-    #     PQ_RERANK_WIDE: the above-crossover recommendation must
-    #     measure recall@5 ≥ 0.9, VERDICT r05 #4 — bench.py now
-    #     gates it). The remaining 8 r01 rows (weekly_moving_avg,
-    #     conversion_funnel, weekly_retention, event_type_cube,
-    #     distinct_users_per_day, value_stats_per_type,
-    #     event_value_pivot, session_window_stats) go first into the
-    #     r07 backfill, then the r02 block.
+    # r07 window (VERDICT r06 #1/#3 + COVERAGE.md rotation queue).
+    # Composition:
+    # (1) the 8 queries registered in r06 but never externally
+    #     certified (their r06-close oracles gained the CAST(SUM AS
+    #     BIGINT) rule where applicable);
+    # (2) the 8 r06 red rows — all eight were pure hash fails from
+    #     uncast integer SUMs in the ORACLE (DuckDB HUGEINT vs Spark
+    #     int64 in the driver's typed materialization); the oracles
+    #     now CAST to BIGINT, Spark plans untouched;
+    # (3) lsh_recall_sampled — new this round (the above-crossover
+    #     recall meter, VERDICT r06 #5);
+    # (4) backfill: the 8 remaining r01 rows (six rounds stale), then
+    #     the full r02 block (23) per the migration queue — its 7
+    #     legacy-ROUND carriers (quality_scores, repetition_scores,
+    #     decontaminate, curated_corpus, tfidf_top_terms,
+    #     label_centroids, interval_join_click_purchase) migrated to
+    #     the integer contract (*_micro / cents BIGINTs) this round,
+    #     so no legacy-ROUND query is newly certified without the
+    #     integer encoding (VERDICT r06 #8).
+    "boilerplate_lines",
+    "boilerplate_shingles",
+    "strip_boilerplate",
+    "line_dedup",
+    "token_waterfill",
+    "quality_ks_by_source",
+    "value_ks_by_type",
+    "value_benford_by_type",
     "temperature_mixture_summary",
     "char_entropy",
-    "kn_bigram_surprisal",
     "salted_segment_revenue",
     "cohort_ltv",
-    "basket_rules",
     "pareto_revenue_share",
-    "time_of_week_profile",
-    "user_lifecycle_stages",
-    "kmv_value_quantiles_by_type",
-    "corpus_datasheet",
-    "ivf_recall_report",
-    "join_fanout_topk",
-    "rfm_migration",
     "position_attribution",
-    "embedding_outliers",
-    "kmv_value_quantiles",
     "conversion_survival",
-    "quality_matched_sample",
     "events_profile",
-    "mmr_select",
-    "source_overlap_minhash",
-    "temperature_mixture",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_regional_revenue",
-    "customer_order_totals",
-    "top10_orders",
-    "customers_without_orders",
-    "orders_with_big_lineitem",
-    "parts_by_brand_type",
-    "q2_min_cost_supplier",
-    "q4_order_priority",
-    "q6_revenue_forecast",
-    "q7_volume_shipping",
-    "q9_product_profit",
-    "q10_returned_items",
-    "q13_order_distribution",
-    "q14_promo_revenue",
-    "q8_market_share",
-    "q11_important_parts",
-    "q12_priority_shipping",
-    "q15_top_supplier",
-    "q16_part_supplier_counts",
-    "events_by_customer_segment",
-    "revenue_by_brand",
-    "top_users_per_event_type",
-    "daily_running_revenue",
-    "sales_rollup",
-    "pq_ann_rerank",
+    "lsh_recall_sampled",
+    "weekly_moving_avg",
+    "conversion_funnel",
+    "weekly_retention",
+    "event_type_cube",
+    "distinct_users_per_day",
+    "value_stats_per_type",
+    "event_value_pivot",
+    "session_window_stats",
+    "vocabulary",
+    "doc_fingerprints",
+    "pii_scrub",
+    "curated_corpus",
+    "decontaminate",
+    "repetition_scores",
+    "quality_scores",
+    "lang_id",
+    "token_counts",
+    "label_centroids",
+    "top_bigrams",
+    "tfidf_top_terms",
+    "multimodal_features",
+    "multimodal_frames",
+    "sample_events",
+    "dataset_splits",
+    "split_summary",
+    "stratified_sample",
+    "mixture_sample",
+    "fuzzy_name_pairs",
+    "block_profile",
+    "asof_last_click",
+    "interval_join_click_purchase",
+    "raw_transactions",
+    "props_extract",
 )
 assert set(_VERIFY_FIRST) <= set(_SPEC_DEFS), sorted(
     set(_VERIFY_FIRST) - set(_SPEC_DEFS)

@@ -49,7 +49,11 @@ def canonical_spark(dtype) -> str:
         return "bool"
     if isinstance(dtype, T.DateType):
         return "date"
-    if isinstance(dtype, T.TimestampType):
+    if isinstance(dtype, (T.TimestampType, T.TimestampNTZType)):
+        # The session is UTC-pinned (session.py), so tz-aware and NTZ
+        # timestamps materialize identically in the driver's compare —
+        # r02-certified ts-carrying queries (asof_last_click,
+        # interval_join) prove the driver does not split on tz-ness.
         return "timestamp"
     if isinstance(dtype, T.DecimalType):
         return f"decimal({dtype.precision},{dtype.scale})"

@@ -595,7 +595,12 @@ def test_exact_pairs_plan_crossover():
     assert at["strategy"] == "prefix_jaccard"
     hi = dedup.exact_pairs_plan_for(50_000)
     assert hi["strategy"] == "lsh_candidates"
-    assert hi["loss_meter"] == "lsh_recall_report"
+    # the meter above the crossover is the SAMPLED one (VERDICT r06
+    # #5): the lossless meter's truth side is itself the exact join
+    assert hi["loss_meter"] == "lsh_recall_sampled"
+    # 50k docs / 10k target -> 1-in-5 sample caps the exact branch
+    assert hi["meter_sample_mod"] == 5
+    assert lo["meter_sample_mod"] is None
     # the 10x rehearsal corpus (50k docs) sits ABOVE the crossover —
     # bench.py must route it to the LSH side
     assert 50_000 > dedup.EXACT_PAIRS_MAX_DOCS
