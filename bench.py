@@ -542,16 +542,29 @@ def _scale_rehearsal(spark, sf_dir: str) -> dict:
     # both timed above/below. prefix_jaccard stays the sub-crossover
     # answer and keeps its sf0.1 headline timing.
     ep_plan10 = dedup.exact_pairs_plan_for(n_docs)
+    recall_row: dict = {}
     if ep_plan10["strategy"] == "prefix_jaccard":
         timed(
             "prefix_jaccard_pairs",
             lambda: dedup.prefix_jaccard_pairs(docs).count(),
         )
     else:
-        timed(
-            "lsh_recall_report",
-            lambda: dedup.lsh_recall_report(docs).count(),
-        )
+        # above the crossover the meter is the SAMPLED one (VERDICT
+        # r06 #5): exact truth over 1-in-mod docs keeps the meter's
+        # super-linear branch inside a fixed budget while the LSH
+        # path it meters stays linear. The report row (recall
+        # estimate + its evidence count) lands in the bench JSON.
+        mod = ep_plan10["meter_sample_mod"]
+
+        def _run_sampled_meter():
+            row = (
+                dedup.lsh_recall_sampled(docs, sample_mod=mod)
+                .collect()[0]
+                .asDict()
+            )
+            recall_row.update(row)
+
+        timed("lsh_recall_sampled", _run_sampled_meter)
     timed(
         "supplier_pagerank",
         lambda: _registry.SPECS["supplier_pagerank"].fn(spark, stage).count(),
@@ -635,7 +648,10 @@ def _scale_rehearsal(spark, sf_dir: str) -> dict:
             ],
             "exact_pairs_rehearsal": ep_plan10["strategy"],
             "exact_pairs_crossover_docs": ep_plan10["crossover"],
+            "loss_meter": ep_plan10["loss_meter"],
+            "meter_sample_mod": ep_plan10["meter_sample_mod"],
         },
+        "recall_sampled": recall_row,
     }
 
 

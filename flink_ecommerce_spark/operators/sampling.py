@@ -614,3 +614,141 @@ SELECT source, n_tokens,
                       AS BIGINT)) END) < n_tokens AS capped
 FROM rk, tot, sel
 """
+
+
+EPOCH_BUDGET_MULT = 2.5  # training-token budget as a multiple of unique tokens
+EPOCH_CAP_HI = 4  # max epochs for the high-quality source tier
+EPOCH_CAP_LO = 2  # max epochs for the rest
+
+
+def epoch_mixture(
+    documents: DataFrame,
+    budget_mult: float = EPOCH_BUDGET_MULT,
+    cap_hi: int = EPOCH_CAP_HI,
+    cap_lo: int = EPOCH_CAP_LO,
+) -> DataFrame:
+    """(source, n_tokens, mean_quality_micro, cap_epochs,
+    epochs_micro, allocated_tokens, saturated) — repeat-capped epoch
+    allocation for a DATA-CONSTRAINED training budget (Muennighoff et
+    al. 2023, "Scaling Data-Constrained Language Models"): when the
+    token budget B = floor(budget_mult · total_unique_tokens) exceeds
+    the corpus, the plan is how many EPOCHS of each source to run.
+    Quality-tiered caps encode the practice of repeating curated
+    sources more than web scrape: sources in the top half by mean
+    document quality may repeat up to ``cap_hi`` epochs, the rest
+    ``cap_lo``. Epochs are then WATER-FILLED under those caps —
+    every source runs at the same level E except those whose cap
+    binds: e_s = min(E, cap_s), with E the unique level at which
+    Σ n_s·e_s = B.
+
+    Closed form, no iteration (token_waterfill's discipline): sort
+    sources by (cap asc, source asc); source r is saturated iff
+    giving every later source at least cap_r still fits:
+    sat_cum_r + cap_r·(total − tok_cum_r) ≤ B (feasibility is
+    prefix-closed because caps ascend). E = (B − sat_cum_{i*}) /
+    (total − tok_cum_{i*}) — one division of exact integers.
+
+    Integer discipline: per-document quality quantizes to micro
+    BEFORE averaging (mean = SUM(q_micro) DIV n_docs — integer
+    division, no float-summation drift); epochs ship as
+    ``epochs_micro`` = floor(E·1e6 + 0.5); unsaturated allocations
+    as n_s·epochs_micro DIV 1e6 (exact in int64 up to ~2·10^12
+    tokens per source — past that the multiply moves to decimal128,
+    which the DuckDB twin already uses natively via HUGEINT).
+
+    Scale: one corpus scan for per-source (token sum, quality sum)
+    with map-side combine; everything after runs on the
+    #sources-row planning table (tiny-global windows, the
+    balanced_shards offset pattern)."""
+    from .text import _quality_raw_column
+    from ..functions.portable import micro
+
+    nt = F.size(F.expr("regexp_extract_all(text, '\\\\S+', 0)")).cast("long")
+    per_doc = documents.select(
+        "source",
+        nt.alias("__nt"),
+        micro(_quality_raw_column()).alias("__qm"),
+    )
+    ps = per_doc.groupBy("source").agg(
+        F.sum("__nt").alias("n_tokens"),
+        F.expr("sum(__qm) div count(*)").alias("mean_quality_micro"),
+    )
+    k_half = Window.orderBy(
+        F.desc("mean_quality_micro"), F.asc("source")
+    )
+    n_src = Window.partitionBy()
+    tiered = ps.select(
+        "source",
+        "n_tokens",
+        "mean_quality_micro",
+        F.when(
+            F.row_number().over(k_half)
+            <= F.ceil(F.count(F.lit(1)).over(n_src) / 2),
+            F.lit(cap_hi),
+        )
+        .otherwise(F.lit(cap_lo))
+        .cast("long")
+        .alias("cap_epochs"),
+    )
+    w_rank = Window.orderBy(F.asc("cap_epochs"), F.asc("source"))
+    w_cum = w_rank.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranked = tiered.select(
+        "source",
+        "n_tokens",
+        "mean_quality_micro",
+        "cap_epochs",
+        F.row_number().over(w_rank).alias("__r"),
+        F.sum(F.col("n_tokens") * F.col("cap_epochs")).over(w_cum).alias(
+            "__sat_cum"
+        ),
+        F.sum("n_tokens").over(w_cum).alias("__tok_cum"),
+    )
+    tot = ranked.agg(
+        F.max("__r").alias("__k"),
+        F.sum("n_tokens").alias("__total"),
+        F.floor(F.sum("n_tokens") * F.lit(float(budget_mult)))
+        .cast("long")
+        .alias("__b"),
+    )
+    j = ranked.crossJoin(F.broadcast(tot))
+    feasible = (
+        F.col("__sat_cum")
+        + F.col("cap_epochs") * (F.col("__total") - F.col("__tok_cum"))
+    ) <= F.col("__b")
+    sel = j.agg(
+        F.coalesce(F.max(F.when(feasible, F.col("__r"))), F.lit(0)).alias(
+            "__i_star"
+        ),
+        F.coalesce(F.max(F.when(feasible, F.col("__sat_cum"))), F.lit(0)).alias(
+            "__sat_star"
+        ),
+        F.coalesce(F.max(F.when(feasible, F.col("__tok_cum"))), F.lit(0)).alias(
+            "__tok_star"
+        ),
+    )
+    out = j.crossJoin(F.broadcast(sel))
+    level_micro = F.floor(
+        (F.col("__b") - F.col("__sat_star")).cast("double")
+        / (F.col("__total") - F.col("__tok_star")).cast("double")
+        * F.lit(1_000_000.0)
+        + F.lit(0.5)
+    ).cast("long")
+    saturated = F.col("__r") <= F.col("__i_star")
+    epochs_micro = F.when(
+        saturated, F.col("cap_epochs") * F.lit(1_000_000)
+    ).otherwise(level_micro)
+    allocated = F.when(
+        saturated, F.col("n_tokens") * F.col("cap_epochs")
+    ).otherwise(F.expr("n_tokens * __epm div 1000000"))
+    return (
+        out.withColumn("__epm", epochs_micro)
+        .select(
+            "source",
+            "n_tokens",
+            "mean_quality_micro",
+            "cap_epochs",
+            F.col("__epm").alias("epochs_micro"),
+            allocated.cast("long").alias("allocated_tokens"),
+            saturated.alias("saturated"),
+        )
+    )

@@ -1741,6 +1741,104 @@ FROM documents GROUP BY source
 """
 
 
+TCLOSE_T_MICRO = 200_000  # TV-distance release gate: t = 0.2
+
+
+def t_closeness_report(
+    documents: DataFrame, t_micro: int = TCLOSE_T_MICRO
+) -> DataFrame:
+    """(source, n_rows, n_langs_present, tv_micro, meets_t) —
+    t-closeness audit (Li, Li & Venkatasubramanian, ICDE 2007): the
+    third privacy release gate after ``k_anonymity_report`` (class
+    size) and ``l_diversity_report`` (distinct sensitive values).
+    l-diversity still leaks under the SKEWNESS attack — a class can
+    span many sensitive values yet have a distribution wildly
+    different from the corpus (e.g. 90% of one rare lang), which is
+    itself the disclosure. t-closeness bounds, per quasi-identifier
+    class (source), the distance between the class's sensitive-
+    attribute (lang) distribution and the GLOBAL one; for categorical
+    attributes the distance is total variation:
+    TV = ½ Σ_v |p_class(v) − p_global(v)|.
+
+    Output contract (COVERAGE.md encoding rule): deviations quantize
+    per CELL — dev_micro(v) = floor(|p_c − p_g|·1e6 + 0.5), then
+    tv_micro = Σ_v dev_micro // 2. Summing already-quantized BIGINTs
+    makes the aggregate order-independent (each cell value is one
+    abs + one subtraction over two single divisions of exact
+    integers), so no engine can drift on float summation order; the
+    ≤ ½·|langs| micro-unit quantization bias is noise at 1e-6
+    granularity.
+
+    Scale: one hash aggregation on (source, lang) — the planning
+    state is #sources × #langs rows regardless of corpus size; the
+    grid completion (langs absent from a class contribute p_global)
+    is a broadcast join of two tiny distinct lists."""
+    from ..functions.portable import micro
+
+    cls = documents.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    src_tot = cls.groupBy("source").agg(F.sum("__n").alias("__n_src"))
+    lang_tot = cls.groupBy("lang").agg(F.sum("__n").alias("__n_lang"))
+    grand = cls.agg(F.sum("__n").alias("__n_all"))
+    grid = (
+        src_tot.crossJoin(F.broadcast(lang_tot))
+        .join(cls, ["source", "lang"], "left_outer")
+        .crossJoin(F.broadcast(grand))
+    )
+    p_c = F.coalesce(F.col("__n"), F.lit(0)).cast("double") / F.col(
+        "__n_src"
+    ).cast("double")
+    p_g = F.col("__n_lang").cast("double") / F.col("__n_all").cast("double")
+    dev_micro = micro(F.abs(p_c - p_g))
+    return (
+        grid.groupBy("source")
+        .agg(
+            F.max("__n_src").alias("n_rows"),
+            F.sum(F.when(F.col("__n").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_langs_present"),
+            (F.sum(dev_micro) / F.lit(2)).cast("long").alias("tv_micro"),
+        )
+        .select(
+            "source",
+            "n_rows",
+            "n_langs_present",
+            "tv_micro",
+            (F.col("tv_micro") <= t_micro).alias("meets_t"),
+        )
+    )
+
+
+def sql_t_closeness_report(t_micro: int = TCLOSE_T_MICRO) -> str:
+    """DuckDB oracle for ``t_closeness_report`` — identical per-cell
+    quantization, identical integer halving."""
+    return f"""
+WITH cls AS (SELECT source, lang, COUNT(*) AS n
+             FROM documents GROUP BY 1, 2),
+st AS (SELECT source, SUM(n) AS n_src FROM cls GROUP BY 1),
+lt AS (SELECT lang, SUM(n) AS n_lang FROM cls GROUP BY 1),
+g AS (SELECT SUM(n) AS n_all FROM cls),
+grid AS (SELECT st.source, lt.lang, st.n_src, lt.n_lang, cls.n
+         FROM st CROSS JOIN lt
+         LEFT JOIN cls ON cls.source = st.source AND cls.lang = lt.lang),
+cells AS (SELECT source, n_src,
+                 CASE WHEN n IS NOT NULL THEN 1 ELSE 0 END AS present,
+                 CAST(FLOOR(abs(CAST(COALESCE(n, 0) AS DOUBLE)
+                                / CAST(n_src AS DOUBLE)
+                                - CAST(n_lang AS DOUBLE)
+                                / CAST(g.n_all AS DOUBLE)) * 1000000 + 0.5)
+                      AS BIGINT) AS dev_micro
+          FROM grid, g)
+SELECT source,
+       CAST(MAX(n_src) AS BIGINT) AS n_rows,
+       CAST(SUM(present) AS BIGINT) AS n_langs_present,
+       CAST(SUM(dev_micro) // 2 AS BIGINT) AS tv_micro,
+       SUM(dev_micro) // 2 <= {t_micro} AS meets_t
+FROM cells GROUP BY 1
+"""
+
+
 def quality_psi_by_source(
     documents: DataFrame, n_buckets: int = 10
 ) -> DataFrame:

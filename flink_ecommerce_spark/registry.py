@@ -782,6 +782,16 @@ def _q_quality_scores(spark, sf):
     return text.quality_scores_int(_t("documents")(spark, sf))
 
 
+def _q_t_closeness_report(spark, sf):
+    return text.t_closeness_report(_t("documents")(spark, sf))
+
+
+def _q_epoch_mixture(spark, sf):
+    from .operators.sampling import epoch_mixture
+
+    return epoch_mixture(_t("documents")(spark, sf))
+
+
 def _q_doc_fingerprints(spark, sf):
     return text.doc_fingerprints(_t("documents")(spark, sf))
 
@@ -4148,6 +4158,7 @@ FROM terms GROUP BY source
 """
 
 ORACLES["l_diversity_report"] = text.sql_l_diversity_report()
+ORACLES["t_closeness_report"] = text.sql_t_closeness_report()
 
 ORACLES["conversion_survival"] = temporal.sql_conversion_survival()
 
@@ -4951,6 +4962,63 @@ SELECT q.doc_id, q.quality, n.l2_norm,
 FROM q JOIN n ON q.doc_id = n.doc_id
 """
 
+# epoch_mixture: per-doc quality quantizes to micro BEFORE the source
+# mean (integer division — no float-summation drift), embedding the
+# integer quality_scores oracle; the epoch water-fill mirrors
+# operators/sampling.py::epoch_mixture line for line.
+from .operators.sampling import (  # noqa: E402
+    EPOCH_BUDGET_MULT as _EP_MULT,
+    EPOCH_CAP_HI as _EP_HI,
+    EPOCH_CAP_LO as _EP_LO,
+)
+
+ORACLES["epoch_mixture"] = f"""
+WITH q AS (SELECT doc_id, quality_micro FROM ({ORACLES['quality_scores']})),
+d AS (SELECT dd.source,
+             CAST(len(regexp_extract_all(dd.text, '\\S+')) AS BIGINT) AS nt,
+             q.quality_micro AS qm
+      FROM documents dd JOIN q ON q.doc_id = dd.doc_id),
+ps AS (SELECT source, CAST(SUM(nt) AS BIGINT) AS n_tokens,
+              CAST(SUM(qm) // COUNT(*) AS BIGINT) AS mean_quality_micro
+       FROM d GROUP BY 1),
+tiers AS (SELECT source, n_tokens, mean_quality_micro,
+                 CASE WHEN ROW_NUMBER() OVER (ORDER BY mean_quality_micro DESC,
+                                              source ASC)
+                           <= CAST(CEIL(COUNT(*) OVER () / 2.0) AS BIGINT)
+                      THEN {_EP_HI} ELSE {_EP_LO} END AS cap_epochs
+          FROM ps),
+rk AS (SELECT *, ROW_NUMBER() OVER (ORDER BY cap_epochs ASC, source ASC) AS r,
+              SUM(n_tokens * cap_epochs) OVER (ORDER BY cap_epochs ASC, source ASC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sat_cum,
+              SUM(n_tokens) OVER (ORDER BY cap_epochs ASC, source ASC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tok_cum
+       FROM tiers),
+tot AS (SELECT MAX(r) AS k, SUM(n_tokens) AS total,
+               CAST(FLOOR(SUM(n_tokens) * {_EP_MULT}) AS BIGINT) AS b
+        FROM rk),
+sel AS (SELECT COALESCE(MAX(CASE WHEN sat_cum + cap_epochs * (total - tok_cum)
+                                      <= b THEN r END), 0) AS i_star,
+               COALESCE(MAX(CASE WHEN sat_cum + cap_epochs * (total - tok_cum)
+                                      <= b THEN sat_cum END), 0) AS sat_star,
+               COALESCE(MAX(CASE WHEN sat_cum + cap_epochs * (total - tok_cum)
+                                      <= b THEN tok_cum END), 0) AS tok_star
+        FROM rk, tot),
+lev AS (SELECT rk.*, sel.i_star,
+               CASE WHEN rk.r <= sel.i_star THEN rk.cap_epochs * 1000000
+                    ELSE CAST(FLOOR(CAST(tot.b - sel.sat_star AS DOUBLE)
+                                    / CAST(tot.total - sel.tok_star AS DOUBLE)
+                                    * 1000000 + 0.5) AS BIGINT) END AS em
+        FROM rk, tot, sel)
+SELECT source, n_tokens, mean_quality_micro,
+       CAST(cap_epochs AS BIGINT) AS cap_epochs,
+       CAST(em AS BIGINT) AS epochs_micro,
+       CAST(CASE WHEN r <= i_star THEN n_tokens * cap_epochs
+                 ELSE n_tokens * em // 1000000 END AS BIGINT)
+         AS allocated_tokens,
+       r <= i_star AS saturated
+FROM lev
+"""
+
 from .operators.clustering import kmeans_oracle_sql as _kmeans_oracle_sql
 
 _SPEC_DEFS: dict[str, QuerySpec] = {
@@ -5370,6 +5438,12 @@ _SPEC_DEFS: dict[str, QuerySpec] = {
     "quality_psi_by_source": QuerySpec(
         _q_quality_psi_by_source, ORACLES["quality_psi_by_source"]
     ),
+    "t_closeness_report": QuerySpec(
+        _q_t_closeness_report, ORACLES["t_closeness_report"]
+    ),
+    "epoch_mixture": QuerySpec(
+        _q_epoch_mixture, ORACLES["epoch_mixture"], bench=True
+    ),
     "l_diversity_report": QuerySpec(
         _q_l_diversity_report, ORACLES["l_diversity_report"]
     ),
@@ -5575,8 +5649,11 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "block_profile",
     "asof_last_click",
     "interval_join_click_purchase",
-    "raw_transactions",
-    "props_extract",
+    # (5) the round's other two new queries: the t-closeness release
+    # gate (completing k-anonymity -> l-diversity -> t-closeness) and
+    # the repeat-capped epoch allocator for data-constrained budgets.
+    "t_closeness_report",
+    "epoch_mixture",
 )
 assert set(_VERIFY_FIRST) <= set(_SPEC_DEFS), sorted(
     set(_VERIFY_FIRST) - set(_SPEC_DEFS)
