@@ -48,7 +48,16 @@ re-rank above), greedy MMR exemplar selection, source-level
 MinHash overlap (mergeable per-source signatures), Kneser-Ney
 bigram LM surprisal, one-scan column profiling, and the
 skew-salted join pattern carrying its own external correctness
-row — plus the round-6 block: C4-style line-level dedup
+row — plus the round-7 block: the sampled-truth LSH recall meter
+(exact truth over a deterministic 1-in-mod hash sample so the meter
+stays in budget above the exact-pairs crossover), the t-closeness
+release gate (total-variation distance per quasi-identifier class —
+completing k-anonymity → l-diversity → t-closeness), the
+repeat-capped epoch allocator for data-constrained token budgets
+(quality-tiered caps, closed-form epoch water-fill), and the r02
+block's integer-contract migration (*_micro / cents BIGINTs replace
+every ROUND(double) final column entering the r07 verify window)
+— plus the round-6 block: C4-style line-level dedup
 (boilerplate_lines census + line_dedup global first-occurrence
 keep), the water-filling token budget allocator, the
 exact-pairs→LSH crossover planner, PQ re-rank widened to the

@@ -712,6 +712,121 @@ def incremental_fuzzy_dedup(
     return new_docs.join(flagged, "doc_id", "left_anti")
 
 
+FUZZY_DECON_NUM = 7  # contamination Jaccard threshold as the exact
+FUZZY_DECON_DEN = 10  # rational 7/10 — integer-only gate arithmetic
+
+
+def fuzzy_decontaminate(
+    documents: DataFrame,
+    eval_mod: int = 20,
+    threshold_num: int = FUZZY_DECON_NUM,
+    threshold_den: int = FUZZY_DECON_DEN,
+    num_hashes: int = NUM_HASHES,
+    num_bands: int = NUM_BANDS,
+) -> DataFrame:
+    """(doc_id, eval_doc_id, jaccard_micro) — NEAR-duplicate benchmark
+    contamination: training documents with a verified near-duplicate
+    (shingle Jaccard ≥ num/den) in the held-out eval slice, each with
+    its best-matching eval doc. The fuzzy twin of ``decontaminate``:
+    the exact operator scores 3-gram OVERLAP (which a light paraphrase
+    or re-template dilutes below any threshold), this one catches the
+    whole-document rewrites that actually leak benchmarks into
+    training sets (the decontamination analogue of
+    ``incremental_fuzzy_dedup``'s admission problem, with eval as the
+    "history").
+
+    Scale shape: candidates come from the MinHash-LSH band join
+    (train bands × eval bands on (band, bucket) — cost tracks bucket
+    collisions, and the eval side is benchmark-sized, never
+    corpus-sized); the exact-Jaccard verify explodes shingles for
+    CANDIDATE docs only. The S-curve at (16, 4) centers ≈ 0.707, so at
+    7/10 the banding reads at its design point — like all fuzzy-dedup
+    paths, recall below the curve's shoulder is metered, not assumed
+    (``lsh_recall_sampled``). The threshold gate is pure integer
+    arithmetic (den·n_inter ≥ num·(|A|+|B|−n_inter)); jaccard ships
+    as micro per the encoding rule, and the best-match pick orders on
+    (jaccard_micro DESC, eval_doc_id ASC) — a total integer order."""
+    from pyspark.sql import Window
+
+    from ..functions.portable import micro
+
+    train = documents.filter((F.col("doc_id") % eval_mod) != 0)
+    eval_docs = documents.filter((F.col("doc_id") % eval_mod) == 0)
+    tb = _band_buckets(
+        minhash_signatures(train, num_hashes=num_hashes), num_hashes, num_bands
+    )
+    eb = _band_buckets(
+        minhash_signatures(eval_docs, num_hashes=num_hashes),
+        num_hashes,
+        num_bands,
+    )
+    cands = (
+        tb.alias("t")
+        .join(
+            eb.alias("e"),
+            (F.col("t.band") == F.col("e.band"))
+            & (F.col("t.bucket") == F.col("e.bucket")),
+        )
+        .select(
+            F.col("t.doc_id").alias("doc_id"),
+            F.col("e.doc_id").alias("eval_doc_id"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    t_sh = _doc_shingles(
+        train.join(cands.select("doc_id"), "doc_id", "left_semi")
+    ).localCheckpoint(eager=True)
+    e_sh = _doc_shingles(
+        eval_docs.join(
+            cands.select(F.col("eval_doc_id").alias("doc_id")),
+            "doc_id",
+            "left_semi",
+        )
+    ).localCheckpoint(eager=True)
+    t_sizes = t_sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("na"))
+    e_sizes = e_sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nb"))
+    inter = (
+        cands.join(t_sh, "doc_id")
+        .join(
+            e_sh.select(F.col("doc_id").alias("eval_doc_id"), "shingle"),
+            ["eval_doc_id", "shingle"],
+        )
+        .groupBy("doc_id", "eval_doc_id")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    scored = (
+        inter.join(t_sizes, "doc_id")
+        .join(
+            e_sizes.select(F.col("doc_id").alias("eval_doc_id"), "nb"),
+            "eval_doc_id",
+        )
+        .filter(
+            F.lit(threshold_den) * F.col("n_inter")
+            >= F.lit(threshold_num)
+            * (F.col("na") + F.col("nb") - F.col("n_inter"))
+        )
+        .select(
+            "doc_id",
+            "eval_doc_id",
+            micro(
+                F.col("n_inter").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("n_inter")).cast("double")
+            ).alias("jaccard_micro"),
+        )
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("doc_id").orderBy(
+            F.desc("jaccard_micro"), F.asc("eval_doc_id")
+        )
+    )
+    return (
+        scored.withColumn("__rk", rk)
+        .filter(F.col("__rk") == 1)
+        .select("doc_id", "eval_doc_id", "jaccard_micro")
+    )
+
+
 def shingle_novelty(
     documents: DataFrame, max_df_frac: float = NGRAM_MAX_DF_FRAC
 ) -> DataFrame:

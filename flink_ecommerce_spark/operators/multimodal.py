@@ -233,3 +233,139 @@ def media_dedup(with_payload: DataFrame) -> DataFrame:
             ((F.count(F.lit(1)) - 1) * F.max("__bytes")).alias("dup_bytes"),
         )
     )
+
+
+AHASH_CELLS = 64  # 8x8 perceptual grid
+AHASH_BAND_BITS = 8  # 8 bands -> pigeonhole-exact for hamming <= 7
+AHASH_HAMMING_MAX = 7
+
+# The 8x8 mean-downsample as a portable expression: cell i is the
+# integer mean codepoint over the i-th of 64 equal character ranges
+# (the stub stand-in for mean luma over the i-th pixel block — local
+# edits perturb one cell's mean slightly instead of rehashing it,
+# which is the property that makes aHash perceptual).
+_AHASH_SLICE = (
+    "slice(__cs, cast(1 + floor(i * size(__cs) / 64.0) as int), "
+    "greatest(1, cast(floor(size(__cs) / 64.0) as int)))"
+)
+_AHASH_CELL = (
+    f"case when size({_AHASH_SLICE}) > 0 then "
+    f"aggregate({_AHASH_SLICE}, cast(0 as bigint), (acc, c) -> acc + ascii(c)) "
+    f"div size({_AHASH_SLICE}) else cast(0 as bigint) end"
+)
+
+
+def media_ahash(documents: DataFrame) -> DataFrame:
+    """(doc_id, ahash_hi, ahash_lo) — 64-bit average-hash (aHash)
+    perceptual fingerprint over the (stub-)decoded payload: the
+    near-duplicate complement of ``media_dedup``'s exact byte hash.
+    Real pipelines mean-downsample decoded luma to an 8x8 grid and
+    set bit i where cell i >= the grid mean; this container has no
+    codecs, so the DECODE is the documented stub boundary — the grid
+    cell "intensity" is the mean character codepoint over the
+    payload's i-th range (deterministic, oracle-checkable, and
+    LOCALLY STABLE: a small edit shifts one cell's mean slightly
+    rather than rehashing it — the property that makes the hash
+    perceptual). Everything that makes aHash scale-worthy is real:
+    per-row expression pipeline (no shuffle), mean-thresholding in
+    exact integer arithmetic (64·cell >= Σcells — no division,
+    cell means by integer div), and the two-halves 32-bit packing
+    shared with ``simhash`` so every downstream bit/shift/popcount
+    op is engine-portable with no signed-64 edge cases.
+
+    Swap the cell expression for real luma means and NOTHING
+    downstream changes — banding, hamming verify, and the pairs
+    operator are representation-agnostic."""
+    d1 = documents.select(
+        "doc_id",
+        F.expr("regexp_extract_all(text, '(?s).', 0)").alias("__cs"),
+    )
+    d2 = d1.select(
+        "doc_id",
+        F.expr(f"transform(sequence(0, 63), i -> {_AHASH_CELL})").alias(
+            "__pix"
+        ),
+    )
+    d3 = d2.select(
+        "doc_id",
+        "__pix",
+        F.expr(
+            "aggregate(__pix, cast(0 as bigint), (acc, x) -> acc + x)"
+        ).alias("__tot"),
+    )
+
+    def pack(lo_bit: int, hi_bit: int) -> str:
+        return (
+            f"aggregate(sequence({lo_bit}, {hi_bit}), cast(0 as bigint), "
+            "(acc, i) -> acc + if(64 * element_at(__pix, i + 1) >= __tot, "
+            f"cast(pow(2, i - {lo_bit}) as bigint), cast(0 as bigint)))"
+        )
+
+    return d3.select(
+        "doc_id",
+        F.expr(pack(32, 63)).alias("ahash_hi"),
+        F.expr(pack(0, 31)).alias("ahash_lo"),
+    )
+
+
+def media_ahash_pairs(
+    documents: DataFrame,
+    max_hamming: int = AHASH_HAMMING_MAX,
+    band_bits: int = AHASH_BAND_BITS,
+) -> DataFrame:
+    """(doc_a, doc_b, hamming) — perceptual near-duplicate pairs by
+    aHash hamming distance ≤ max_hamming, candidates from matching
+    any ``band_bits``-wide band (simhash_near_pairs' banding shape).
+    Pigeonhole: with B = 64/band_bits bands, a pair at hamming < B
+    must share an untouched band — at 8-bit bands B = 8 > 7, so
+    recall is EXACT for the shipped threshold. Scale knob: 8-bit
+    bands give 256 buckets per band, so at large corpora hot buckets
+    form from true perceptual-dup mass — size the width with
+    ``dedup.simhash_plan_for(corpus_size)`` exactly as the simhash
+    family does (wider bands bound the self-join; recall beyond the
+    pigeonhole bound is then metered, not assumed)."""
+    assert 64 % band_bits == 0 and band_bits in (8, 16, 32)
+    sh = media_ahash(documents).localCheckpoint(eager=True)
+    mask = (1 << band_bits) - 1
+    structs = []
+    for k in range(64 // band_bits):
+        off = k * band_bits
+        src, rel = ("ahash_lo", off) if off < 32 else ("ahash_hi", off - 32)
+        structs.append(
+            F.struct(
+                F.lit(k).alias("k"),
+                F.expr(f"({src} >> {rel}) & {mask}").alias("bandval"),
+            )
+        )
+    bands = sh.select(
+        "doc_id",
+        "ahash_hi",
+        "ahash_lo",
+        F.explode(F.array(*structs)).alias("bb"),
+    ).select(
+        "doc_id",
+        "ahash_hi",
+        "ahash_lo",
+        F.col("bb.k").alias("k"),
+        F.col("bb.bandval").alias("bandval"),
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.k") == F.col("b.k"))
+            & (F.col("a.bandval") == F.col("b.bandval"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.expr(
+                "bit_count(a.ahash_hi ^ b.ahash_hi)"
+                " + bit_count(a.ahash_lo ^ b.ahash_lo)"
+            ).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -580,6 +580,18 @@ def _q_lsh_recall_report(spark, sf):
     return dedup.lsh_recall_report(_t("documents")(spark, sf))
 
 
+def _q_fuzzy_decontaminate(spark, sf):
+    return dedup.fuzzy_decontaminate(_t("documents")(spark, sf))
+
+
+def _q_media_ahash(spark, sf):
+    return multimodal.media_ahash(_t("documents")(spark, sf))
+
+
+def _q_media_ahash_pairs(spark, sf):
+    return multimodal.media_ahash_pairs(_t("documents")(spark, sf))
+
+
 def _q_lsh_recall_sampled(spark, sf):
     """The above-crossover recall meter (VERDICT r06 #5): exact truth
     over a deterministic 1-in-2 portable-hash document sample. The
@@ -1560,6 +1572,51 @@ _SIMHASH_BAND_SELECTS = "\nUNION ALL\n".join(
         mask=_SIMHASH_MASK,
     )
     for k in range(dedup.SIMHASH_BITS // dedup.SIMHASH_BAND_BITS)
+)
+
+
+# media aHash: the 8x8 mean-downsample grid, mean-threshold bits, and
+# two-halves packing — mirrors operators/multimodal.py::media_ahash.
+from .operators import multimodal as _mm  # noqa: E402
+
+_AHASH_POS = "CAST(1 + FLOOR(i * len(cs) / 64.0) AS BIGINT)"
+_AHASH_CLEN = "GREATEST(1, CAST(FLOOR(len(cs) / 64.0) AS BIGINT))"
+_AHASH_SLICE_SQL = (
+    f"list_slice(cs, {_AHASH_POS}, {_AHASH_POS} + {_AHASH_CLEN} - 1)"
+)
+_AHASH_CELL_SQL = (
+    f"CASE WHEN len({_AHASH_SLICE_SQL}) > 0 THEN "
+    f"CAST(list_sum(list_transform({_AHASH_SLICE_SQL}, c -> ascii(c))) "
+    f"// len({_AHASH_SLICE_SQL}) AS BIGINT) ELSE 0 END"
+)
+_AHASH_CTE = f"""
+ac AS (SELECT doc_id, regexp_extract_all(text, '(?s).') AS cs FROM documents),
+ap AS (SELECT doc_id,
+              list_transform(generate_series(0, 63), i -> {_AHASH_CELL_SQL})
+                AS pix
+       FROM ac),
+att AS (SELECT doc_id, pix, list_sum(pix) AS tot FROM ap),
+ah AS (SELECT doc_id,
+  CAST(list_sum(list_transform(generate_series(32, 63),
+       i -> CASE WHEN 64 * pix[i + 1] >= tot
+                 THEN CAST(POW(2, i - 32) AS BIGINT) ELSE 0 END))
+       AS BIGINT) AS ahash_hi,
+  CAST(list_sum(list_transform(generate_series(0, 31),
+       i -> CASE WHEN 64 * pix[i + 1] >= tot
+                 THEN CAST(POW(2, i) AS BIGINT) ELSE 0 END))
+       AS BIGINT) AS ahash_lo
+  FROM att)
+"""
+_AHASH_MASK = (1 << 8) - 1
+_AHASH_BAND_SELECTS = "\nUNION ALL\n".join(
+    "SELECT doc_id, ahash_hi, ahash_lo, {k} AS k, "
+    "(({src} >> {rel}) & {mask}) AS bandval FROM ah".format(
+        k=k,
+        src="ahash_lo" if k * 8 < 32 else "ahash_hi",
+        rel=(k * 8) % 32,
+        mask=_AHASH_MASK,
+    )
+    for k in range(8)
 )
 
 
@@ -2899,6 +2956,41 @@ SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS n_true,
        ROUND((SELECT COUNT(*) FROM hit) / (SELECT COUNT(*) FROM truth), 6)
          AS recall
 """,
+    # fuzzy_decontaminate: LSH candidacy mirrored band-for-band (like
+    # lsh_recall_report), split train/eval on the decontaminate
+    # fixture mod; the threshold gate is the exact rational 7/10 in
+    # integer arithmetic on both engines
+    "fuzzy_decontaminate": f"""
+WITH {_SIG_CTE},
+bands AS ({_BANDS_SELECTS}),
+cand AS (SELECT a.doc_id AS doc_id, b.doc_id AS eval_doc_id
+         FROM bands a JOIN bands b
+           ON a.band = b.band AND a.bucket = b.bucket
+         WHERE a.doc_id % 20 <> 0 AND b.doc_id % 20 = 0
+         GROUP BY 1, 2),
+ds AS (SELECT DISTINCT doc_id, s AS shingle
+       FROM (SELECT doc_id, unnest(shingles) AS s FROM sh)),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM ds GROUP BY 1),
+inter AS (SELECT c.doc_id, c.eval_doc_id, COUNT(*) AS n_inter
+          FROM cand c
+          JOIN ds a ON a.doc_id = c.doc_id
+          JOIN ds b ON b.doc_id = c.eval_doc_id AND b.shingle = a.shingle
+          GROUP BY 1, 2),
+scored AS (SELECT i.doc_id, i.eval_doc_id,
+                  CAST(FLOOR((CAST(i.n_inter AS DOUBLE)
+                              / CAST(sa.n_sh + sb.n_sh - i.n_inter AS DOUBLE))
+                             * 1000000 + 0.5) AS BIGINT) AS jaccard_micro
+           FROM inter i
+           JOIN sizes sa ON sa.doc_id = i.doc_id
+           JOIN sizes sb ON sb.doc_id = i.eval_doc_id
+           WHERE {dedup.FUZZY_DECON_DEN} * i.n_inter
+                 >= {dedup.FUZZY_DECON_NUM} * (sa.n_sh + sb.n_sh - i.n_inter))
+SELECT doc_id, eval_doc_id, jaccard_micro
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                ORDER BY jaccard_micro DESC, eval_doc_id ASC) AS rk
+      FROM scored)
+WHERE rk = 1
+""",
     # lsh_recall_sampled: same report over the deterministic 1-in-2
     # hash sample; candidacy is pairwise (own signatures only), so
     # within-sample candidacy is identical to the full run
@@ -3290,6 +3382,21 @@ FROM bands a JOIN bands b
   ON a.k = b.k AND a.bandval = b.bandval AND a.doc_id < b.doc_id
 WHERE bit_count(xor(a.simhash_hi, b.simhash_hi))
       + bit_count(xor(a.simhash_lo, b.simhash_lo)) <= {dedup.HAMMING_MAX}
+""",
+    "media_ahash": f"""
+WITH {_AHASH_CTE}
+SELECT doc_id, ahash_hi, ahash_lo FROM ah
+""",
+    "media_ahash_pairs": f"""
+WITH {_AHASH_CTE},
+bands AS ({_AHASH_BAND_SELECTS})
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.ahash_hi, b.ahash_hi))
+            + bit_count(xor(a.ahash_lo, b.ahash_lo)) AS INT) AS hamming
+FROM bands a JOIN bands b
+  ON a.k = b.k AND a.bandval = b.bandval AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.ahash_hi, b.ahash_hi))
+      + bit_count(xor(a.ahash_lo, b.ahash_lo)) <= {_mm.AHASH_HAMMING_MAX}
 """,
     "token_counts": """
 SELECT doc_id,
@@ -5187,6 +5294,13 @@ _SPEC_DEFS: dict[str, QuerySpec] = {
     ),
     "lsh_recall_sampled": QuerySpec(
         _q_lsh_recall_sampled, ORACLES["lsh_recall_sampled"]
+    ),
+    "fuzzy_decontaminate": QuerySpec(
+        _q_fuzzy_decontaminate, ORACLES["fuzzy_decontaminate"]
+    ),
+    "media_ahash": QuerySpec(_q_media_ahash, ORACLES["media_ahash"]),
+    "media_ahash_pairs": QuerySpec(
+        _q_media_ahash_pairs, ORACLES["media_ahash_pairs"]
     ),
     "lsh_recall_report": QuerySpec(
         _q_lsh_recall_report, ORACLES["lsh_recall_report"]

@@ -200,3 +200,79 @@ def test_curated_corpus_int_same_survivors(spark):
     legacy = {(r["doc_id"], r["rk"]) for r in curated_corpus(docs).collect()}
     new = {(r["doc_id"], r["rk"]) for r in curated_corpus_int(docs).collect()}
     assert legacy == new
+
+
+# ------------------------------------------------- fuzzy decontamination
+
+
+def _docs_ids(spark, rows):
+    """rows: (doc_id, text, source) — explicit ids to control the
+    eval slice (doc_id % 20 == 0)."""
+    return spark.createDataFrame(
+        [(i, t, "en", s, len(t)) for i, t, s in rows], DOCUMENTS_SCHEMA
+    )
+
+
+def test_fuzzy_decontaminate_flags_near_dup_of_eval(spark):
+    from flink_ecommerce_spark.operators.dedup import fuzzy_decontaminate
+
+    eval_text = (
+        "the quick brown fox jumps over the lazy dog near the quiet river "
+        "bank on a sunny spring afternoon while birds sing softly overhead"
+    )
+    near = eval_text.replace("sunny", "bright")  # light paraphrase
+    far = "completely different content about database query planning"
+    docs = _docs_ids(
+        spark,
+        [(0, eval_text, "a"), (1, near, "a"), (2, far, "b")],
+    )
+    got = {r["doc_id"]: r for r in fuzzy_decontaminate(docs).collect()}
+    assert 1 in got and got[1]["eval_doc_id"] == 0
+    assert got[1]["jaccard_micro"] >= 700_000
+    assert 2 not in got
+
+
+def test_fuzzy_decontaminate_exact_copy_scores_full(spark):
+    from flink_ecommerce_spark.operators.dedup import fuzzy_decontaminate
+
+    t = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = _docs_ids(spark, [(0, t, "a"), (3, t, "a")])
+    got = fuzzy_decontaminate(docs).collect()
+    assert len(got) == 1
+    assert got[0]["doc_id"] == 3 and got[0]["jaccard_micro"] == 1_000_000
+
+
+# -------------------------------------------------------- perceptual aHash
+
+
+def test_media_ahash_exact_dup_hamming_zero(spark):
+    from flink_ecommerce_spark.operators.multimodal import media_ahash
+
+    t = "some reasonably long media payload stand-in text " * 8
+    docs = _docs_ids(spark, [(1, t, "a"), (2, t, "b")])
+    rows = {r["doc_id"]: r for r in media_ahash(docs).collect()}
+    assert rows[1]["ahash_hi"] == rows[2]["ahash_hi"]
+    assert rows[1]["ahash_lo"] == rows[2]["ahash_lo"]
+    # halves stay in non-negative 32-bit range (portability invariant)
+    for r in rows.values():
+        assert 0 <= r["ahash_hi"] < 2**32 and 0 <= r["ahash_lo"] < 2**32
+
+
+def test_media_ahash_locality_and_pairs(spark):
+    """A small local edit perturbs few mean cells -> small hamming;
+    the band join surfaces the pair; unrelated payloads stay apart."""
+    from flink_ecommerce_spark.operators.multimodal import (
+        AHASH_HAMMING_MAX,
+        media_ahash_pairs,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog " * 10
+    edited = base.replace("lazy", "hazy", 1)  # one-char local change
+    other = "zzzz!!!! @@@@ ???? #### %%%% ^^^^ &&&& ****" * 10
+    docs = _docs_ids(spark, [(1, base, "a"), (2, edited, "a"), (3, other, "b")])
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in media_ahash_pairs(docs).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] <= AHASH_HAMMING_MAX
+    assert (1, 3) not in pairs and (2, 3) not in pairs
