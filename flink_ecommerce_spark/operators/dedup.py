@@ -942,6 +942,93 @@ def containment_pairs(
     )
 
 
+CONTAIN_SKETCH_K = 16
+CONTAIN_NUM = 4  # containment threshold as the exact rational 4/5,
+CONTAIN_DEN = 5  # matching containment_pairs' 0.8 default
+
+
+def containment_sketch_pairs(
+    documents: DataFrame,
+    threshold_num: int = CONTAIN_NUM,
+    threshold_den: int = CONTAIN_DEN,
+    k: int = CONTAIN_SKETCH_K,
+    max_df_frac: float = NGRAM_MAX_DF_FRAC,
+) -> DataFrame:
+    """(doc_a, doc_b, k_eff, n_hits, containment_est_micro) — the
+    SCALE path ``containment_pairs`` promises in its docstring: the
+    bottom-k containment sketch (Broder's sampling argument) replaces
+    the full posting self-join. Per document, keep the k shingles
+    with the smallest portable hash (a deterministic uniform sample
+    of its capped shingle set — the ``kmv_sample`` primitive); the
+    estimate of C(A→B) is the fraction of A's sampled shingles
+    present in B, and pairs pass when den·n_hits ≥ num·k_eff (exact
+    integer gate). Directed output: (doc_a contained-in doc_b).
+
+    Why it scales where the exact join doesn't: the sample side is k
+    rows per document — FIXED bytes per doc regardless of document
+    size — so join cost is Σ_sampled-shingle df ≤ k·df_cap per doc,
+    linear in corpus size; the exact operator's join cost is
+    Σ_all-shingles df. Estimator properties are explicit, not
+    hidden: k_eff rides along as the per-pair evidence count
+    (σ ≈ √(c(1−c)/k)), the estimate lives in the same df-capped
+    shingle universe as ``containment_pairs``/``ngram_jaccard_pairs``
+    (sample and postings drawn from the SAME capped universe, so the
+    estimate is unbiased within it), and the exact operator remains
+    the sub-crossover answer — this is the above-crossover meter,
+    exactly the ``lsh_recall_sampled`` discipline."""
+    from pyspark.sql import Window
+
+    from ..functions.portable import hash32, micro
+
+    sh_all = _doc_shingles(documents).localCheckpoint(eager=True)
+    n_docs = documents.select(F.countDistinct("doc_id").alias("n_docs"))
+    hot = (
+        sh_all.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .crossJoin(F.broadcast(n_docs))
+        .filter(F.col("df") > max_df_frac * F.col("n_docs"))
+        .select("shingle")
+    )
+    sh = sh_all.join(F.broadcast(hot), "shingle", "left_anti").localCheckpoint(
+        eager=True
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.asc("__h"), F.asc("shingle"))
+    sample = (
+        sh.withColumn("__h", hash32(F.col("shingle"), salt="kc"))
+        .withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .select("doc_id", "shingle")
+    )
+    k_eff = sample.groupBy("doc_id").agg(F.count(F.lit(1)).alias("k_eff"))
+    hits = (
+        sample.select(F.col("doc_id").alias("doc_a"), "shingle")
+        .join(
+            sh.select(F.col("doc_id").alias("doc_b"), "shingle"), "shingle"
+        )
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        hits.join(
+            k_eff.select(F.col("doc_id").alias("doc_a"), "k_eff"), "doc_a"
+        )
+        .filter(
+            F.lit(threshold_den) * F.col("n_hits")
+            >= F.lit(threshold_num) * F.col("k_eff")
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "k_eff",
+            "n_hits",
+            micro(
+                F.col("n_hits").cast("double") / F.col("k_eff").cast("double")
+            ).alias("containment_est_micro"),
+        )
+    )
+
+
 def repeated_substring_spans(
     documents: DataFrame, k: int = 8, min_tokens: int = 16
 ) -> DataFrame:

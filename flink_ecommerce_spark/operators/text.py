@@ -74,6 +74,93 @@ def lang_id(documents: DataFrame) -> DataFrame:
     )
 
 
+def code_switch_report(documents: DataFrame) -> DataFrame:
+    """(doc_id, n_sentences, n_und, majority_lang, switch_frac_micro)
+    — per-document language-mixture detection: language-ID each
+    SENTENCE (same stopword profiles and argmax priority as
+    ``lang_id``, same portable sentence boundary as
+    ``sentence_chunks``), then report how much of the document
+    disagrees with its majority language. Mixed-language documents
+    (code-switching, untranslated boilerplate, scraped chrome in
+    another language) hurt monolingual training targets and slip past
+    DOCUMENT-level lang-id, which this catches: switch_frac = the
+    fraction of classified (non-'und') sentences outside the majority
+    language, shipped as micro per the encoding rule (NULL when no
+    sentence classified). Majority tie-break: (count DESC, lang ASC)
+    — a total order.
+
+    Scale: the posexplode is bounded by each doc's own sentence
+    count; per-sentence scoring is pure array expressions; the two
+    aggregations key on (doc, pred) then doc with map-side combine —
+    per-doc state is bounded by the language-profile domain, not the
+    document."""
+    from ..functions.portable import micro
+
+    sents = (
+        documents.select(
+            "doc_id",
+            F.explode(
+                F.expr(r"regexp_extract_all(text, '[^.!?]+[.!?]?', 0)")
+            ).alias("sent"),
+        )
+        .withColumn("sent", F.trim("sent"))
+        .filter(F.length("sent") > 0)
+    )
+    ws = words(F.col("sent"))
+
+    def score(markers: tuple[str, ...]):
+        # single-arg lambda only (F.filter treats two-arg lambdas as
+        # (element, index) — the conftest gotcha lang_id documents)
+        return F.size(F.filter(ws, lambda w: w.isin(*markers)))
+
+    scores = {lang: score(m) for lang, m in LANG_PROFILES.items()}
+    best = F.greatest(*scores.values())
+    pred = F.when(best == 0, F.lit("und"))
+    for lang in LANG_PROFILES:  # fixed dict order = fixed priority
+        pred = pred.when(scores[lang] == best, F.lit(lang))
+    counts = (
+        sents.select("doc_id", pred.alias("pred"))
+        .groupBy("doc_id", "pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = counts.groupBy("doc_id").agg(
+        F.sum("n").alias("n_sentences"),
+        F.sum(F.when(F.col("pred") == "und", F.col("n")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("n_und"),
+    )
+    from pyspark.sql import Window
+
+    rk = F.row_number().over(
+        Window.partitionBy("doc_id").orderBy(F.desc("n"), F.asc("pred"))
+    )
+    maj = (
+        counts.filter(F.col("pred") != "und")
+        .withColumn("__rk", rk)
+        .filter(F.col("__rk") == 1)
+        .select(
+            "doc_id",
+            F.col("pred").alias("majority_lang"),
+            F.col("n").alias("__maj_n"),
+        )
+    )
+    n_cls = F.col("n_sentences") - F.col("n_und")
+    return tot.join(maj, "doc_id", "left_outer").select(
+        "doc_id",
+        "n_sentences",
+        "n_und",
+        F.coalesce(F.col("majority_lang"), F.lit("und")).alias(
+            "majority_lang"
+        ),
+        F.when(
+            n_cls > 0,
+            micro(
+                (n_cls - F.col("__maj_n")).cast("double") / n_cls.cast("double")
+            ),
+        ).alias("switch_frac_micro"),
+    )
+
+
 def _quality_raw_column() -> Column:
     """The UNROUNDED logistic quality score as a per-row Column —
     the shared arithmetic core; legacy (rounded-double) and integer

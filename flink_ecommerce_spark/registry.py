@@ -584,6 +584,14 @@ def _q_fuzzy_decontaminate(spark, sf):
     return dedup.fuzzy_decontaminate(_t("documents")(spark, sf))
 
 
+def _q_containment_sketch_pairs(spark, sf):
+    return dedup.containment_sketch_pairs(_t("documents")(spark, sf))
+
+
+def _q_code_switch_report(spark, sf):
+    return text.code_switch_report(_t("documents")(spark, sf))
+
+
 def _q_media_ahash(spark, sf):
     return multimodal.media_ahash(_t("documents")(spark, sf))
 
@@ -2991,6 +2999,39 @@ FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
       FROM scored)
 WHERE rk = 1
 """,
+    # containment_sketch_pairs: bottom-k sample and postings drawn
+    # from the SAME df-capped shingle universe; the threshold gate is
+    # the exact rational 4/5 in integer arithmetic
+    "containment_sketch_pairs": f"""
+WITH sh0 AS (SELECT doc_id, {_SHINGLES} AS shingles FROM documents),
+ds0 AS (SELECT DISTINCT doc_id, s AS shingle
+        FROM (SELECT doc_id, unnest(shingles) AS s FROM sh0)),
+nd AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+hot AS (SELECT shingle
+        FROM (SELECT shingle, COUNT(*) AS df FROM ds0 GROUP BY 1) d, nd
+        WHERE d.df > {dedup.NGRAM_MAX_DF_FRAC} * nd.n_docs),
+ds AS (SELECT doc_id, shingle FROM ds0
+       WHERE shingle NOT IN (SELECT shingle FROM hot)),
+smp AS (SELECT doc_id, shingle
+        FROM (SELECT doc_id, shingle,
+                     ROW_NUMBER() OVER (PARTITION BY doc_id
+                       ORDER BY {sql_hash32('shingle', salt='kc')}, shingle)
+                       AS rk
+              FROM ds)
+        WHERE rk <= {dedup.CONTAIN_SKETCH_K}),
+keff AS (SELECT doc_id, COUNT(*) AS k_eff FROM smp GROUP BY 1),
+hits AS (SELECT s.doc_id AS doc_a, d.doc_id AS doc_b, COUNT(*) AS n_hits
+         FROM smp s JOIN ds d
+           ON d.shingle = s.shingle AND d.doc_id <> s.doc_id
+         GROUP BY 1, 2)
+SELECT h.doc_a, h.doc_b,
+       CAST(kf.k_eff AS BIGINT) AS k_eff,
+       CAST(h.n_hits AS BIGINT) AS n_hits,
+       CAST(FLOOR((CAST(h.n_hits AS DOUBLE) / CAST(kf.k_eff AS DOUBLE))
+                  * 1000000 + 0.5) AS BIGINT) AS containment_est_micro
+FROM hits h JOIN keff kf ON kf.doc_id = h.doc_a
+WHERE {dedup.CONTAIN_DEN} * h.n_hits >= {dedup.CONTAIN_NUM} * kf.k_eff
+""",
     # lsh_recall_sampled: same report over the deterministic 1-in-2
     # hash sample; candidacy is pairwise (own signatures only), so
     # within-sample candidacy is identical to the full run
@@ -3383,6 +3424,62 @@ FROM bands a JOIN bands b
 WHERE bit_count(xor(a.simhash_hi, b.simhash_hi))
       + bit_count(xor(a.simhash_lo, b.simhash_lo)) <= {dedup.HAMMING_MAX}
 """,
+    # code_switch_report: per-SENTENCE lang-id (same profiles/argmax
+    # as lang_id, same boundary as sentence_chunks), majority + the
+    # off-majority fraction in micro
+    "code_switch_report": """
+WITH s0 AS (SELECT doc_id,
+                   trim(unnest(regexp_extract_all(text, '[^.!?]+[.!?]?')))
+                     AS sent
+            FROM documents),
+s AS (SELECT doc_id, sent FROM s0 WHERE length(sent) > 0),
+sc AS (SELECT doc_id,
+  {scores}
+  FROM s),
+p AS (SELECT doc_id, {pred} AS pred FROM sc),
+c AS (SELECT doc_id, pred, COUNT(*) AS n FROM p GROUP BY 1, 2),
+t AS (SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_sentences,
+             CAST(SUM(CASE WHEN pred = 'und' THEN n ELSE 0 END) AS BIGINT)
+               AS n_und
+      FROM c GROUP BY 1),
+m AS (SELECT doc_id, pred AS majority_lang, n AS maj_n
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                         ORDER BY n DESC, pred ASC) AS rk
+            FROM c WHERE pred <> 'und')
+      WHERE rk = 1)
+SELECT t.doc_id, t.n_sentences, t.n_und,
+       COALESCE(m.majority_lang, 'und') AS majority_lang,
+       CASE WHEN t.n_sentences - t.n_und > 0 THEN
+         CAST(FLOOR((CAST(t.n_sentences - t.n_und - m.maj_n AS DOUBLE)
+                     / CAST(t.n_sentences - t.n_und AS DOUBLE))
+                    * 1000000 + 0.5) AS BIGINT)
+       ELSE NULL END AS switch_frac_micro
+FROM t LEFT JOIN m ON m.doc_id = t.doc_id
+""".format(
+        scores=",\n  ".join(
+            "CAST(len(list_filter({w}, x -> x IN ({m}))) AS INT) AS score_{lang}".format(
+                w=sql_words("sent"),
+                m=", ".join(f"'{s}'" for s in markers),
+                lang=lang,
+            )
+            for lang, markers in text.LANG_PROFILES.items()
+        ),
+        pred=(
+            "CASE WHEN greatest("
+            + ", ".join(f"score_{lg}" for lg in text.LANG_PROFILES)
+            + ") = 0 THEN 'und' "
+            + " ".join(
+                "WHEN score_{lg} = greatest({all}) THEN '{lg}'".format(
+                    lg=lg,
+                    all=", ".join(
+                        f"score_{g}" for g in text.LANG_PROFILES
+                    ),
+                )
+                for lg in text.LANG_PROFILES
+            )
+            + " END"
+        ),
+    ),
     "media_ahash": f"""
 WITH {_AHASH_CTE}
 SELECT doc_id, ahash_hi, ahash_lo FROM ah
@@ -5297,6 +5394,12 @@ _SPEC_DEFS: dict[str, QuerySpec] = {
     ),
     "fuzzy_decontaminate": QuerySpec(
         _q_fuzzy_decontaminate, ORACLES["fuzzy_decontaminate"]
+    ),
+    "code_switch_report": QuerySpec(
+        _q_code_switch_report, ORACLES["code_switch_report"]
+    ),
+    "containment_sketch_pairs": QuerySpec(
+        _q_containment_sketch_pairs, ORACLES["containment_sketch_pairs"]
     ),
     "media_ahash": QuerySpec(_q_media_ahash, ORACLES["media_ahash"]),
     "media_ahash_pairs": QuerySpec(

@@ -276,3 +276,82 @@ def test_media_ahash_locality_and_pairs(spark):
     }
     assert (1, 2) in pairs and pairs[(1, 2)] <= AHASH_HAMMING_MAX
     assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+# --------------------------------------------------- code-switch detection
+
+
+def test_code_switch_report_mixed_doc(spark):
+    from flink_ecommerce_spark.operators.text import code_switch_report
+
+    mixed = (
+        "the cat is of the house and a dog. "  # en
+        "the sun is a star of the sky. "       # en
+        "el perro es de la casa y el gato."    # es
+    )
+    pure = "the cat is of the house and a dog. the sun is a star."
+    unk = "zzz qqq. xxx yyy."
+    docs = _docs_ids(spark, [(1, mixed, "a"), (2, pure, "a"), (3, unk, "b")])
+    got = {r["doc_id"]: r for r in code_switch_report(docs).collect()}
+    assert got[1]["n_sentences"] == 3 and got[1]["majority_lang"] == "en"
+    # 1 of 3 classified sentences off-majority -> 1/3 in micro
+    assert got[1]["switch_frac_micro"] == 333_333
+    assert got[2]["majority_lang"] == "en"
+    assert got[2]["switch_frac_micro"] == 0
+    assert got[3]["majority_lang"] == "und"
+    assert got[3]["n_und"] == 2
+    assert got[3]["switch_frac_micro"] is None
+
+
+# ------------------------------------------------ containment sketch
+
+
+def test_containment_sketch_finds_planted_superset(spark):
+    """A doc fully contained in a bigger one estimates containment 1.0
+    in the directed (contained -> container) orientation."""
+    from flink_ecommerce_spark.operators.dedup import containment_sketch_pairs
+
+    small = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    big = small + " plus quite a lot of extra tail content words here " * 4
+    filler = [
+        (10 + i, f"unrelated filler document number {i} with words {i*7} "
+                 f"and more distinct tokens {i*13} {i*17} {i*19}", "f")
+        for i in range(8)
+    ]
+    docs = _docs_ids(spark, [(1, small, "a"), (2, big, "a")] + filler)
+    got = {
+        (r["doc_a"], r["doc_b"]): r
+        for r in containment_sketch_pairs(docs).collect()
+    }
+    assert (1, 2) in got
+    r = got[(1, 2)]
+    assert r["containment_est_micro"] == 1_000_000
+    assert r["n_hits"] == r["k_eff"]
+    # the container is NOT contained in the small doc
+    assert (2, 1) not in got
+
+
+def test_containment_sketch_agrees_with_exact_on_fixture(spark):
+    """Every sketch hit corresponds to genuinely high exact
+    containment: with k=16 and gate 0.8, a pair whose true directed
+    containment is below 0.5 passing the gate would need a >5-sigma
+    sampling fluke — assert none appear."""
+    from flink_ecommerce_spark import catalog
+    from flink_ecommerce_spark.operators.dedup import (
+        _doc_shingles,
+        containment_sketch_pairs,
+    )
+
+    docs = catalog.table(spark, SF_SMALL, "documents")
+    hits = containment_sketch_pairs(docs).collect()
+    assert hits, "fixture should surface at least one containment pair"
+    sh = {
+        (r["doc_id"], r["shingle"]) for r in _doc_shingles(docs).collect()
+    }
+    by_doc: dict[int, set] = {}
+    for d, s in sh:
+        by_doc.setdefault(d, set()).add(s)
+    for r in hits:
+        a, b = by_doc[r["doc_a"]], by_doc[r["doc_b"]]
+        exact = len(a & b) / len(a)
+        assert exact >= 0.5, (r, exact)
