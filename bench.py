@@ -627,6 +627,27 @@ def _scale_rehearsal(spark, sf_dir: str) -> dict:
         "strip_boilerplate",
         lambda: text.strip_boilerplate(docs).agg(F.sum("n_struck")).collect(),
     )
+    # r07 additions measured at 10x on arrival: the precision meter
+    # must track lsh_candidate_pairs' verify-stage curve (its cost
+    # bound), calibration must stay aggregate-shaped like
+    # nb_lang_scores, and the CF neighbors ride the basket-bounded
+    # join + per-part window.
+    timed(
+        "lsh_candidate_precision",
+        lambda: dedup.lsh_candidate_precision(docs).collect(),
+    )
+    timed(
+        "classifier_calibration",
+        lambda: classifier.calibration_by_margin(docs).collect(),
+    )
+    timed(
+        "item_neighbors_topk",
+        lambda: _registry.SPECS["item_neighbors_topk"].fn(spark, stage).count(),
+    )
+    timed(
+        "dp_source_counts",
+        lambda: text.dp_source_counts(docs).collect(),
+    )
     print(
         f"rehearsal planners: lsh {plan01} -> {plan10}, "
         f"simhash {sim01} -> {sim10}",

@@ -129,9 +129,12 @@ def _nb_model(
     return loglik, prior
 
 
-def _nb_score(
+def _nb_scored(
     doc_tokens: DataFrame, loglik: DataFrame, prior: DataFrame
 ) -> DataFrame:
+    """(doc_id, model_lang, score_u) — the full per-class score grid
+    in integer micro-nats, before any argmax. Shared by the argmax
+    scorer and the calibration report (which needs the runner-up)."""
     # Term frequencies FIRST: Σ ll_u over occurrences == Σ n_w·ll_u
     # over distinct words (exact long arithmetic), so the model join
     # fans out distinct (doc, word) pairs — several-fold fewer rows
@@ -141,7 +144,7 @@ def _nb_score(
     tf = doc_tokens.groupBy("doc_id", "word").agg(
         F.count(F.lit(1)).alias("n_w")
     )
-    scored = (
+    return (
         tf.join(loglik, "word")  # fan each distinct word out per class
         .groupBy("doc_id", "model_lang")
         .agg(F.sum(F.col("n_w") * F.col("ll_u")).alias("sum_u"))
@@ -152,6 +155,12 @@ def _nb_score(
             (F.col("sum_u") + F.col("prior_u")).alias("score_u"),
         )
     )
+
+
+def _nb_score(
+    doc_tokens: DataFrame, loglik: DataFrame, prior: DataFrame
+) -> DataFrame:
+    scored = _nb_scored(doc_tokens, loglik, prior)
     # argmax as ONE min-struct aggregation over (-score, lang):
     # highest score wins, ties break to the lexicographically
     # smallest class — matching the oracle's MIN_BY tuple exactly
@@ -167,13 +176,14 @@ def _nb_score(
     )
 
 
-def sql_nb_lang_scores() -> str:
-    """DuckDB oracle for ``nb_lang_scores`` — identical smoothing,
-    quantization, and tie-break."""
+def _sql_scored_ctes() -> str:
+    """The shared oracle CTE chain ending at ``scored`` (doc_id,
+    model_lang, score_u) — consumed by both the argmax oracle and the
+    calibration oracle, guaranteeing the two certify the SAME model
+    arithmetic."""
     from .textprep import sql_words
 
-    return f"""
-WITH tokens AS (SELECT doc_id, lang, unnest({sql_words('text')}) AS word
+    return f"""tokens AS (SELECT doc_id, lang, unnest({sql_words('text')}) AS word
                 FROM documents),
 wc AS (SELECT lang, word, COUNT(*) AS n_wc FROM tokens GROUP BY 1, 2),
 cc AS (SELECT lang, COUNT(*) AS n_c FROM tokens GROUP BY 1),
@@ -193,11 +203,120 @@ scored AS (SELECT t.doc_id, l.model_lang, SUM(l.ll_u) + ANY_VALUE(p.prior_u) AS 
            FROM tokens t
            JOIN loglik l ON l.word = t.word
            JOIN prior p ON p.model_lang = l.model_lang
-           GROUP BY 1, 2)
+           GROUP BY 1, 2)"""
+
+
+def sql_nb_lang_scores() -> str:
+    """DuckDB oracle for ``nb_lang_scores`` — identical smoothing,
+    quantization, and tie-break."""
+    return f"""
+WITH {_sql_scored_ctes()}
 SELECT doc_id, model_lang AS pred_lang,
        ROUND(score_u / {MICRO}.0, 6) AS score
 FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
                                    ORDER BY score_u DESC, model_lang ASC) AS rk
       FROM scored)
 WHERE rk = 1
+"""
+
+
+CALIB_MAX_BUCKET = 20  # margins >= this many whole nats share one bin
+
+
+def calibration_by_margin(
+    documents: DataFrame, max_bucket: int = CALIB_MAX_BUCKET
+) -> DataFrame:
+    """Classifier RELIABILITY report: does the NB margin actually
+    predict correctness? Output one row per confidence bucket:
+    (margin_bucket, n_docs, n_correct, acc_u) — the reliability
+    diagram / ECE input every quality-classifier pipeline needs
+    before its scores gate a 100-TB filter (a miscalibrated
+    classifier silently over- or under-filters entire sources).
+
+    Confidence is the INTEGER margin between the top-1 and top-2
+    class scores in whole nats (micro-nat difference DIV 1e6,
+    clamped to ``max_bucket``) — not a softmax probability: exp()
+    of large-magnitude micro-nat sums is engine-dependent float
+    territory, while the margin is a difference of longs, so every
+    bucket boundary is exact in both engines. Monotone in the
+    posterior gap, which is all a reliability ranking needs.
+    Documents with zero in-vocabulary tokens carry no evidence and
+    are absent (same convention as nb_classify). A single-class
+    corpus has no runner-up: COALESCE pins its margin to bucket 0.
+
+    Scale: the per-class score grid is |docs| x |classes| narrow
+    rows; the top-2 window partitions BY doc_id (no global sort),
+    the report is |buckets| rows, and every aggregate is a long —
+    map-side combinable end to end. The model table broadcasts as
+    in nb_lang_scores."""
+    from pyspark.sql import Window
+
+    tokens = documents.select(
+        "doc_id", "lang", F.explode(words("text")).alias("word")
+    ).localCheckpoint(eager=True)  # feeds model AND scoring
+    loglik, prior = _nb_model(documents, tokens)
+    scored = _nb_scored(tokens.select("doc_id", "word"), loglik, prior)
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("score_u"), F.asc("model_lang")
+    )
+    top2 = scored.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= 2
+    )
+    per_doc = top2.groupBy("doc_id").agg(
+        F.max(F.when(F.col("rk") == 1, F.col("model_lang"))).alias("pred_lang"),
+        F.max(F.when(F.col("rk") == 1, F.col("score_u"))).alias("s1"),
+        F.max(F.when(F.col("rk") == 2, F.col("score_u"))).alias("s2"),
+    )
+    binned = per_doc.join(
+        documents.select("doc_id", F.col("lang").alias("true_lang")), "doc_id"
+    ).select(
+        F.least(
+            F.expr(f"(s1 - COALESCE(s2, s1)) DIV {MICRO}"),
+            F.lit(max_bucket).cast("long"),
+        )
+        .cast("int")
+        .alias("margin_bucket"),
+        (F.col("pred_lang") == F.col("true_lang")).cast("int").alias("ok"),
+    )
+    return (
+        binned.groupBy("margin_bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("ok").cast("long").alias("n_correct"),
+        )
+        .select(
+            "margin_bucket",
+            "n_docs",
+            "n_correct",
+            F.expr(f"CAST((n_correct * {MICRO}) DIV n_docs AS BIGINT)").alias(
+                "acc_u"
+            ),
+        )
+    )
+
+
+def sql_calibration_by_margin(max_bucket: int = CALIB_MAX_BUCKET) -> str:
+    """DuckDB oracle for ``calibration_by_margin`` — same scored
+    CTEs, same integer margin binning (// matches Spark DIV on the
+    non-negative margins)."""
+    return f"""
+WITH {_sql_scored_ctes()},
+top2 AS (SELECT doc_id, model_lang, score_u,
+                ROW_NUMBER() OVER (PARTITION BY doc_id
+                                   ORDER BY score_u DESC, model_lang ASC) AS rk
+         FROM scored),
+per_doc AS (SELECT doc_id,
+                   MAX(CASE WHEN rk = 1 THEN model_lang END) AS pred_lang,
+                   MAX(CASE WHEN rk = 1 THEN score_u END) AS s1,
+                   MAX(CASE WHEN rk = 2 THEN score_u END) AS s2
+            FROM top2 WHERE rk <= 2 GROUP BY 1),
+binned AS (SELECT CAST(LEAST((p.s1 - COALESCE(p.s2, p.s1)) // {MICRO},
+                             {max_bucket}) AS INT) AS margin_bucket,
+                  CASE WHEN p.pred_lang = d.lang THEN 1 ELSE 0 END AS ok
+           FROM per_doc p JOIN documents d USING (doc_id))
+SELECT margin_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(ok) AS BIGINT) AS n_correct,
+       CAST((SUM(ok) * {MICRO}) // COUNT(*) AS BIGINT) AS acc_u
+FROM binned GROUP BY 1
 """

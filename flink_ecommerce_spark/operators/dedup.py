@@ -1692,6 +1692,99 @@ def dup_rate_by_source(documents: DataFrame) -> DataFrame:
     )
 
 
+def lsh_candidate_precision(
+    documents: DataFrame,
+    threshold: float = JACCARD_THRESHOLD,
+    num_hashes: int = NUM_HASHES,
+    num_bands: int = NUM_BANDS,
+) -> DataFrame:
+    """One-row PRECISION report for the LSH banding: of the raw
+    band-bucket candidate pairs, how many verify at exact shingle
+    Jaccard >= ``threshold``. The complement of ``lsh_recall_report``
+    / ``lsh_recall_sampled`` — recall says what the banding misses,
+    precision says what the verify stage pays to throw away, and the
+    two together are the full operating point of the
+    ``minhash_plan_for`` S-curve. Output: (n_candidates, n_verified,
+    precision_u) with precision in integer micro-units.
+
+    Integer contract: the verify compare is the exact rational
+    cross-multiplication ``n_inter * 1e6 >= tau_u * union`` (tau_u =
+    round(tau*1e6)) — no float division anywhere, so the count is
+    bit-identical across engines with no rounding discipline. (This
+    is deliberately STRICTER than lsh_candidate_pairs' reported
+    ROUND(j,6) >= tau filter, which can admit a pair whose true
+    Jaccard rounds up; a meter must not inherit a display rounding.)
+
+    Scale: candidate generation is the identical band-bucket
+    self-join lsh_candidate_pairs runs (bucket-local, never
+    all-pairs); verification fans only candidate docs' shingles
+    (semi-join before the explode), so cost is
+    sum-over-candidates |shingles(doc_a)| — the same bound as the
+    certified pair query — and the output is ONE row, aggregated
+    map-side. A pair with zero shared shingles (a pure banding
+    false positive) has no intersection row; the left join counts
+    it as unverified instead of dropping it, which is the entire
+    point of a precision meter."""
+    tau_u = int(round(threshold * 1_000_000))
+    sigs = minhash_signatures(documents, num_hashes=num_hashes)
+    bb = _band_buckets(sigs, num_hashes, num_bands).localCheckpoint(eager=True)
+    a = bb.alias("a")
+    b = bb.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    cand_docs = (
+        cands.select(F.col("doc_a").alias("doc_id"))
+        .union(cands.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    ds = _doc_shingles(
+        documents.join(cand_docs, "doc_id", "left_semi")
+    ).localCheckpoint(eager=True)
+    sizes = ds.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    inter = (
+        cands.join(ds.select(F.col("doc_id").alias("doc_a"), "shingle"), "doc_a")
+        .join(ds.select(F.col("doc_id").alias("doc_b"), "shingle"), ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("sa"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("sb"))
+    verdicts = (
+        cands.join(inter, ["doc_a", "doc_b"], "left")
+        .join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            F.when(
+                F.coalesce(F.col("n_inter"), F.lit(0)) * F.lit(1_000_000)
+                >= F.lit(tau_u)
+                * (F.col("sa") + F.col("sb") - F.coalesce(F.col("n_inter"), F.lit(0))),
+                F.lit(1),
+            )
+            .otherwise(F.lit(0))
+            .alias("ok")
+        )
+    )
+    return verdicts.agg(
+        F.count(F.lit(1)).cast("long").alias("n_candidates"),
+        F.coalesce(F.sum("ok"), F.lit(0)).cast("long").alias("n_verified"),
+    ).select(
+        "n_candidates",
+        "n_verified",
+        F.expr(
+            "CAST((n_verified * 1000000) DIV GREATEST(n_candidates, 1) AS BIGINT)"
+        ).alias("precision_u"),
+    )
+
+
 def documents_deduped_best(documents: DataFrame) -> DataFrame:
     """Quality-aware dedup end product: one representative per
     near-dup cluster, chosen as the BEST-quality member

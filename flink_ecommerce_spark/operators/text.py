@@ -1926,6 +1926,82 @@ FROM cells GROUP BY 1
 """
 
 
+DP_EPSILON = 1.0  # per-release privacy budget for dp_source_counts
+
+
+def dp_source_counts(
+    documents: DataFrame, epsilon: float = DP_EPSILON
+) -> DataFrame:
+    """(source, noisy_n_docs_micro, epsilon_micro) — the fourth stage
+    of the privacy-release family: after k-anonymity / l-diversity /
+    t-closeness GATE a release, this op actually RELEASES per-source
+    document counts under the Laplace mechanism (Dwork et al., TCC
+    2006): noisy = n_docs + Lap(Δ/ε) with count sensitivity Δ = 1
+    (one document moves any single source count by one), via inverse-
+    CDF sampling: noise = −b·sign(u−½)·ln(1−2|u−½|).
+
+    SEEDED-NOISE BOUNDARY (same honesty contract as the multimodal
+    decode stub): u is drawn from the portable salted hash of the
+    source key, so the release is bit-reproducible and
+    oracle-checkable — which also means it is NOT differentially
+    private as shipped (deterministic noise is no noise; releasing
+    twice costs nothing more, but an adversary knowing the salt
+    inverts it). A production release swaps u for secure per-release
+    randomness; the sensitivity accounting, the mechanism arithmetic,
+    the micro encoding, and every plan shape are unchanged. u =
+    (hash32 + 0.5)/2^32 is strictly inside (0,1), so ln's argument is
+    ≥ 2^-31 — never −inf; u = ½ exactly gives sign 0 → noise 0.
+
+    Output contract: the noisy count ships micro-encoded
+    (COVERAGE.md rule); epsilon rides along as integer micro so a
+    downstream budget ledger can sum spends. The TRUE count never
+    appears in the output.
+
+    Scale: one map-side-combinable count per source plus a per-row
+    hash on the #sources-row aggregate — the noise arithmetic costs
+    nothing at any corpus size."""
+    b = 1.0 / epsilon
+    counts = documents.groupBy("source").agg(
+        F.count(F.lit(1)).alias("__n_docs")
+    )
+    u = (hash32(F.col("source"), salt="dp") + F.lit(0.5)) / F.lit(
+        4294967296.0
+    )
+    c = u - F.lit(0.5)
+    noise = (F.lit(-b) * F.signum(c)) * F.log(
+        F.lit(1.0) - F.lit(2.0) * F.abs(c)
+    )
+    return counts.select(
+        "source",
+        micro(F.col("__n_docs") + noise).alias("noisy_n_docs_micro"),
+        F.lit(int(round(epsilon * 1_000_000))).cast("long").alias(
+            "epsilon_micro"
+        ),
+    )
+
+
+def sql_dp_source_counts(epsilon: float = DP_EPSILON) -> str:
+    """DuckDB oracle for ``dp_source_counts`` — identical hash-seeded
+    uniform, identical mechanism arithmetic and parenthesization (the
+    product order matters for bit-exact doubles)."""
+    from ..functions.portable import sql_hash32, sql_micro
+
+    b = 1.0 / epsilon
+    u = f"(({sql_hash32('source', salt='dp')}) + 0.5) / 4294967296.0"
+    noise = (
+        f"(({-b!r}) * sign(({u}) - 0.5))"
+        f" * ln(1.0 - 2.0 * abs(({u}) - 0.5))"
+    )
+    return f"""
+WITH counts AS (SELECT source, COUNT(*) AS n_docs
+                FROM documents GROUP BY 1)
+SELECT source,
+       {sql_micro(f'n_docs + {noise}')} AS noisy_n_docs_micro,
+       CAST({int(round(epsilon * 1_000_000))} AS BIGINT) AS epsilon_micro
+FROM counts
+"""
+
+
 def quality_psi_by_source(
     documents: DataFrame, n_buckets: int = 10
 ) -> DataFrame:

@@ -1028,6 +1028,76 @@ def copurchase_pairs(lineitem: DataFrame, min_support: int = 2, k: int = 100) ->
     )
 
 
+def item_neighbors_topk(
+    lineitem: DataFrame, min_support: int = 2, k: int = 10
+) -> DataFrame:
+    """Item-item collaborative similarity: for every part, its top-k
+    co-purchase NEIGHBORS ranked by basket Jaccard — the
+    "customers who bought X also bought Y" recommendation primitive
+    (item-based CF, Sarwar et al. 2001), where copurchase_pairs'
+    global top list answers the merchandising question and this
+    answers the per-product one. Output: (part, neighbor, support,
+    jaccard_u, rank), both directions of every edge.
+
+    jaccard_u = support·1e6 DIV (n_a + n_b − support) in integer
+    micro-units — baskets-as-sets Jaccard with no float division,
+    so ranks and values are bit-identical across engines (ties break
+    to the smaller neighbor id).
+
+    Scale: edges come from ``_copurchase_support_pairs`` (basket-
+    bounded self-join — linear in orders); the per-part margin table
+    is catalog-sized and broadcast; the top-k window partitions BY
+    part, so no global sort anywhere — per-part state is that part's
+    edge list, already bounded by the support threshold."""
+    from pyspark.sql import Window
+
+    op, pairs = _copurchase_support_pairs(lineitem, min_support)
+    part_n = op.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("__n"))
+    sym = pairs.select(
+        F.col("part_a").alias("part"),
+        F.col("part_b").alias("neighbor"),
+        "support",
+    ).unionAll(
+        pairs.select(
+            F.col("part_b").alias("part"),
+            F.col("part_a").alias("neighbor"),
+            "support",
+        )
+    )
+    np_ = part_n.select(
+        F.col("l_partkey").alias("part"), F.col("__n").alias("__np")
+    )
+    nn = part_n.select(
+        F.col("l_partkey").alias("neighbor"), F.col("__n").alias("__nn")
+    )
+    scored = (
+        sym.join(F.broadcast(np_), "part")
+        .join(F.broadcast(nn), "neighbor")
+        .select(
+            "part",
+            "neighbor",
+            "support",
+            F.expr(
+                "CAST((support * 1000000) DIV (__np + __nn - support) AS BIGINT)"
+            ).alias("jaccard_u"),
+        )
+    )
+    w = Window.partitionBy("part").orderBy(
+        F.desc("jaccard_u"), F.asc("neighbor")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "part",
+            "neighbor",
+            "support",
+            "jaccard_u",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
 def copurchase_graph_stats(
     lineitem: DataFrame, min_support: int = 2
 ) -> DataFrame:

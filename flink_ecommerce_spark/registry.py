@@ -592,6 +592,22 @@ def _q_code_switch_report(spark, sf):
     return text.code_switch_report(_t("documents")(spark, sf))
 
 
+def _q_dp_source_counts(spark, sf):
+    return text.dp_source_counts(_t("documents")(spark, sf))
+
+
+def _q_lsh_candidate_precision(spark, sf):
+    return dedup.lsh_candidate_precision(_t("documents")(spark, sf))
+
+
+def _q_classifier_calibration(spark, sf):
+    return _classifier.calibration_by_margin(_t("documents")(spark, sf))
+
+
+def _q_item_neighbors_topk(spark, sf):
+    return tpch.item_neighbors_topk(_t("lineitem")(spark, sf))
+
+
 def _q_media_ahash(spark, sf):
     return multimodal.media_ahash(_t("documents")(spark, sf))
 
@@ -2837,6 +2853,62 @@ WITH sh AS (SELECT doc_id, {_SHINGLES} AS shingles FROM documents),
 {_CAPPED_JACCARD_CTES}
 SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= {dedup.JACCARD_THRESHOLD}
 """,
+    # lsh_candidate_precision: same banding as lsh_candidate_pairs,
+    # but the verify is the exact rational cross-multiplication (no
+    # ROUND) and banding false positives with zero shared shingles
+    # are COUNTED via the left join, not dropped
+    "lsh_candidate_precision": f"""
+WITH {_SIG_CTE},
+bands AS ({_BANDS_SELECTS}),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM bands a JOIN bands b
+           ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+ds AS (SELECT DISTINCT doc_id, s AS shingle
+       FROM (SELECT doc_id, unnest(shingles) AS s FROM sh)),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM ds GROUP BY 1),
+inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+          FROM ds a JOIN ds b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+v AS (SELECT CASE WHEN COALESCE(i.n_inter, 0) * 1000000
+                       >= {int(round(dedup.JACCARD_THRESHOLD * 1_000_000))}
+                          * (sa.n_sh + sb.n_sh - COALESCE(i.n_inter, 0))
+                  THEN 1 ELSE 0 END AS ok
+      FROM cand c
+      LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+      JOIN sizes sa ON sa.doc_id = c.doc_a
+      JOIN sizes sb ON sb.doc_id = c.doc_b)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_candidates,
+       CAST(COALESCE(SUM(ok), 0) AS BIGINT) AS n_verified,
+       CAST((COALESCE(SUM(ok), 0) * 1000000) // GREATEST(COUNT(*), 1) AS BIGINT)
+         AS precision_u
+FROM v
+""",
+    "item_neighbors_topk": """
+WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pn AS (SELECT l_partkey, COUNT(*) AS n FROM op GROUP BY 1),
+pr AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+              CAST(COUNT(*) AS BIGINT) AS support
+       FROM op a JOIN op b
+         ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       GROUP BY 1, 2
+       HAVING COUNT(*) >= 2),
+sym AS (SELECT part_a AS part, part_b AS neighbor, support FROM pr
+        UNION ALL
+        SELECT part_b AS part, part_a AS neighbor, support FROM pr),
+scored AS (SELECT s.part, s.neighbor, s.support,
+                  CAST((s.support * 1000000) // (pa.n + pb.n - s.support)
+                       AS BIGINT) AS jaccard_u
+           FROM sym s
+           JOIN pn pa ON pa.l_partkey = s.part
+           JOIN pn pb ON pb.l_partkey = s.neighbor)
+SELECT part, neighbor, support, jaccard_u,
+       CAST(ROW_NUMBER() OVER (PARTITION BY part
+            ORDER BY jaccard_u DESC, neighbor ASC) AS INT) AS rank
+FROM scored
+QUALIFY rank <= 10
+""",
+    "classifier_calibration": _classifier.sql_calibration_by_margin(),
+    "dp_source_counts": text.sql_dp_source_counts(),
     # prefix_jaccard_pairs is EXACT (prefix filtering is lossless), so
     # its oracle is the pure uncapped brute-force Jaccard — the
     # strongest correctness statement in the dedup family: the pruned
@@ -5397,6 +5469,18 @@ _SPEC_DEFS: dict[str, QuerySpec] = {
     ),
     "code_switch_report": QuerySpec(
         _q_code_switch_report, ORACLES["code_switch_report"]
+    ),
+    "lsh_candidate_precision": QuerySpec(
+        _q_lsh_candidate_precision, ORACLES["lsh_candidate_precision"]
+    ),
+    "dp_source_counts": QuerySpec(
+        _q_dp_source_counts, ORACLES["dp_source_counts"]
+    ),
+    "classifier_calibration": QuerySpec(
+        _q_classifier_calibration, ORACLES["classifier_calibration"]
+    ),
+    "item_neighbors_topk": QuerySpec(
+        _q_item_neighbors_topk, ORACLES["item_neighbors_topk"]
     ),
     "containment_sketch_pairs": QuerySpec(
         _q_containment_sketch_pairs, ORACLES["containment_sketch_pairs"]

@@ -1,0 +1,240 @@
+"""Round-7 additions (second block): the LSH candidate-precision
+meter, the NB margin-calibration report, and item-item co-purchase
+neighbors."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from flink_ecommerce_spark.operators.classifier import (
+    CALIB_MAX_BUCKET,
+    MICRO,
+    calibration_by_margin,
+)
+from flink_ecommerce_spark.operators.dedup import (
+    JACCARD_THRESHOLD,
+    lsh_candidate_pairs,
+    lsh_candidate_precision,
+)
+from flink_ecommerce_spark.plans.tpch import item_neighbors_topk
+from flink_ecommerce_spark.schemas import DOCUMENTS_SCHEMA
+
+from tests.conftest import SF_SMALL
+
+
+def _docs(spark, rows):
+    """rows: (text, lang, source) triples."""
+    return spark.createDataFrame(
+        [(i, t, lang, s, len(t)) for i, (t, lang, s) in enumerate(rows)],
+        DOCUMENTS_SCHEMA,
+    )
+
+
+def _fixture_docs(spark):
+    from flink_ecommerce_spark import catalog
+
+    return catalog.table(spark, SF_SMALL, "documents")
+
+
+# ---------------------------------------------------- lsh_candidate_precision
+
+
+def test_precision_identical_docs_all_verify(spark):
+    """A corpus of exact duplicates: every candidate pair verifies
+    at Jaccard 1, so precision_u == 1e6."""
+    txt = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = _docs(spark, [(txt, "en", "s")] * 4)
+    [r] = lsh_candidate_precision(docs).collect()
+    assert r["n_candidates"] == 6  # C(4,2) — every band collides
+    assert r["n_verified"] == 6
+    assert r["precision_u"] == 1_000_000
+
+
+def test_precision_empty_corpus_zero_row(spark):
+    docs = _docs(spark, []).limit(0)
+    [r] = lsh_candidate_precision(docs).collect()
+    assert (r["n_candidates"], r["n_verified"], r["precision_u"]) == (0, 0, 0)
+
+
+def test_precision_bounded_by_pair_query(spark):
+    """The exact cross-multiplication verify is at least as strict as
+    lsh_candidate_pairs' ROUND(j, 6) >= tau filter, so n_verified is
+    bounded by the certified pair query's output on the same corpus
+    (and never exceeds the candidate count)."""
+    docs = _fixture_docs(spark)
+    [r] = lsh_candidate_precision(docs).collect()
+    n_pairs = lsh_candidate_pairs(docs, JACCARD_THRESHOLD).count()
+    assert 0 <= r["n_verified"] <= r["n_candidates"]
+    assert r["n_verified"] <= n_pairs
+    assert r["precision_u"] == (r["n_verified"] * 1_000_000) // max(
+        r["n_candidates"], 1
+    )
+
+
+# ----------------------------------------------------- classifier_calibration
+
+
+def test_calibration_separable_corpus_high_margin_correct(spark):
+    """Classes with disjoint vocabularies: every doc predicts its own
+    lang, margins land in the top bucket, accuracy is 1e6."""
+    rows = [("aa bb cc dd ee ff gg hh aa bb cc dd", "en", "s")] * 3 + [
+        ("xx yy zz ww vv uu tt ss xx yy zz ww", "fr", "s")
+    ] * 3
+    out = calibration_by_margin(_docs(spark, rows)).collect()
+    assert sum(r["n_docs"] for r in out) == 6
+    for r in out:
+        assert 0 <= r["margin_bucket"] <= CALIB_MAX_BUCKET
+        assert r["n_correct"] == r["n_docs"]
+        assert r["acc_u"] == 1_000_000
+
+
+def test_calibration_single_class_margin_zero(spark):
+    """One class: no runner-up, margin pins to bucket 0, and the
+    predictions are trivially correct."""
+    rows = [("hello world foo bar", "en", "s")] * 4
+    out = calibration_by_margin(_docs(spark, rows)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["margin_bucket"] == 0
+    assert r["n_docs"] == 4 and r["n_correct"] == 4
+    assert r["acc_u"] == MICRO
+
+
+def test_calibration_fixture_totals(spark):
+    """Bucket populations partition the scored docs (docs with >= 1
+    in-vocabulary token), and acc_u is the exact integer ratio."""
+    docs = _fixture_docs(spark)
+    out = calibration_by_margin(docs).collect()
+    from flink_ecommerce_spark.operators.textprep import words
+
+    n_scored = docs.filter(F.size(words("text")) > 0).count()
+    assert sum(r["n_docs"] for r in out) == n_scored
+    for r in out:
+        assert r["acc_u"] == (r["n_correct"] * 1_000_000) // r["n_docs"]
+
+
+# ---------------------------------------------------------- dp_source_counts
+
+
+def test_dp_mechanism_matches_python_replica(spark):
+    """Laplace inverse-CDF with the portable hash seed, replicated in
+    pure Python: same u, same mechanism arithmetic (1-micro tolerance
+    for libm-vs-JVM ln)."""
+    import hashlib
+    import math
+
+    from flink_ecommerce_spark.operators.text import dp_source_counts
+
+    rows = [("t", "en", "a")] * 7 + [("t", "en", "b")] * 3
+    docs = _docs(spark, rows)
+    got = {r["source"]: r for r in dp_source_counts(docs).collect()}
+    for src, n in [("a", 7), ("b", 3)]:
+        h = int(hashlib.md5(f"dp:{src}".encode()).hexdigest()[:8], 16)
+        u = (h + 0.5) / 4294967296.0
+        c = u - 0.5
+        noise = (-1.0 * math.copysign(1.0, c) if c != 0 else 0.0) * math.log(
+            1.0 - 2.0 * abs(c)
+        )
+        want = math.floor((n + noise) * 1_000_000 + 0.5)
+        assert abs(got[src]["noisy_n_docs_micro"] - want) <= 1
+        assert got[src]["epsilon_micro"] == 1_000_000
+
+
+def test_dp_epsilon_scales_noise(spark):
+    """Same seed, so |noise| scales exactly 1/epsilon (up to micro
+    rounding): the eps=0.5 deviation is twice the eps=1 deviation."""
+    from flink_ecommerce_spark.operators.text import dp_source_counts
+
+    rows = [("t", "en", "a")] * 5
+    docs = _docs(spark, rows)
+    [r1] = dp_source_counts(docs, epsilon=1.0).collect()
+    [r2] = dp_source_counts(docs, epsilon=0.5).collect()
+    d1 = r1["noisy_n_docs_micro"] - 5_000_000
+    d2 = r2["noisy_n_docs_micro"] - 5_000_000
+    assert abs(d2 - 2 * d1) <= 2  # micro rounding on each release
+    assert r2["epsilon_micro"] == 500_000
+
+
+def test_dp_never_releases_true_count(spark):
+    """The output schema carries no raw count column, and on the
+    fixture no source's noisy release equals its true count in micro
+    units (noise is continuous — an exact hit means a leak bug)."""
+    from flink_ecommerce_spark.operators.text import dp_source_counts
+
+    docs = _fixture_docs(spark)
+    out = dp_source_counts(docs)
+    assert set(out.columns) == {
+        "source",
+        "noisy_n_docs_micro",
+        "epsilon_micro",
+    }
+    true_counts = {
+        r["source"]: r["n"]
+        for r in docs.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    for r in out.collect():
+        assert r["noisy_n_docs_micro"] != true_counts[r["source"]] * 1_000_000
+
+
+# ------------------------------------------------------- item_neighbors_topk
+
+
+def _lineitem(spark, baskets):
+    """baskets: list of part-id lists; order keys are positional."""
+    rows = [
+        (ok + 1, p)
+        for ok, parts in enumerate(baskets)
+        for p in parts
+    ]
+    return spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+
+
+def test_item_neighbors_exact_jaccard(spark):
+    """parts 1,2 co-occur in 2 of their baskets: n_1 = 3, n_2 = 2,
+    support = 2 -> jaccard_u = 2e6 // (3 + 2 - 2) = 666666."""
+    li = _lineitem(spark, [[1, 2], [1, 2], [1, 3], [3, 4]])
+    out = {
+        (r["part"], r["neighbor"]): r
+        for r in item_neighbors_topk(li).collect()
+    }
+    # support >= 2 keeps only the (1, 2) edge, in both directions
+    assert set(out) == {(1, 2), (2, 1)}
+    for key in [(1, 2), (2, 1)]:
+        assert out[key]["support"] == 2
+        assert out[key]["jaccard_u"] == (2 * 1_000_000) // (3 + 2 - 2)
+        assert out[key]["rank"] == 1
+
+
+def test_item_neighbors_topk_cap_and_order(spark):
+    """A hub part with many neighbors keeps only k, ranked by
+    jaccard_u desc with neighbor-id tie-break."""
+    # hub 1 pairs twice with each of 2..5; neighbor 2 also gets a
+    # third co-basket -> strictly higher jaccard for (1, 2)
+    baskets = []
+    for n in [2, 3, 4, 5]:
+        baskets += [[1, n], [1, n]]
+    baskets += [[1, 2]]
+    li = _lineitem(spark, baskets)
+    rows = [
+        r
+        for r in item_neighbors_topk(li, k=2).collect()
+        if r["part"] == 1
+    ]
+    assert len(rows) == 2
+    assert [r["rank"] for r in sorted(rows, key=lambda r: r["rank"])] == [1, 2]
+    best = min(rows, key=lambda r: r["rank"])
+    assert best["neighbor"] == 2  # 3 shared baskets beats 2
+    second = max(rows, key=lambda r: r["rank"])
+    assert second["neighbor"] == 3  # jaccard tie among 3,4,5 -> min id
+
+
+def test_item_neighbors_symmetric_on_fixture(spark):
+    """Every edge appears in both directions with identical
+    jaccard_u whenever both endpoints keep it in their top-k."""
+    from flink_ecommerce_spark import catalog
+
+    li = catalog.table(spark, SF_SMALL, "lineitem")
+    rows = item_neighbors_topk(li, k=1000).collect()  # k big = no cut
+    vals = {(r["part"], r["neighbor"]): r["jaccard_u"] for r in rows}
+    for (a, b), j in vals.items():
+        assert vals[(b, a)] == j
