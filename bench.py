@@ -648,6 +648,18 @@ def _scale_rehearsal(spark, sf_dir: str) -> dict:
         "dp_source_counts",
         lambda: text.dp_source_counts(docs).collect(),
     )
+    from flink_ecommerce_spark.plans import temporal as _temporal
+
+    timed(
+        "markov_attribution",
+        lambda: _temporal.markov_attribution(ev10).collect(),
+    )
+    from flink_ecommerce_spark.operators import retrieval as _retr
+
+    timed(
+        "retrieval_eval",
+        lambda: _retr.retrieval_eval(docs).collect(),
+    )
     print(
         f"rehearsal planners: lsh {plan01} -> {plan10}, "
         f"simhash {sim01} -> {sim10}",

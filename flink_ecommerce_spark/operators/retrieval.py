@@ -327,3 +327,83 @@ def phrase_scan(documents: DataFrame, phrase: str = PHRASE) -> DataFrame:
             F.array_min("__hits").cast("int").alias("first_pos"),
         )
     )
+
+
+def retrieval_eval(
+    documents: DataFrame,
+    queries: dict[str, str] | None = None,
+    k: int = BM25_K,
+) -> DataFrame:
+    """(query_id, n_relevant, first_rel_rank, rr_u) — retrieval
+    QUALITY metrics for the BM25 ranker: reciprocal rank of the
+    first relevant document inside the top-k, per query. The eval
+    harness every retrieval stack needs before its shortlists feed
+    RAG or hard-negative mining — a ranker change that silently
+    pushes the first relevant hit below the shortlist is invisible
+    to the ranking queries themselves and is exactly what this
+    meter catches.
+
+    Relevance is DETERMINISTIC AND-semantics: a document is relevant
+    to a query iff it contains every distinct query term (the
+    strictest lexical ground truth derivable from the corpus itself
+    — no human labels in scope; ~265 docs/query on the sf0.01
+    fixture, so the metric is non-vacuous). rr_u = 1e6 DIV rank is
+    integer-exact; a query whose top-k contains no relevant doc
+    reports rank 0 / rr 0.
+
+    Scale: the relevance set is computed from the SAME
+    posting-filtered token stream bm25 scores (filter to query terms
+    right after the explode — candidate-sized, not corpus-sized);
+    the AND check is one count-distinct against the broadcast
+    per-query term count; the final frame is |queries| rows."""
+    qs = queries or BM25_QUERIES
+    spark = documents.sparkSession
+    pairs = query_term_pairs(qs)
+    qterms = spark.createDataFrame(pairs, "query_id string, term string")
+    nq = qterms.groupBy("query_id").agg(
+        F.countDistinct("term").alias("n_terms")
+    )
+    all_terms = sorted({t for _, t in pairs})
+    dterm = (
+        _toks(documents)
+        .filter(F.col("term").isin(all_terms))
+        .distinct()
+    )
+    rel = (
+        dterm.join(F.broadcast(qterms), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.countDistinct("term").alias("__nm"))
+        .join(F.broadcast(nq), "query_id")
+        .filter(F.col("__nm") == F.col("n_terms"))
+        .select("query_id", "doc_id")
+        .localCheckpoint(eager=True)  # feeds the count AND the rank join
+    )
+    topk = bm25_topk(documents, qs, k)
+    first = (
+        topk.join(rel, ["query_id", "doc_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.min("rank").alias("first_rel_rank"))
+    )
+    nrel = rel.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_relevant")
+    )
+    qids = spark.createDataFrame(
+        [(q,) for q in sorted(qs)], "query_id string"
+    )
+    return (
+        qids.join(nrel, "query_id", "left")
+        .join(first, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_relevant", F.lit(0)).cast("long").alias(
+                "n_relevant"
+            ),
+            F.coalesce("first_rel_rank", F.lit(0)).cast("int").alias(
+                "first_rel_rank"
+            ),
+            F.expr(
+                "CAST(CASE WHEN first_rel_rank IS NULL THEN 0"
+                " ELSE 1000000 DIV first_rel_rank END AS BIGINT)"
+            ).alias("rr_u"),
+        )
+    )

@@ -925,3 +925,248 @@ def position_attribution(events: DataFrame, window_hours: int = 1) -> DataFrame:
         F.sum("__is_touch").alias("n_touches"),
         F.sum("__attr_u").alias("attributed_value_micro"),
     )
+
+
+TOUCH_CHANNELS = ("click", "view")  # same touch set as linear_attribution
+MARKOV_STEPS = 8  # absorption horizon (journeys are short; see docstring)
+
+
+def _markov_transitions(events: DataFrame) -> DataFrame:
+    """(src, dst, p_u) — first-order journey transition matrix in
+    integer micro-probabilities. States: START, the touch channels,
+    CONV (purchase), NULL (journey ends unconverted). Journeys split
+    AT each purchase: the running count of strictly-earlier CONV rows
+    per user is the journey id, so a purchase terminates its own
+    journey and the next touch starts a fresh one."""
+    ev = events.filter(
+        F.col("event_type").isin(*TOUCH_CHANNELS, "purchase")
+    ).select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "purchase", F.lit("CONV"))
+        .otherwise(F.col("event_type"))
+        .alias("state"),
+    )
+    w_u = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ev2 = ev.withColumn(
+        "j",
+        F.coalesce(
+            F.sum(F.when(F.col("state") == "CONV", 1).otherwise(0)).over(
+                w_u
+            ),
+            F.lit(0),
+        ),
+    )
+    w_j = Window.partitionBy("user_id", "j").orderBy("ts", "event_id")
+    ev3 = ev2.withColumn("prev", F.lag("state").over(w_j)).withColumn(
+        "nxt", F.lead("state").over(w_j)
+    )
+    edges = ev3.select(
+        F.coalesce("prev", F.lit("START")).alias("src"),
+        F.col("state").alias("dst"),
+    ).unionAll(
+        ev3.filter(F.col("nxt").isNull() & (F.col("state") != "CONV"))
+        .select(F.col("state").alias("src"), F.lit("NULL").alias("dst"))
+    )
+    counts = edges.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("n"))
+    tot = counts.groupBy("src").agg(F.sum("n").alias("tot"))
+    return counts.join(tot, "src").select(
+        "src",
+        "dst",
+        F.expr("CAST((n * 1000000) DIV tot AS BIGINT)").alias("p_u"),
+    )
+
+
+def _markov_pconv(trans: DataFrame, steps: int) -> DataFrame:
+    """One-row (pconv_u): mass absorbed at CONV within ``steps``
+    transitions of a walk started at START, in integer micro-units.
+    Each step is a tiny join+agg over the state-space-sized matrix;
+    masses stay longs (sum of m_u·p_u products DIV 1e6 per step), so
+    the truncation point and every intermediate value are
+    engine-exact."""
+    from functools import reduce
+
+    spark = trans.sparkSession
+    v = spark.createDataFrame(
+        [("START", 1_000_000)], "state string, m_u long"
+    )
+    conv_parts = []
+    for _ in range(steps):
+        nxt = (
+            v.filter(~F.col("state").isin("CONV", "NULL"))
+            .join(F.broadcast(trans), F.col("state") == F.col("src"))
+            .groupBy("dst")
+            .agg(
+                F.expr("CAST(SUM(m_u * p_u) DIV 1000000 AS BIGINT)").alias(
+                    "m_u"
+                )
+            )
+            .select(F.col("dst").alias("state"), "m_u")
+        )
+        conv_parts.append(nxt.filter(F.col("state") == "CONV").select("m_u"))
+        v = nxt
+    allconv = reduce(lambda a, b: a.unionAll(b), conv_parts)
+    return allconv.agg(
+        F.coalesce(F.sum("m_u"), F.lit(0)).cast("long").alias("pconv_u")
+    )
+
+
+def markov_attribution(
+    events: DataFrame, steps: int = MARKOV_STEPS
+) -> DataFrame:
+    """(channel, base_pconv_u, removed_pconv_u, effect_u, share_u) —
+    Markov-chain REMOVAL-EFFECT attribution (Anderl et al. 2014), the
+    data-driven successor to the positional heuristics
+    (``linear_attribution`` splits equally, ``position_attribution``
+    by slot): build the first-order journey transition matrix, then
+    for each channel ask "how much conversion probability disappears
+    if every hop into this channel dead-ends instead?" — channels
+    that merely appear in journeys but never move them toward
+    purchase attribute ~nothing, which no positional rule can see.
+
+    Mechanism: absorption probability at CONV is computed by
+    ``steps`` unrolled propagation rounds (the oracle unrolls the
+    same rounds as CTEs — no recursive CTE, whose aggregate-in-
+    recursion rules differ by engine); a channel's removal redirects
+    its inbound hops to NULL WITHOUT renormalizing (the standard
+    removal semantics). Truncation at ``steps`` discards the
+    leftover transient mass identically in both engines; journeys
+    here are a handful of hops (interleaved touch types), so the
+    residual is noise. share_u normalizes effects to micro-shares
+    with a GREATEST(,1) guard for the zero-conversion corpus.
+
+    Everything after the edge build is integer arithmetic on a
+    state-space-sized matrix: p_u = n·1e6 DIV row-total, step masses
+    = SUM(m_u·p_u) DIV 1e6 — longs end to end, no float summation
+    surface.
+
+    Scale: the edge build is two windows partitioned BY user (the
+    user_sessions shape — never global); the matrix is
+    (channels+3)² rows independent of corpus size, localCheckpointed
+    once and reused by the base + per-channel propagations, each of
+    which is joins over that tiny table. Driver never sees data."""
+    from functools import reduce
+
+    trans = _markov_transitions(events).localCheckpoint(eager=True)
+    base = _markov_pconv(trans, steps).localCheckpoint(eager=True)
+    variants = []
+    for c in TOUCH_CHANNELS:
+        t_c = (
+            trans.filter(F.col("src") != c)
+            .withColumn(
+                "dst",
+                F.when(F.col("dst") == c, F.lit("NULL")).otherwise(
+                    F.col("dst")
+                ),
+            )
+            .groupBy("src", "dst")
+            .agg(F.sum("p_u").cast("long").alias("p_u"))
+        )
+        pc = _markov_pconv(t_c, steps).select(
+            F.col("pconv_u").alias("removed_pconv_u")
+        )
+        variants.append(
+            base.crossJoin(pc).select(
+                F.lit(c).alias("channel"),
+                F.col("pconv_u").alias("base_pconv_u"),
+                "removed_pconv_u",
+                F.greatest(
+                    F.col("pconv_u") - F.col("removed_pconv_u"), F.lit(0)
+                )
+                .cast("long")
+                .alias("effect_u"),
+            )
+        )
+    eff = reduce(lambda a, b: a.unionAll(b), variants)
+    tot = eff.agg(F.sum("effect_u").alias("__t"))
+    return eff.crossJoin(F.broadcast(tot)).select(
+        "channel",
+        "base_pconv_u",
+        "removed_pconv_u",
+        "effect_u",
+        F.expr(
+            "CAST((effect_u * 1000000) DIV GREATEST(__t, 1) AS BIGINT)"
+        ).alias("share_u"),
+    )
+
+
+def sql_markov_attribution(steps: int = MARKOV_STEPS) -> str:
+    """DuckDB oracle for ``markov_attribution`` — identical journey
+    split, integer matrix, and unrolled propagation rounds."""
+
+    def prop(tag: str, trans_cte: str) -> str:
+        ctes = [
+            f"{tag}0 AS (SELECT 'START' AS state, CAST(1000000 AS BIGINT) AS m_u)"
+        ]
+        for i in range(1, steps + 1):
+            ctes.append(
+                f"{tag}{i} AS (SELECT t.dst AS state,\n"
+                f"  CAST(SUM(v.m_u * t.p_u) // 1000000 AS BIGINT) AS m_u\n"
+                f"  FROM {tag}{i - 1} v JOIN {trans_cte} t ON t.src = v.state\n"
+                f"  WHERE v.state NOT IN ('CONV', 'NULL') GROUP BY 1)"
+            )
+        union = "\n  UNION ALL ".join(
+            f"SELECT m_u FROM {tag}{i} WHERE state = 'CONV'"
+            for i in range(1, steps + 1)
+        )
+        ctes.append(
+            f"{tag}conv AS (SELECT CAST(COALESCE(SUM(m_u), 0) AS BIGINT)"
+            f" AS pconv_u FROM ({union}))"
+        )
+        return ",\n".join(ctes)
+
+    removals = ",\n".join(
+        f"trans_{c} AS (SELECT src,"
+        f" CASE WHEN dst = '{c}' THEN 'NULL' ELSE dst END AS dst,"
+        f" CAST(SUM(p_u) AS BIGINT) AS p_u"
+        f" FROM trans WHERE src <> '{c}' GROUP BY 1, 2)"
+        for c in TOUCH_CHANNELS
+    )
+    props = ",\n".join(
+        [prop("b", "trans")]
+        + [prop(f"r{c}", f"trans_{c}") for c in TOUCH_CHANNELS]
+    )
+    eff_rows = "\n  UNION ALL ".join(
+        f"SELECT '{c}' AS channel, b.pconv_u AS base_pconv_u,"
+        f" r.pconv_u AS removed_pconv_u,"
+        f" CAST(GREATEST(b.pconv_u - r.pconv_u, 0) AS BIGINT) AS effect_u"
+        f" FROM bconv b CROSS JOIN r{c}conv r"
+        for c in TOUCH_CHANNELS
+    )
+    channels = ", ".join(f"'{c}'" for c in TOUCH_CHANNELS)
+    return f"""
+WITH ev AS (SELECT user_id, ts, event_id,
+                   CASE WHEN event_type = 'purchase' THEN 'CONV'
+                        ELSE event_type END AS state
+            FROM events WHERE event_type IN ({channels}, 'purchase')),
+ev2 AS (SELECT *, COALESCE(SUM(CASE WHEN state = 'CONV' THEN 1 ELSE 0 END)
+                           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND 1 PRECEDING), 0) AS j
+        FROM ev),
+ev3 AS (SELECT *, LAG(state) OVER w AS prev, LEAD(state) OVER w AS nxt
+        FROM ev2
+        WINDOW w AS (PARTITION BY user_id, j ORDER BY ts, event_id)),
+edges AS (SELECT COALESCE(prev, 'START') AS src, state AS dst FROM ev3
+          UNION ALL
+          SELECT state, 'NULL' FROM ev3
+          WHERE nxt IS NULL AND state <> 'CONV'),
+counts AS (SELECT src, dst, COUNT(*) AS n FROM edges GROUP BY 1, 2),
+tot AS (SELECT src, SUM(n) AS tot FROM counts GROUP BY 1),
+trans AS (SELECT c.src, c.dst,
+                 CAST((c.n * 1000000) // t.tot AS BIGINT) AS p_u
+          FROM counts c JOIN tot t USING (src)),
+{removals},
+{props},
+eff AS ({eff_rows}),
+total AS (SELECT SUM(effect_u) AS t FROM eff)
+SELECT channel, base_pconv_u, removed_pconv_u, effect_u,
+       CAST((effect_u * 1000000) // GREATEST(total.t, 1) AS BIGINT)
+         AS share_u
+FROM eff CROSS JOIN total
+"""

@@ -592,6 +592,14 @@ def _q_code_switch_report(spark, sf):
     return text.code_switch_report(_t("documents")(spark, sf))
 
 
+def _q_markov_attribution(spark, sf):
+    return temporal.markov_attribution(_t("events")(spark, sf))
+
+
+def _q_retrieval_eval(spark, sf):
+    return retrieval.retrieval_eval(_t("documents")(spark, sf))
+
+
 def _q_dp_source_counts(spark, sf):
     return text.dp_source_counts(_t("documents")(spark, sf))
 
@@ -2909,6 +2917,9 @@ QUALIFY rank <= 10
 """,
     "classifier_calibration": _classifier.sql_calibration_by_margin(),
     "dp_source_counts": text.sql_dp_source_counts(),
+    "markov_attribution": temporal.sql_markov_attribution(),
+    # retrieval_eval's oracle is assigned AFTER this dict literal —
+    # it nests ORACLES["bm25_topk"] verbatim as its ranked subquery
     # prefix_jaccard_pairs is EXACT (prefix filtering is lossless), so
     # its oracle is the pure uncapped brute-force Jaccard — the
     # strongest correctness statement in the dedup family: the pruned
@@ -4438,6 +4449,32 @@ ORACLES["t_closeness_report"] = text.sql_t_closeness_report()
 
 ORACLES["conversion_survival"] = temporal.sql_conversion_survival()
 
+ORACLES["retrieval_eval"] = f"""
+WITH ranked AS ({ORACLES["bm25_topk"]}),
+rtoks AS (SELECT doc_id, unnest({_WORDS}) AS term FROM documents),
+rq(query_id, term) AS (VALUES {", ".join(f"('{qid}', '{t}')" for qid, t in retrieval.query_term_pairs(retrieval.BM25_QUERIES))}),
+nq AS (SELECT query_id, COUNT(DISTINCT term) AS n_terms FROM rq GROUP BY 1),
+dterm AS (SELECT DISTINCT doc_id, term FROM rtoks
+          WHERE term IN ({", ".join(sorted({f"'{t}'" for _, t in retrieval.query_term_pairs(retrieval.BM25_QUERIES)}))})),
+rel AS (SELECT qt.query_id, d.doc_id
+        FROM dterm d JOIN rq qt ON qt.term = d.term
+        JOIN nq ON nq.query_id = qt.query_id
+        GROUP BY 1, 2
+        HAVING COUNT(DISTINCT d.term) = ANY_VALUE(nq.n_terms)),
+hit AS (SELECT r.query_id, MIN(r.rank) AS first_rel_rank
+        FROM ranked r
+        JOIN rel ON rel.query_id = r.query_id AND rel.doc_id = r.doc_id
+        GROUP BY 1),
+nrel AS (SELECT query_id, COUNT(*) AS n_relevant FROM rel GROUP BY 1),
+qids(query_id) AS (VALUES {", ".join(f"('{qid}')" for qid in sorted(retrieval.BM25_QUERIES))})
+SELECT qids.query_id,
+       CAST(COALESCE(nrel.n_relevant, 0) AS BIGINT) AS n_relevant,
+       CAST(COALESCE(hit.first_rel_rank, 0) AS INT) AS first_rel_rank,
+       CAST(CASE WHEN hit.first_rel_rank IS NULL THEN 0
+                 ELSE 1000000 // hit.first_rel_rank END AS BIGINT) AS rr_u
+FROM qids LEFT JOIN nrel USING (query_id) LEFT JOIN hit USING (query_id)
+"""
+
 ORACLES["pareto_revenue_share"] = """
 WITH pu AS (SELECT user_id,
                    SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))
@@ -5475,6 +5512,12 @@ _SPEC_DEFS: dict[str, QuerySpec] = {
     ),
     "dp_source_counts": QuerySpec(
         _q_dp_source_counts, ORACLES["dp_source_counts"]
+    ),
+    "markov_attribution": QuerySpec(
+        _q_markov_attribution, ORACLES["markov_attribution"]
+    ),
+    "retrieval_eval": QuerySpec(
+        _q_retrieval_eval, ORACLES["retrieval_eval"]
     ),
     "classifier_calibration": QuerySpec(
         _q_classifier_calibration, ORACLES["classifier_calibration"]

@@ -238,3 +238,112 @@ def test_item_neighbors_symmetric_on_fixture(spark):
     vals = {(r["part"], r["neighbor"]): r["jaccard_u"] for r in rows}
     for (a, b), j in vals.items():
         assert vals[(b, a)] == j
+
+
+# -------------------------------------------------------- markov_attribution
+
+
+def _events(spark, rows):
+    """rows: (event_id, user_id, event_type) with ts = epoch + id."""
+    import datetime
+
+    from flink_ecommerce_spark.schemas import EVENTS_SCHEMA
+
+    base = datetime.datetime(2024, 1, 1)
+    return spark.createDataFrame(
+        [
+            (eid, base + datetime.timedelta(minutes=eid), uid, et, 1.0, "{}")
+            for eid, uid, et in rows
+        ],
+        EVENTS_SCHEMA,
+    )
+
+
+def test_markov_hand_computed_removal_effects(spark):
+    """user 1: click -> purchase; user 2: view -> (end).
+    START splits 1/2-1/2; click always converts, view never does, so
+    base pconv = 0.5, removing click drops it to 0 (full effect) and
+    removing view changes nothing."""
+    from flink_ecommerce_spark.plans.temporal import markov_attribution
+
+    ev = _events(spark, [(1, 1, "click"), (2, 1, "purchase"), (3, 2, "view")])
+    got = {r["channel"]: r for r in markov_attribution(ev).collect()}
+    assert got["click"]["base_pconv_u"] == 500_000
+    assert got["click"]["removed_pconv_u"] == 0
+    assert got["click"]["effect_u"] == 500_000
+    assert got["click"]["share_u"] == 1_000_000
+    assert got["view"]["removed_pconv_u"] == 500_000
+    assert got["view"]["effect_u"] == 0
+    assert got["view"]["share_u"] == 0
+
+
+def test_markov_journey_split_at_purchase(spark):
+    """A purchase terminates its own journey: purchase-first user
+    contributes START->CONV, and the touch AFTER it starts a fresh
+    journey (START->click, click->NULL)."""
+    from flink_ecommerce_spark.plans.temporal import _markov_transitions
+
+    ev = _events(spark, [(1, 1, "purchase"), (2, 1, "click")])
+    trans = {
+        (r["src"], r["dst"]): r["p_u"]
+        for r in _markov_transitions(ev).collect()
+    }
+    assert trans[("START", "CONV")] == 500_000
+    assert trans[("START", "click")] == 500_000
+    assert trans[("click", "NULL")] == 1_000_000
+
+
+def test_markov_no_conversions_all_zero(spark):
+    """Zero purchases: base pconv 0, all effects 0, shares 0 (the
+    GREATEST guard, no division error)."""
+    from flink_ecommerce_spark.plans.temporal import markov_attribution
+
+    ev = _events(spark, [(1, 1, "click"), (2, 2, "view")])
+    for r in markov_attribution(ev).collect():
+        assert r["base_pconv_u"] == 0
+        assert r["effect_u"] == 0 and r["share_u"] == 0
+
+
+# ------------------------------------------------------------ retrieval_eval
+
+
+def test_retrieval_eval_relevance_and_rank(spark):
+    """AND-relevance: only the doc with BOTH terms is relevant; BM25
+    ranks it first (two matching terms beat one), so rr = 1."""
+    from flink_ecommerce_spark.operators.retrieval import retrieval_eval
+
+    docs = _docs(
+        spark,
+        [
+            ("foo bar baz qux quux corge", "en", "s"),
+            ("foo aaa bbb ccc ddd eee", "en", "s"),
+            ("zzz yyy xxx www vvv uuu", "en", "s"),
+        ],
+    )
+    [r] = retrieval_eval(docs, queries={"qa": "foo bar"}).collect()
+    assert r["n_relevant"] == 1
+    assert r["first_rel_rank"] == 1
+    assert r["rr_u"] == 1_000_000
+
+
+def test_retrieval_eval_no_relevant_doc(spark):
+    """A query term absent from the corpus: nothing satisfies AND,
+    so the row reports 0/0/0 instead of dropping."""
+    from flink_ecommerce_spark.operators.retrieval import retrieval_eval
+
+    docs = _docs(spark, [("foo bar baz", "en", "s")])
+    [r] = retrieval_eval(docs, queries={"qz": "foo zzz"}).collect()
+    assert (r["n_relevant"], r["first_rel_rank"], r["rr_u"]) == (0, 0, 0)
+
+
+def test_retrieval_eval_fixture_nonvacuous(spark):
+    """Every default query has relevant docs on the fixture and the
+    reciprocal rank is consistent with its first_rel_rank."""
+    from flink_ecommerce_spark.operators.retrieval import retrieval_eval
+
+    out = retrieval_eval(_fixture_docs(spark)).collect()
+    assert len(out) == 3
+    for r in out:
+        assert r["n_relevant"] > 0
+        if r["first_rel_rank"] > 0:
+            assert r["rr_u"] == 1_000_000 // r["first_rel_rank"]
