@@ -660,6 +660,10 @@ def _scale_rehearsal(spark, sf_dir: str) -> dict:
         "retrieval_eval",
         lambda: _retr.retrieval_eval(docs).collect(),
     )
+    timed(
+        "winnowing_fingerprints",
+        lambda: dedup.winnowing_fingerprints(docs).count(),
+    )
     print(
         f"rehearsal planners: lsh {plan01} -> {plan10}, "
         f"simhash {sim01} -> {sim10}",

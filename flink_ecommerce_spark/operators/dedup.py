@@ -1814,3 +1814,141 @@ def documents_deduped_best(documents: DataFrame) -> DataFrame:
     return documents.join(best, "doc_id").select(
         "doc_id", "cluster_id", "lang", "source", "n_chars"
     )
+
+
+WINNOW_W = 4  # winnowing window (shingles per window)
+WINNOW_POS_MOD = 1 << 24  # position bits packed under the hash in the key
+WINNOW_MIN_SHARED = 2  # overlap pairs need >= this many shared fingerprints
+
+
+def _winnow_keys(documents: DataFrame, w: int = WINNOW_W) -> DataFrame:
+    """(doc_id, __n, key) — winnowed fingerprint keys (Schleimer,
+    Wilkerson & Aiken, SIGMOD 2003: the MOSS algorithm): per sliding
+    window of ``w`` consecutive shingle hashes, select the minimum,
+    breaking ties to the RIGHTMOST position (the paper's rule — it
+    maximizes fingerprint sharing between overlapping documents).
+
+    The argmin-with-rightmost-tie is ONE integer window-min: key =
+    h·2^24 + (2^24−1−pos) orders first by hash, then by DESCENDING
+    position, so MIN(key) is the paper's selection — no struct
+    ordering (engines disagree on struct comparison under windows),
+    no second pass. Positions clamp at 2^24−1: beyond a 16M-shingle
+    document the tie-break (only) degrades, documented not hidden.
+    Windows that would run past the end of the document are dropped
+    (pos ≤ n−w), except that a document shorter than ``w`` keeps its
+    single truncated window — every non-empty document fingerprints.
+
+    Guarantee inherited from the paper: any shared run of at least
+    w+k−1 words (k = shingle width) shares at least one fingerprint,
+    so overlap detection has a hard no-miss floor at that length."""
+    from pyspark.sql import Window
+
+    ws = documents.select("doc_id", words("text").alias("__ws"))
+    shl = ws.select(
+        "doc_id", shingles_from_words(F.col("__ws")).alias("__sh")
+    )
+    psh = shl.select(
+        "doc_id",
+        F.size("__sh").alias("__n"),
+        F.posexplode("__sh").alias("pos", "shingle"),
+    )
+    key = hash32(F.col("shingle"), salt="wn") * F.lit(WINNOW_POS_MOD) + (
+        F.lit(WINNOW_POS_MOD - 1)
+        - F.least(F.col("pos"), F.lit(WINNOW_POS_MOD - 1))
+    )
+    keyed = psh.select("doc_id", "__n", "pos", key.alias("key"))
+    win = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, w - 1)
+    )
+    return (
+        keyed.withColumn("kmin", F.min("key").over(win))
+        .filter(F.col("pos") <= F.greatest(F.col("__n") - w, F.lit(0)))
+        .select("doc_id", "__n", F.col("kmin").alias("key"))
+        .distinct()
+    )
+
+
+def winnowing_fingerprints(
+    documents: DataFrame, w: int = WINNOW_W
+) -> DataFrame:
+    """(doc_id, n_shingles, n_fingerprints, density_u) — per-document
+    winnowing summary. Expected density is 2/(w+1) (paper §5);
+    density_u = n_fingerprints·1e6 DIV n_windows lets a pipeline
+    assert the selection is behaving (a density near 1e6 means
+    pathological hash ties; near zero means a bug dropped windows).
+
+    Scale: the sliding window partitions BY doc_id ordered by
+    position — per-task state is one document's shingle stream, the
+    same bound as any per-doc expression; the summary is one
+    map-side-combinable aggregate over (doc, key) rows. Text never
+    shuffles: only (doc_id, pos, 52-bit key) rows move."""
+    fp = _winnow_keys(documents, w)
+    return (
+        fp.groupBy("doc_id")
+        .agg(
+            F.max("__n").cast("long").alias("n_shingles"),
+            F.count(F.lit(1)).cast("long").alias("n_fingerprints"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_fingerprints",
+            F.expr(
+                f"CAST((n_fingerprints * 1000000)"
+                f" DIV (GREATEST(n_shingles - {w}, 0) + 1) AS BIGINT)"
+            ).alias("density_u"),
+        )
+    )
+
+
+def winnowing_overlap_pairs(
+    documents: DataFrame,
+    min_shared: int = WINNOW_MIN_SHARED,
+    max_df_frac: float = NGRAM_MAX_DF_FRAC,
+) -> DataFrame:
+    """(doc_a, doc_b, n_shared) — document pairs sharing >=
+    ``min_shared`` winnowed fingerprint HASHES (position-independent,
+    as in MOSS: a moved paragraph still matches). The positional
+    complement of the Jaccard family: shingle Jaccard measures
+    set overlap of ALL shingles; winnowing overlap counts agreement
+    on the deterministic ~2/(w+1) sample, so the join touches a
+    fraction of the postings at the same guarantee floor.
+
+    Scale guard: same df ceiling as ngram_jaccard_pairs — a
+    fingerprint in > max_df_frac of documents is boilerplate, not
+    overlap signal, and would mint a quadratic bucket; the hot list
+    is tiny by the same counting argument and broadcasts."""
+    fp = (
+        _winnow_keys(documents)
+        .select(
+            "doc_id",
+            F.expr(f"CAST(key DIV {WINNOW_POS_MOD} AS BIGINT)").alias("h"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)  # feeds the df count AND both join sides
+    )
+    n_docs = documents.select(F.countDistinct("doc_id").alias("n_docs"))
+    hot = (
+        fp.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .crossJoin(F.broadcast(n_docs))
+        .filter(F.col("df") > max_df_frac * F.col("n_docs"))
+        .select("h")
+    )
+    f2 = fp.join(F.broadcast(hot), "h", "left_anti")
+    a, b = f2.alias("a"), f2.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

@@ -600,6 +600,14 @@ def _q_retrieval_eval(spark, sf):
     return retrieval.retrieval_eval(_t("documents")(spark, sf))
 
 
+def _q_winnowing_fingerprints(spark, sf):
+    return dedup.winnowing_fingerprints(_t("documents")(spark, sf))
+
+
+def _q_winnowing_overlap_pairs(spark, sf):
+    return dedup.winnowing_overlap_pairs(_t("documents")(spark, sf))
+
+
 def _q_dp_source_counts(spark, sf):
     return text.dp_source_counts(_t("documents")(spark, sf))
 
@@ -2860,6 +2868,61 @@ WHERE j.jaccard >= {dedup.JACCARD_THRESHOLD}
 WITH sh AS (SELECT doc_id, {_SHINGLES} AS shingles FROM documents),
 {_CAPPED_JACCARD_CTES}
 SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= {dedup.JACCARD_THRESHOLD}
+""",
+    # winnowing: key = h·2^24 + (2^24-1-pos) makes MIN(key) the
+    # paper's rightmost-min selection; parallel unnest zips the
+    # shingle array with its positions
+    "winnowing_fingerprints": f"""
+WITH shl AS (SELECT doc_id, {_SHINGLES} AS sh FROM documents),
+psh AS (SELECT doc_id, len(sh) AS n,
+               unnest(generate_series(1, len(sh))) - 1 AS pos,
+               unnest(sh) AS shingle
+        FROM shl WHERE len(sh) >= 1),
+keyed AS (SELECT doc_id, n, pos,
+                 ({sql_hash32('shingle', salt='wn')}) * {dedup.WINNOW_POS_MOD}
+                 + ({dedup.WINNOW_POS_MOD - 1} - LEAST(pos, {dedup.WINNOW_POS_MOD - 1})) AS key
+          FROM psh),
+mins AS (SELECT doc_id, n, pos,
+                MIN(key) OVER (PARTITION BY doc_id ORDER BY pos
+                               ROWS BETWEEN CURRENT ROW
+                               AND {dedup.WINNOW_W - 1} FOLLOWING) AS key
+         FROM keyed),
+fp AS (SELECT DISTINCT doc_id, n, key FROM mins
+       WHERE pos <= GREATEST(n - {dedup.WINNOW_W}, 0))
+SELECT doc_id,
+       CAST(MAX(n) AS BIGINT) AS n_shingles,
+       CAST(COUNT(*) AS BIGINT) AS n_fingerprints,
+       CAST((COUNT(*) * 1000000)
+            // (GREATEST(MAX(n) - {dedup.WINNOW_W}, 0) + 1) AS BIGINT)
+         AS density_u
+FROM fp GROUP BY 1
+""",
+    "winnowing_overlap_pairs": f"""
+WITH shl AS (SELECT doc_id, {_SHINGLES} AS sh FROM documents),
+psh AS (SELECT doc_id, len(sh) AS n,
+               unnest(generate_series(1, len(sh))) - 1 AS pos,
+               unnest(sh) AS shingle
+        FROM shl WHERE len(sh) >= 1),
+keyed AS (SELECT doc_id, n, pos,
+                 ({sql_hash32('shingle', salt='wn')}) * {dedup.WINNOW_POS_MOD}
+                 + ({dedup.WINNOW_POS_MOD - 1} - LEAST(pos, {dedup.WINNOW_POS_MOD - 1})) AS key
+          FROM psh),
+mins AS (SELECT doc_id, n, pos,
+                MIN(key) OVER (PARTITION BY doc_id ORDER BY pos
+                               ROWS BETWEEN CURRENT ROW
+                               AND {dedup.WINNOW_W - 1} FOLLOWING) AS key
+         FROM keyed),
+fp AS (SELECT DISTINCT doc_id, key // {dedup.WINNOW_POS_MOD} AS h
+       FROM mins WHERE pos <= GREATEST(n - {dedup.WINNOW_W}, 0)),
+nd AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+hot AS (SELECT h FROM (SELECT h, COUNT(*) AS df FROM fp GROUP BY 1) d, nd
+        WHERE d.df > {dedup.NGRAM_MAX_DF_FRAC} * nd.n_docs),
+f2 AS (SELECT doc_id, h FROM fp WHERE h NOT IN (SELECT h FROM hot))
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM f2 a JOIN f2 b ON a.h = b.h AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING COUNT(*) >= {dedup.WINNOW_MIN_SHARED}
 """,
     # lsh_candidate_precision: same banding as lsh_candidate_pairs,
     # but the verify is the exact rational cross-multiplication (no
@@ -5518,6 +5581,12 @@ _SPEC_DEFS: dict[str, QuerySpec] = {
     ),
     "retrieval_eval": QuerySpec(
         _q_retrieval_eval, ORACLES["retrieval_eval"]
+    ),
+    "winnowing_fingerprints": QuerySpec(
+        _q_winnowing_fingerprints, ORACLES["winnowing_fingerprints"]
+    ),
+    "winnowing_overlap_pairs": QuerySpec(
+        _q_winnowing_overlap_pairs, ORACLES["winnowing_overlap_pairs"]
     ),
     "classifier_calibration": QuerySpec(
         _q_classifier_calibration, ORACLES["classifier_calibration"]

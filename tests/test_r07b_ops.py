@@ -347,3 +347,102 @@ def test_retrieval_eval_fixture_nonvacuous(spark):
         assert r["n_relevant"] > 0
         if r["first_rel_rank"] > 0:
             assert r["rr_u"] == 1_000_000 // r["first_rel_rank"]
+
+
+# ----------------------------------------------------------------- winnowing
+
+
+def _winnow_python(text, w=4, k=3):
+    """Pure-python winnowing replica: words -> k-gram shingles ->
+    salted hash32 -> per-window rightmost-min -> distinct (h, pos)."""
+    import hashlib
+
+    ws = text.split()
+    sh = [" ".join(ws[i : i + k]) for i in range(len(ws) - k + 1)]
+    hs = [
+        int(hashlib.md5(f"wn:{s}".encode()).hexdigest()[:8], 16) for s in sh
+    ]
+    n = len(hs)
+    fps = set()
+    for start in range(max(n - w, 0) + 1):
+        win = hs[start : start + w]
+        m = min(win)
+        pos = start + max(i for i, h in enumerate(win) if h == m)
+        fps.add((m, pos))
+    return sh, fps
+
+
+def test_winnowing_matches_python_replica(spark):
+    from flink_ecommerce_spark.operators.dedup import winnowing_fingerprints
+
+    text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    sh, fps = _winnow_python(text)
+    [r] = winnowing_fingerprints(_docs(spark, [(text, "en", "s")])).collect()
+    assert r["n_shingles"] == len(sh)
+    assert r["n_fingerprints"] == len(fps)
+    n_windows = max(len(sh) - 4, 0) + 1
+    assert r["density_u"] == (len(fps) * 1_000_000) // n_windows
+
+
+def test_winnowing_short_doc_single_fingerprint(spark):
+    """A 3-word doc has one shingle -> one truncated window -> one
+    fingerprint, density 1e6; a 2-word doc has no shingles and is
+    absent."""
+    from flink_ecommerce_spark.operators.dedup import winnowing_fingerprints
+
+    out = {
+        r["doc_id"]: r
+        for r in winnowing_fingerprints(
+            _docs(spark, [("one two three", "en", "s"), ("one two", "en", "s")])
+        ).collect()
+    }
+    assert set(out) == {0}
+    assert out[0]["n_shingles"] == 1
+    assert out[0]["n_fingerprints"] == 1
+    assert out[0]["density_u"] == 1_000_000
+
+
+def test_winnowing_guarantee_shared_run(spark):
+    """The paper's no-miss floor: two docs sharing a run of
+    >= w+k-1 = 6 words must share at least one fingerprint hash."""
+    from flink_ecommerce_spark.operators.dedup import winnowing_overlap_pairs
+
+    shared = "lorem ipsum dolor sit amet consectetur"
+    docs = _docs(
+        spark,
+        [
+            (f"aaa bbb ccc {shared} ddd eee", "en", "s"),
+            (f"xxx yyy {shared} zzz www vvv", "en", "s"),
+            ("unrelated words entirely different tokens here", "en", "s"),
+        ],
+    )
+    # max_df_frac=1.0: on a 3-doc corpus the default 0.5 ceiling
+    # calls every shared hash "hot" (df 2 > 1.5) — the cap is a scale
+    # guard for real corpora, not for fixtures this small
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["n_shared"]
+        for r in winnowing_overlap_pairs(
+            docs, min_shared=1, max_df_frac=1.0
+        ).collect()
+    }
+    assert (0, 1) in pairs
+    assert not any(2 in p for p in pairs)
+
+
+def test_winnowing_identical_docs_share_all(spark):
+    """Exact duplicates share every fingerprint hash: n_shared equals
+    each doc's (position-independent) fingerprint-hash count."""
+    from flink_ecommerce_spark.operators.dedup import (
+        winnowing_fingerprints,
+        winnowing_overlap_pairs,
+    )
+
+    txt = "p q r s t u v w x y z aa bb cc"
+    docs = _docs(spark, [(txt, "en", "s")] * 2)
+    [fp] = (
+        winnowing_fingerprints(docs).filter(F.col("doc_id") == 0).collect()
+    )
+    [pair] = winnowing_overlap_pairs(docs, max_df_frac=1.0).collect()
+    assert (pair["doc_a"], pair["doc_b"]) == (0, 1)
+    # distinct hashes can be fewer than (h, pos) fingerprints
+    assert 1 <= pair["n_shared"] <= fp["n_fingerprints"]
