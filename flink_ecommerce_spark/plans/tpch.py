@@ -1244,3 +1244,44 @@ def basket_rules(
         .orderBy(F.desc("support"), F.asc("antecedent"), F.asc("consequent"))
         .limit(k)
     )
+
+
+def basket_size_hist(lineitem: DataFrame) -> DataFrame:
+    """(basket_size, n_orders, cum_share_u) — distribution of
+    distinct parts per order: the meter behind the co-purchase
+    family's central scale claim ("the basket self-join is linear in
+    orders because baskets are small by nature",
+    ``_copurchase_support_pairs``). Pair-generation work is exactly
+    Σ C(basket_size, 2) over this histogram, so the histogram IS the
+    cost model — a drifting corpus that grows whale baskets shows up
+    here before it shows up as a blown-up shuffle.
+
+    Scale: one distinct + two count aggregations, all
+    map-side-combinable; the cumulative share runs over the
+    basket-size grid (bounded by the largest basket, not by
+    orders)."""
+    from pyspark.sql import Window
+
+    op = lineitem.select("l_orderkey", "l_partkey").distinct()
+    bs = op.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("basket_size")
+    )
+    hist = bs.groupBy("basket_size").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders")
+    )
+    tot = hist.agg(F.sum("n_orders").alias("__t"))
+    w_cum = (
+        Window.orderBy("basket_size")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        hist.crossJoin(F.broadcast(tot))
+        .withColumn("__cum", F.sum("n_orders").over(w_cum))
+        .select(
+            F.col("basket_size").cast("long").alias("basket_size"),
+            "n_orders",
+            F.expr(
+                "CAST((__cum * 1000000) DIV __t AS BIGINT)"
+            ).alias("cum_share_u"),
+        )
+    )

@@ -600,6 +600,14 @@ def _q_retrieval_eval(spark, sf):
     return retrieval.retrieval_eval(_t("documents")(spark, sf))
 
 
+def _q_journey_length_hist(spark, sf):
+    return temporal.journey_length_hist(_t("events")(spark, sf))
+
+
+def _q_basket_size_hist(spark, sf):
+    return tpch.basket_size_hist(_t("lineitem")(spark, sf))
+
+
 def _q_winnowing_fingerprints(spark, sf):
     return dedup.winnowing_fingerprints(_t("documents")(spark, sf))
 
@@ -2981,6 +2989,19 @@ QUALIFY rank <= 10
     "classifier_calibration": _classifier.sql_calibration_by_margin(),
     "dp_source_counts": text.sql_dp_source_counts(),
     "markov_attribution": temporal.sql_markov_attribution(),
+    "journey_length_hist": temporal.sql_journey_length_hist(),
+    "basket_size_hist": """
+WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+bs AS (SELECT l_orderkey, COUNT(*) AS basket_size FROM op GROUP BY 1),
+hist AS (SELECT basket_size, COUNT(*) AS n_orders FROM bs GROUP BY 1),
+tot AS (SELECT SUM(n_orders) AS t FROM hist)
+SELECT CAST(basket_size AS BIGINT) AS basket_size,
+       CAST(n_orders AS BIGINT) AS n_orders,
+       CAST((SUM(n_orders) OVER (ORDER BY basket_size
+                                 ROWS UNBOUNDED PRECEDING) * 1000000)
+            // tot.t AS BIGINT) AS cum_share_u
+FROM hist CROSS JOIN tot
+""",
     # retrieval_eval's oracle is assigned AFTER this dict literal —
     # it nests ORACLES["bm25_topk"] verbatim as its ranked subquery
     # prefix_jaccard_pairs is EXACT (prefix filtering is lossless), so
@@ -5581,6 +5602,12 @@ _SPEC_DEFS: dict[str, QuerySpec] = {
     ),
     "retrieval_eval": QuerySpec(
         _q_retrieval_eval, ORACLES["retrieval_eval"]
+    ),
+    "journey_length_hist": QuerySpec(
+        _q_journey_length_hist, ORACLES["journey_length_hist"]
+    ),
+    "basket_size_hist": QuerySpec(
+        _q_basket_size_hist, ORACLES["basket_size_hist"]
     ),
     "winnowing_fingerprints": QuerySpec(
         _q_winnowing_fingerprints, ORACLES["winnowing_fingerprints"]

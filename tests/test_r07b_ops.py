@@ -446,3 +446,70 @@ def test_winnowing_identical_docs_share_all(spark):
     assert (pair["doc_a"], pair["doc_b"]) == (0, 1)
     # distinct hashes can be fewer than (h, pos) fingerprints
     assert 1 <= pair["n_shared"] <= fp["n_fingerprints"]
+
+
+# ------------------------------------------------------------ the two meters
+
+
+def test_journey_length_hist_hand_case(spark):
+    """user 1: click+purchase = one journey of length 2; user 2: one
+    dangling view = length 1. Shares are exact integer micro."""
+    from flink_ecommerce_spark.plans.temporal import journey_length_hist
+
+    ev = _events(spark, [(1, 1, "click"), (2, 1, "purchase"), (3, 2, "view")])
+    got = {r["journey_len"]: r for r in journey_length_hist(ev).collect()}
+    assert got[1]["n_journeys"] == 1 and got[1]["cum_share_u"] == 500_000
+    assert got[2]["n_journeys"] == 1 and got[2]["cum_share_u"] == 1_000_000
+
+
+def test_journey_hist_meters_markov_truncation(spark):
+    """The meter's purpose: the fixture's journeys must overwhelmingly
+    fit the MARKOV_STEPS horizon (else markov_attribution's truncation
+    claim is wrong and this test is the tripwire)."""
+    from flink_ecommerce_spark import catalog
+    from flink_ecommerce_spark.plans.temporal import (
+        MARKOV_STEPS,
+        journey_length_hist,
+    )
+
+    ev = catalog.table(spark, SF_SMALL, "events")
+    rows = sorted(
+        journey_length_hist(ev).collect(), key=lambda r: r["journey_len"]
+    )
+    covered = max(
+        r["cum_share_u"] for r in rows if r["journey_len"] <= MARKOV_STEPS
+    )
+    assert covered >= 900_000  # >= 90% of journeys inside the horizon
+
+
+def test_basket_size_hist_hand_case(spark):
+    from flink_ecommerce_spark.plans.tpch import basket_size_hist
+
+    li = _lineitem(spark, [[1, 2], [3], [4, 5, 6]])
+    got = {r["basket_size"]: r for r in basket_size_hist(li).collect()}
+    assert [got[i]["n_orders"] for i in (1, 2, 3)] == [1, 1, 1]
+    assert got[1]["cum_share_u"] == 333_333
+    assert got[2]["cum_share_u"] == 666_666
+    assert got[3]["cum_share_u"] == 1_000_000
+
+
+def test_basket_hist_bounds_pair_cost(spark):
+    """The histogram IS the co-purchase cost model: sum C(size, 2)
+    over the histogram equals the unthresholded pair count the
+    self-join generates."""
+    from flink_ecommerce_spark.plans.tpch import basket_size_hist
+
+    li = _lineitem(spark, [[1, 2, 3], [1, 2], [7]])
+    hist = basket_size_hist(li).collect()
+    pair_work = sum(
+        r["n_orders"] * r["basket_size"] * (r["basket_size"] - 1) // 2
+        for r in hist
+    )
+    op = li.distinct()
+    a, b = op.alias("a"), op.alias("b")
+    n_pairs = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).count()
+    assert pair_work == n_pairs == 4
