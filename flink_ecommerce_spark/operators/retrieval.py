@@ -407,3 +407,94 @@ def retrieval_eval(
             ).alias("rr_u"),
         )
     )
+
+
+def retrieval_ndcg(
+    documents: DataFrame,
+    queries: dict[str, str] | None = None,
+    k: int = BM25_K,
+) -> DataFrame:
+    """(query_id, n_relevant, dcg_micro, idcg_micro, ndcg_micro) —
+    nDCG@k for the BM25 ranker under the same deterministic
+    AND-relevance as ``retrieval_eval`` (binary gains): DCG sums
+    1/log2(rank+1) over relevant in-shortlist positions, IDCG is the
+    same sum over the first min(n_relevant, k) positions, and nDCG
+    is their ratio. MRR sees only the FIRST relevant hit; nDCG
+    grades the whole shortlist — a ranker that nails rank 1 but
+    buries the rest looks perfect to MRR and mediocre here.
+
+    Encoding: each 1/log2(rank+1) TERM quantizes to micro BIGINT
+    BEFORE the sum (the t_closeness_report discipline), so DCG/IDCG
+    are sums of longs — order-independent, no float-summation drift
+    between engines; the only float op per cell is log2 of a small
+    integer. ndcg_micro = dcg_u·1e6 DIV idcg_u — integer division.
+    A query with no relevant docs reports 0/0/0 rather than
+    dropping.
+
+    Scale: identical dataflow to retrieval_eval (posting-filtered
+    relevance, semi-join into the certified top-k shortlist), plus
+    one |queries|-row aggregate — nothing corpus-sized."""
+    qs = queries or BM25_QUERIES
+    spark = documents.sparkSession
+    pairs = query_term_pairs(qs)
+    qterms = spark.createDataFrame(pairs, "query_id string, term string")
+    nq = qterms.groupBy("query_id").agg(
+        F.countDistinct("term").alias("n_terms")
+    )
+    all_terms = sorted({t for _, t in pairs})
+    dterm = (
+        _toks(documents).filter(F.col("term").isin(all_terms)).distinct()
+    )
+    rel = (
+        dterm.join(F.broadcast(qterms), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.countDistinct("term").alias("__nm"))
+        .join(F.broadcast(nq), "query_id")
+        .filter(F.col("__nm") == F.col("n_terms"))
+        .select("query_id", "doc_id")
+        .localCheckpoint(eager=True)  # feeds the count AND the rank join
+    )
+    topk = bm25_topk(documents, qs, k)
+    term_u = F.floor(
+        F.lit(1_000_000.0) / F.log2(F.col("rank") + F.lit(1.0)) + F.lit(0.5)
+    ).cast("long")
+    dcg = (
+        topk.join(rel, ["query_id", "doc_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.sum(term_u).alias("__dcg_u"))
+    )
+    nrel = rel.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_relevant")
+    )
+    # ideal DCG: relevant docs packed into ranks 1..min(n_relevant, k)
+    idcg = nrel.select(
+        "query_id",
+        F.expr(
+            f"aggregate(sequence(1, int(least(n_relevant, {k}))),"
+            " cast(0 as bigint),"
+            " (acc, i) -> acc"
+            " + CAST(FLOOR(1000000.0 / log2(i + 1.0) + 0.5) AS BIGINT))"
+        ).alias("__idcg_u"),
+    )
+    qids = spark.createDataFrame(
+        [(q,) for q in sorted(qs)], "query_id string"
+    )
+    return (
+        qids.join(nrel, "query_id", "left")
+        .join(dcg, "query_id", "left")
+        .join(idcg, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_relevant", F.lit(0)).cast("long").alias(
+                "n_relevant"
+            ),
+            F.coalesce("__dcg_u", F.lit(0)).cast("long").alias("dcg_micro"),
+            F.coalesce("__idcg_u", F.lit(0)).cast("long").alias(
+                "idcg_micro"
+            ),
+            F.expr(
+                "CAST((COALESCE(__dcg_u, 0) * 1000000)"
+                " DIV GREATEST(COALESCE(__idcg_u, 0), 1) AS BIGINT)"
+            ).alias("ndcg_micro"),
+        )
+    )

@@ -608,6 +608,10 @@ def _q_basket_size_hist(spark, sf):
     return tpch.basket_size_hist(_t("lineitem")(spark, sf))
 
 
+def _q_retrieval_ndcg(spark, sf):
+    return retrieval.retrieval_ndcg(_t("documents")(spark, sf))
+
+
 def _q_winnowing_fingerprints(spark, sf):
     return dedup.winnowing_fingerprints(_t("documents")(spark, sf))
 
@@ -4559,6 +4563,42 @@ SELECT qids.query_id,
 FROM qids LEFT JOIN nrel USING (query_id) LEFT JOIN hit USING (query_id)
 """
 
+ORACLES["retrieval_ndcg"] = f"""
+WITH ranked AS ({ORACLES["bm25_topk"]}),
+rtoks AS (SELECT doc_id, unnest({_WORDS}) AS term FROM documents),
+rq(query_id, term) AS (VALUES {", ".join(f"('{qid}', '{t}')" for qid, t in retrieval.query_term_pairs(retrieval.BM25_QUERIES))}),
+nq AS (SELECT query_id, COUNT(DISTINCT term) AS n_terms FROM rq GROUP BY 1),
+dterm AS (SELECT DISTINCT doc_id, term FROM rtoks
+          WHERE term IN ({", ".join(sorted({f"'{t}'" for _, t in retrieval.query_term_pairs(retrieval.BM25_QUERIES)}))})),
+rel AS (SELECT qt.query_id, d.doc_id
+        FROM dterm d JOIN rq qt ON qt.term = d.term
+        JOIN nq ON nq.query_id = qt.query_id
+        GROUP BY 1, 2
+        HAVING COUNT(DISTINCT d.term) = ANY_VALUE(nq.n_terms)),
+dcg AS (SELECT r.query_id,
+               CAST(SUM(CAST(FLOOR(1000000.0 / log2(r.rank + 1.0) + 0.5)
+                             AS BIGINT)) AS BIGINT) AS dcg_u
+        FROM ranked r
+        JOIN rel ON rel.query_id = r.query_id AND rel.doc_id = r.doc_id
+        GROUP BY 1),
+nrel AS (SELECT query_id, COUNT(*) AS n_relevant FROM rel GROUP BY 1),
+idcg AS (SELECT query_id,
+                CAST(list_sum(list_transform(
+                       generate_series(1, LEAST(n_relevant, {retrieval.BM25_K})),
+                       i -> CAST(FLOOR(1000000.0 / log2(i + 1.0) + 0.5)
+                                 AS BIGINT))) AS BIGINT) AS idcg_u
+         FROM nrel),
+qids(query_id) AS (VALUES {", ".join(f"('{qid}')" for qid in sorted(retrieval.BM25_QUERIES))})
+SELECT qids.query_id,
+       CAST(COALESCE(nrel.n_relevant, 0) AS BIGINT) AS n_relevant,
+       CAST(COALESCE(dcg.dcg_u, 0) AS BIGINT) AS dcg_micro,
+       CAST(COALESCE(idcg.idcg_u, 0) AS BIGINT) AS idcg_micro,
+       CAST((COALESCE(dcg.dcg_u, 0) * 1000000)
+            // GREATEST(COALESCE(idcg.idcg_u, 0), 1) AS BIGINT) AS ndcg_micro
+FROM qids LEFT JOIN nrel USING (query_id)
+LEFT JOIN dcg USING (query_id) LEFT JOIN idcg USING (query_id)
+"""
+
 ORACLES["pareto_revenue_share"] = """
 WITH pu AS (SELECT user_id,
                    SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))
@@ -5602,6 +5642,9 @@ _SPEC_DEFS: dict[str, QuerySpec] = {
     ),
     "retrieval_eval": QuerySpec(
         _q_retrieval_eval, ORACLES["retrieval_eval"]
+    ),
+    "retrieval_ndcg": QuerySpec(
+        _q_retrieval_ndcg, ORACLES["retrieval_ndcg"]
     ),
     "journey_length_hist": QuerySpec(
         _q_journey_length_hist, ORACLES["journey_length_hist"]

@@ -513,3 +513,73 @@ def test_basket_hist_bounds_pair_cost(spark):
         & (F.col("a.l_partkey") < F.col("b.l_partkey")),
     ).count()
     assert pair_work == n_pairs == 4
+
+
+# ------------------------------------------------------------ retrieval_ndcg
+
+
+def test_ndcg_identity_on_fixture(spark):
+    """ndcg = dcg·1e6 // idcg, and idcg matches the packed-prefix
+    python replica of the per-term micro quantization."""
+    import math
+
+    from flink_ecommerce_spark.operators.retrieval import (
+        BM25_K,
+        retrieval_ndcg,
+    )
+
+    for r in retrieval_ndcg(_fixture_docs(spark)).collect():
+        m = min(r["n_relevant"], BM25_K)
+        want_idcg = sum(
+            math.floor(1_000_000.0 / math.log2(i + 1.0) + 0.5)
+            for i in range(1, m + 1)
+        )
+        assert r["idcg_micro"] == want_idcg
+        assert r["ndcg_micro"] == (r["dcg_micro"] * 1_000_000) // max(
+            r["idcg_micro"], 1
+        )
+
+
+def test_ndcg_penalizes_buried_relevant_doc(spark):
+    """An irrelevant doc with a saturated rare term outranks the one
+    relevant (both-terms) doc, so nDCG < 1 while MRR-style metrics
+    still see a hit: the shortlist-grading property that motivates
+    the op."""
+    import math
+
+    from flink_ecommerce_spark.operators.retrieval import (
+        bm25_topk,
+        retrieval_ndcg,
+    )
+
+    filler = [(f"common w{i} x{i} y{i} z{i}", "en", "s") for i in range(8)]
+    docs = _docs(
+        spark,
+        filler
+        + [
+            ("common rare", "en", "s"),  # doc 8: relevant (both terms)
+            ("rare rare rare rare", "en", "s"),  # doc 9: irrelevant
+        ],
+    )
+    q = {"qx": "common rare"}
+    ranks = {
+        r["doc_id"]: r["rank"]
+        for r in bm25_topk(docs, q).collect()
+    }
+    assert ranks[9] < ranks[8]  # construction sanity: relevant buried
+    [r] = retrieval_ndcg(docs, queries=q).collect()
+    assert r["n_relevant"] == 1
+    want_dcg = math.floor(
+        1_000_000.0 / math.log2(ranks[8] + 1.0) + 0.5
+    )
+    assert r["dcg_micro"] == want_dcg
+    assert r["idcg_micro"] == 1_000_000  # one relevant -> ideal rank 1
+    assert r["ndcg_micro"] == want_dcg  # < 1e6: the burial is visible
+
+
+def test_ndcg_no_relevant_reports_zero(spark):
+    from flink_ecommerce_spark.operators.retrieval import retrieval_ndcg
+
+    docs = _docs(spark, [("foo bar baz", "en", "s")])
+    [r] = retrieval_ndcg(docs, queries={"qz": "foo zzz"}).collect()
+    assert (r["dcg_micro"], r["idcg_micro"], r["ndcg_micro"]) == (0, 0, 0)
