@@ -692,6 +692,23 @@ def _scale_rehearsal(spark, sf_dir: str) -> dict:
     }
 
 
+def _cpu_probe() -> float:
+    """Machine-speed canary: a fixed single-thread pure-Python loop,
+    timed. Two rounds of cross-machine bench confusion (r05's
+    "prefix_jaccard +48%", this round's 5× VM slowdown measured
+    mid-session: the same loop read 5.8 s against a ~1.2 s norm while
+    identical Spark plans ran 5-10× their usual wall) motivated
+    carrying the machine's speed IN the bench artifact: compare two
+    BENCH_r*.json files by queries/probe ratios, not raw seconds,
+    and a slow probe says "slow host", not "regression"."""
+    t0 = time.perf_counter()
+    s = 0
+    for i in range(20_000_000):
+        s += i
+    assert s == 199999990000000  # keep the loop un-optimizable
+    return round(time.perf_counter() - t0, 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -771,6 +788,8 @@ def main() -> None:
             print(f"scale_rehearsal FAILED: {e}", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
+    probe = _cpu_probe()
+    print(f"cpu_probe_s: {probe}", file=sys.stderr)
     detail = {
         "metric": "headline_queries_total_wall",
         "value": total,
@@ -779,6 +798,7 @@ def main() -> None:
         "ann_grid": ann_grid,
         "replay": replay_metrics,
         "rehearsal_10x": rehearsal,
+        "cpu_probe_s": probe,
         "sf": sf_val,
     }
     # Full payload goes to a committed file; the FINAL stdout line must
@@ -795,6 +815,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "replay": replay_metrics,
+        "cpu_probe_s": probe,
         "sf": sf_val,
         "detail": "BENCH_DETAIL.json",
     }

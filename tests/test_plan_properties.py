@@ -276,3 +276,35 @@ def test_token_waterfill_windows_are_tiny_global(spark):
     )
     win_pos = plan.find("Window")
     assert win_pos != -1 and agg_pos != -1
+
+
+# ---------------------------------------------------------------- r07b ops
+
+
+def test_item_neighbors_margins_broadcast_and_part_window(spark):
+    plan = _plan(spark, "item_neighbors_topk")
+    # catalog-sized margin tables broadcast twice; the top-k window
+    # partitions BY part (never a global row_number)
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "windowspecdefinition(part#" in plan
+
+
+def test_winnowing_window_partitioned_by_doc(spark):
+    plan = _plan(spark, "winnowing_fingerprints")
+    # the sliding min runs per document stream — corpus-sized data
+    # never funnels through an unpartitioned window
+    assert "windowspecdefinition(doc_id#" in plan
+
+
+def test_markov_propagation_broadcasts_matrix(spark):
+    plan = _plan(spark, "markov_attribution")
+    # every propagation round joins the walk vector against the
+    # BROADCAST transition matrix (state-space-sized)
+    assert "BroadcastHashJoin" in plan
+
+
+def test_retrieval_eval_no_corpus_sort(spark):
+    plan = _plan(spark, "retrieval_eval")
+    # ranking happens inside bm25's query-partitioned window; the
+    # |queries|-row result needs no global sort of anything big
+    assert "windowspecdefinition(query_id#" in plan
