@@ -2417,3 +2417,88 @@ def quality_ks_by_source(documents: DataFrame) -> DataFrame:
             .alias("d_stat_micro")
         )
     )
+
+
+DUPQ_MAX_BUCKET = 5  # duplicate-count bucket cap: 5 = "5 or more copies"
+
+
+def dup_quality_report(
+    documents: DataFrame, max_bucket: int = DUPQ_MAX_BUCKET
+) -> DataFrame:
+    """(n_copies_bucket, n_groups, n_docs, mean_quality_micro) —
+    curation analytics BRIDGING the dedup and quality families: is
+    duplicated content lower-quality than unique content? The
+    question behind every dedup-before-or-after-filter ordering
+    decision — if heavily-copied docs score systematically lower,
+    exact dedup is also a quality filter and the pipeline can run it
+    first and spend the expensive quality pass on fewer rows;
+    flat buckets say the two passes are independent and order by
+    cost alone. Bucket = LEAST(n_copies, max_bucket).
+
+    Scale: ONE projection computes the md5 content hash and the
+    micro quality score together (the text is scanned once and
+    never shuffles — only (16-byte hash, long) pairs move); one
+    hash aggregation per content group, then a bucket-grid
+    aggregate. Means are sum-of-micro-longs DIV counts — integer,
+    order-independent."""
+    from ..functions.portable import micro
+
+    base = documents.select(
+        F.md5("text").alias("text_hash"),
+        micro(_quality_raw_column()).alias("__q_u"),
+    )
+    per_hash = base.groupBy("text_hash").agg(
+        F.count(F.lit(1)).alias("n_copies"),
+        F.sum("__q_u").alias("__sq"),
+    )
+    return (
+        per_hash.groupBy(
+            F.least(F.col("n_copies"), F.lit(max_bucket))
+            .cast("int")
+            .alias("n_copies_bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_groups"),
+            F.sum("n_copies").cast("long").alias("n_docs"),
+            F.sum("__sq").alias("__ssq"),
+        )
+        .select(
+            "n_copies_bucket",
+            "n_groups",
+            "n_docs",
+            F.expr("CAST(__ssq DIV n_docs AS BIGINT)").alias(
+                "mean_quality_micro"
+            ),
+        )
+    )
+
+
+def sql_dup_quality_report(max_bucket: int = DUPQ_MAX_BUCKET) -> str:
+    """DuckDB oracle for ``dup_quality_report`` — the quality
+    expression is byte-compatible with the certified quality_scores
+    oracle (same logistic, same micro flooring)."""
+    from .textprep import sql_words
+
+    sw = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
+    return f"""
+WITH m AS (
+  SELECT md5(text) AS text_hash,
+         CAST(len(regexp_extract_all(text, '\\S+')) AS DOUBLE) AS n_tok,
+         CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS DOUBLE) AS n_punct,
+         CAST(len(list_filter({sql_words('text')}, w -> w IN ({sw}))) AS DOUBLE) AS n_stop,
+         CAST(length(text) AS DOUBLE) AS n_chars
+  FROM documents),
+q AS (SELECT text_hash,
+             CAST(FLOOR((1.0 / (1.0 + exp(-(-2.0 + 0.02 * n_tok
+                   + 4.0 * (n_stop / n_tok) - 8.0 * (n_punct / n_chars)
+                   - 0.1 * abs((n_chars - (n_tok - 1)) / n_tok - 5.0)))))
+                   * 1000000 + 0.5) AS BIGINT) AS q_u
+      FROM m),
+ph AS (SELECT text_hash, COUNT(*) AS n_copies, SUM(q_u) AS sq
+       FROM q GROUP BY 1)
+SELECT CAST(LEAST(n_copies, {max_bucket}) AS INT) AS n_copies_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_groups,
+       CAST(SUM(n_copies) AS BIGINT) AS n_docs,
+       CAST(SUM(sq) // SUM(n_copies) AS BIGINT) AS mean_quality_micro
+FROM ph GROUP BY 1
+"""

@@ -608,6 +608,10 @@ def _q_basket_size_hist(spark, sf):
     return tpch.basket_size_hist(_t("lineitem")(spark, sf))
 
 
+def _q_dup_quality_report(spark, sf):
+    return text.dup_quality_report(_t("documents")(spark, sf))
+
+
 def _q_retrieval_ndcg(spark, sf):
     return retrieval.retrieval_ndcg(_t("documents")(spark, sf))
 
@@ -2994,6 +2998,7 @@ QUALIFY rank <= 10
     "dp_source_counts": text.sql_dp_source_counts(),
     "markov_attribution": temporal.sql_markov_attribution(),
     "journey_length_hist": temporal.sql_journey_length_hist(),
+    "dup_quality_report": text.sql_dup_quality_report(),
     "basket_size_hist": """
 WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
 bs AS (SELECT l_orderkey, COUNT(*) AS basket_size FROM op GROUP BY 1),
@@ -5645,6 +5650,9 @@ _SPEC_DEFS: dict[str, QuerySpec] = {
     ),
     "retrieval_ndcg": QuerySpec(
         _q_retrieval_ndcg, ORACLES["retrieval_ndcg"]
+    ),
+    "dup_quality_report": QuerySpec(
+        _q_dup_quality_report, ORACLES["dup_quality_report"]
     ),
     "journey_length_hist": QuerySpec(
         _q_journey_length_hist, ORACLES["journey_length_hist"]

@@ -583,3 +583,48 @@ def test_ndcg_no_relevant_reports_zero(spark):
     docs = _docs(spark, [("foo bar baz", "en", "s")])
     [r] = retrieval_ndcg(docs, queries={"qz": "foo zzz"}).collect()
     assert (r["dcg_micro"], r["idcg_micro"], r["ndcg_micro"]) == (0, 0, 0)
+
+
+# ---------------------------------------------------------- dup_quality_report
+
+
+def test_dup_quality_buckets_and_means(spark):
+    """3 identical copies + 1 unique doc: copies land in bucket 3
+    with the copy text's own quality as the mean (identical text =>
+    identical score)."""
+    from flink_ecommerce_spark.operators.text import (
+        dup_quality_report,
+        quality_scores_int,
+    )
+
+    dup = "the quick brown fox jumps over the lazy dog again and again"
+    uniq = "completely different unique content with other words here"
+    docs = _docs(spark, [(dup, "en", "s")] * 3 + [(uniq, "en", "s")])
+    got = {r["n_copies_bucket"]: r for r in dup_quality_report(docs).collect()}
+    q = {
+        r["doc_id"]: r["quality_micro"]
+        for r in quality_scores_int(docs).collect()
+    }
+    assert got[3]["n_groups"] == 1 and got[3]["n_docs"] == 3
+    assert got[3]["mean_quality_micro"] == q[0]  # any copy's score
+    assert got[1]["n_groups"] == 1 and got[1]["n_docs"] == 1
+    assert got[1]["mean_quality_micro"] == q[3]
+
+
+def test_dup_quality_bucket_cap(spark):
+    """7 copies with the default cap land in the '5 or more' bucket."""
+    from flink_ecommerce_spark.operators.text import dup_quality_report
+
+    docs = _docs(spark, [("same text every time here", "en", "s")] * 7)
+    [r] = dup_quality_report(docs).collect()
+    assert r["n_copies_bucket"] == 5
+    assert r["n_docs"] == 7 and r["n_groups"] == 1
+
+
+def test_dup_quality_partitions_corpus(spark):
+    """Bucket doc counts partition the corpus exactly."""
+    from flink_ecommerce_spark.operators.text import dup_quality_report
+
+    docs = _fixture_docs(spark)
+    out = dup_quality_report(docs).collect()
+    assert sum(r["n_docs"] for r in out) == docs.count()
