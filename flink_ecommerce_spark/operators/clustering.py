@@ -49,11 +49,46 @@ def _sq_dist_to(cvec: list[float]):
     return d
 
 
-def kmeans_assign(
-    embeddings: DataFrame, k: int = DEFAULT_K, n_iter: int = DEFAULT_ITER
+def _assign_with(
+    corpus: DataFrame, centroids: list[list[float]], keep_dists: bool = False
 ) -> DataFrame:
-    """Returns (vec_id, cluster) after ``n_iter`` Lloyd rounds with
-    init = embeddings of the k smallest vec_ids."""
+    """One Lloyd assignment pass from literal centroids: (vec_id,
+    embedding, cluster), plus the d0..dk-1 distance columns when
+    ``keep_dists`` (the silhouette meter's input — kmeans itself
+    keeps the original narrow projection so its certified plan is
+    byte-identical). Distances quantized to 9dp so the argmin is
+    identical across engines (see module docstring); post-rounding
+    ties fall to the lowest cluster index."""
+    dist_cols = [
+        F.round(_sq_dist_to(c)(F.col("embedding")), 9).alias(f"d{i}")
+        for i, c in enumerate(centroids)
+    ]
+    with_d = corpus.select("vec_id", "embedding", *dist_cols)
+    # argmin with index tie-break: least() gives the min value;
+    # pick the first index attaining it
+    min_d = F.least(*[F.col(f"d{i}") for i in range(len(centroids))])
+    cluster = F.lit(None).cast("int")
+    for i in reversed(range(len(centroids))):
+        cluster = F.when(F.col(f"d{i}") == min_d, F.lit(i)).otherwise(cluster)
+    if keep_dists:
+        return with_d.select(
+            "vec_id",
+            "embedding",
+            *[f"d{i}" for i in range(len(centroids))],
+            cluster.alias("cluster"),
+        )
+    return with_d.select("vec_id", "embedding", cluster.alias("cluster"))
+
+
+def _final_centroids(
+    embeddings: DataFrame, k: int, n_iter: int
+) -> tuple[DataFrame, list[list[float]]]:
+    """(corpus frame, centroids entering the FINAL assignment round):
+    init from the k lowest vec_ids, then ``n_iter - 1`` update rounds
+    — the returned centroids are what round ``n_iter`` assigns with
+    (the oracle only assigns on round n_iter; computing and
+    discarding one more centroid update would waste a distributed
+    aggregation + driver collect, ADVICE r05)."""
     init = (
         embeddings.orderBy("vec_id")
         .limit(k)
@@ -61,33 +96,9 @@ def kmeans_assign(
         .collect()
     )
     centroids = [[float(x) for x in r["embedding"]] for r in init]
-
     corpus = embeddings.select("vec_id", "embedding")
-    assigned = None
-    for it in range(n_iter):
-        # distances quantized to 9dp: makes the argmin identical
-        # across engines (see module docstring) — post-rounding ties
-        # fall to the lowest cluster index below
-        dist_cols = [
-            F.round(_sq_dist_to(c)(F.col("embedding")), 9).alias(f"d{i}")
-            for i, c in enumerate(centroids)
-        ]
-        with_d = corpus.select("vec_id", "embedding", *dist_cols)
-        # argmin with index tie-break: least() gives the min value;
-        # pick the first index attaining it
-        min_d = F.least(*[F.col(f"d{i}") for i in range(len(centroids))])
-        cluster = F.lit(None).cast("int")
-        for i in reversed(range(len(centroids))):
-            cluster = F.when(F.col(f"d{i}") == min_d, F.lit(i)).otherwise(cluster)
-        assigned = with_d.select("vec_id", "embedding", cluster.alias("cluster"))
-
-        if it == n_iter - 1:
-            # the returned assignment uses the centroids from the
-            # START of this iteration (the oracle only assigns on
-            # round n_iter) — computing and discarding one more
-            # centroid update would waste a distributed aggregation
-            # + driver collect (ADVICE r05)
-            break
+    for _ in range(n_iter - 1):
+        assigned = _assign_with(corpus, centroids)
         new_rows = (
             assigned.select("cluster", F.posexplode("embedding").alias("dim", "v"))
             .groupBy("cluster", "dim")
@@ -105,7 +116,16 @@ def kmeans_assign(
             [by_cluster.get(i, {}).get(d, centroids[i][d]) for d in range(dim)]
             for i in range(len(centroids))
         ]
-    return assigned.select("vec_id", "cluster")
+    return corpus, centroids
+
+
+def kmeans_assign(
+    embeddings: DataFrame, k: int = DEFAULT_K, n_iter: int = DEFAULT_ITER
+) -> DataFrame:
+    """Returns (vec_id, cluster) after ``n_iter`` Lloyd rounds with
+    init = embeddings of the k smallest vec_ids."""
+    corpus, centroids = _final_centroids(embeddings, k, n_iter)
+    return _assign_with(corpus, centroids).select("vec_id", "cluster")
 
 
 def kmeans_sizes(embeddings: DataFrame, k: int = DEFAULT_K, n_iter: int = DEFAULT_ITER) -> DataFrame:
@@ -173,3 +193,92 @@ def kmeans_oracle_sql(k: int = DEFAULT_K, n_iter: int = DEFAULT_ITER) -> str:
         " GROUP BY cluster"
     )
     return "\n".join(parts)
+
+
+def cluster_silhouette(
+    embeddings: DataFrame, k: int = DEFAULT_K, n_iter: int = DEFAULT_ITER
+) -> DataFrame:
+    """Per-cluster SIMPLIFIED SILHOUETTE over the k-means assignment
+    — the cell-quality meter the IVF/SemDeDup family was missing:
+    recall meters say how much the buckets catch, this says whether
+    the buckets are geometrically meaningful. For each vector,
+    a = distance to its own centroid, b = distance to the nearest
+    OTHER centroid, s = (b - a) / max(a, b) ∈ [-1, 1] (Hruschka et
+    al.'s simplified silhouette — the O(n·k) centroid form of
+    Rousseeuw's O(n²) pairwise statistic; the same
+    avoid-the-pairwise-join discipline as corpus_diversity). A
+    well-separated clustering scores near 1; an overfit K that
+    splits natural cells scores visibly lower (pinned in tests).
+
+    Returns (cluster, n_vectors, mean_silhouette_micro).
+
+    Determinism anchors (same as kmeans): distances are the
+    9dp-quantized squared form shared with the assignment, so
+    a = sqrt(min dᵢ) exactly; b = sqrt(second-smallest dᵢ) via
+    array_sort — with post-rounding ties this equals min-over-others
+    on both engines. sqrt is IEEE-correctly-rounded, hence
+    bit-identical cross-engine on identical inputs.
+
+    Scale: one corpus scan against k broadcast literal centroids
+    (O(n·k·d) arithmetic, no shuffle), then a k-row groupBy. The
+    Lloyd rounds before it are kmeans_assign's own cost — at IVF
+    scale the assignment is already materialized and this meter is
+    a single cheap aggregate over it."""
+    corpus, centroids = _final_centroids(embeddings, k, n_iter)
+    assigned = _assign_with(corpus, centroids, keep_dists=True)
+    darr = F.array_sort(
+        F.array(*[F.sqrt(F.col(f"d{i}")) for i in range(len(centroids))])
+    )
+    a = darr[0]
+    b = darr[1]
+    s = F.when(F.greatest(a, b) == 0.0, F.lit(0.0)).otherwise(
+        (b - a) / F.greatest(a, b)
+    )
+    from ..functions.portable import micro
+
+    return (
+        assigned.select("cluster", s.alias("__s"))
+        .groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            micro(F.avg("__s")).alias("mean_silhouette_micro"),
+        )
+    )
+
+
+def cluster_silhouette_oracle_sql(
+    k: int = DEFAULT_K, n_iter: int = DEFAULT_ITER
+) -> str:
+    """DuckDB twin of ``cluster_silhouette``: reuses the unrolled
+    Lloyd CTEs of ``kmeans_oracle_sql`` through the final assignment
+    a{n_iter}, then scores each vector against the SAME round's
+    centroid table c{n_iter-1}: a = sqrt of the 9dp-rounded squared
+    distance to the assigned centroid, b = the min over the others —
+    identical to the Spark side's sorted-array second-minimum
+    because the assigned centroid attains the global minimum."""
+    base = kmeans_oracle_sql(k, n_iter)
+    # strip kmeans' final SELECT; keep the WITH-chain through a{n_iter}
+    cut = base.rindex("SELECT cluster, COUNT(*) AS n_vectors")
+    prefix = base[:cut].rstrip()
+    if not prefix.endswith(","):
+        prefix += ","
+    cfin = f"c{n_iter - 1}"
+    dist = (
+        "sqrt(ROUND(list_inner_product(a.e, a.e)"
+        f" + list_inner_product({cfin}.c, {cfin}.c)"
+        f" - 2 * list_inner_product(a.e, {cfin}.c), 9))"
+    )
+    return f"""{prefix}
+dists AS (SELECT a.vec_id, a.cluster, {cfin}.cluster AS cc,
+                 {dist} AS dist
+          FROM a{n_iter} a CROSS JOIN {cfin}),
+ab AS (SELECT vec_id, cluster,
+              MIN(CASE WHEN cc = cluster THEN dist END) AS a_d,
+              MIN(CASE WHEN cc != cluster THEN dist END) AS b_d
+       FROM dists GROUP BY 1, 2)
+SELECT cluster, COUNT(*) AS n_vectors,
+       CAST(FLOOR(AVG(CASE WHEN GREATEST(a_d, b_d) = 0 THEN 0.0
+                           ELSE (b_d - a_d) / GREATEST(a_d, b_d) END)
+            * 1000000 + 0.5) AS BIGINT) AS mean_silhouette_micro
+FROM ab GROUP BY cluster
+"""

@@ -122,13 +122,11 @@ def ngram_jaccard_pairs(
         inter.join(sa, "doc_a")
         .join(sb, "doc_b")
         .withColumn(
-            "jaccard",
-            F.round(
-                F.col("n_inter") / (F.col("sa") + F.col("sb") - F.col("n_inter")), 6
-            ),
+            "jaccard_micro",
+            micro(F.col("n_inter") / (F.col("sa") + F.col("sb") - F.col("n_inter"))),
         )
-        .filter(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "jaccard")
+        .filter(F.col("jaccard_micro") >= int(round(threshold * 1_000_000)))
+        .select("doc_a", "doc_b", "jaccard_micro")
     )
 
 
@@ -362,13 +360,11 @@ def lsh_candidate_pairs(
         inter.join(sa, "doc_a")
         .join(sb, "doc_b")
         .withColumn(
-            "jaccard",
-            F.round(
-                F.col("n_inter") / (F.col("sa") + F.col("sb") - F.col("n_inter")), 6
-            ),
+            "jaccard_micro",
+            micro(F.col("n_inter") / (F.col("sa") + F.col("sb") - F.col("n_inter"))),
         )
-        .filter(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "jaccard")
+        .filter(F.col("jaccard_micro") >= int(round(threshold * 1_000_000)))
+        .select("doc_a", "doc_b", "jaccard_micro")
     )
 
 
@@ -932,12 +928,12 @@ def containment_pairs(
         .select(
             "doc_a",
             "doc_b",
-            F.round(F.col("n_inter") / F.col("sa"), 6).alias("containment_a"),
-            F.round(F.col("n_inter") / F.col("sb"), 6).alias("containment_b"),
+            micro(F.col("n_inter") / F.col("sa")).alias("containment_a_micro"),
+            micro(F.col("n_inter") / F.col("sb")).alias("containment_b_micro"),
         )
         .filter(
-            (F.col("containment_a") >= threshold)
-            | (F.col("containment_b") >= threshold)
+            (F.col("containment_a_micro") >= int(round(threshold * 1_000_000)))
+            | (F.col("containment_b_micro") >= int(round(threshold * 1_000_000)))
         )
     )
 
@@ -1487,8 +1483,8 @@ def lsh_recall_report(
             "n_hit",
             # try_divide: an empty corpus has no truth to recall —
             # NULL, not an ANSI divide-by-zero error
-            F.round(F.try_divide(F.col("n_hit"), F.col("n_true")), 6).alias(
-                "recall"
+            micro(F.try_divide(F.col("n_hit"), F.col("n_true"))).alias(
+                "recall_micro"
             ),
         )
     )
@@ -1835,8 +1831,12 @@ def _winnow_keys(documents: DataFrame, w: int = WINNOW_W) -> DataFrame:
     no second pass. Positions clamp at 2^24−1: beyond a 16M-shingle
     document the tie-break (only) degrades, documented not hidden.
     Windows that would run past the end of the document are dropped
-    (pos ≤ n−w), except that a document shorter than ``w`` keeps its
-    single truncated window — every non-empty document fingerprints.
+    (pos ≤ n−w), except that a document with fewer than ``w``
+    shingles keeps its single truncated window — every document with
+    at least one shingle (≥ 3 words) fingerprints; shorter documents
+    produce no shingles and are absent (pinned in
+    test_winnowing_short_doc_single_fingerprint /
+    test_winnowing_two_word_doc_absent).
 
     Guarantee inherited from the paper: any shared run of at least
     w+k−1 words (k = shingle width) shares at least one fingerprint,

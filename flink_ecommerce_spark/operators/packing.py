@@ -99,15 +99,17 @@ def packing_efficiency(packed: DataFrame, ctx_len: int = CTX_LEN) -> DataFrame:
             F.sum("n_tokens").alias("total_tokens"),
             (F.max("last_chunk") + 1).alias("n_chunks"),
         )
+    from ..functions.portable import micro
+
     return (
         per_source
         .select(
             "source",
             "total_tokens",
             "n_chunks",
-            F.round(
-                F.col("total_tokens") / (F.col("n_chunks") * F.lit(ctx_len)), 6
-            ).alias("fill_ratio"),
+            micro(
+                F.col("total_tokens") / (F.col("n_chunks") * F.lit(ctx_len))
+            ).alias("fill_ratio_micro"),
         )
     )
 
@@ -336,5 +338,72 @@ def shard_manifest(
             F.min("doc_id").alias("min_doc_id"),
             F.max("doc_id").alias("max_doc_id"),
             F.sum("__h").alias("content_checksum"),
+        )
+    )
+
+
+EPOCH_SHUFFLE_BUCKET_BITS = 8  # 256 hash-prefix buckets
+
+
+def epoch_shuffle(
+    documents: DataFrame,
+    seed: int = 0,
+    n_shards: int = N_SHARDS,
+    bucket_bits: int = EPOCH_SHUFFLE_BUCKET_BITS,
+) -> DataFrame:
+    """Deterministic per-epoch global permutation of training samples
+    — the data-loader step between ``balanced_shards``/
+    ``export_curated_shards`` and an actual training run: every epoch
+    must visit every sample exactly once in a seed-reproducible
+    pseudorandom order, identical no matter how the corpus is
+    partitioned or which executor computes it.
+
+    Returns (doc_id, pos, shard): ``pos`` is the sample's 0-based
+    position in the epoch-``seed`` permutation (rank by the portable
+    hash32 of the doc id, salted with the seed; ties — 32-bit hash
+    collisions — break by doc_id), and ``shard = pos % n_shards``
+    deals the permutation round-robin across data-parallel workers,
+    so every worker's slice is itself a uniform subsample and shard
+    sizes differ by at most one.
+
+    Scale (the no-global-sort discipline of ``balanced_shards``): a
+    single ORDER BY hash window would collapse to one task. Instead
+    the hash's TOP ``bucket_bits`` bits bucket the rows — bucket
+    order IS hash order, so ranks decompose exactly: (1) per-bucket
+    counts (map-side combined, 2^bucket_bits rows), (2) running
+    offsets over that tiny table, (3) row_number within each bucket
+    (ordered by hash, doc_id) + broadcast offset. Parallelism =
+    2^bucket_bits regardless of corpus size; no stage sees more than
+    one bucket of rows. The reference job has no batch analog
+    (streaming-only; SURVEY.md §2) — this operator is LLM-pipeline
+    extension surface."""
+    from ..functions.portable import hash32
+
+    h = hash32(F.col("doc_id").cast("string"), salt=f"ep{seed}")
+    t = documents.select("doc_id", h.alias("__h")).withColumn(
+        # top bits: bucket ascending == hash ascending, so per-bucket
+        # offsets + within-bucket ranks compose to the exact global rank
+        "__b",
+        F.floor(F.col("__h") / F.lit(1 << (32 - bucket_bits))).cast("int"),
+    )
+    # counts and ranks share this narrow frame; materialize once
+    t = t.localCheckpoint(eager=True)
+    w_off = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        t.groupBy("__b")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        # window over a <=2^bucket_bits-row table — single tiny task
+        .withColumn("__off", F.coalesce(F.sum("__cnt").over(w_off), F.lit(0)))
+        .select("__b", "__off")
+    )
+    w_in = Window.partitionBy("__b").orderBy("__h", "doc_id")
+    pos = (F.col("__off") + F.row_number().over(w_in) - 1).cast("long")
+    return (
+        t.join(F.broadcast(offsets), "__b")
+        .withColumn("pos", pos)
+        .select(
+            "doc_id",
+            "pos",
+            (F.col("pos") % n_shards).cast("int").alias("shard"),
         )
     )

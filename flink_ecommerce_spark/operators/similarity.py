@@ -521,7 +521,7 @@ def embedding_norms(embeddings: DataFrame) -> DataFrame:
     return embeddings.select(
         "vec_id",
         F.size("embedding").alias("dim"),
-        F.round(l2_norm(F.col("embedding")), 6).alias("l2_norm"),
+        micro(l2_norm(F.col("embedding"))).alias("l2_norm_micro"),
     )
 
 

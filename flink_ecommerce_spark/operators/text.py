@@ -782,9 +782,9 @@ def unigram_surprisal(documents: DataFrame) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_words"),
-            F.round(
-                F.avg(-F.log(F.col("cnt") / F.col("total"))), 6
-            ).alias("avg_surprisal"),
+            micro(
+                F.avg(-F.log(F.col("cnt") / F.col("total")))
+            ).alias("avg_surprisal_micro"),
         )
     )
 
@@ -963,9 +963,9 @@ def bigram_surprisal(documents: DataFrame) -> DataFrame:
     )
     return scored.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_bigrams"),
-        F.round(
-            F.avg(-F.log(F.col("cnt2") / F.col("cnt1"))), 6
-        ).alias("avg_bigram_surprisal"),
+        micro(
+            F.avg(-F.log(F.col("cnt2") / F.col("cnt1")))
+        ).alias("avg_bigram_surprisal_micro"),
     )
 
 
@@ -1010,9 +1010,9 @@ def contamination_report(documents: DataFrame, eval_mod: int = 20) -> DataFrame:
         per_pair.groupBy("eval_doc_id")
         .agg(
             F.countDistinct("doc_id").alias("n_contaminating_docs"),
-            F.round(
-                F.max(F.col("n_shared").cast("double") / F.col("n_sh")), 6
-            ).alias("max_overlap_frac"),
+            micro(
+                F.max(F.col("n_shared").cast("double") / F.col("n_sh"))
+            ).alias("max_overlap_frac_micro"),
         )
     )
 
@@ -1150,11 +1150,10 @@ def source_overlap_matrix(documents: DataFrame) -> DataFrame:
             "source_a",
             "source_b",
             "n_inter",
-            F.round(
+            micro(
                 F.col("n_inter").cast("double")
-                / (F.col("na") + F.col("nb") - F.col("n_inter")),
-                6,
-            ).alias("jaccard"),
+                / (F.col("na") + F.col("nb") - F.col("n_inter"))
+            ).alias("jaccard_micro"),
         )
     )
 
@@ -1971,9 +1970,21 @@ def dp_source_counts(
     noise = (F.lit(-b) * F.signum(c)) * F.log(
         F.lit(1.0) - F.lit(2.0) * F.abs(c)
     )
+    # The noise (not the final sum) quantizes to a COARSE centi grid
+    # first, then the output is assembled in pure integer arithmetic
+    # (ADVICE r07): micro(n + noise) would floor a transcendental-
+    # tainted double at the fine 1e-6 grid, where a 1-ulp libm-ln
+    # difference between the JVM and the oracle engine can flip the
+    # floor; at the 1e-2 grid the same 1-ulp difference sits ~1e4x
+    # farther from any boundary. Quantization is post-processing of
+    # the Laplace mechanism, so the epsilon accounting is unchanged.
+    noise_centi = F.floor(noise * F.lit(100.0) + F.lit(0.5)).cast("long")
     return counts.select(
         "source",
-        micro(F.col("__n_docs") + noise).alias("noisy_n_docs_micro"),
+        (
+            F.col("__n_docs").cast("long") * F.lit(1_000_000)
+            + noise_centi * F.lit(10_000)
+        ).alias("noisy_n_docs_micro"),
         F.lit(int(round(epsilon * 1_000_000))).cast("long").alias(
             "epsilon_micro"
         ),
@@ -1984,7 +1995,7 @@ def sql_dp_source_counts(epsilon: float = DP_EPSILON) -> str:
     """DuckDB oracle for ``dp_source_counts`` — identical hash-seeded
     uniform, identical mechanism arithmetic and parenthesization (the
     product order matters for bit-exact doubles)."""
-    from ..functions.portable import sql_hash32, sql_micro
+    from ..functions.portable import sql_hash32
 
     b = 1.0 / epsilon
     u = f"(({sql_hash32('source', salt='dp')}) + 0.5) / 4294967296.0"
@@ -1992,11 +2003,15 @@ def sql_dp_source_counts(epsilon: float = DP_EPSILON) -> str:
         f"(({-b!r}) * sign(({u}) - 0.5))"
         f" * ln(1.0 - 2.0 * abs(({u}) - 0.5))"
     )
+    # noise quantized to the centi grid, output assembled as pure
+    # integer arithmetic — mirrors the Spark side (ADVICE r07)
+    noise_centi = f"CAST(FLOOR(({noise}) * 100.0 + 0.5) AS BIGINT)"
     return f"""
 WITH counts AS (SELECT source, COUNT(*) AS n_docs
                 FROM documents GROUP BY 1)
 SELECT source,
-       {sql_micro(f'n_docs + {noise}')} AS noisy_n_docs_micro,
+       CAST(n_docs * 1000000 + {noise_centi} * 10000 AS BIGINT)
+         AS noisy_n_docs_micro,
        CAST({int(round(epsilon * 1_000_000))} AS BIGINT) AS epsilon_micro
 FROM counts
 """

@@ -103,7 +103,7 @@ def user_sessions(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     ).agg(F.count(F.lit(1)).alias("n_events"))
     return per_session.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_sessions"),
-        F.round(F.avg("n_events"), 6).alias("avg_events_per_session"),
+        micro(F.avg("n_events")).alias("avg_events_per_session_micro"),
     )
 
 
@@ -170,10 +170,10 @@ def user_value_quartiles(events: DataFrame) -> DataFrame:
     state is one (pid, count) row per partition — centroid-table
     sized, not data-sized."""
     per_user = events.groupBy("user_id").agg(
-        F.round(F.sum("value"), 2).alias("total_value")
+        F.sum(micro(F.col("value"), 100)).alias("total_value_cents")
     )
     part = per_user.repartitionByRange(
-        F.desc("total_value"), F.asc("user_id")
+        F.desc("total_value_cents"), F.asc("user_id")
     ).withColumn("pid", F.spark_partition_id())
     # Freeze pid: the counts job and the ranked plan below must see the
     # SAME range-boundary sample (and skip recomputing the aggregate).
@@ -194,7 +194,7 @@ def user_value_quartiles(events: DataFrame) -> DataFrame:
         *[F.lit(x) for pid, off in offsets.items() for x in (pid, off)]
     )
     w_local = Window.partitionBy("pid").orderBy(
-        F.desc("total_value"), F.asc("user_id")
+        F.desc("total_value_cents"), F.asc("user_id")
     )
     ranked = part.withColumn(
         "rn",
@@ -217,10 +217,10 @@ def user_value_quartiles(events: DataFrame) -> DataFrame:
     )
     return ranked.select(
         "user_id",
-        "total_value",
+        "total_value_cents",
         quartile.alias("quartile"),
-        F.round(pct_rank, 6).alias("pct_rank"),
-        F.round(rn.cast("double") / n.cast("double"), 6).alias("cume_dist"),
+        micro(pct_rank).alias("pct_rank_micro"),
+        micro(rn.cast("double") / n.cast("double")).alias("cume_dist_micro"),
     )
 
 

@@ -22,8 +22,17 @@ driver's ``events`` analog (FIXTURES.md §3 mapping).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+from ..functions.portable import micro
+
+
+def _cents(col: str | Column) -> Column:
+    """Per-row integer cents BEFORE any sum (COVERAGE.md oracle
+    encoding rule): integer addition is order-independent, so the
+    aggregate is bit-identical on every engine and partitioning."""
+    return micro(F.col(col) if isinstance(col, str) else col, 100)
 
 
 def raw_transactions(
@@ -112,6 +121,73 @@ def sales_per_month(
             F.year(ts_col).alias("year"), F.month(ts_col).alias("month")
         )
         .agg(F.round(F.sum(amount_col), 2).alias("total_sales"))
+    )
+
+
+def sales_per_day_cents(
+    df: DataFrame, ts_col: str = "transactionDate", amount_col: str = "totalAmount"
+) -> DataFrame:
+    """A2 under the integer-cents contract (the oracle-checked batch
+    form; the streaming sink keeps ``sales_per_day``'s DOUBLE column
+    for reference DDL parity, DataStreamJob.java:291-293). Same
+    single-shuffle partial-sum plan — only the encoding differs."""
+    return df.groupBy(F.to_date(ts_col).alias("transaction_date")).agg(
+        F.sum(_cents(amount_col)).alias("total_sales_cents")
+    )
+
+
+def sales_per_category_cents(
+    df: DataFrame,
+    ts_col: str = "transactionDate",
+    category_col: str = "productCategory",
+    amount_col: str = "totalAmount",
+) -> DataFrame:
+    """A1 (full upsert key) under the integer-cents contract."""
+    return df.groupBy(
+        F.to_date(ts_col).alias("transaction_date"),
+        F.col(category_col).alias("category"),
+    ).agg(F.sum(_cents(amount_col)).alias("total_sales_cents"))
+
+
+def sales_per_month_cents(
+    df: DataFrame, ts_col: str = "transactionDate", amount_col: str = "totalAmount"
+) -> DataFrame:
+    """A3 (full upsert key) under the integer-cents contract."""
+    return df.groupBy(
+        F.year(ts_col).alias("year"), F.month(ts_col).alias("month")
+    ).agg(F.sum(_cents(amount_col)).alias("total_sales_cents"))
+
+
+def sales_per_day_filtered_cents(
+    df: DataFrame,
+    category: str,
+    ts_col: str = "transactionDate",
+    category_col: str = "productCategory",
+    amount_col: str = "totalAmount",
+) -> DataFrame:
+    """Filtered A2 variant under the integer-cents contract; the
+    category predicate still reaches the parquet scan."""
+    return sales_per_day_cents(
+        df.filter(F.col(category_col) == category), ts_col, amount_col
+    )
+
+
+def category_stats_int(
+    df: DataFrame,
+    category_col: str = "productCategory",
+    amount_col: str = "totalAmount",
+) -> DataFrame:
+    """``category_stats`` under the integer contract: money as
+    per-row cents (sum/min/max commute with the monotonic per-row
+    quantization), the mean as micro-units of the raw double AVG.
+    Still one shuffle with a shared partial-agg pass."""
+    c = _cents(amount_col)
+    return df.groupBy(F.col(category_col).alias("category")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(c).alias("total_sales_cents"),
+        micro(F.avg(amount_col)).alias("avg_sale_micro"),
+        F.min(c).alias("min_sale_cents"),
+        F.max(c).alias("max_sale_cents"),
     )
 
 

@@ -17,6 +17,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.portable import micro
+
 
 def asof_join_last_click(events: DataFrame) -> DataFrame:
     """For every purchase event: the user's most recent click at-or-
@@ -154,7 +156,7 @@ def lineitem_price_bands(lineitem: DataFrame) -> DataFrame:
     )
     return joined.groupBy("band").agg(
         F.count(F.lit(1)).alias("n_items"),
-        F.round(F.sum("l_extendedprice"), 2).alias("band_revenue"),
+        F.sum(micro(F.col("l_extendedprice"), 100)).alias("band_revenue_cents"),
     )
 
 
@@ -167,13 +169,13 @@ def hourly_event_counts(events: DataFrame) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            F.sum(micro(F.col("value"), 100)).alias("total_value_cents"),
         )
         .select(
             F.col("w.start").alias("hour_start"),
             "event_type",
             "n_events",
-            "total_value",
+            "total_value_cents",
         )
     )
 
@@ -183,11 +185,11 @@ def day_over_day_delta(events: DataFrame) -> DataFrame:
     delta vs the previous day (lag window)."""
     daily = events.groupBy(
         "event_type", F.to_date("ts").alias("d")
-    ).agg(F.round(F.sum("value"), 2).alias("day_value"))
+    ).agg(F.sum(micro(F.col("value"), 100)).alias("day_value_cents"))
     w = Window.partitionBy("event_type").orderBy("d")
     return daily.withColumn(
-        "delta_vs_prev",
-        F.round(F.col("day_value") - F.lag("day_value").over(w), 2),
+        "delta_vs_prev_cents",
+        F.col("day_value_cents") - F.lag("day_value_cents").over(w),
     )
 
 
@@ -212,9 +214,9 @@ def value_percentiles(events: DataFrame) -> DataFrame:
     """Exact interpolated percentiles per event_type (at 100 TB you'd
     swap percentile -> percentile_approx; exact kept for the oracle)."""
     return events.groupBy("event_type").agg(
-        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
-        F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
-        F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+        micro(F.expr("percentile(value, 0.5)")).alias("p50_micro"),
+        micro(F.expr("percentile(value, 0.9)")).alias("p90_micro"),
+        micro(F.expr("percentile(value, 0.99)")).alias("p99_micro"),
     )
 
 
@@ -293,24 +295,29 @@ def event_metrics_long(events: DataFrame) -> DataFrame:
     """Unpivot (wide->long): per event_type metrics in long format via
     stack()."""
     wide = events.groupBy("event_type").agg(
-        F.round(F.sum("value"), 2).alias("total"),
-        F.round(F.avg("value"), 6).alias("mean"),
-        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(micro(F.col("value"), 100)).alias("total_cents"),
+        micro(F.avg("value")).alias("mean_micro"),
+        F.count(F.lit(1)).alias("n"),
     )
     return wide.selectExpr(
         "event_type",
-        "stack(3, 'total', total, 'mean', mean, 'n', n) AS (metric, metric_value)",
+        "stack(3, 'total_cents', total_cents, 'mean_micro', mean_micro,"
+        " 'n', n) AS (metric, metric_value)",
     )
 
 
 def customers_above_avg_balance(customer: DataFrame) -> DataFrame:
     """Scalar-subquery pattern: customers with balance above the
     global average (computed once, broadcast as a 1-row join)."""
-    avg_df = customer.agg(F.round(F.avg("c_acctbal"), 6).alias("avg_bal"))
+    avg_df = customer.agg(micro(F.avg("c_acctbal")).alias("avg_bal_micro"))
     return (
         customer.crossJoin(F.broadcast(avg_df))
-        .filter(F.col("c_acctbal") > F.col("avg_bal"))
-        .select("c_custkey", "c_name", F.round("c_acctbal", 2).alias("c_acctbal"))
+        .filter(micro(F.col("c_acctbal")) > F.col("avg_bal_micro"))
+        .select(
+            "c_custkey",
+            "c_name",
+            micro(F.col("c_acctbal"), 100).alias("c_acctbal_cents"),
+        )
     )
 
 

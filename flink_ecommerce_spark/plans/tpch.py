@@ -1028,8 +1028,14 @@ def copurchase_pairs(lineitem: DataFrame, min_support: int = 2, k: int = 100) ->
     )
 
 
+ITEM_NEIGHBORS_MIN_SUPPORT = 2
+ITEM_NEIGHBORS_K = 10
+
+
 def item_neighbors_topk(
-    lineitem: DataFrame, min_support: int = 2, k: int = 10
+    lineitem: DataFrame,
+    min_support: int = ITEM_NEIGHBORS_MIN_SUPPORT,
+    k: int = ITEM_NEIGHBORS_K,
 ) -> DataFrame:
     """Item-item collaborative similarity: for every part, its top-k
     co-purchase NEIGHBORS ranked by basket Jaccard — the

@@ -87,25 +87,27 @@ def _q_raw_transactions(spark, sf):
 
 
 def _q_sales_per_day(spark, sf):
-    return sales.sales_per_day(_t("events")(spark, sf), "ts", "value")
+    return sales.sales_per_day_cents(_t("events")(spark, sf), "ts", "value")
 
 
 def _q_sales_per_category(spark, sf):
-    return sales.sales_per_category(_t("events")(spark, sf), "ts", "event_type", "value")
+    return sales.sales_per_category_cents(
+        _t("events")(spark, sf), "ts", "event_type", "value"
+    )
 
 
 def _q_sales_per_month(spark, sf):
-    return sales.sales_per_month(_t("events")(spark, sf), "ts", "value")
+    return sales.sales_per_month_cents(_t("events")(spark, sf), "ts", "value")
 
 
 def _q_sales_per_day_purchases(spark, sf):
-    return sales.sales_per_day_filtered(
+    return sales.sales_per_day_filtered_cents(
         _t("events")(spark, sf), "purchase", "ts", "event_type", "value"
     )
 
 
 def _q_category_stats(spark, sf):
-    return sales.category_stats(_t("events")(spark, sf), "event_type", "value")
+    return sales.category_stats_int(_t("events")(spark, sf), "event_type", "value")
 
 
 def _q_props_extract(spark, sf):
@@ -1012,19 +1014,25 @@ def _q_embedding_quantize(spark, sf):
 
 def _q_curation_scores(spark, sf):
     """Cross-modal curation: join text quality with embedding norm
-    (doc_id == vec_id in the fixtures) into one keep/drop score."""
-    from .operators.text import quality_scores
-    from .operators.similarity import embedding_norms
+    (doc_id == vec_id in the fixtures) into one keep/drop score.
+    Integer contract (r08 migration): quality and norm stay RAW
+    doubles through the join — micro() quantizes each final column
+    once, never micro(ROUND(x)) which would re-inherit ROUND's
+    cross-engine tie hazard."""
+    from .operators.text import _quality_raw_column
+    from .functions.vector import l2_norm as _l2
 
-    q = quality_scores(_t("documents")(spark, sf)).select("doc_id", "quality")
-    n = embedding_norms(_t("embeddings")(spark, sf)).select(
-        F.col("vec_id").alias("doc_id"), "l2_norm"
+    q = _t("documents")(spark, sf).select(
+        "doc_id", _quality_raw_column().alias("__q")
+    )
+    n = _t("embeddings")(spark, sf).select(
+        F.col("vec_id").alias("doc_id"), _l2(F.col("embedding")).alias("__n")
     )
     return q.join(n, "doc_id").select(
         "doc_id",
-        "quality",
-        "l2_norm",
-        F.round(F.col("quality") * F.col("l2_norm"), 6).alias("curation_score"),
+        pmicro(F.col("__q")).alias("quality_micro"),
+        pmicro(F.col("__n")).alias("l2_norm_micro"),
+        pmicro(F.col("__q") * F.col("__n")).alias("curation_score_micro"),
     )
 
 
@@ -1038,9 +1046,9 @@ def _q_profile_documents(spark, sf):
     return t.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("nt").alias("total_tokens"),
-        F.round(F.avg("nt"), 6).alias("avg_tokens"),
-        F.round(F.expr("percentile(nt, 0.5)"), 6).alias("p50_tokens"),
-        F.round(F.expr("percentile(nt, 0.9)"), 6).alias("p90_tokens"),
+        pmicro(F.avg("nt")).alias("avg_tokens_micro"),
+        pmicro(F.expr("percentile(nt, 0.5)")).alias("p50_tokens_micro"),
+        pmicro(F.expr("percentile(nt, 0.9)")).alias("p90_tokens_micro"),
         F.countDistinct("lang").alias("n_langs"),
     )
 
@@ -1055,8 +1063,8 @@ def _q_profile_events(spark, sf):
         F.sum(F.col("props").isNull().cast("long")).alias("null_props"),
         F.countDistinct("user_id").alias("distinct_users"),
         F.countDistinct("event_type").alias("distinct_types"),
-        F.round(F.min("value"), 6).alias("min_value"),
-        F.round(F.max("value"), 6).alias("max_value"),
+        pmicro(F.min("value")).alias("min_value_micro"),
+        pmicro(F.max("value")).alias("max_value_micro"),
         F.min("ts").alias("min_ts"),
         F.max("ts").alias("max_ts"),
     )
@@ -1285,12 +1293,29 @@ def _q_shard_manifest(spark, sf):
     return packing.shard_manifest(_t("documents")(spark, sf))
 
 
+def _q_epoch_shuffle(spark, sf):
+    """Deterministic epoch-0 training-shard permutation (VERDICT r07
+    #4): portable-hash rank with bucket-decomposed offsets — no
+    global sort; the oracle IS the global ORDER BY of the same
+    hash."""
+    return packing.epoch_shuffle(_t("documents")(spark, sf))
+
+
+def _q_cluster_silhouette(spark, sf):
+    """Simplified-silhouette cell-quality meter over the k-means
+    assignment (VERDICT r07 #5) — certified against the unrolled
+    Lloyd CTE oracle extended with the centroid-distance scoring."""
+    from .operators.clustering import cluster_silhouette
+
+    return cluster_silhouette(_t("embeddings")(spark, sf))
+
+
 def _q_grouping_sets(spark, sf):
     _t("events")(spark, sf).createOrReplaceTempView("events_v")
     return spark.sql(
         """
         SELECT event_type, CAST(dayofweek(ts) AS INT) AS dow,
-               ROUND(SUM(value), 2) AS total_sales
+               CAST(SUM(FLOOR(value * 100 + 0.5)) AS BIGINT) AS total_sales_cents
         FROM events_v
         GROUP BY GROUPING SETS ((event_type), (CAST(dayofweek(ts) AS INT)))
         """
@@ -1571,6 +1596,53 @@ jac AS (SELECT i.doc_a, i.doc_b,
         JOIN sizes sb ON sb.doc_id = i.doc_b)
 """
 
+# Integer-contract twin (r08 migration of the r03 block): jac ships
+# jaccard_micro = FLOOR(raw_ratio * 1e6 + 0.5) BIGINT and every
+# threshold compares on the same integer grid, mirroring the Spark
+# side's micro() encoding — no ROUND anywhere, so no cross-engine
+# tie-behavior exposure. The legacy ROUND fragment above remains
+# ONLY for prefix_jaccard_pairs, whose r04 certification is
+# untouched this round (it migrates with the r04 block's rotation).
+_JAC_T = int(round(dedup.JACCARD_THRESHOLD * 1_000_000))
+_PREFIX_T = int(round(dedup.PREFIX_JOIN_THRESHOLD * 1_000_000))
+_JACCARD_CTES_INT = f"""
+ds AS (SELECT DISTINCT doc_id, s AS shingle
+       FROM (SELECT doc_id, unnest(shingles) AS s FROM sh)),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM ds GROUP BY 1),
+inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+          FROM ds a JOIN ds b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+jac AS (SELECT i.doc_a, i.doc_b,
+               CAST(FLOOR(CAST(i.n_inter AS DOUBLE)
+                    / (sa.n_sh + sb.n_sh - i.n_inter) * 1000000 + 0.5) AS BIGINT)
+                 AS jaccard_micro
+        FROM inter i
+        JOIN sizes sa ON sa.doc_id = i.doc_a
+        JOIN sizes sb ON sb.doc_id = i.doc_b)
+"""
+
+# Recall-meter twin: the truth side mirrors prefix_jaccard_pairs
+# (still on the legacy ROUND contract until the r04 block rotates)
+# while the LSH side mirrors the migrated integer-contract
+# lsh_candidate_pairs — so jac carries BOTH encodings of the same
+# raw ratio and each side thresholds on its own column.
+_JACCARD_CTES_BOTH = f"""
+ds AS (SELECT DISTINCT doc_id, s AS shingle
+       FROM (SELECT doc_id, unnest(shingles) AS s FROM sh)),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM ds GROUP BY 1),
+inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+          FROM ds a JOIN ds b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+jac AS (SELECT i.doc_a, i.doc_b,
+               ROUND(i.n_inter / (sa.n_sh + sb.n_sh - i.n_inter), 6) AS jaccard,
+               CAST(FLOOR(CAST(i.n_inter AS DOUBLE)
+                    / (sa.n_sh + sb.n_sh - i.n_inter) * 1000000 + 0.5) AS BIGINT)
+                 AS jaccard_micro
+        FROM inter i
+        JOIN sizes sa ON sa.doc_id = i.doc_a
+        JOIN sizes sb ON sb.doc_id = i.doc_b)
+"""
+
 # ngram_jaccard_pairs twin: same df ceiling as the Spark plan — hot
 # shingles (df > frac·n_docs) are dropped before the self-join AND
 # from the set sizes.
@@ -1588,7 +1660,9 @@ inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
           FROM ds a JOIN ds b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
           GROUP BY 1, 2),
 jac AS (SELECT i.doc_a, i.doc_b,
-               ROUND(i.n_inter / (sa.n_sh + sb.n_sh - i.n_inter), 6) AS jaccard
+               CAST(FLOOR(CAST(i.n_inter AS DOUBLE)
+                    / (sa.n_sh + sb.n_sh - i.n_inter) * 1000000 + 0.5) AS BIGINT)
+                 AS jaccard_micro
         FROM inter i
         JOIN sizes sa ON sa.doc_id = i.doc_a
         JOIN sizes sb ON sb.doc_id = i.doc_b)
@@ -1860,27 +1934,38 @@ SELECT event_id AS transaction_id, ts AS transaction_ts, user_id AS customer_id,
 FROM events
 """,
     "sales_per_day": """
-SELECT CAST(ts AS DATE) AS transaction_date, ROUND(SUM(value), 2) AS total_sales
+SELECT CAST(ts AS DATE) AS transaction_date,
+       CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS total_sales_cents
 FROM events GROUP BY 1
 """,
     "sales_per_category": """
 SELECT CAST(ts AS DATE) AS transaction_date, event_type AS category,
-       ROUND(SUM(value), 2) AS total_sales
+       CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS total_sales_cents
 FROM events GROUP BY 1, 2
 """,
     "sales_per_month": """
 SELECT CAST(year(ts) AS INT) AS year, CAST(month(ts) AS INT) AS month,
-       ROUND(SUM(value), 2) AS total_sales
+       CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS total_sales_cents
 FROM events GROUP BY 1, 2
 """,
     "sales_per_day_purchases": """
-SELECT CAST(ts AS DATE) AS transaction_date, ROUND(SUM(value), 2) AS total_sales
+SELECT CAST(ts AS DATE) AS transaction_date,
+       CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS total_sales_cents
 FROM events WHERE event_type = 'purchase' GROUP BY 1
 """,
     "category_stats": """
 SELECT event_type AS category, COUNT(*) AS n_events,
-       ROUND(SUM(value), 2) AS total_sales, ROUND(AVG(value), 6) AS avg_sale,
-       ROUND(MIN(value), 2) AS min_sale, ROUND(MAX(value), 2) AS max_sale
+       CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS total_sales_cents,
+       CAST(FLOOR(AVG(value) * 1000000 + 0.5) AS BIGINT) AS avg_sale_micro,
+       CAST(MIN(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS min_sale_cents,
+       CAST(MAX(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS max_sale_cents
 FROM events GROUP BY 1
 """,
     "props_extract": """
@@ -2246,7 +2331,8 @@ with_sess AS (
 per_session AS (
   SELECT user_id, sess_id, COUNT(*) AS n_events FROM with_sess GROUP BY 1, 2)
 SELECT user_id, COUNT(*) AS n_sessions,
-       ROUND(AVG(n_events), 6) AS avg_events_per_session
+       CAST(FLOOR(AVG(n_events) * 1000000 + 0.5) AS BIGINT)
+         AS avg_events_per_session_micro
 FROM per_session GROUP BY 1
 """,
     "session_window_stats": """
@@ -2306,14 +2392,18 @@ SELECT m.cohort_week, m.week_offset, m.n_users,
 FROM m JOIN sizes s ON m.cohort_week = s.cohort_week
 """,
     "user_value_quartiles": """
-WITH per_user AS (SELECT user_id, ROUND(SUM(value), 2) AS total_value
+WITH per_user AS (SELECT user_id,
+                         CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))
+                              AS BIGINT) AS total_value_cents
                   FROM events GROUP BY 1)
-SELECT user_id, total_value,
+SELECT user_id, total_value_cents,
        CAST(NTILE(4) OVER w AS INT) AS quartile,
-       ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
-       ROUND(CUME_DIST() OVER w, 6) AS cume_dist
+       CAST(FLOOR(PERCENT_RANK() OVER w * 1000000 + 0.5) AS BIGINT)
+         AS pct_rank_micro,
+       CAST(FLOOR(CUME_DIST() OVER w * 1000000 + 0.5) AS BIGINT)
+         AS cume_dist_micro
 FROM per_user
-WINDOW w AS (ORDER BY total_value DESC, user_id ASC)
+WINDOW w AS (ORDER BY total_value_cents DESC, user_id ASC)
 """,
     "weekly_moving_avg": """
 WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d,
@@ -2444,7 +2534,9 @@ FROM clicks c JOIN purchases p
 """,
     "lineitem_price_bands": """
 WITH bands(band, lo, hi) AS (VALUES {bands})
-SELECT band, COUNT(*) AS n_items, ROUND(SUM(l_extendedprice), 2) AS band_revenue
+SELECT band, COUNT(*) AS n_items,
+       CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS band_revenue_cents
 FROM lineitem JOIN bands ON l_extendedprice >= lo AND l_extendedprice < hi
 GROUP BY 1
 """.format(
@@ -2452,16 +2544,20 @@ GROUP BY 1
     ),
     "hourly_event_counts": """
 SELECT date_trunc('hour', ts) AS hour_start, event_type,
-       COUNT(*) AS n_events, ROUND(SUM(value), 2) AS total_value
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS total_value_cents
 FROM events GROUP BY 1, 2
 """,
     "day_over_day_delta": """
 WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d,
-                      ROUND(SUM(value), 2) AS day_value
+                      CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                        AS day_value_cents
                FROM events GROUP BY 1, 2)
-SELECT event_type, d, day_value,
-       ROUND(day_value - LAG(day_value) OVER (PARTITION BY event_type ORDER BY d), 2)
-         AS delta_vs_prev
+SELECT event_type, d, day_value_cents,
+       CAST(day_value_cents - LAG(day_value_cents)
+            OVER (PARTITION BY event_type ORDER BY d) AS BIGINT)
+         AS delta_vs_prev_cents
 FROM daily
 """,
     "latest_event_per_user": """
@@ -2474,23 +2570,28 @@ WHERE rk = 1
 """,
     "value_percentiles": """
 SELECT event_type,
-       ROUND(quantile_cont(value, 0.5), 6) AS p50,
-       ROUND(quantile_cont(value, 0.9), 6) AS p90,
-       ROUND(quantile_cont(value, 0.99), 6) AS p99
+       CAST(FLOOR(quantile_cont(value, 0.5) * 1000000 + 0.5) AS BIGINT) AS p50_micro,
+       CAST(FLOOR(quantile_cont(value, 0.9) * 1000000 + 0.5) AS BIGINT) AS p90_micro,
+       CAST(FLOOR(quantile_cont(value, 0.99) * 1000000 + 0.5) AS BIGINT) AS p99_micro
 FROM events GROUP BY 1
 """,
     "event_metrics_long": """
-WITH wide AS (SELECT event_type, ROUND(SUM(value), 2) AS total,
-                     ROUND(AVG(value), 6) AS mean,
-                     CAST(COUNT(*) AS DOUBLE) AS n
+WITH wide AS (SELECT event_type,
+                     CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                       AS total_cents,
+                     CAST(FLOOR(AVG(value) * 1000000 + 0.5) AS BIGINT) AS mean_micro,
+                     COUNT(*) AS n
               FROM events GROUP BY 1)
-SELECT event_type, 'total' AS metric, total AS metric_value FROM wide
-UNION ALL SELECT event_type, 'mean', mean FROM wide
+SELECT event_type, 'total_cents' AS metric, total_cents AS metric_value FROM wide
+UNION ALL SELECT event_type, 'mean_micro', mean_micro FROM wide
 UNION ALL SELECT event_type, 'n', n FROM wide
 """,
     "customers_above_avg_balance": """
-SELECT c_custkey, c_name, ROUND(c_acctbal, 2) AS c_acctbal FROM customer
-WHERE c_acctbal > (SELECT ROUND(AVG(c_acctbal), 6) FROM customer)
+SELECT c_custkey, c_name,
+       CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) AS c_acctbal_cents
+FROM customer
+WHERE CAST(FLOOR(c_acctbal * 1000000 + 0.5) AS BIGINT)
+      > (SELECT CAST(FLOOR(AVG(c_acctbal) * 1000000 + 0.5) AS BIGINT) FROM customer)
 """,
     "tfidf_top_terms": """
 WITH toks AS (SELECT doc_id, unnest({words}) AS term FROM documents),
@@ -2517,7 +2618,8 @@ j AS (SELECT doc_id, b.bigram, cnt2, cnt1
       FROM b JOIN c2 USING (bigram)
       JOIN c1 ON c1.w1 = split_part(b.bigram, ' ', 1))
 SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-       ROUND(AVG(-ln(CAST(cnt2 AS DOUBLE) / cnt1)), 6) AS avg_bigram_surprisal
+       CAST(FLOOR(AVG(-ln(CAST(cnt2 AS DOUBLE) / cnt1)) * 1000000 + 0.5) AS BIGINT)
+         AS avg_bigram_surprisal_micro
 FROM j GROUP BY doc_id
 """.format(bg=sql_word_shingles("text", w=2), w=sql_words("text")),
     "unigram_surprisal": """
@@ -2525,7 +2627,8 @@ WITH toks AS (SELECT doc_id, unnest({w}) AS term FROM documents),
 tf AS (SELECT term, COUNT(*) AS cnt FROM toks GROUP BY 1),
 n AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM tf)
 SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
-       ROUND(AVG(-ln(CAST(cnt AS DOUBLE) / total)), 6) AS avg_surprisal
+       CAST(FLOOR(AVG(-ln(CAST(cnt AS DOUBLE) / total)) * 1000000 + 0.5) AS BIGINT)
+         AS avg_surprisal_micro
 FROM toks JOIN tf USING (term) CROSS JOIN n
 GROUP BY doc_id
 """.format(w=sql_words("text")),
@@ -2555,8 +2658,8 @@ p AS (SELECT source, n_tokens,
       FROM c)
 SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
        CAST(MAX(last_chunk) + 1 AS BIGINT) AS n_chunks,
-       ROUND(CAST(SUM(n_tokens) AS DOUBLE) / ((MAX(last_chunk) + 1) * {ctx}), 6)
-         AS fill_ratio
+       CAST(FLOOR(CAST(SUM(n_tokens) AS DOUBLE) / ((MAX(last_chunk) + 1) * {ctx})
+            * 1000000 + 0.5) AS BIGINT) AS fill_ratio_micro
 FROM p GROUP BY 1
 """.format(ctx=packing.CTX_LEN),
     "doc_chunks": """
@@ -2594,9 +2697,11 @@ WITH t AS (SELECT source, lang,
            FROM documents)
 SELECT source, COUNT(*) AS n_docs,
        CAST(SUM(nt) AS BIGINT) AS total_tokens,
-       ROUND(AVG(nt), 6) AS avg_tokens,
-       ROUND(quantile_cont(nt, 0.5), 6) AS p50_tokens,
-       ROUND(quantile_cont(nt, 0.9), 6) AS p90_tokens,
+       CAST(FLOOR(AVG(nt) * 1000000 + 0.5) AS BIGINT) AS avg_tokens_micro,
+       CAST(FLOOR(quantile_cont(nt, 0.5) * 1000000 + 0.5) AS BIGINT)
+         AS p50_tokens_micro,
+       CAST(FLOOR(quantile_cont(nt, 0.9) * 1000000 + 0.5) AS BIGINT)
+         AS p90_tokens_micro,
        COUNT(DISTINCT lang) AS n_langs
 FROM t GROUP BY 1
 """,
@@ -2606,8 +2711,8 @@ SELECT COUNT(*) AS n_rows,
        CAST(SUM(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_props,
        COUNT(DISTINCT user_id) AS distinct_users,
        COUNT(DISTINCT event_type) AS distinct_types,
-       ROUND(MIN(value), 6) AS min_value,
-       ROUND(MAX(value), 6) AS max_value,
+       CAST(FLOOR(MIN(value) * 1000000 + 0.5) AS BIGINT) AS min_value_micro,
+       CAST(FLOOR(MAX(value) * 1000000 + 0.5) AS BIGINT) AS max_value_micro,
        MIN(ts) AS min_ts,
        MAX(ts) AS max_ts
 FROM events
@@ -2619,7 +2724,8 @@ ORDER BY n DESC, bigram ASC LIMIT 20
 """.format(shingles=sql_word_shingles("text", 2)),
     "embedding_norms": f"""
 SELECT vec_id, CAST(len(embedding) AS INT) AS dim,
-       ROUND({sql_l2_norm('embedding', similarity.EMB_DIM)}, 6) AS l2_norm
+       CAST(FLOOR({sql_l2_norm('embedding', similarity.EMB_DIM)} * 1000000 + 0.5)
+            AS BIGINT) AS l2_norm_micro
 FROM embeddings
 """,
     "multimodal_frames": """
@@ -2704,7 +2810,8 @@ FROM events e LEFT JOIN scd2_dim d
 """,
     "grouping_sets_sales": """
 SELECT event_type, CAST(dayofweek(ts) + 1 AS INT) AS dow,
-       ROUND(SUM(value), 2) AS total_sales
+       CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS total_sales_cents
 FROM events
 GROUP BY GROUPING SETS ((event_type), (CAST(dayofweek(ts) + 1 AS INT)))
 """,
@@ -2730,13 +2837,15 @@ inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
           FROM ds a JOIN ds b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
           GROUP BY 1, 2)
 SELECT i.doc_a, i.doc_b,
-       ROUND(CAST(i.n_inter AS DOUBLE) / sa.n_sh, 6) AS containment_a,
-       ROUND(CAST(i.n_inter AS DOUBLE) / sb.n_sh, 6) AS containment_b
+       CAST(FLOOR(CAST(i.n_inter AS DOUBLE) / sa.n_sh * 1000000 + 0.5) AS BIGINT)
+         AS containment_a_micro,
+       CAST(FLOOR(CAST(i.n_inter AS DOUBLE) / sb.n_sh * 1000000 + 0.5) AS BIGINT)
+         AS containment_b_micro
 FROM inter i
 JOIN sizes sa ON sa.doc_id = i.doc_a
 JOIN sizes sb ON sb.doc_id = i.doc_b
-WHERE ROUND(CAST(i.n_inter AS DOUBLE) / sa.n_sh, 6) >= 0.8
-   OR ROUND(CAST(i.n_inter AS DOUBLE) / sb.n_sh, 6) >= 0.8
+WHERE CAST(FLOOR(CAST(i.n_inter AS DOUBLE) / sa.n_sh * 1000000 + 0.5) AS BIGINT) >= 800000
+   OR CAST(FLOOR(CAST(i.n_inter AS DOUBLE) / sb.n_sh * 1000000 + 0.5) AS BIGINT) >= 800000
 """.format(shingles=sql_word_shingles("text"), frac=dedup.NGRAM_MAX_DF_FRAC),    "repeated_substring_spans": f"""
 WITH w AS (SELECT doc_id, {_WORDS} AS ws FROM documents),
 s0 AS (SELECT doc_id, unnest(generate_series(1, len(ws) - 7)) AS i, ws
@@ -2875,15 +2984,15 @@ bands AS ({_BANDS_SELECTS}),
 cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          FROM bands a JOIN bands b
            ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
-{_JACCARD_CTES}
-SELECT c.doc_a, c.doc_b, j.jaccard
+{_JACCARD_CTES_INT}
+SELECT c.doc_a, c.doc_b, j.jaccard_micro
 FROM cand c JOIN jac j ON j.doc_a = c.doc_a AND j.doc_b = c.doc_b
-WHERE j.jaccard >= {dedup.JACCARD_THRESHOLD}
+WHERE j.jaccard_micro >= {_JAC_T}
 """,
     "ngram_jaccard_pairs": f"""
 WITH sh AS (SELECT doc_id, {_SHINGLES} AS shingles FROM documents),
 {_CAPPED_JACCARD_CTES}
-SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= {dedup.JACCARD_THRESHOLD}
+SELECT doc_a, doc_b, jaccard_micro FROM jac WHERE jaccard_micro >= {_JAC_T}
 """,
     # winnowing: key = h·2^24 + (2^24-1-pos) makes MIN(key) the
     # paper's rightmost-min selection; parallel unnest zips the
@@ -2970,7 +3079,10 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_candidates,
          AS precision_u
 FROM v
 """,
-    "item_neighbors_topk": """
+    # min_support / k interpolate from the SAME module constants the
+    # Spark defaults use (ADVICE r07) — a default change diverges the
+    # oracle loudly at regen, never silently.
+    "item_neighbors_topk": f"""
 WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
 pn AS (SELECT l_partkey, COUNT(*) AS n FROM op GROUP BY 1),
 pr AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
@@ -2978,7 +3090,7 @@ pr AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
        FROM op a JOIN op b
          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
        GROUP BY 1, 2
-       HAVING COUNT(*) >= 2),
+       HAVING COUNT(*) >= {tpch.ITEM_NEIGHBORS_MIN_SUPPORT}),
 sym AS (SELECT part_a AS part, part_b AS neighbor, support FROM pr
         UNION ALL
         SELECT part_b AS part, part_a AS neighbor, support FROM pr),
@@ -2992,7 +3104,7 @@ SELECT part, neighbor, support, jaccard_u,
        CAST(ROW_NUMBER() OVER (PARTITION BY part
             ORDER BY jaccard_u DESC, neighbor ASC) AS INT) AS rank
 FROM scored
-QUALIFY rank <= 10
+QUALIFY rank <= {tpch.ITEM_NEIGHBORS_K}
 """,
     "classifier_calibration": _classifier.sql_calibration_by_margin(),
     "dp_source_counts": text.sql_dp_source_counts(),
@@ -3125,20 +3237,21 @@ bands AS ({_BANDS_SELECTS}),
 cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          FROM bands a JOIN bands b
            ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
-{_JACCARD_CTES},
+{_JACCARD_CTES_BOTH},
 truth AS (SELECT doc_a, doc_b FROM jac
           WHERE jaccard >= {dedup.PREFIX_JOIN_THRESHOLD}),
 lsh AS (SELECT c.doc_a, c.doc_b
         FROM cand c JOIN jac j ON j.doc_a = c.doc_a AND j.doc_b = c.doc_b
-        WHERE j.jaccard >= {dedup.PREFIX_JOIN_THRESHOLD}),
+        WHERE j.jaccard_micro >= {_PREFIX_T}),
 hit AS (SELECT t.doc_a, t.doc_b FROM truth t
         WHERE EXISTS (SELECT 1 FROM lsh l
                       WHERE l.doc_a = t.doc_a AND l.doc_b = t.doc_b))
 SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS n_true,
        (SELECT CAST(COUNT(*) AS BIGINT) FROM lsh) AS n_lsh,
        (SELECT CAST(COUNT(*) AS BIGINT) FROM hit) AS n_hit,
-       ROUND((SELECT COUNT(*) FROM hit) / (SELECT COUNT(*) FROM truth), 6)
-         AS recall
+       CAST(FLOOR((SELECT COUNT(*) FROM hit)
+            / (SELECT COUNT(*) FROM truth) * 1000000 + 0.5) AS BIGINT)
+         AS recall_micro
 """,
     # fuzzy_decontaminate: LSH candidacy mirrored band-for-band (like
     # lsh_recall_report), split train/eval on the decontaminate
@@ -3217,12 +3330,12 @@ bands AS ({_BANDS_SELECTS}),
 cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          FROM bands a JOIN bands b
            ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
-{_JACCARD_CTES},
+{_JACCARD_CTES_BOTH},
 truth AS (SELECT doc_a, doc_b FROM jac
           WHERE jaccard >= {dedup.PREFIX_JOIN_THRESHOLD}),
 lsh AS (SELECT c.doc_a, c.doc_b
         FROM cand c JOIN jac j ON j.doc_a = c.doc_a AND j.doc_b = c.doc_b
-        WHERE j.jaccard >= {dedup.PREFIX_JOIN_THRESHOLD}),
+        WHERE j.jaccard_micro >= {_PREFIX_T}),
 hit AS (SELECT t.doc_a, t.doc_b FROM truth t
         WHERE EXISTS (SELECT 1 FROM lsh l
                       WHERE l.doc_a = t.doc_a AND l.doc_b = t.doc_b)),
@@ -3522,10 +3635,10 @@ bands AS ({_BANDS_SELECTS}),
 cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          FROM bands a JOIN bands b
            ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
-{_JACCARD_CTES},
+{_JACCARD_CTES_INT},
 pairs AS (SELECT c.doc_a, c.doc_b
           FROM cand c JOIN jac j ON j.doc_a = c.doc_a AND j.doc_b = c.doc_b
-          WHERE j.jaccard >= {dedup.JACCARD_THRESHOLD}),
+          WHERE j.jaccard_micro >= {_JAC_T}),
 edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
           UNION SELECT doc_b, doc_a FROM pairs),
 walk(a, b) AS (SELECT doc_id, doc_id FROM documents
@@ -3539,10 +3652,10 @@ bands AS ({_BANDS_SELECTS}),
 cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          FROM bands a JOIN bands b
            ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
-{_JACCARD_CTES},
+{_JACCARD_CTES_INT},
 pairs AS (SELECT c.doc_a, c.doc_b
           FROM cand c JOIN jac j ON j.doc_a = c.doc_a AND j.doc_b = c.doc_b
-          WHERE j.jaccard >= {dedup.JACCARD_THRESHOLD}),
+          WHERE j.jaccard_micro >= {_JAC_T}),
 edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
           UNION SELECT doc_b, doc_a FROM pairs),
 walk(a, b) AS (SELECT doc_id, doc_id FROM documents
@@ -3559,10 +3672,10 @@ bands AS ({_BANDS_SELECTS}),
 cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          FROM bands a JOIN bands b
            ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
-{_JACCARD_CTES},
+{_JACCARD_CTES_INT},
 pairs AS (SELECT c.doc_a, c.doc_b
           FROM cand c JOIN jac j ON j.doc_a = c.doc_a AND j.doc_b = c.doc_b
-          WHERE j.jaccard >= {dedup.JACCARD_THRESHOLD}),
+          WHERE j.jaccard_micro >= {_JAC_T}),
 edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
           UNION SELECT doc_b, doc_a FROM pairs),
 walk(a, b) AS (SELECT doc_id, doc_id FROM documents
@@ -3699,7 +3812,8 @@ inter AS (SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS n_inter
           FROM ss a JOIN ss b ON a.sh = b.sh AND a.source < b.source
           GROUP BY 1, 2)
 SELECT source_a, source_b, n_inter,
-       ROUND(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+       CAST(FLOOR(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter)
+            * 1000000 + 0.5) AS BIGINT) AS jaccard_micro
 FROM inter
 JOIN sizes sa ON sa.source = source_a
 JOIN sizes sb ON sb.source = source_b
@@ -3820,7 +3934,8 @@ tr AS (SELECT doc_id, unnest(shl) AS sh, len(shl) AS n_sh FROM tr0),
 pair AS (SELECT ev.eval_doc_id, tr.doc_id, tr.n_sh, COUNT(*) AS n_shared
          FROM tr JOIN ev USING (sh) GROUP BY 1, 2, 3)
 SELECT eval_doc_id, COUNT(DISTINCT doc_id) AS n_contaminating_docs,
-       ROUND(MAX(CAST(n_shared AS DOUBLE) / n_sh), 6) AS max_overlap_frac
+       CAST(FLOOR(MAX(CAST(n_shared AS DOUBLE) / n_sh) * 1000000 + 0.5) AS BIGINT)
+         AS max_overlap_frac_micro
 FROM pair GROUP BY 1
 """,
     "decontaminate": f"""
@@ -5395,12 +5510,31 @@ ORACLES["pmi_collocations"] = text.sql_pmi_collocations()
 ORACLES["bloom_bits"] = _sketch.sql_bloom_bits()
 ORACLES["bloom_admission"] = _sketch.sql_bloom_admission()
 
+# curation_scores (r08 integer migration): quality and norm stay RAW
+# doubles through the join and each FINAL column micro-quantizes
+# once — never micro(ROUND(x)), which would re-inherit ROUND's
+# cross-engine tie hazard.
 ORACLES["curation_scores"] = f"""
-WITH q AS (SELECT doc_id, quality FROM ({_QUALITY_SQL_LEGACY})),
-n AS (SELECT vec_id AS doc_id, ROUND({sql_l2_norm('embedding', similarity.EMB_DIM)}, 6) AS l2_norm
+WITH m AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '\\S+')) AS DOUBLE) AS n_tok,
+         CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS DOUBLE) AS n_punct,
+         CAST(len(list_filter({_WORDS}, w -> w IN ({_EN_SW}))) AS DOUBLE) AS n_stop,
+         CAST(length(text) AS DOUBLE) AS n_chars
+  FROM documents),
+q AS (SELECT doc_id,
+             1.0 / (1.0 + exp(-(-2.0 + 0.02 * n_tok + 4.0 * (n_stop / n_tok)
+                   - 8.0 * (n_punct / n_chars)
+                   - 0.1 * abs((n_chars - (n_tok - 1)) / n_tok - 5.0)))) AS quality
+      FROM m),
+n AS (SELECT vec_id AS doc_id,
+             {sql_l2_norm('embedding', similarity.EMB_DIM)} AS l2_norm
       FROM embeddings)
-SELECT q.doc_id, q.quality, n.l2_norm,
-       ROUND(q.quality * n.l2_norm, 6) AS curation_score
+SELECT q.doc_id,
+       CAST(FLOOR(q.quality * 1000000 + 0.5) AS BIGINT) AS quality_micro,
+       CAST(FLOOR(n.l2_norm * 1000000 + 0.5) AS BIGINT) AS l2_norm_micro,
+       CAST(FLOOR(q.quality * n.l2_norm * 1000000 + 0.5) AS BIGINT)
+         AS curation_score_micro
 FROM q JOIN n ON q.doc_id = n.doc_id
 """
 
@@ -5462,6 +5596,24 @@ FROM lev
 """
 
 from .operators.clustering import kmeans_oracle_sql as _kmeans_oracle_sql
+from .operators.clustering import (  # noqa: E402
+    cluster_silhouette_oracle_sql as _silhouette_oracle_sql,
+)
+
+# epoch_shuffle: the oracle is the straightforward global ORDER BY of
+# the identical salted portable hash — DuckDB can afford the global
+# sort the Spark side decomposes into hash-prefix buckets.
+ORACLES["epoch_shuffle"] = f"""
+WITH t AS (SELECT doc_id,
+                  {sql_hash32("CAST(doc_id AS VARCHAR)", salt="ep0")} AS h
+           FROM documents),
+r AS (SELECT doc_id,
+             CAST(ROW_NUMBER() OVER (ORDER BY h, doc_id) - 1 AS BIGINT) AS pos
+      FROM t)
+SELECT doc_id, pos, CAST(pos % {packing.N_SHARDS} AS INT) AS shard FROM r
+"""
+
+ORACLES["cluster_silhouette"] = _silhouette_oracle_sql()
 
 _SPEC_DEFS: dict[str, QuerySpec] = {
     # parity (reference surface, SURVEY.md §2)
@@ -5905,6 +6057,12 @@ _SPEC_DEFS: dict[str, QuerySpec] = {
     ),
     "shard_balance": QuerySpec(_q_shard_balance, ORACLES["shard_balance"]),
     "shard_manifest": QuerySpec(_q_shard_manifest, ORACLES["shard_manifest"]),
+    "epoch_shuffle": QuerySpec(
+        _q_epoch_shuffle, ORACLES["epoch_shuffle"], bench=True
+    ),
+    "cluster_silhouette": QuerySpec(
+        _q_cluster_silhouette, ORACLES["cluster_silhouette"]
+    ),
     "documents_substr_deduped": QuerySpec(
         _q_documents_substr_deduped, ORACLES["documents_substr_deduped"]
     ),
@@ -6073,78 +6231,83 @@ _SPEC_DEFS: dict[str, QuerySpec] = {
 # because their code is untouched; touching one moves it back into
 # the window.
 _VERIFY_FIRST: tuple[str, ...] = (
-    # r07 window (VERDICT r06 #1/#3 + COVERAGE.md rotation queue).
-    # Composition:
-    # (1) the 8 queries registered in r06 but never externally
-    #     certified (their r06-close oracles gained the CAST(SUM AS
-    #     BIGINT) rule where applicable);
-    # (2) the 8 r06 red rows — all eight were pure hash fails from
-    #     uncast integer SUMs in the ORACLE (DuckDB HUGEINT vs Spark
-    #     int64 in the driver's typed materialization); the oracles
-    #     now CAST to BIGINT, Spark plans untouched;
-    # (3) lsh_recall_sampled — new this round (the above-crossover
-    #     recall meter, VERDICT r06 #5);
-    # (4) backfill: the 8 remaining r01 rows (six rounds stale), then
-    #     the full r02 block (23) per the migration queue — its 7
-    #     legacy-ROUND carriers (quality_scores, repetition_scores,
-    #     decontaminate, curated_corpus, tfidf_top_terms,
-    #     label_centroids, interval_join_click_purchase) migrated to
-    #     the integer contract (*_micro / cents BIGINTs) this round,
-    #     so no legacy-ROUND query is newly certified without the
-    #     integer encoding (VERDICT r06 #8).
-    "boilerplate_lines",
-    "boilerplate_shingles",
-    "strip_boilerplate",
-    "line_dedup",
-    "token_waterfill",
-    "quality_ks_by_source",
-    "value_ks_by_type",
-    "value_benford_by_type",
-    "temperature_mixture_summary",
-    "char_entropy",
-    "salted_segment_revenue",
-    "cohort_ltv",
-    "pareto_revenue_share",
-    "position_attribution",
-    "conversion_survival",
-    "events_profile",
+    # r08 window (VERDICT r07 #1 + COVERAGE.md rotation/migration
+    # queues). Composition:
+    # (1) the 17 queries registered in r07 after its window filled —
+    #     never externally certified (all pass the local typed
+    #     bit-exact gate);
+    # (2) the r03/r02 ROUND-carrier migration block: the 26 stale-
+    #     certified r03 carriers (incl. the parity sales_* family:
+    #     ROUND(SUM,2) money -> per-row cents) plus the two r02-
+    #     certified stragglers (curation_scores, embedding_norms) —
+    #     every one re-encoded to the integer contract this round,
+    #     so each MUST re-certify;
+    # (3) three queries whose plans changed transitively because
+    #     they compose the migrated lsh_candidate_pairs /
+    #     dedup_clusters internals (jaccard -> jaccard_micro):
+    #     lsh_recall_report, lsh_recall_sampled,
+    #     documents_deduped_best;
+    # (4) the round's two new oracle-backed operators:
+    #     epoch_shuffle (deterministic training-shard permutation)
+    #     and cluster_silhouette (IVF/k-means cell-quality meter).
+    # Still stale-but-valid (plans untouched, certifications hold):
+    # the 15 non-carrier r03 rows (raw_transactions, dedup_exact,
+    # minhash_signatures, ...) — they are the r09 rotation queue
+    # together with trigram KN (registered this round at the head of
+    # the tail).
+    "fuzzy_decontaminate",
+    "code_switch_report",
+    "lsh_candidate_precision",
+    "dp_source_counts",
+    "markov_attribution",
+    "retrieval_eval",
+    "retrieval_ndcg",
+    "dup_quality_report",
+    "journey_length_hist",
+    "basket_size_hist",
+    "winnowing_fingerprints",
+    "winnowing_overlap_pairs",
+    "classifier_calibration",
+    "item_neighbors_topk",
+    "containment_sketch_pairs",
+    "media_ahash",
+    "media_ahash_pairs",
+    # (2) the migration block
+    "sales_per_day",
+    "sales_per_category",
+    "sales_per_month",
+    "sales_per_day_purchases",
+    "category_stats",
+    "grouping_sets_sales",
+    "hourly_event_counts",
+    "lineitem_price_bands",
+    "event_metrics_long",
+    "day_over_day_delta",
+    "customers_above_avg_balance",
+    "value_percentiles",
+    "user_sessions",
+    "user_value_quartiles",
+    "profile_documents",
+    "profile_events",
+    "bigram_surprisal",
+    "unigram_surprisal",
+    "contamination_report",
+    "source_overlap_matrix",
+    "containment_pairs",
+    "dedup_clusters",
+    "documents_deduped",
+    "lsh_candidate_pairs",
+    "ngram_jaccard_pairs",
+    "packing_efficiency",
+    "curation_scores",
+    "embedding_norms",
+    # (3) transitively re-planned composers
+    "lsh_recall_report",
     "lsh_recall_sampled",
-    "weekly_moving_avg",
-    "conversion_funnel",
-    "weekly_retention",
-    "event_type_cube",
-    "distinct_users_per_day",
-    "value_stats_per_type",
-    "event_value_pivot",
-    "session_window_stats",
-    "vocabulary",
-    "doc_fingerprints",
-    "pii_scrub",
-    "curated_corpus",
-    "decontaminate",
-    "repetition_scores",
-    "quality_scores",
-    "lang_id",
-    "token_counts",
-    "label_centroids",
-    "top_bigrams",
-    "tfidf_top_terms",
-    "multimodal_features",
-    "multimodal_frames",
-    "sample_events",
-    "dataset_splits",
-    "split_summary",
-    "stratified_sample",
-    "mixture_sample",
-    "fuzzy_name_pairs",
-    "block_profile",
-    "asof_last_click",
-    "interval_join_click_purchase",
-    # (5) the round's other two new queries: the t-closeness release
-    # gate (completing k-anonymity -> l-diversity -> t-closeness) and
-    # the repeat-capped epoch allocator for data-constrained budgets.
-    "t_closeness_report",
-    "epoch_mixture",
+    "documents_deduped_best",
+    # (4) new this round
+    "epoch_shuffle",
+    "cluster_silhouette",
 )
 assert set(_VERIFY_FIRST) <= set(_SPEC_DEFS), sorted(
     set(_VERIFY_FIRST) - set(_SPEC_DEFS)

@@ -1,0 +1,105 @@
+"""cluster_silhouette: closed-form vs a NumPy reference, the
+good-K-vs-overfit-K ordering, and sanity of the score range."""
+
+from __future__ import annotations
+
+import math
+
+from flink_ecommerce_spark.operators.clustering import (
+    DEFAULT_ITER,
+    cluster_silhouette,
+    kmeans_assign,
+)
+from flink_ecommerce_spark.schemas import EMBEDDINGS_SCHEMA
+
+
+def _emb(spark, vecs):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v], 0) for i, v in enumerate(vecs)],
+        EMBEDDINGS_SCHEMA,
+    )
+
+
+def _two_blobs():
+    """Two tight, well-separated 2-D blobs padded to the embedding
+    dim; vec_ids interleave so the k-lowest-id init seeds both."""
+    a = [(0.0 + 0.01 * i, 0.0) for i in range(8)]
+    b = [(10.0 + 0.01 * i, 10.0) for i in range(8)]
+    vecs = []
+    for x, y in [v for pair in zip(a, b) for v in pair]:
+        vecs.append([x, y] + [0.0] * 62)
+    return vecs
+
+
+def test_silhouette_matches_numpy_reference(spark):
+    import numpy as np
+
+    vecs = _two_blobs()
+    d = _emb(spark, vecs)
+    got = {
+        r["cluster"]: r
+        for r in cluster_silhouette(d, k=2, n_iter=DEFAULT_ITER).collect()
+    }
+    assign = {
+        r["vec_id"]: r["cluster"]
+        for r in kmeans_assign(d, k=2, n_iter=DEFAULT_ITER).collect()
+    }
+    arr = np.array(vecs)
+    # centroids of the FINAL assignment round == cluster means of the
+    # previous round; recompute a/b per point from the quantized
+    # pipeline's own assignment and per-cluster means of that
+    # assignment's PREVIOUS round is internal — instead verify the
+    # aggregate against the definition using the assigned clusters
+    # and their (converged) means, which for well-separated blobs are
+    # identical across the last rounds.
+    for c in (0, 1):
+        members = arr[[i for i, cl in assign.items() if cl == c]]
+        others = arr[[i for i, cl in assign.items() if cl != c]]
+        mu_own = members.mean(axis=0).round(6)
+        mu_other = others.mean(axis=0).round(6)
+        s_vals = []
+        for p in members:
+            a = math.sqrt(round(float(((p - mu_own) ** 2).sum()), 9))
+            b = math.sqrt(round(float(((p - mu_other) ** 2).sum()), 9))
+            s_vals.append(0.0 if max(a, b) == 0 else (b - a) / max(a, b))
+        expect = math.floor(sum(s_vals) / len(s_vals) * 1_000_000 + 0.5)
+        assert got[c]["n_vectors"] == len(members)
+        assert abs(got[c]["mean_silhouette_micro"] - expect) <= 1
+        assert got[c]["mean_silhouette_micro"] > 990_000  # tight blobs
+
+
+def test_silhouette_degrades_for_overfit_k(spark):
+    """Two natural blobs: k=2 scores near 1; k=4 must split blobs and
+    score VISIBLY worse — the meter's one job."""
+    d = _emb(spark, _two_blobs())
+
+    def mean_overall(k):
+        rows = cluster_silhouette(d, k=k).collect()
+        n = sum(r["n_vectors"] for r in rows)
+        return (
+            sum(r["mean_silhouette_micro"] * r["n_vectors"] for r in rows) / n
+        )
+
+    good = mean_overall(2)
+    overfit = mean_overall(4)
+    assert good > 990_000
+    assert overfit < good - 200_000  # visibly bad, not a rounding blip
+
+
+def test_silhouette_range_and_sizes(spark):
+    d = _emb(spark, _two_blobs())
+    rows = cluster_silhouette(d, k=2).collect()
+    assert sum(r["n_vectors"] for r in rows) == 16
+    for r in rows:
+        assert -1_000_000 <= r["mean_silhouette_micro"] <= 1_000_000
+
+
+def test_silhouette_kmeans_plan_unchanged(spark):
+    """The helper refactor must leave kmeans_assign's analyzed plan
+    byte-identical (its certification predates this round)."""
+    from tests.plan_fp import LEDGER_SF, load_ledger, plan_fingerprint
+    from flink_ecommerce_spark import registry
+
+    ledger = load_ledger()
+    fp = plan_fingerprint(registry.SPECS["kmeans_cluster_sizes"].fn(spark, LEDGER_SF))
+    assert fp == ledger["kmeans_cluster_sizes"]

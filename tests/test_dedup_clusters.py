@@ -285,11 +285,11 @@ def test_containment_catches_subset_quote(spark):
         DOCUMENTS_SCHEMA,
     )
     cont = {
-        (r["doc_a"], r["doc_b"]): (r["containment_a"], r["containment_b"])
+        (r["doc_a"], r["doc_b"]): (r["containment_a_micro"], r["containment_b_micro"])
         for r in containment_pairs(docs, threshold=0.9).collect()
     }
     assert (0, 1) in cont
-    assert cont[(0, 1)][0] == 1.0  # the short doc is fully contained
+    assert cont[(0, 1)][0] == 1_000_000  # the short doc is fully contained
     # symmetric Jaccard at the same strictness finds nothing
     jac = ngram_jaccard_pairs(docs, threshold=0.9).collect()
     assert jac == []

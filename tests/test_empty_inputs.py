@@ -166,7 +166,7 @@ def test_prefix_jaccard_and_recall_report_on_empty_docs(spark, empty_docs):
     assert len(report) == 1
     r = report[0]
     assert (r["n_true"], r["n_lsh"], r["n_hit"]) == (0, 0, 0)
-    assert r["recall"] is None  # 0/0 — no truth to recall
+    assert r["recall_micro"] is None  # 0/0 — no truth to recall
 
 
 def test_pagerank_on_empty_edges(spark):

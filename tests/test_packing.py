@@ -58,7 +58,7 @@ def test_packing_efficiency_fill_ratio(spark):
     assert len(eff) == 1
     r = eff[0]
     assert (r["total_tokens"], r["n_chunks"]) == (10, 2)
-    assert abs(r["fill_ratio"] - 10 / 16) < 1e-9
+    assert r["fill_ratio_micro"] == round(10 / 16 * 1_000_000)
 
 
 def test_packing_shards_cover_all_docs(spark):
@@ -89,7 +89,7 @@ def test_packing_sharded_output_carries_stream_column(spark):
     eff = packing_efficiency(packed, ctx_len=4).collect()
     assert len(eff) == 1
     assert (eff[0]["total_tokens"], eff[0]["n_chunks"]) == (60, 16)
-    assert abs(eff[0]["fill_ratio"] - 60 / 64) < 1e-9
+    assert eff[0]["fill_ratio_micro"] == round(60 / 64 * 1_000_000)
 
 
 def test_packing_default_schema_unchanged(spark):
@@ -121,8 +121,10 @@ def test_unigram_surprisal_hand_computed(spark):
     }
     p_a, p_b = 3 / 4, 1 / 4
     exp0 = -(2 * math.log(p_a) + math.log(p_b)) / 3
-    assert abs(out[0]["avg_surprisal"] - round(exp0, 6)) < 1e-6
-    assert abs(out[1]["avg_surprisal"] - round(-math.log(p_a), 6)) < 1e-6
+    assert out[0]["avg_surprisal_micro"] == math.floor(exp0 * 1_000_000 + 0.5)
+    assert out[1]["avg_surprisal_micro"] == math.floor(
+        -math.log(p_a) * 1_000_000 + 0.5
+    )
     assert out[0]["n_words"] == 3 and out[1]["n_words"] == 1
 
 
@@ -157,8 +159,12 @@ def test_bigram_surprisal_hand_computed(spark):
     p_ab = 2 / 3   # cnt2("a b")=2 / cnt1("a")=3
     p_ba = 1 / 2   # cnt2("b a")=1 / cnt1("b")=2
     exp0 = -(math.log(p_ab) + math.log(p_ba)) / 2
-    assert abs(out[0]["avg_bigram_surprisal"] - round(exp0, 6)) < 1e-6
-    assert abs(out[1]["avg_bigram_surprisal"] - round(-math.log(p_ab), 6)) < 1e-6
+    assert out[0]["avg_bigram_surprisal_micro"] == math.floor(
+        exp0 * 1_000_000 + 0.5
+    )
+    assert out[1]["avg_bigram_surprisal_micro"] == math.floor(
+        -math.log(p_ab) * 1_000_000 + 0.5
+    )
     assert 2 not in out  # single-word doc has no bigrams
 
 

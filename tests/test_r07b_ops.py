@@ -135,8 +135,11 @@ def test_dp_mechanism_matches_python_replica(spark):
         noise = (-1.0 * math.copysign(1.0, c) if c != 0 else 0.0) * math.log(
             1.0 - 2.0 * abs(c)
         )
-        want = math.floor((n + noise) * 1_000_000 + 0.5)
-        assert abs(got[src]["noisy_n_docs_micro"] - want) <= 1
+        # centi-grid noise quantization (ADVICE r07): the floor sits
+        # on the coarse 1e-2 grid, then the output is exact integer
+        # arithmetic — the replica matches exactly, no ulp tolerance
+        want = n * 1_000_000 + math.floor(noise * 100.0 + 0.5) * 10_000
+        assert got[src]["noisy_n_docs_micro"] == want
         assert got[src]["epsilon_micro"] == 1_000_000
 
 
@@ -151,7 +154,7 @@ def test_dp_epsilon_scales_noise(spark):
     [r2] = dp_source_counts(docs, epsilon=0.5).collect()
     d1 = r1["noisy_n_docs_micro"] - 5_000_000
     d2 = r2["noisy_n_docs_micro"] - 5_000_000
-    assert abs(d2 - 2 * d1) <= 2  # micro rounding on each release
+    assert abs(d2 - 2 * d1) <= 10_000  # one centi-grid step per release
     assert r2["epsilon_micro"] == 500_000
 
 
