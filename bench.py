@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import json
 import os
+import socket
 import sys
 import time
 from pathlib import Path
@@ -692,6 +693,15 @@ def _scale_rehearsal(spark, sf_dir: str) -> dict:
     }
 
 
+def _probe_loop(_arg: int = 0) -> int:
+    """The fixed probe workload (module-level so ProcessPool can
+    pickle it)."""
+    s = 0
+    for i in range(20_000_000):
+        s += i
+    return s
+
+
 def _cpu_probe() -> float:
     """Machine-speed canary: a fixed single-thread pure-Python loop,
     timed. Two rounds of cross-machine bench confusion (r05's
@@ -702,11 +712,49 @@ def _cpu_probe() -> float:
     BENCH_r*.json files by queries/probe ratios, not raw seconds,
     and a slow probe says "slow host", not "regression"."""
     t0 = time.perf_counter()
-    s = 0
-    for i in range(20_000_000):
-        s += i
-    assert s == 199999990000000  # keep the loop un-optimizable
+    assert _probe_loop() == 199999990000000  # keep un-optimizable
     return round(time.perf_counter() - t0, 3)
+
+
+def _cpu_probe_parallel() -> float:
+    """Contended-host canary (VERDICT r07 #2): the r07 driver host ran
+    every Spark wall 2–50× slow while the single-thread probe read
+    0.722 s — FAST — because one idle core is enough to make a serial
+    loop look healthy. This probe runs the SAME loop on min(8, cpus)
+    PROCESSES simultaneously (processes, not threads — the GIL would
+    serialize threads and measure nothing): on an idle multi-core
+    host the wall ≈ the single-thread time; under multi-core
+    contention it rises toward n× — exactly the signal the serial
+    probe is blind to."""
+    import concurrent.futures
+
+    n = min(8, os.cpu_count() or 8)
+    t0 = time.perf_counter()
+    with concurrent.futures.ProcessPoolExecutor(n) as ex:
+        results = list(ex.map(_probe_loop, range(n)))
+    assert all(r == 199999990000000 for r in results)
+    return round(time.perf_counter() - t0, 3)
+
+
+def _spark_probe(spark) -> float:
+    """Fixed tiny Spark job, min-of-3 after warmup (VERDICT r07 #2):
+    a 50M-row range → 32-key groupBy exercises codegen, shuffle and
+    the JVM thread pool on every core — the probe whose slowdown
+    tracks the same contention the real queries feel. Compare rounds
+    on queries/spark_probe ratios; a slow probe says "slow host",
+    not "regression"."""
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        (
+            spark.range(50_000_000)
+            .selectExpr("id % 32 AS k")
+            .groupBy("k")
+            .count()
+            .collect()
+        )
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 3)
 
 
 def main() -> None:
@@ -789,7 +837,18 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     probe = _cpu_probe()
-    print(f"cpu_probe_s: {probe}", file=sys.stderr)
+    probe_par = _cpu_probe_parallel()
+    probe_spark = _spark_probe(spark)
+    # normalized headline: host-contention-invariant round-over-round
+    # comparison number (VERDICT r07 #2) — the spark probe feels the
+    # same contention the queries do, so the RATIO survives a noisy
+    # driver host where raw seconds lie 2-50x
+    total_norm = round(total / probe_spark, 2) if probe_spark else None
+    print(
+        f"cpu_probe_s: {probe} cpu_probe_parallel_s: {probe_par} "
+        f"spark_probe_s: {probe_spark} total/spark_probe: {total_norm}",
+        file=sys.stderr,
+    )
     detail = {
         "metric": "headline_queries_total_wall",
         "value": total,
@@ -799,6 +858,13 @@ def main() -> None:
         "replay": replay_metrics,
         "rehearsal_10x": rehearsal,
         "cpu_probe_s": probe,
+        "cpu_probe_parallel_s": probe_par,
+        "spark_probe_s": probe_spark,
+        "total_per_spark_probe": total_norm,
+        # provenance (VERDICT r07 #3): which machine produced this
+        # artifact — the committed builder-clean copy and the
+        # driver's overwrite are distinguishable at a glance
+        "host": socket.gethostname(),
         "sf": sf_val,
     }
     # Full payload goes to a committed file; the FINAL stdout line must
@@ -816,6 +882,9 @@ def main() -> None:
         "queries": timings,
         "replay": replay_metrics,
         "cpu_probe_s": probe,
+        "cpu_probe_parallel_s": probe_par,
+        "spark_probe_s": probe_spark,
+        "total_per_spark_probe": total_norm,
         "sf": sf_val,
         "detail": "BENCH_DETAIL.json",
     }
