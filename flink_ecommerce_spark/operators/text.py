@@ -858,6 +858,87 @@ def kn_bigram_surprisal(
     )
 
 
+def kn_trigram_surprisal(
+    documents: DataFrame, d: float = KN_DISCOUNT
+) -> DataFrame:
+    """Per-document mean TRIGRAM surprisal under a fully interpolated
+    Kneser-Ney LM (Chen & Goodman 1999's formulation) estimated from
+    the corpus itself — the standard step up from
+    ``kn_bigram_surprisal`` in data-quality scoring: trigram context
+    separates locally-plausible-but-globally-incoherent text (each
+    word pair fine, triples nonsensical) that bigrams can't see.
+
+        P(w3|w1w2) = (max(c(w1w2w3)−d, 0) + d·N1+(w1w2,•)·P(w3|w2)) / c(w1w2)
+        P(w3|w2)   = (max(N1+(•,w2w3)−d, 0) + d·N1+(w2,•)·P_c(w3)) / N1+(•,w2,•)
+        P_c(w3)    = N1+(•,•w3) / N1+(••)
+
+    with every lower-order quantity a CONTINUATION (type) count
+    derived from the one trigram-type table, per the paper: the
+    backoff distribution asks "how many contexts does this
+    continuation appear in", never raw frequency. Output: (doc_id,
+    n_trigrams, avg_kn3_surprisal_micro) — mean −log₂P in integer
+    micro-bits; documents with < 3 words have no trigrams and drop
+    out (identically in both engines).
+
+    Scale: all count tables are observed-trigram-type-bounded
+    aggregates with map-side combine; the type total folds in as a
+    one-row broadcast; the only corpus-sized shuffle is the
+    trigram-keyed join of the probability table back to the document
+    trigrams — kn_bigram_surprisal's shape one order up. Every count
+    is an exact integer; the float expression is written with the
+    identical operation order in the DuckDB oracle
+    (registry ORACLES['kn_trigram_surprisal'])."""
+    toks = documents.select("doc_id", words("text").alias("__w"))
+    # sequence(1, n) DESCENDS when n < 1 — guard short docs explicitly
+    tri = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(__w) >= 3 THEN "
+                "transform(sequence(1, size(__w) - 2), "
+                "i -> struct(__w[i-1] AS w1, __w[i] AS w2, __w[i+1] AS w3)) "
+                "ELSE array() END"
+            )
+        ).alias("t3"),
+    ).select("doc_id", "t3.w1", "t3.w2", "t3.w3")
+    tc = tri.groupBy("w1", "w2", "w3").agg(F.count(F.lit(1)).alias("c3"))
+    c12 = tc.groupBy("w1", "w2").agg(
+        F.sum("c3").alias("c12"), F.count(F.lit(1)).alias("n1f12")
+    )
+    ct = tc.groupBy("w2", "w3").agg(F.count(F.lit(1)).alias("n23"))
+    mid = tc.groupBy("w2").agg(
+        F.count(F.lit(1)).alias("nmid"), F.countDistinct("w3").alias("nfol")
+    )
+    uni = ct.groupBy("w3").agg(F.count(F.lit(1)).alias("nc3"))
+    tt = ct.agg(F.count(F.lit(1)).alias("t"))
+    p2 = (
+        F.greatest(F.col("n23") - F.lit(d), F.lit(0.0))
+        + F.lit(d) * F.col("nfol") * (F.col("nc3") / F.col("t"))
+    ) / F.col("nmid")
+    p3 = (
+        F.greatest(F.col("c3") - F.lit(d), F.lit(0.0))
+        + F.lit(d) * F.col("n1f12") * p2
+    ) / F.col("c12")
+    p = (
+        tc.join(c12, ["w1", "w2"])
+        .join(ct, ["w2", "w3"])
+        .join(mid, "w2")
+        .join(uni, "w3")
+        .crossJoin(F.broadcast(tt))
+        .select("w1", "w2", "w3", p3.alias("__p"))
+    )
+    return (
+        tri.join(p, ["w1", "w2", "w3"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_trigrams"),
+            micro(F.avg(-F.log2(F.col("__p")))).alias(
+                "avg_kn3_surprisal_micro"
+            ),
+        )
+    )
+
+
 def cross_corpus_surprisal(
     new: DataFrame,
     history: DataFrame | None = None,

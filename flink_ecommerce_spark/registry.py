@@ -1346,6 +1346,13 @@ def _q_kn_bigram_surprisal(spark, sf):
     return text.kn_bigram_surprisal(_t("documents")(spark, sf))
 
 
+def _q_kn_trigram_surprisal(spark, sf):
+    """Interpolated trigram Kneser-Ney surprisal (VERDICT r07 #6) —
+    registered at the head of the r09 rotation queue (the r08 window
+    filled with the migration block)."""
+    return text.kn_trigram_surprisal(_t("documents")(spark, sf))
+
+
 def _q_salted_segment_revenue(spark, sf):
     """The explicit skew-salting pattern carrying an external
     correctness row: fact (events keyed by user) sprays across 8
@@ -5241,6 +5248,34 @@ FROM d GROUP BY 1, 2, 3
 """
 
 
+# Interpolated trigram KN (Chen & Goodman): identical count tables
+# and float expression order as operators/text.py::kn_trigram_surprisal
+ORACLES["kn_trigram_surprisal"] = f"""
+WITH toks AS (SELECT doc_id, {_WORDS} AS w FROM documents),
+tri AS (SELECT doc_id, w[i] AS w1, w[i + 1] AS w2, w[i + 2] AS w3
+        FROM toks, UNNEST(generate_series(1, len(w) - 2)) AS s(i)),
+tc AS (SELECT w1, w2, w3, COUNT(*) AS c3 FROM tri GROUP BY 1, 2, 3),
+c12 AS (SELECT w1, w2, SUM(c3) AS c12, COUNT(*) AS n1f12 FROM tc GROUP BY 1, 2),
+ct AS (SELECT w2, w3, COUNT(*) AS n23 FROM tc GROUP BY 1, 2),
+mid AS (SELECT w2, COUNT(*) AS nmid, COUNT(DISTINCT w3) AS nfol
+        FROM tc GROUP BY 1),
+uni AS (SELECT w3, COUNT(*) AS nc3 FROM ct GROUP BY 1),
+tt AS (SELECT COUNT(*) AS t FROM ct),
+p AS (SELECT tc.w1, tc.w2, tc.w3,
+             (GREATEST(tc.c3 - {text.KN_DISCOUNT}, 0.0)
+              + {text.KN_DISCOUNT} * c12.n1f12 *
+                ((GREATEST(ct.n23 - {text.KN_DISCOUNT}, 0.0)
+                  + {text.KN_DISCOUNT} * mid.nfol * (uni.nc3 / tt.t))
+                 / mid.nmid)) / c12.c12 AS pkn
+      FROM tc JOIN c12 USING (w1, w2) JOIN ct USING (w2, w3)
+      JOIN mid USING (w2) JOIN uni USING (w3) CROSS JOIN tt)
+SELECT tri.doc_id, COUNT(*) AS n_trigrams,
+       CAST(FLOOR(AVG(-log2(p.pkn)) * 1000000 + 0.5) AS BIGINT)
+         AS avg_kn3_surprisal_micro
+FROM tri JOIN p ON tri.w1 = p.w1 AND tri.w2 = p.w2 AND tri.w3 = p.w3
+GROUP BY 1
+"""
+
 ORACLES["kn_bigram_surprisal"] = f"""
 WITH toks AS (SELECT doc_id, {_WORDS} AS w FROM documents),
 bi AS (SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
@@ -6135,6 +6170,9 @@ _SPEC_DEFS: dict[str, QuerySpec] = {
         _q_pmi_collocations, ORACLES["pmi_collocations"]
     ),
     "bloom_bits": QuerySpec(_q_bloom_bits, ORACLES["bloom_bits"]),
+    "kn_trigram_surprisal": QuerySpec(
+        _q_kn_trigram_surprisal, ORACLES["kn_trigram_surprisal"]
+    ),
     "kn_bigram_surprisal": QuerySpec(
         _q_kn_bigram_surprisal, ORACLES["kn_bigram_surprisal"]
     , bench=True),
