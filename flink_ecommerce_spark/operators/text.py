@@ -2476,6 +2476,19 @@ def quality_ks_by_source(documents: DataFrame) -> DataFrame:
     sq = scored.groupBy("source", "qm").agg(
         F.count(F.lit(1)).alias("c_s")
     )
+    return ks_report_from_quality_counts(sq)
+
+
+def ks_report_from_quality_counts(sq: DataFrame) -> DataFrame:
+    """The source-vs-corpus KS arithmetic core over an already-
+    aggregated (source, qm, c_s) quality-grid count table — shared
+    verbatim by ``quality_ks_by_source`` and the streaming twin
+    (``streaming.drift.streaming_quality_counts``). The corpus ECDF
+    is derived from the same table (sum over sources), so the two
+    monitors cannot disagree; input size is sources × occupied grid
+    values, never document volume."""
+    from pyspark.sql import Window
+
     grid = sq.groupBy("qm").agg(F.sum("c_s").alias("c_all"))
     w_corp = Window.orderBy("qm").rowsBetween(
         Window.unboundedPreceding, Window.currentRow

@@ -1380,6 +1380,17 @@ def value_ks_by_type(events: DataFrame) -> DataFrame:
         F.sum("__is_base").alias("nb"),
         (F.count(F.lit(1)) - F.sum("__is_base")).alias("nc"),
     )
+    return ks_report_from_split_counts(counts)
+
+
+def ks_report_from_split_counts(counts: DataFrame) -> DataFrame:
+    """The KS arithmetic core over an already-aggregated
+    (event_type, cents, nb, nc) split-count table — shared verbatim
+    by ``value_ks_by_type`` (batch midpoint split) and the streaming
+    twin (``streaming.drift.streaming_value_split_counts``), so the
+    two monitors cannot disagree on what D means. The input table is
+    value-grid-bounded (types × distinct cents), never event-volume-
+    bounded — per-emission cost is tiny by construction."""
     totals = counts.groupBy("event_type").agg(
         F.sum("nb").alias("tb"), F.sum("nc").alias("tc")
     )

@@ -165,3 +165,131 @@ def test_streaming_benford_converges_to_batch(spark, tmp_path):
         ).collect()
     }
     assert streamed == batch
+
+
+DOCS_SCHEMA = "doc_id long, text string, lang string, source string, n_chars int"
+
+
+def test_streaming_value_ks_converges_to_batch(spark, tmp_path):
+    """Replayed stream's final KS == the batch core over the same
+    rows (split counts sum, so accumulation commutes with
+    micro-batching), and the count-table state honors the grid
+    bound."""
+    import datetime as dt
+
+    from flink_ecommerce_spark.streaming.drift import (
+        ks_vs_split,
+        streaming_value_split_counts,
+    )
+
+    split = dt.datetime(2024, 1, 2, 0, 0)
+    d0 = dt.datetime(2024, 1, 1, 12, 0)
+    d1 = dt.datetime(2024, 1, 3, 12, 0)
+    rows1 = [(i, d0, 1, "t", float(v), "{}") for i, v in enumerate([5.0] * 20 + [25.0] * 20)]
+    rows2 = [(100 + i, d1, 1, "t", float(v), "{}") for i, v in enumerate([5.0] * 5 + [95.0] * 35)]
+    src = str(tmp_path / "ks_ev")
+    spark.createDataFrame(rows1, SCHEMA).coalesce(1).write.mode("overwrite").parquet(f"{src}/chunk=1")
+    spark.createDataFrame(rows2, SCHEMA).coalesce(1).write.mode("overwrite").parquet(f"{src}/chunk=2")
+
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/chunk=*")
+    )
+    q = (
+        streaming_value_split_counts(stream, split)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("ks_counts")
+        .option("checkpointLocation", str(tmp_path / "ks_ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    final_counts = spark.sql("SELECT * FROM ks_counts")
+    got = {r["event_type"]: r for r in ks_vs_split(final_counts).collect()}
+
+    batch_counts = streaming_value_split_counts(
+        spark.createDataFrame(rows1 + rows2, SCHEMA), split
+    )
+    want = {r["event_type"]: r for r in ks_vs_split(batch_counts).collect()}
+    assert got.keys() == want.keys()
+    for k in got:
+        assert got[k].asDict() == want[k].asDict()
+    # the shifted second half must alarm: baseline had 50% mass at
+    # 5.0; current has 12.5% -> D well above 0.3
+    assert got["t"]["d_stat_micro"] > 300_000
+    # state bound: one row per (type, distinct cents), not per event
+    assert final_counts.count() <= 1 * 3
+
+
+def test_streaming_value_ks_matches_distribution_scores_low(spark):
+    """An identically-distributed second half scores D ~ 0 — the
+    monitor alarms on shift, not on volume."""
+    import datetime as dt
+
+    from flink_ecommerce_spark.streaming.drift import (
+        ks_vs_split,
+        streaming_value_split_counts,
+    )
+
+    split = dt.datetime(2024, 1, 2)
+    d0, d1 = dt.datetime(2024, 1, 1), dt.datetime(2024, 1, 3)
+    vals = [5.0] * 30 + [25.0] * 10
+    rows = [(i, d0, 1, "t", v, "{}") for i, v in enumerate(vals)] + [
+        (100 + i, d1, 1, "t", v, "{}") for i, v in enumerate(vals)
+    ]
+    counts = streaming_value_split_counts(
+        spark.createDataFrame(rows, SCHEMA), split
+    )
+    [r] = ks_vs_split(counts).collect()
+    assert r["d_stat_micro"] == 0
+    assert (r["n_baseline"], r["n_current"]) == (40, 40)
+
+
+def test_streaming_quality_ks_converges_to_batch(spark, tmp_path):
+    """The accumulated streaming quality counts produce the exact
+    batch quality_ks_by_source report over the same documents."""
+    from flink_ecommerce_spark.operators.text import quality_ks_by_source
+    from flink_ecommerce_spark.streaming.drift import (
+        quality_ks_report,
+        streaming_quality_counts,
+    )
+
+    rows = []
+    for i in range(40):
+        src = "clean" if i % 2 == 0 else "spam"
+        text = (
+            "the quick brown fox jumps over the lazy dog again and again"
+            if src == "clean"
+            else "buy now!!! buy now!!! buy now!!! $$$"
+        )
+        rows.append((i, text, "en", src, len(text)))
+    docs = spark.createDataFrame(rows, DOCS_SCHEMA)
+
+    src_dir = str(tmp_path / "ks_docs")
+    docs.filter(F.col("doc_id") < 20).coalesce(1).write.mode("overwrite").parquet(f"{src_dir}/chunk=1")
+    docs.filter(F.col("doc_id") >= 20).coalesce(1).write.mode("overwrite").parquet(f"{src_dir}/chunk=2")
+    stream = (
+        spark.readStream.schema(DOCS_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src_dir}/chunk=*")
+    )
+    q = (
+        streaming_quality_counts(stream)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("qks_counts")
+        .option("checkpointLocation", str(tmp_path / "qks_ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    final_counts = spark.sql("SELECT * FROM qks_counts")
+    got = {r["source"]: r.asDict() for r in quality_ks_report(final_counts).collect()}
+    want = {r["source"]: r.asDict() for r in quality_ks_by_source(docs).collect()}
+    assert got == want
+    # both sources deviate from the pooled corpus symmetrically
+    assert got["spam"]["d_stat_micro"] > 400_000
+    # state bound: one row per (source, occupied grid value)
+    assert final_counts.count() <= 2 * 2
