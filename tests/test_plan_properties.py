@@ -308,3 +308,43 @@ def test_retrieval_eval_no_corpus_sort(spark):
     # ranking happens inside bm25's query-partitioned window; the
     # |queries|-row result needs no global sort of anything big
     assert "windowspecdefinition(query_id#" in plan
+
+
+def test_winnowing_overlap_no_cartesian_and_hot_broadcast(spark):
+    plan = _plan(spark, "winnowing_overlap_pairs")
+    # pairs come from the fingerprint-hash equi-join (never a
+    # cartesian), and the df-ceiling hot list applies as a broadcast
+    # anti-join before the self-join. (The only nested-loop joins are
+    # the 1-row n_docs threshold crosses — the documented meter-count
+    # pattern, bounded by construction.)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin [h#" in plan
+    assert "LeftAnti, BuildRight" in plan
+
+
+def test_media_ahash_pairs_banded_join_payloads_stay_put(spark):
+    plan = _plan(spark, "media_ahash_pairs")
+    # candidates come from the band-bucket equi-join; the verify is
+    # integer popcount on the joined 32-bit halves — no cartesian,
+    # and the text/payload column never reaches an exchange
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    import re
+
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "text#" not in m.group(1)
+
+
+def test_epoch_shuffle_no_corpus_range_exchange(spark):
+    plan = _plan(spark, "epoch_shuffle")
+    # ranks decompose by hash-prefix bucket: the corpus never passes
+    # through a global range partitioning (the single-task sort)
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_cluster_silhouette_single_scan_k_row_output(spark):
+    plan = _plan(spark, "cluster_silhouette")
+    # scoring is one scan against literal centroids: no join at all
+    # in the final assignment/scoring stage, one aggregate exchange
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
