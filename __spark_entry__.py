@@ -63,7 +63,15 @@ keep), the water-filling token budget allocator, the
 exact-pairs→LSH crossover planner, PQ re-rank widened to the
 recall ≥ 0.9 bar with a bench gate, and the repo-wide integer
 "Oracle encoding rule" (COVERAGE.md) that replaced every
-ROUND(double)-final contract in the verify window — each with a
+ROUND(double)-final contract in the verify window — plus the
+round-8 block: the seeded epoch-shuffle training-data permutation
+(bucket-decomposed exact global ranks, no global sort), the
+simplified-silhouette cluster-quality meter over the k-means cells,
+interpolated trigram Kneser-Ney surprisal, streaming twins for both
+KS drift monitors (grid-bounded running counts sharing the batch
+arithmetic cores), and the r03/r02 ROUND-carrier migration (28
+stale-certified queries re-encoded to per-row cents / micro BIGINT
+contracts and re-windowed) — each with a
 DuckDB oracle twin (COVERAGE.md is the full map; non-query machinery
 — continuous aggregates, Z-order layout, streaming
 sinks/packing/dedup/fuzzy-admission, BPE tokenizer train/apply — is
