@@ -736,6 +736,33 @@ def _cpu_probe_parallel() -> float:
     return round(time.perf_counter() - t0, 3)
 
 
+def _cpu_window_snapshot() -> list[int] | None:
+    """/proc/stat cumulative jiffies — sampled at bench start and end
+    so the WINDOW percentages below cover the entire run. The
+    end-of-run probes measure a moment; a noisy neighbor that stole
+    cycles mid-run and left is invisible to them (observed r08: every
+    unchanged plan 1.2-9x slow while the end probes read healthy).
+    Steal% over the window is the direct measurement of that theft."""
+    try:
+        with open("/proc/stat") as f:
+            return list(map(int, f.readline().split()[1:]))
+    except OSError:  # non-Linux fallback
+        return None
+
+
+def _cpu_window_pcts(start: list[int] | None, end: list[int] | None) -> dict:
+    if not start or not end:
+        return {}
+    d = [b - a for a, b in zip(start, end)]
+    tot = sum(d) or 1
+    # fields: user nice system idle iowait irq softirq steal guest gnice
+    return {
+        "window_steal_pct": round(d[7] / tot * 100, 2),
+        "window_idle_pct": round(d[3] / tot * 100, 2),
+        "window_iowait_pct": round(d[4] / tot * 100, 2),
+    }
+
+
 def _spark_probe(spark) -> float:
     """Fixed tiny Spark job, min-of-3 after warmup (VERDICT r07 #2):
     a 50M-row range → 32-key groupBy exercises codegen, shuffle and
@@ -780,6 +807,8 @@ def main() -> None:
     # numbers name-for-name, so minimum stability matters more than
     # the ~30s extra wall)
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5"))
+    stat_start = _cpu_window_snapshot()
+    probe_spark_before = _spark_probe(spark)
     timings: dict[str, float] = {}
     # Sorted by name, NOT registry order: SPECS order follows the
     # verification rotation (_VERIFY_FIRST changes every round), so
@@ -839,14 +868,17 @@ def main() -> None:
     probe = _cpu_probe()
     probe_par = _cpu_probe_parallel()
     probe_spark = _spark_probe(spark)
+    window = _cpu_window_pcts(stat_start, _cpu_window_snapshot())
     # normalized headline: host-contention-invariant round-over-round
     # comparison number (VERDICT r07 #2) — the spark probe feels the
     # same contention the queries do, so the RATIO survives a noisy
-    # driver host where raw seconds lie 2-50x
+    # driver host where raw seconds lie 2-50x. Point probes run
+    # before AND after the loop; window_steal_pct covers the middle.
     total_norm = round(total / probe_spark, 2) if probe_spark else None
     print(
         f"cpu_probe_s: {probe} cpu_probe_parallel_s: {probe_par} "
-        f"spark_probe_s: {probe_spark} total/spark_probe: {total_norm}",
+        f"spark_probe_s: {probe_spark} (before: {probe_spark_before}) "
+        f"total/spark_probe: {total_norm} window: {window}",
         file=sys.stderr,
     )
     detail = {
@@ -860,7 +892,9 @@ def main() -> None:
         "cpu_probe_s": probe,
         "cpu_probe_parallel_s": probe_par,
         "spark_probe_s": probe_spark,
+        "spark_probe_before_s": probe_spark_before,
         "total_per_spark_probe": total_norm,
+        **window,
         # provenance (VERDICT r07 #3): which machine produced this
         # artifact — the committed builder-clean copy and the
         # driver's overwrite are distinguishable at a glance
@@ -885,6 +919,7 @@ def main() -> None:
         "cpu_probe_parallel_s": probe_par,
         "spark_probe_s": probe_spark,
         "total_per_spark_probe": total_norm,
+        **window,
         "sf": sf_val,
         "detail": "BENCH_DETAIL.json",
     }
