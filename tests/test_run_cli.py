@@ -19,7 +19,7 @@ def test_resolve_registry_query_and_sql(spark):
     assert set(got) == {"sql", "sales_per_day"}
     assert got["sql"].collect()[0]["n"] > 0
     rows = got["sales_per_day"].collect()
-    assert rows and {"transaction_date", "total_sales"} <= set(
+    assert rows and {"transaction_date", "total_sales_cents"} <= set(
         rows[0].asDict()
     )
 
