@@ -44,3 +44,29 @@ def test_sustained_rate_ignores_empty_batches_and_single_batch_runs():
     single = _FakeQuery([(1000, 500)])
     assert bench._sustained_rate([single]) == 2000.0
     assert bench._sustained_rate([_FakeQuery([])]) == 0.0
+
+
+def test_cpu_window_pcts_computes_steal_over_the_window():
+    import bench
+
+    # fields: user nice system idle iowait irq softirq steal guest gnice
+    start = [100, 0, 50, 800, 10, 0, 0, 40, 0, 0]
+    end = [200, 0, 100, 1300, 20, 0, 0, 80, 0, 0]
+    got = bench._cpu_window_pcts(start, end)
+    # deltas: user 100, sys 50, idle 500, iowait 10, steal 40 -> tot 700
+    assert got["window_steal_pct"] == round(40 / 700 * 100, 2)
+    assert got["window_idle_pct"] == round(500 / 700 * 100, 2)
+    assert got["window_iowait_pct"] == round(10 / 700 * 100, 2)
+
+
+def test_cpu_window_pcts_handles_missing_snapshots():
+    import bench
+
+    assert bench._cpu_window_pcts(None, [1] * 10) == {}
+    assert bench._cpu_window_pcts([1] * 10, None) == {}
+
+
+def test_parallel_probe_runs_the_same_loop_everywhere():
+    import bench
+
+    assert bench._probe_loop() == 199999990000000
