@@ -665,6 +665,25 @@ def _scale_rehearsal(spark, sf_dir: str) -> dict:
         "winnowing_fingerprints",
         lambda: dedup.winnowing_fingerprints(docs).count(),
     )
+    # r08 additions measured at 10x on arrival: epoch_shuffle's
+    # bucket-decomposed rank must stay ~linear (no global sort to
+    # collapse), trigram KN rides the same aggregate shapes as the
+    # bigram, and the silhouette meter is one scan over 10x vectors
+    # against the same k literal centroids.
+    timed(
+        "epoch_shuffle",
+        lambda: packing.epoch_shuffle(docs).count(),
+    )
+    timed(
+        "kn_trigram_surprisal",
+        lambda: text.kn_trigram_surprisal(docs).count(),
+    )
+    from flink_ecommerce_spark.operators import clustering as _clus
+
+    timed(
+        "cluster_silhouette",
+        lambda: _clus.cluster_silhouette(emb).collect(),
+    )
     print(
         f"rehearsal planners: lsh {plan01} -> {plan10}, "
         f"simhash {sim01} -> {sim10}",
