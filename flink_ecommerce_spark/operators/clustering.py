@@ -236,12 +236,23 @@ def cluster_silhouette(
     )
     from ..functions.portable import micro
 
+    # per-POINT micro quantization, then integer mean: integer
+    # addition is order-independent, so the reported mean is
+    # bit-identical under any partitioning or merge order — micro of
+    # a double AVG would ride the partial-sum order (the encoding
+    # rule's money-per-row argument applied to scores). The +1e6
+    # shift keeps the dividend non-negative because Spark's DIV
+    # truncates toward zero while DuckDB's // floors — they only
+    # agree on non-negative operands (s can be negative).
     return (
-        assigned.select("cluster", s.alias("__s"))
+        assigned.select("cluster", micro(s).alias("__s_u"))
         .groupBy("cluster")
         .agg(
             F.count(F.lit(1)).alias("n_vectors"),
-            micro(F.avg("__s")).alias("mean_silhouette_micro"),
+            F.expr(
+                "CAST((sum(__s_u) + count(1) * 1000000) DIV count(1)"
+                " - 1000000 AS BIGINT)"
+            ).alias("mean_silhouette_micro"),
         )
     )
 
@@ -275,10 +286,14 @@ dists AS (SELECT a.vec_id, a.cluster, {cfin}.cluster AS cc,
 ab AS (SELECT vec_id, cluster,
               MIN(CASE WHEN cc = cluster THEN dist END) AS a_d,
               MIN(CASE WHEN cc != cluster THEN dist END) AS b_d
-       FROM dists GROUP BY 1, 2)
+       FROM dists GROUP BY 1, 2),
+su AS (SELECT cluster,
+              CAST(FLOOR((CASE WHEN GREATEST(a_d, b_d) = 0 THEN 0.0
+                               ELSE (b_d - a_d) / GREATEST(a_d, b_d) END)
+                   * 1000000 + 0.5) AS BIGINT) AS s_u
+       FROM ab)
 SELECT cluster, COUNT(*) AS n_vectors,
-       CAST(FLOOR(AVG(CASE WHEN GREATEST(a_d, b_d) = 0 THEN 0.0
-                           ELSE (b_d - a_d) / GREATEST(a_d, b_d) END)
-            * 1000000 + 0.5) AS BIGINT) AS mean_silhouette_micro
-FROM ab GROUP BY cluster
+       CAST((SUM(s_u) + COUNT(*) * 1000000) // COUNT(*) - 1000000
+            AS BIGINT) AS mean_silhouette_micro
+FROM su GROUP BY cluster
 """

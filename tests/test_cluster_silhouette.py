@@ -57,14 +57,18 @@ def test_silhouette_matches_numpy_reference(spark):
         others = arr[[i for i, cl in assign.items() if cl != c]]
         mu_own = members.mean(axis=0).round(6)
         mu_other = others.mean(axis=0).round(6)
-        s_vals = []
+        s_us = []
         for p in members:
             a = math.sqrt(round(float(((p - mu_own) ** 2).sum()), 9))
             b = math.sqrt(round(float(((p - mu_other) ** 2).sum()), 9))
-            s_vals.append(0.0 if max(a, b) == 0 else (b - a) / max(a, b))
-        expect = math.floor(sum(s_vals) / len(s_vals) * 1_000_000 + 0.5)
-        assert got[c]["n_vectors"] == len(members)
-        assert abs(got[c]["mean_silhouette_micro"] - expect) <= 1
+            s = 0.0 if max(a, b) == 0 else (b - a) / max(a, b)
+            s_us.append(math.floor(s * 1_000_000 + 0.5))
+        n = len(s_us)
+        # per-point micro then the shifted integer mean — the exact
+        # order-independent contract, so the compare is equality
+        expect = (sum(s_us) + n * 1_000_000) // n - 1_000_000
+        assert got[c]["n_vectors"] == n
+        assert got[c]["mean_silhouette_micro"] == expect
         assert got[c]["mean_silhouette_micro"] > 990_000  # tight blobs
 
 
