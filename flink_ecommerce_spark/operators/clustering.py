@@ -297,3 +297,40 @@ SELECT cluster, COUNT(*) AS n_vectors,
             AS BIGINT) AS mean_silhouette_micro
 FROM su GROUP BY cluster
 """
+
+
+def silhouette_by_k(
+    embeddings: DataFrame,
+    ks: tuple[int, ...] = (2, 4, 8, 16),
+    n_iter: int = DEFAULT_ITER,
+) -> DataFrame:
+    """(k, n_clusters_used, mean_silhouette_micro) — the choose-K
+    sweep over ``cluster_silhouette``: run the quantized Lloyd
+    pipeline at each candidate K and report the corpus-wide mean
+    simplified silhouette (the size-weighted integer mean over
+    clusters, same shifted SUM-DIV arithmetic, so the sweep is
+    order-independent too). The K whose score peaks is the elbow the
+    IVF/SemDeDup cell planners should prefer; a K past the natural
+    cell count splits tight cells and the score visibly drops
+    (pinned in tests).
+
+    Scale: each K is one independent Lloyd run (n_iter scans) + one
+    scoring scan — the sweep is len(ks) such pipelines; nothing is
+    quadratic. The per-K reports union into a len(ks)-row frame."""
+    spark = embeddings.sparkSession
+    rows = []
+    for k in ks:
+        per_cluster = cluster_silhouette(embeddings, k=k, n_iter=n_iter).collect()
+        n = sum(r["n_vectors"] for r in per_cluster)
+        if n == 0:
+            continue
+        shifted = sum(
+            (r["mean_silhouette_micro"] + 1_000_000) * r["n_vectors"]
+            for r in per_cluster
+        )
+        rows.append(
+            (int(k), len(per_cluster), int(shifted // n - 1_000_000))
+        )
+    return spark.createDataFrame(
+        rows, "k int, n_clusters_used int, mean_silhouette_micro bigint"
+    )

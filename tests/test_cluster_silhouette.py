@@ -107,3 +107,19 @@ def test_silhouette_kmeans_plan_unchanged(spark):
     ledger = load_ledger()
     fp = plan_fingerprint(registry.SPECS["kmeans_cluster_sizes"].fn(spark, LEDGER_SF))
     assert fp == ledger["kmeans_cluster_sizes"]
+
+
+def test_silhouette_by_k_peaks_at_the_natural_k(spark):
+    from flink_ecommerce_spark.operators.clustering import silhouette_by_k
+
+    d = _emb(spark, _two_blobs())
+    out = {r["k"]: r for r in silhouette_by_k(d, ks=(2, 4)).collect()}
+    assert set(out) == {2, 4}
+    assert out[2]["mean_silhouette_micro"] > out[4]["mean_silhouette_micro"]
+    # the sweep's weighted mean reproduces the per-cluster reports
+    from flink_ecommerce_spark.operators.clustering import cluster_silhouette
+
+    per = cluster_silhouette(d, k=2).collect()
+    n = sum(r["n_vectors"] for r in per)
+    shifted = sum((r["mean_silhouette_micro"] + 1_000_000) * r["n_vectors"] for r in per)
+    assert out[2]["mean_silhouette_micro"] == shifted // n - 1_000_000
