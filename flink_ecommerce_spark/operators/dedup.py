@@ -1817,56 +1817,80 @@ WINNOW_POS_MOD = 1 << 24  # position bits packed under the hash in the key
 WINNOW_MIN_SHARED = 2  # overlap pairs need >= this many shared fingerprints
 
 
-def _winnow_keys(documents: DataFrame, w: int = WINNOW_W) -> DataFrame:
-    """(doc_id, __n, key) — winnowed fingerprint keys (Schleimer,
-    Wilkerson & Aiken, SIGMOD 2003: the MOSS algorithm): per sliding
-    window of ``w`` consecutive shingle hashes, select the minimum,
-    breaking ties to the RIGHTMOST position (the paper's rule — it
-    maximizes fingerprint sharing between overlapping documents).
+def _winnow_fp_arrays(documents: DataFrame, w: int = WINNOW_W) -> DataFrame:
+    """(doc_id, __n, __fp) — per-document array of DISTINCT winnowed
+    fingerprint keys (Schleimer, Wilkerson & Aiken, SIGMOD 2003: the
+    MOSS algorithm): per sliding window of ``w`` consecutive shingle
+    hashes, select the minimum, breaking ties to the RIGHTMOST
+    position (the paper's rule — it maximizes fingerprint sharing
+    between overlapping documents).
 
-    The argmin-with-rightmost-tie is ONE integer window-min: key =
+    The argmin-with-rightmost-tie is ONE integer min: key =
     h·2^24 + (2^24−1−pos) orders first by hash, then by DESCENDING
     position, so MIN(key) is the paper's selection — no struct
-    ordering (engines disagree on struct comparison under windows),
-    no second pass. Positions clamp at 2^24−1: beyond a 16M-shingle
-    document the tie-break (only) degrades, documented not hidden.
-    Windows that would run past the end of the document are dropped
-    (pos ≤ n−w), except that a document with fewer than ``w``
-    shingles keeps its single truncated window — every document with
-    at least one shingle (≥ 3 words) fingerprints; shorter documents
-    produce no shingles and are absent (pinned in
+    ordering, no second pass. Positions clamp at 2^24−1: beyond a
+    16M-shingle document the tie-break (only) degrades, documented
+    not hidden. Windows that would run past the end of the document
+    are dropped (pos ≤ n−w), except that a document with fewer than
+    ``w`` shingles keeps its single truncated window — every document
+    with at least one shingle (≥ 3 words) fingerprints; shorter
+    documents produce no shingles and are absent (pinned in
     test_winnowing_short_doc_single_fingerprint /
     test_winnowing_two_word_doc_absent).
+
+    Scale: the whole selection is per-row array arithmetic — NO
+    shuffle, NO sort, NO window exchange. The r08 plan shuffled the
+    full exploded (doc_id, pos, key) stream into a doc-partitioned
+    sort just to run a w-row sliding min; that stream is the corpus'
+    entire shingle count and dominated the 10× rehearsal (145 s,
+    the round's only breached target). Here each document's keyed
+    shingle array stays in its scan task and the sliding min is
+    transform(sequence(0, n−w), i -> array_min(slice(keys, i+1, w)))
+    — O(n·w) per doc with w=4, the same per-task memory bound as
+    every other shingle-array operator in this module. Lambdas
+    reference only bound attributes (__sh, __k) — projected as real
+    columns first, per the shingles_from_words O(n²) pitfall note.
 
     Guarantee inherited from the paper: any shared run of at least
     w+k−1 words (k = shingle width) shares at least one fingerprint,
     so overlap detection has a hard no-miss floor at that length."""
-    from pyspark.sql import Window
-
     ws = documents.select("doc_id", words("text").alias("__ws"))
     shl = ws.select(
         "doc_id", shingles_from_words(F.col("__ws")).alias("__sh")
     )
-    psh = shl.select(
+    keyed = shl.select(
         "doc_id",
         F.size("__sh").alias("__n"),
-        F.posexplode("__sh").alias("pos", "shingle"),
+        F.transform(
+            "__sh",
+            lambda s, i: hash32(s, salt="wn") * F.lit(WINNOW_POS_MOD)
+            + (
+                F.lit(WINNOW_POS_MOD - 1)
+                - F.least(i, F.lit(WINNOW_POS_MOD - 1))
+            ),
+        ).alias("__k"),
+    ).filter(F.col("__n") >= 1)
+    return keyed.select(
+        "doc_id",
+        "__n",
+        F.array_distinct(
+            F.transform(
+                F.sequence(
+                    F.lit(0), F.greatest(F.col("__n") - w, F.lit(0))
+                ),
+                lambda i: F.array_min(F.slice(F.col("__k"), i + 1, w)),
+            )
+        ).alias("__fp"),
     )
-    key = hash32(F.col("shingle"), salt="wn") * F.lit(WINNOW_POS_MOD) + (
-        F.lit(WINNOW_POS_MOD - 1)
-        - F.least(F.col("pos"), F.lit(WINNOW_POS_MOD - 1))
-    )
-    keyed = psh.select("doc_id", "__n", "pos", key.alias("key"))
-    win = (
-        Window.partitionBy("doc_id")
-        .orderBy("pos")
-        .rowsBetween(Window.currentRow, w - 1)
-    )
-    return (
-        keyed.withColumn("kmin", F.min("key").over(win))
-        .filter(F.col("pos") <= F.greatest(F.col("__n") - w, F.lit(0)))
-        .select("doc_id", "__n", F.col("kmin").alias("key"))
-        .distinct()
+
+
+def _winnow_keys(documents: DataFrame, w: int = WINNOW_W) -> DataFrame:
+    """(doc_id, __n, key) — winnowed fingerprint keys, one row per
+    distinct key per document (see _winnow_fp_arrays for the
+    selection rule). The explode is narrow — it emits the ~2/(w+1)
+    winnowed sample, never the full shingle stream."""
+    return _winnow_fp_arrays(documents, w).select(
+        "doc_id", "__n", F.explode("__fp").alias("key")
     )
 
 
@@ -1879,27 +1903,23 @@ def winnowing_fingerprints(
     assert the selection is behaving (a density near 1e6 means
     pathological hash ties; near zero means a bug dropped windows).
 
-    Scale: the sliding window partitions BY doc_id ordered by
-    position — per-task state is one document's shingle stream, the
-    same bound as any per-doc expression; the summary is one
-    map-side-combinable aggregate over (doc, key) rows. Text never
-    shuffles: only (doc_id, pos, 52-bit key) rows move."""
-    fp = _winnow_keys(documents, w)
-    return (
-        fp.groupBy("doc_id")
-        .agg(
-            F.max("__n").cast("long").alias("n_shingles"),
-            F.count(F.lit(1)).cast("long").alias("n_fingerprints"),
-        )
-        .select(
-            "doc_id",
-            "n_shingles",
-            "n_fingerprints",
-            F.expr(
-                f"CAST((n_fingerprints * 1000000)"
-                f" DIV (GREATEST(n_shingles - {w}, 0) + 1) AS BIGINT)"
-            ).alias("density_u"),
-        )
+    Scale: ZERO shuffles — the winnowed selection is per-row array
+    arithmetic (_winnow_fp_arrays) and this summary reads the array
+    sizes in the same scan task. Nothing moves: not text, not
+    shingles, not keys."""
+    fp = _winnow_fp_arrays(documents, w)
+    return fp.select(
+        "doc_id",
+        F.col("__n").cast("long").alias("n_shingles"),
+        F.size("__fp").cast("long").alias("n_fingerprints"),
+    ).select(
+        "doc_id",
+        "n_shingles",
+        "n_fingerprints",
+        F.expr(
+            f"CAST((n_fingerprints * 1000000)"
+            f" DIV (GREATEST(n_shingles - {w}, 0) + 1) AS BIGINT)"
+        ).alias("density_u"),
     )
 
 

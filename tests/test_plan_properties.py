@@ -289,11 +289,14 @@ def test_item_neighbors_margins_broadcast_and_part_window(spark):
     assert "windowspecdefinition(part#" in plan
 
 
-def test_winnowing_window_partitioned_by_doc(spark):
+def test_winnowing_zero_shuffle(spark):
     plan = _plan(spark, "winnowing_fingerprints")
-    # the sliding min runs per document stream — corpus-sized data
-    # never funnels through an unpartitioned window
-    assert "windowspecdefinition(doc_id#" in plan
+    # r09: the sliding min is per-row array arithmetic — the whole
+    # summary is one scan stage. No exchange, no sort, no window
+    # funnel (the r08 doc-partitioned window shuffled the full
+    # exploded shingle stream and broke the 10x rehearsal bar).
+    assert "Exchange" not in plan
+    assert "windowspecdefinition" not in plan
 
 
 def test_markov_propagation_broadcasts_matrix(spark):
