@@ -90,6 +90,19 @@ def sql_micro(expr: str, scale: int = 1_000_000) -> str:
     return f"CAST(FLOOR(({expr}) * {scale} + 0.5) AS BIGINT)"
 
 
+def int_div(a: Column, b: Column) -> Column:
+    """Exact integer FLOOR-division as a Column expression (the
+    Column-API twin of SQL ``a DIV b`` for non-negative operands,
+    usable where F.expr can't reach, e.g. inside helpers that take
+    arbitrary Columns): subtract the non-negative pmod remainder so
+    the dividend is an exact multiple of b, then the double division
+    of that multiple is exactly its integer quotient while both
+    operands stay below 2^53. Engine-portable: truncating and
+    flooring integer division agree on exact multiples."""
+    m = a - F.pmod(a, b)
+    return (m / b).cast("long")
+
+
 def sql_hash32_from_digest(expr: str, half: int = 0) -> str:
     """DuckDB SQL: 32-bit value from an already-computed md5 hex
     digest expression (the oracle twin of ``hash32_from_digest``).

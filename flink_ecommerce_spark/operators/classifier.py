@@ -169,10 +169,13 @@ def _nb_score(
             "m"
         )
     )
+    # integer contract (migrated on its r09 window rotation): the
+    # internal arithmetic was ALREADY exact micro-nats (score_u) —
+    # ship it directly instead of dividing back to a rounded double
     return best.select(
         "doc_id",
         F.col("m.model_lang").alias("pred_lang"),
-        F.round(-F.col("m.neg_u") / MICRO, 6).alias("score"),
+        (-F.col("m.neg_u")).cast("long").alias("score_micro"),
     )
 
 
@@ -212,7 +215,7 @@ def sql_nb_lang_scores() -> str:
     return f"""
 WITH {_sql_scored_ctes()}
 SELECT doc_id, model_lang AS pred_lang,
-       ROUND(score_u / {MICRO}.0, 6) AS score
+       CAST(score_u AS BIGINT) AS score_micro
 FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
                                    ORDER BY score_u DESC, model_lang ASC) AS rk
       FROM scored)

@@ -195,6 +195,35 @@ def kmeans_oracle_sql(k: int = DEFAULT_K, n_iter: int = DEFAULT_ITER) -> str:
     return "\n".join(parts)
 
 
+def _silhouette_points(
+    embeddings: DataFrame, k: int = DEFAULT_K, n_iter: int = DEFAULT_ITER
+) -> DataFrame:
+    """(cluster, __s_u) — one row per vector: its assigned cluster and
+    its per-POINT micro-quantized simplified-silhouette score. The
+    shared core of cluster_silhouette (per-cluster means) and
+    silhouette_by_k (exact corpus-wide mean): both aggregate THESE
+    integers, so every mean is an order-independent integer sum —
+    micro of a double AVG would ride the partial-sum order (the
+    encoding rule's money-per-row argument applied to scores)."""
+    corpus, centroids = _final_centroids(embeddings, k, n_iter)
+    assigned = _assign_with(corpus, centroids, keep_dists=True)
+    darr = F.array_sort(
+        F.array(*[F.sqrt(F.col(f"d{i}")) for i in range(len(centroids))])
+    )
+    a = darr[0]
+    b = darr[1]
+    s = F.when(F.greatest(a, b) == 0.0, F.lit(0.0)).otherwise(
+        (b - a) / F.greatest(a, b)
+    )
+    from ..functions.portable import micro
+
+    # The +1e6 shift used by consumers keeps DIV dividends
+    # non-negative because Spark's DIV truncates toward zero while
+    # DuckDB's // floors — they only agree on non-negative operands
+    # (s can be negative).
+    return assigned.select("cluster", micro(s).alias("__s_u"))
+
+
 def cluster_silhouette(
     embeddings: DataFrame, k: int = DEFAULT_K, n_iter: int = DEFAULT_ITER
 ) -> DataFrame:
@@ -224,28 +253,8 @@ def cluster_silhouette(
     Lloyd rounds before it are kmeans_assign's own cost — at IVF
     scale the assignment is already materialized and this meter is
     a single cheap aggregate over it."""
-    corpus, centroids = _final_centroids(embeddings, k, n_iter)
-    assigned = _assign_with(corpus, centroids, keep_dists=True)
-    darr = F.array_sort(
-        F.array(*[F.sqrt(F.col(f"d{i}")) for i in range(len(centroids))])
-    )
-    a = darr[0]
-    b = darr[1]
-    s = F.when(F.greatest(a, b) == 0.0, F.lit(0.0)).otherwise(
-        (b - a) / F.greatest(a, b)
-    )
-    from ..functions.portable import micro
-
-    # per-POINT micro quantization, then integer mean: integer
-    # addition is order-independent, so the reported mean is
-    # bit-identical under any partitioning or merge order — micro of
-    # a double AVG would ride the partial-sum order (the encoding
-    # rule's money-per-row argument applied to scores). The +1e6
-    # shift keeps the dividend non-negative because Spark's DIV
-    # truncates toward zero while DuckDB's // floors — they only
-    # agree on non-negative operands (s can be negative).
     return (
-        assigned.select("cluster", micro(s).alias("__s_u"))
+        _silhouette_points(embeddings, k, n_iter)
         .groupBy("cluster")
         .agg(
             F.count(F.lit(1)).alias("n_vectors"),
@@ -305,32 +314,60 @@ def silhouette_by_k(
     n_iter: int = DEFAULT_ITER,
 ) -> DataFrame:
     """(k, n_clusters_used, mean_silhouette_micro) — the choose-K
-    sweep over ``cluster_silhouette``: run the quantized Lloyd
-    pipeline at each candidate K and report the corpus-wide mean
-    simplified silhouette (the size-weighted integer mean over
-    clusters, same shifted SUM-DIV arithmetic, so the sweep is
-    order-independent too). The K whose score peaks is the elbow the
-    IVF/SemDeDup cell planners should prefer; a K past the natural
-    cell count splits tight cells and the score visibly drops
-    (pinned in tests).
+    sweep over the silhouette meter: run the quantized Lloyd pipeline
+    at each candidate K and report the corpus-wide mean simplified
+    silhouette. The mean is the EXACT per-point integer mean
+    (shifted SUM of per-point micros DIV count), not a reconstruction
+    from floored per-cluster means — the r08 ADVICE note: per-cluster
+    integer division discards up to (k−1)/n micro-units and could
+    flip the elbow pick between near-tied Ks. The K whose score peaks
+    is the elbow the IVF/SemDeDup cell planners should prefer; a K
+    past the natural cell count splits tight cells and the score
+    visibly drops (pinned in tests).
 
     Scale: each K is one independent Lloyd run (n_iter scans) + one
-    scoring scan — the sweep is len(ks) such pipelines; nothing is
-    quadratic. The per-K reports union into a len(ks)-row frame."""
-    spark = embeddings.sparkSession
-    rows = []
+    scoring scan reduced to a 1-row aggregate — the sweep is len(ks)
+    such pipelines unioned lazily into a len(ks)-row frame; nothing
+    is quadratic and nothing collects to the driver."""
+    out = None
     for k in ks:
-        per_cluster = cluster_silhouette(embeddings, k=k, n_iter=n_iter).collect()
-        n = sum(r["n_vectors"] for r in per_cluster)
-        if n == 0:
-            continue
-        shifted = sum(
-            (r["mean_silhouette_micro"] + 1_000_000) * r["n_vectors"]
-            for r in per_cluster
+        pts = _silhouette_points(embeddings, k=k, n_iter=n_iter)
+        rep = pts.agg(
+            F.countDistinct("cluster").cast("int").alias("n_clusters_used"),
+            F.expr(
+                "CAST((sum(__s_u) + count(1) * 1000000) DIV count(1)"
+                " - 1000000 AS BIGINT)"
+            ).alias("mean_silhouette_micro"),
+            F.count(F.lit(1)).alias("__n"),
+        ).select(
+            F.lit(int(k)).alias("k"),
+            "n_clusters_used",
+            "mean_silhouette_micro",
+            "__n",
         )
-        rows.append(
-            (int(k), len(per_cluster), int(shifted // n - 1_000_000))
+        out = rep if out is None else out.unionByName(rep)
+    return out.filter(F.col("__n") > 0).drop("__n")
+
+
+def silhouette_by_k_oracle_sql(
+    ks: tuple[int, ...] = (2, 4, 8, 16), n_iter: int = DEFAULT_ITER
+) -> str:
+    """DuckDB twin of ``silhouette_by_k``: per candidate K, the
+    cluster_silhouette oracle's WITH-chain through the per-point
+    score table ``su``, re-aggregated corpus-wide (COUNT(DISTINCT
+    cluster) + the same shifted SUM-DIV integer mean), one
+    parenthesized WITH-subquery per K glued with UNION ALL."""
+    parts = []
+    for k in ks:
+        base = cluster_silhouette_oracle_sql(k, n_iter)
+        cut = base.rindex("SELECT cluster, COUNT(*) AS n_vectors")
+        prefix = base[:cut].rstrip()
+        parts.append(
+            f"""SELECT * FROM ({prefix}
+SELECT {int(k)} AS k,
+       CAST(COUNT(DISTINCT cluster) AS INTEGER) AS n_clusters_used,
+       CAST((SUM(s_u) + COUNT(*) * 1000000) // COUNT(*) - 1000000
+            AS BIGINT) AS mean_silhouette_micro
+FROM su HAVING COUNT(*) > 0)"""
         )
-    return spark.createDataFrame(
-        rows, "k int, n_clusters_used int, mean_silhouette_micro bigint"
-    )
+    return "\nUNION ALL\n".join(parts)

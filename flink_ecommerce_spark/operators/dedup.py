@@ -696,11 +696,13 @@ def incremental_fuzzy_dedup(
         )
         .join(c_sizes.select(F.col("doc_id").alias("corpus_id"), "nb"), "corpus_id")
         .filter(
-            F.round(
-                F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter")),
-                6,
+            # integer-grid verify (r08 jaccard_micro contract, applied
+            # on this query's r09 window rotation)
+            micro(
+                F.col("n_inter")
+                / (F.col("na") + F.col("nb") - F.col("n_inter"))
             )
-            >= threshold
+            >= int(round(threshold * 1_000_000))
         )
         .select(F.col("new_id").alias("doc_id"))
         .distinct()
@@ -1260,7 +1262,10 @@ def prefix_jaccard_pairs(
     """EXACT Jaccard >= threshold pairs via prefix filtering (the
     PPJoin family — Chaudhuri et al. 2006 "A Primitive Operator for
     Similarity Joins", Xiao et al. 2008 PPJoin). Output schema matches
-    ngram_jaccard_pairs: (doc_a, doc_b, jaccard).
+    ngram_jaccard_pairs: (doc_a, doc_b, jaccard_micro) — integer
+    micro units with an integer-grid threshold compare (the r08
+    jaccard_micro contract, applied here on its r09 window
+    rotation).
 
     Where it sits among the dedup joins: ngram_jaccard_pairs is exact
     only up to its df ceiling (hot shingles are DROPPED — an
@@ -1384,13 +1389,14 @@ def prefix_jaccard_pairs(
         inter.join(sa, "doc_a")
         .join(sb, "doc_b")
         .withColumn(
-            "jaccard",
-            F.round(
-                F.col("n_inter") / (F.col("sa") + F.col("sb") - F.col("n_inter")), 6
+            "jaccard_micro",
+            micro(
+                F.col("n_inter")
+                / (F.col("sa") + F.col("sb") - F.col("n_inter"))
             ),
         )
-        .filter(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "jaccard")
+        .filter(F.col("jaccard_micro") >= int(round(threshold * 1_000_000)))
+        .select("doc_a", "doc_b", "jaccard_micro")
     )
 
 
@@ -1398,11 +1404,13 @@ def corpus_growth(documents: DataFrame, bucket_size: int = 100) -> DataFrame:
     """The data-scaling question in one table: as the corpus grows (in
     doc_id order, bucketed every ``bucket_size`` docs), how much NEW
     content does each increment bring? Output per bucket:
-    (bucket, n_docs, n_pairs, n_novel, novelty_rate, cum_vocab) —
-    n_pairs = distinct (doc, shingle) occurrences in the bucket,
-    n_novel = shingles whose global first occurrence is in this
-    bucket, novelty_rate = n_novel / n_pairs, cum_vocab = distinct
-    shingles seen up to and including the bucket. A flattening
+    (bucket, n_docs, n_pairs, n_novel, novelty_rate_micro,
+    cum_vocab) — n_pairs = distinct (doc, shingle) occurrences in the
+    bucket, n_novel = shingles whose global first occurrence is in
+    this bucket, novelty_rate_micro = (n_novel·10⁶) DIV n_pairs
+    (pure-integer micro share; integer contract, migrated on its r09
+    window rotation), cum_vocab = distinct shingles seen up to and
+    including the bucket. A flattening
     cum_vocab / falling novelty_rate says more of the same crawl adds
     redundancy, not information — the curve that decides whether to
     buy more data or dedup harder.
@@ -1439,8 +1447,8 @@ def corpus_growth(documents: DataFrame, bucket_size: int = 100) -> DataFrame:
             F.coalesce("n_novel", F.lit(0)).alias("n_novel"),
         )
         .withColumn(
-            "novelty_rate",
-            F.round(F.col("n_novel") / F.col("n_pairs"), 6),
+            "novelty_rate_micro",
+            F.expr("CAST((n_novel * 1000000) DIV n_pairs AS BIGINT)"),
         )
         .withColumn("cum_vocab", F.sum("n_novel").over(w))
     )

@@ -33,8 +33,17 @@ def pagerank(
     ``edges``: (src, dst) directed. Every node must have >= 1
     out-edge; feed a SYMMETRIZED edge set for undirected graphs
     (which also eliminates dangling-mass bookkeeping — every node
-    that exists has out-degree >= 1). Returns (node, pagerank) with
-    pagerank rounded to 6dp; mass sums to 1.
+    that exists has out-degree >= 1). Returns (node, pagerank_micro)
+    — the final rank in integer micro units (integer contract,
+    migrated on its r09 window rotation); mass sums to ~1.
+    ACCEPTED RESIDUAL (documented per the r08 ADVICE policy): each
+    round's per-node contribution sum is a double whose partial-sum
+    order is engine/partitioning-dependent; the 6-decimal micro grid
+    absorbs last-ulp drift the same way the previous ROUND(,6)
+    encoding did. A fully order-independent variant needs fixed-point
+    integer ranks (truncating DIV per edge) — a semantic change, not
+    an encoding change, deferred until the oracle gate ever shows a
+    flip.
 
     Fixed iterations, not convergence-tested: makes the result a pure
     deterministic function of the edge set, so it carries an EXACT
@@ -77,7 +86,9 @@ def pagerank(
             )
             .localCheckpoint(eager=True)
         )
-    return ranks.select("node", F.round("rank", 6).alias("pagerank"))
+    from ..functions.portable import micro
+
+    return ranks.select("node", micro(F.col("rank")).alias("pagerank_micro"))
 
 
 def connected_components(

@@ -138,8 +138,11 @@ def key_skew_topk(df: DataFrame, key: str, top_k: int = 10) -> DataFrame:
     row share — the pre-flight check before keying a 100 TB shuffle
     (a key holding >> 1/partitions of the rows means salting,
     `salted_join`, or an AQE skew split). Output: (key, n_rows,
-    share, rank). One groupBy on the key; the total is a broadcast
-    one-row aggregate; the top-k itself is orderBy+limit —
+    share_micro, rank) — share as PURE-INTEGER micro units
+    ((n·10⁶) DIV total: both operands exact counts, no float
+    anywhere; integer contract, migrated on its r09 window rotation).
+    One groupBy on the key; the total is a broadcast one-row
+    aggregate; the top-k itself is orderBy+limit —
     TakeOrderedAndProject, a per-partition heap + driver merge —
     NEVER a global row_number window, which would sort all n_keys
     rows through one task. Ranks are assigned after the limit, over
@@ -153,7 +156,9 @@ def key_skew_topk(df: DataFrame, key: str, top_k: int = 10) -> DataFrame:
         .select(
             key,
             "n_rows",
-            F.round(F.col("n_rows") / F.col("__total"), 6).alias("share"),
+            F.expr("CAST((n_rows * 1000000) DIV __total AS BIGINT)").alias(
+                "share_micro"
+            ),
         )
         .orderBy(F.col("n_rows").desc(), F.col(key))
         .limit(top_k)
@@ -168,15 +173,28 @@ def key_skew_summary(df: DataFrame, key: str) -> DataFrame:
     """One-row distribution summary of per-key cardinality: how skewed
     is this key, in numbers a planner can threshold on. skew_ratio =
     max/avg (1.0 = perfectly even; >> partitions = one hot key owns
-    the shuffle)."""
+    the shuffle).
+
+    Integer contract (migrated on its r09 window rotation): the mean
+    is the pure-integer (Σ·10⁶) DIV k; percentiles and the skew
+    ratio are micro() of a fixed float DAG whose inputs are exact
+    integer counts — interpolation and one division, no
+    partial-sum-order dependence (the counts sum exactly)."""
     counts = df.groupBy(key).agg(F.count(F.lit(1)).alias("n_rows"))
+    from ..functions.portable import micro
+
+    skew = F.max("n_rows") / (
+        F.sum("n_rows").cast("double") / F.count(F.lit(1))
+    )
     return counts.agg(
         F.count(F.lit(1)).alias("n_keys"),
         F.max("n_rows").alias("max_rows"),
-        F.round(F.avg("n_rows"), 6).alias("avg_rows"),
-        F.round(F.expr("percentile(n_rows, 0.5)"), 6).alias("p50_rows"),
-        F.round(F.expr("percentile(n_rows, 0.99)"), 6).alias("p99_rows"),
-        F.round(F.max("n_rows") / F.avg("n_rows"), 6).alias("skew_ratio"),
+        F.expr(
+            "CAST((sum(n_rows) * 1000000) DIV count(1) AS BIGINT)"
+        ).alias("avg_rows_micro"),
+        micro(F.expr("percentile(n_rows, 0.5)")).alias("p50_rows_micro"),
+        micro(F.expr("percentile(n_rows, 0.99)")).alias("p99_rows_micro"),
+        micro(skew).alias("skew_ratio_micro"),
     )
 
 

@@ -887,7 +887,12 @@ def kn_trigram_surprisal(
     trigrams — kn_bigram_surprisal's shape one order up. Every count
     is an exact integer; the float expression is written with the
     identical operation order in the DuckDB oracle
-    (registry ORACLES['kn_trigram_surprisal'])."""
+    (registry ORACLES['kn_trigram_surprisal']). The per-doc mean is
+    the integer mean of PER-TRIGRAM micro-bits (quantize before the
+    sum): integer addition is order-independent, so the reported
+    value never rides the partial-sum order of a double AVG (the r08
+    ADVICE residual-risk class). Surprisal is non-negative (pkn ≤ 1
+    by the KN normalization), so DIV and // agree."""
     toks = documents.select("doc_id", words("text").alias("__w"))
     # sequence(1, n) DESCENDS when n < 1 — guard short docs explicitly
     tri = toks.select(
@@ -929,10 +934,11 @@ def kn_trigram_surprisal(
     )
     return (
         tri.join(p, ["w1", "w2", "w3"])
+        .select("doc_id", micro(-F.log2(F.col("__p"))).alias("__s_u"))
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_trigrams"),
-            micro(F.avg(-F.log2(F.col("__p")))).alias(
+            F.expr("CAST(sum(__s_u) DIV count(1) AS BIGINT)").alias(
                 "avg_kn3_surprisal_micro"
             ),
         )
@@ -948,7 +954,11 @@ def cross_corpus_surprisal(
     the CCNet-style admission filter: train cheap LM statistics on
     the trusted corpus, rank incoming documents by how surprising
     they look under it. Output per new doc: (doc_id, n_words, n_oov,
-    avg_surprisal).
+    avg_surprisal_micro) — the integer mean of PER-WORD micro-nats
+    (quantize before the sum: order-independent, the integer
+    contract applied on its r09 window rotation; surprisal is
+    non-negative since add-one p < 1, so DIV's dividend is
+    non-negative).
 
     Add-one smoothing over the history vocabulary:
     p(w) = (count_hist(w) + 1) / (total_hist + V + 1), with every
@@ -977,13 +987,20 @@ def cross_corpus_surprisal(
     return (
         ntoks.join(tf, "term", "left")
         .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            F.when(F.col("cnt").isNull(), F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("__oov"),
+            micro(surprisal).alias("__su"),
+        )
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_words"),
-            F.sum(
-                F.when(F.col("cnt").isNull(), F.lit(1)).otherwise(F.lit(0))
-            ).alias("n_oov"),
-            F.round(F.avg(surprisal), 6).alias("avg_surprisal"),
+            F.sum("__oov").alias("n_oov"),
+            F.expr("CAST(sum(__su) DIV count(1) AS BIGINT)").alias(
+                "avg_surprisal_micro"
+            ),
         )
     )
 
@@ -1246,9 +1263,12 @@ def source_overlap_matrix(documents: DataFrame) -> DataFrame:
 # symbol/bullet rules would pass vacuously).
 GOPHER_MIN_WORDS = 30
 GOPHER_MAX_WORDS = 100_000
-GOPHER_MIN_MEAN_WORD_LEN = 4.0
-GOPHER_MAX_MEAN_WORD_LEN = 10.0
-GOPHER_MIN_UNIQUE_FRAC = 0.3
+# ratio thresholds on the integer micro grid (integer contract,
+# migrated on the family's r09 window rotation): metrics are
+# pure-integer (x·10⁶) DIV n_words, compared against these
+GOPHER_MIN_MEAN_WORD_LEN_MICRO = 4_000_000
+GOPHER_MAX_MEAN_WORD_LEN_MICRO = 10_000_000
+GOPHER_MIN_UNIQUE_FRAC_MICRO = 300_000
 GOPHER_MIN_STOP_HITS = 2
 
 
@@ -1256,19 +1276,23 @@ def _gopher_metrics(ws: Column) -> dict[str, Column]:
     """The four Gopher rule metrics as Columns over an
     ALREADY-PROJECTED words array (one regex split per row, shared by
     every metric). Shared by gopher_quality_flags and corpus_funnel."""
+    from ..functions.portable import int_div
+
     n_words = F.size(ws).cast("long")
     word_chars = F.aggregate(
         F.transform(ws, lambda w: F.length(w)),
         F.lit(0),
         lambda acc, v: acc + v,
-    ).cast("double")
+    ).cast("long")
     sw = EN_STOPWORDS
     return {
         "n_words": n_words,
-        "mean_word_len": F.round(word_chars / n_words.cast("double"), 6),
-        "unique_word_frac": F.round(
-            F.size(F.array_distinct(ws)).cast("double") / n_words.cast("double"),
-            6,
+        "mean_word_len_micro": int_div(
+            word_chars * F.lit(1_000_000), n_words
+        ),
+        "unique_word_frac_micro": int_div(
+            F.size(F.array_distinct(ws)).cast("long") * F.lit(1_000_000),
+            n_words,
         ),
         "stop_hits": F.size(F.filter(ws, lambda w: w.isin(*sw))).cast("long"),
     }
@@ -1295,24 +1319,26 @@ def gopher_quality_flags(documents: DataFrame) -> DataFrame:
         "doc_id",
         "source",
         gm["n_words"].alias("n_words"),
-        gm["mean_word_len"].alias("mean_word_len"),
-        gm["unique_word_frac"].alias("unique_word_frac"),
+        gm["mean_word_len_micro"].alias("mean_word_len_micro"),
+        gm["unique_word_frac_micro"].alias("unique_word_frac_micro"),
         gm["stop_hits"].alias("stop_hits"),
     )
     word_count_ok = (F.col("n_words") >= GOPHER_MIN_WORDS) & (
         F.col("n_words") <= GOPHER_MAX_WORDS
     )
-    word_len_ok = (F.col("mean_word_len") >= GOPHER_MIN_MEAN_WORD_LEN) & (
-        F.col("mean_word_len") <= GOPHER_MAX_MEAN_WORD_LEN
+    word_len_ok = (
+        F.col("mean_word_len_micro") >= GOPHER_MIN_MEAN_WORD_LEN_MICRO
+    ) & (F.col("mean_word_len_micro") <= GOPHER_MAX_MEAN_WORD_LEN_MICRO)
+    diversity_ok = (
+        F.col("unique_word_frac_micro") >= GOPHER_MIN_UNIQUE_FRAC_MICRO
     )
-    diversity_ok = F.col("unique_word_frac") >= GOPHER_MIN_UNIQUE_FRAC
     stopword_ok = F.col("stop_hits") >= GOPHER_MIN_STOP_HITS
     return m.select(
         "doc_id",
         "source",
         "n_words",
-        "mean_word_len",
-        "unique_word_frac",
+        "mean_word_len_micro",
+        "unique_word_frac_micro",
         "stop_hits",
         word_count_ok.alias("word_count_ok"),
         word_len_ok.alias("word_len_ok"),
@@ -1327,9 +1353,9 @@ def _gopher_keep(gm: dict[str, Column]) -> Column:
     return (
         (gm["n_words"] >= GOPHER_MIN_WORDS)
         & (gm["n_words"] <= GOPHER_MAX_WORDS)
-        & (gm["mean_word_len"] >= GOPHER_MIN_MEAN_WORD_LEN)
-        & (gm["mean_word_len"] <= GOPHER_MAX_MEAN_WORD_LEN)
-        & (gm["unique_word_frac"] >= GOPHER_MIN_UNIQUE_FRAC)
+        & (gm["mean_word_len_micro"] >= GOPHER_MIN_MEAN_WORD_LEN_MICRO)
+        & (gm["mean_word_len_micro"] <= GOPHER_MAX_MEAN_WORD_LEN_MICRO)
+        & (gm["unique_word_frac_micro"] >= GOPHER_MIN_UNIQUE_FRAC_MICRO)
         & (gm["stop_hits"] >= GOPHER_MIN_STOP_HITS)
     )
 

@@ -97,7 +97,13 @@ def user_sessions(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     """Sessionization via lag + gap-cumsum (the batch equivalent of a
     session window): new session when the gap to the previous event of
     the same user exceeds `gap_minutes`. Output: per-user session
-    count and average session length (events per session)."""
+    count and average session length (events per session).
+
+    micro(AVG(n_events)) is order-INDEPENDENT here despite the double
+    AVG: the inputs are integers, integers sum exactly in doubles
+    below 2^53, and the single final division is one IEEE op — no
+    partial-sum-order hazard (unlike AVG over fractional doubles,
+    the r08 ADVICE class)."""
     per_session = _sessionized(events, gap_minutes).groupBy(
         "user_id", "sess_id"
     ).agg(F.count(F.lit(1)).alias("n_events"))
@@ -534,29 +540,68 @@ def daily_anomaly_scores(events: DataFrame) -> DataFrame:
     days by VALUE — a range frame excluding the current day, so
     today's spike can't dilute its own baseline and calendar gaps
     shrink the window). z is null until two trailing days exist or
-    when the trailing week is flat (stddev 0) — surfacing "no
+    when the trailing week is flat (variance 0) — surfacing "no
     baseline" explicitly instead of faking a score.
+
+    Integer contract (migrated on its r09 window rotation — its own
+    inline cents frame, NOT the shared rounded-double
+    ``_daily_values``, whose other consumers migrate on their own
+    rotations): day revenue is a per-row-cents BIGINT sum; the
+    trailing stats come from EXACT integer window sums (n, Σx, Σx²
+    over ≤7 BIGINT cents), so the float section below is a fixed DAG
+    over exact integers — bit-identical cross-engine with the oracle
+    written in the same operation order. trailing_avg ships as
+    integer micro-cents via DIV (day cents are non-negative, so
+    truncate == floor). Bound: Σx² stays exact while a day's cents
+    < ~2^31.5 (≈ $36M/day); past that the z reverts to last-ulp
+    residual risk — documented, not hidden.
 
     Scale: one (event_type, day) pre-aggregation with map-side
     combine (days × types rows), then a range window over that tiny
-    frame — the corpus-sized events table is touched exactly once
-    (the (type, day) frame itself is the shared ``_daily_values``)."""
-    daily = _daily_values(events)
+    frame — the corpus-sized events table is touched exactly once."""
+    daily = events.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(F.sum(micro(F.col("value"), 100)).alias("day_value_cents"))
+    daily = daily.withColumn(
+        "day_num", F.datediff("d", F.lit("1970-01-01"))
+    )
     w = (
         Window.partitionBy("event_type")
         .orderBy("day_num")
         .rangeBetween(-7, -1)
     )
-    mu = F.avg("day_value").over(w)
-    sd = F.stddev_samp("day_value").over(w)
-    return daily.select(
+    x = F.col("day_value_cents")
+    n = F.count(F.lit(1)).over(w)
+    s = F.sum(x).over(w)
+    ss = F.sum(x * x).over(w)
+    pre = daily.select(
         "event_type",
         "d",
-        "day_value",
-        F.round(mu, 6).alias("trailing_avg"),
-        F.round(
-            F.when(sd > 0, (F.col("day_value") - mu) / sd), 6
-        ).alias("z_score"),
+        "day_value_cents",
+        n.alias("__n"),
+        s.alias("__s"),
+        ss.alias("__ss"),
+    )
+    # float DAG over exact integers, op order mirrored in the oracle:
+    # mu = s/n; varnum = ss - s*mu; z = (x-mu)/sqrt(varnum/(n-1)).
+    # The n>=2 AND varnum>0 guard sits OUTSIDE every division so no
+    # 0/0 path exists on either engine (DuckDB orders NaN above
+    # everything, so a NaN>0 guard would diverge).
+    mu = F.col("__s").cast("double") / F.col("__n")
+    varnum = F.col("__ss") - F.col("__s") * mu
+    z = (F.col("day_value_cents") - mu) / F.sqrt(
+        varnum / (F.col("__n") - 1)
+    )
+    return pre.select(
+        "event_type",
+        "d",
+        "day_value_cents",
+        F.expr("CAST((__s * 1000000) DIV __n AS BIGINT)").alias(
+            "trailing_avg_cents_micro"
+        ),
+        micro(F.when((F.col("__n") >= 2) & (varnum > 0), z)).alias(
+            "z_score_micro"
+        ),
     )
 
 
@@ -1120,6 +1165,12 @@ def time_of_week_profile(events: DataFrame) -> DataFrame:
     avg_value ships as integer micro-units (the COVERAGE.md "Oracle
     encoding rule": rounded-double finals drift across oracle-engine
     releases).
+
+    ACCEPTED RESIDUAL (r08 ADVICE class, documented per its advice):
+    micro(AVG(value)) over fractional doubles rides the partial-sum
+    order; this query is r06-certified and queued to migrate to the
+    per-row-micro integer mean when its staleness rotation brings it
+    into a verify window (COVERAGE.md migration queue).
 
     Scale: one aggregation into at most 7 × 24 groups with map-side
     combine — a fixed-size output regardless of event volume."""

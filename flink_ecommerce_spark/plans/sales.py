@@ -179,15 +179,26 @@ def category_stats_int(
 ) -> DataFrame:
     """``category_stats`` under the integer contract: money as
     per-row cents (sum/min/max commute with the monotonic per-row
-    quantization), the mean as micro-units of the raw double AVG.
-    Still one shuffle with a shared partial-agg pass."""
-    c = _cents(amount_col)
-    return df.groupBy(F.col(category_col).alias("category")).agg(
+    quantization), the mean as the integer mean of PER-ROW micro
+    units — quantize before the sum, so the reported mean never rides
+    the partial-sum order of a double AVG (the r08 ADVICE residual
+    class). Amounts are strictly positive by the generator contract,
+    so the DIV dividend is non-negative and truncating and flooring
+    engines agree. Still one shuffle with a shared partial-agg
+    pass."""
+    pre = df.select(
+        F.col(category_col).alias("category"),
+        _cents(amount_col).alias("__c"),
+        micro(F.col(amount_col)).alias("__u"),
+    )
+    return pre.groupBy("category").agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.sum(c).alias("total_sales_cents"),
-        micro(F.avg(amount_col)).alias("avg_sale_micro"),
-        F.min(c).alias("min_sale_cents"),
-        F.max(c).alias("max_sale_cents"),
+        F.sum("__c").alias("total_sales_cents"),
+        F.expr("CAST(sum(__u) DIV count(1) AS BIGINT)").alias(
+            "avg_sale_micro"
+        ),
+        F.min("__c").alias("min_sale_cents"),
+        F.max("__c").alias("max_sale_cents"),
     )
 
 

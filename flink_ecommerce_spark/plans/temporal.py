@@ -240,7 +240,11 @@ def value_percentiles_hist(
     pure function of (min, max, counts), so it carries an exact
     DuckDB oracle, unlike t-digest/percentile_approx whose sketch
     internals are engine-specific. Output: one row
-    (p50_est, p90_est, p99_est, bucket_width)."""
+    (p50_est_micro, p90_est_micro, p99_est_micro,
+    bucket_width_micro) — finals as integer micro units (integer
+    contract, migrated on its r09 window rotation; the float DAG
+    has no partial-sum-order dependence, so micro just replaces the
+    ROUND-tie encoding)."""
     from pyspark.sql import Window
 
     b = events.agg(
@@ -280,23 +284,31 @@ def value_percentiles_hist(
             for p, tag in ((0.5, "50"), (0.9, "90"), (0.99, "99"))
         ]
     )
-    est = lambda i: F.round(  # noqa: E731
-        F.least(F.col("vmin") + w * (F.col(i) + 1), F.col("vmax")), 6
+    est = lambda i: micro(  # noqa: E731
+        F.least(F.col("vmin") + w * (F.col(i) + 1), F.col("vmax"))
     )
     return sel.crossJoin(F.broadcast(b)).select(
-        est("i50").alias("p50_est"),
-        est("i90").alias("p90_est"),
-        est("i99").alias("p99_est"),
-        F.round(w, 6).alias("bucket_width"),
+        est("i50").alias("p50_est_micro"),
+        est("i90").alias("p90_est_micro"),
+        est("i99").alias("p99_est_micro"),
+        micro(w).alias("bucket_width_micro"),
     )
 
 
 def event_metrics_long(events: DataFrame) -> DataFrame:
     """Unpivot (wide->long): per event_type metrics in long format via
-    stack()."""
-    wide = events.groupBy("event_type").agg(
-        F.sum(micro(F.col("value"), 100)).alias("total_cents"),
-        micro(F.avg("value")).alias("mean_micro"),
+    stack(). mean_micro is the integer mean of per-row micro values
+    (order-independent — r08 ADVICE residual class); values are
+    non-negative by the generator contract, so DIV's dividend is
+    non-negative and truncating/flooring engines agree."""
+    pre = events.select(
+        "event_type",
+        micro(F.col("value"), 100).alias("__c"),
+        micro(F.col("value")).alias("__u"),
+    )
+    wide = pre.groupBy("event_type").agg(
+        F.sum("__c").alias("total_cents"),
+        F.expr("CAST(sum(__u) DIV count(1) AS BIGINT)").alias("mean_micro"),
         F.count(F.lit(1)).alias("n"),
     )
     return wide.selectExpr(
@@ -308,8 +320,21 @@ def event_metrics_long(events: DataFrame) -> DataFrame:
 
 def customers_above_avg_balance(customer: DataFrame) -> DataFrame:
     """Scalar-subquery pattern: customers with balance above the
-    global average (computed once, broadcast as a 1-row join)."""
-    avg_df = customer.agg(micro(F.avg("c_acctbal")).alias("avg_bal_micro"))
+    global average (computed once, broadcast as a 1-row join).
+
+    The threshold is the FLOOR-mean of per-row micro balances, not
+    micro of a double AVG — a partial-sum-order flip in the double's
+    last ulp could move the micro grid point and change row
+    MEMBERSHIP (r08 ADVICE's worst case). Balances can be negative,
+    so the dividend is made an exact multiple of the count first
+    (subtract the non-negative pmod remainder): truncating and
+    flooring engines return the identical exact quotient."""
+    avg_df = customer.select(micro(F.col("c_acctbal")).alias("__u")).agg(
+        F.expr(
+            "CAST((sum(__u) - pmod(sum(__u), count(1))) DIV count(1)"
+            " AS BIGINT)"
+        ).alias("avg_bal_micro")
+    )
     return (
         customer.crossJoin(F.broadcast(avg_df))
         .filter(micro(F.col("c_acctbal")) > F.col("avg_bal_micro"))
@@ -372,7 +397,9 @@ def daily_gapfill(events: DataFrame) -> DataFrame:
     row, with the raw sum (NULL on empty days), a
     last-observation-carried-forward value, and a zero-filled value —
     the three standard series-completion policies, side by side so
-    downstream charts/models pick one.
+    downstream charts/models pick one. Revenue ships as per-row-cents
+    BIGINT sums (integer contract: quantize before the sum — the
+    r08 migration's encoding, applied here on its window rotation).
 
     Scale: the date spine is sequence(min_day, max_day) exploded from
     a ONE-ROW broadcast aggregate crossed with the distinct types —
@@ -387,7 +414,7 @@ def daily_gapfill(events: DataFrame) -> DataFrame:
             F.col("ts").cast("date").alias("day"), "event_type", "value"
         )
         .groupBy("event_type", "day")
-        .agg(F.round(F.sum("value"), 2).alias("revenue"))
+        .agg(F.sum(micro(F.col("value"), 100)).alias("revenue_cents"))
     )
     bounds = daily.agg(
         F.min("day").alias("__lo"), F.max("day").alias("__hi")
@@ -410,9 +437,13 @@ def daily_gapfill(events: DataFrame) -> DataFrame:
         .select(
             "event_type",
             "day",
-            "revenue",
-            F.last("revenue", ignorenulls=True).over(w).alias("revenue_locf"),
-            F.coalesce("revenue", F.lit(0.0)).alias("revenue_zero"),
+            "revenue_cents",
+            F.last("revenue_cents", ignorenulls=True)
+            .over(w)
+            .alias("revenue_locf_cents"),
+            F.coalesce("revenue_cents", F.lit(0).cast("long")).alias(
+                "revenue_zero_cents"
+            ),
         )
     )
 
@@ -421,18 +452,19 @@ def sql_daily_gapfill() -> str:
     """DuckDB oracle for ``daily_gapfill``."""
     return """
 WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
-                      ROUND(SUM(value), 2) AS revenue
+                      CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))
+                           AS BIGINT) AS revenue_cents
                FROM events GROUP BY 1, 2),
 b AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM daily),
 days AS (SELECT CAST(unnest(generate_series(b.lo, b.hi, INTERVAL 1 DAY)) AS DATE) AS day
          FROM b),
 spine AS (SELECT t.event_type, days.day
           FROM (SELECT DISTINCT event_type FROM events) t CROSS JOIN days)
-SELECT s.event_type, s.day, d.revenue,
-       LAST_VALUE(d.revenue IGNORE NULLS) OVER (
+SELECT s.event_type, s.day, d.revenue_cents,
+       LAST_VALUE(d.revenue_cents IGNORE NULLS) OVER (
          PARTITION BY s.event_type ORDER BY s.day
-         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS revenue_locf,
-       COALESCE(d.revenue, 0.0) AS revenue_zero
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS revenue_locf_cents,
+       CAST(COALESCE(d.revenue_cents, 0) AS BIGINT) AS revenue_zero_cents
 FROM spine s
 LEFT JOIN daily d ON d.event_type = s.event_type AND d.day = s.day
 """

@@ -1039,7 +1039,12 @@ def _q_curation_scores(spark, sf):
 def _q_profile_documents(spark, sf):
     """Per-source dataset card for the training corpus: volume, token
     length distribution (exact percentiles — swap percentile_approx
-    at 100 TB), language spread. One shuffle on source."""
+    at 100 TB), language spread. One shuffle on source.
+
+    micro(AVG(nt)) is order-independent despite the double AVG:
+    integer token counts sum exactly in doubles below 2^53, and the
+    single final division is one IEEE op — no partial-sum-order
+    hazard (unlike AVG over fractional doubles)."""
     docs = _t("documents")(spark, sf)
     nt = F.size(F.expr("regexp_extract_all(text, '\\\\S+', 0)")).cast("long")
     t = docs.select("source", "lang", nt.alias("nt"))
@@ -1308,6 +1313,17 @@ def _q_cluster_silhouette(spark, sf):
     from .operators.clustering import cluster_silhouette
 
     return cluster_silhouette(_t("embeddings")(spark, sf))
+
+
+def _q_silhouette_by_k(spark, sf):
+    """Choose-K elbow sweep over the silhouette meter (r08 ADVICE:
+    the corpus mean is the exact per-point integer mean, not a
+    reconstruction from floored per-cluster means) — certified
+    against the per-K UNION ALL of the Lloyd-CTE oracle re-aggregated
+    corpus-wide."""
+    from .operators.clustering import silhouette_by_k
+
+    return silhouette_by_k(_t("embeddings")(spark, sf))
 
 
 def _q_grouping_sets(spark, sf):
@@ -1589,27 +1605,12 @@ _BANDS_SELECTS = "\nUNION ALL\n".join(
     for b in range(dedup.NUM_BANDS)
 )
 
-_JACCARD_CTES = f"""
-ds AS (SELECT DISTINCT doc_id, s AS shingle
-       FROM (SELECT doc_id, unnest(shingles) AS s FROM sh)),
-sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM ds GROUP BY 1),
-inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
-          FROM ds a JOIN ds b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-          GROUP BY 1, 2),
-jac AS (SELECT i.doc_a, i.doc_b,
-               ROUND(i.n_inter / (sa.n_sh + sb.n_sh - i.n_inter), 6) AS jaccard
-        FROM inter i
-        JOIN sizes sa ON sa.doc_id = i.doc_a
-        JOIN sizes sb ON sb.doc_id = i.doc_b)
-"""
-
-# Integer-contract twin (r08 migration of the r03 block): jac ships
+# Integer-contract jaccard (r08 migration of the r03 block; the last
+# legacy ROUND holdout, prefix_jaccard_pairs, migrated on its r09
+# rotation — no ROUND-encoded jaccard remains anywhere): jac ships
 # jaccard_micro = FLOOR(raw_ratio * 1e6 + 0.5) BIGINT and every
 # threshold compares on the same integer grid, mirroring the Spark
-# side's micro() encoding — no ROUND anywhere, so no cross-engine
-# tie-behavior exposure. The legacy ROUND fragment above remains
-# ONLY for prefix_jaccard_pairs, whose r04 certification is
-# untouched this round (it migrates with the r04 block's rotation).
+# side's micro() encoding — no cross-engine tie-behavior exposure.
 _JAC_T = int(round(dedup.JACCARD_THRESHOLD * 1_000_000))
 _PREFIX_T = int(round(dedup.PREFIX_JOIN_THRESHOLD * 1_000_000))
 _JACCARD_CTES_INT = f"""
@@ -1620,28 +1621,6 @@ inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
           FROM ds a JOIN ds b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
           GROUP BY 1, 2),
 jac AS (SELECT i.doc_a, i.doc_b,
-               CAST(FLOOR(CAST(i.n_inter AS DOUBLE)
-                    / (sa.n_sh + sb.n_sh - i.n_inter) * 1000000 + 0.5) AS BIGINT)
-                 AS jaccard_micro
-        FROM inter i
-        JOIN sizes sa ON sa.doc_id = i.doc_a
-        JOIN sizes sb ON sb.doc_id = i.doc_b)
-"""
-
-# Recall-meter twin: the truth side mirrors prefix_jaccard_pairs
-# (still on the legacy ROUND contract until the r04 block rotates)
-# while the LSH side mirrors the migrated integer-contract
-# lsh_candidate_pairs — so jac carries BOTH encodings of the same
-# raw ratio and each side thresholds on its own column.
-_JACCARD_CTES_BOTH = f"""
-ds AS (SELECT DISTINCT doc_id, s AS shingle
-       FROM (SELECT doc_id, unnest(shingles) AS s FROM sh)),
-sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM ds GROUP BY 1),
-inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
-          FROM ds a JOIN ds b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-          GROUP BY 1, 2),
-jac AS (SELECT i.doc_a, i.doc_b,
-               ROUND(i.n_inter / (sa.n_sh + sb.n_sh - i.n_inter), 6) AS jaccard,
                CAST(FLOOR(CAST(i.n_inter AS DOUBLE)
                     / (sa.n_sh + sb.n_sh - i.n_inter) * 1000000 + 0.5) AS BIGINT)
                  AS jaccard_micro
@@ -1824,12 +1803,12 @@ q AS (
                - 0.1 * abs((n_chars - (n_tok - 1)) / n_tok - 5.0)))), 6) AS quality,
          (CAST(len(ws) AS BIGINT) >= {text.GOPHER_MIN_WORDS}
           AND CAST(len(ws) AS BIGINT) <= {text.GOPHER_MAX_WORDS}
-          AND ROUND(CAST(list_sum(list_transform(ws, x -> strlen(x))) AS DOUBLE)
-                    / len(ws), 6) >= {text.GOPHER_MIN_MEAN_WORD_LEN}
-          AND ROUND(CAST(list_sum(list_transform(ws, x -> strlen(x))) AS DOUBLE)
-                    / len(ws), 6) <= {text.GOPHER_MAX_MEAN_WORD_LEN}
-          AND ROUND(CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws), 6)
-              >= {text.GOPHER_MIN_UNIQUE_FRAC}
+          AND (CAST(list_sum(list_transform(ws, x -> strlen(x))) AS BIGINT)
+               * 1000000) // len(ws) >= {text.GOPHER_MIN_MEAN_WORD_LEN_MICRO}
+          AND (CAST(list_sum(list_transform(ws, x -> strlen(x))) AS BIGINT)
+               * 1000000) // len(ws) <= {text.GOPHER_MAX_MEAN_WORD_LEN_MICRO}
+          AND (CAST(len(list_distinct(ws)) AS BIGINT) * 1000000) // len(ws)
+              >= {text.GOPHER_MIN_UNIQUE_FRAC_MICRO}
           AND CAST(len(list_filter(ws, x -> x IN ({_EN_SW}))) AS BIGINT)
               >= {text.GOPHER_MIN_STOP_HITS}) AS rules_ok
   FROM m0),
@@ -1968,7 +1947,8 @@ FROM events WHERE event_type = 'purchase' GROUP BY 1
 SELECT event_type AS category, COUNT(*) AS n_events,
        CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
          AS total_sales_cents,
-       CAST(FLOOR(AVG(value) * 1000000 + 0.5) AS BIGINT) AS avg_sale_micro,
+       CAST(SUM(CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT)) // COUNT(*)
+            AS BIGINT) AS avg_sale_micro,
        CAST(MIN(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
          AS min_sale_cents,
        CAST(MAX(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
@@ -2586,7 +2566,8 @@ FROM events GROUP BY 1
 WITH wide AS (SELECT event_type,
                      CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
                        AS total_cents,
-                     CAST(FLOOR(AVG(value) * 1000000 + 0.5) AS BIGINT) AS mean_micro,
+                     CAST(SUM(CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT))
+                          // COUNT(*) AS BIGINT) AS mean_micro,
                      COUNT(*) AS n
               FROM events GROUP BY 1)
 SELECT event_type, 'total_cents' AS metric, total_cents AS metric_value FROM wide
@@ -2598,7 +2579,10 @@ SELECT c_custkey, c_name,
        CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) AS c_acctbal_cents
 FROM customer
 WHERE CAST(FLOOR(c_acctbal * 1000000 + 0.5) AS BIGINT)
-      > (SELECT CAST(FLOOR(AVG(c_acctbal) * 1000000 + 0.5) AS BIGINT) FROM customer)
+      > (SELECT CAST((SUM(u) - (((SUM(u) % COUNT(*)) + COUNT(*)) % COUNT(*)))
+                     // COUNT(*) AS BIGINT)
+         FROM (SELECT CAST(FLOOR(c_acctbal * 1000000 + 0.5) AS BIGINT) AS u
+               FROM customer))
 """,
     "tfidf_top_terms": """
 WITH toks AS (SELECT doc_id, unnest({words}) AS term FROM documents),
@@ -2970,8 +2954,9 @@ dup AS (SELECT DISTINCT i.new_id
         FROM inter i
         JOIN sizes sa ON sa.doc_id = i.new_id
         JOIN sizes sb ON sb.doc_id = i.corpus_id
-        WHERE ROUND(i.n_inter / (sa.n_sh + sb.n_sh - i.n_inter), 6)
-              >= {dedup.JACCARD_THRESHOLD})
+        WHERE CAST(FLOOR(CAST(i.n_inter AS DOUBLE)
+                   / (sa.n_sh + sb.n_sh - i.n_inter) * 1000000 + 0.5)
+                   AS BIGINT) >= {_JAC_T})
 SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
 FROM documents d
 WHERE d.doc_id % 5 = 0 AND d.doc_id NOT IN (SELECT new_id FROM dup)
@@ -3138,9 +3123,9 @@ FROM hist CROSS JOIN tot
     # plan must reproduce all-pairs truth, not a capped approximation.
     "prefix_jaccard_pairs": f"""
 WITH sh AS (SELECT doc_id, {_SHINGLES} AS shingles FROM documents),
-{_JACCARD_CTES}
-SELECT doc_a, doc_b, jaccard FROM jac
-WHERE jaccard >= {dedup.PREFIX_JOIN_THRESHOLD}
+{_JACCARD_CTES_INT}
+SELECT doc_a, doc_b, jaccard_micro FROM jac
+WHERE jaccard_micro >= {_PREFIX_T}
 """,
     "bm25_topk": f"""
 WITH toks AS (SELECT doc_id, unnest({_WORDS}) AS term FROM documents),
@@ -3186,10 +3171,13 @@ sel AS (SELECT
           MIN(CASE WHEN cum >= CAST(0.9 AS DOUBLE) * w.n THEN idx END) AS i90,
           MIN(CASE WHEN cum >= CAST(0.99 AS DOUBLE) * w.n THEN idx END) AS i99
         FROM cum CROSS JOIN w)
-SELECT ROUND(LEAST(w.vmin + w.wd * (i50 + 1), w.vmax), 6) AS p50_est,
-       ROUND(LEAST(w.vmin + w.wd * (i90 + 1), w.vmax), 6) AS p90_est,
-       ROUND(LEAST(w.vmin + w.wd * (i99 + 1), w.vmax), 6) AS p99_est,
-       ROUND(w.wd, 6) AS bucket_width
+SELECT CAST(FLOOR(LEAST(w.vmin + w.wd * (i50 + 1), w.vmax)
+                  * 1000000 + 0.5) AS BIGINT) AS p50_est_micro,
+       CAST(FLOOR(LEAST(w.vmin + w.wd * (i90 + 1), w.vmax)
+                  * 1000000 + 0.5) AS BIGINT) AS p90_est_micro,
+       CAST(FLOOR(LEAST(w.vmin + w.wd * (i99 + 1), w.vmax)
+                  * 1000000 + 0.5) AS BIGINT) AS p99_est_micro,
+       CAST(FLOOR(w.wd * 1000000 + 0.5) AS BIGINT) AS bucket_width_micro
 FROM sel CROSS JOIN w
 """,
     # media_dedup: the fake payload is the text's UTF-8 bytes, so
@@ -3214,8 +3202,10 @@ ntoks AS (SELECT doc_id, unnest({w}) AS term FROM newb)
 SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
        CAST(SUM(CASE WHEN tf.term IS NULL THEN 1 ELSE 0 END) AS BIGINT)
          AS n_oov,
-       ROUND(AVG(-ln((COALESCE(cnt, 0) + 1) / (tot.total + tot.v + 1))), 6)
-         AS avg_surprisal
+       CAST(SUM(CAST(FLOOR((-ln((COALESCE(cnt, 0) + 1)
+                                 / (tot.total + tot.v + 1)))
+                           * 1000000 + 0.5) AS BIGINT))
+            // COUNT(*) AS BIGINT) AS avg_surprisal_micro
 FROM ntoks LEFT JOIN tf USING (term) CROSS JOIN tot
 GROUP BY doc_id
 """.format(w=sql_words("text")),
@@ -3231,7 +3221,8 @@ fs AS (SELECT shingle, MIN(bucket) AS bucket FROM sb GROUP BY 1),
 nv AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_novel FROM fs GROUP BY 1)
 SELECT pb.bucket, n_docs, n_pairs,
        CAST(COALESCE(nv.n_novel, 0) AS BIGINT) AS n_novel,
-       ROUND(COALESCE(nv.n_novel, 0) / n_pairs, 6) AS novelty_rate,
+       CAST((COALESCE(nv.n_novel, 0) * 1000000) // n_pairs AS BIGINT)
+         AS novelty_rate_micro,
        CAST(SUM(COALESCE(nv.n_novel, 0)) OVER (ORDER BY pb.bucket
             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_vocab
 FROM pb LEFT JOIN nv USING (bucket)
@@ -3244,9 +3235,9 @@ bands AS ({_BANDS_SELECTS}),
 cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          FROM bands a JOIN bands b
            ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
-{_JACCARD_CTES_BOTH},
+{_JACCARD_CTES_INT},
 truth AS (SELECT doc_a, doc_b FROM jac
-          WHERE jaccard >= {dedup.PREFIX_JOIN_THRESHOLD}),
+          WHERE jaccard_micro >= {_PREFIX_T}),
 lsh AS (SELECT c.doc_a, c.doc_b
         FROM cand c JOIN jac j ON j.doc_a = c.doc_a AND j.doc_b = c.doc_b
         WHERE j.jaccard_micro >= {_PREFIX_T}),
@@ -3337,9 +3328,9 @@ bands AS ({_BANDS_SELECTS}),
 cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          FROM bands a JOIN bands b
            ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
-{_JACCARD_CTES_BOTH},
+{_JACCARD_CTES_INT},
 truth AS (SELECT doc_a, doc_b FROM jac
-          WHERE jaccard >= {dedup.PREFIX_JOIN_THRESHOLD}),
+          WHERE jaccard_micro >= {_PREFIX_T}),
 lsh AS (SELECT c.doc_a, c.doc_b
         FROM cand c JOIN jac j ON j.doc_a = c.doc_a AND j.doc_b = c.doc_b
         WHERE j.jaccard_micro >= {_PREFIX_T}),
@@ -3362,7 +3353,8 @@ FROM counts
 WITH counts AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_rows
                 FROM events GROUP BY 1),
 tot AS (SELECT CAST(SUM(n_rows) AS BIGINT) AS total FROM counts)
-SELECT user_id, n_rows, ROUND(n_rows / tot.total, 6) AS share,
+SELECT user_id, n_rows,
+       CAST((n_rows * 1000000) // tot.total AS BIGINT) AS share_micro,
        CAST(ROW_NUMBER() OVER (ORDER BY n_rows DESC, user_id) AS INT) AS rank
 FROM counts CROSS JOIN tot
 QUALIFY rank <= 10
@@ -3372,10 +3364,13 @@ WITH counts AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_rows
                 FROM events GROUP BY 1)
 SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
        CAST(MAX(n_rows) AS BIGINT) AS max_rows,
-       ROUND(AVG(n_rows), 6) AS avg_rows,
-       ROUND(quantile_cont(n_rows, 0.5), 6) AS p50_rows,
-       ROUND(quantile_cont(n_rows, 0.99), 6) AS p99_rows,
-       ROUND(MAX(n_rows) / AVG(n_rows), 6) AS skew_ratio
+       CAST((SUM(n_rows) * 1000000) // COUNT(*) AS BIGINT) AS avg_rows_micro,
+       CAST(FLOOR(quantile_cont(n_rows, 0.5) * 1000000 + 0.5) AS BIGINT)
+         AS p50_rows_micro,
+       CAST(FLOOR(quantile_cont(n_rows, 0.99) * 1000000 + 0.5) AS BIGINT)
+         AS p99_rows_micro,
+       CAST(FLOOR((MAX(n_rows) / (CAST(SUM(n_rows) AS DOUBLE) / COUNT(*)))
+                  * 1000000 + 0.5) AS BIGINT) AS skew_ratio_micro
 FROM counts
 """,
     # supplier_pagerank: the five power-method rounds UNROLLED as
@@ -3407,7 +3402,8 @@ r0 AS (SELECT node, CAST(1.0 AS DOUBLE) / nn.n AS rank
             for i in range(1, iters + 1)
         )
         + f"""
-SELECT node, ROUND(rank, 6) AS pagerank FROM r{iters}
+SELECT node, CAST(FLOOR(rank * 1000000 + 0.5) AS BIGINT)
+               AS pagerank_micro FROM r{iters}
 """
     )(),
     # hybrid_search_rrf: both modality shortlists in full (semantic =
@@ -4450,18 +4446,27 @@ FROM g
 """,
     "daily_anomaly_scores": """
 WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d,
-                      ROUND(SUM(value), 2) AS day_value
+                      CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))
+                           AS BIGINT) AS day_value_cents
                FROM events GROUP BY 1, 2),
 n AS (SELECT *, CAST(d - DATE '1970-01-01' AS BIGINT) AS day_num FROM daily),
-z AS (SELECT event_type, d, day_value,
-             ROUND(AVG(day_value) OVER w, 6) AS trailing_avg,
-             ROUND(CASE WHEN STDDEV_SAMP(day_value) OVER w > 0
-                   THEN (day_value - AVG(day_value) OVER w)
-                        / STDDEV_SAMP(day_value) OVER w END, 6) AS z_score
-      FROM n
-      WINDOW w AS (PARTITION BY event_type ORDER BY day_num
-                   RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING))
-SELECT * FROM z
+sums AS (SELECT event_type, d, day_value_cents,
+                COUNT(*) OVER w AS wn,
+                CAST(SUM(day_value_cents) OVER w AS BIGINT) AS ws,
+                CAST(SUM(day_value_cents * day_value_cents) OVER w
+                     AS BIGINT) AS wss
+         FROM n
+         WINDOW w AS (PARTITION BY event_type ORDER BY day_num
+                      RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING))
+SELECT event_type, d, day_value_cents,
+       CAST((ws * 1000000) // wn AS BIGINT) AS trailing_avg_cents_micro,
+       CAST(FLOOR((CASE WHEN wn >= 2
+                         AND (wss - ws * (CAST(ws AS DOUBLE) / wn)) > 0
+                   THEN (day_value_cents - CAST(ws AS DOUBLE) / wn)
+                        / sqrt((wss - ws * (CAST(ws AS DOUBLE) / wn))
+                               / (wn - 1)) END)
+                  * 1000000 + 0.5) AS BIGINT) AS z_score_micro
+FROM sums
 """,
     "semantic_dedup": f"""
 WITH cent AS (SELECT label, CAST(dim AS INT) AS dim,
@@ -4508,25 +4513,29 @@ WHERE rk <= {similarity.DEFAULT_K}
 WITH w AS (SELECT doc_id, source, {sql_words('text')} AS ws FROM documents),
 m AS (SELECT doc_id, source,
              CAST(len(ws) AS BIGINT) AS n_words,
-             ROUND(CAST(list_sum(list_transform(ws, x -> strlen(x))) AS DOUBLE)
-                   / len(ws), 6) AS mean_word_len,
-             ROUND(CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws), 6)
-               AS unique_word_frac,
+             CAST((CAST(list_sum(list_transform(ws, x -> strlen(x)))
+                        AS BIGINT) * 1000000) // len(ws) AS BIGINT)
+               AS mean_word_len_micro,
+             CAST((CAST(len(list_distinct(ws)) AS BIGINT) * 1000000)
+                  // len(ws) AS BIGINT) AS unique_word_frac_micro,
              CAST(len(list_filter(ws,
                x -> x IN ({', '.join(f"'{w}'" for w in text.EN_STOPWORDS)})))
                AS BIGINT) AS stop_hits
       FROM w)
-SELECT doc_id, source, n_words, mean_word_len, unique_word_frac, stop_hits,
+SELECT doc_id, source, n_words, mean_word_len_micro, unique_word_frac_micro,
+       stop_hits,
        (n_words >= {text.GOPHER_MIN_WORDS} AND n_words <= {text.GOPHER_MAX_WORDS})
          AS word_count_ok,
-       (mean_word_len >= {text.GOPHER_MIN_MEAN_WORD_LEN}
-        AND mean_word_len <= {text.GOPHER_MAX_MEAN_WORD_LEN}) AS word_len_ok,
-       (unique_word_frac >= {text.GOPHER_MIN_UNIQUE_FRAC}) AS diversity_ok,
+       (mean_word_len_micro >= {text.GOPHER_MIN_MEAN_WORD_LEN_MICRO}
+        AND mean_word_len_micro <= {text.GOPHER_MAX_MEAN_WORD_LEN_MICRO})
+         AS word_len_ok,
+       (unique_word_frac_micro >= {text.GOPHER_MIN_UNIQUE_FRAC_MICRO})
+         AS diversity_ok,
        (stop_hits >= {text.GOPHER_MIN_STOP_HITS}) AS stopword_ok,
        ((n_words >= {text.GOPHER_MIN_WORDS} AND n_words <= {text.GOPHER_MAX_WORDS})
-        AND (mean_word_len >= {text.GOPHER_MIN_MEAN_WORD_LEN}
-             AND mean_word_len <= {text.GOPHER_MAX_MEAN_WORD_LEN})
-        AND (unique_word_frac >= {text.GOPHER_MIN_UNIQUE_FRAC})
+        AND (mean_word_len_micro >= {text.GOPHER_MIN_MEAN_WORD_LEN_MICRO}
+             AND mean_word_len_micro <= {text.GOPHER_MAX_MEAN_WORD_LEN_MICRO})
+        AND (unique_word_frac_micro >= {text.GOPHER_MIN_UNIQUE_FRAC_MICRO})
         AND (stop_hits >= {text.GOPHER_MIN_STOP_HITS})) AS keep
 FROM m
 """,
@@ -5270,8 +5279,8 @@ p AS (SELECT tc.w1, tc.w2, tc.w3,
       FROM tc JOIN c12 USING (w1, w2) JOIN ct USING (w2, w3)
       JOIN mid USING (w2) JOIN uni USING (w3) CROSS JOIN tt)
 SELECT tri.doc_id, COUNT(*) AS n_trigrams,
-       CAST(FLOOR(AVG(-log2(p.pkn)) * 1000000 + 0.5) AS BIGINT)
-         AS avg_kn3_surprisal_micro
+       CAST(SUM(CAST(FLOOR((-log2(p.pkn)) * 1000000 + 0.5) AS BIGINT))
+            // COUNT(*) AS BIGINT) AS avg_kn3_surprisal_micro
 FROM tri JOIN p ON tri.w1 = p.w1 AND tri.w2 = p.w2 AND tri.w3 = p.w3
 GROUP BY 1
 """
@@ -5649,6 +5658,12 @@ SELECT doc_id, pos, CAST(pos % {packing.N_SHARDS} AS INT) AS shard FROM r
 """
 
 ORACLES["cluster_silhouette"] = _silhouette_oracle_sql()
+
+from .operators.clustering import (  # noqa: E402
+    silhouette_by_k_oracle_sql as _silhouette_by_k_oracle_sql,
+)
+
+ORACLES["silhouette_by_k"] = _silhouette_by_k_oracle_sql()
 
 _SPEC_DEFS: dict[str, QuerySpec] = {
     # parity (reference surface, SURVEY.md §2)
@@ -6098,6 +6113,9 @@ _SPEC_DEFS: dict[str, QuerySpec] = {
     "cluster_silhouette": QuerySpec(
         _q_cluster_silhouette, ORACLES["cluster_silhouette"]
     ),
+    "silhouette_by_k": QuerySpec(
+        _q_silhouette_by_k, ORACLES["silhouette_by_k"]
+    ),
     "documents_substr_deduped": QuerySpec(
         _q_documents_substr_deduped, ORACLES["documents_substr_deduped"]
     ),
@@ -6269,83 +6287,92 @@ _SPEC_DEFS: dict[str, QuerySpec] = {
 # because their code is untouched; touching one moves it back into
 # the window.
 _VERIFY_FIRST: tuple[str, ...] = (
-    # r08 window (VERDICT r07 #1 + COVERAGE.md rotation/migration
+    # r09 window (VERDICT r08 #1-#3 + COVERAGE.md rotation/migration
     # queues). Composition:
-    # (1) the 17 queries registered in r07 after its window filled —
-    #     never externally certified (all pass the local typed
-    #     bit-exact gate);
-    # (2) the r03/r02 ROUND-carrier migration block: the 26 stale-
-    #     certified r03 carriers (incl. the parity sales_* family:
-    #     ROUND(SUM,2) money -> per-row cents) plus the two r02-
-    #     certified stragglers (curation_scores, embedding_norms) —
-    #     every one re-encoded to the integer contract this round,
-    #     so each MUST re-certify;
-    # (3) three queries whose plans changed transitively because
-    #     they compose the migrated lsh_candidate_pairs /
-    #     dedup_clusters internals (jaccard -> jaccard_micro):
-    #     lsh_recall_report, lsh_recall_sampled,
-    #     documents_deduped_best;
-    # (4) the round's two new oracle-backed operators:
-    #     epoch_shuffle (deterministic training-shard permutation)
-    #     and cluster_silhouette (IVF/k-means cell-quality meter).
-    # Still stale-but-valid (plans untouched, certifications hold):
-    # the 15 non-carrier r03 rows (raw_transactions, dedup_exact,
-    # minhash_signatures, ...) — they are the r09 rotation queue
-    # together with trigram KN (registered this round at the head of
-    # the tail).
-    "fuzzy_decontaminate",
-    "code_switch_report",
-    "lsh_candidate_precision",
-    "dp_source_counts",
-    "markov_attribution",
-    "retrieval_eval",
-    "retrieval_ndcg",
-    "dup_quality_report",
-    "journey_length_hist",
-    "basket_size_hist",
+    # (1) kn_trigram_surprisal — the only registry query that never
+    #     held an external green row (registered after the r08
+    #     window filled), plus its migration to the per-row-micro
+    #     integer mean;
+    # (2) the two winnowing queries — re-planned this round to the
+    #     zero-shuffle array form (VERDICT r08 #1);
+    # (3) silhouette_by_k — newly registered with its UNION-ALL
+    #     per-K oracle (VERDICT r08 #3), plus cluster_silhouette's
+    #     exact-mean helper refactor;
+    # (4) the three r08-certified queries migrated off
+    #     micro(AVG(double)) to order-independent integer means
+    #     (r08 ADVICE #2): category_stats, event_metrics_long,
+    #     customers_above_avg_balance;
+    # (5) the 17 stale r03 non-carrier rows (certifications valid
+    #     but five rounds old — the staleness rotation);
+    # (6) the r04 ROUND-carrier migration block: 15 carriers
+    #     re-encoded to the integer contract on their rotation
+    #     (per-row cents sums, pure-integer DIV shares, micro
+    #     finals, integer-grid thresholds — incl. the gopher
+    #     metric family and the last legacy ROUND-jaccard holdouts
+    #     prefix_jaccard_pairs / incremental_fuzzy_dedup);
+    # (7) two r08-certified composers transitively re-planned by
+    #     prefix_jaccard_pairs' migration (their truth side):
+    #     lsh_recall_report, lsh_recall_sampled;
+    # (8) eight ROUND-free r04-certified rows as staleness backfill
+    #     (pit_enriched_events / pq_codes / repeated_substring_spans
+    #     head the r10 backfill queue).
+    # Still queued (COVERAGE.md): the r04 cosine/ANN ROUND family
+    # (shared fragment, large transitive set) and the remaining
+    # r04/r05/r06 carriers — r10+.
+    "kn_trigram_surprisal",
     "winnowing_fingerprints",
     "winnowing_overlap_pairs",
-    "classifier_calibration",
-    "item_neighbors_topk",
-    "containment_sketch_pairs",
-    "media_ahash",
-    "media_ahash_pairs",
-    # (2) the migration block
-    "sales_per_day",
-    "sales_per_category",
-    "sales_per_month",
-    "sales_per_day_purchases",
+    "silhouette_by_k",
+    "cluster_silhouette",
     "category_stats",
-    "grouping_sets_sales",
-    "hourly_event_counts",
-    "lineitem_price_bands",
     "event_metrics_long",
-    "day_over_day_delta",
     "customers_above_avg_balance",
-    "value_percentiles",
-    "user_sessions",
-    "user_value_quartiles",
-    "profile_documents",
-    "profile_events",
-    "bigram_surprisal",
-    "unigram_surprisal",
-    "contamination_report",
-    "source_overlap_matrix",
-    "containment_pairs",
-    "dedup_clusters",
-    "documents_deduped",
-    "lsh_candidate_pairs",
-    "ngram_jaccard_pairs",
-    "packing_efficiency",
-    "curation_scores",
-    "embedding_norms",
-    # (3) transitively re-planned composers
+    # (5) the r03 staleness block
+    "raw_transactions",
+    "corpus_diff",
+    "dedup_exact",
+    "dedup_exact_normalized",
+    "distinct_user_event_pairs",
+    "doc_chunks",
+    "incremental_dedup",
+    "latest_event_per_user",
+    "minhash_signatures",
+    "multimodal_thumbnails",
+    "props_extract",
+    "purchasers_also_errored",
+    "scd2_user_segments",
+    "sequence_packing",
+    "simhash",
+    "simhash_near_pairs",
+    "viewers_never_purchased",
+    # (6) the r04 carrier migration block
+    "daily_gapfill",
+    "daily_anomaly_scores",
+    "event_user_skew_topk",
+    "event_user_skew_summary",
+    "corpus_growth",
+    "cross_corpus_surprisal",
+    "supplier_pagerank",
+    "value_percentiles_hist",
+    "gopher_quality_flags",
+    "corpus_funnel",
+    "corpus_funnel_by_source",
+    "curation_drop_reasons",
+    "prefix_jaccard_pairs",
+    "incremental_fuzzy_dedup",
+    "nb_lang_scores",
+    # (7) transitively re-planned composers
     "lsh_recall_report",
     "lsh_recall_sampled",
-    "documents_deduped_best",
-    # (4) new this round
-    "epoch_shuffle",
-    "cluster_silhouette",
+    # (8) ROUND-free r04 staleness backfill
+    "asof_next_purchase",
+    "balanced_shards",
+    "bpe_merge_candidates",
+    "countmin_estimates",
+    "countmin_sketch",
+    "entity_merge_groups",
+    "media_dedup",
+    "phrase_search",
 )
 assert set(_VERIFY_FIRST) <= set(_SPEC_DEFS), sorted(
     set(_VERIFY_FIRST) - set(_SPEC_DEFS)

@@ -128,12 +128,12 @@ def test_daily_gapfill_fills_and_carries(spark):
     )
     got = {
         (r["event_type"], str(r["day"])): (
-            r["revenue"], r["revenue_locf"], r["revenue_zero"]
+            r["revenue_cents"], r["revenue_locf_cents"], r["revenue_zero_cents"]
         )
         for r in daily_gapfill(ev).collect()
     }
     assert len(got) == 6  # 2 types x 3 days
-    assert got[("A", "2024-01-02")] == (None, 10.0, 0.0)   # gap: locf carries
-    assert got[("A", "2024-01-03")] == (30.0, 30.0, 30.0)
-    assert got[("B", "2024-01-01")] == (None, None, 0.0)   # leading gap
-    assert got[("B", "2024-01-03")] == (None, 20.0, 0.0)   # trailing gap
+    assert got[("A", "2024-01-02")] == (None, 1000, 0)   # gap: locf carries
+    assert got[("A", "2024-01-03")] == (3000, 3000, 3000)
+    assert got[("B", "2024-01-01")] == (None, None, 0)   # leading gap
+    assert got[("B", "2024-01-03")] == (None, 2000, 0)   # trailing gap

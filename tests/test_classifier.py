@@ -37,7 +37,7 @@ def test_nb_separates_real_classes(spark):
 def test_nb_scores_every_document_once(spark):
     out = nb_lang_scores(_corpus(spark)).collect()
     assert len(out) == len(EN) + len(DE)
-    assert all(r["score"] < 0 for r in out)  # log-probs are negative
+    assert all(r["score_micro"] < 0 for r in out)  # log-probs are negative
 
 
 def test_nb_is_deterministic(spark):

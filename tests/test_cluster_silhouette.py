@@ -116,10 +116,34 @@ def test_silhouette_by_k_peaks_at_the_natural_k(spark):
     out = {r["k"]: r for r in silhouette_by_k(d, ks=(2, 4)).collect()}
     assert set(out) == {2, 4}
     assert out[2]["mean_silhouette_micro"] > out[4]["mean_silhouette_micro"]
-    # the sweep's weighted mean reproduces the per-cluster reports
-    from flink_ecommerce_spark.operators.clustering import cluster_silhouette
+    # the sweep's mean is the EXACT per-point integer mean (not a
+    # reconstruction from floored per-cluster means — r08 ADVICE)
+    from flink_ecommerce_spark.operators.clustering import _silhouette_points
 
-    per = cluster_silhouette(d, k=2).collect()
-    n = sum(r["n_vectors"] for r in per)
-    shifted = sum((r["mean_silhouette_micro"] + 1_000_000) * r["n_vectors"] for r in per)
+    pts = [r["__s_u"] for r in _silhouette_points(d, k=2).collect()]
+    n = len(pts)
+    shifted = sum(s + 1_000_000 for s in pts)
     assert out[2]["mean_silhouette_micro"] == shifted // n - 1_000_000
+
+
+def test_silhouette_by_k_matches_duckdb_oracle(spark):
+    """The registered oracle twin agrees bit-exactly at sf0.001."""
+    import duckdb
+
+    from flink_ecommerce_spark import catalog
+    from flink_ecommerce_spark.operators.clustering import (
+        silhouette_by_k,
+        silhouette_by_k_oracle_sql,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = sorted(
+        silhouette_by_k(catalog.table(spark, sf, "embeddings")).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{sf}/embeddings.parquet')"
+    )
+    want = sorted(con.execute(silhouette_by_k_oracle_sql()).fetchall())
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]

@@ -262,8 +262,12 @@ def test_cross_corpus_surprisal_semantics(spark):
     assert got[1]["n_oov"] == 0
     assert got[2]["n_oov"] == 3
     assert got[3]["n_oov"] == 1
-    assert got[1]["avg_surprisal"] < got[3]["avg_surprisal"] < got[2]["avg_surprisal"]
-    assert all(r["avg_surprisal"] is not None for r in got.values())
+    assert (
+        got[1]["avg_surprisal_micro"]
+        < got[3]["avg_surprisal_micro"]
+        < got[2]["avg_surprisal_micro"]
+    )
+    assert all(r["avg_surprisal_micro"] is not None for r in got.values())
 
 
 def test_term_frequency_merge_equals_rescan(spark):

@@ -220,13 +220,12 @@ def test_prefix_jaccard_exact_vs_bruteforce(spark, threshold):
     brute = dedup.ngram_jaccard_pairs(
         docs, threshold=threshold, max_df_frac=1.1
     ).collect()
-    # prefix_jaccard_pairs still carries its certified ROUND(jaccard,6)
-    # contract; ngram_jaccard_pairs migrated to jaccard_micro (r08) —
-    # same raw ratio, compared on the shared micro grid
-    got = sorted((r["doc_a"], r["doc_b"], round(r["jaccard"] * 1e6)) for r in pruned)
+    # both sides carry the jaccard_micro integer contract (prefix
+    # migrated on its r09 window rotation) — identical raw ratio,
+    # identical quantization, so the match is exact
+    got = sorted((r["doc_a"], r["doc_b"], r["jaccard_micro"]) for r in pruned)
     want = sorted((r["doc_a"], r["doc_b"], r["jaccard_micro"]) for r in brute)
-    assert [(a, b) for a, b, _ in got] == [(a, b) for a, b, _ in want]
-    assert all(abs(g[2] - w[2]) <= 1 for g, w in zip(got, want))
+    assert got == want
 
 
 def test_prefix_jaccard_hot_shingle_correctness(spark):
@@ -258,7 +257,9 @@ def test_prefix_jaccard_identical_docs(spark):
         [(1, "p q r s t"), (2, "p q r s t"), (3, "u v w x y")],
     )
     got = dedup.prefix_jaccard_pairs(docs, threshold=0.9).collect()
-    assert [(r["doc_a"], r["doc_b"], r["jaccard"]) for r in got] == [(1, 2, 1.0)]
+    assert [(r["doc_a"], r["doc_b"], r["jaccard_micro"]) for r in got] == [
+        (1, 2, 1_000_000)
+    ]
 
 
 def test_prefix_jaccard_short_docs_no_crash(spark):
@@ -281,7 +282,9 @@ def test_book_length_doc_survives_shingle_paths(spark):
         [(1, book), (2, book), (3, "a short unrelated document here")],
     )
     pairs = dedup.prefix_jaccard_pairs(docs, threshold=0.9).collect()
-    assert [(r["doc_a"], r["doc_b"], r["jaccard"]) for r in pairs] == [(1, 2, 1.0)]
+    assert [(r["doc_a"], r["doc_b"], r["jaccard_micro"]) for r in pairs] == [
+        (1, 2, 1_000_000)
+    ]
     sigs = dedup.minhash_signatures(docs).collect()
     assert len(sigs) == 3
     hits = retrieval.phrase_search(docs, book.split()[0] + " " + book.split()[1])

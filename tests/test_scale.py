@@ -144,10 +144,11 @@ def test_hist_percentiles_within_one_bucket_of_exact(spark):
         "percentile(value, 0.9) AS p90",
         "percentile(value, 0.99) AS p99",
     ).collect()[0]
-    w = got["bucket_width"]
+    w = got["bucket_width_micro"] / 1e6
     for tag in ("50", "90", "99"):
-        est, true = got[f"p{tag}_est"], exact[f"p{tag}"]
-        assert true - 1e-9 <= est <= true + w + 1e-9, (tag, est, true, w)
+        est = got[f"p{tag}_est_micro"] / 1e6
+        true = exact[f"p{tag}"]
+        assert true - 1e-6 <= est <= true + w + 1e-6, (tag, est, true, w)
 
 
 def test_hist_percentiles_degenerate_all_equal(spark):
@@ -155,7 +156,10 @@ def test_hist_percentiles_degenerate_all_equal(spark):
 
     df = spark.createDataFrame([(7.5,)] * 20, "value double")
     r = value_percentiles_hist(df).collect()[0]
-    assert r["p50_est"] == r["p90_est"] == r["p99_est"] == 7.5
+    assert (
+        r["p50_est_micro"] == r["p90_est_micro"] == r["p99_est_micro"]
+        == 7_500_000
+    )
 
 
 def test_heavy_scan_fixup_gates_on_size(spark, tmp_path):
