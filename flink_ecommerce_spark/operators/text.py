@@ -190,6 +190,29 @@ def _quality_raw_column() -> Column:
     return F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
 
 
+def sql_quality_raw(
+    n_tok: str = "n_tok",
+    n_punct: str = "n_punct",
+    n_stop: str = "n_stop",
+    n_chars: str = "n_chars",
+) -> str:
+    """DuckDB SQL twin of ``_quality_raw_column()`` — the ONE place
+    the quality logistic's coefficients live on the SQL side (r08
+    ADVICE: a coefficient edit must not be a many-place change).
+    Callers pass the column/expression names of the four raw counts.
+    Composed by the curation_scores oracle; the remaining inline
+    copies in certified out-of-window oracle strings (grep
+    ``0.02 * n_tok`` in registry.py) are byte-frozen with their green
+    rows and fold onto this fragment as their rotations bring them
+    into a verify window."""
+    return (
+        f"1.0 / (1.0 + exp(-(-2.0 + 0.02 * {n_tok}"
+        f" + 4.0 * ({n_stop} / {n_tok})"
+        f" - 8.0 * ({n_punct} / {n_chars})"
+        f" - 0.1 * abs(({n_chars} - ({n_tok} - 1)) / {n_tok} - 5.0))))"
+    )
+
+
 def _quality_column() -> Column:
     """The logistic quality score as a single per-row Column, shared
     by quality_scores and curated_corpus (one projection, one scan).

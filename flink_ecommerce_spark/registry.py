@@ -5557,7 +5557,9 @@ ORACLES["bloom_admission"] = _sketch.sql_bloom_admission()
 # curation_scores (r08 integer migration): quality and norm stay RAW
 # doubles through the join and each FINAL column micro-quantizes
 # once — never micro(ROUND(x)), which would re-inherit ROUND's
-# cross-engine tie hazard.
+# cross-engine tie hazard. The logistic composes the shared
+# sql_quality_raw fragment (r08 ADVICE #3): one place for the
+# coefficients on the SQL side, mirroring _quality_raw_column.
 ORACLES["curation_scores"] = f"""
 WITH m AS (
   SELECT doc_id,
@@ -5566,10 +5568,7 @@ WITH m AS (
          CAST(len(list_filter({_WORDS}, w -> w IN ({_EN_SW}))) AS DOUBLE) AS n_stop,
          CAST(length(text) AS DOUBLE) AS n_chars
   FROM documents),
-q AS (SELECT doc_id,
-             1.0 / (1.0 + exp(-(-2.0 + 0.02 * n_tok + 4.0 * (n_stop / n_tok)
-                   - 8.0 * (n_punct / n_chars)
-                   - 0.1 * abs((n_chars - (n_tok - 1)) / n_tok - 5.0)))) AS quality
+q AS (SELECT doc_id, {text.sql_quality_raw()} AS quality
       FROM m),
 n AS (SELECT vec_id AS doc_id,
              {sql_l2_norm('embedding', similarity.EMB_DIM)} AS l2_norm

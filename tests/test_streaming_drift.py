@@ -293,3 +293,112 @@ def test_streaming_quality_ks_converges_to_batch(spark, tmp_path):
     assert got["spam"]["d_stat_micro"] > 400_000
     # state bound: one row per (source, occupied grid value)
     assert final_counts.count() <= 2 * 2
+
+
+# ----------------------------------------------------- sf0.01 equivalence
+# VERDICT r08 #7: the streaming KS twins' final state must reproduce
+# the CERTIFIED batch rows on the driver's own gate fixture (sf0.01),
+# through a real multi-micro-batch replay — cheap insurance that the
+# localCheckpoint materialization boundaries in streaming/drift.py
+# never drift from the batch plans.
+
+SF001 = "/root/testdata/sf0.01"
+
+
+def test_streaming_value_ks_equals_certified_batch_sf001(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    from flink_ecommerce_spark import catalog
+    from flink_ecommerce_spark.plans.analytics import value_ks_by_type
+    from flink_ecommerce_spark.streaming.drift import (
+        ks_vs_split,
+        streaming_value_split_counts,
+    )
+
+    events = catalog.table(spark, SF001, "events")
+    # the batch op splits at the data's own date midpoint — feed the
+    # SAME boundary to the stream (to_date(ts) < mid == ts < mid@00:00)
+    b = events.agg(
+        F.min(F.to_date("ts")).alias("lo"), F.max(F.to_date("ts")).alias("hi")
+    ).collect()[0]
+    import datetime as dt
+
+    mid = b["lo"] + dt.timedelta(days=(b["hi"] - b["lo"]).days // 2)
+    split_ts = dt.datetime(mid.year, mid.month, mid.day)
+
+    src = str(tmp_path / "ev001")
+    for chunk in range(3):
+        (
+            events.filter(F.col("event_id") % 3 == chunk)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(f"{src}/chunk={chunk}")
+        )
+    schema = events.schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/chunk=*")
+    )
+    q = (
+        streaming_value_split_counts(stream, split_ts)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("ks_sf001")
+        .option("checkpointLocation", str(tmp_path / "ks001_ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = sorted(
+        map(
+            tuple,
+            ks_vs_split(spark.sql("SELECT * FROM ks_sf001")).collect(),
+        )
+    )
+    want = sorted(map(tuple, value_ks_by_type(events).collect()))
+    assert got == want
+
+
+def test_streaming_quality_ks_equals_certified_batch_sf001(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    from flink_ecommerce_spark import catalog
+    from flink_ecommerce_spark.operators.text import quality_ks_by_source
+    from flink_ecommerce_spark.streaming.drift import (
+        quality_ks_report,
+        streaming_quality_counts,
+    )
+
+    docs = catalog.table(spark, SF001, "documents")
+    src = str(tmp_path / "docs001")
+    for chunk in range(3):
+        (
+            docs.filter(F.col("doc_id") % 3 == chunk)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(f"{src}/chunk={chunk}")
+        )
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/chunk=*")
+    )
+    q = (
+        streaming_quality_counts(stream)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("qks_sf001")
+        .option("checkpointLocation", str(tmp_path / "qks001_ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = sorted(
+        map(
+            tuple,
+            quality_ks_report(spark.sql("SELECT * FROM qks_sf001")).collect(),
+        )
+    )
+    want = sorted(map(tuple, quality_ks_by_source(docs).collect()))
+    assert got == want
