@@ -98,9 +98,12 @@ def int_div(a: Column, b: Column) -> Column:
     the dividend is an exact multiple of b, then the double division
     of that multiple is exactly its integer quotient while both
     operands stay below 2^53. Engine-portable: truncating and
-    flooring integer division agree on exact multiples."""
+    flooring integer division agree on exact multiples. NULL on a
+    zero divisor (matching SQL DIV semantics): the CASE guard keeps
+    ANSI mode (the Spark 4 default) from throwing — CASE branches
+    evaluate lazily, the documented ANSI escape."""
     m = a - F.pmod(a, b)
-    return (m / b).cast("long")
+    return F.when(b != 0, (m / b).cast("long"))
 
 
 def sql_hash32_from_digest(expr: str, half: int = 0) -> str:

@@ -319,3 +319,29 @@ def test_sentence_chunks_boundaries_and_grouping(spark):
     # a doc without terminal punctuation is one whole sentence
     assert got[(1, 0)]["chunk_text"] == "No terminal punctuation here"
     assert len(got) == 3
+
+
+def test_int_div_matches_python_floordiv_all_signs(spark):
+    """int_div's exact-multiple construction must equal Python's //
+    (true floor division) for every sign combination, including the
+    values a truncating DIV would get wrong."""
+    from pyspark.sql import functions as F
+
+    from flink_ecommerce_spark.functions.portable import int_div
+
+    cases = [(-7, 3), (7, 3), (-6, 3), (6, 3), (-1, 4), (1, 4),
+             (0, 5), (-100000007, 97), (100000007, 97)]
+    df = spark.createDataFrame(cases, "a long, b long")
+    got = df.select("a", "b", int_div(F.col("a"), F.col("b")).alias("q")).collect()
+    for r in got:
+        assert r["q"] == r["a"] // r["b"], (r["a"], r["b"], r["q"])
+
+
+def test_int_div_null_on_zero_divisor(spark):
+    from pyspark.sql import functions as F
+
+    from flink_ecommerce_spark.functions.portable import int_div
+
+    df = spark.createDataFrame([(5, 0)], "a long, b long")
+    [r] = df.select(int_div(F.col("a"), F.col("b")).alias("q")).collect()
+    assert r["q"] is None
