@@ -53,9 +53,15 @@ def pagerank(
     Scale discipline (same as connected_components): the edge+degree
     table is materialized once, pre-partitioned on the join key, so
     the big side never reshuffles across rounds; ranks (one double
-    per node) checkpoint per round to truncate lineage. Per round:
-    one join edges⋈ranks on src, one groupBy dst with map-side
-    partial sums."""
+    per node) checkpoint at the midpoint only — each round
+    references the previous ranks exactly once, so the unrolled DAG
+    is LINEAR in rounds (no recomputation blowup) and per-round
+    eager checkpoints just added a stage-scheduling barrier per
+    round (measured r09: the 10x rehearsal number was checkpoint-
+    scheduling-bound, swinging 20–70 s on an unchanged plan; one
+    mid-loop truncation keeps lineage shallow at a single barrier).
+    Per round: one join edges⋈ranks on src, one groupBy dst with
+    map-side partial sums."""
     e = edges.select("src", "dst").distinct()
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     ew = e.join(deg, "src").repartition("src").localCheckpoint(eager=True)
@@ -68,7 +74,7 @@ def pagerank(
     ranks = nodes.crossJoin(F.broadcast(nn)).select(
         "node", (F.lit(1.0) / F.col("n")).alias("rank")
     ).localCheckpoint(eager=True)
-    for _ in range(iterations):
+    for it in range(iterations):
         contribs = (
             ew.join(ranks.withColumnRenamed("node", "src"), "src")
             .groupBy(F.col("dst").alias("node"))
@@ -84,8 +90,9 @@ def pagerank(
                     + F.lit(damping) * F.coalesce("c", F.lit(0.0))
                 ).alias("rank"),
             )
-            .localCheckpoint(eager=True)
         )
+        if it == iterations // 2:
+            ranks = ranks.localCheckpoint(eager=True)
     from ..functions.portable import micro
 
     return ranks.select("node", micro(F.col("rank")).alias("pagerank_micro"))
