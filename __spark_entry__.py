@@ -71,7 +71,14 @@ interpolated trigram Kneser-Ney surprisal, streaming twins for both
 KS drift monitors (grid-bounded running counts sharing the batch
 arithmetic cores), and the r03/r02 ROUND-carrier migration (28
 stale-certified queries re-encoded to per-row cents / micro BIGINT
-contracts and re-windowed) — each with a
+contracts and re-windowed) — plus the round-9 block: the choose-K
+silhouette elbow sweep (exact per-point integer corpus mean, UNION
+ALL per-K Lloyd-CTE oracle), the zero-shuffle array-form winnowing
+re-plan, the r04 ROUND-carrier migration (15 queries to the integer
+contract on their rotation, retiring the last legacy ROUND-jaccard
+fragments), the micro(AVG(double)) order-independence fixes, and a
+pure-stdlib baseline PNG decoder making the aHash media path real
+end-to-end for one actual format — each with a
 DuckDB oracle twin (COVERAGE.md is the full map; non-query machinery
 — continuous aggregates, Z-order layout, streaming
 sinks/packing/dedup/fuzzy-admission, BPE tokenizer train/apply — is
