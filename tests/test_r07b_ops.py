@@ -451,6 +451,38 @@ def test_winnowing_identical_docs_share_all(spark):
     assert 1 <= pair["n_shared"] <= fp["n_fingerprints"]
 
 
+def test_winnowing_random_corpus_matches_python_replica(spark):
+    """The r09 zero-shuffle array rewrite vs the sequential replica,
+    on 120 seeded random docs over a 9-word vocab (tiny vocab forces
+    repeated shingles, exercising the rightmost tie-break and the
+    distinct collapse): the EXACT (hash, position) fingerprint set
+    must match per document — not just the counts."""
+    import random
+
+    from flink_ecommerce_spark.operators.dedup import (
+        WINNOW_POS_MOD,
+        _winnow_keys,
+    )
+
+    rng = random.Random(9)
+    vocab = ["a", "b", "c", "d", "e", "f", "g", "h", "i"]
+    texts = [
+        " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 40)))
+        for _ in range(120)
+    ]
+    expected = {}
+    for i, t in enumerate(texts):
+        if len(t.split()) < 3:  # no shingles: replica's window loop
+            continue  # would run once over an empty list
+        sh, fps = _winnow_python(t)
+        expected[i] = fps
+    got = {}
+    for r in _winnow_keys(_docs(spark, [(t, "en", "s") for t in texts])).collect():
+        h, pos = divmod(r["key"], WINNOW_POS_MOD)
+        got.setdefault(r["doc_id"], set()).add((h, WINNOW_POS_MOD - 1 - pos))
+    assert got == expected
+
+
 # ------------------------------------------------------------ the two meters
 
 
