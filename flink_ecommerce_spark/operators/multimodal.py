@@ -688,6 +688,15 @@ def decode_jpeg(raw: bytes) -> tuple[int, int, list[list[int]]]:
     media_ahash_real plumbing is identical either way."""
     import struct
 
+    try:
+        return _decode_jpeg_impl(raw)
+    except (IndexError, struct.error) as e:  # ran off the bitstream
+        raise ValueError(f"truncated or corrupt JPEG ({e})") from e
+
+
+def _decode_jpeg_impl(raw: bytes) -> tuple[int, int, list[list[int]]]:
+    import struct
+
     import numpy as np
 
     if raw[:2] != b"\xff\xd8":

@@ -231,6 +231,21 @@ def test_jpeg_progressive_raises():
         decode_jpeg(prog)
 
 
+def test_jpeg_truncated_raises_value_error():
+    """A payload cut mid-scan must surface as ValueError, not a raw
+    IndexError from the bit reader."""
+    w = _BitWriter()
+    for _ in range(16):  # 16 blocks, 12 bits each: a ~24-byte scan
+        _emit_dc(w, 100)
+        _emit_eob(w)
+    w.flush()
+    raw = make_jpeg(128, 8, [(1, 1, 1)], 8, bytes(w.buf))
+    with pytest.raises(ValueError, match="truncated"):
+        decode_jpeg(raw[:-12])  # drop EOI + the scan's tail
+    with pytest.raises(ValueError, match="SOI"):
+        decode_jpeg(b"\x00\x01\x02")
+
+
 def test_decode_luma_dispatch_and_reject():
     png = encode_png([[100, 200], [50, 25]], color_type=0)
     assert decode_luma(png) == decode_png(png)
