@@ -255,6 +255,40 @@ def test_decode_luma_dispatch_and_reject():
         decode_luma(b"GIF89a....")
 
 
+def test_cross_codec_same_image_same_hash():
+    """An image of flat 8×8 tiles is losslessly encodable in BOTH
+    formats (PNG exactly; JPEG as DC-only blocks at q=8, where the
+    IDCT of a constant is exact integer). Decoding each must yield
+    the same luma grid, hence the identical aHash — the two codec
+    paths agree end-to-end on content they can both represent."""
+    import random
+
+    rng = random.Random(7)
+    tiles = [[rng.randint(-120, 120) for _ in range(5)] for _ in range(3)]
+    pixels = [
+        [tiles[y // 8][x // 8] + 128 for x in range(40)] for y in range(24)
+    ]
+    png = encode_png(pixels, color_type=0)
+
+    w = _BitWriter()
+    pred = 0
+    for ty in range(3):
+        for tx in range(5):
+            _emit_dc(w, tiles[ty][tx] - pred)
+            pred = tiles[ty][tx]
+            _emit_eob(w)
+    w.flush()
+    jpg = make_jpeg(40, 24, [(1, 1, 1)], 8, bytes(w.buf))
+
+    pw, ph, pluma = decode_png(png)
+    jw, jh, jluma = decode_jpeg(jpg)
+    assert (pw, ph) == (jw, jh) == (40, 24)
+    assert pluma == jluma
+    assert ahash64_from_luma(pluma, pw, ph) == ahash64_from_luma(
+        jluma, jw, jh
+    )
+
+
 def test_media_ahash_real_mixed_formats(spark):
     """PNG and JPEG payloads through ONE Spark mapInPandas pass,
     dispatched per payload by magic bytes; hashes match the pure
