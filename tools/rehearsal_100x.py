@@ -26,8 +26,24 @@ from flink_ecommerce_spark.session import get_spark  # noqa: E402
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    reps = int(os.environ["SPARK_GRAFT_REHEARSAL_REPS"])
+    # Scale the INITIAL shuffle-partition count with the corpus and
+    # let AQE coalesce back down — session.py's stated cluster rule
+    # (~128 MB per task post-coalesce, never a fixed constant). At a
+    # fixed 32, a 100x corpus puts 1-2 GB in each shuffle partition
+    # and the per-partition aggregation hash maps spill: the first
+    # 100x probe run measured minhash_signatures 78x and
+    # countmin_sketch 94x their 10x walls on 10x the data, while the
+    # bounded-state sketches (HLL 0.9 s, KMV 1.1 s) stayed flat.
+    # Opt out with SPARK_GRAFT_FIXED_PARTITIONS=1 to reproduce the
+    # fixed-32 curve.
+    shuffle_parts = None
+    if os.environ.get("SPARK_GRAFT_FIXED_PARTITIONS") != "1":
+        shuffle_parts = max(32, 32 * reps // 10)
     spark = get_spark(
-        "rehearsal100x", extra_conf={"spark.ui.showConsoleProgress": "false"}
+        "rehearsal100x",
+        shuffle_partitions=shuffle_parts,
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
     )
     spark.range(1000).selectExpr("sum(id)").collect()
     stat0 = bench._cpu_window_snapshot()
