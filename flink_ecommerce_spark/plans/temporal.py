@@ -1021,40 +1021,6 @@ def _markov_transitions(events: DataFrame) -> DataFrame:
     )
 
 
-def _markov_pconv(trans: DataFrame, steps: int) -> DataFrame:
-    """One-row (pconv_u): mass absorbed at CONV within ``steps``
-    transitions of a walk started at START, in integer micro-units.
-    Each step is a tiny join+agg over the state-space-sized matrix;
-    masses stay longs (sum of m_u·p_u products DIV 1e6 per step), so
-    the truncation point and every intermediate value are
-    engine-exact."""
-    from functools import reduce
-
-    spark = trans.sparkSession
-    v = spark.createDataFrame(
-        [("START", 1_000_000)], "state string, m_u long"
-    )
-    conv_parts = []
-    for _ in range(steps):
-        nxt = (
-            v.filter(~F.col("state").isin("CONV", "NULL"))
-            .join(F.broadcast(trans), F.col("state") == F.col("src"))
-            .groupBy("dst")
-            .agg(
-                F.expr("CAST(SUM(m_u * p_u) DIV 1000000 AS BIGINT)").alias(
-                    "m_u"
-                )
-            )
-            .select(F.col("dst").alias("state"), "m_u")
-        )
-        conv_parts.append(nxt.filter(F.col("state") == "CONV").select("m_u"))
-        v = nxt
-    allconv = reduce(lambda a, b: a.unionAll(b), conv_parts)
-    return allconv.agg(
-        F.coalesce(F.sum("m_u"), F.lit(0)).cast("long").alias("pconv_u")
-    )
-
-
 def markov_attribution(
     events: DataFrame, steps: int = MARKOV_STEPS
 ) -> DataFrame:
@@ -1069,71 +1035,82 @@ def markov_attribution(
     purchase attribute ~nothing, which no positional rule can see.
 
     Mechanism: absorption probability at CONV is computed by
-    ``steps`` unrolled propagation rounds (the oracle unrolls the
-    same rounds as CTEs — no recursive CTE, whose aggregate-in-
-    recursion rules differ by engine); a channel's removal redirects
-    its inbound hops to NULL WITHOUT renormalizing (the standard
-    removal semantics). Truncation at ``steps`` discards the
-    leftover transient mass identically in both engines;
-    ``journey_length_hist`` is the companion METER — on the fixture
-    it reads cum_share 96.8% of journeys within 8 hops — and the
-    residual largely cancels in the effect ratios anyway, because
-    the base and removal walks truncate at the same horizon.
-    share_u normalizes effects to micro-shares with a GREATEST(,1)
-    guard for the zero-conversion corpus.
+    ``steps`` propagation rounds (the oracle unrolls the same rounds
+    as CTEs — no recursive CTE, whose aggregate-in-recursion rules
+    differ by engine); a channel's removal redirects its inbound hops
+    to NULL WITHOUT renormalizing (the standard removal semantics).
+    Truncation at ``steps`` discards the leftover transient mass
+    identically in both engines; ``journey_length_hist`` is the
+    companion METER — on the fixture it reads cum_share 96.8% of
+    journeys within 8 hops — and the residual largely cancels in the
+    effect ratios anyway, because the base and removal walks truncate
+    at the same horizon. share_u normalizes effects to micro-shares
+    with a max(,1) guard for the zero-conversion corpus.
 
     Everything after the edge build is integer arithmetic on a
     state-space-sized matrix: p_u = n·1e6 DIV row-total, step masses
     = SUM(m_u·p_u) DIV 1e6 — longs end to end, no float summation
     surface.
 
-    Scale: the edge build is two windows partitioned BY user (the
-    user_sessions shape — never global); the matrix is
-    (channels+3)² rows independent of corpus size, localCheckpointed
-    once and reused by the base + per-channel propagations, each of
-    which is joins over that tiny table. Driver never sees data."""
-    from functools import reduce
+    Scale (re-planned in the r09 optimization round): the edge build
+    is two windows partitioned BY user (the user_sessions shape —
+    never global) and is the ONLY data-sized work. The transition
+    matrix is (channels+3)² rows INDEPENDENT of corpus size, so it
+    collects to the driver (the same bounded-artifact pattern as
+    k-means' k×d centroids) and the (base + per-channel-removal)
+    propagation walks run as exact integer arithmetic in Python —
+    Spark SQL ``DIV`` and Python ``//`` agree on the non-negative
+    masses involved. The previous all-Spark unrolling evaluated
+    3 walks × Σ(steps) ≈ 108 broadcast-join mini-plans whose
+    fixed job overhead dominated wall time at EVERY corpus size
+    (60.99 s at the 10× rehearsal, ~95% of it spent on the ≤25-row
+    matrix); the collected-matrix form keeps the identical integer
+    results (oracle-pinned) while the Spark side does exactly one
+    edge-build job."""
+    trans_rows = [
+        (r["src"], r["dst"], r["p_u"])
+        for r in _markov_transitions(events).collect()
+    ]
 
-    trans = _markov_transitions(events).localCheckpoint(eager=True)
-    base = _markov_pconv(trans, steps).localCheckpoint(eager=True)
-    variants = []
+    def walk(edges: list[tuple[str, str, int]]) -> int:
+        out: dict[str, list[tuple[str, int]]] = {}
+        for s, d, p in edges:
+            out.setdefault(s, []).append((d, p))
+        v = {"START": 1_000_000}
+        conv = 0
+        for _ in range(steps):
+            nxt_num: dict[str, int] = {}
+            for s, m in v.items():
+                if s in ("CONV", "NULL"):
+                    continue
+                for d, p in out.get(s, ()):
+                    nxt_num[d] = nxt_num.get(d, 0) + m * p
+            # SUM first, one floor-DIV per dst — the exact grouping
+            # the Spark/DuckDB unrollings both use
+            v = {d: num // 1_000_000 for d, num in nxt_num.items()}
+            conv += v.get("CONV", 0)
+        return conv
+
+    base = walk(trans_rows)
+    effects: list[tuple[str, int, int]] = []
     for c in TOUCH_CHANNELS:
-        t_c = (
-            trans.filter(F.col("src") != c)
-            .withColumn(
-                "dst",
-                F.when(F.col("dst") == c, F.lit("NULL")).otherwise(
-                    F.col("dst")
-                ),
-            )
-            .groupBy("src", "dst")
-            .agg(F.sum("p_u").cast("long").alias("p_u"))
-        )
-        pc = _markov_pconv(t_c, steps).select(
-            F.col("pconv_u").alias("removed_pconv_u")
-        )
-        variants.append(
-            base.crossJoin(pc).select(
-                F.lit(c).alias("channel"),
-                F.col("pconv_u").alias("base_pconv_u"),
-                "removed_pconv_u",
-                F.greatest(
-                    F.col("pconv_u") - F.col("removed_pconv_u"), F.lit(0)
-                )
-                .cast("long")
-                .alias("effect_u"),
-            )
-        )
-    eff = reduce(lambda a, b: a.unionAll(b), variants)
-    tot = eff.agg(F.sum("effect_u").alias("__t"))
-    return eff.crossJoin(F.broadcast(tot)).select(
-        "channel",
-        "base_pconv_u",
-        "removed_pconv_u",
-        "effect_u",
-        F.expr(
-            "CAST((effect_u * 1000000) DIV GREATEST(__t, 1) AS BIGINT)"
-        ).alias("share_u"),
+        merged: dict[tuple[str, str], int] = {}
+        for s, d, p in trans_rows:
+            if s == c:
+                continue
+            key = (s, "NULL" if d == c else d)
+            merged[key] = merged.get(key, 0) + p
+        removed = walk([(s, d, p) for (s, d), p in merged.items()])
+        effects.append((c, removed, max(base - removed, 0)))
+    tot = sum(e for _, _, e in effects)
+    data = [
+        (c, base, removed, eff, (eff * 1_000_000) // max(tot, 1))
+        for c, removed, eff in effects
+    ]
+    return events.sparkSession.createDataFrame(
+        data,
+        "channel string, base_pconv_u long, removed_pconv_u long, "
+        "effect_u long, share_u long",
     )
 
 

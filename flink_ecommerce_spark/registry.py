@@ -6363,6 +6363,15 @@ _VERIFY_FIRST: tuple[str, ...] = (
     # (7) transitively re-planned composers
     "lsh_recall_report",
     "lsh_recall_sampled",
+    # (9) r09 OPTIMIZATION re-plans (each displaces one staleness
+    #     backfill below — those keep their valid prior-round
+    #     certifications, plans unchanged):
+    #     markov_attribution — the unrolled all-Spark propagation
+    #     (3 walks × Σsteps ≈ 108 broadcast-join mini-plans over a
+    #     ≤25-row matrix) replaced by a driver-side integer walk on
+    #     the collected bounded matrix (k-means centroid pattern);
+    #     measured 35.5 s → see OPTIMIZATION_r09.md.
+    "markov_attribution",
     # (8) ROUND-free r04 staleness backfill
     "asof_next_purchase",
     "balanced_shards",
@@ -6371,7 +6380,6 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "countmin_sketch",
     "entity_merge_groups",
     "media_dedup",
-    "phrase_search",
 )
 assert set(_VERIFY_FIRST) <= set(_SPEC_DEFS), sorted(
     set(_VERIFY_FIRST) - set(_SPEC_DEFS)

@@ -299,11 +299,17 @@ def test_winnowing_zero_shuffle(spark):
     assert "windowspecdefinition" not in plan
 
 
-def test_markov_propagation_broadcasts_matrix(spark):
+def test_markov_result_plan_is_bounded_local_relation(spark):
     plan = _plan(spark, "markov_attribution")
-    # every propagation round joins the walk vector against the
-    # BROADCAST transition matrix (state-space-sized)
-    assert "BroadcastHashJoin" in plan
+    # r09 re-plan: the walk runs driver-side over the collected
+    # (channels+3)²-row matrix (the k-means bounded-artifact
+    # pattern), so the RESULT plan is a |channels|-row local
+    # relation — no joins, no exchanges, no scan; the only
+    # data-sized Spark work is the edge build executed at
+    # construction time
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert "LocalTableScan" in plan or "ExistingRDD" in plan
 
 
 def test_retrieval_eval_no_corpus_sort(spark):
