@@ -149,8 +149,17 @@ def connected_components(
             new_cl.alias("cluster_id"),
             (new_cl < F.col("cluster_id")).alias("__chg"),
         )
-        updated = updated.localCheckpoint(eager=True)
-        changed = updated.filter(F.col("__chg")).limit(1).count()
+        # LAZY checkpoint + FULL count: the count is the materializing
+        # action, so each round is ONE job instead of two (the old
+        # eager checkpoint ran a materialization job, then a second
+        # job for the convergence probe). The count must be full, not
+        # limit(1): a partial action over a lazy local checkpoint
+        # computes only some partitions before the lineage truncates,
+        # which can strand uncheckpointed blocks. Measured r09: halves
+        # the per-round scheduling barriers of every CC consumer
+        # (dedup_clusters, copurchase_components, entity merge).
+        updated = updated.localCheckpoint(eager=False)
+        changed = updated.filter(F.col("__chg")).count()
         labels = updated.drop("__chg")
         if changed == 0:
             break
