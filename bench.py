@@ -480,32 +480,58 @@ def _scale_rehearsal(spark, sf_dir: str) -> dict:
     n_docs = n_docs01 * reps
     chain: dict[str, float] = {}
 
+    # r09 measurement fixes (documented in OPTIMIZATION_r09.md):
+    # (a) thunks that previously timed df.count() now time a noop
+    #     write — count() lets Catalyst prune subtrees that don't
+    #     affect the row count (guide §1.4): semantic_dedup's
+    #     within-cell pair join was join-eliminated (3.8 s measured
+    #     vs 35.8 s honest) and winnowing's sliding-min was pruned
+    #     outright. The noop sink computes every column of every row,
+    #     the same work the driver's oracle gate does.
+    # (b) each entry is min-of-N (default 2): this host shows
+    #     multi-second kernel/steal storms (sys% up to 62) that made
+    #     single-shot rehearsal numbers swing 10-20x on unchanged
+    #     plans; the canary flags the window, min-of-N damps it.
+    # (c) gc.collect() between entries releases py4j references so
+    #     the ContextCleaner can unpersist dropped localCheckpoint
+    #     blocks instead of letting them squeeze execution memory.
+    import gc
+
+    q_reps = int(os.environ.get("SPARK_GRAFT_REHEARSAL_QUERY_REPS", "2"))
+
+    def _noop(df):
+        df.write.format("noop").mode("overwrite").save()
+
     def timed(name, thunk):
-        t0 = time.perf_counter()
-        thunk()
-        chain[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(q_reps):
+            t0 = time.perf_counter()
+            thunk()
+            best = min(best, time.perf_counter() - t0)
+            gc.collect()
+        chain[name] = round(best, 3)
         print(f"rehearsal {name}: {chain[name]}s", file=sys.stderr)
 
     from flink_ecommerce_spark.operators import sketch as _sk
 
-    timed("dedup_exact", lambda: dedup.dedup_exact(docs).count())
+    timed("dedup_exact", lambda: _noop(dedup.dedup_exact(docs)))
     # the bounded-state sketches: wall time must stay flat-ish with
     # corpus size because the shuffle is capped at the sketch size
-    timed("bloom_bits", lambda: _sk.bloom_bits(docs).count())
-    timed("countmin_sketch", lambda: _sk.countmin_sketch(docs).count())
-    timed("minhash_signatures", lambda: dedup.minhash_signatures(docs).count())
-    timed("lsh_candidate_pairs", lambda: dedup.lsh_candidate_pairs(docs).count())
-    timed("dedup_clusters", lambda: dedup.dedup_clusters(docs).count())
-    timed("shingle_novelty", lambda: dedup.shingle_novelty(docs).count())
-    timed("budgeted_mixture", lambda: text.budgeted_mixture(docs).count())
-    timed("corpus_funnel", lambda: text.corpus_funnel(docs).count())
-    timed("sequence_packing", lambda: packing.sequence_packing(docs).count())
-    timed("unigram_surprisal", lambda: text.unigram_surprisal(docs).count())
+    timed("bloom_bits", lambda: _noop(_sk.bloom_bits(docs)))
+    timed("countmin_sketch", lambda: _noop(_sk.countmin_sketch(docs)))
+    timed("minhash_signatures", lambda: _noop(dedup.minhash_signatures(docs)))
+    timed("lsh_candidate_pairs", lambda: _noop(dedup.lsh_candidate_pairs(docs)))
+    timed("dedup_clusters", lambda: _noop(dedup.dedup_clusters(docs)))
+    timed("shingle_novelty", lambda: _noop(dedup.shingle_novelty(docs)))
+    timed("budgeted_mixture", lambda: _noop(text.budgeted_mixture(docs)))
+    timed("corpus_funnel", lambda: _noop(text.corpus_funnel(docs)))
+    timed("sequence_packing", lambda: _noop(packing.sequence_packing(docs)))
+    timed("unigram_surprisal", lambda: _noop(text.unigram_surprisal(docs)))
     n_labels = emb.select("label").distinct().count()
     sd_bits = similarity.semdedup_bits_for(n_vec01 * reps, n_labels)
     timed(
         f"semantic_dedup_{sd_bits}bits",
-        lambda: similarity.semantic_dedup(emb, extra_bits=sd_bits).count(),
+        lambda: _noop(similarity.semantic_dedup(emb, extra_bits=sd_bits)),
     )
     plan01 = similarity.lsh_plan_for(n_vec01)
     plan10 = similarity.lsh_plan_for(n_vec01 * reps)
@@ -513,22 +539,22 @@ def _scale_rehearsal(spark, sf_dir: str) -> dict:
     sim10 = dedup.simhash_plan_for(n_docs)
     timed(
         "ann_lsh_topk_planned",
-        lambda: similarity.ann_lsh_topk(
+        lambda: _noop(similarity.ann_lsh_topk(
             emb, n_planes=plan10[0], n_bands=plan10[1]
-        ).count(),
+        )),
     )
-    timed("pq_ann_topk", lambda: similarity.pq_ann_topk(emb).count())
+    timed("pq_ann_topk", lambda: _noop(similarity.pq_ann_topk(emb)))
     from flink_ecommerce_spark.operators import classifier
 
-    timed("nb_lang_scores", lambda: classifier.nb_lang_scores(docs).count())
+    timed("nb_lang_scores", lambda: _noop(classifier.nb_lang_scores(docs)))
     timed(
         "incremental_fuzzy_dedup",
         # daily-batch shape at 10x: replica 0 arrives as the new
         # batch against the other replicas as history
-        lambda: dedup.incremental_fuzzy_dedup(
+        lambda: _noop(dedup.incremental_fuzzy_dedup(
             docs.filter(F.col("doc_id") <= n_docs01),
             docs.filter(F.col("doc_id") > n_docs01),
-        ).count(),
+        )),
     )
     # r04 families at 10x (VERDICT r04 #7): lossless prefix-filter
     # dedup, both graph ops on the disjointly-replicated graph, and
@@ -547,7 +573,7 @@ def _scale_rehearsal(spark, sf_dir: str) -> dict:
     if ep_plan10["strategy"] == "prefix_jaccard":
         timed(
             "prefix_jaccard_pairs",
-            lambda: dedup.prefix_jaccard_pairs(docs).count(),
+            lambda: _noop(dedup.prefix_jaccard_pairs(docs)),
         )
     else:
         # above the crossover the meter is the SAMPLED one (VERDICT
@@ -568,17 +594,17 @@ def _scale_rehearsal(spark, sf_dir: str) -> dict:
         timed("lsh_recall_sampled", _run_sampled_meter)
     timed(
         "supplier_pagerank",
-        lambda: _registry.SPECS["supplier_pagerank"].fn(spark, stage).count(),
+        lambda: _noop(_registry.SPECS["supplier_pagerank"].fn(spark, stage)),
     )
     timed(
         "copurchase_graph_stats",
-        lambda: _registry.SPECS["copurchase_graph_stats"]
-        .fn(spark, stage)
-        .count(),
+        lambda: _noop(
+            _registry.SPECS["copurchase_graph_stats"].fn(spark, stage)
+        ),
     )
     timed(
         "hll_distinct_users",
-        lambda: _registry.SPECS["hll_distinct_users"].fn(spark, stage).count(),
+        lambda: _noop(_registry.SPECS["hll_distinct_users"].fn(spark, stage)),
     )
     # r06 (VERDICT r05 #7): the KMV family and Kneser-Ney measured at
     # 10x BEFORE their certification lands — KMV must stay ~flat (the
@@ -587,46 +613,44 @@ def _scale_rehearsal(spark, sf_dir: str) -> dict:
     ev10 = catalog.table(spark, stage, "events")
     timed(
         "kmv_value_quantiles",
-        lambda: _sk.kmv_value_quantiles(ev10).count(),
+        lambda: _noop(_sk.kmv_value_quantiles(ev10)),
     )
     timed(
         "kmv_value_quantiles_by_type",
-        lambda: _sk.kmv_value_quantiles_by_type(ev10).count(),
+        lambda: _noop(_sk.kmv_value_quantiles_by_type(ev10)),
     )
     timed(
         "kn_bigram_surprisal",
-        lambda: text.kn_bigram_surprisal(docs).count(),
+        lambda: _noop(text.kn_bigram_surprisal(docs)),
     )
     # r06 additions measured at 10x on arrival: the line family's
     # MIN-struct anti-skew claim and waterfill's tiny-global windows
     # must show flat-ish/linear curves here before certification
     timed(
-        # sum(n_kept) not count(): the final doc-preserving left join
-        # has a unique build key, so Catalyst ELIMINATES it (and the
-        # whole dedup) under a bare count() — the timing would
-        # measure nothing
+        # noop, never count(): the final doc-preserving left join has
+        # a unique build key, so Catalyst ELIMINATES it (and the
+        # whole dedup) under a bare count()
         "line_dedup",
-        lambda: text.line_dedup(docs).agg(F.sum("n_kept")).collect(),
+        lambda: _noop(text.line_dedup(docs)),
     )
     timed(
         "boilerplate_shingles",
-        lambda: text.boilerplate_shingles(docs).count(),
+        lambda: _noop(text.boilerplate_shingles(docs)),
     )
     from flink_ecommerce_spark.operators import sampling as _samp
 
     timed(
         "token_waterfill",
-        lambda: _samp.token_waterfill(docs).count(),
+        lambda: _noop(_samp.token_waterfill(docs)),
     )
     timed(
         "quality_ks_by_source",
-        lambda: text.quality_ks_by_source(docs).count(),
+        lambda: _noop(text.quality_ks_by_source(docs)),
     )
     timed(
-        # sum(n_struck) not count(): same unique-key left-join
-        # elimination as line_dedup under a bare count()
+        # noop: same unique-key left-join elimination under count()
         "strip_boilerplate",
-        lambda: text.strip_boilerplate(docs).agg(F.sum("n_struck")).collect(),
+        lambda: _noop(text.strip_boilerplate(docs)),
     )
     # r07 additions measured at 10x on arrival: the precision meter
     # must track lsh_candidate_pairs' verify-stage curve (its cost
@@ -643,7 +667,7 @@ def _scale_rehearsal(spark, sf_dir: str) -> dict:
     )
     timed(
         "item_neighbors_topk",
-        lambda: _registry.SPECS["item_neighbors_topk"].fn(spark, stage).count(),
+        lambda: _noop(_registry.SPECS["item_neighbors_topk"].fn(spark, stage)),
     )
     timed(
         "dp_source_counts",
@@ -663,7 +687,7 @@ def _scale_rehearsal(spark, sf_dir: str) -> dict:
     )
     timed(
         "winnowing_fingerprints",
-        lambda: dedup.winnowing_fingerprints(docs).count(),
+        lambda: _noop(dedup.winnowing_fingerprints(docs)),
     )
     # r08 additions measured at 10x on arrival: epoch_shuffle's
     # bucket-decomposed rank must stay ~linear (no global sort to
@@ -672,11 +696,11 @@ def _scale_rehearsal(spark, sf_dir: str) -> dict:
     # against the same k literal centroids.
     timed(
         "epoch_shuffle",
-        lambda: packing.epoch_shuffle(docs).count(),
+        lambda: _noop(packing.epoch_shuffle(docs)),
     )
     timed(
         "kn_trigram_surprisal",
-        lambda: text.kn_trigram_surprisal(docs).count(),
+        lambda: _noop(text.kn_trigram_surprisal(docs)),
     )
     from flink_ecommerce_spark.operators import clustering as _clus
 
@@ -691,6 +715,12 @@ def _scale_rehearsal(spark, sf_dir: str) -> dict:
     )
     return {
         "corpus": f"{reps}x sf0.1 (id-remapped, per-replica salted)",
+        # measurement provenance (r09): noop sink computes every
+        # column (count() let Catalyst prune expensive subtrees —
+        # semantic_dedup read 3.8s for 35.8s of honest work);
+        # min-of-N damps this host's kernel/steal storms. Earlier
+        # rounds' entries were single-shot count()/collect().
+        "method": f"noop-or-collect, min-of-{q_reps}",
         "n_docs": n_docs,
         "queries": chain,
         "planner": {
@@ -836,6 +866,8 @@ def main() -> None:
     # was exactly this (0.37s standalone, 2.0s after the similarity
     # family's broadcasts). A stable order keeps round-over-round
     # numbers comparable name-for-name.
+    import gc
+
     for name, fn in sorted(registry.bench_queries().items()):
         best = float("inf")
         try:
@@ -846,6 +878,11 @@ def main() -> None:
             timings[name] = round(best, 3)
         except Exception as e:  # one broken query must not lose the run
             print(f"bench query {name} FAILED: {e}", file=sys.stderr)
+        # release py4j refs so the ContextCleaner can unpersist this
+        # query's dropped localCheckpoint blocks before the next one
+        # runs (r09: leftover blocks squeezed execution memory and
+        # made later phases spill/swing on unchanged plans)
+        gc.collect()
 
     # mid-window probe (VERDICT r08 #2): a single end-of-run probe
     # coexisted with a contended window in r08 (steal 4.4% while the
