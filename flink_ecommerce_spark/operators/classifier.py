@@ -248,31 +248,61 @@ def calibration_by_margin(
     corpus has no runner-up: COALESCE pins its margin to bucket 0.
 
     Scale: the per-class score grid is |docs| x |classes| narrow
-    rows; the top-2 window partitions BY doc_id (no global sort),
-    the report is |buckets| rows, and every aggregate is a long —
-    map-side combinable end to end. The model table broadcasts as
-    in nb_lang_scores."""
-    from pyspark.sql import Window
-
+    rows; the top-2 selection is ONE min-of-two-structs aggregate
+    over that grid (|classes| structs per doc, sorted in-task — the
+    r09 re-plan; the previous row_number window added a full
+    sort-exchange of the grid, and joining documents back for the
+    true label added a corpus-sized shuffle join: measured 2 fewer
+    exchanges, no per-partition sort). The true label rides the tf
+    aggregate as a MAX over a doc-constant column instead. The
+    report is |buckets| rows, every aggregate a long — map-side
+    combinable end to end. The model table broadcasts as in
+    nb_lang_scores."""
     tokens = documents.select(
         "doc_id", "lang", F.explode(words("text")).alias("word")
     ).localCheckpoint(eager=True)  # feeds model AND scoring
     loglik, prior = _nb_model(documents, tokens)
-    scored = _nb_scored(tokens.select("doc_id", "word"), loglik, prior)
-    w = Window.partitionBy("doc_id").orderBy(
-        F.desc("score_u"), F.asc("model_lang")
+    # same arithmetic as _nb_scored, with the doc-constant true lang
+    # carried through both aggregates (MAX of a constant) so no join
+    # back to documents is needed for the correctness bit
+    tf = tokens.groupBy("doc_id", "word").agg(
+        F.count(F.lit(1)).alias("n_w"), F.max("lang").alias("true_lang")
     )
-    top2 = scored.withColumn("rk", F.row_number().over(w)).filter(
-        F.col("rk") <= 2
+    scored = (
+        tf.join(loglik, "word")
+        .groupBy("doc_id", "model_lang")
+        .agg(
+            F.sum(F.col("n_w") * F.col("ll_u")).alias("sum_u"),
+            F.max("true_lang").alias("true_lang"),
+        )
+        .join(F.broadcast(prior), "model_lang")
+        .select(
+            "doc_id",
+            "model_lang",
+            (F.col("sum_u") + F.col("prior_u")).alias("score_u"),
+            "true_lang",
+        )
     )
-    per_doc = top2.groupBy("doc_id").agg(
-        F.max(F.when(F.col("rk") == 1, F.col("model_lang"))).alias("pred_lang"),
-        F.max(F.when(F.col("rk") == 1, F.col("score_u"))).alias("s1"),
-        F.max(F.when(F.col("rk") == 2, F.col("score_u"))).alias("s2"),
+    # top-2 per doc without a window: collect the |classes| structs,
+    # sort ascending by (-score, lang) — identical order to the old
+    # (score DESC, lang ASC) row_number — and read slots 0 and 1
+    arr = F.sort_array(
+        F.collect_list(
+            F.struct((-F.col("score_u")).alias("neg_u"), "model_lang")
+        )
     )
-    binned = per_doc.join(
-        documents.select("doc_id", F.col("lang").alias("true_lang")), "doc_id"
+    per_doc = scored.groupBy("doc_id").agg(
+        arr.alias("__arr"), F.max("true_lang").alias("true_lang")
     ).select(
+        "doc_id",
+        F.col("__arr")[0]["model_lang"].alias("pred_lang"),
+        (-F.col("__arr")[0]["neg_u"]).alias("s1"),
+        F.when(
+            F.size("__arr") >= 2, -F.col("__arr")[1]["neg_u"]
+        ).alias("s2"),
+        "true_lang",
+    )
+    binned = per_doc.select(
         F.least(
             F.expr(f"(s1 - COALESCE(s2, s1)) DIV {MICRO}"),
             F.lit(max_bucket).cast("long"),

@@ -6371,7 +6371,14 @@ _VERIFY_FIRST: tuple[str, ...] = (
     #     ≤25-row matrix) replaced by a driver-side integer walk on
     #     the collected bounded matrix (k-means centroid pattern);
     #     measured 35.5 s → see OPTIMIZATION_r09.md.
+    #     classifier_calibration — top-2-per-doc re-planned from a
+    #     row_number window (full sort-exchange of the |docs|×|classes|
+    #     grid) + a corpus-sized join back to documents for the true
+    #     label, to one sorted-collect_list aggregate with the
+    #     doc-constant label carried as MAX through the existing
+    #     aggregates (Window nodes 6 → 0).
     "markov_attribution",
+    "classifier_calibration",
     # (8) ROUND-free r04 staleness backfill
     "asof_next_purchase",
     "balanced_shards",
@@ -6379,7 +6386,6 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "countmin_estimates",
     "countmin_sketch",
     "entity_merge_groups",
-    "media_dedup",
 )
 assert set(_VERIFY_FIRST) <= set(_SPEC_DEFS), sorted(
     set(_VERIFY_FIRST) - set(_SPEC_DEFS)
