@@ -911,30 +911,50 @@ def _copurchase_support_pairs(
     table and the support-filtered part pairs (part_a < part_b,
     support = co-occurrence count >= min_support).
 
+    r09 re-plan (guide §2.4 "remove shuffles outright"): the old
+    shape was distinct → checkpoint → SELF-JOIN on l_orderkey —
+    the distinct shuffles by (order, part), so BOTH self-join sides
+    re-exchanged the table by order, and the checkpoint materialized
+    the full (order, part) stream. Collapsing distinct + self-join
+    into ONE groupBy(l_orderkey) with a sorted collect_set gives the
+    per-order basket ARRAY in a single exchange; pairs explode from
+    each array's in-task combinations (the same a<b pairs — the
+    array is sorted and collect_set deduplicates), and the basket
+    table `op` is re-derived by an explode, never re-shuffled.
+    Exchange count of the shared build: 4 → 2 (measured plan diff in
+    plans/r09/copurchase_pairs_*.txt). The checkpointed state shrinks
+    from |order,part| rows to |orders| array rows.
+
     The basket table is localCheckpoint'd once — it feeds multiple
-    branches in both consumers (join sides, margins, order total /
+    branches in both consumers (pair build, margins, order total /
     the singleton rejoin); without it every branch re-scans lineitem
-    and re-runs the distinct shuffle (measured 9.7 s → 2.4 s warm at
-    sf0.1). The self-join is safe at scale because an order's
-    distinct-part count is bounded (≤ 7 in TPC-H-shaped data; a
-    basket is small by nature), so it is linear in orders, not
-    quadratic in parts."""
-    op = (
+    and re-runs the basket shuffle (measured 9.7 s → 2.4 s warm at
+    sf0.1). The in-task combination explode is safe at scale because
+    an order's distinct-part count is bounded (≤ 7 in TPC-H-shaped
+    data; a basket is small by nature — basket_size_hist is the
+    meter), so pair generation is linear in orders, not quadratic in
+    parts."""
+    baskets = (
         lineitem.select("l_orderkey", "l_partkey")
-        .distinct()
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("__parts"))
         .localCheckpoint(eager=True)
     )
-    a, b = op.alias("a"), op.alias("b")
+    op = baskets.select(
+        "l_orderkey", F.explode("__parts").alias("l_partkey")
+    )
     pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        baskets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(__parts, (x, i) ->"
+                    " transform(slice(__parts, i + 2, size(__parts)),"
+                    " y -> struct(x AS part_a, y AS part_b))))"
+                )
+            ).alias("__pr")
         )
-        .groupBy(
-            F.col("a.l_partkey").alias("part_a"),
-            F.col("b.l_partkey").alias("part_b"),
-        )
+        .select(F.col("__pr.part_a"), F.col("__pr.part_b"))
+        .groupBy("part_a", "part_b")
         .agg(F.count(F.lit(1)).alias("support"))
         .filter(F.col("support") >= min_support)
     )

@@ -6377,14 +6377,23 @@ _VERIFY_FIRST: tuple[str, ...] = (
     #     label, to one sorted-collect_list aggregate with the
     #     doc-constant label carried as MAX through the existing
     #     aggregates (Window nodes 6 → 0).
+    #     the copurchase family — the shared basket build collapsed
+    #     distinct + orderkey self-join (4 exchanges) into one
+    #     groupBy(l_orderkey)/sorted-collect_set basket table whose
+    #     pairs explode in-task (2 exchanges); all five consumers
+    #     re-plan transitively.
     "markov_attribution",
     "classifier_calibration",
-    # (8) ROUND-free r04 staleness backfill
-    "asof_next_purchase",
-    "balanced_shards",
-    "bpe_merge_candidates",
-    "countmin_estimates",
-    "countmin_sketch",
+    "copurchase_pairs",
+    "copurchase_graph_stats",
+    "copurchase_components",
+    "item_neighbors_topk",
+    "basket_rules",
+    # (8) ROUND-free r04 staleness backfill (phrase_search,
+    # media_dedup, asof_next_purchase, balanced_shards,
+    # bpe_merge_candidates, countmin_estimates, countmin_sketch were
+    # displaced by the r09 re-plans above — their r04 certifications
+    # stay valid, plans unchanged)
     "entity_merge_groups",
 )
 assert set(_VERIFY_FIRST) <= set(_SPEC_DEFS), sorted(
