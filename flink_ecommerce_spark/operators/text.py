@@ -1510,6 +1510,7 @@ def _funnel_flags(
     fixup fires only past a bytes-per-partition floor (measured both
     ways in scale.py::ensure_parallelism_for_heavy_scan)."""
     from .scale import ensure_parallelism_for_heavy_scan
+    from .textprep import word_shingles
 
     documents = ensure_parallelism_for_heavy_scan(documents)
     nt = F.size(F.expr("regexp_extract_all(text, '\\\\S+', 0)")).cast("long")
@@ -1521,6 +1522,14 @@ def _funnel_flags(
         F.round(_quality_column(), 6).alias("quality"),
         norm_hash.alias("__h"),
         words("text").alias("__ws"),
+        # the decontamination stage's per-doc distinct shingle set,
+        # computed IN the same text scan (r09: decontaminate(documents)
+        # used to re-scan and re-shingle the corpus twice — once for
+        # the eval slice, once for the train side; both now read this
+        # column off the checkpoint). Arithmetic below is copied from
+        # decontaminate() verbatim so the stage semantics — and the
+        # oracle, which re-derives them in SQL — are unchanged.
+        F.array_distinct(word_shingles(F.col("text"))).alias("__sh"),
     )
     base = b0.select(
         "doc_id",
@@ -1529,6 +1538,7 @@ def _funnel_flags(
         "quality",
         "__h",
         _gopher_keep(_gopher_metrics(F.col("__ws"))).alias("__rules"),
+        "__sh",
     ).localCheckpoint(eager=True)
     winners = (
         base.filter(F.col("__rules"))
@@ -1538,8 +1548,30 @@ def _funnel_flags(
     b2 = base.join(winners, "__h", "left").withColumn(
         "__dedup", F.col("__rules") & (F.col("doc_id") == F.col("__keep"))
     )
-    dec = decontaminate(documents, eval_mod=eval_mod).select(
-        "doc_id", "contamination_frac"
+    eval_shingles = (
+        base.filter((F.col("doc_id") % eval_mod) == 0)
+        .select(F.explode("__sh").alias("sh"))
+        .distinct()
+        .withColumn("in_eval", F.lit(1))
+    )
+    train = base.filter((F.col("doc_id") % eval_mod) != 0).select(
+        "doc_id", F.explode("__sh").alias("sh")
+    )
+    dec = (
+        train.join(F.broadcast(eval_shingles), "sh", "left_outer")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("__n_sh"),
+            F.sum(F.coalesce(F.col("in_eval"), F.lit(0))).alias("__n_cont"),
+        )
+        .select(
+            "doc_id",
+            F.round(
+                F.col("__n_cont").cast("double")
+                / F.col("__n_sh").cast("double"),
+                6,
+            ).alias("contamination_frac"),
+        )
     )
     b3 = b2.join(dec, "doc_id", "left").withColumn(
         "__decontam",
