@@ -70,14 +70,21 @@ def _doc_shingles(documents: DataFrame) -> DataFrame:
     into a real column BELOW the explode so the regex split runs once
     per document — Generate evaluates its generator expression with no
     subexpression elimination, so inlining words(text) would re-split
-    w+1 times per row."""
-    return (
-        documents.select("doc_id", words("text").alias("__words"))
-        .select(
-            "doc_id",
-            F.explode(shingles_from_words(F.col("__words"))).alias("shingle"),
-        )
-        .distinct()
+    w+1 times per row.
+
+    Dedup happens PER ROW (array_distinct before the explode), not
+    with a .distinct() after it: doc_id is part of the pair, so the
+    global distinct could only ever remove within-document repeats —
+    work a per-row array op does in the scan task. The old explode →
+    distinct shape paid a full shuffle of the exploded shingle stream
+    in EVERY consumer (the r09 optimization round removed it: one
+    Exchange fewer in ngram/prefix/LSH-verify/novelty/lexical plans,
+    identical output set)."""
+    return documents.select("doc_id", words("text").alias("__words")).select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(shingles_from_words(F.col("__words")))
+        ).alias("shingle"),
     )
 
 

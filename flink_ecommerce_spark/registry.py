@@ -6337,7 +6337,6 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "latest_event_per_user",
     "minhash_signatures",
     "multimodal_thumbnails",
-    "props_extract",
     "purchasers_also_errored",
     "scd2_user_segments",
     "sequence_packing",
@@ -6389,12 +6388,20 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "copurchase_components",
     "item_neighbors_topk",
     "basket_rules",
+    #     _doc_shingles' explode→distinct collapsed to a per-row
+    #     array_distinct (doc_id is in the pair key, so the global
+    #     distinct only removed within-doc repeats): one full-stream
+    #     Exchange fewer in every shingle consumer; these two are the
+    #     non-checkpoint-shielded consumers whose plans drift.
+    "shingle_novelty",
+    "hybrid_search_rrf",
     # (8) ROUND-free r04 staleness backfill (phrase_search,
     # media_dedup, asof_next_purchase, balanced_shards,
-    # bpe_merge_candidates, countmin_estimates, countmin_sketch were
-    # displaced by the r09 re-plans above — their r04 certifications
-    # stay valid, plans unchanged)
-    "entity_merge_groups",
+    # bpe_merge_candidates, countmin_estimates, countmin_sketch,
+    # entity_merge_groups were displaced by the r09 re-plans above —
+    # their r04 certifications stay valid, plans unchanged; one r03
+    # staleness rotation (props_extract) also yields its slot, its
+    # r03 row likewise still plan-pinned)
 )
 assert set(_VERIFY_FIRST) <= set(_SPEC_DEFS), sorted(
     set(_VERIFY_FIRST) - set(_SPEC_DEFS)
