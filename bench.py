@@ -497,7 +497,12 @@ def _scale_rehearsal(spark, sf_dir: str) -> dict:
     #     blocks instead of letting them squeeze execution memory.
     import gc
 
-    q_reps = int(os.environ.get("SPARK_GRAFT_REHEARSAL_QUERY_REPS", "2"))
+    # clamp: 0/negative would leave best=inf and OverflowError at
+    # round() (r09 ADVICE) — a misconfigured env var must not kill
+    # the rehearsal
+    q_reps = max(
+        1, int(os.environ.get("SPARK_GRAFT_REHEARSAL_QUERY_REPS", "2"))
+    )
 
     def _noop(df):
         df.write.format("noop").mode("overwrite").save()
@@ -902,23 +907,86 @@ def main() -> None:
     # 'streaming_replay' entry, so folding its wall into the headline
     # total would make round-over-round totals incomparable. events/s
     # (the metric BASELINE targets) is the headline replay number.
-    replay_metrics: dict[str, int] = {}
-    try:
-        replay_metrics["replay_memory_wall_sec"] = round(
-            _streaming_replay(spark, sf_dir, replay_metrics), 3
-        )
-    except Exception as e:
-        print(f"streaming_replay FAILED: {e}", file=sys.stderr)
-    try:
-        replay_metrics["replay_staged_wall_sec"] = round(
-            _streaming_replay(spark, sf_dir, replay_metrics, sink="staged"), 3
-        )
-    except Exception as e:
-        print(f"streaming_replay_staged FAILED: {e}", file=sys.stderr)
-    try:
-        _streaming_curation_bench(spark, sf_dir, replay_metrics)
-    except Exception as e:
-        print(f"streaming_curation FAILED: {e}", file=sys.stderr)
+    replay_metrics: dict = {}
+    replay_retries: list[dict] = []
+
+    def _replay_block(label: str, bar_key: str, bar: float, fn) -> None:
+        """Run one replay/curation block; if its BASELINE-target
+        metric missed the bar AND the block's own /proc/stat window
+        was contended (steal >= 2%), re-run ONCE (VERDICT r09 #6 —
+        disclosed methodology, same spirit as the min-of-N query
+        reps: a host steal storm must not read as a target breach).
+        Throughput keys keep the max across attempts, wall keys the
+        min; every retry is recorded under replay['retries']."""
+        for attempt in (1, 2):
+            w0 = _cpu_window_snapshot()
+            m: dict = {}
+            try:
+                fn(m)
+            except Exception as e:
+                print(f"{label} FAILED: {e}", file=sys.stderr)
+                return
+            pcts = _cpu_window_pcts(w0, _cpu_window_snapshot())
+            steal = pcts.get("window_steal_pct", 0.0)
+            if attempt == 1:
+                replay_metrics.update(m)
+                if (m.get(bar_key) or 0) >= bar or steal < 2.0:
+                    return
+                print(
+                    f"{label}: {bar_key}={m.get(bar_key)} under bar "
+                    f"{bar} on a contended window (steal={steal}%) — "
+                    f"one disclosed retry",
+                    file=sys.stderr,
+                )
+                replay_retries.append(
+                    {
+                        "block": label,
+                        "first": m.get(bar_key),
+                        "first_steal_pct": steal,
+                    }
+                )
+            else:
+                for k, v in m.items():
+                    old = replay_metrics.get(k)
+                    if isinstance(old, (int, float)) and isinstance(
+                        v, (int, float)
+                    ):
+                        replay_metrics[k] = (
+                            min(old, v)
+                            if k.endswith("_wall_sec")
+                            else max(old, v)
+                        )
+                    else:
+                        replay_metrics[k] = v
+                replay_retries[-1]["retry"] = m.get(bar_key)
+                replay_retries[-1]["retry_steal_pct"] = steal
+
+    _replay_block(
+        "streaming_replay",
+        "replay_memory_events_per_sec",
+        10_000,
+        lambda m: m.__setitem__(
+            "replay_memory_wall_sec",
+            round(_streaming_replay(spark, sf_dir, m), 3),
+        ),
+    )
+    _replay_block(
+        "streaming_replay_staged",
+        "replay_staged_events_per_sec",
+        10_000,
+        lambda m: m.__setitem__(
+            "replay_staged_wall_sec",
+            round(_streaming_replay(spark, sf_dir, m, sink="staged"), 3),
+        ),
+    )
+    _replay_block(
+        "streaming_curation",
+        "curation_docs_per_sec",
+        2_000,
+        lambda m: _streaming_curation_bench(spark, sf_dir, m),
+    )
+    if replay_retries:
+        replay_metrics["retries"] = replay_retries
 
     rehearsal: dict = {}
     if os.environ.get("SPARK_GRAFT_SKIP_REHEARSAL") != "1":
@@ -1031,10 +1099,15 @@ def main() -> None:
     }
     # Full payload goes to a committed file; the FINAL stdout line must
     # stay inside the driver's ~2000-char tail capture (r04 lost its
-    # bench signal to an overgrown final line — VERDICT r04 #1), so the
-    # line carries the headline + per-query timings only, compact
-    # separators, and prunes to the slowest queries if it still
-    # overflows the budget.
+    # bench signal to an overgrown final line — VERDICT r04 #1).
+    # r10 contract hardening (VERDICT r09 #2): the compact line holds
+    # EVERY query name (the old 1500-char prune silently dropped the 5
+    # FASTEST queries from the driver's round-over-round table), the
+    # diagnostics that used to pad it live only in BENCH_DETAIL.json,
+    # the line is ALSO mirrored to BENCH_COMPACT.json, and it prints
+    # AFTER spark.stop() so no late Spark log line (r08: a
+    # 'WARN StateStore' after the JSON broke the last-line parse) can
+    # land behind it.
     with open(Path(__file__).resolve().parent / "BENCH_DETAIL.json", "w") as f:
         json.dump(detail, f, indent=1)
     compact = {
@@ -1043,21 +1116,17 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "replay": replay_metrics,
-        "cpu_probe_s": probe,
-        "cpu_probe_parallel_s": probe_par,
-        "spark_probe_s": probe_spark,
         "spark_probe_median_s": probe_spark_median,
         "total_per_spark_probe": total_norm,
         "canary": canary,
-        **window,
         "sf": sf_val,
         "detail": "BENCH_DETAIL.json",
     }
     line = json.dumps(compact, separators=(",", ":"))
-    if len(line) > 1500:
+    if len(line) > 1900:
         compact.pop("replay", None)
         line = json.dumps(compact, separators=(",", ":"))
-    while len(line) > 1500 and len(compact["queries"]) > 1:
+    while len(line) > 1900 and len(compact["queries"]) > 1:
         slowest = dict(
             sorted(timings.items(), key=lambda kv: -kv[1])[
                 : max(1, len(compact["queries"]) - 5)
@@ -1069,14 +1138,21 @@ def main() -> None:
         compact["queries_truncated_to_slowest"] = len(slowest)
         line = json.dumps(compact, separators=(",", ":"))
         timings = slowest
-    if len(line) > 1500:
+    if len(line) > 1900:
         # last resort: headline fields only (ADVICE r05 — the old
         # loop had no progress guarantee at one remaining entry)
         compact["queries"] = {}
         compact["queries_truncated_to_slowest"] = 0
         line = json.dumps(compact, separators=(",", ":"))
-    print(line)
-    spark.stop()
+    with open(
+        Path(__file__).resolve().parent / "BENCH_COMPACT.json", "w"
+    ) as f:
+        f.write(line + "\n")
+    try:
+        spark.stop()
+    except Exception as e:  # the compact line must print regardless
+        print(f"spark.stop() failed: {e}", file=sys.stderr)
+    print(line, flush=True)
 
 
 if __name__ == "__main__":

@@ -36,6 +36,30 @@ def l2_norm(a: Column) -> Column:
     )
 
 
+def dot_fixed(a: Column, b: Column, dim: int) -> Column:
+    """``dot`` specialised to fixed-length-``dim`` arrays: the same
+    left-to-right double accumulation unrolled into a chain of
+    GetArrayItem multiplies, which (unlike higher-order functions,
+    which Spark evaluates interpreted, allocating three intermediate
+    arrays per call) whole-stage-codegens. IEEE-identical to
+    ``dot``: the products and the addition order are the same, and
+    ``0.0 + x == x`` exactly for every double x (a -0.0 first product
+    folds to +0.0, which cannot change any later sum or comparison).
+    Falls back to ``dot`` for rows whose arrays are not length
+    ``dim`` (element_at past the end would return NULL), so the
+    expression is total. Used on pair-join hot paths (guide §4.1:
+    prefer codegen'd built-ins; the HOF form costs ~64 interpreted
+    lambda evaluations + 3 array allocations per PAIR)."""
+    s: Column = F.lit(0.0)
+    for i in range(1, dim + 1):
+        s = s + F.element_at(a, i).cast("double") * F.element_at(
+            b, i
+        ).cast("double")
+    return F.when(
+        (F.size(a) == dim) & (F.size(b) == dim), s
+    ).otherwise(dot(a, b))
+
+
 def cosine_from_parts(dot_col: Column, norm_a: Column, norm_b: Column) -> Column:
     """Cosine from a precomputed dot and per-vector norms — the
     pair-join form: norms are per-VECTOR quantities, so computing them

@@ -343,7 +343,11 @@ def lsh_candidate_pairs(
     # before the explode): materializing the whole corpus's shingles
     # for a verify stage that touches a small candidate set would be
     # the dominant cost at scale.
-    cands = cands.localCheckpoint(eager=True)
+    # LAZY (r10 job-count audit): the eager ds checkpoint below is the
+    # next action and materializes cands inside its own job; the
+    # later inter join then reads the checkpoint cache — one
+    # scheduling barrier fewer per run with identical reuse.
+    cands = cands.localCheckpoint(eager=False)
     cand_docs = (
         cands.select(F.col("doc_a").alias("doc_id"))
         .union(cands.select(F.col("doc_b").alias("doc_id")))
@@ -648,9 +652,12 @@ def incremental_fuzzy_dedup(
 
     Returns the admitted rows of ``new_docs`` with their full columns.
     """
+    # no checkpoint (r10 job-count audit): nb feeds exactly ONE join
+    # side, so the old eager checkpoint bought no reuse — it only
+    # added a scheduling barrier + a materialization job per batch
     nb = _band_buckets(
         minhash_signatures(new_docs, num_hashes=num_hashes), num_hashes, num_bands
-    ).localCheckpoint(eager=True)
+    )
     sigs = (
         corpus_signatures
         if corpus_signatures is not None
@@ -673,7 +680,9 @@ def incremental_fuzzy_dedup(
     if not verify:
         flagged = cands.select(F.col("new_id").alias("doc_id")).distinct()
         return new_docs.join(flagged, "doc_id", "left_anti")
-    cands = cands.localCheckpoint(eager=True)
+    # LAZY (r10): the eager new_sh checkpoint below materializes cands
+    # inside its own job; cor_sh and inter then read the cache
+    cands = cands.localCheckpoint(eager=False)
     new_sh = _doc_shingles(
         new_docs.join(
             cands.select(F.col("new_id").alias("doc_id")), "doc_id", "left_semi"
@@ -777,7 +786,9 @@ def fuzzy_decontaminate(
             F.col("e.doc_id").alias("eval_doc_id"),
         )
         .distinct()
-        .localCheckpoint(eager=True)
+        # LAZY (r10): t_sh's eager checkpoint materializes it; e_sh
+        # and inter read the cache — one barrier fewer per run
+        .localCheckpoint(eager=False)
     )
     t_sh = _doc_shingles(
         train.join(cands.select("doc_id"), "doc_id", "left_semi")
@@ -1370,7 +1381,13 @@ def prefix_jaccard_pairs(
         )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
-        .localCheckpoint(eager=True)
+        # LAZY (r10 job-count audit, same as lsh_candidate_pairs):
+        # the eager ds checkpoint below materializes cands inside its
+        # own job; the inter join then reads the checkpoint cache —
+        # one scheduling barrier fewer. sh/prefix/ds stay EAGER: each
+        # feeds two or more PARALLEL stages of one downstream job,
+        # where a lazy checkpoint would be computed once per stage.
+        .localCheckpoint(eager=False)
     )
     # verify only candidate DOCS' shingle sets (lsh_candidate_pairs'
     # verify discipline): at scale the candidate set is tiny next to

@@ -62,18 +62,28 @@ def pagerank(
     mid-loop truncation keeps lineage shallow at a single barrier).
     Per round: one join edges⋈ranks on src, one groupBy dst with
     map-side partial sums."""
+    from .scale import checkpoint_keep_partitioning, checkpoint_partitioned
+
     e = edges.select("src", "dst").distinct()
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    ew = e.join(deg, "src").repartition("src").localCheckpoint(eager=True)
-    nodes = (
-        e.select(F.col("src").alias("node")).distinct().localCheckpoint(eager=True)
+    # checkpoint_partitioned (not a plain repartition+localCheckpoint):
+    # under AQE the checkpoint recorded UnknownPartitioning and every
+    # round re-exchanged this edge table — the repartition bought
+    # nothing (r10; VERDICT r09 #8). With the partitioning recorded,
+    # each round's join exchanges only the rank table.
+    ew = checkpoint_partitioned(e.join(deg, "src"), "src")
+    nodes = checkpoint_partitioned(
+        e.select(F.col("src").alias("node")).distinct(), "node"
     )
     # one-row node count, materialized once — otherwise each round's
     # broadcast recounts the node table
     nn = nodes.agg(F.count(F.lit(1)).alias("n")).localCheckpoint(eager=True)
-    ranks = nodes.crossJoin(F.broadcast(nn)).select(
-        "node", (F.lit(1.0) / F.col("n")).alias("rank")
-    ).localCheckpoint(eager=True)
+    ranks = checkpoint_partitioned(
+        nodes.crossJoin(F.broadcast(nn)).select(
+            "node", (F.lit(1.0) / F.col("n")).alias("rank")
+        ),
+        "node",
+    )
     for it in range(iterations):
         contribs = (
             ew.join(ranks.withColumnRenamed("node", "src"), "src")
@@ -92,7 +102,10 @@ def pagerank(
             )
         )
         if it == iterations // 2:
-            ranks = ranks.localCheckpoint(eager=True)
+            # keep the join/agg's hash(node) partitioning on the
+            # mid-loop truncation so the post-checkpoint rounds stay
+            # single-exchange too
+            ranks = checkpoint_keep_partitioning(ranks, eager=True)
     from ..functions.portable import micro
 
     return ranks.select("node", micro(F.col("rank")).alias("pagerank_micro"))
@@ -115,19 +128,33 @@ def connected_components(
     intermediate labels — min-label propagation needs O(diameter)
     rounds, so a long-chain graph (e.g. a basket-family chain) must
     be run with a bigger budget, not truncated."""
+    from .scale import checkpoint_keep_partitioning, checkpoint_partitioned
+
     edges = pairs.select("doc_a", "doc_b").union(
         pairs.select(
             F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
         )
     )
-    edges = edges.repartition("doc_b").localCheckpoint(eager=True)
-    labels = (
+    # see checkpoint_partitioned: a plain repartition+localCheckpoint
+    # recorded UnknownPartitioning under AQE, so every propagation
+    # round re-exchanged the edge table — the loop's one structural
+    # shuffle-per-round guarantee silently didn't hold (r10).
+    # Both checkpoints are LAZY (r10 job-count audit, VERDICT r09 #5):
+    # round 1's full count materializes edges and labels inside its
+    # own job — two construction barriers gone. labels is referenced
+    # twice per round, but its second reference (the update join)
+    # consumes the neighbor_min aggregate's output, which is
+    # DOWNSTREAM of the first — the stages run sequentially, so the
+    # checkpoint cache is populated before the second read.
+    edges = checkpoint_partitioned(edges, "doc_b", eager=False)
+    labels = checkpoint_partitioned(
         edges.select("doc_a")
         .distinct()
         .select(
             F.col("doc_a").alias("doc_id"), F.col("doc_a").alias("cluster_id")
-        )
-        .localCheckpoint(eager=True)
+        ),
+        "doc_id",
+        eager=False,
     )
     for _ in range(max_rounds):
         neighbor_min = (
@@ -158,7 +185,10 @@ def connected_components(
         # which can strand uncheckpointed blocks. Measured r09: halves
         # the per-round scheduling barriers of every CC consumer
         # (dedup_clusters, copurchase_components, entity merge).
-        updated = updated.localCheckpoint(eager=False)
+        # r10: keep the label join's hash(doc_id) partitioning across
+        # the truncation — the next round's edge join and label update
+        # then exchange only the k-row neighbor_min aggregate.
+        updated = checkpoint_keep_partitioning(updated, eager=False)
         changed = updated.filter(F.col("__chg")).count()
         labels = updated.drop("__chg")
         if changed == 0:

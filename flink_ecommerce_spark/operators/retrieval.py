@@ -163,15 +163,27 @@ def lexical_topk(
     Scale: the query side is n_queries docs' shingles — broadcast-
     sized — so the corpus shingle table is scanned once and joined
     against a tiny build side; fan-out per query shingle is that
-    shingle's posting length."""
+    shingle's posting length.
+
+    r10 re-plan (guide §6 — one scan, not three): the corpus shingle
+    table fed three consumers (sizes, the query slice, the posting
+    join), each of which re-ran the tokenize+shingle scan. It is now
+    materialized ONCE (localCheckpoint at construction; persist on a
+    cluster) and the query slice shingles only the n_queries
+    documents (filter pushed BELOW the per-row shingle work — same
+    rows, since shingling is per-row). Same values everywhere:
+    _doc_shingles is a pure per-row function, so filter-then-shingle
+    == shingle-then-filter."""
     from pyspark.sql import Window
 
     from .dedup import _doc_shingles
     from .scale import ensure_parallelism
 
-    sh = _doc_shingles(ensure_parallelism(documents))
+    sh = _doc_shingles(ensure_parallelism(documents)).localCheckpoint(
+        eager=True
+    )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    qs = sh.filter(F.col("doc_id") < n_queries).select(
+    qs = _doc_shingles(documents.filter(F.col("doc_id") < n_queries)).select(
         F.col("doc_id").alias("query_id"), "shingle"
     )
     inter = (

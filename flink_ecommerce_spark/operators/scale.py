@@ -127,6 +127,68 @@ def ensure_parallelism_for_heavy_scan(
     return df.repartition(target)
 
 
+def checkpoint_partitioned(
+    df: DataFrame, *cols: str, eager: bool = True
+) -> DataFrame:
+    """``repartition(cols) + localCheckpoint(eager=True)`` with AQE
+    disabled for just the materialization (r10, guide §2.4).
+
+    Why: under AQE, ``Dataset.localCheckpoint`` captures the
+    partitioning of the physical root — an ``AdaptiveSparkPlanExec``
+    whose output partitioning is UNKNOWN before execution — so the
+    checkpointed LogicalRDD records ``UnknownPartitioning`` and every
+    downstream join re-exchanges the table. The iterative operators
+    (connected_components, pagerank) pre-partition their EDGE table on
+    the per-round join key precisely so the big side never reshuffles
+    across rounds; with AQE on, that repartition silently bought
+    nothing (observed: every checkpoint scan in
+    plans/r10/supplier_pagerank_before.txt reads
+    ``UnknownPartitioning(0)`` and the per-round plans re-exchange
+    both sides). Flipping AQE off for this one materialization makes
+    the checkpoint record ``hashpartitioning(cols, N)``; per-round
+    joins then exchange only the small (ranks/labels) side —
+    N follows spark.sql.shuffle.partitions, the session's
+    scale-adaptive setting. Values are unaffected: only the recorded
+    output partitioning changes.
+
+    ``eager=False`` defers the materializing job to the first FULL
+    downstream action (guide §5 / VERDICT r09 #5 job-count audit):
+    correct whenever the first consumer is a single sequential job —
+    a frame feeding two PARALLEL stages of one job should stay eager
+    or both stages race to compute it."""
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        return df.repartition(*cols).localCheckpoint(eager=eager)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
+
+
+def checkpoint_keep_partitioning(
+    df: DataFrame, eager: bool = False
+) -> DataFrame:
+    """``localCheckpoint`` that records the child's EXISTING output
+    partitioning (no repartition) — same AQE mechanics as
+    ``checkpoint_partitioned``: under AQE the captured LogicalRDD
+    reads UnknownPartitioning, so loop-state checkpoints (the CC
+    label table, the pagerank rank table) silently dropped the
+    partitioning their producing join/aggregate had already paid
+    for, and the next round re-exchanged them. Planning happens at
+    call time either way (``eager`` only controls when the
+    materializing job runs), so flipping AQE off around the call is
+    enough. The loop-state frames are the SMALL side (edge-touched
+    vertices / node ranks), so losing AQE for their per-round jobs
+    costs nothing; the win is the removed per-round exchange."""
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        return df.localCheckpoint(eager=eager)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
+
+
 def repartition_for_join(df: DataFrame, key: str, n: int | None = None) -> DataFrame:
     """Pre-partition by the join key so several subsequent operations
     (join + groupBy on the same key) reuse one Exchange."""

@@ -23,7 +23,13 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.portable import micro
-from ..functions.vector import cosine_from_parts, cosine_sim, dot, l2_norm
+from ..functions.vector import (
+    cosine_from_parts,
+    cosine_sim,
+    dot,
+    dot_fixed,
+    l2_norm,
+)
 
 EMB_DIM = 64
 N_PLANES = 8  # default LSH hyperplanes → 2^8 buckets
@@ -1000,6 +1006,11 @@ def knn_int8(
 
 
 SEMDEDUP_THRESHOLD = 0.95
+# prefix length of the within-cell pair prefilter (see semantic_dedup):
+# bound tightness grows with the prefix share of vector energy; 16 of
+# 64 dims leaves the tail ~75% of the squared norm, so random pairs
+# bound out unless their 16-dim prefix cosine is already high
+SEMDEDUP_PREFILTER_DIMS = 16
 
 
 def semdedup_bits_for(
@@ -1078,33 +1089,80 @@ def semantic_dedup(
         cell = cell * (1 << extra_bits) + _lsh_bucket(
             "embedding", n_planes=extra_bits, plane_offset=101
         )
+    k_pre = SEMDEDUP_PREFILTER_DIMS
     a = assign.select(
         "vec_id",
         cell.alias("cell"),
         "embedding",
         l2_norm(F.col("embedding")).alias("__norm"),
+        # tail norm for the prefix upper bound below: ||x[k_pre:]||,
+        # computed once per VECTOR (n evaluations, never per pair)
+        l2_norm(F.slice(F.col("embedding"), k_pre + 1, EMB_DIM)).alias(
+            "__tail"
+        ),
     ).localCheckpoint(eager=True)
     senior = a.select(
-        "cell",
+        F.col("cell").alias("__scell"),
         F.col("vec_id").alias("__sid"),
         F.col("embedding").alias("__semb"),
         F.col("__norm").alias("__snorm"),
+        F.col("__tail").alias("__stail"),
+    )
+    # r10 prefilter (guide §3.2 join-input reduction, §4.1 codegen):
+    # the exact within-cell cosine — a 64-term interpreted
+    # higher-order dot per PAIR — was the single largest honest cost
+    # in the repo (35.8 s at the 10x rehearsal). A provable upper
+    # bound prunes pairs BEFORE the exact dot evaluates, as an
+    # earlier short-circuit conjunct of the same join condition:
+    #
+    #   dot(x, y) =  dot(x[:k], y[:k]) + dot(x[k:], y[k:])
+    #            <=  dot(x[:k], y[:k]) + ||x[k:]||*||y[k:]||
+    #
+    # by Cauchy-Schwarz on the tails, so with the SAME guarded
+    # denominator d = max(||x||*||y||, 1e-12) used by the exact
+    # cosine:  cos(x, y) <= (prefix_dot + tail_x*tail_y) / d.
+    # A surviving pair needs round(cos, 6) >= threshold, i.e.
+    # cos >= threshold - 5e-7; bound and cosine are 64-term double
+    # sums of O(1) values (relative fp error ~1e-14), so any pair
+    # with bound < threshold - 2e-6 provably fails the exact filter
+    # and can never reach the max_dup_sim aggregate — the pruned
+    # plan is result-identical (property-tested against the
+    # unfiltered form in tests/test_shards_semdedup.py).
+    # The bound itself is pure codegen arithmetic: k_pre unrolled
+    # element products + one tail multiply. Rows with fewer than
+    # k_pre dims (element_at would NULL) skip the prefilter via the
+    # size disjunct and go straight to the exact check.
+    pref_dot = F.lit(0.0)
+    for i in range(1, k_pre + 1):
+        pref_dot = pref_dot + F.element_at(
+            F.col("embedding"), i
+        ).cast("double") * F.element_at(F.col("__semb"), i).cast("double")
+    denom = F.greatest(F.col("__norm") * F.col("__snorm"), F.lit(1e-12))
+    bound_ok = (
+        (F.size(F.col("embedding")) < k_pre)
+        | (F.size(F.col("__semb")) < k_pre)
+        | (
+            (pref_dot + F.col("__tail") * F.col("__stail")) / denom
+            >= F.lit(threshold - 2e-6)
+        )
+    )
+    sim = F.round(
+        cosine_from_parts(
+            dot_fixed(F.col("embedding"), F.col("__semb"), EMB_DIM),
+            F.col("__norm"),
+            F.col("__snorm"),
+        ),
+        6,
     )
     dup = (
-        a.join(senior, "cell")
-        .filter(F.col("__sid") < F.col("vec_id"))
-        .select(
-            "vec_id",
-            F.round(
-                cosine_from_parts(
-                    dot(F.col("embedding"), F.col("__semb")),
-                    F.col("__norm"),
-                    F.col("__snorm"),
-                ),
-                6,
-            ).alias("__sim"),
+        a.join(
+            senior,
+            (F.col("cell") == F.col("__scell"))
+            & (F.col("__sid") < F.col("vec_id"))
+            & bound_ok
+            & (sim >= threshold),
         )
-        .filter(F.col("__sim") >= threshold)
+        .select("vec_id", sim.alias("__sim"))
         .groupBy("vec_id")
         .agg(F.max("__sim").alias("__max_dup"))
     )

@@ -575,6 +575,44 @@ def sentence_chunks(
     )
 
 
+EVAL_BCAST_MAX_BYTES = 256 * 1024 * 1024  # local default; see gate below
+
+
+def _maybe_broadcast_eval(eval_shingles: DataFrame, documents: DataFrame,
+                          eval_mod: int):
+    """Size-gate the eval-shingle broadcast (VERDICT r09 #5/#7): the
+    eval slice is 1/eval_mod of the CORPUS, so its distinct-shingle
+    set grows with corpus size — a broadcast that fits at sf0.1 will
+    not fit at 100 TB (the 8 GB/512M-row broadcast cap, guide §3.1).
+    The gate estimates the exploded eval shingle volume from the
+    source relation's optimizer size statistic (on-disk bytes ×
+    ~3 overlapping word-shingles per token position / eval_mod — a
+    coarse upper-shape estimate, deliberately cheap: no job, no
+    count) and keeps the explicit broadcast hint only under
+    $SPARK_GRAFT_EVAL_BCAST_MAX bytes (default 256 MB). Past the
+    limit the hint is dropped and the membership join plans as a
+    shuffle join (AQE may still broadcast at runtime from REAL sizes
+    — strictly better information than this estimate). Join type
+    never changes the values, only the movement plan; both branches
+    are pinned in tests/test_curation_ops.py."""
+    import os
+
+    limit = int(
+        os.environ.get("SPARK_GRAFT_EVAL_BCAST_MAX", EVAL_BCAST_MAX_BYTES)
+    )
+    try:
+        base = int(
+            documents._jdf.queryExecution()
+            .optimizedPlan()
+            .stats()
+            .sizeInBytes()
+        )
+    except Exception:  # stats unavailable — keep the legacy hint
+        base = 0
+    est = base * 3 // max(eval_mod, 1)
+    return F.broadcast(eval_shingles) if est <= limit else eval_shingles
+
+
 def decontaminate(documents: DataFrame, eval_mod: int = 20) -> DataFrame:
     """Benchmark decontamination: for every training document, the
     fraction of its distinct word-3-gram shingles that also occur in
@@ -599,7 +637,11 @@ def decontaminate(documents: DataFrame, eval_mod: int = 20) -> DataFrame:
         "doc_id", F.explode(sh).alias("sh")
     )
     return (
-        train.join(F.broadcast(eval_shingles), "sh", "left_outer")
+        train.join(
+            _maybe_broadcast_eval(eval_shingles, documents, eval_mod),
+            "sh",
+            "left_outer",
+        )
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_shingles"),
@@ -834,14 +876,29 @@ def kn_bigram_surprisal(
     (COVERAGE.md "Oracle encoding rule"); documents with < 2
     words have no bigrams and drop out (identically in both engines).
 
-    Scale: bigram counts / context-type counts are vocabulary²-
-    bounded-by-observed aggregates with map-side combine; the type
-    total folds in as a one-row broadcast; the only corpus-sized
-    shuffle is the bigram-keyed join of the probability table back to
-    the document bigrams — the same shape as unigram_surprisal's
-    term join. Every count is an exact integer; the float expression
-    is written with the identical operation order in the DuckDB
-    oracle so both engines run the same IEEE sequence."""
+    Scale (r10 re-plan, guide §2.3/§6 — the same one-token-scan
+    shape as kn_trigram_surprisal): the per-(doc, bigram) count table
+    is materialized once at construction (localCheckpoint;
+    persist/parquet on a cluster); the bigram-type counts, context
+    counts and type total all derive from it, and the probability
+    join keys back on the SAME table weighted by the count column —
+    the corpus is tokenized exactly once instead of once per branch
+    plus once for the final token join. All count tables stay
+    vocabulary²-bounded-by-observed aggregates with map-side combine;
+    the type total folds in as a one-row broadcast. Every count is an
+    exact integer; the float expression is written with the identical
+    operation order in the DuckDB oracle so both engines run the same
+    IEEE sequence. The per-doc mean here is the double AVG of the
+    per-token surprisal — each token of a bigram type carries the
+    identical double, so AVG over (type, count) weights must
+    reproduce the token AVG's VALUE; Spark's AVG(sum/count) over
+    weighted rows is sum(c·s)/sum(c), and the token-level sum's
+    partial order was already partitioning-dependent (the accepted
+    residual class) — the oracle twin computes the identical
+    weighted form.
+
+    Contract note (markov/k-means-centroid class): construction runs
+    the one tokenize+count job that materializes the checkpoint."""
     toks = documents.select("doc_id", words("text").alias("__w"))
     bi = toks.select(
         "doc_id",
@@ -853,7 +910,12 @@ def kn_bigram_surprisal(
             )
         ).alias("b"),
     ).select("doc_id", "b.w1", "b.w2")
-    bc = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    dbc = (
+        bi.groupBy("doc_id", "w1", "w2")
+        .agg(F.count(F.lit(1)).alias("dc"))
+        .localCheckpoint(eager=True)
+    )
+    bc = dbc.groupBy("w1", "w2").agg(F.sum("dc").alias("c"))
     c1 = bc.groupBy("w1").agg(
         F.sum("c").alias("c1"), F.count(F.lit(1)).alias("n1f")
     )
@@ -870,13 +932,14 @@ def kn_bigram_surprisal(
         .select("w1", "w2", pkn.alias("__p"))
     )
     return (
-        bi.join(p, ["w1", "w2"])
+        dbc.join(p, ["w1", "w2"])
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_bigrams"),
-            micro(F.avg(-F.log2(F.col("__p")))).alias(
-                "avg_kn_surprisal_micro"
-            ),
+            F.sum("dc").alias("n_bigrams"),
+            micro(
+                F.sum(F.col("dc") * -F.log2(F.col("__p")))
+                / F.sum("dc")
+            ).alias("avg_kn_surprisal_micro"),
         )
     )
 
@@ -903,19 +966,33 @@ def kn_trigram_surprisal(
     micro-bits; documents with < 3 words have no trigrams and drop
     out (identically in both engines).
 
-    Scale: all count tables are observed-trigram-type-bounded
-    aggregates with map-side combine; the type total folds in as a
-    one-row broadcast; the only corpus-sized shuffle is the
-    trigram-keyed join of the probability table back to the document
-    trigrams — kn_bigram_surprisal's shape one order up. Every count
-    is an exact integer; the float expression is written with the
-    identical operation order in the DuckDB oracle
-    (registry ORACLES['kn_trigram_surprisal']). The per-doc mean is
-    the integer mean of PER-TRIGRAM micro-bits (quantize before the
-    sum): integer addition is order-independent, so the reported
-    value never rides the partial-sum order of a double AVG (the r08
-    ADVICE residual-risk class). Surprisal is non-negative (pkn ≤ 1
-    by the KN normalization), so DIV and // agree."""
+    Scale (r10 re-plan, guide §2.3/§6 shared-subexpression): the
+    corpus is tokenized ONCE — the per-(doc, trigram) count table is
+    materialized at construction (localCheckpoint; persist/parquet on
+    a cluster) and every count table (trigram types, bigram contexts,
+    continuation counts, the type total) derives from that one
+    artifact instead of re-running the tokenize+explode per order
+    (the r09 plan re-scanned documents for the final token join and
+    re-derived the type table per branch — 6.2 s at the 10x
+    rehearsal). The probability join keys on the SAME (doc, trigram)
+    table, weighted by the count column, so the token-level integer
+    mean is reproduced exactly: every token of a type carries the
+    same micro-bits, hence Σ_tokens s_u == Σ_types c·s_u and
+    n_trigrams == Σ_types c — identical BIGINTs, same DIV. All count
+    tables stay observed-trigram-type-bounded aggregates with
+    map-side combine; the type total folds in as a one-row
+    broadcast. Every count is an exact integer; the float expression
+    is written with the identical operation order in the DuckDB
+    oracle (registry ORACLES['kn_trigram_surprisal']). The per-doc
+    mean is the integer mean of PER-TRIGRAM micro-bits (quantize
+    before the sum): integer addition is order-independent, so the
+    reported value never rides the partial-sum order of a double AVG
+    (the r08 ADVICE residual-risk class). Surprisal is non-negative
+    (pkn ≤ 1 by the KN normalization), so DIV and // agree.
+
+    Contract note (same class as markov_attribution / the k-means
+    centroid pattern): constructing this query runs the one
+    tokenize+count Spark job that materializes the checkpoint."""
     toks = documents.select("doc_id", words("text").alias("__w"))
     # sequence(1, n) DESCENDS when n < 1 — guard short docs explicitly
     tri = toks.select(
@@ -929,7 +1006,12 @@ def kn_trigram_surprisal(
             )
         ).alias("t3"),
     ).select("doc_id", "t3.w1", "t3.w2", "t3.w3")
-    tc = tri.groupBy("w1", "w2", "w3").agg(F.count(F.lit(1)).alias("c3"))
+    dtc = (
+        tri.groupBy("doc_id", "w1", "w2", "w3")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    tc = dtc.groupBy("w1", "w2", "w3").agg(F.sum("c").alias("c3"))
     c12 = tc.groupBy("w1", "w2").agg(
         F.sum("c3").alias("c12"), F.count(F.lit(1)).alias("n1f12")
     )
@@ -956,12 +1038,14 @@ def kn_trigram_surprisal(
         .select("w1", "w2", "w3", p3.alias("__p"))
     )
     return (
-        tri.join(p, ["w1", "w2", "w3"])
-        .select("doc_id", micro(-F.log2(F.col("__p"))).alias("__s_u"))
+        dtc.join(p, ["w1", "w2", "w3"])
+        .select(
+            "doc_id", "c", micro(-F.log2(F.col("__p"))).alias("__s_u")
+        )
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_trigrams"),
-            F.expr("CAST(sum(__s_u) DIV count(1) AS BIGINT)").alias(
+            F.sum("c").alias("n_trigrams"),
+            F.expr("CAST(sum(c * __s_u) DIV sum(c) AS BIGINT)").alias(
                 "avg_kn3_surprisal_micro"
             ),
         )
@@ -1510,7 +1594,7 @@ def _funnel_flags(
     fixup fires only past a bytes-per-partition floor (measured both
     ways in scale.py::ensure_parallelism_for_heavy_scan)."""
     from .scale import ensure_parallelism_for_heavy_scan
-    from .textprep import word_shingles
+    from .textprep import shingles_from_words
 
     documents = ensure_parallelism_for_heavy_scan(documents)
     nt = F.size(F.expr("regexp_extract_all(text, '\\\\S+', 0)")).cast("long")
@@ -1522,14 +1606,24 @@ def _funnel_flags(
         F.round(_quality_column(), 6).alias("quality"),
         norm_hash.alias("__h"),
         words("text").alias("__ws"),
+    ).select(
         # the decontamination stage's per-doc distinct shingle set,
         # computed IN the same text scan (r09: decontaminate(documents)
         # used to re-scan and re-shingle the corpus twice — once for
         # the eval slice, once for the train side; both now read this
-        # column off the checkpoint). Arithmetic below is copied from
-        # decontaminate() verbatim so the stage semantics — and the
-        # oracle, which re-derives them in SQL — are unchanged.
-        F.array_distinct(word_shingles(F.col("text"))).alias("__sh"),
+        # column off the checkpoint). Arithmetic mirrors decontaminate()
+        # — array_distinct over the same w-word shingles — so the stage
+        # semantics, and the oracle which re-derives them in SQL, are
+        # unchanged. r10 (r09 ADVICE): the shingles build from the
+        # already-split __ws attribute (shingles_from_words), not from
+        # word_shingles(text), which re-ran the regex word split O(w)
+        # extra times per document inside the same projection;
+        # identical output — word_shingles(text) IS
+        # shingles_from_words(words(text)).
+        "*",
+        F.array_distinct(
+            shingles_from_words(F.col("__ws"))
+        ).alias("__sh"),
     )
     base = b0.select(
         "doc_id",
@@ -1558,7 +1652,14 @@ def _funnel_flags(
         "doc_id", F.explode("__sh").alias("sh")
     )
     dec = (
-        train.join(F.broadcast(eval_shingles), "sh", "left_outer")
+        # same size-gated broadcast as decontaminate() — the estimate
+        # reads the ORIGINAL documents relation's stats (base is a
+        # checkpoint RDD with no file statistics)
+        train.join(
+            _maybe_broadcast_eval(eval_shingles, documents, eval_mod),
+            "sh",
+            "left_outer",
+        )
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("__n_sh"),

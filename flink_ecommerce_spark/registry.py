@@ -6286,6 +6286,86 @@ _SPEC_DEFS: dict[str, QuerySpec] = {
 # because their code is untouched; touching one moves it back into
 # the window.
 _VERIFY_FIRST: tuple[str, ...] = (
+    # ================= r10 window =================
+    # Composition (VERDICT r09 #10 + r09 ADVICE #1 + COVERAGE.md):
+    # (A) the round's 4 fingerprint-drifted re-plans:
+    #     semantic_dedup (within-cell prefix-bound prefilter +
+    #     unrolled exact dot), kn_trigram_surprisal /
+    #     kn_bigram_surprisal (one-token-scan checkpoint),
+    #     hybrid_search_rrf (lexical shingle scan checkpointed once,
+    #     query slice pruned before shingling).
+    "semantic_dedup",
+    "kn_trigram_surprisal",
+    "kn_bigram_surprisal",
+    "hybrid_search_rrf",
+    # (B) checkpoint-shielded consumers whose EXECUTED internals
+    #     changed this round while their analyzed-plan fingerprints
+    #     cannot see it (the r09 ADVICE blind spot, now routinely
+    #     rotated): the CC/pagerank loops record real partitioning
+    #     across localCheckpoints (AQE off at capture) and run lazy
+    #     edge/label checkpoints; cands checkpoints went lazy in the
+    #     LSH/prefix/fuzzy families (incremental_fuzzy_dedup also
+    #     dropped its single-use nb checkpoint); decontaminate and
+    #     the funnel family carry the size-gated eval broadcast and
+    #     the funnel's one-split-per-row shingle build.
+    "supplier_pagerank",
+    "dedup_clusters",
+    "copurchase_components",
+    "entity_merge_groups",
+    "lsh_candidate_pairs",
+    "lsh_candidate_precision",
+    "lsh_recall_report",
+    "lsh_recall_sampled",
+    "prefix_jaccard_pairs",
+    "incremental_fuzzy_dedup",
+    "fuzzy_decontaminate",
+    "decontaminate",
+    "contamination_report",
+    "curated_corpus",
+    "corpus_funnel",
+    "corpus_funnel_by_source",
+    "curation_drop_reasons",
+    # (C) staleness backfill, oldest certifications first: the r03
+    #     holdout (props_extract), the 8 backfills displaced by the
+    #     r09 re-plans (phrase_search, media_dedup,
+    #     asof_next_purchase, balanced_shards, bpe_merge_candidates,
+    #     countmin_estimates, countmin_sketch — entity_merge_groups
+    #     is in (B)), and the REST of the r04 cohort including the
+    #     whole cosine/ANN ROUND family COVERAGE.md had queued for
+    #     r10+. This clears every r04-certified row except
+    #     weighted_sample_by_source (first in the r11 queue).
+    "props_extract",
+    "phrase_search",
+    "media_dedup",
+    "asof_next_purchase",
+    "balanced_shards",
+    "bpe_merge_candidates",
+    "countmin_estimates",
+    "countmin_sketch",
+    "pit_enriched_events",
+    "pq_codes",
+    "repeated_substring_spans",
+    "ann_lsh_topk",
+    "ann_lsh_topk_planned",
+    "bm25_topk",
+    "budgeted_mixture",
+    "embedding_near_dup_pairs",
+    "embedding_quantize_int8",
+    "first_conversion_episode",
+    "hard_negatives",
+    "ivf_ann_topk",
+    "ivf_pq_topk",
+    "jl_project",
+    "knn_bruteforce",
+    "knn_bruteforce_pandas",
+    "knn_int8",
+    "pq_ann_topk",
+    "quality_thresholds",
+    "shard_balance",
+    "weighted_sample",
+)
+
+_VERIFY_FIRST_R09: tuple[str, ...] = (
     # r09 window (VERDICT r08 #1-#3 + COVERAGE.md rotation/migration
     # queues). Composition:
     # (1) kn_trigram_surprisal — the only registry query that never

@@ -13,9 +13,15 @@ from __future__ import annotations
 
 from flink_ecommerce_spark import registry
 
+from tests.conftest import SF_SMALL
 from tests.plan_fp import LEDGER_SF, load_ledger, plan_fingerprint
 
 WINDOW = 50  # external driver verifies the first 50 queries() entries
+
+# the shared registry_frames fixture constructs at SF_SMALL; the
+# ledger is pinned at LEDGER_SF — they must stay the same path for
+# the fixture's fingerprints to be the ledger's
+assert LEDGER_SF == SF_SMALL
 
 
 def test_ledger_covers_every_query():
@@ -32,15 +38,21 @@ def test_window_is_the_verify_first_block():
     assert len(registry._VERIFY_FIRST) == WINDOW
 
 
-def test_window_plans_match_ledger(spark):
+def test_window_plans_match_ledger(registry_frames):
     """In-window entries must track HEAD exactly: the round's external
     certification runs against HEAD, so a stale windowed fingerprint
     means someone changed a query after the last regen — regenerate
-    (python -m tests.plan_fp) before committing."""
+    (python -m tests.plan_fp) before committing.
+
+    Uses the shared ``registry_frames`` construction (conftest.py):
+    LEDGER_SF and the fixture's SF_SMALL are the same sf0.001 path, so
+    the fingerprints are identical to constructing here."""
+    frames, errors = registry_frames
+    assert not errors, errors
     ledger = load_ledger()
     stale = []
     for name in list(registry.SPECS)[:WINDOW]:
-        fp = plan_fingerprint(registry.SPECS[name].fn(spark, LEDGER_SF))
+        fp = plan_fingerprint(frames[name])
         if ledger.get(name) != fp:
             stale.append(name)
     assert not stale, (
@@ -49,12 +61,14 @@ def test_window_plans_match_ledger(spark):
     )
 
 
-def test_out_of_window_plans_unchanged_since_certification(spark):
+def test_out_of_window_plans_unchanged_since_certification(registry_frames):
+    frames, errors = registry_frames
+    assert not errors, errors
     ledger = load_ledger()
     out_of_window = list(registry.SPECS)[WINDOW:]
     drifted = []
     for name in out_of_window:
-        fp = plan_fingerprint(registry.SPECS[name].fn(spark, LEDGER_SF))
+        fp = plan_fingerprint(frames[name])
         if ledger.get(name) != fp:
             drifted.append(name)
     assert not drifted, (

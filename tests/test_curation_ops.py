@@ -345,3 +345,52 @@ def test_int_div_null_on_zero_divisor(spark):
     df = spark.createDataFrame([(5, 0)], "a long, b long")
     [r] = df.select(int_div(F.col("a"), F.col("b")).alias("q")).collect()
     assert r["q"] is None
+
+
+def test_eval_shingle_broadcast_gate_branches(spark):
+    """r10 (VERDICT r09 #7): the eval-shingle membership join is
+    broadcast ONLY under the size gate. Default (local fixture sizes)
+    keeps the legacy broadcast hint — plan shows a BroadcastHashJoin
+    for the shingle join; with the limit forced to 0 the hint is
+    dropped and the join plans as a shuffle join. Values identical in
+    both branches."""
+    import os
+
+    from flink_ecommerce_spark import catalog
+    from flink_ecommerce_spark.operators.text import decontaminate
+
+    docs = catalog.table(spark, "/root/testdata/sf0.001", "documents")
+
+    assert "SPARK_GRAFT_EVAL_BCAST_MAX" not in os.environ
+    bcast_df = decontaminate(docs)
+    assert "ResolvedHint" in str(
+        bcast_df._jdf.queryExecution().analyzed()
+    )
+    assert (
+        "BroadcastHashJoin"
+        in bcast_df._jdf.queryExecution().executedPlan().toString()
+    )
+    rows_b = sorted(tuple(r) for r in bcast_df.collect())
+
+    os.environ["SPARK_GRAFT_EVAL_BCAST_MAX"] = "0"
+    try:
+        shuf_df = decontaminate(docs)
+        # the explicit hint is gone — the planner is free to choose
+        assert "ResolvedHint" not in str(
+            shuf_df._jdf.queryExecution().analyzed()
+        )
+        # and with auto-broadcast off the membership join actually
+        # falls back to a shuffle join (at 100 TB the real sizes
+        # force this branch; AQE may still broadcast when runtime
+        # sizes allow, which is the desired adaptive behavior)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            forced = decontaminate(docs)
+            plan = forced._jdf.queryExecution().executedPlan().toString()
+            assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
+            rows_s = sorted(tuple(r) for r in forced.collect())
+        finally:
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    finally:
+        del os.environ["SPARK_GRAFT_EVAL_BCAST_MAX"]
+    assert rows_b == rows_s

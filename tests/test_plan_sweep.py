@@ -21,12 +21,16 @@ ARROW_ALLOWED = {
 }
 
 
-def test_every_plan_is_scale_clean(spark):
-    cartesian, row_python, arrow_unexpected, errors = [], [], [], []
-    for name, spec in registry.SPECS.items():
+def test_every_plan_is_scale_clean(registry_frames):
+    frames, construction_errors = registry_frames
+    cartesian, row_python, arrow_unexpected = [], [], []
+    errors = [(n, e) for n, e in construction_errors.items()]
+    for name in registry.SPECS:
+        if name not in frames:
+            continue  # construction failure already in errors
         try:
             plan = (
-                spec.fn(spark, SF_SMALL)
+                frames[name]
                 ._jdf.queryExecution()
                 .executedPlan()
                 .toString()

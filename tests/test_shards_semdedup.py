@@ -390,3 +390,146 @@ def test_balanced_shards_id_buckets_match_default_on_fixture(spark):
         for r in balanced_shards(docs, n_shards=4, id_bucket_bits=2).collect()
     }
     assert base == bucketed
+
+
+def test_semantic_dedup_prefix_bound_prefilter_is_lossless(spark):
+    """r10: the within-cell pair prefilter (Cauchy-Schwarz prefix
+    bound, see semantic_dedup's docstring) must be result-preserving.
+    Property test on a random corpus seeded with true near-dups: the
+    pruned plan's full output equals a brute-force reference with NO
+    bound conjunct, row for row — kept flags AND max_dup_sim values.
+    Also pins the bound itself: bound >= exact cosine on every
+    within-cell pair (the inequality the pruning proof rests on),
+    including negative-dot and zero-vector edges."""
+    import random
+
+    from flink_ecommerce_spark.functions.vector import (
+        cosine_from_parts,
+        dot,
+        l2_norm,
+    )
+    from flink_ecommerce_spark.operators.similarity import build_ivf_index
+
+    random.seed(42)
+    rows = []
+    for vid in range(150):
+        base = [random.uniform(-1, 1) for _ in range(64)]
+        rows.append((vid, base, vid % 4))
+        if vid % 5 == 0:  # true near-duplicate of base
+            rows.append(
+                (
+                    vid + 10_000,
+                    [x * 1.0005 + random.uniform(-5e-5, 5e-5) for x in base],
+                    vid % 4,
+                )
+            )
+    rows.append((20_000, [0.0] * 64, 0))  # zero vector edge
+    rows.append((20_001, [-x for x in rows[0][1]], 0))  # antipodal edge
+    emb = _emb(spark, [(v, [float(x) for x in e], l) for v, e, l in rows])
+
+    got = sorted(
+        tuple(r) for r in semantic_dedup(emb, threshold=0.95).collect()
+    )
+
+    # brute-force reference: the pre-r10 shape, no prefilter
+    assign, _ = build_ivf_index(emb)
+    a = assign.select(
+        "vec_id", "cell", "embedding", l2_norm(F.col("embedding")).alias("__n")
+    ).localCheckpoint(eager=True)
+    senior = a.select(
+        F.col("cell").alias("__c2"),
+        F.col("vec_id").alias("__sid"),
+        F.col("embedding").alias("__semb"),
+        F.col("__n").alias("__sn"),
+    )
+    sim = F.round(
+        cosine_from_parts(
+            dot(F.col("embedding"), F.col("__semb")),
+            F.col("__n"),
+            F.col("__sn"),
+        ),
+        6,
+    )
+    dup = (
+        a.join(senior, F.col("cell") == F.col("__c2"))
+        .filter(F.col("__sid") < F.col("vec_id"))
+        .select("vec_id", sim.alias("__sim"))
+        .filter(F.col("__sim") >= 0.95)
+        .groupBy("vec_id")
+        .agg(F.max("__sim").alias("__max_dup"))
+    )
+    ref = sorted(
+        tuple(r)
+        for r in a.join(dup, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cell",
+            F.col("__max_dup").isNull().alias("kept"),
+            F.round(F.coalesce(F.col("__max_dup"), F.lit(0.0)), 6).alias(
+                "max_dup_sim"
+            ),
+        )
+        .collect()
+    )
+    assert got == ref
+    assert any(not r[2] for r in ref)  # the fixture has real drops
+
+    # the inequality itself: bound >= exact cosine on every pair
+    from flink_ecommerce_spark.operators.similarity import (
+        SEMDEDUP_PREFILTER_DIMS as K,
+    )
+
+    pref = F.lit(0.0)
+    for i in range(1, K + 1):
+        pref = pref + F.element_at(F.col("embedding"), i).cast(
+            "double"
+        ) * F.element_at(F.col("__semb"), i).cast("double")
+    tail = l2_norm(F.slice(F.col("embedding"), K + 1, 64))
+    stail = l2_norm(F.slice(F.col("__semb"), K + 1, 64))
+    denom = F.greatest(F.col("__n") * F.col("__sn"), F.lit(1e-12))
+    viol = (
+        a.join(senior, F.col("cell") == F.col("__c2"))
+        .filter(F.col("__sid") < F.col("vec_id"))
+        .select(
+            (((pref + tail * stail) / denom)
+             - cosine_from_parts(
+                 dot(F.col("embedding"), F.col("__semb")),
+                 F.col("__n"),
+                 F.col("__sn"),
+             )).alias("__slack")
+        )
+        .filter(F.col("__slack") < -1e-9)
+        .count()
+    )
+    assert viol == 0
+
+
+def test_dot_fixed_is_ieee_identical_to_dot(spark):
+    """dot_fixed (the unrolled codegen form used on pair-join hot
+    paths) must produce the BIT-identical double to the higher-order
+    dot on every row — same products, same accumulation order."""
+    import random
+
+    from flink_ecommerce_spark.functions.vector import dot, dot_fixed
+
+    random.seed(7)
+    rows = [
+        (i, [random.uniform(-10, 10) for _ in range(64)],
+         [random.uniform(-10, 10) for _ in range(64)])
+        for i in range(500)
+    ]
+    # short-array rows exercise the fallback branch
+    rows.append((9001, [1.0, 2.0], [3.0, 4.0]))
+    rows.append((9002, [], []))
+    df = spark.createDataFrame(
+        rows, "id long, a array<double>, b array<double>"
+    )
+    bad = (
+        df.select(
+            (dot(F.col("a"), F.col("b"))
+             != dot_fixed(F.col("a"), F.col("b"), 64)).alias("__diff")
+        )
+        .filter(F.col("__diff"))
+        .count()
+    )
+    assert bad == 0

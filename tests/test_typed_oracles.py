@@ -81,7 +81,12 @@ def test_no_oracle_emits_decimal_or_float32(con):
     decimal emitters."""
     offenders: list[tuple[str, str, str]] = []
     for name, sql in registry.oracle_sql().items():
-        tbl = con.execute(sql).arrow()
+        # LIMIT 0 wrap: the gate checks the Arrow SCHEMA only, and
+        # DuckDB derives result types statically, so materializing
+        # zero rows yields the identical schema at ~1/40 the cost
+        # (measured 165 s -> 4 s for the 254-oracle sweep; schema
+        # identity spot-proven against full materialization)
+        tbl = con.execute(f"SELECT * FROM ({sql}) __q LIMIT 0").arrow()
         for field in tbl.schema:
             tag = canonical_arrow(field.type)
             if tag.startswith("decimal") or "float32" in str(field.type):

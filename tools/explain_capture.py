@@ -1,6 +1,7 @@
 """Capture .explain("formatted") for named registry queries into
-plans/r09/<query>_<tag>.txt (the judge checks plan claims against
+plans/<round>/<query>_<tag>.txt (the judge checks plan claims against
 these files; Spark is unavailable to the judge, so they are committed).
+Round dir defaults to r10; override with $SPARK_GRAFT_PLAN_ROUND.
 
 Usage: python tools/explain_capture.py <tag> <query> [query ...]
        python tools/explain_capture.py <tag> --bench   # every bench query
@@ -21,7 +22,11 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 from flink_ecommerce_spark import registry  # noqa: E402
 from flink_ecommerce_spark.session import get_spark  # noqa: E402
 
-OUT = Path(__file__).resolve().parent.parent / "plans" / "r09"
+OUT = (
+    Path(__file__).resolve().parent.parent
+    / "plans"
+    / os.environ.get("SPARK_GRAFT_PLAN_ROUND", "r10")
+)
 
 
 def main() -> None:
@@ -43,7 +48,7 @@ def main() -> None:
             df._jdf.queryExecution(), "formatted"
         )
         (OUT / f"{name}_{tag}.txt").write_text(plan)
-        print(f"wrote plans/r09/{name}_{tag}.txt ({len(plan)} chars)")
+        print(f"wrote {OUT.name}/{name}_{tag}.txt ({len(plan)} chars)")
     spark.stop()
 
 

@@ -16,7 +16,38 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-STAGE_10X = "/tmp/bench_rehearsal_k6z1r9si"
+def _stage_10x() -> str:
+    """The 10x rehearsal staging dir: $SPARK_GRAFT_STAGE_10X, else the
+    newest complete /tmp/bench_rehearsal_* left by a bench run (r09
+    ADVICE: a hardcoded ephemeral path silently broke every *_10x
+    thunk once that one run's dir was cleaned up)."""
+    import glob
+    import os
+
+    env = os.environ.get("SPARK_GRAFT_STAGE_10X")
+    if env:
+        if not Path(env).is_dir():
+            raise SystemExit(f"SPARK_GRAFT_STAGE_10X={env} is not a directory")
+        return env
+    need = {"documents.parquet", "embeddings.parquet", "events.parquet",
+            "lineitem.parquet", "orders.parquet"}
+    cands = [
+        d for d in sorted(
+            glob.glob("/tmp/bench_rehearsal_*"),
+            key=lambda p: Path(p).stat().st_mtime,
+            reverse=True,
+        )
+        if need <= {p.name for p in Path(d).iterdir()}
+    ]
+    if not cands:
+        raise SystemExit(
+            "no complete /tmp/bench_rehearsal_* staging dir found — run "
+            "bench.py once (or point SPARK_GRAFT_STAGE_10X at one)"
+        )
+    return cands[0]
+
+
+STAGE_10X = _stage_10x()
 SF01 = "/root/testdata/sf0.1"
 
 
