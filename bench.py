@@ -1115,7 +1115,11 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
-        "replay": replay_metrics,
+        # retry details stay in BENCH_DETAIL.json — on the one-line
+        # budget only the metric values matter
+        "replay": {
+            k: v for k, v in replay_metrics.items() if k != "retries"
+        },
         "spark_probe_median_s": probe_spark_median,
         "total_per_spark_probe": total_norm,
         "canary": canary,
